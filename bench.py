@@ -1,0 +1,59 @@
+"""Benchmark harness — runs the registry's queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with a noop-format write
+(exercises the complete plan including the final exchange, without
+driver-side collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from gcp_de_data_pipeline_cc_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def infer_sf(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = build_session(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
+    # warm the JVM + file listing outside timed sections
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    names = sorted(REGISTRY)
+    only = sys.argv[1:]
+    if only:
+        names = [n for n in names if n in only]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": infer_sf(SF_DIR),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

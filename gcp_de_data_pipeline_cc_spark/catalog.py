@@ -1,0 +1,77 @@
+"""Table catalog over the warehouse directory.
+
+The reference keeps its warehouse as three BigQuery datasets (raw →
+staging → curation, reference dags/config/pipeline_config.yaml:43-46);
+here a warehouse is simply a directory of columnar tables, and tiering is
+a naming/partitioning convention. In deployment the same code points at
+object-store URIs — the connector is a config string, not architecture.
+
+Physical notes for the 100 TB design point:
+
+- Parquet columnar at rest; scans get column pruning + predicate pushdown
+  from Catalyst for free (verify via ``df.explain``: ``ReadSchema`` /
+  ``PushedFilters``).
+- `events.ts` lands as parquet TIMESTAMP(NANOS) which Spark's reader
+  maps to LongType under ``spark.sql.legacy.parquet.nanosAsLong``; the
+  catalog normalizes it to microsecond TimestampType — the exact
+  truncation DuckDB applies, so both engines see identical instants.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+#: every table the test warehouse carries (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: small dimension tables — always broadcast-eligible in joins. At 100 TB
+#: the facts (orders/lineitem/events/documents/embeddings) grow; these stay
+#: dimension-sized (region=5, nation=25, supplier/part/customer grow slowly).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table, normalizing physical quirks.
+
+    Column normalization happens *after* the scan node, so pushdown and
+    pruning still reach the parquet reader for every other column.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # parquet TIMESTAMP(NANOS) read as raw nanos; truncate to micros
+        # (integer div — matches DuckDB's ns→us truncation).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Warehouse:
+    """Convenience handle over one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for spark.sql access."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)

@@ -1,0 +1,16 @@
+"""Query plan catalog.
+
+Every operator from SURVEY.md §2 is registered here as a named
+:class:`~gcp_de_data_pipeline_cc_spark.plans.registry.QuerySpec` pairing a
+DataFrame-first Spark implementation with (where SQL-expressible) an ANSI
+SQL oracle that DuckDB can execute over the same parquet tables.
+
+Importing this package populates the registry.
+"""
+
+from gcp_de_data_pipeline_cc_spark.plans.registry import REGISTRY, QuerySpec, query
+
+# registration side effects
+from gcp_de_data_pipeline_cc_spark.plans import relational  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,40 @@
+"""Differential correctness: every oracle-paired query in the registry
+runs on Spark and on DuckDB over the same sf0.001 warehouse; results must
+match (order-insensitive, float tolerance). This mirrors the driver's
+CORRECTNESS gate at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from tests.compare import assert_frames_match
+from tests.conftest import SF_DIR
+
+ORACLE_KEYS = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    got = spec.spark(spark, SF_DIR).toPandas()
+    want = duck.execute(spec.oracle).df()
+    assert_frames_match(got, want, name=name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"nation", "n_orders", "total_revenue", "avg_order_value"}
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
