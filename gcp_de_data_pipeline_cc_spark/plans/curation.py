@@ -1,0 +1,245 @@
+"""Curation-tier queries: SCD2 merge, point-in-time lookup, QC gates
+(SURVEY.md §2.10 C1/C2, §2.3 J7, §2.4 A4).
+
+The SCD2 snapshots are derived deterministically from the customer table
+so the full merge — including closes, same-key updates, arrivals and
+departures — is oracle-checkable end to end. The hashed attribute is
+``acct_cents`` (money as exact integer cents) rather than the raw double:
+fingerprints must hash *identical strings* in both engines, and
+double→string casts are not portable across engines.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.operators.scd2 import point_in_time, scd2_apply, scd2_init
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+D1 = dt.date(2024, 1, 1)
+D2 = dt.date(2024, 2, 1)
+
+# shared snapshot definitions (SQL twin below, Spark builder in _snapshots)
+_SNAP_SQL = """
+    s1 AS (
+        SELECT c_custkey AS cust_id,
+               c_name AS name,
+               c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acct_cents
+        FROM customer
+    ),
+    s2 AS (
+        SELECT cust_id, name, segment,
+               CASE WHEN cust_id % 5 = 0 THEN acct_cents + 10000
+                    ELSE acct_cents END AS acct_cents
+        FROM s1 WHERE cust_id % 17 <> 0
+        UNION ALL
+        SELECT cust_id + 1000000, 'NEW ' || name, segment, acct_cents
+        FROM s1 WHERE cust_id % 13 = 0
+    )
+"""
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Day-1 and day-2 dimension snapshots, derived from customer."""
+    s1 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).alias("acct_cents"),
+    )
+    changed = s1.filter(F.col("cust_id") % 17 != 0).select(
+        "cust_id",
+        "name",
+        "segment",
+        F.when(F.col("cust_id") % 5 == 0, F.col("acct_cents") + 10000)
+        .otherwise(F.col("acct_cents"))
+        .alias("acct_cents"),
+    )
+    arrivals = s1.filter(F.col("cust_id") % 13 == 0).select(
+        (F.col("cust_id") + 1000000).alias("cust_id"),
+        F.concat(F.lit("NEW "), F.col("name")).alias("name"),
+        "segment",
+        "acct_cents",
+    )
+    return s1, changed.unionByName(arrivals)
+
+
+@query(
+    "scd2_merge",
+    oracle=f"""
+    WITH {_SNAP_SQL},
+    h1 AS (
+        SELECT *,
+               SHA256(CONCAT_WS(CHR(31),
+                   COALESCE(name, CHR(1)),
+                   COALESCE(segment, CHR(1)),
+                   COALESCE(CAST(acct_cents AS VARCHAR), CHR(1)))) AS row_hash
+        FROM s1
+    ),
+    h2 AS (
+        SELECT *,
+               SHA256(CONCAT_WS(CHR(31),
+                   COALESCE(name, CHR(1)),
+                   COALESCE(segment, CHR(1)),
+                   COALESCE(CAST(acct_cents AS VARCHAR), CHR(1)))) AS row_hash
+        FROM s2
+    )
+    SELECT c.cust_id, c.name, c.segment, c.acct_cents, c.row_hash,
+           DATE '2024-01-01' AS effective_from,
+           CASE WHEN s.cust_id IS NULL OR s.row_hash <> c.row_hash
+                THEN DATE '2024-02-01' ELSE DATE '9999-12-31' END AS effective_to,
+           NOT (s.cust_id IS NULL OR s.row_hash <> c.row_hash) AS is_current
+    FROM h1 c LEFT JOIN h2 s USING (cust_id)
+    UNION ALL
+    SELECT s.cust_id, s.name, s.segment, s.acct_cents, s.row_hash,
+           DATE '2024-02-01', DATE '9999-12-31', TRUE
+    FROM h2 s LEFT JOIN h1 c USING (cust_id)
+    WHERE c.cust_id IS NULL OR c.row_hash <> s.row_hash
+    """,
+)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — full SCD2 load cycle: init from day-1 snapshot, apply day-2
+    snapshot carrying updates (key%5), departures (key%17, closed) and
+    arrivals (key%13 clones). The dbt-SCD2 semantics the reference
+    delegates to its external curation model (readme:10)."""
+    s1, s2 = _snapshots(spark, sf_dir)
+    dim = scd2_init(s1, ["cust_id"], ["name", "segment", "acct_cents"], D1)
+    return scd2_apply(
+        dim, s2, ["cust_id"], ["name", "segment", "acct_cents"], D2,
+        close_missing=True,
+    )
+
+
+@query(
+    "join_asof_scd2",
+    oracle="""
+    WITH versions AS (
+        SELECT o_custkey,
+               o_orderkey AS version_key,
+               o_orderdate AS eff_from,
+               LEAD(o_orderdate, 1, TIMESTAMP '9999-12-31 00:00:00') OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS eff_to
+        FROM orders
+    ),
+    probes AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT v.version_key, COUNT(*) AS n_probes
+    FROM probes p
+    JOIN versions v
+      ON p.o_custkey = v.o_custkey
+     AND p.l_shipdate >= v.eff_from
+     AND p.l_shipdate < v.eff_to
+    GROUP BY v.version_key
+    """,
+)
+def join_asof_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — point-in-time (as-of) lookup against versioned intervals.
+
+    Versions are derived per customer from consecutive order dates
+    (effective_to = next version's effective_from — op W2); each lineitem
+    ship date then resolves to exactly one version. Executes as a
+    sort-merge join on the customer key with the range predicate applied
+    in the merge — the standard Spark plan for equality+range, no
+    cartesian blowup at scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").alias("effective_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("effective_to"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    probes = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_custkey"
+    )
+    matched = point_in_time(versions, probes, ["o_custkey"], "l_shipdate")
+    return (
+        matched.filter(F.col("version_key").isNotNull())
+        .groupBy("version_key")
+        .agg(F.count("*").alias("n_probes"))
+    )
+
+
+@query(
+    "qc_gate_suite",
+    oracle="""
+    SELECT 'lineitem_non_empty' AS gate, COUNT(*) > 0 AS passed,
+           COUNT(*) AS observed
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_unique_key', COUNT(*) = COUNT(DISTINCT o_orderkey),
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_ref_integrity', COUNT(*) = 0, COUNT(*)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders_status_accepted', COUNT(*) = 0, COUNT(*)
+    FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+    """,
+)
+def qc_gate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — the reference's inter-stage QC gates as one lazy report
+    (dags/pipeline_orchestration_dag.py:149-167), extended with the
+    uniqueness / referential / accepted-values checks the external dbt
+    layer would carry."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    g1 = li.agg(F.count("*").alias("n")).select(
+        F.lit("lineitem_non_empty").alias("gate"),
+        (F.col("n") > 0).alias("passed"),
+        F.col("n").alias("observed"),
+    )
+    g2 = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dups")
+    ).select(
+        F.lit("orders_unique_key").alias("gate"),
+        (F.col("dups") == 0).alias("passed"),
+        F.col("dups").alias("observed"),
+    )
+    orphans = li.select(F.col("l_orderkey").alias("k")).join(
+        o.select(F.col("o_orderkey").alias("k")), "k", "left_anti"
+    )
+    g3 = orphans.agg(F.count("*").alias("n")).select(
+        F.lit("lineitem_ref_integrity").alias("gate"),
+        (F.col("n") == 0).alias("passed"),
+        F.col("n").alias("observed"),
+    )
+    g4 = o.filter(~F.col("o_orderstatus").isin("F", "O", "P")).agg(
+        F.count("*").alias("n")
+    ).select(
+        F.lit("orders_status_accepted").alias("gate"),
+        (F.col("n") == 0).alias("passed"),
+        F.col("n").alias("observed"),
+    )
+    return g1.unionByName(g2).unionByName(g3).unionByName(g4)
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — HLL++ approximate cardinality (rows-only: ±rsd vs exact, so
+    no value-hash oracle; tests assert the error bound instead).
+
+    Scale: approx_count_distinct shuffles fixed-size sketches instead of
+    the key universe — the only viable distinct-count at 100 TB.
+    """
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
