@@ -11,6 +11,11 @@ Importing this package populates the registry.
 from gcp_de_data_pipeline_cc_spark.plans.registry import REGISTRY, QuerySpec, query
 
 # registration side effects
-from gcp_de_data_pipeline_cc_spark.plans import curation, relational  # noqa: E402,F401
+from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
+    curation,
+    events,
+    lifecycle,
+    relational,
+)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,117 @@
+"""Event-stream analytics queries (SURVEY.md §2.9 + S7/F7 JSON).
+
+Window-function semantics (`F.window`, `F.session_window`) are identical
+in batch and streaming execution, so these run in batch mode against the
+SQL oracle — the streaming execution path of the very same expressions is
+exercised in tests/test_streaming.py and the `stream_ingest_e2e`
+rows-only query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+from gcp_de_data_pipeline_cc_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           json_extract_string(props, '$.k') AS prop_k_str
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/F7 — JSON-in-string payload extraction (`events.props`).
+
+    `from_json` with an explicit schema is the scale path (single parse,
+    vectorized); `get_json_object` shown for ad-hoc path extraction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("prop_k"),
+        F.get_json_object("props", "$.k").alias("prop_k_str"),
+    )
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS win_end,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — tumbling 1-hour event-time windows."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH offsets AS (SELECT UNNEST([0, 1, 2, 3]) AS k)
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - TO_MINUTES(15 * k) AS win_start,
+               ts
+        FROM events CROSS JOIN offsets
+    )
+    WHERE ts < win_start + INTERVAL 1 HOUR AND ts >= win_start
+    GROUP BY win_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — 1-hour windows hopping every 15 minutes (each event counted
+    in 4 overlapping windows)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"), "1 hour", "15 minutes")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — 30-minute-gap user sessions; oracle is the classic
+    gaps-and-islands SQL over the same gap rule (session end = last
+    event + gap, matching `session_window`)."""
+    return session_windows(load_table(spark, sf_dir, "events"), "30 minutes")

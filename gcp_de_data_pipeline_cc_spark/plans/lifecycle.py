@@ -1,0 +1,114 @@
+"""Ingest-lifecycle queries (SURVEY.md §2.1): CSV raw→staging roundtrip,
+warehouse sink roundtrip, and the full Structured-Streaming
+sensor→ingest→archive cycle.
+
+The roundtrips are oracle-checked: if the write/read/cast cycle is
+lossless, the result equals a plain projection of the source table, so
+the oracle is that projection. The streaming cycle is rows-only (side
+effects + checkpoints are not SQL-expressible) and additionally asserted
+equal to its batch twin in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+from gcp_de_data_pipeline_cc_spark.sources.csv_ingest import raw_to_staging, read_landing_csv
+from gcp_de_data_pipeline_cc_spark.sources.sink import read_table, write_table
+from gcp_de_data_pipeline_cc_spark.streaming.file_ingest import (
+    ingest_available_now,
+    landing_stream,
+)
+
+CUSTOMER_COLS = ("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P2 — landing-CSV lifecycle: export customer as CSV, re-ingest
+    through the raw (all-string) tier, cast at staging. Losslessness makes
+    the source projection the oracle."""
+    src = load_table(spark, sf_dir, "customer").select(*CUSTOMER_COLS)
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    src.write.mode("overwrite").option("header", "true").csv(f"{tmp}/landing")
+    raw = read_landing_csv(spark, f"{tmp}/landing", CUSTOMER_COLS)
+    staged = raw_to_staging(
+        raw,
+        {
+            "c_custkey": "bigint",
+            "c_name": "string",
+            "c_mktsegment": "string",
+            "c_acctbal": "double",
+        },
+        required=["c_custkey"],
+    )
+    return staged.select(*CUSTOMER_COLS)
+
+
+@query(
+    "sink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — warehouse sink: overwrite-write a staged slice as a Parquet
+    table (partitioned, as a 100 TB sink must be) and read it back."""
+    staged = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    tmp = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    write_table(staged, f"{tmp}/orders_f", partition_by=["o_orderstatus"])
+    back = read_table(spark, f"{tmp}/orders_f")
+    # partitionBy moves the partition column last and reads it as string;
+    # restore the contract schema
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+
+
+@query("stream_ingest_e2e", oracle=None)
+def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/T1 — the reference's sensor → ingest → archive spine as one
+    Structured Streaming run (rows-only: exactly-once + archive side
+    effects are not SQL-expressible).
+
+    Lands the customer table as CSVs, drains the landing dir with
+    ``trigger(availableNow)`` + checkpoint, archives consumed files, and
+    returns the ingested raw tier. Tests assert archive/output counts.
+    """
+    src = load_table(spark, sf_dir, "customer").select(*CUSTOMER_COLS)
+    tmp = tempfile.mkdtemp(prefix="stream_ingest_")
+    landing, archive = f"{tmp}/landing", f"{tmp}/archived"
+    out, ckpt = f"{tmp}/raw", f"{tmp}/ckpt"
+    src.coalesce(4).write.mode("overwrite").option("header", "true").csv(landing)
+
+    stream = landing_stream(spark, landing, CUSTOMER_COLS, archive_dir=archive)
+    q = ingest_available_now(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    return raw.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )

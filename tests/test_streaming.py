@@ -1,0 +1,104 @@
+"""Structured Streaming tests: the sensor→ingest→archive lifecycle
+(exactly-once across restarts), and batch≡stream equality for the
+event-time window operators (the strongest available oracle for
+streaming semantics)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.sources.csv_ingest import EMPLOYEE_COLUMNS
+from gcp_de_data_pipeline_cc_spark.streaming.file_ingest import (
+    ingest_available_now,
+    landing_stream,
+)
+from gcp_de_data_pipeline_cc_spark.streaming.windows import (
+    streaming_dedup,
+    tumbling_counts,
+    with_watermark,
+)
+from tests.conftest import SF_DIR
+
+EMP_HEADER = "emp_id,emp_name,dept_id,salary,hire_date\n"
+
+
+def _write_landing(tmp_path, name, rows):
+    (tmp_path / "landing").mkdir(exist_ok=True)
+    (tmp_path / "landing" / name).write_text(
+        EMP_HEADER + "".join(f"{r},e{r},10,100.0,2024-01-01\n" for r in rows)
+    )
+
+
+def test_ingest_lifecycle_exactly_once_with_archive(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    archive = str(tmp_path / "archived")
+    out, ckpt = str(tmp_path / "raw"), str(tmp_path / "ckpt")
+
+    _write_landing(tmp_path, "Employee_1.csv", range(0, 5))
+    stream = landing_stream(spark, landing, EMPLOYEE_COLUMNS, archive_dir=archive)
+    q = ingest_available_now(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 5
+
+    # second run with the same checkpoint: a new file arrives; the old one
+    # must not be re-ingested (exactly-once via checkpoint, not archive)
+    _write_landing(tmp_path, "Employee_2.csv", range(100, 103))
+    stream = landing_stream(spark, landing, EMPLOYEE_COLUMNS, archive_dir=archive)
+    q = ingest_available_now(stream, out, ckpt)
+    q.awaitTermination(120)
+    ingested = spark.read.parquet(out)
+    assert ingested.count() == 8
+    assert ingested.select("emp_id").distinct().count() == 8
+
+    # archive side effect: consumed file moved out of landing
+    archived = list((tmp_path / "archived").rglob("*.csv"))
+    assert len(archived) >= 1, "cleanSource=archive moved nothing"
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    # stream the events table from a file-source copy
+    src = f"{SF_DIR}/events.parquet"
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(src, events_dir / "part-0.parquet")
+
+    raw_schema = spark.read.parquet(str(events_dir)).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(str(events_dir))
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    # complete mode: append+watermark would hold back windows newer than
+    # the final watermark (they'd emit on the *next* batch in production)
+    agg = tumbling_counts(with_watermark(sdf, "1 hour"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r) for r in spark.table("tumbling_test").collect()
+    }
+    want = {
+        tuple(r)
+        for r in tumbling_counts(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_landing(tmp_path, "dup.csv", [1, 1, 2, 2, 2, 3])
+    stream = landing_stream(spark, landing, EMPLOYEE_COLUMNS)
+    stream = stream.withColumn("ts", F.current_timestamp())
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["emp_id"])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = ingest_available_now(deduped, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
