@@ -1,0 +1,244 @@
+"""Deduplication suite for LLM training-data pipelines (ops C3/C4 + the
+extension mandate): exact content-hash dedup, n-gram Jaccard similarity
+join, MinHash+LSH near-dup, and SimHash bucketing.
+
+Design for 100 TB:
+
+- **exact** — one hash-groupBy; the shuffle carries (hash, doc_id) pairs
+  only, never document text.
+- **n-gram Jaccard** — the *shingle join* formulation: explode distinct
+  shingles, self-join on the shingle value, count per pair. Cost is
+  Σ|bucket|² over shingle buckets — linear-ish on real corpora — versus
+  the O(n²) all-pairs cross join, which is never materialized.
+- **MinHash+LSH** — pure-DataFrame implementation (no MLlib vector
+  types): per-doc signatures via ``num_perms`` universal hash functions
+  folded with min-aggregates, banded so that only same-band-bucket pairs
+  become candidates; candidates are then *verified* with exact Jaccard.
+  Only candidate pairs ever pay the verification join.
+- **SimHash** — 16-bit weighted-bit signature per document; equal
+  signatures bucket together. Narrow per-doc compute + one groupBy.
+
+All hash arithmetic stays under 2^31 (pmod by a Mersenne prime) so
+ANSI-mode long multiplication cannot overflow.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.operators.text import (
+    MERSENNE_31,
+    shingles_col,
+    tokens_col,
+)
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C3 — exact dedup by content hash: keep the smallest id per distinct
+    content; report the copy count."""
+    return (
+        docs.select(id_col, F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Distinct (doc, shingle) pairs; docs shorter than k tokens drop."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        docs.withColumn("toks", toks)
+        .filter(F.size("toks") >= k)
+        .select(id_col, F.explode(shingles_col(F.col("toks"), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via the shingle-join plan.
+
+    Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with
+    jaccard >= threshold. Jaccard is exact integer arithmetic
+    (|∩| / (|A|+|B|-|∩|)) so results are engine-portable bit-for-bit.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _hash_params(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a·h + b mod p)."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_perms)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perms: int = 32,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document MinHash signature columns sig_0..sig_{n-1}.
+
+    One explode + one groupBy with ``num_perms`` min-aggregates; the
+    shuffle carries (doc, shingle_hash) longs, not text.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, k)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_31))
+    hashed = sh.select(id_col, h.alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_31))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_hash_params(num_perms))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perms: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 — MinHash+LSH near-dup join: band the signatures, bucket-join
+    candidates, then *verify* candidates with exact Jaccard.
+
+    With r = num_perms/bands rows per band, a pair with true Jaccard s is
+    a candidate with probability 1-(1-s^r)^bands — the standard S-curve;
+    the exact-verify pass removes false positives, so the only
+    approximation is missed pairs below the curve's knee.
+    """
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(docs, num_perms, k, id_col, text_col)
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.xxhash64(*[F.col(f"sig_{band * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for band in range(bands)
+    ])
+    banded = sigs.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # verification: exact jaccard on the candidate pairs only
+    sh = _doc_shingles(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash: per-document ``bits``-wide signature where bit b is the
+    sign of Σ_tokens ±1 weighted by token-hash bit b. Documents with
+    equal (or near) signatures are near-duplicates."""
+    tok = (
+        docs.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        contrib = F.when(F.col(f"bit_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = contrib if sig is None else (sig + contrib)
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_buckets(
+    docs: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate groups: documents sharing an identical SimHash."""
+    sigs = simhash_signatures(docs, bits, id_col, text_col)
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -15,7 +15,9 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     curation,
     events,
     lifecycle,
+    llm,
     relational,
+    udfs,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,341 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.10 C3-C6 + extension
+mandate): dedup suite, similarity search, text analysis, multimodal
+plumbing — each a registry entry over the documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
+from gcp_de_data_pipeline_cc_spark.operators import multimodal as mm
+from gcp_de_data_pipeline_cc_spark.operators import similarity as sim
+from gcp_de_data_pipeline_cc_spark.operators import text as tx
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: shared shingle-list SQL fragment (3-gram over whitespace tokens)
+_SHINGLES_SQL = (
+    "list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (C6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_tokens",
+    oracle="""
+    WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/C6 — corpus token frequencies (explode → count → top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           FLOOR((len(list_distinct(t)) / len(t)) * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+           FLOOR((len(list_filter(t, x -> x IN ('the', 'a'))) / len(t)) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+           FLOOR((length(replace(text, ' ', '')) / len(t)) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+           FLOOR((0.4 * (len(list_distinct(t)) / len(t))
+                + 0.3 * (1.0 - (len(list_filter(t, x -> x IN ('the', 'a'))) / len(t)))
+                + 0.3 * LEAST(len(t) / 100.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — quality-scoring signals (type-token ratio, stopword ratio,
+    avg token length, composite score); the cheap narrow pre-filter stage
+    of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_columns(docs)
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        roundn(F.col("distinct_ratio"), 4).alias("distinct_ratio"),
+        roundn(F.col("stopword_ratio"), 4).alias("stopword_ratio"),
+        roundn(F.col("avg_token_len"), 4).alias("avg_token_len"),
+        roundn(F.col("quality_score"), 4).alias("quality_score"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    profile AS (
+        SELECT lang, token FROM (
+            SELECT lang, token,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY COUNT(*) DESC, token
+                   ) AS rnk
+            FROM tok GROUP BY lang, token
+        ) WHERE rnk <= 10
+    ),
+    scored AS (
+        SELECT t.doc_id, p.lang AS cand_lang, COUNT(*) AS hits
+        FROM tok t JOIN profile p ON t.token = p.token
+        GROUP BY t.doc_id, p.lang
+    ),
+    best AS (
+        SELECT doc_id, cand_lang AS predicted_lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY hits DESC, cand_lang
+               ) AS rnk
+        FROM scored
+    )
+    SELECT d.doc_id, b.predicted_lang,
+           b.predicted_lang = d.lang AS is_correct
+    FROM best b JOIN documents d USING (doc_id)
+    WHERE b.rnk = 1
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — n-gram(1) language ID: build top-10 token profiles per
+    language from the labeled corpus, classify each document by profile
+    hit count. The profile is dimension-sized → broadcast onto the token
+    stream; one shuffle for the per-doc score."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens_col(F.col("text"))).alias("token")
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.col("count").desc(), "token")
+    profile = (
+        tok.groupBy("lang", "token")
+        .count()
+        .withColumn("rnk", F.row_number().over(w_prof))
+        .filter(F.col("rnk") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    scored = (
+        tok.select("doc_id", "token")
+        .join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "cand_lang")
+    best = (
+        scored.withColumn("rnk", F.row_number().over(w_best))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    )
+    return best.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "predicted_lang",
+        (F.col("predicted_lang") == F.col("lang")).alias("is_correct"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_aggregate(list_transform({_SHINGLES_SQL}, s -> md5(s)), 'min')
+               AS fingerprint
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — min-hashed-shingle document fingerprint (winnowing-family);
+    narrow array_min over transformed shingles, no shuffle."""
+    return tx.min_shingle_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_rolling_fp", oracle=None)
+def text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — order-sensitive polynomial rolling hash (rows-only: xxhash64
+    is Spark-specific)."""
+    return tx.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (C3/C4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+    GROUP BY h
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/P5 — exact content-hash dedup: one hash-groupBy; shuffle
+    carries (hash, id), never text."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_both / (ca.n_sh + cb.n_sh - n_both) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_both / (ca.n_sh + cb.n_sh - n_both) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — exact 3-gram Jaccard similarity join via the shingle-join
+    plan (cost Σ|bucket|², never the O(n²) cross join). Integer
+    arithmetic → engine-portable without rounding."""
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("dedup_minhash", oracle=None)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — MinHash+LSH near-dup join (32 perms, 8 bands × 4 rows),
+    candidates verified with exact Jaccard. Rows-only (hash functions are
+    Spark-specific); tests assert recall vs dedup_ngram_jaccard."""
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — SimHash bucketing: documents sharing a 16-bit weighted-bit
+    signature (near-dup candidate groups)."""
+    return dd.simhash_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_embedding", oracle=None)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — embedding-cosine near-dup: random-hyperplane bucket
+    prefilter, then exact cosine ≥ 0.95 within buckets (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = sim._hyperplanes(64, 8)
+    v = sim.as_double_vectors(emb).select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        sim.lsh_signature(F.col("embedding"), planes).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = (
+        sim._dot(F.col("a.vec"), F.col("b.vec"))
+        / sim._norm(F.col("a.vec"))
+        / sim._norm(F.col("b.vec"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            roundn(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.95)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (C5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                   / sqrt(list_dot_product(qv, qv))
+                   / sqrt(list_dot_product(cv, cv)) AS cos_raw
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — exact brute-force cosine top-10 for the query subset
+    (vec_id % 50 = 0): broadcast queries over the candidate scan, scoring
+    via zip_with/aggregate (JVM codegen), rank-window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk(queries, emb, k=10)
+
+
+@query("sim_topk_lsh", oracle=None)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — approximate top-k via multi-table random-hyperplane LSH
+    (scores only candidates sharing a bucket in any table; rows-only,
+    recall asserted vs sim_topk in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk_lsh(queries, emb, k=10, n_tables=8, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — binary payload + typed metadata → Arrow-batched
+    mapInPandas feature extraction (decode stubbed; plumbing real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(docs)
+    return mm.extract_features(media)
+
+
+@query("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — frame-sampling analog: one row per 64-byte payload
+    slice (the explode-shaped stage of a video pipeline)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return mm.frame_sample(mm.attach_binary_payload(docs))

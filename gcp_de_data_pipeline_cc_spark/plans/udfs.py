@@ -1,0 +1,135 @@
+"""UDF/UDAF/UDTF surface (SURVEY.md §2.11).
+
+The reference has no UDFs (logic lives in external Beam DoFns / dbt SQL);
+this catalog demonstrates every Python-extension point the engine
+supports, with the performance ladder made explicit:
+
+1. built-in expressions (everything else in the catalog) — codegen, fast;
+2. Arrow-vectorized pandas UDF / grouped-agg / applyInPandas — batch
+   transfer, 10-100× faster than row-at-a-time;
+3. row-at-a-time Python UDF — kept ONLY as the documented slow path.
+
+All four are oracle-checked: each UDF computes something ANSI SQL can
+express, so the differential harness validates the Python boundary
+itself (serialization, Arrow batching, type mapping).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS band
+    FROM orders
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the documented SLOW path (per-row
+    pickling, no codegen). Exists to prove the boundary works; real
+    pipelines use the pandas variants below or F.when."""
+    @F.udf("string")
+    def band(price):
+        return "high" if price > 300000 else ("mid" if price > 100000 else "low")
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0
+               AS net_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF: numpy arithmetic per batch —
+    identical float semantics to the SQL expression, hash-verified."""
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.floor((price * (1 - discount)) * 100.0 + 0.5) / 100.0
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR((SUM(l_extendedprice * l_discount) / SUM(l_extendedprice))
+                 * 10000.0 + 0.5) / 10000.0 AS weighted_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): price-weighted mean discount
+    per return flag."""
+    @pandas_udf("double")
+    def weighted_disc(price: pd.Series, discount: pd.Series) -> float:
+        return float((price * discount).sum() / price.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(weighted_disc("l_extendedprice", "l_discount").alias("wd_raw"))
+        .select("l_returnflag", roundn(F.col("wd_raw"), 4).alias("weighted_discount"))
+    )
+
+
+@query(
+    "udtf_grouped_map",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           FLOOR(((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w)
+                 * 10000.0 + 0.5) / 10000.0 AS z_score
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (UDTF-like): per-group z-score
+    normalization — whole group as one pandas frame, arbitrary
+    group-local logic. Scale: state is one group per task; groups must
+    fit executor memory (here: bounded event types)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z_score": np.floor(z * 10000.0 + 0.5) / 10000.0,
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, z_score double"
+    )
