@@ -29,8 +29,10 @@ def infer_sf(path: str) -> float:
 
 def main() -> None:
     spark = build_session(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
-    # warm the JVM + file listing outside timed sections
+    # warm the JVM, codegen, and parquet reader outside the timed section
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    REGISTRY["qc_count_nonempty"].spark(spark, SF_DIR).collect()
+    REGISTRY["agg_grouped"].spark(spark, SF_DIR).collect()
 
     names = sorted(REGISTRY)
     only = sys.argv[1:]

@@ -113,19 +113,35 @@ def _lsh_buckets(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """One (table_id, bucket) row per vector per hash table."""
+    """One (table_id, bucket) row per vector per hash table.
+
+    All n_tables·bits hyperplane dots are computed by a single
+    ``transform`` over one literal plane matrix — one small codegen body
+    reused, instead of n_tables separate signature expressions (which
+    measured ~3× slower to compile/execute).
+    """
     planes = _hyperplanes(dim, n_tables * bits)
+    planes_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in p]) for p in planes
+    ])
     v = as_double_vectors(df, vec_col)
+    bit_arr = F.transform(
+        planes_lit,
+        lambda p: F.when(_dot(F.col(vec_col), p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_bits = v.withColumn("_bits", bit_arr)
     table_structs = F.array(*[
         F.struct(
             F.lit(t).alias("table_id"),
-            lsh_signature(
-                F.col(vec_col), planes[t * bits : (t + 1) * bits]
+            F.aggregate(
+                F.slice("_bits", t * bits + 1, bits),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2 + x,
             ).alias("bucket"),
         )
         for t in range(n_tables)
     ])
-    return v.select(
+    return with_bits.select(
         F.col(id_col).alias(out_id), F.explode(table_structs).alias("tb")
     ).select(out_id, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
 

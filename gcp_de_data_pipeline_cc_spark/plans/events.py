@@ -83,6 +83,46 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(load_table(spark, sf_dir, "events"), "1 hour", "15 minutes")
 
 
+@query("stream_watermark_dedup", oracle=None)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T6 — real Structured Streaming run: watermark-bounded stateful
+    dedup of the event stream on (user_id, event_type), then tumbling
+    daily counts. Rows-only (streaming state + side effects are not
+    SQL-expressible); batch≡stream equality for the window operators is
+    asserted in tests/test_streaming.py.
+
+    Scale: dropDuplicatesWithinWatermark keeps only one watermark-window
+    of keys in state — bounded memory on an unbounded stream.
+    """
+    import shutil
+    import tempfile
+
+    from gcp_de_data_pipeline_cc_spark.streaming.windows import streaming_dedup
+
+    tmp = tempfile.mkdtemp(prefix="stream_wm_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
+    raw_schema = spark.read.parquet(tmp).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(tmp)
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    deduped = streaming_dedup(sdf, ["user_id", "event_type"], "1 hour")
+    out = deduped.groupBy(F.window("ts", "1 day").alias("win")).agg(
+        F.count("*").alias("n_first_seen")
+    ).select(
+        F.col("win.start").alias("day_start"), "n_first_seen"
+    )
+    name = f"wm_dedup_{abs(hash(tmp)) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 @query(
     "stream_session",
     oracle="""

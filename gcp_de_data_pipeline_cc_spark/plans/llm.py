@@ -268,6 +268,42 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS dim,
+           FLOOR(SQRT(list_dot_product(v, v)) * 10000.0 + 0.5) / 10000.0 AS l2_norm,
+           FLOOR(list_aggregate(v, 'sum') * 10000.0 + 0.5) / 10000.0 AS vec_sum,
+           list_aggregate(v, 'max') AS vec_max,
+           FLOOR(list_dot_product(v, list_transform(v, x -> ABS(x)))
+                 * 10000.0 + 0.5) / 10000.0 AS dot_abs
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — array/higher-order function suite over embedding vectors:
+    size, aggregate (fold), transform (map), zip_with — all JVM-side, no
+    Python, the building blocks of the similarity operators."""
+    emb = sim.as_double_vectors(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding")
+    sq_sum = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    vec_sum = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    dot_abs = F.aggregate(
+        F.zip_with(v, F.transform(v, F.abs), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        roundn(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        roundn(vec_sum, 4).alias("vec_sum"),
+        F.array_max(v).alias("vec_max"),
+        roundn(dot_abs, 4).alias("dot_abs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (C5)
 # ---------------------------------------------------------------------------

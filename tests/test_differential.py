@@ -22,6 +22,19 @@ def test_matches_oracle(spark, duck, name):
     assert_frames_match(got, want, name=name)
 
 
+ROWS_ONLY_KEYS = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_executes(spark, name):
+    """Rows-only queries (non-SQL-expressible ops) must at least execute
+    and return a stable schema; their semantics are covered by dedicated
+    tests."""
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    assert df.columns, name
+    df.collect()
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

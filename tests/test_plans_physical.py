@@ -1,0 +1,91 @@
+"""Physical-plan assertions — the 100 TB posture checks.
+
+Correctness says the right rows come back; these tests pin the *plan
+shape* that makes the same query viable at scale: predicate pushdown into
+the parquet scan, column pruning, broadcast joins for dims, whole-stage
+codegen, and TakeOrderedAndProject for global top-k. A regression here is
+a performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_pred")
+    assert "PushedFilters:" in plan
+    # all three predicates pushed: quantity range, returnflag equality, date
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_returnflag" in pushed and "l_quantity" in pushed and "l_shipdate" in pushed
+
+
+def test_column_pruning_projects_only_needed(spark):
+    plan = plan_of(spark, "project_rename")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "c_custkey" in read_schema and "c_acctbal" not in read_schema
+
+
+def test_dims_broadcast_in_star_joins(spark):
+    for name in ("join_broadcast", "curation_revenue_by_nation"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_sortmerge_hint_pins_smj(spark):
+    plan = plan_of(spark, "join_sortmerge")
+    assert "SortMergeJoin" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hot_paths_are_codegen(spark):
+    # agg/filter pipelines must sit inside WholeStageCodegen spans; AQE
+    # hides codegen annotation until execution, so inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("agg_grouped", "fn_math", "filter_pred"):
+            df = REGISTRY[name].spark(spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "codegen"
+            )
+            n = int(plan.split("Found ")[1].split(" WholeStageCodegen")[0])
+            assert n >= 1, f"{name}: no codegen subtree\n{plan[:500]}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_topn_window_uses_group_limit(spark):
+    plan = plan_of(spark, "win_rank_topn")
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi")
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_similarity_queries_are_broadcast(spark):
+    # the big candidate side must never shuffle for the join
+    plan = plan_of(spark, "sim_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_in_ngram_jaccard(spark):
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
