@@ -1,0 +1,120 @@
+"""Scale-pattern operators: bucketed co-located joins, skew salting,
+incremental aggregation — the techniques that keep the reference's
+workload shapes viable at 100 TB.
+
+These are *patterns over existing Spark primitives*, packaged so the
+query catalog can exercise and verify them: each has an SQL oracle
+because the pattern must not change results, only plan shape/cost.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key.
+
+    Two tables bucketed the same way join with NO exchange — at 100 TB
+    this converts the recurring orders⋈lineitem shuffle (the dominant
+    cost of the curation tier) into a local merge per bucket. Bucketing
+    is the lakehouse equivalent of the reference's BigQuery clustering.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # an in-memory catalog may have lost the table while its files remain
+    location = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        table_name,
+    )
+    if os.path.exists(location):
+        shutil.rmtree(location)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+) -> DataFrame:
+    """Join two co-bucketed saved tables; the plan must show SortMergeJoin
+    with no Exchange on either side (asserted in tests).
+
+    The merge hint pins SMJ because at test scale the planner would
+    rather broadcast (and note "Bucketed: false — disabled by query
+    planner"); at 100 TB neither fact side broadcasts and the bucketed
+    SMJ is exactly what the planner picks on its own.
+    """
+    return (
+        spark.table(left_table)
+        .hint("merge")
+        .join(spark.table(right_table), list(on))
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot key over ``salt_buckets``
+    partitions.
+
+    The big/skewed side gets a deterministic salt from ``salt_source``
+    (any column making rows distinct); the other side is replicated once
+    per salt value. Correctness is unchanged — the join condition becomes
+    (key, salt) — while each hot key's rows now land on ``salt_buckets``
+    reducers instead of one. AQE's skew-join split handles moderate skew
+    automatically; explicit salting is the heavy-hammer for pathological
+    keys (and the only option for skewed *aggregations*).
+    """
+    salt_col = F.pmod(
+        F.xxhash64(F.col(salt_source if salt_source else key)),
+        F.lit(salt_buckets),
+    ).cast("int")
+    salted_left = left.withColumn("_salt", salt_col)
+    salted_right = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    out = salted_left.join(salted_right, [key, "_salt"])
+    return out.drop("_salt")
+
+
+def incremental_rollup_merge(partials: Sequence[DataFrame], group_cols: Sequence[str]) -> DataFrame:
+    """Merge partial rollups (e.g. per-load daily aggregates) into the
+    current totals: union + re-aggregate of sum/count partials.
+
+    The incremental-materialization pattern: each pipeline run aggregates
+    only its own load's rows; totals merge associatively, so the 100 TB
+    history is never rescanned. Columns ending in ``_sum``/``_cnt`` are
+    merged by summation.
+    """
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    agg_cols = [
+        F.sum(c).alias(c)
+        for c in merged.columns
+        if c.endswith(("_sum", "_cnt"))
+    ]
+    return merged.groupBy(*group_cols).agg(*agg_cols)

@@ -146,6 +146,96 @@ def _lsh_buckets(
     ).select(out_id, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: element-wise mean vector per cell.
+
+    posexplode → per-(cell, position) mean → re-assemble ordered arrays.
+    Cells here come from a pre-assigned column (a trained k-means would
+    produce the same shape); the centroid table is dimension-sized.
+    """
+    per_pos = (
+        as_double_vectors(vectors, vec_col)
+        .select(cell_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(cell_col, "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    return (
+        per_pos.groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: route each query to its ``nprobe``
+    nearest cells (by centroid cosine), score only those cells' vectors.
+
+    Cost per query drops from n to ~nprobe·n/|cells|; the centroid table
+    and the query set broadcast, so the candidate scan is the only big
+    side and it is filtered by cell membership *before* scoring.
+    """
+    cents = ivf_centroids(candidates, cell_col, vec_col)
+    q = as_double_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cents))
+    cent_cos = (
+        _dot(F.col("q_vec"), F.col("centroid"))
+        / _norm(F.col("q_vec"))
+        / _norm(F.col("centroid"))
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col(cell_col)
+    )
+    probed = (
+        qc.select("query_id", "q_vec", cell_col, cent_cos.alias("cell_cos"))
+        .withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "q_vec", cell_col)
+    )
+    c = as_double_vectors(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), cell_col
+    )
+    pairs = c.join(F.broadcast(probed), on=cell_col).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = (
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / _norm(F.col("q_vec"))
+        / _norm(F.col("c_vec"))
+    )
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            roundn(F.col("cos_raw"), 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     candidates: DataFrame,

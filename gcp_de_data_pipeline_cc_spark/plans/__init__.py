@@ -18,6 +18,8 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     lifecycle,
     llm,
     relational,
+    relational_ext,
+    scale,
     udfs,
 )
 

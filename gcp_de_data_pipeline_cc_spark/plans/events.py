@@ -83,6 +83,49 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(load_table(spark, sf_dir, "events"), "1 hour", "15 minutes")
 
 
+@query("stream_custom_stateful", oracle=None)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals maintained in keyed state across micro-batches
+    (maxFilesPerTrigger=1 forces multiple batches so state genuinely
+    carries over). Rows-only; equality with the batch aggregate is
+    asserted in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from gcp_de_data_pipeline_cc_spark.streaming.stateful import running_user_totals
+
+    tmp = tempfile.mkdtemp(prefix="stream_state_")
+    src_dir = f"{tmp}/src"
+    # split the stream into two files → two micro-batches
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    sdf = spark.readStream.schema(raw.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    totals = running_user_totals(sdf.select("user_id", "value"))
+    name = f"state_{abs(hash(tmp)) % 10**8}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per touched key per batch; the running
+    # total is the max-count row per user
+    mem = spark.table(name)
+    latest = mem.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("value_sum").alias("value_sum"),
+    )
+    return latest
+
+
 @query("stream_watermark_dedup", oracle=None)
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5/T6 — real Structured Streaming run: watermark-bounded stateful

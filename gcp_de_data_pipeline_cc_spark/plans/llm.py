@@ -356,6 +356,17 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_lsh(queries, emb, k=10, n_tables=8, bits=4)
 
 
+@query("sim_topk_ivf", oracle=None)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — IVF-style approximate top-k: per-cell centroids (cells from
+    the label column; a trained quantizer plugs in the same way), queries
+    probe their 3 nearest cells only. Rows-only; recall vs brute force
+    asserted in tests on clustered data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(queries, emb, k=10, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

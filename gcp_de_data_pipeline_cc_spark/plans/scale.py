@@ -1,0 +1,127 @@
+"""Scale-pattern queries: each pattern must leave results unchanged
+(verified by the plain-SQL oracle) while changing the plan shape
+(verified by tests/test_plans_physical.py / test_scale.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+from gcp_de_data_pipeline_cc_spark.operators.scale import (
+    bucketed_join,
+    incremental_rollup_merge,
+    salted_join,
+    write_bucketed,
+)
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(*) AS n_items,
+           FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both facts persisted bucketed+sorted
+    on the join key, so the join runs with no exchange — the recurring
+    orders⋈lineitem shuffle eliminated (the bucketed-table analog of the
+    reference's clustered BigQuery tables). Results identical to the
+    plain join, which is the oracle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    write_bucketed(o, "bkt_orders", ["k"], 8)
+    write_bucketed(li, "bkt_lineitem", ["k"], 8)
+    joined = bucketed_join(spark, "bkt_orders", "bkt_lineitem", ["k"])
+    return joined.groupBy(F.col("k").alias("o_orderkey")).agg(
+        F.count("*").alias("n_items"),
+        roundn(F.sum("l_quantity")).alias("total_qty"),
+    )
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the fact side salted by line number, the other
+    side replicated per salt — hot orderkeys spread over 8 reducers.
+    Results identical to the plain join (the oracle); the plan-shape
+    effect is asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "k", salt_buckets=8, salt_source="l_linenumber")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        roundn(F.sum("l_extendedprice")).alias("total_price"),
+    )
+
+
+@query(
+    "agg_incremental",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day,
+           event_type,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS value_sum,
+           COUNT(*) AS n_cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialization: two loads (first/second half of the
+    stream) each aggregate only their own rows; partial rollups merge
+    associatively into totals identical to a full-history scan (the
+    oracle). At 100 TB each run touches only its load."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.avg(F.unix_micros("ts")).cast("long")
+        ).alias("m")
+    ).collect()[0]["m"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        ).agg(
+            F.sum("value").alias("value_raw_sum"),
+            F.count("*").alias("n_cnt"),
+        )
+
+    load1 = partial(ev.filter(F.col("ts") < F.lit(mid)))
+    load2 = partial(ev.filter(F.col("ts") >= F.lit(mid)))
+    merged = (
+        load1.unionByName(load2)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("value_raw_sum").alias("value_raw_sum"),
+            F.sum("n_cnt").alias("n_cnt"),
+        )
+    )
+    return merged.select(
+        "day", "event_type",
+        roundn(F.col("value_raw_sum")).alias("value_sum"),
+        "n_cnt",
+    )

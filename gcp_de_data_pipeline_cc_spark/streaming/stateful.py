@@ -1,0 +1,54 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+`dropDuplicatesWithinWatermark` / windowed aggs cover the declarative
+stateful cases (streaming/windows.py); this module is the escape hatch
+for arbitrary per-key state machines — running counters, session
+enrichment, fraud scores — the Structured Streaming analog of a Beam
+stateful DoFn (the extension point the reference's external Dataflow
+jobs would use).
+
+Scale: state lives in the state store partitioned by key (RocksDB-backed
+on a real cluster); each micro-batch touches only keys present in the
+batch. The pandas boundary is Arrow-batched per key-group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, value_sum double"
+STATE_SCHEMA = "n long, v double"
+
+
+def _accumulate(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals across micro-batches."""
+    n, v = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        v += float(pdf["value"].sum())
+    state.update((n, v))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_sum": [round(v, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime event count + value sum, updated every
+    micro-batch (update output mode: each batch emits the keys it
+    touched with their new running totals)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

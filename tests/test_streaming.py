@@ -92,6 +92,46 @@ def test_tumbling_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_custom_stateful_totals_equal_batch(spark, tmp_path):
+    """applyInPandasWithState across two micro-batches must equal the
+    batch aggregate (state genuinely carries across batches)."""
+    from gcp_de_data_pipeline_cc_spark.streaming.stateful import running_user_totals
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "src")
+    raw.repartition(2).write.parquet(src)
+
+    sdf = spark.readStream.schema(raw.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    totals = running_user_totals(sdf.select("user_id", "value"))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in spark.table("stateful_test")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("value_sum").alias("value_sum"))
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.v, 2))
+        for r in raw.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 0.05
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     landing = str(tmp_path / "landing")
     _write_landing(tmp_path, "dup.csv", [1, 1, 2, 2, 2, 3])
