@@ -491,7 +491,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_rank_topn",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                RANK() OVER (
@@ -681,7 +681,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(YEAR(o_orderdate) AS INT) AS order_year,
            STRFTIME(o_orderdate, '%Y-%m') AS order_month,
-           DATE_TRUNC('month', o_orderdate) AS month_start,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
            CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_epoch_end
     FROM orders

@@ -15,9 +15,9 @@ from gcp_de_data_pipeline_cc_spark.plans.registry import query
     "agg_pivot",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
     FROM orders
     GROUP BY o_orderpriority
     """,

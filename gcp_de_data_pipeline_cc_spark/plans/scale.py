@@ -82,7 +82,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_incremental",
     oracle="""
-    SELECT DATE_TRUNC('day', ts) AS day,
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
            event_type,
            FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS value_sum,
            COUNT(*) AS n_cnt
