@@ -92,6 +92,65 @@ def test_tumbling_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-range condition
+    must emit exactly the batch join's matches (inner joins emit matches
+    eagerly; the watermark only bounds state)."""
+    src = f"{SF_DIR}/events.parquet"
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(src, d / "part-0.parquet")
+    raw_schema = spark.read.parquet(str(d)).schema
+
+    def stream():
+        sdf = spark.readStream.schema(raw_schema).parquet(str(d))
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    s = (
+        stream().filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    p = (
+        stream().filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = s.join(
+        p,
+        F.expr(
+            "user_id = p_user AND p_ts > s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("signup_id", "p_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("ssjoin_test").collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    bs = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        tuple(r)
+        for r in bs.join(
+            bp,
+            (bs.user_id == bp.p_user)
+            & (bp.p_ts > bs.s_ts)
+            & (bp.p_ts <= bs.s_ts + F.expr("INTERVAL 1 HOUR")),
+        ).select("signup_id", "p_id").collect()
+    }
+    assert got == want
+
+
 def test_custom_stateful_totals_equal_batch(spark, tmp_path):
     """applyInPandasWithState across two micro-batches must equal the
     batch aggregate (state genuinely carries across batches)."""
