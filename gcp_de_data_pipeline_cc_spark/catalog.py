@@ -47,12 +47,31 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: runtime-settable SQL confs the engine's semantics depend on; enforced
+#: here so results are correct even on a SparkSession built elsewhere
+#: (e.g. the verification driver's own session).
+_REQUIRED_SQL_CONFS = {
+    # instant semantics must match the oracle engine (naive UTC)
+    "spark.sql.session.timeZone": "UTC",
+    # events.ts is parquet TIMESTAMP(NANOS); without this the scan errors
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_posture(spark: SparkSession) -> None:
+    """Idempotently apply the SQL confs correctness depends on."""
+    for key, want in _REQUIRED_SQL_CONFS.items():
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one warehouse table, normalizing physical quirks.
 
     Column normalization happens *after* the scan node, so pushdown and
     pruning still reach the parquet reader for every other column.
     """
+    ensure_session_posture(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # parquet TIMESTAMP(NANOS) read as raw nanos; truncate to micros
