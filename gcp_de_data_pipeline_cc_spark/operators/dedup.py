@@ -74,7 +74,10 @@ def ngram_jaccard_pairs(
     jaccard >= threshold. Jaccard is exact integer arithmetic
     (|∩| / (|A|+|B|-|∩|)) so results are engine-portable bit-for-bit.
     """
-    sh = _doc_shingles(docs, id_col, text_col, k).cache()
+    # not cached: callers run this once per job, and a session-lifetime
+    # cache with no unpersist would pin storage memory across queries;
+    # persist explicitly in iterative callers if profiling warrants it
+    sh = _doc_shingles(docs, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")

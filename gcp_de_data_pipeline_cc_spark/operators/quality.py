@@ -53,11 +53,10 @@ def unique_key(df: DataFrame, cols: Sequence[str], name: str) -> GateResult:
 
 
 def no_nulls(df: DataFrame, cols: Sequence[str], name: str) -> GateResult:
-    """Required columns carry no nulls."""
-    pred = None
+    """Required columns carry no nulls (no columns → trivially passes)."""
+    pred = F.lit(False)
     for c in cols:
-        p = F.col(c).isNull()
-        pred = p if pred is None else (pred | p)
+        pred = pred | F.col(c).isNull()
     n = df.filter(pred).count()
     return GateResult(f"{name}_no_nulls", n == 0, n)
 

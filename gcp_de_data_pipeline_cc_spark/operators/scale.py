@@ -73,24 +73,24 @@ def salted_join(
     left: DataFrame,
     right: DataFrame,
     key: str,
+    salt_source: str,
     salt_buckets: int = 8,
-    salt_source: str | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: spread each hot key over ``salt_buckets``
     partitions.
 
-    The big/skewed side gets a deterministic salt from ``salt_source``
-    (any column making rows distinct); the other side is replicated once
-    per salt value. Correctness is unchanged — the join condition becomes
-    (key, salt) — while each hot key's rows now land on ``salt_buckets``
-    reducers instead of one. AQE's skew-join split handles moderate skew
+    The big/skewed side gets a deterministic salt from ``salt_source`` —
+    a column that VARIES WITHIN a join key (a line number, event id…);
+    salting by the key itself would put every row of a hot key in one
+    bucket and defeat the whole point, which is why the argument is
+    required. The other side is replicated once per salt value.
+    Correctness is unchanged — the join condition becomes (key, salt) —
+    while each hot key's rows now land on ``salt_buckets`` reducers
+    instead of one. AQE's skew-join split handles moderate skew
     automatically; explicit salting is the heavy-hammer for pathological
     keys (and the only option for skewed *aggregations*).
     """
-    salt_col = F.pmod(
-        F.xxhash64(F.col(salt_source if salt_source else key)),
-        F.lit(salt_buckets),
-    ).cast("int")
+    salt_col = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets)).cast("int")
     salted_left = left.withColumn("_salt", salt_col)
     salted_right = right.withColumn(
         "_salt",

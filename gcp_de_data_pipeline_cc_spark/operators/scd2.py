@@ -108,6 +108,9 @@ def scd2_apply(
 
     c = open_cur.alias("c")
     s = snap.alias("s")
+    # cached: both output branches consume this join; on a real cluster
+    # this is the per-load persist/checkpoint decision (dimension-sized,
+    # not fact-sized, so memory cost is bounded)
     joined = c.join(s, on=list(key_cols), how="full_outer").cache()
 
     in_cur = F.col("c.row_hash").isNotNull()
@@ -116,11 +119,13 @@ def scd2_apply(
     same_day = F.col("c.effective_from") == F.lit(load_date)
 
     # --- rows derived from the existing open version ---------------------
-    close_cond = (changed & ~same_day) | (
-        F.lit(close_missing) & in_cur & ~in_snap
-    )
+    missing = in_cur & ~in_snap
+    close_cond = (changed & ~same_day) | (F.lit(close_missing) & missing)
+    # a key opened today and already gone today would close as a
+    # zero-length [d, d) version — drop it entirely instead
+    vanish_same_day = F.lit(close_missing) & missing & same_day
     from_current = (
-        joined.filter(in_cur & ~(changed & same_day))
+        joined.filter(in_cur & ~(changed & same_day) & ~vanish_same_day)
         .select(
             *key_cols,
             *[F.col(f"c.{t}").alias(t) for t in tracked_cols],

@@ -81,7 +81,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality_pass = q.filter(
         (F.col("dr") >= MIN_DISTINCT_RATIO) & (F.col("n_tokens") >= MIN_TOKENS)
-    ).cache()
+    )
 
     pairs = ngram_jaccard_pairs(
         quality_pass.select("doc_id", "text"), threshold=NEAR_DUP_JACCARD

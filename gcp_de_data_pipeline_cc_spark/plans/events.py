@@ -93,8 +93,10 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
     from gcp_de_data_pipeline_cc_spark.streaming.stateful import running_user_totals
 
+    ensure_session_posture(spark)  # direct parquet read bypasses load_table
     tmp = tempfile.mkdtemp(prefix="stream_state_")
     src_dir = f"{tmp}/src"
     # split the stream into two files → two micro-batches
@@ -117,11 +119,13 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     # update mode appends one row per touched key per batch; the running
-    # total is the max-count row per user
+    # total is the LATEST row per user = the one with the highest event
+    # count (monotone), not independent column maxima (value_sum can
+    # decrease when event values are negative)
     mem = spark.table(name)
     latest = mem.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("value_sum").alias("value_sum"),
+        F.max_by("value_sum", "n_events").alias("value_sum"),
     )
     return latest
 
@@ -140,8 +144,10 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
     from gcp_de_data_pipeline_cc_spark.streaming.windows import streaming_dedup
 
+    ensure_session_posture(spark)  # direct parquet read bypasses load_table
     tmp = tempfile.mkdtemp(prefix="stream_wm_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
     raw_schema = spark.read.parquet(tmp).schema

@@ -112,14 +112,7 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load1 = partial(ev.filter(F.col("ts") < F.lit(mid)))
     load2 = partial(ev.filter(F.col("ts") >= F.lit(mid)))
-    merged = (
-        load1.unionByName(load2)
-        .groupBy("day", "event_type")
-        .agg(
-            F.sum("value_raw_sum").alias("value_raw_sum"),
-            F.sum("n_cnt").alias("n_cnt"),
-        )
-    )
+    merged = incremental_rollup_merge([load1, load2], ["day", "event_type"])
     return merged.select(
         "day", "event_type",
         roundn(F.col("value_raw_sum")).alias("value_sum"),

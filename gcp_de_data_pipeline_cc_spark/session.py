@@ -22,10 +22,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-#: Shuffle partition default. Local: match core count. Cluster: AQE
-#: coalesces from `spark.sql.adaptive.coalescePartitions.initialPartitionNum`
-#: so a high static number is safe at scale.
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _default_shuffle_partitions() -> int:
+    """SPARK_GRAFT_CPUS doubles as the local[...] core spec, so it may be
+    '*' — fall back to 32 for any non-integer value. Cluster: AQE
+    coalesces partitions at runtime, so a static default is safe."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        return int(raw)
+    except ValueError:
+        return 32
+
+
+DEFAULT_SHUFFLE_PARTITIONS = _default_shuffle_partitions()
 
 
 def build_session(

@@ -106,19 +106,15 @@ def quarantine(
     required: Sequence[str],
 ) -> DataFrame:
     """The complement of :func:`raw_to_staging`'s filter: rows that failed
-    a required cast, kept for inspection (cleansing QC, readme:9)."""
-    pred = None
+    a required cast or carry a null required value, kept for inspection
+    (cleansing QC, readme:9). Empty ``required`` → empty quarantine."""
+    pred = F.lit(False)
     for col in required:
         dtype = casts[col]
-        p = (
-            F.col(col).isNotNull()
-            & F.expr(f"try_cast(trim({col}) AS {dtype})").isNull()
-            if dtype != "string"
-            else F.lit(False)
-        )
-        pred = p if pred is None else (pred | p)
-    missing = None
-    for col in required:
-        p = F.col(col).isNull()
-        missing = p if missing is None else (missing | p)
-    return raw.filter((pred | missing) if pred is not None else missing)
+        pred = pred | F.col(col).isNull()
+        if dtype != "string":
+            pred = pred | (
+                F.col(col).isNotNull()
+                & F.expr(f"try_cast(trim({col}) AS {dtype})").isNull()
+            )
+    return raw.filter(pred)

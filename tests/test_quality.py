@@ -61,6 +61,11 @@ def test_accepted_values(staged):
     assert not q.accepted_values(staged, "name", ["a"], "t").passed
 
 
+def test_no_nulls_empty_cols_trivially_passes(staged):
+    r = q.no_nulls(staged, [], "t")
+    assert r.passed and r.observed == 0
+
+
 def test_run_gates_passes_through(staged):
     results = q.run_gates([q.non_empty(staged, "staged")])
     assert len(results) == 1

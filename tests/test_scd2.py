@@ -133,6 +133,19 @@ def test_multi_generation_history(spark, day1, day2):
     assert [r.salary for r in alice] == [100.0, 150.0, 175.0]
 
 
+def test_same_day_departure_leaves_no_zero_length_version(spark, day1):
+    """A key opened today and already absent from today's later load must
+    vanish, not close as a zero-length [d, d) version."""
+    dim = scd2_init(day1, KEYS, TRACKED, D1)
+    without_carol = day1.filter(F.col("emp_id") != 3)
+    out = scd2_apply(dim, without_carol, KEYS, TRACKED, D1, close_missing=True)
+    _check_invariants(out)
+    assert out.filter(F.col("emp_id") == 3).count() == 0
+    assert out.filter(
+        F.col("effective_from") == F.col("effective_to")
+    ).count() == 0
+
+
 def test_null_safe_change_detection(spark):
     a = spark.createDataFrame(
         [(1, None, 10, 100.0)],
