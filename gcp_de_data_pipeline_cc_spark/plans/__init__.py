@@ -13,6 +13,7 @@ from gcp_de_data_pipeline_cc_spark.plans.registry import REGISTRY, QuerySpec, qu
 # registration side effects
 from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics,
+    analytics2,
     corpus,
     curation,
     events,

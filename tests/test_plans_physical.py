@@ -89,3 +89,9 @@ def test_similarity_queries_are_broadcast(spark):
 def test_no_cartesian_in_ngram_jaccard(spark):
     plan = plan_of(spark, "dedup_ngram_jaccard")
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    plan = plan_of(spark, "join_partition_pruned")
+    assert "dynamicpruning" in plan.lower(), plan[:800]
+    assert "PartitionFilters" in plan
