@@ -21,6 +21,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     llm,
     relational,
     relational_ext,
+    relational_ext2,
     scale,
     udfs,
 )

@@ -92,6 +92,40 @@ def test_tumbling_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_foreachbatch_scd1_sink_maintains_dimension(spark, tmp_path):
+    """Two micro-batches of employee updates upserted via foreachBatch
+    must leave the dimension equal to applying the loads sequentially."""
+    import os
+    import time
+
+    from gcp_de_data_pipeline_cc_spark.streaming.foreach_sink import streaming_scd1_sink
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a_day1.csv").write_text(
+        EMP_HEADER + "1,alice,10,100.0,2020-01-01\n2,bob,10,200.0,2021-01-01\n"
+    )
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    (landing / "b_day2.csv").write_text(
+        EMP_HEADER + "1,alice,20,150.0,2020-01-01\n3,carol,20,300.0,2022-01-01\n"
+    )
+    os.utime(landing / "b_day2.csv")
+
+    stream = landing_stream(spark, str(landing), EMPLOYEE_COLUMNS,
+                            max_files_per_trigger=1).drop("ingest_ts")
+    target = str(tmp_path / "dim" / "employee")
+    q = streaming_scd1_sink(stream, target, ["emp_id"], str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    rows = {r.emp_id: (r.dept_id, r.salary)
+            for r in spark.read.parquet(target).collect()}
+    assert rows == {
+        "1": ("20", "150.0"),  # updated by batch 2 (raw tier is all-string)
+        "2": ("10", "200.0"),  # untouched from batch 1
+        "3": ("20", "300.0"),  # inserted by batch 2
+    }
+
+
 def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     """Watermarked stream-stream inner join with a time-range condition
     must emit exactly the batch join's matches (inner joins emit matches
