@@ -36,15 +36,20 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⋈lineitem shuffle eliminated (the bucketed-table analog of the
     reference's clustered BigQuery tables). Results identical to the
     plain join, which is the oracle."""
+    import uuid
+
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k")
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"), "l_quantity"
     )
-    write_bucketed(o, "bkt_orders", ["k"], 8)
-    write_bucketed(li, "bkt_lineitem", ["k"], 8)
-    joined = bucketed_join(spark, "bkt_orders", "bkt_lineitem", ["k"])
+    # unique table names: safe under concurrent/repeated harness runs
+    run_id = uuid.uuid4().hex[:8]
+    t_o, t_li = f"bkt_orders_{run_id}", f"bkt_lineitem_{run_id}"
+    write_bucketed(o, t_o, ["k"], 8)
+    write_bucketed(li, t_li, ["k"], 8)
+    joined = bucketed_join(spark, t_o, t_li, ["k"])
     return joined.groupBy(F.col("k").alias("o_orderkey")).agg(
         F.count("*").alias("n_items"),
         roundn(F.sum("l_quantity")).alias("total_qty"),
