@@ -85,6 +85,51 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-extension — JSON-lines source format: export, re-read with an
+    explicit schema (never schema inference in production: an extra full
+    scan and nondeterministic under dirty data). Losslessness makes the
+    source projection the oracle; timestamps survive via ISO-8601."""
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    tmp = tempfile.mkdtemp(prefix="json_roundtrip_")
+    src.write.mode("overwrite").json(f"{tmp}/orders_o")
+    return spark.read.schema(src.schema).json(f"{tmp}/orders_o")
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-extension — ORC columnar source format (the other lakehouse
+    columnar format Spark reads natively, with the same pushdown/pruning
+    machinery as parquet)."""
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    src.write.mode("overwrite").orc(f"{tmp}/li_a")
+    return spark.read.orc(f"{tmp}/li_a")
+
+
 @query("stream_ingest_e2e", oracle=None)
 def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6/T1 — the reference's sensor → ingest → archive spine as one
