@@ -14,6 +14,7 @@ from gcp_de_data_pipeline_cc_spark.plans.registry import REGISTRY, QuerySpec, qu
 from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics,
     analytics2,
+    analytics3,
     corpus,
     curation,
     events,
