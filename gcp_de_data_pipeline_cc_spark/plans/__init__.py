@@ -20,6 +20,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     events,
     lifecycle,
     llm,
+    pipeline_ops,
     relational,
     relational_ext,
     relational_ext2,

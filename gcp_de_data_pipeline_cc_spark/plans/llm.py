@@ -241,12 +241,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — embedding-cosine near-dup: random-hyperplane bucket
     prefilter, then exact cosine ≥ 0.95 within buckets (rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = sim._hyperplanes(64, 8)
-    v = sim.as_double_vectors(emb).select(
-        "vec_id",
-        F.col("embedding").alias("vec"),
-        sim.lsh_signature(F.col("embedding"), planes).alias("bucket"),
-    )
+    v = sim.with_lsh_code(
+        sim.as_double_vectors(emb), bits=8, dim=64
+    ).select("vec_id", F.col("embedding").alias("vec"), "bucket")
     a, b = v.alias("a"), v.alias("b")
     cos = (
         sim._dot(F.col("a.vec"), F.col("b.vec"))

@@ -1,0 +1,164 @@
+"""Training-data pipeline utilities beyond the reference's own surface:
+deterministic dataset splitting, cohort retention, and column profiling —
+the ops a corpus-production pipeline runs between ingest (S*) and the
+curated tier (C*).
+
+Scale notes (100 TB): the split is a stateless per-row hash — no shuffle,
+no RNG state, stable under re-runs and late-arriving data (the property
+that matters when a 100 TB corpus is split incrementally). Retention is
+one groupBy(user) + one groupBy(cohort, offset) — both shuffles carry
+only key + counter width. Profiling aggregates every column in a single
+scan (one pass over 100 TB, not one per column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+
+@query(
+    "split_train_test",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'test'
+                    WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+                    THEN 'validation'
+                    ELSE 'train' END AS split,
+               n_chars
+        FROM documents)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/validation/test split by md5(doc_id)
+    hex prefix — the two leading hex chars partition the id space into
+    256 stable buckets ('00'..'19' test, '1a'..'33' validation, rest
+    train). Pure per-row projection: re-runs, backfills, and incremental
+    loads land every document in the same split with no sampling RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "1a", "test")
+        .when(prefix < "34", "validation")
+        .otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+        FROM events
+        GROUP BY user_id)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week,
+                         CAST(date_trunc('week', ts) AS TIMESTAMP)) / 7
+                AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    distinct actives counted per week offset. Week offsets are exact
+    multiples of 7 days (both sides truncate to week boundaries first),
+    so the integer division is engine-stable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("activity_week").alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'c_custkey' AS column_name, COUNT(c_custkey) AS n_nonnull,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', COUNT(c_name), COUNT(DISTINCT c_name),
+           CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(DISTINCT c_nationkey),
+           CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(c_acctbal), COUNT(DISTINCT c_acctbal),
+           CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment),
+           CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR)
+    FROM customer
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (QC / data-contract building block): non-null
+    count, exact distinct count, min and max per column, min/max cast to
+    string for the uniform report schema.
+
+    All columns profile in ONE scan: a single wide aggregate computes
+    every per-column statistic, then a literal-keyed stack pivots the row
+    to (column, stats) — versus the naive per-column UNION of scans the
+    oracle spells out (fine for DuckDB at sf0.01; 5× the I/O at 100 TB)."""
+    c = load_table(spark, sf_dir, "customer")
+    aggs = []
+    for col in _PROFILE_COLS:
+        aggs += [
+            F.count(col).alias(f"{col}__n"),
+            F.countDistinct(col).alias(f"{col}__d"),
+            F.min(col).cast("string").alias(f"{col}__min"),
+            F.max(col).cast("string").alias(f"{col}__max"),
+        ]
+    wide = c.agg(*aggs)
+    stacked = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(col).alias("column_name"),
+                F.col(f"{col}__n").alias("n_nonnull"),
+                F.col(f"{col}__d").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_value"),
+                F.col(f"{col}__max").alias("max_value"),
+            )
+            for col in _PROFILE_COLS
+        ])
+    )
+    return wide.select(stacked.alias("s")).select("s.*")

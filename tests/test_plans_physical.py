@@ -95,3 +95,40 @@ def test_dynamic_partition_pruning_fires(spark):
     plan = plan_of(spark, "join_partition_pruned")
     assert "dynamicpruning" in plan.lower(), plan[:800]
     assert "PartitionFilters" in plan
+
+
+def test_tpch_wave_pushdown_and_broadcast(spark):
+    # Q6: the whole WHERE clause must reach the parquet scan
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # Q9: part prefix filter pushed; star joins all broadcast (no SMJ)
+    plan = plan_of(spark, "tpch_q9_product_profit")
+    assert "StringStartsWith(p_name,red)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_rewrite_single_window_shuffle(spark):
+    # The decorrelated Q21 must not contain correlated re-scans: exactly
+    # one Window partitioning (l_orderkey) serves all three analytic
+    # columns, and the semi join against F-orders is a real LeftSemi.
+    plan = plan_of(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
+
+
+def test_lsh_bucketing_stays_vectorized(spark):
+    # The LSH signature is one ArrowEvalPython (pandas UDF) stage, not a
+    # giant literal expression tree; candidate join must be broadcast.
+    plan = plan_of(spark, "sim_topk_lsh")
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_split_is_shuffle_free_projection(spark):
+    # Deterministic hash split: a single scan + partial/final agg pair,
+    # no join, no window.
+    plan = plan_of(spark, "split_train_test")
+    assert "Join" not in plan and "Window" not in plan
+    # one scan node = two mentions (tree line + node detail)
+    assert plan.count("Scan parquet") == 2
