@@ -245,3 +245,61 @@ def simhash_buckets(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation — the clustering step that turns near-dup
+    PAIRS into dedup GROUPS (keep one representative per component).
+
+    Each round every node adopts ``min(own label, neighbors' labels)``:
+    one hash shuffle keyed on node id per round, Pregel-style, with
+    lineage cut by ``localCheckpoint`` so the plan stays constant-size
+    across rounds (swap for ``checkpoint`` + a checkpoint dir on a real
+    cluster). Rounds needed = component diameter; near-dup clusters are
+    shallow (a hub document links its variants), so a handful of rounds
+    converges even at corpus scale. The label sum is monotonically
+    non-increasing, giving a one-scalar convergence test per round — the
+    only driver-side value in the loop.
+
+    Returns (node, cluster_id) with cluster_id = min node id reachable.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("nb_node"))
+            .agg(F.min("label").alias("nb_min"))
+        )
+        labels = (
+            labels.join(neigh, labels.node == F.col("nb_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("cluster_id"))

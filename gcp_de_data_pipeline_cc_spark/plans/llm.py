@@ -219,6 +219,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE n_both / (ca.n_sh + cb.n_sh - n_both) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS node, a AS m FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT node AS doc_id, MIN(m) AS cluster_id
+    FROM reach
+    GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — near-dup pairs → dedup GROUPS: connected components over the
+    exact-Jaccard edge set by distributed min-label propagation
+    (operators/dedup.connected_components). cluster_id = min doc_id of
+    the component, so "keep the representative" is
+    ``filter(doc_id == cluster_id)``. The oracle computes the same
+    components with a recursive transitive-closure CTE — same answer by
+    a method that cannot scale, which is the point of the Spark one."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_a", "doc_b")
+    cc = dd.connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 @query("dedup_minhash", oracle=None)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — MinHash+LSH near-dup join (32 perms, 8 bands × 4 rows),

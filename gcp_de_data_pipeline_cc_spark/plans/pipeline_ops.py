@@ -162,3 +162,88 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
     )
     return wide.select(stacked.alias("s")).select("s.*")
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+               ELSE TRUE END
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalancing: downsample the dominant language to
+    ~25% ('00'..'3f' of the 256 md5-prefix buckets), keep the rest —
+    the deterministic-hash analog of ``sampleBy`` (same stability
+    properties as split_train_test: per-row, no RNG, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = F.when(F.col("lang") == "en", prefix < "40").otherwise(F.lit(True))
+    return docs.filter(keep).groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+@query(
+    "histogram_values",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25.0) AS INT) AS bucket,
+           FLOOR(value / 25.0) * 25.0 AS bucket_start,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (profiling / drift detection): floor-bucket
+    the measure, one partial-aggregated groupBy — the deterministic
+    alternative to ``histogram_numeric``'s data-dependent bins."""
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0)
+    return ev.groupBy(
+        bucket.cast("int").alias("bucket"),
+        (bucket * 25.0).alias("bucket_start"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        roundn(F.sum("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "text_bigrams",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (SELECT UNNEST(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS bigram
+          FROM (SELECT string_split(text, ' ') AS t FROM documents)
+          WHERE len(t) >= 2)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/C6-extension — corpus bigram frequencies (the vocabulary step
+    before BPE-style merges): adjacent-token pairing via a sequence
+    transform, explode, count, global top-25."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )

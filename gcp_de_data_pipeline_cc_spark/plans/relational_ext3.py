@@ -56,3 +56,46 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").rlike("[0-9]").alias("has_digits"),
         F.size(F.split("c_name", "[#_-]")).alias("n_parts"),
     )
+
+
+@query(
+    "join_nullsafe",
+    oracle="""
+    WITH y1 AS (
+        SELECT NULLIF(o_orderstatus, 'P') AS status_n, COUNT(*) AS n_1997
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1),
+    y2 AS (
+        SELECT NULLIF(o_orderstatus, 'P') AS status_n, COUNT(*) AS n_1998
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1)
+    SELECT y1.status_n, n_1997, n_1998
+    FROM y1 JOIN y2 ON y1.status_n IS NOT DISTINCT FROM y2.status_n
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-extension — null-safe equality join (`<=>` / IS NOT DISTINCT
+    FROM): year-over-year status counts where the NULL bucket (statuses
+    suppressed via NULLIF) must match itself instead of disappearing —
+    the behavior plain equi-joins silently get wrong."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def per_year(y, out):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"))
+            .agg(F.count("*").alias(out))
+        )
+
+    y1, y2 = per_year(1997, "n_1997"), per_year(1998, "n_1998")
+    return (
+        y1.join(y2, y1["status_n"].eqNullSafe(y2["status_n"]))
+        .select(y1["status_n"], "n_1997", "n_1998")
+    )

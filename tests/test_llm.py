@@ -133,3 +133,30 @@ def test_frame_sample_counts(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="image/png"):
         mm.decode_stub(b"\x89PNG", "image/png")
+
+
+def test_connected_components_known_graph(spark):
+    from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dd.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_chain_needs_iterations(spark):
+    # a path graph 0-1-2-...-9 has diameter 9: exercises the loop past
+    # one round and the convergence cutoff
+    from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["src", "dst"]
+    )
+    rows = dd.connected_components(edges).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == 10
