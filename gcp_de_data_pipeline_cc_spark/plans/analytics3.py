@@ -1,5 +1,7 @@
 """TPC-H completion wave — the remaining classic analytic shapes
-(Q2/4/6/8/9/12/13/14/15/16/19/20/21/22) adapted to the warehouse schema.
+(Q2/4/6/8/9/11/12/13/14/15/16/19/20/21/22) adapted to the warehouse
+schema; with analytics.py / analytics2.py this covers all 22 query
+shapes.
 
 The reference delegates this workload class to BigQuery + dbt
 (readme:10); re-expressed here as Catalyst-optimized DataFrame plans.
@@ -605,5 +607,48 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("numcust"),
             roundn(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS value_raw
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 2
+        GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey,
+           FLOOR(value_raw * 100.0 + 0.5) / 100.0 AS part_value
+    FROM pv
+    WHERE value_raw > (SELECT SUM(value_raw) * 0.001 FROM pv)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shape: parts carrying an outsized share of one region's
+    traded value (ps_supplycost·ps_availqty analog: lineitem revenue
+    through region-2 suppliers). The HAVING-against-global-fraction is a
+    single-row aggregate broadcast back over the grouped set — the
+    grouped relation is computed once and reused for both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).alias("value_raw"))
+    )
+    threshold = pv.agg((F.sum("value_raw") * 0.001).alias("cutoff"))
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value_raw") > F.col("cutoff"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            roundn(F.col("value_raw")).alias("part_value"),
         )
     )
