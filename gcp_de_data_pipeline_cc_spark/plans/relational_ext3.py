@@ -99,3 +99,137 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         y1.join(y2, y1["status_n"].eqNullSafe(y2["status_n"]))
         .select(y1["status_n"], "n_1997", "n_1998")
     )
+
+
+@query(
+    "skew_profile",
+    oracle="""
+    WITH k AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+    SELECT l_suppkey, n,
+           FLOOR(n * 100.0 / (SELECT CAST(SUM(n) AS BIGINT) FROM k) * 10000.0
+                 + 0.5) / 10000.0 AS pct
+    FROM k
+    ORDER BY n DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: per-key row share, heaviest first —
+    the measurement that decides between a plain shuffle join, AQE skew
+    split, and explicit salting (plans/scale.join_salted). One groupBy +
+    a broadcast single-row total; top-k via TakeOrderedAndProject."""
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    total = k.agg(F.sum("n").alias("tot"))
+    return (
+        k.crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "n",
+            roundn(F.col("n") * 100.0 / F.col("tot"), 4).alias("pct"),
+        )
+        .orderBy(F.col("n").desc(), "l_suppkey")
+        .limit(20)
+    )
+
+
+@query(
+    "win_range_time",
+    oracle="""
+    SELECT event_id, user_id,
+           FLOOR(SUM(value) OVER w * 100.0 + 0.5) / 100.0 AS trailing_sum,
+           COUNT(*) OVER w AS trailing_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extension — RANGE (value-based) window frame: per-user trailing
+    1-hour aggregate over event time. The frame is anchored on int64
+    epoch-micros on BOTH engines so boundary inclusion is bit-identical;
+    range frames bound state by time (the batch twin of a streaming
+    sliding window), unlike ROWS frames which bound by count."""
+    from pyspark.sql import Window
+
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        roundn(F.sum("value").over(w)).alias("trailing_sum"),
+        F.count("*").over(w).alias("trailing_n"),
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS cume_d
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extension — distribution functions: percent_rank and cume_dist
+    of account balance within segment (both are pure functions of the
+    ordering key, so ties resolve identically on every engine)."""
+    from pyspark.sql import Window
+
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        roundn(F.percent_rank().over(w), 6).alias("pct_rank"),
+        roundn(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+@query(
+    "seq_gaps",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey AS k,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+        FROM orders
+        WHERE o_orderstatus = 'F')
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS gap_len
+    FROM s
+    WHERE nxt > k + 1
+    """,
+)
+def seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (completeness QC: missing ids in a dense
+    key range): lead over the ordered keys, emit [prev+1, next-1]
+    intervals. NOTE the global-order window: at 100 TB this becomes
+    range-repartition by key band + per-band lead + a band-boundary
+    stitch join (band count ≈ executor count); the single-partition
+    window here is the correctness spec for that rewrite."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy("o_orderkey")
+    s = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lead("o_orderkey").over(w).alias("nxt"),
+    )
+    return s.filter(F.col("nxt") > F.col("k") + 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
+    )
