@@ -233,3 +233,113 @@ def seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxt") - 1).alias("gap_end"),
         (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           COUNT(*) AS n_orders,
+           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-extension — explicit GROUPING SETS (neither cube nor rollup):
+    two independent one-dimension subtotals plus the grand total, with
+    GROUPING() markers. One Expand + one shuffle, NOT one scan per set —
+    the reason grouping sets beat UNION ALL of separate GROUP BYs at
+    100 TB (the fact table is read once)."""
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count("*").alias("n_orders"),
+        roundn(F.sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH y1 AS (SELECT o_custkey AS k, COUNT(*) AS n
+                FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+                GROUP BY 1),
+         y2 AS (SELECT o_custkey AS k, COUNT(*) AS n
+                FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+                GROUP BY 1)
+    SELECT COALESCE(y1.k, y2.k) AS custkey,
+           COALESCE(y1.n, 0) AS n_1997,
+           COALESCE(y2.n, 0) AS n_1998,
+           CASE WHEN y1.k IS NULL THEN 'new'
+                WHEN y2.k IS NULL THEN 'churned'
+                ELSE 'retained' END AS cohort
+    FROM y1 FULL OUTER JOIN y2 ON y1.k = y2.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-extension — FULL OUTER join: year-over-year customer activity
+    with new/churned/retained cohort tagging. Full outer cannot
+    broadcast either side (unmatched rows of BOTH must survive), so the
+    plan is a shuffle sort-merge join on both aggregated inputs — the
+    aggregation-before-join keeps the shuffled sides small at scale."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def per_year(year: int, out: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.count("*").alias(out))
+        )
+
+    y1, y2 = per_year(1997, "n"), per_year(1998, "n")
+    return (
+        y1.alias("a")
+        .join(y2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("custkey"),
+            F.coalesce(F.col("a.n"), F.lit(0)).alias("n_1997"),
+            F.coalesce(F.col("b.n"), F.lit(0)).alias("n_1998"),
+            F.when(F.col("a.k").isNull(), "new")
+            .when(F.col("b.k").isNull(), "churned")
+            .otherwise("retained")
+            .alias("cohort"),
+        )
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH m AS (SELECT c_mktsegment,
+                      CAST(COUNT(*) AS DOUBLE) AS n_cust,
+                      FLOOR(SUM(c_acctbal) * 100.0 + 0.5) / 100.0 AS bal_sum
+               FROM customer GROUP BY 1)
+    SELECT c_mktsegment, 'n_cust' AS metric, n_cust AS value FROM m
+    UNION ALL
+    SELECT c_mktsegment, 'bal_sum' AS metric, bal_sum AS value FROM m
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-extension — unpivot/melt (the inverse of agg_pivot): wide
+    per-segment metrics to long (segment, metric, value) triples.
+    Narrow-side note for scale: unpivot is a per-row Expand (no shuffle);
+    melting BEFORE an aggregation multiplies shuffle volume by the
+    metric count — aggregate wide, melt last, as here."""
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    c = load_table(spark, sf_dir, "customer")
+    m = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("double").alias("n_cust"),
+        roundn(F.sum("c_acctbal")).alias("bal_sum"),
+    )
+    return m.unpivot("c_mktsegment", ["n_cust", "bal_sum"], "metric", "value")
