@@ -1,7 +1,12 @@
 """Benchmark harness — runs the registry's queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE SHORT JSON summary line on stdout:
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "queries": {...top-5...}}
+
+The driver's output capture is tail-truncated, so the stdout line must
+stay small (round-1's ~3.2 KB line with all 120 per-query timings came
+back ``parsed: null``).  The FULL per-query timing map goes to
+``bench_detail.json`` next to this file and to stderr.
 
 Each query is forced to full materialization with a noop-format write
 (exercises the complete plan including the final exchange, without
@@ -20,6 +25,7 @@ from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
 from gcp_de_data_pipeline_cc_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
 
 
 def infer_sf(path: str) -> float:
@@ -47,12 +53,27 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": infer_sf(SF_DIR),
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=False)
+    print(json.dumps(detail["queries"]), file=sys.stderr)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": infer_sf(SF_DIR),
+        "n_queries": len(timings),
+        "queries": slowest,
+        "detail_file": "bench_detail.json",
     }))
     spark.stop()
 
