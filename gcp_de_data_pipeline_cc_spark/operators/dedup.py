@@ -252,6 +252,8 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation — the clustering step that turns near-dup
@@ -259,27 +261,46 @@ def connected_components(
 
     Each round every node adopts ``min(own label, neighbors' labels)``:
     one hash shuffle keyed on node id per round, Pregel-style, with
-    lineage cut by ``localCheckpoint`` so the plan stays constant-size
-    across rounds (swap for ``checkpoint`` + a checkpoint dir on a real
-    cluster). Rounds needed = component diameter; near-dup clusters are
-    shallow (a hub document links its variants), so a handful of rounds
-    converges even at corpus scale. The label sum is monotonically
-    non-increasing, giving a one-scalar convergence test per round — the
-    only driver-side value in the loop.
+    lineage cut per round so the plan stays constant-size. Rounds needed
+    = component diameter; near-dup clusters are shallow (a hub document
+    links its variants), so a handful of rounds converges even at corpus
+    scale — measured 2 rounds on the documents corpus. For deep graphs
+    set ``pointer_jump=True``: each round additionally adopts the label
+    currently held by the label node (path doubling), collapsing chains
+    in O(log diameter) rounds at the price of a second shuffle per round
+    — a win only when diameter >> 4, so it is opt-in.
+
+    When ``checkpoint_dir`` is set the lineage cut is a reliable
+    ``checkpoint()`` (survives executor loss — required on a real
+    cluster); otherwise ``localCheckpoint()`` (executor-local, fine for
+    local mode). The label sum is monotonically non-increasing, giving a
+    one-scalar convergence test per round — the only driver-side value
+    in the loop.
 
     Returns (node, cluster_id) with cluster_id = min node id reachable.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    # materialize the edge list once BEFORE symmetrizing: the union scans
+    # its input twice, and upstream edge generation (e.g. an n-gram
+    # similarity self-join) is far too expensive to run twice
+    e0 = cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    sym = cut(
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     prev_sum = None
     for _ in range(max_iterations):
@@ -288,7 +309,7 @@ def connected_components(
             .groupBy(F.col("b").alias("nb_node"))
             .agg(F.min("label").alias("nb_min"))
         )
-        labels = (
+        stepped = (
             labels.join(neigh, labels.node == F.col("nb_node"), "left")
             .select(
                 "node",
@@ -296,8 +317,21 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        if pointer_jump:
+            # adopt the label currently held by our label node
+            jump = stepped.select(
+                F.col("node").alias("j_node"), F.col("label").alias("j_label")
+            )
+            stepped = stepped.join(
+                jump, stepped.label == F.col("j_node"), "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("j_label"), F.col("label"))
+                ).alias("label"),
+            )
+        labels = cut(stepped)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -48,6 +48,45 @@ def write_bucketed(
     )
 
 
+def ensure_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+) -> None:
+    """Idempotent ``write_bucketed``: pay the layout cost once, reuse it
+    on every later session.
+
+    Bucketing only makes sense amortized — the layout write is paid once
+    and every subsequent join skips its exchange. An in-memory catalog
+    forgets tables between sessions while the warehouse files persist,
+    so on a fresh session this re-registers an external bucketed table
+    over the existing files (bucket ids live in the file names, so a
+    matching CLUSTERED BY spec reads them correctly) instead of
+    rewriting. Caller owns cache invalidation: if the source data
+    changed, drop the table/files first (``write_bucketed`` does).
+    """
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table_name):
+        return
+    location = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        table_name,
+    )
+    if os.path.exists(os.path.join(location, "_SUCCESS")):
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        bcols = ", ".join(bucket_cols)
+        spark.sql(
+            f"CREATE TABLE {table_name} ({cols}) USING parquet "
+            f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{location}'"
+        )
+        return
+    write_bucketed(df, table_name, bucket_cols, num_buckets)
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

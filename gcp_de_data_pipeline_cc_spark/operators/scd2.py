@@ -108,10 +108,13 @@ def scd2_apply(
 
     c = open_cur.alias("c")
     s = snap.alias("s")
-    # cached: both output branches consume this join; on a real cluster
-    # this is the per-load persist/checkpoint decision (dimension-sized,
-    # not fact-sized, so memory cost is bounded)
-    joined = c.join(s, on=list(key_cols), how="full_outer").cache()
+    # Both output branches consume this join inside ONE union query, so
+    # Spark's ReusedExchange shares the two shuffle exchanges feeding it —
+    # no .cache() needed (a cache here leaked: repeated per-load calls in
+    # a long-lived session accumulate CacheManager entries that nothing
+    # unpersists). Callers that materialize branches as separate actions
+    # own any persist/unpersist decision themselves.
+    joined = c.join(s, on=list(key_cols), how="full_outer")
 
     in_cur = F.col("c.row_hash").isNotNull()
     in_snap = F.col("s.row_hash").isNotNull()

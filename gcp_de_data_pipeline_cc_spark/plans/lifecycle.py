@@ -130,6 +130,47 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(f"{tmp}/li_a")
 
 
+def avro_available() -> bool:
+    """True when the spark-avro datasource jar is on the classpath.
+
+    Avro has been an EXTERNAL module since Spark 2.4 (the core avro-*
+    jars bundled with pyspark are the serialization library only, not
+    the datasource). This container ships no ``spark-avro_*.jar`` and
+    has no network to fetch one, so the ``avro_roundtrip`` query is
+    registered only when the jar is actually present — probing the jar
+    directory at import keeps the registry free of keys that can only
+    throw. On a real deployment, ``--packages org.apache.spark:
+    spark-avro_2.13:<version>`` lights this up with no code change.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyspark as _pyspark
+
+    jar_dir = _os.path.join(_os.path.dirname(_pyspark.__file__), "jars")
+    return bool(_glob.glob(_os.path.join(jar_dir, "spark-avro*.jar")))
+
+
+if avro_available():
+
+    @query(
+        "avro_roundtrip",
+        oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier
+        """,
+    )
+    def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S1-extension — Avro row-oriented source format (the streaming-
+        interchange format; schema travels with the data)."""
+        src = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+        tmp = tempfile.mkdtemp(prefix="avro_roundtrip_")
+        src.write.mode("overwrite").format("avro").save(f"{tmp}/supp")
+        return spark.read.format("avro").load(f"{tmp}/supp")
+
+
 @query("stream_ingest_e2e", oracle=None)
 def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6/T1 — the reference's sensor → ingest → archive spine as one

@@ -13,9 +13,9 @@ from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
 from gcp_de_data_pipeline_cc_spark.operators.scale import (
     bucketed_join,
+    ensure_bucketed,
     incremental_rollup_merge,
     salted_join,
-    write_bucketed,
 )
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
@@ -35,8 +35,12 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the join key, so the join runs with no exchange — the recurring
     orders⋈lineitem shuffle eliminated (the bucketed-table analog of the
     reference's clustered BigQuery tables). Results identical to the
-    plain join, which is the oracle."""
-    import uuid
+    plain join, which is the oracle.
+
+    The bucketed layout is the amortized pattern: written once per
+    source dataset (deterministic names keyed on sf_dir), reused by
+    every later session via ``ensure_bucketed``."""
+    import hashlib
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k")
@@ -44,11 +48,10 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"), "l_quantity"
     )
-    # unique table names: safe under concurrent/repeated harness runs
-    run_id = uuid.uuid4().hex[:8]
-    t_o, t_li = f"bkt_orders_{run_id}", f"bkt_lineitem_{run_id}"
-    write_bucketed(o, t_o, ["k"], 8)
-    write_bucketed(li, t_li, ["k"], 8)
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    t_o, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    ensure_bucketed(o, t_o, ["k"], 8)
+    ensure_bucketed(li, t_li, ["k"], 8)
     joined = bucketed_join(spark, t_o, t_li, ["k"])
     return joined.groupBy(F.col("k").alias("o_orderkey")).agg(
         F.count("*").alias("n_items"),
@@ -95,17 +98,33 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
 )
-def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialization: two loads (first/second half of the
-    stream) each aggregate only their own rows; partial rollups merge
-    associatively into totals identical to a full-history scan (the
-    oracle). At 100 TB each run touches only its load."""
+def agg_incremental(
+    spark: SparkSession, sf_dir: str, boundary=None
+) -> DataFrame:
+    """Incremental materialization: two loads (before/after the load
+    ``boundary``) each aggregate only their own rows; partial rollups
+    merge associatively into totals identical to a full-history scan
+    (the oracle). At 100 TB each run touches only its load.
+
+    ``boundary``: the load-window split timestamp. A real incremental
+    pipeline passes its known watermark; the default derives the stream
+    midpoint as a broadcast one-row scalar joined into the plan — fully
+    distributed, no driver-side collect.
+    """
     ev = load_table(spark, sf_dir, "events")
-    mid = ev.agg(
-        F.timestamp_micros(
-            F.avg(F.unix_micros("ts")).cast("long")
-        ).alias("m")
-    ).collect()[0]["m"]
+    if boundary is not None:
+        below = F.col("ts") < F.lit(boundary)
+        above = F.col("ts") >= F.lit(boundary)
+        lo, hi = ev.filter(below), ev.filter(above)
+    else:
+        mid = ev.agg(
+            F.timestamp_micros(
+                F.avg(F.unix_micros("ts")).cast("long")
+            ).alias("_load_boundary")
+        )
+        with_mid = ev.join(F.broadcast(mid))
+        lo = with_mid.filter(F.col("ts") < F.col("_load_boundary"))
+        hi = with_mid.filter(F.col("ts") >= F.col("_load_boundary"))
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -115,8 +134,8 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_cnt"),
         )
 
-    load1 = partial(ev.filter(F.col("ts") < F.lit(mid)))
-    load2 = partial(ev.filter(F.col("ts") >= F.lit(mid)))
+    load1 = partial(lo)
+    load2 = partial(hi)
     merged = incremental_rollup_merge([load1, load2], ["day", "event_type"])
     return merged.select(
         "day", "event_type",

@@ -52,3 +52,23 @@ def test_quarantine_catches_bad_required_casts(spark, landing):
     bad = quarantine(raw, EMPLOYEE_STAGING_CASTS, required=["emp_id", "salary"])
     ids = sorted(r.emp_name for r in bad.collect())
     assert ids == ["carol", "dave"]
+
+
+def test_avro_capability_gate(spark):
+    """avro_roundtrip registers iff the spark-avro datasource jar exists;
+    the gate must agree with what the session can actually do."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+    from gcp_de_data_pipeline_cc_spark.plans.lifecycle import avro_available
+
+    if avro_available():
+        assert "avro_roundtrip" in REGISTRY
+        out = REGISTRY["avro_roundtrip"].spark(spark, "/root/testdata/sf0.001")
+        assert out.count() > 0
+    else:
+        assert "avro_roundtrip" not in REGISTRY
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="[Aa]vro"):
+            spark.range(1).write.format("avro").mode("overwrite").save(
+                "/tmp/avro_gate_probe"
+            )

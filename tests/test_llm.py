@@ -160,3 +160,28 @@ def test_connected_components_chain_needs_iterations(spark):
     rows = dd.connected_components(edges).collect()
     assert {r.cluster_id for r in rows} == {0}
     assert len(rows) == 10
+    # pointer jumping (path doubling) collapses the same chain in
+    # O(log d) rounds — same final labels
+    jumped = dd.connected_components(edges, pointer_jump=True).collect()
+    assert {r.cluster_id for r in jumped} == {0}
+    assert len(jumped) == 10
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # checkpoint_dir set → reliable checkpoint() lineage cuts (the real-
+    # cluster fault-tolerant path); same result as localCheckpoint
+    from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(100, 101)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dd.connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    want = {i: 0 for i in range(7)} | {100: 100, 101: 100}
+    assert got == want
+    import os
+
+    assert os.listdir(ckpt), "reliable checkpoint dir should contain RDD data"

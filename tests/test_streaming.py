@@ -210,7 +210,13 @@ def test_custom_stateful_totals_equal_batch(spark, tmp_path):
         r.user_id: (r.n_events, r.value_sum)
         for r in spark.table("stateful_test")
         .groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"), F.max("value_sum").alias("value_sum"))
+        .agg(
+            F.max("n_events").alias("n_events"),
+            # final emission per key: value_sum paired with its own
+            # n_events (max alone would mismatch if value_sum is
+            # non-monotone under negative values)
+            F.max_by("value_sum", "n_events").alias("value_sum"),
+        )
         .collect()
     }
     want = {
