@@ -18,6 +18,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     corpus,
     curation,
     events,
+    layout,
     lifecycle,
     llm,
     pipeline_ops,

@@ -173,6 +173,76 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_topk",
+    oracle="""
+    SELECT day_start, event_type, n_events, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROW_NUMBER() OVER (
+                   PARTITION BY time_bucket(INTERVAL '1 day', ts)
+                   ORDER BY COUNT(*) DESC, event_type
+               ) AS rnk
+        FROM events
+        GROUP BY 1, 2
+    )
+    WHERE rnk <= 3
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — streaming top-k: daily per-type counts maintained by
+    a REAL Structured Streaming aggregation (complete mode, availableNow),
+    then the k-ranking applied to the tiny aggregate state in batch.
+
+    This split is the scale design, not a shortcut: rank over an
+    unbounded stream isn't incrementally maintainable (a late event can
+    reorder everything), but windowed COUNT is — so the stream maintains
+    the heavy, data-proportional part (counts per (day, type), linear
+    state) and the final rank runs on state that is many orders of
+    magnitude smaller than the stream. Oracle-checkable because both
+    halves are deterministic.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
+
+    ensure_session_posture(spark)  # direct parquet read bypasses load_table
+    tmp = tempfile.mkdtemp(prefix="stream_topk_")
+    import shutil
+
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
+    raw_schema = spark.read.parquet(tmp).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(tmp)
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    counts = sdf.groupBy(
+        F.window("ts", "1 day").alias("win"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    name = f"topk_{abs(hash(tmp)) % 10**8}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    agg = spark.table(name).select(
+        F.col("win.start").alias("day_start"), "event_type", "n_events"
+    )
+    w = Window.partitionBy("day_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return agg.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
+
+
+@query(
     "stream_session",
     oracle="""
     WITH flagged AS (

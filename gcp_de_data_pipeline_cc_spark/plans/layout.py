@@ -1,0 +1,148 @@
+"""Data-layout management queries: small-file compaction and z-order
+clustering — the table-maintenance operations a 100 TB lakehouse needs
+between query runs (reference deploys onto GCS+BigQuery, where clustering
+and file sizing are managed for you, `dags/config/pipeline_config.yaml`;
+on open parquet the engine must provide them).
+
+Both patterns must not change table CONTENT — only physical layout — so
+each query returns the table content read back through the new layout and
+the oracle is the equivalent plain SELECT. The layout effects (file
+counts, files touched under a selective filter) are asserted in
+tests/test_layout.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+COMPACT_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+def compact_dir(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Rewrite a parquet directory into ≈``target_file_bytes`` files.
+
+    The compaction planner's sizing decision is metadata-only: list file
+    sizes (never read data) and pick the output file count. The rewrite
+    itself is one pass. At 100 TB this runs per table-partition so each
+    rewrite is bounded; the listing is the same driver-side metadata walk
+    every table format's OPTIMIZE performs.
+
+    Returns the compacted DataFrame reader (caller writes it back).
+    """
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    return spark.read.parquet(path).repartition(n_out)
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout — small-file compaction: a slice landed as many tiny files
+    (the streaming-ingest failure mode: one file per micro-batch) is
+    rewritten into size-targeted files. Content is invariant — the oracle
+    is the plain slice; file counts are asserted in tests."""
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(*COMPACT_COLS)
+    )
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    frag, tight = f"{tmp}/fragmented", f"{tmp}/compacted"
+    # simulate micro-batch landings: 16 small files
+    src.repartition(16).write.mode("overwrite").parquet(frag)
+    compact_dir(spark, frag).write.mode("overwrite").parquet(tight)
+    return spark.read.parquet(tight)
+
+
+Z_BITS = 16
+
+
+def zvalue_col(x, y, bits: int = Z_BITS):
+    """Morton z-value: bit-interleave of two non-negative ints (x odd
+    bits, y even bits). Inputs must already be normalized into
+    ``bits``-bit range — production normalizes by quantile rank; the
+    demo's dimensions fit natively. Pure JVM bitwise expressions: stays
+    inside whole-stage codegen, no UDF."""
+    return reduce(
+        lambda acc, i: acc.bitwiseOR(
+            x.bitwiseAND(F.lit(1 << i)).cast("long") * F.lit(1 << (i + 1))
+        ).bitwiseOR(
+            y.bitwiseAND(F.lit(1 << i)).cast("long") * F.lit(1 << i)
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+
+
+@query(
+    "zorder_layout",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 500
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout — z-order clustering: orders rewritten range-partitioned +
+    sorted on the Morton interleave of (o_custkey, o_orderdate), then a
+    2-D box filter read back through the layout. Content is invariant
+    (the oracle is the plain box filter); the point of z-order is that
+    BOTH dimensions cluster, so a selective box touches few files —
+    asserted via input_file_name in tests.
+
+    Scale: repartitionByRange samples the z-values for balanced splits
+    (one exchange), sortWithinPartitions is a local sort — the standard
+    one-pass OPTIMIZE ZORDER rewrite; min/max stats then prune at read.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    # normalize dims into 16-bit range: custkey is dense from 1; dates
+    # sit ~8000-11000 days since epoch
+    x = F.col("o_custkey").cast("long").bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_")
+    (
+        o.withColumn("zval", zvalue_col(x, y))
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/orders_z")
+    )
+    return (
+        spark.read.parquet(f"{tmp}/orders_z")
+        .filter(
+            F.col("o_custkey").between(100, 500)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
