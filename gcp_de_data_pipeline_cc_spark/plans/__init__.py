@@ -27,6 +27,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext2,
     relational_ext3,
     scale,
+    training,
     udfs,
 )
 

@@ -130,6 +130,40 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(f"{tmp}/li_a")
 
 
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-extension — schema evolution: a table whose later loads added a
+    column (the standard lakehouse drift: producers upgrade, history
+    doesn't) read as one DataFrame via ``mergeSchema``; pre-drift rows
+    surface NULL for the added column, which is what the oracle asserts.
+
+    Scale note: mergeSchema reads every file's footer at planning time —
+    fine per load batch; for a 100 TB table keep the authoritative schema
+    in the catalog and use it instead of re-inferring from footers.
+    """
+    src = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    old = src.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_name")
+    new = src.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    old.write.mode("overwrite").parquet(f"{tmp}/batch=1")
+    new.write.mode("overwrite").parquet(f"{tmp}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{tmp}/batch=1", f"{tmp}/batch=2"
+    )
+    return merged.select("s_suppkey", "s_name", "s_acctbal")
+
+
 def avro_available() -> bool:
     """True when the spark-avro datasource jar is on the classpath.
 

@@ -88,6 +88,40 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_salted_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted exact COUNT(DISTINCT): the two-stage pattern for a
+    distinct-count over few hot group keys (here 5 priorities over the
+    whole fact — each key's distinct set is huge at 100 TB and a plain
+    countDistinct funnels every key's values through one reducer).
+
+    Stage 1 groups by (key, salt) where salt = pmod(value, 16) — derived
+    from the DISTINCT VALUE, so each distinct value lands in exactly one
+    cell and per-cell counts are disjoint; stage 2 sums the partial
+    counts. Both shuffles are spread over 16× more reducers than keys.
+    Identical results to the plain distinct-count (the oracle).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    partial = (
+        o.groupBy(
+            "o_orderpriority",
+            F.pmod(F.col("o_custkey"), F.lit(16)).alias("_salt"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("part"))
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("part").cast("bigint").alias("n_distinct_cust")
+    )
+
+
+@query(
     "agg_incremental",
     oracle="""
     SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,

@@ -1,0 +1,152 @@
+"""Training-data preparation queries: sequence packing, PII scanning, and
+deterministic epoch shuffling — the steps between a curated corpus and a
+tokenized training run (extension mandate; the reference's pipeline stops
+at curated BigQuery tables, `dags/pipeline_orchestration_dag.py:173-182`).
+
+All three are sharded by design: every window runs PARTITION BY shard so
+no operator ever needs a global single-partition sort — the pattern that
+keeps them viable at 100 TB (a global ORDER BY window collapses to one
+task; per-shard windows parallelize across the cluster, and shard-local
+outputs are exactly what a multi-worker training loader consumes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.operators.text import tokens_col
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: documents per packing/shuffle shard (≈ one loader worker's slice)
+SHARD_SIZE = 100
+#: context-window capacity in tokens for concat-and-chunk packing
+PACK_TOKENS = 512
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(FLOOR(doc_id / {SHARD_SIZE}) AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(FLOOR(tok_offset / {PACK_TOKENS}.0) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY FLOOR(doc_id / {SHARD_SIZE})
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS tok_offset
+        FROM (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+    )
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — concat-and-chunk sequence packing: documents are
+    concatenated in doc_id order within a shard and chunked into
+    ``PACK_TOKENS``-token context windows; each document's (offset,
+    pack_id) says where its tokens land. This is the standard LLM
+    pretraining packing (documents may straddle pack boundaries).
+
+    Scale: the running offset is a PARTITION BY shard window — parallel
+    per shard, no global sort; pack ids are shard-local exactly like a
+    multi-worker data loader's.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.floor(F.col("doc_id") / SHARD_SIZE).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        off.alias("tok_offset"),
+        F.floor(off / PACK_TOKENS).cast("bigint").alias("pack_id"),
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+@query(
+    "pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           (len(regexp_extract_all(text, '{EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{PHONE_RE}'))) > 0 AS has_pii
+    FROM documents
+    """,
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — PII pre-scan: per-document counts of email/phone
+    pattern hits (the cheap regex tier that decides which documents go to
+    expensive redaction). Narrow per-row regexes inside codegen — no
+    shuffle, no UDF; at 100 TB this is a pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        ((n_emails + n_phones) > 0).alias("has_pii"),
+    )
+
+
+@query(
+    "shuffle_epoch",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY sort_key, doc_id
+           ) AS INT) AS shuffle_pos
+    FROM (
+        SELECT doc_id,
+               CAST(FLOOR(doc_id / {SHARD_SIZE}) AS BIGINT) AS shard,
+               md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM documents
+    )
+    """,
+)
+def shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — deterministic epoch shuffle: each document's
+    position within its shard is a pseudorandom permutation keyed on
+    (seed, doc_id) via md5 — reproducible across runs and engines (no
+    rand()), reshuffled by changing the seed string.
+
+    Scale: hash evaluation is narrow; the only shuffle is the per-shard
+    window partition — the same movement a training loader's shard
+    assignment does anyway.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.floor(F.col("doc_id") / SHARD_SIZE).cast("bigint")
+    sort_key = F.md5(
+        F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    d = docs.select(
+        "doc_id", shard.alias("shard"), sort_key.alias("sort_key")
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).alias("shuffle_pos")
+    )

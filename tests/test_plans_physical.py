@@ -132,3 +132,29 @@ def test_split_is_shuffle_free_projection(spark):
     assert "Join" not in plan and "Window" not in plan
     # one scan node = two mentions (tree line + node detail)
     assert plan.count("Scan parquet") == 2
+
+
+def test_training_windows_are_sharded_not_global(spark):
+    """pack_sequences / shuffle_epoch must partition their windows by
+    shard — a global (empty-partition) window collapses to one task."""
+    for name in ("pack_sequences", "shuffle_epoch"):
+        plan = plan_of(spark, name)
+        assert "hashpartitioning(shard" in plan, f"{name}: window not sharded\n"
+        assert "SinglePartition" not in plan, name
+
+
+def test_salted_distinct_two_stage(spark):
+    """agg_salted_distinct: two aggregation stages, first keyed on
+    (priority, salt) — the exchange must carry the salt."""
+    plan = plan_of(spark, "agg_salted_distinct")
+    # catalyst folds the _salt alias into a grouping expression; the pmod
+    # salt must appear and the first exchange must be keyed on it
+    assert "pmod(o_custkey" in plan
+    assert "hashpartitioning(o_orderpriority" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at each stage
+
+
+def test_pii_scan_is_narrow(spark):
+    """pii_scan is a pure map stage: no exchange anywhere in the plan."""
+    plan = plan_of(spark, "pii_scan")
+    assert "Exchange" not in plan
