@@ -83,6 +83,42 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(load_table(spark, sf_dir, "events"), "1 hour", "15 minutes")
 
 
+@query(
+    "rollup_cascade",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — hypertable-style rollup cascade: the daily tier is
+    derived FROM the hourly tier, never from raw events (count/sum
+    partials re-aggregate associatively). At 100 TB the hourly rollup is
+    the only scan of raw data; every coarser tier (day/week/month) reads
+    the tier below it — orders of magnitude less input per level. The
+    oracle aggregates raw directly, proving the cascade is lossless.
+    """
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("value_raw_sum"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        roundn(F.sum("value_raw_sum")).alias("value_sum"),
+    )
+
+
 @query("stream_custom_stateful", oracle=None)
 def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
@@ -170,6 +206,64 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@query(
+    "join_asof_event",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7-extension — generic as-of join (last-touch attribution): each
+    purchase matched to the same user's latest click at-or-before it.
+
+    Spark-first plan: the union-window formulation — tag both sides,
+    union, ONE shuffle on user_id, and ``last(ref, ignorenulls)`` over an
+    ordered running frame picks the nearest prior reference. No range
+    join, no per-probe scan: cost is one sort-shuffle of |refs|+|probes|
+    regardless of time-range density, which is why it survives 100 TB
+    where a naive theta-join (user_id equality + ts range) degenerates.
+    Ties (click at exactly the purchase ts) sort refs first, matching
+    ASOF's inclusive `>=`. The oracle is DuckDB's native ASOF JOIN.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.struct(F.col("event_id").alias("ref_id"), F.col("ts").alias("ref_ts")).alias("ref"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("probe_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("struct<ref_id:bigint,ref_ts:timestamp>").alias("ref"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("probe_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = clicks.unionByName(purchases).withColumn(
+        "nearest", F.last("ref", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("is_probe") == 1).select(
+        F.col("probe_id").alias("purchase_id"),
+        "user_id",
+        F.col("nearest.ref_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("nearest.ref_ts")).alias("delta_us"),
+    )
 
 
 @query(
