@@ -205,6 +205,38 @@ if avro_available():
         return spark.read.format("avro").load(f"{tmp}/supp")
 
 
+@query(
+    "custom_datasource_scan",
+    oracle=f"""
+    SELECT i AS id,
+           CAST(i % 16 AS INT) AS bucket,
+           (i * 2654435761) % 2147483647 / 2147483647.0 AS score
+    FROM range(10000) t(i)
+    """,
+)
+def custom_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — custom Python DataSource (PySpark 4 API): a
+    user-defined ``format()`` with declared schema and a partition plan,
+    read in parallel across executors. The generator is a pure function
+    of the row id, so DuckDB reproduces it from ``range()`` — proving
+    the source yields exactly its contract.
+    """
+    from gcp_de_data_pipeline_cc_spark.sources.synthetic import (
+        SyntheticRowsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticRowsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("synthetic_rows")
+        .option("n", "10000")
+        .option("num_partitions", "8")
+        .load()
+    )
+
+
 @query("stream_ingest_e2e", oracle=None)
 def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6/T1 — the reference's sensor → ingest → archive spine as one

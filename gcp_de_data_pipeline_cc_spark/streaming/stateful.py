@@ -52,3 +52,64 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs ``google.protobuf`` for its
+    state-server protocol; this container doesn't ship it (and has no
+    network to fetch it), so the forward-API variant is capability-gated
+    exactly like the Avro datasource. On a real deployment,
+    ``pip install protobuf`` lights it up with no code change."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same running totals on the transformWithStateInPandas API (the
+    Spark 4 successor to applyInPandasWithState): typed state variables
+    on a ``StatefulProcessorHandle`` instead of a single state tuple —
+    composable state (values/lists/maps/timers) per key, same
+    RocksDB-backed store and per-key-group Arrow batching underneath.
+    Both variants are kept: applyInPandasWithState is the stable
+    workhorse; this is the forward API. Requires ``tws_available()``
+    (see there); callers must gate on it."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, v double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, v = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._totals.update((n, v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(v, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

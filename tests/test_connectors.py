@@ -30,3 +30,28 @@ def test_bigquery_writer_is_configured_not_executed(spark):
     w = bigquery_writer(df, "proj.dataset.nation", "tmp-bucket")
     # construction succeeds without the connector jar; saving would need it
     assert w is not None
+
+
+def test_custom_datasource_parallel_partitions(spark):
+    """The custom source must plan one task per range partition — a
+    single-partition read would funnel generation through one executor."""
+    from gcp_de_data_pipeline_cc_spark.sources.synthetic import (
+        SyntheticRowsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticRowsDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("n", "1000")
+        .option("num_partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    # deterministic content: same read twice is identical
+    a = sorted(r.score for r in df.collect())
+    b = sorted(r.score for r in df.collect())
+    assert a == b

@@ -241,3 +241,65 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q = ingest_available_now(deduped, out, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_transform_with_state_totals_match_batch(spark, tmp_path):
+    """transformWithStateInPandas running totals must equal the batch
+    aggregate, like the applyInPandasWithState variant. Capability-gated:
+    the API's state protocol needs google.protobuf, absent from this
+    container — the gate (not this test) is what callers rely on."""
+    from gcp_de_data_pipeline_cc_spark.streaming.stateful import (
+        running_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState gated off")
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "src_tws")
+    raw.repartition(2).write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = spark.readStream.schema(raw.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        totals = running_user_totals_tws(sdf.select("user_id", "value"))
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in spark.table("tws_test")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_sum", "n_events").alias("value_sum"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.v, 2))
+        for r in raw.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 0.05
