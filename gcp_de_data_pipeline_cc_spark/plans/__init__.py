@@ -16,8 +16,10 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics2,
     analytics3,
     corpus,
+    corpus_stats,
     curation,
     events,
+    graph,
     layout,
     lifecycle,
     llm,
@@ -27,6 +29,8 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext2,
     relational_ext3,
     scale,
+    stats,
+    timeseries,
     training,
     udfs,
 )

@@ -1,0 +1,208 @@
+"""Statistical and higher-order-function coverage wave.
+
+Extends SURVEY.md §2.5/§2.8 with the aggregate families the reference's
+downstream dbt/Dataflow consumers use for profiling and anomaly
+detection (ref: dags/pipeline_orchestration_dag.py:212 quality tier):
+co-moment statistics (corr/covar/stddev/var), argmax-style selection
+aggregates (max_by/min_by/count_if), lambda higher-order array
+functions, window z-score outlier flagging, and bitwise functions.
+
+Float discipline: co-moment aggregates are order-sensitive in the last
+few ulps; every projected statistic is rounded via the shared
+``roundn``/``sql_roundn`` helpers with the decimal count chosen so the
+cross-engine error (≲1e-9 relative) sits far below the rounding step
+(SURVEY.md §7 "what's hard" #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               generate_series(1, o_orderkey % 5 + 1) AS sq
+        FROM orders)
+    SELECT o_orderkey,
+           array_to_string(sq, ',') AS seq_csv,
+           CAST(list_sum(list_transform(sq, x -> x * x)) AS BIGINT)
+               AS sum_sq,
+           CAST(len(list_filter(sq, x -> x % 2 = 0)) AS INT) AS n_even,
+           len(list_filter(sq, x -> x > 3)) > 0 AS has_gt3,
+           array_to_string(
+               list_transform(generate_series(1, len(sq)),
+                              i -> CAST(sq[i] + sq[len(sq) - i + 1]
+                                        AS VARCHAR)), ',') AS zip_csv
+    FROM t
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6-extension — lambda higher-order functions over arrays:
+    sequence generation, transform, filter, aggregate (fold), exists,
+    zip_with. All evaluate inside codegen (no UDF, no explode/regroup
+    shuffle) — the scale-safe way to do per-row array compute, vs the
+    explode→groupBy pattern which shuffles every element."""
+    o = load_table(spark, sf_dir, "orders")
+    sq = F.sequence(F.lit(1).cast("bigint"), F.pmod("o_orderkey", F.lit(5)) + 1)
+    d = o.select("o_orderkey", sq.alias("sq"))
+    return d.select(
+        "o_orderkey",
+        F.array_join(F.transform("sq", lambda x: x.cast("string")), ",").alias(
+            "seq_csv"
+        ),
+        F.aggregate(
+            F.transform("sq", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.size(F.filter("sq", lambda x: x % 2 == 0)).alias("n_even"),
+        F.exists("sq", lambda x: x > 3).alias("has_gt3"),
+        F.array_join(
+            F.zip_with(
+                "sq",
+                F.reverse("sq"),
+                lambda a, b: (a + b).cast("string"),
+            ),
+            ",",
+        ).alias("zip_csv"),
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_totalprice, o_orderkey) AS latest_price,
+           arg_min(o_totalprice, o_orderkey) AS first_price,
+           arg_max(o_custkey, o_orderkey) AS latest_cust,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — selection aggregates: max_by/min_by (argmax over an
+    ordering column) and count_if. The ordering column is o_orderkey —
+    unique by construction — so the selected row is deterministic on
+    both engines (max_by over a column with ties is engine-arbitrary;
+    never pair it with an oracle). Selected values are raw column reads,
+    so they compare bit-exact without rounding. Single hash-aggregate,
+    map-side partials — scale-safe."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+        F.max_by("o_custkey", "o_orderkey").alias("latest_cust"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_roundn("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+           {sql_roundn("covar_samp(l_quantity, l_extendedprice)", 2)} AS covar_qty_price,
+           {sql_roundn("stddev_samp(l_quantity)", 4)} AS std_qty,
+           {sql_roundn("var_samp(l_quantity)", 2)} AS var_qty,
+           {sql_roundn("regr_slope(l_extendedprice, l_quantity)", 4)} AS slope_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — co-moment statistics per group: Pearson correlation,
+    sample covariance/variance/stddev, and OLS slope (regr_slope). All
+    are single-pass mergeable co-moments (count/mean/M2/co-M2), so they
+    aggregate map-side and shuffle one small record per group — the same
+    scale shape as SUM. Rounding step per column is ≥1e4× the worst-case
+    cross-engine combine-order error for its magnitude."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        roundn(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        roundn(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        roundn(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        roundn(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        roundn(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope_price_qty"
+        ),
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+    WITH z AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               (o_totalprice - AVG(o_totalprice)
+                   OVER (PARTITION BY o_orderpriority))
+               / STDDEV_SAMP(o_totalprice)
+                   OVER (PARTITION BY o_orderpriority) AS zscore
+        FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           {sql_roundn("zscore", 4)} AS zscore
+    FROM z
+    WHERE zscore > 1.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier anomaly detection: per-group z-score over an
+    unbounded window, flag rows > 1.5σ above the group mean (the synthetic totalprice is
+    near-uniform — max |z| ≈ 1.78 — so a 3σ threshold would select nothing). One shuffle
+    on the partition key; mean/stddev are computed in the same window
+    pass (no self-join with a pre-aggregated stats table — the window
+    formulation halves the scans). Threshold filters on the unrounded
+    score; continuous doubles make an exact-threshold boundary tie
+    probability-zero. At 100 TB the partition key must be chosen
+    low-skew or salted first (see skew_profile)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return (
+        o.select("o_orderkey", "o_orderpriority", z.alias("zscore"))
+        .filter(F.col("zscore") > 1.5)
+        .select("o_orderkey", "o_orderpriority", roundn(F.col("zscore"), 4).alias("zscore"))
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_mask,
+           o_orderkey | 16 AS or_flag,
+           xor(o_orderkey, 85) AS xor_pat,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-extension — bitwise operators: AND/OR/XOR masks, shifts,
+    popcount. Pure codegen projections (hash bucketing, bitmap flags,
+    feature hashing all reduce to these); no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("and_mask"),
+        F.expr("o_orderkey | 16").alias("or_flag"),
+        F.expr("o_orderkey ^ 85").alias("xor_pat"),
+        F.shiftleft("o_orderkey", 2).alias("shl2"),
+        F.shiftright("o_orderkey", 3).alias("shr3"),
+        F.bit_count("o_orderkey").alias("popcount"),
+    )

@@ -1,0 +1,198 @@
+"""Time-series coverage wave: dense-calendar gap-fill, funnel
+conversion, and OHLC resampling over the event stream.
+
+These are the batch twins of the streaming tier (plans/events.py) —
+the shapes a hypertable/metrics consumer of the reference's event feed
+(ref: dags/pipeline_orchestration_dag.py:212 staging tier) runs daily.
+All are pure DataFrame compositions: the calendar spine is generated
+with ``sequence()`` (codegen, no driver loop), forward-fill is
+``last(ignorenulls)`` over an ordered window, and OHLC open/close are
+argmin/argmax selections over the (tie-free) event timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+
+@query(
+    "ts_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events),
+    calendar AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_raw,
+               {sql_roundn("SUM(value)", 2)} AS value_sum_raw
+        FROM events
+        GROUP BY 1, 2),
+    spine AS (
+        SELECT t.event_type, c.hour
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN calendar c)
+    SELECT s.event_type, s.hour,
+           COALESCE(h.n_raw, 0) AS n_events,
+           h.value_sum_raw AS value_sum,
+           last_value(h.value_sum_raw IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_sum_ff
+    FROM spine s
+    LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — dense-calendar gap fill: hourly per-type rollup
+    left-joined onto a generated calendar spine, empty hours zero-filled
+    for counts and forward-filled (last non-null) for the running value
+    level. The spine is sequence() over the global [min,max] hour — a
+    broadcast-scale frame (types × hours), never a per-row explosion of
+    raw data. Forward fill is one window pass ordered by hour; at 100 TB
+    partition the window by (type, coarse time range) so no single
+    partition holds years of hours."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n_raw"),
+        roundn(F.sum("value")).alias("value_sum_raw"),
+    )
+    spine = ev.select("event_type").distinct().crossJoin(F.broadcast(calendar))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_raw", F.lit(0)).alias("n_events"),
+            F.col("value_sum_raw").alias("value_sum"),
+            F.last("value_sum_raw", ignorenulls=True).over(w).alias("value_sum_ff"),
+        )
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 2 HOUR
+        GROUP BY 1),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        GROUP BY 1)
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_2h,
+           (SELECT COUNT(*) FROM p) AS n_purchased_24h
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-event funnel: first view → first click within 2 h →
+    first purchase within 24 h, counted per stage. Each stage is a
+    groupBy over only the candidate users of the previous stage (the
+    join prunes before aggregating), so stage cost shrinks down-funnel —
+    the MATCH_RECOGNIZE shape expressed as cascaded min-aggregates.
+    Timestamp ties are absent in the event feed (verified at all sfs),
+    so strict > ordering is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 2 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_users = ev.select(F.count_distinct("user_id").alias("n_users"))
+    return (
+        n_users.crossJoin(F.broadcast(v.select(F.count("*").alias("n_viewed"))))
+        .crossJoin(F.broadcast(c.select(F.count("*").alias("n_clicked_2h"))))
+        .crossJoin(F.broadcast(p.select(F.count("*").alias("n_purchased_24h"))))
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle=f"""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           {sql_roundn("AVG(value)", 4)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — OHLC bar resampling: open/close are argmin/argmax
+    of value over the (unique) event timestamp within each hourly
+    bucket; high/low/count/avg complete the bar. One hash aggregate,
+    all selection aggregates mergeable map-side — the classic
+    tick→bar downsample that turns 100 TB of raw ticks into a
+    broadcastable bar table. Open/high/low/close are raw column reads
+    (bit-exact); only the avg is rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count("*").alias("n_ticks"),
+        roundn(F.avg("value"), 4).alias("avg_value"),
+    )
