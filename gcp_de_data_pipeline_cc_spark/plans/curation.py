@@ -246,3 +246,78 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = li.agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
     exact = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
     return approx.crossJoin(exact)
+
+
+@query(
+    "qc_foreign_keys",
+    oracle="""
+    SELECT 'orders->customer' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def qc_foreign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — referential-integrity QC gate: orphan counts for
+    every FK edge of the star schema in one result (ref: the reference's
+    post-load dbt tests, dags/pipeline_orchestration_dag.py:212 curation
+    tier). Each check is a LEFT ANTI join — dimension edges broadcast the key
+    side (scan-only gate); the fact->fact edge (lineitem->orders) is
+    left to AQE, which picks a shuffled join when both sides are big. Zero orphans is the *passing* state; the gate's value is
+    that it fails loudly when ingestion breaks."""
+
+    def orphans(
+        fact: DataFrame,
+        fk_col: str,
+        dim: DataFrame,
+        pk_col: str,
+        label: str,
+        broadcast_dim: bool = True,
+    ):
+        # broadcast_dim=False for fact→fact edges (lineitem→orders):
+        # forcing a broadcast of a fact table would OOM at scale — let
+        # Catalyst/AQE pick SMJ there.
+        keys = F.broadcast(dim) if broadcast_dim else dim
+        n_rows = fact.select(F.count("*").alias("n_rows"))
+        n_orph = (
+            fact.join(keys, fact[fk_col] == dim[pk_col], "left_anti")
+            .select(F.count("*").alias("n_orphans"))
+        )
+        return (
+            n_rows.crossJoin(n_orph)
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionByName(
+            orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders",
+                    broadcast_dim=False)
+        )
+        .unionByName(orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+        .unionByName(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+    )

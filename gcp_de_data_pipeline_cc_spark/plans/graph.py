@@ -109,7 +109,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("incoming"))
         )
-        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes["node"] == contrib["dst"], "left"
+        ).select(
             "node",
             (
                 F.lit((1 - _DAMP) / n_nodes)

@@ -176,3 +176,28 @@ def agg_incremental(
         roundn(F.col("value_raw_sum")).alias("value_sum"),
         "n_cnt",
     )
+
+
+@query("sketch_hll_rollup", oracle=None)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the 100 TB distinct-count pattern): one
+    Datasketches HLL partial per (event_type, day) — the only pass over
+    raw data — then monthly distinct-users per type by *unioning the
+    sketches*, never re-scanning raw. This is the associative shape that
+    lets a 1000-executor cluster maintain daily partials and answer
+    arbitrary-range distinct queries from kilobytes of state
+    (vs agg_salted_distinct, which pays an exact two-stage shuffle).
+
+    Rows-only: sketch estimates are engine-specific (DuckDB's HLL differs
+    bit-for-bit); the ±2% envelope vs exact is asserted in
+    tests/test_scale.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    monthly = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        F.count("*").alias("n_partials"),
+    )
+    return monthly

@@ -196,3 +196,52 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ticks"),
         roundn(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@query(
+    "sessionize_path",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events),
+    p AS (
+        SELECT user_id, string_agg(event_type, '->' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def sessionize_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: each user's first three events (by the
+    tie-free event timestamp) concatenated into a path string, ranked by
+    how many users share it. The per-user top-3 uses a rank window that
+    Spark executes with WindowGroupLimit pushdown — partial top-3 per
+    map task before the shuffle — so the exchange carries ≤3 rows per
+    user, not the full stream. Path assembly sorts the 3-element struct
+    array per row (codegen), not with an ordered string_agg, which Spark
+    lacks as a deterministic aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("ts"))
+    first3 = ev.select("user_id", "event_type", rn.alias("rn")).filter(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            "->",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
