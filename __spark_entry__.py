@@ -89,6 +89,12 @@ _COMPONENT_FIRST = (
     "profile_table", "histogram_values",                  # pipeline ops tier
     "multimodal_features", "multimodal_frame_sample",     # rows-only by design
     "curation_revenue_by_nation",                         # flagship
+    # §2.13 round-2 wave — one representative per new family (X1-X16)
+    "agg_stats", "fn_higher_order", "ts_gapfill", "funnel_conversion",
+    "graph_pagerank", "text_entropy", "kmeans_assign", "qc_foreign_keys",
+    "sessionize_path", "ts_resample_ohlc", "anomaly_zscore", "agg_argmax",
+    "sample_hash_topk", "text_readability", "fn_bitwise", "sketch_hll_rollup",
+    "training_prep", "udtf_lateral", "text_roundtrip",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

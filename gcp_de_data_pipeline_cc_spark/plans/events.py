@@ -135,16 +135,18 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_posture(spark)  # direct parquet read bypasses load_table
     tmp = tempfile.mkdtemp(prefix="stream_state_")
     src_dir = f"{tmp}/src"
-    # split the stream into two files → two micro-batches
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # split the stream into two files → two micro-batches; project to
+    # the two columns the operator needs BEFORE landing the stream so
+    # the micro-batches (and the Arrow transfer into the Python state
+    # fn) never carry the text/props payload
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
     raw.repartition(2).write.mode("overwrite").parquet(src_dir)
 
     sdf = spark.readStream.schema(raw.schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(src_dir)
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
-    totals = running_user_totals(sdf.select("user_id", "value"))
+    totals = running_user_totals(sdf)
     name = f"state_{abs(hash(tmp)) % 10**8}"
     q = (
         totals.writeStream.format("memory")

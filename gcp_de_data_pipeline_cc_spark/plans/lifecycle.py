@@ -264,3 +264,33 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
     )
+
+
+@query(
+    "text_roundtrip",
+    oracle="""
+    SELECT doc_id, text FROM documents
+    """,
+)
+def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-format coverage — raw text-lines lifecycle: export documents as
+    one tab-delimited line per doc (`spark.write.text`), re-ingest with
+    `spark.read.text` + a split projection. The line-oriented format is
+    what raw web-scrape/log corpora land as before any schema exists;
+    parsing happens engine-side (codegen split, no UDF). Documents are
+    tab/newline-free word soup, so the framing is lossless and the
+    source projection is the oracle. At scale `text` sources split by
+    line ranges exactly like CSV — same maxPartitionBytes parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="text_roundtrip_")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(f"{tmp}/lines")
+    lines = spark.read.text(f"{tmp}/lines")
+    tab = F.instr(F.col("value"), "\t")
+    return lines.select(
+        F.substring_index("value", "\t", 1).cast("bigint").alias("doc_id"),
+        F.substring(F.col("value"), tab + 1, F.length("value")).alias("text"),
+    )

@@ -434,3 +434,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice (the explode-shaped stage of a video pipeline)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return mm.frame_sample(mm.attach_binary_payload(docs))
+
+
+@query(
+    "kmeans_assign",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 8),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                   / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+                   / sqrt(list_dot_product(c.cvec, c.cvec)) AS cos_raw
+        FROM embeddings e CROSS JOIN c),
+    ranked AS (
+        SELECT vec_id, cid, cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cos_raw DESC, cid) AS rn
+        FROM d)
+    SELECT vec_id, cid AS cluster,
+           FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM ranked WHERE rn = 1
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-extension — k-means assignment step (Lloyd's E-step): every
+    vector routed to its nearest of k=8 centroids by cosine. Centroids
+    here are a deterministic seed set (vec_id < 8) so the result is
+    oracle-checkable; a trained centroid table plugs into the same plan.
+    This is the building block under sim_topk_ivf's cell routing and of
+    any embedding-space clustering pass over a 100 TB corpus: centroids
+    broadcast, candidates never shuffle, scoring is codegen
+    aggregate(zip_with) — cost O(k·n) with no exchange at all (the
+    rank-1 window partitions by vec_id, which arrives pre-partitioned
+    from the scan and is WindowGroupLimit-pruned map-side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.as_double_vectors(emb.filter(F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    vecs = sim.as_double_vectors(emb).select(
+        "vec_id", F.col("embedding").alias("evec")
+    )
+    cos = (
+        sim._dot(F.col("evec"), F.col("cvec"))
+        / sim._norm(F.col("evec"))
+        / sim._norm(F.col("cvec"))
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cos.alias("cos_raw")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            roundn(F.col("cos_raw"), 4).alias("cosine"),
+        )
+    )

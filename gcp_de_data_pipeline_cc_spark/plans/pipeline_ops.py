@@ -13,7 +13,7 @@ scan (one pass over 100 TB, not one per column).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -246,4 +246,38 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(25)
+    )
+
+
+@query(
+    "sample_hash_topk",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rn
+        FROM events)
+    SELECT event_type, event_id, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 5
+    """,
+)
+def sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: rank rows by md5(id) within each
+    group and keep the first 5 — a reproducible stand-in for reservoir
+    sampling (same sample on every run, engine, and partitioning, which
+    `TABLESAMPLE`/`rand()` cannot give). md5 hex strings compare
+    identically on both engines. The rank window is WindowGroupLimit-
+    pruned: each map task keeps ≤5 rows per group before the shuffle,
+    so the exchange carries O(groups·k), not the table."""
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.md5(F.col("event_id").cast("string")), "event_id"
+        )
+    )
+    return (
+        ev.select("event_type", "event_id", rn.alias("rn"))
+        .filter(F.col("rn") <= 5)
     )

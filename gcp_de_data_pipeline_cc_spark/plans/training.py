@@ -150,3 +150,78 @@ def shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "shard", F.row_number().over(w).alias("shuffle_pos")
     )
+
+
+@query(
+    "training_prep",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    q AS (
+        SELECT doc_id, text,
+               CAST(len(t) AS INT) AS n_tokens,
+               len(list_distinct(t)) / len(t) AS dr
+        FROM tok),
+    qp AS (SELECT * FROM q WHERE dr >= 0.35 AND n_tokens >= 20),
+    d AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (
+                   PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM qp),
+    kept AS (SELECT doc_id, n_tokens FROM d WHERE rn = 1),
+    tagged AS (
+        SELECT CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'test'
+                    WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+                    THEN 'validation'
+                    ELSE 'train' END AS split,
+               n_tokens
+        FROM kept)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM tagged GROUP BY split
+    """,
+)
+def training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-run preparation composite: quality gate
+    (type-token ratio ≥ 0.35, ≥ 20 tokens) → exact content-hash dedup
+    (keep lowest doc_id per sha256) → deterministic md5 train/val/test
+    split → per-split token accounting. The one-call version of the
+    ramp a corpus goes through between curation and the tokenizer;
+    every stage is the scale-safe plan already verified individually
+    (corpus_curation, dedup_exact, split_train_test), and the whole
+    chain is hash-checked against the oracle. Integer outputs only —
+    no float discipline needed. At 100 TB the dedup window shuffles
+    (hash, id, n_tokens), never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("dr"),
+    )
+    qp = q.filter((F.col("dr") >= 0.35) & (F.col("n_tokens") >= 20))
+    rn = F.row_number().over(
+        Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    )
+    kept = qp.select("doc_id", "n_tokens", rn.alias("rn")).filter(F.col("rn") == 1)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "1a", "test")
+        .when(prefix < "34", "validation")
+        .otherwise("train")
+    )
+    return (
+        kept.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

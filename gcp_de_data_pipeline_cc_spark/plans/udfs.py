@@ -133,3 +133,44 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         zscore, "event_id long, event_type string, z_score double"
     )
+
+
+@query(
+    "udtf_lateral",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(toks)),
+                                 i -> {'pos': CAST(i - 1 AS INT),
+                                       'token': toks[i]}),
+                  recursive := true)
+    FROM t
+    """,
+)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — true Python UDTF (Spark 3.5+ table function): one input
+    row → many output rows via a lateral join, the API for generators
+    that aren't array-shaped up front (parsers, segmenters, API-call
+    expanders). This tokenizer IS array-shaped — the codegen
+    explode(split()) in text_tokens is the production plan — so this
+    entry exists to verify the UDTF boundary itself (registration,
+    lateral correlation, row fan-out typing) against the same oracle
+    shape. Row-at-a-time like all UDTFs; keep real hot paths in
+    mapInPandas/explode."""
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM docs_for_udtf d, LATERAL tokenize_udtf(d.text) t"
+    )

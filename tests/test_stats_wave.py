@@ -133,3 +133,15 @@ def test_sessionize_topk_prunes_before_shuffle(spark):
 def test_fk_gate_dimension_edges_broadcast(spark):
     plan = plan_of(spark, "qc_foreign_keys")
     assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    plan = plan_of(spark, "kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # scoring stays JVM-side
+
+
+def test_sample_hash_group_limit(spark):
+    plan = plan_of(spark, "sample_hash_topk")
+    assert "WindowGroupLimit" in plan
