@@ -321,3 +321,63 @@ def qc_foreign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
         .unionByName(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
     )
+
+
+@query(
+    "scd3_merge",
+    oracle=f"""
+    WITH {_SNAP_SQL},
+    o AS (SELECT *, 1 AS in_old FROM s1),
+    n AS (SELECT *, 1 AS in_new FROM s2)
+    SELECT cust_id,
+           n.name AS name,
+           n.segment AS segment,
+           n.acct_cents AS acct_cents,
+           CASE WHEN in_old = 1 AND in_new = 1
+                     AND o.acct_cents <> n.acct_cents
+                THEN o.acct_cents END AS prev_acct_cents,
+           CASE WHEN in_old IS NULL THEN 'insert'
+                WHEN in_new IS NULL THEN 'delete'
+                WHEN o.acct_cents <> n.acct_cents THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM o FULL JOIN n USING (cust_id)
+    """,
+)
+def scd3_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-extension — SCD Type 3 merge: one row per key carrying the
+    current attribute plus a previous-value column populated only on
+    change, with the change class (insert/update/delete/unchanged).
+    The limited-history alternative to SCD2 for dimensions where only
+    the immediately-prior value matters — same day-1/day-2 snapshot
+    fixtures as scd2_merge, so both strategies are comparable side by
+    side. One full-outer shuffle on the key (key-coalesced by both
+    engines under USING/`on=`); at 100 TB both snapshots hash-partition
+    on cust_id and AQE handles the merge."""
+    s1, s2 = _snapshots(spark, sf_dir)
+    o = s1.withColumn("in_old", F.lit(1))
+    n = s2.withColumn("in_new", F.lit(1))
+    o = o.select("cust_id", F.col("name").alias("name_o"),
+                 F.col("segment").alias("segment_o"),
+                 F.col("acct_cents").alias("acct_o"), "in_old")
+    n = n.select("cust_id", "name", "segment",
+                 F.col("acct_cents").alias("acct_cents"), "in_new")
+    j = o.join(n, on="cust_id", how="full")
+    changed = (
+        (F.col("in_old") == 1)
+        & (F.col("in_new") == 1)
+        & (F.col("acct_o") != F.col("acct_cents"))
+    )
+    change_type = (
+        F.when(F.col("in_old").isNull(), "insert")
+        .when(F.col("in_new").isNull(), "delete")
+        .when(F.col("acct_o") != F.col("acct_cents"), "update")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        "cust_id",
+        "name",
+        "segment",
+        "acct_cents",
+        F.when(changed, F.col("acct_o")).alias("prev_acct_cents"),
+        change_type.alias("change_type"),
+    )

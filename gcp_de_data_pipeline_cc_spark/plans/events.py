@@ -370,3 +370,79 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands SQL over the same gap rule (session end = last
     event + gap, matching `session_window`)."""
     return session_windows(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id
+    FROM events s
+    JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — watermarked stream-stream interval join, run as a
+    real Structured Streaming query: signups joined to the same user's
+    purchases within the following hour. INNER stream-stream joins emit
+    exactly the batch join's matches (the watermark only bounds state
+    retention, never results), which makes this the rare streaming
+    operator with a full SQL oracle — the append-mode output is
+    hash-compared against DuckDB's batch interval join.
+
+    Scale: both sides keep one watermark-window of rows in the state
+    store, keyed by user_id; the interval condition prunes state by
+    event time. Without the watermark the join state would grow
+    unboundedly — the 100 TB failure mode this operator exists to avoid.
+    """
+    import shutil
+    import tempfile
+
+    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
+
+    ensure_session_posture(spark)  # direct parquet read bypasses load_table
+    tmp = tempfile.mkdtemp(prefix="stream_ss_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
+    raw_schema = spark.read.parquet(tmp).schema
+
+    def stream():
+        sdf = spark.readStream.schema(raw_schema).parquet(tmp)
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    s = (
+        stream()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    p = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = s.join(
+        p,
+        F.expr("user_id = p_user AND p_ts > s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"),
+    ).select("signup_id", "purchase_id")
+    name = f"ssjoin_{abs(hash(tmp)) % 10**8}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
