@@ -95,7 +95,7 @@ _COMPONENT_FIRST = (
     "sessionize_path", "ts_resample_ohlc", "anomaly_zscore", "agg_argmax",
     "sample_hash_topk", "text_readability", "fn_bitwise", "sketch_hll_rollup",
     "training_prep", "udtf_lateral", "text_roundtrip",
-    "stream_stream_join", "scd3_merge",
+    "stream_stream_join", "scd3_merge", "time_travel_read",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -146,3 +146,98 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     )
+
+
+@query(
+    "time_travel_read",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS key, o_totalprice AS val,
+               1 AS v, FALSE AS tombstone
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1000.0, 2, FALSE
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 3, TRUE
+        FROM orders WHERE o_orderkey % 11 = 0),
+    q AS (SELECT UNNEST([1, 2, 3]) AS asof_v),
+    resolved AS (
+        SELECT q.asof_v, log.key, log.val, log.v, log.tombstone,
+               row_number() OVER (
+                   PARTITION BY q.asof_v, log.key
+                   ORDER BY log.v DESC) AS rn
+        FROM log CROSS JOIN q
+        WHERE log.v <= q.asof_v)
+    SELECT asof_v,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           FLOOR(SUM(val) * 100.0 + 0.5) / 100.0 AS total_val
+    FROM resolved
+    WHERE rn = 1 AND NOT tombstone
+    GROUP BY asof_v
+    """,
+)
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-extension — MVCC time-travel read over an append-only change
+    log (the Delta/Iceberg snapshot-isolation pattern on plain
+    parquet): the table is a log of (key, value, version, tombstone)
+    rows; reading "as of version v" = filter `version <= v`, keep the
+    latest version per key, drop tombstones. Version 1 is the base
+    load, version 2 updates every 7th key, version 3 deletes every
+    11th — the query resolves all three snapshots in one pass and
+    returns per-snapshot live-row accounting.
+
+    Scale: the log is append-only (no rewrite on update/delete — the
+    write amplification win); resolution is one rank window per
+    snapshot partitioned by key. Compaction (compact_small_files)
+    periodically collapses resolved history; the version column doubles
+    as the partition column so `v <= asof` prunes files."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("val"),
+        F.lit(1).alias("v"),
+        F.lit(False).alias("tombstone"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice") + 1000.0).alias("val"),
+            F.lit(2).alias("v"),
+            F.lit(False).alias("tombstone"),
+        )
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(None).cast("double").alias("val"),
+            F.lit(3).alias("v"),
+            F.lit(True).alias("tombstone"),
+        )
+    )
+    log = base.unionByName(updates).unionByName(deletes)
+    versions = spark.range(1, 4).select(F.col("id").cast("int").alias("asof_v"))
+    from pyspark.sql.window import Window
+
+    resolved = (
+        log.crossJoin(F.broadcast(versions))
+        .filter(F.col("v") <= F.col("asof_v"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("asof_v", "key").orderBy(F.col("v").desc())
+            ),
+        )
+        .filter((F.col("rn") == 1) & (~F.col("tombstone")))
+    )
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    return resolved.groupBy("asof_v").agg(
+        F.count("*").alias("n_live"),
+        F.sum(F.when(F.col("v") > 1, 1).otherwise(0)).alias("n_updated"),
+        roundn(F.sum("val")).alias("total_val"),
+    )
