@@ -96,6 +96,7 @@ _COMPONENT_FIRST = (
     "sample_hash_topk", "text_readability", "fn_bitwise", "sketch_hll_rollup",
     "training_prep", "udtf_lateral", "text_roundtrip",
     "stream_stream_join", "scd3_merge", "time_travel_read",
+    "agg_array_collect",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

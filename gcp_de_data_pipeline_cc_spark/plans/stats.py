@@ -206,3 +206,52 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("o_orderkey", 3).alias("shr3"),
         F.bit_count("o_orderkey").alias("popcount"),
     )
+
+
+@query(
+    "agg_array_collect",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+        FROM orders)
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS first_keys,
+           CAST(COUNT(*) AS INT) AS n_kept
+    FROM r WHERE rn <= 5
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/F6-extension — ordered array-collect aggregation: the first 5
+    order keys per priority as one delimited value. collect_list is
+    unordered by contract, so determinism comes from sort_array AFTER
+    collection — never from input order (which shuffles destroy); the
+    rank-window pre-filter (WindowGroupLimit-pruned) bounds the
+    collected array to k elements per group, which is what makes a
+    collect aggregate safe at scale (unbounded collect_list on a hot
+    group is an executor OOM). Array projected to a string because the
+    comparator hashes scalar cells."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", rn.alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("first_keys"),
+            F.count("*").cast("int").alias("n_kept"),
+        )
+    )
