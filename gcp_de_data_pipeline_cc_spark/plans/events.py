@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 from gcp_de_data_pipeline_cc_spark.streaming.windows import (
@@ -119,6 +121,25 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 4):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming-query
+    START: a stateful stream instantiates one state-store instance per
+    shuffle partition (per stateful operator, per side for joins), so
+    state parallelism should be sized to KEY CARDINALITY, not to the
+    session's batch-shuffle width — 32 stores for 150 users is pure
+    fixed overhead (measured 13 s → 3 s on stream_stream_join at
+    sf0.1). On a real cluster with millions of keys, size this to
+    cluster scale instead; the knob is per-query because it binds at
+    stream start, and the original value is always restored."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @query("stream_custom_stateful", oracle=None)
 def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
@@ -148,14 +169,15 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     totals = running_user_totals(sdf)
     name = f"state_{abs(hash(tmp)) % 10**8}"
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     # update mode appends one row per touched key per batch; the running
     # total is the LATEST row per user = the one with the highest event
     # count (monotone), not independent column maxima (value_sum can
@@ -199,14 +221,15 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win.start").alias("day_start"), "n_first_seen"
     )
     name = f"wm_dedup_{abs(hash(tmp)) % 10**8}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name)
 
 
@@ -318,14 +341,15 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 day").alias("win"), "event_type"
     ).agg(F.count("*").alias("n_events"))
     name = f"topk_{abs(hash(tmp)) % 10**8}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
 
     agg = spark.table(name).select(
         F.col("win.start").alias("day_start"), "event_type", "n_events"
@@ -437,12 +461,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("user_id = p_user AND p_ts > s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"),
     ).select("signup_id", "purchase_id")
     name = f"ssjoin_{abs(hash(tmp)) % 10**8}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name)
