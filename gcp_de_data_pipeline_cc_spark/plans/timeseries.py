@@ -130,10 +130,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Timestamp ties are absent in the event feed (verified at all sfs),
     so strict > ordering is deterministic."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # Each stage feeds BOTH the next stage and its own count; checkpoint
+    # the (tiny) per-stage survivor sets so assembling the four counts
+    # doesn't re-run every upstream stage's scan+shuffle (without the
+    # cuts the composed plan scans events 20×).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -144,6 +149,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
