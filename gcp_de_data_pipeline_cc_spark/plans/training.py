@@ -152,6 +152,155 @@ def shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: context-window width / stride (tokens) for overlapping chunking
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "doc_chunk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) > 0),
+    s AS (
+        SELECT doc_id, toks,
+               generate_series(0, len(toks) - 1, {CHUNK_STRIDE}) AS starts
+        FROM t),
+    e AS (
+        SELECT doc_id, toks,
+               UNNEST(list_transform(generate_series(1, len(starts)),
+                                     i -> {{'chunk_id': CAST(i - 1 AS INT),
+                                           'start_tok': starts[i]}}),
+                      recursive := true)
+        FROM s)
+    SELECT doc_id, chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(toks[start_tok + 1 : start_tok + {CHUNK_TOKENS}]) AS INT)
+               AS chunk_len,
+           md5(array_to_string(
+               toks[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' '))
+               AS chunk_hash
+    FROM e
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — overlapping context-window chunking: each document
+    is cut into ``CHUNK_TOKENS``-token windows every ``CHUNK_STRIDE``
+    tokens (the retrieval/embedding-ingest chunking where adjacent
+    windows overlap so no span loses context). Output carries the chunk's
+    position and an md5 fingerprint of its text, never the text itself —
+    downstream embedding jobs re-slice from the source column.
+
+    Scale: pure map + generate — sequence/posexplode/slice are all
+    codegen, no shuffle, no UDF; chunk count scales with token count so
+    output size is input-proportional regardless of document skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+    e = d.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_TOKENS)
+    return e.select(
+        "doc_id",
+        "chunk_id",
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+#: drop tokens rarer than this from the vocabulary
+VOCAB_MIN_FREQ = 2
+
+
+@query(
+    "vocab_build",
+    oracle=f"""
+    SELECT token,
+           n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) - 1
+                AS INT) AS token_id
+    FROM (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t
+        HAVING COUNT(*) >= {VOCAB_MIN_FREQ}
+    )
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — tokenizer vocabulary construction: corpus-wide
+    token frequencies, a min-frequency cut, and deterministic dense ids
+    assigned by (frequency desc, token) — reproducible across runs and
+    engines, no rand(), ties broken lexically.
+
+    Scale: explode + groupBy is one map-side-combinable shuffle carrying
+    (token, count). The id-assignment window is a single global sort of
+    the VOCABULARY (post-aggregation, ≤ a few million rows at any corpus
+    size), not of the corpus — the one place a one-partition window is
+    the right plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= VOCAB_MIN_FREQ)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.select(
+        "token",
+        "n_occurrences",
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+    )
+
+
+@query(
+    "feature_scale",
+    oracle="""
+    SELECT event_id, event_type,
+           FLOOR((value - mn) / (mx - mn) * 10000.0 + 0.5) / 10000.0
+               AS value_minmax,
+           FLOOR((value - mu) / sd * 10000.0 + 0.5) / 10000.0 AS value_z
+    FROM events
+    JOIN (
+        SELECT event_type AS et, MIN(value) AS mn, MAX(value) AS mx,
+               AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+        FROM events GROUP BY 1
+    ) ON event_type = et
+    """,
+)
+def feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — per-group feature scaling (min-max + z-score) as
+    a tiny aggregate broadcast-joined back onto the fact rows. Same
+    normalization as udtf_grouped_map's applyInPandas, deliberately
+    re-expressed as the production plan: the groupBy emits one row per
+    event_type, that result broadcasts, and the fact rows are NEVER
+    shuffled (applyInPandas must shuffle every row into its group and
+    hold whole groups in pandas). At 100 TB this is the difference
+    between a broadcast map stage and a full-corpus shuffle."""
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    return ev.join(F.broadcast(stats), ev.event_type == stats.et).select(
+        "event_id",
+        "event_type",
+        roundn((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")), 4)
+            .alias("value_minmax"),
+        roundn((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("value_z"),
+    )
+
+
 @query(
     "training_prep",
     oracle="""
