@@ -381,3 +381,105 @@ def scd3_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(changed, F.col("acct_o")).alias("prev_acct_cents"),
         change_type.alias("change_type"),
     )
+
+
+@query(
+    "cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_totalprice * 1.1
+        FROM orders
+        WHERE SUBSTR(md5('u:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '55'
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', NULL
+        FROM orders
+        WHERE SUBSTR(md5('d:' || CAST(o_orderkey AS VARCHAR)), 1, 2) >= 'aa'
+    ),
+    ranked AS (
+        SELECT k, seq, op, price,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_ops
+        FROM log
+    )
+    SELECT k AS o_orderkey, op AS last_op, n_ops,
+           FLOOR(price * 100.0 + 0.5) / 100.0 AS price
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-extension — change-data-capture log application: an ordered
+    insert/update/delete feed (Debezium/Datastream shape — the CDC path
+    implied by the reference's BigQuery staging tier,
+    `dags/pipeline_orchestration_dag.py:152-171`) collapses to current
+    table state by latest-sequence-wins per key, with tombstones dropped.
+    The log here is synthesized deterministically from orders (every key
+    an insert, ~1/3 hash-selected updates at seq 2, ~1/3 tombstones at
+    seq 3) so the collapse is oracle-checkable end to end.
+
+    Scale: one window shuffle on the change key — state never lives on
+    the driver; n_ops rides the same partition. At 100 TB the feed would
+    be partitioned by arrival date and the collapse runs per partition
+    window, identical plan."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def tag(prefix: str):
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(prefix), F.col("o_orderkey").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            2,
+        )
+
+    inserts = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = (
+        o.filter(tag("u:") < "55")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") * 1.1).alias("price"),
+        )
+    )
+    deletes = (
+        o.filter(tag("d:") >= "aa")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("price"),
+        )
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k")
+    ranked = log.select(
+        "k",
+        "op",
+        "price",
+        F.row_number().over(w.orderBy(F.desc("seq"))).alias("rn"),
+        F.count("*").over(w).alias("n_ops"),
+    )
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("op").alias("last_op"),
+            "n_ops",
+            roundn(F.col("price"), 2).alias("price"),
+        )
+    )

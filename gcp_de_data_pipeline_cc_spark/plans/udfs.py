@@ -174,3 +174,106 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM docs_for_udtf d, LATERAL tokenize_udtf(d.text) t"
     )
+
+
+@query(
+    "udf_arrow_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                 * 100.0 + 0.5) / 100.0 AS gross_price
+    FROM lineitem
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy rung of the Python ladder: batches
+    arrive as Arrow RecordBatches and never materialize a pandas frame
+    (no index allocation, no object boxing), so it beats mapInPandas for
+    pure columnar arithmetic and is the natural host for Arrow-native
+    libraries. Float discipline: pyarrow.compute evaluates the same
+    left-associated expression as the SQL, so values are bit-identical
+    before the shared floor-rounding."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def gross(batches):
+        for b in batches:
+            net = pc.multiply(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+                pc.add(pa.scalar(1.0), b.column("l_tax")),
+            )
+            rounded = pc.divide(
+                pc.floor(pc.add(pc.multiply(net, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.scalar(100.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), rounded],
+                ["l_orderkey", "l_linenumber", "gross_price"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return li.mapInArrow(
+        gross, "l_orderkey bigint, l_linenumber int, gross_price double"
+    )
+
+
+@query(
+    "udf_cogrouped",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS INT) AS n_lines,
+               SUM(l_extendedprice * (1 - l_discount)) AS s
+        FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+           o.o_orderkey IS NOT NULL AS has_order,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           FLOOR(COALESCE(l.s, 0) * 100.0 + 0.5) / 100.0 AS net_sum
+    FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-table rung: both inputs shuffle
+    on the key and each task receives the matched pair of pandas frames
+    per key, i.e. a full-outer merge with arbitrary Python reconcile
+    logic (the escape hatch for merge semantics no join expresses:
+    conflict resolution, per-key diffing, fuzzy alignment). Here it
+    reconciles orders against their lineitem roll-up so the oracle is a
+    FULL OUTER JOIN — including orders with no lines (empty right frame).
+
+    Scale: one co-partitioned shuffle per side, whole KEY GROUPS (not
+    tables) in memory — bounded by lines-per-order, not corpus size. The
+    pandas sum follows input order within the small group; round-2 keeps
+    it hash-stable (≤7 doubles per key)."""
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        net = (ldf["l_extendedprice"] * (1 - ldf["l_discount"])).sum() if len(ldf) else 0.0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "has_order": [bool(len(odf))],
+                "n_lines": [np.int32(len(ldf))],
+                "net_sum": [np.floor(net * 100.0 + 0.5) / 100.0],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey bigint, has_order boolean, n_lines int, net_sum double",
+        )
+    )
