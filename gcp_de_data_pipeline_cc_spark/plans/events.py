@@ -471,3 +471,66 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
     return spark.table(name)
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, n.n_name AS nation
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — stream-static enrichment join, run as a real
+    Structured Streaming query: the event stream joins two STATIC
+    dimension tables (customer → nation) that Spark re-broadcasts per
+    micro-batch; no watermark and no state store because the static side
+    is not append-only — the canonical streaming-ETL enrich stage
+    (sensor feed × device registry). Append-mode output equals the batch
+    join row-for-row, which makes it fully oracle-checkable.
+
+    Scale: the stream side never shuffles (broadcast-hash join per
+    batch); dimension freshness = micro-batch boundary, which is exactly
+    the semantics a slowly-changing registry wants. Three source files
+    with maxFilesPerTrigger=1 force three micro-batches so the per-batch
+    re-resolution actually executes."""
+    import shutil
+    import tempfile
+
+    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
+
+    ensure_session_posture(spark)
+    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment"), "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+        .select("event_id", "user_id")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("event_id", "user_id", "segment", "nation")
+    )
+    name = f"enrich_{abs(hash(tmp)) % 10**8}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.table(name).localCheckpoint()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result

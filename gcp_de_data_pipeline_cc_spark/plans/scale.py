@@ -201,3 +201,82 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_partials"),
     )
     return monthly
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def bloom_filter_scope(spark: SparkSession):
+    """Scope the confs that let the runtime bloom-filter demo trigger at
+    test scale: the injection rule requires the application side to scan
+    ≥ 10 GiB by default (never true at sf≤0.1), and a broadcastable
+    creation side would take the broadcast/DPP path instead. At 100 TB
+    NEITHER override exists — the default thresholds fire naturally on
+    any selective dim filter joined to a big fact over a shuffle. Always
+    restores the session's originals."""
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan for join_bloom_pruned (split out so the plan-shape
+    test can explain() it inside bloom_filter_scope)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            roundn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("net_revenue"),
+        )
+    )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0
+               AS net_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (Spark's runtime row-level filtering):
+    the selective dim-side predicate builds a bloom filter
+    (bloom_filter_agg) that is pushed into the fact scan as
+    might_contain(xxhash64(key)) BEFORE the shuffle — most fact rows die
+    at the scan instead of being hashed, serialized and shuffled to a
+    join task that discards them. The semi-join-reduction pattern Spark
+    applies automatically at warehouse scale; results are provably
+    unchanged (plain-join oracle).
+
+    The demo materializes inside bloom_filter_scope because the physical
+    plan binds at ACTION time — scoped confs must still be set when the
+    job runs, and the result (a handful of agg rows) checkpoint-pins the
+    computed output. tests/test_plans_physical.py asserts might_contain
+    lands in the fact scan's filter."""
+    with bloom_filter_scope(spark):
+        return bloom_pruned_join(spark, sf_dir).localCheckpoint()

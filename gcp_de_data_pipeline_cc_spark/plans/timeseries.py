@@ -12,7 +12,7 @@ argmin/argmax selections over the (tie-free) event timestamp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -250,4 +250,70 @@ def sessionize_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
+    )
+
+
+#: trailing window width (rows) for the weighted moving average
+WMA_K = 10
+
+
+@query(
+    "ts_wma",
+    oracle=f"""
+    WITH framed AS (
+        SELECT event_id, event_type, ts, value,
+               list(value) OVER (
+                   PARTITION BY event_type ORDER BY ts
+                   ROWS BETWEEN {WMA_K - 1} PRECEDING AND CURRENT ROW
+               ) AS vals
+        FROM events
+    )
+    SELECT event_id, event_type, ts,
+           FLOOR(
+               list_sum(list_transform(generate_series(1, len(vals)),
+                                       i -> vals[i] * i))
+               / (len(vals) * (len(vals) + 1) / 2.0)
+               * 10000.0 + 0.5) / 10000.0 AS wma
+    FROM framed
+    """,
+)
+def ts_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — linearly-weighted moving average over the trailing
+    ``WMA_K`` rows per series (recent rows weigh more; the lag-sensitive
+    smoother dashboards use where plain rolling means respond too
+    slowly). Expressed as collect_list over a row frame + a codegen
+    ``aggregate(zip_with(...))`` weighted sum — no UDF, no self-join.
+    Both engines build the frame list in ts order (ties absent from the
+    feed), so the weighted sum is evaluated in identical order and is
+    bit-stable before the shared rounding.
+
+    Scale: one window shuffle on the series key; the frame holds K
+    doubles per row regardless of corpus size. The all-window-functions
+    alternative (K lag() columns) is the same shuffle with a wider
+    projection — the list frame keeps the expression O(1) columns."""
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rowsBetween(-(WMA_K - 1), Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    framed = ev.select("event_id", "event_type", "ts", vals.alias("vals"))
+    n = F.size("vals")
+    weighted = F.aggregate(
+        F.zip_with(
+            F.col("vals"),
+            F.sequence(F.lit(1), n),
+            lambda x, i: x * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return framed.select(
+        "event_id",
+        "event_type",
+        "ts",
+        roundn(weighted / (n * (n + 1) / 2.0), 4).alias("wma"),
     )
