@@ -97,6 +97,10 @@ _COMPONENT_FIRST = (
     "training_prep", "udtf_lateral", "text_roundtrip",
     "stream_stream_join", "scd3_merge", "time_travel_read",
     "agg_array_collect",
+    # round-2 continuation wave (X21-X27 + UDF ladder completion)
+    "doc_chunk", "vocab_build", "feature_scale", "cdc_apply",
+    "ts_wma", "join_bloom_pruned", "stream_static_enrich",
+    "udf_arrow_map", "udf_cogrouped",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

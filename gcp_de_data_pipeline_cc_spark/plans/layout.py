@@ -241,3 +241,84 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("v") > 1, 1).otherwise(0)).alias("n_updated"),
         roundn(F.sum("val")).alias("total_val"),
     )
+
+
+@query(
+    "log_compact_retention",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS key, o_totalprice AS val,
+               1 AS v, FALSE AS tombstone
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1000.0, 2, FALSE
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 3, TRUE
+        FROM orders WHERE o_orderkey % 11 = 0),
+    base AS (
+        SELECT key, val, 2 AS v, tombstone,
+               row_number() OVER (PARTITION BY key ORDER BY v DESC) AS rn
+        FROM log WHERE v <= 2)
+    SELECT key, FLOOR(val * 100.0 + 0.5) / 100.0 AS val, v, tombstone
+    FROM base WHERE rn = 1 AND NOT tombstone
+    UNION ALL
+    SELECT key, FLOOR(val * 100.0 + 0.5) / 100.0, v, tombstone
+    FROM log WHERE v > 2
+    """,
+)
+def log_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-extension — change-log compaction with a retention boundary:
+    history at or below version ``v_min`` collapses to a single resolved
+    base snapshot (latest value per key, fully-deleted keys dropped),
+    while entries newer than ``v_min`` survive verbatim so every
+    snapshot read `asof >= v_min` still resolves identically through
+    `time_travel_read`'s rank window. This is the OPTIMIZE/VACUUM step
+    that bounds the MVCC log's write amplification.
+
+    Scale: one rank window over the retained-history slice keyed on the
+    change key; the young tail is a pushed-down filter scan, never
+    rewritten. The version column stays the partition column, so
+    compaction prunes to `v <= v_min` files and later reads prune to
+    their snapshot range."""
+    V_MIN = 2
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("val"),
+        F.lit(1).alias("v"),
+        F.lit(False).alias("tombstone"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") + 1000.0).alias("val"),
+        F.lit(2).alias("v"),
+        F.lit(False).alias("tombstone"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(3).alias("v"),
+        F.lit(True).alias("tombstone"),
+    )
+    log = base.unionByName(updates).unionByName(deletes)
+    from pyspark.sql.window import Window
+
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    old = log.filter(F.col("v") <= V_MIN)
+    rn = F.row_number().over(Window.partitionBy("key").orderBy(F.col("v").desc()))
+    compacted_base = (
+        old.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (~F.col("tombstone")))
+        .select(
+            "key",
+            roundn(F.col("val"), 2).alias("val"),
+            F.lit(V_MIN).alias("v"),
+            "tombstone",
+        )
+    )
+    young = log.filter(F.col("v") > V_MIN).select(
+        "key", roundn(F.col("val"), 2).alias("val"), "v", "tombstone"
+    )
+    return compacted_base.unionByName(young)

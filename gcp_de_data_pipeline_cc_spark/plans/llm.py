@@ -495,3 +495,56 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.col("cos_raw"), 4).alias("cosine"),
         )
     )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+    dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+           FLOOR(tf.tf * (ln((n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                 * 10000.0 + 0.5) / 10000.0 AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN total
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — corpus TF-IDF scoring (smoothed idf,
+    ln((N+1)/(df+1))+1): the classic relevance/keyword-extraction weight,
+    and the exact-counting baseline under any embedding retrieval tier.
+
+    Scale: term frequencies are one explode→groupBy shuffle carrying
+    (doc, token, count); document frequencies aggregate FROM the tf
+    relation (no second corpus scan). The idf join is keyed on token —
+    vocabulary-sized, so it broadcasts after any frequency cut; the
+    corpus-size scalar is a one-row broadcast. ln() is libm on both
+    engines — rounded at 4 like every cross-engine float."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            roundn(score, 4).alias("tfidf"),
+        )
+    )

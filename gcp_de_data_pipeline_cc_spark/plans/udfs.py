@@ -240,38 +240,58 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas — the two-table rung: both inputs shuffle
-    on the key and each task receives the matched pair of pandas frames
-    per key, i.e. a full-outer merge with arbitrary Python reconcile
+    on a shared key and each call receives the matched pair of pandas
+    frames, i.e. a full-outer merge with arbitrary Python reconcile
     logic (the escape hatch for merge semantics no join expresses:
     conflict resolution, per-key diffing, fuzzy alignment). Here it
-    reconciles orders against their lineitem roll-up so the oracle is a
-    FULL OUTER JOIN — including orders with no lines (empty right frame).
+    reconciles orders against their lineitem roll-up, so the oracle is a
+    plain FULL OUTER JOIN.
 
-    Scale: one co-partitioned shuffle per side, whole KEY GROUPS (not
-    tables) in memory — bounded by lines-per-order, not corpus size. The
-    pandas sum follows input order within the small group; round-2 keeps
-    it hash-stable (≤7 doubles per key)."""
+    Scale: the cogroup key is a HASH BUCKET, not the raw order key —
+    cogrouped applyInPandas pays one Python call + two pandas frames per
+    GROUP, so millions of single-order groups would drown in per-call
+    overhead while a few hundred buckets amortize it (the same
+    granularity lesson as Arrow batch sizing). Inside a bucket the
+    reconcile is a vectorized pandas groupby+merge; bucket count scales
+    with cluster cores, bucket size with corpus/buckets — both
+    parameters, never corpus-sized."""
+    N_BUCKETS = 256
 
-    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        net = (ldf["l_extendedprice"] * (1 - ldf["l_discount"])).sum() if len(ldf) else 0.0
+        if len(ldf):
+            ldf = ldf.assign(net=ldf["l_extendedprice"] * (1 - ldf["l_discount"]))
+            roll = ldf.groupby("l_orderkey", as_index=False).agg(
+                n_lines=("net", "size"), s=("net", "sum")
+            )
+        else:
+            roll = pd.DataFrame({"l_orderkey": [], "n_lines": [], "s": []})
+        m = odf[["o_orderkey"]].assign(has_order=True).merge(
+            roll, left_on="o_orderkey", right_on="l_orderkey", how="outer"
+        )
+        key = m["o_orderkey"].fillna(m["l_orderkey"])
         return pd.DataFrame(
             {
-                "o_orderkey": [key[0]],
-                "has_order": [bool(len(odf))],
-                "n_lines": [np.int32(len(ldf))],
-                "net_sum": [np.floor(net * 100.0 + 0.5) / 100.0],
+                "o_orderkey": key.astype("int64"),
+                "has_order": m["has_order"].fillna(False).astype(bool),
+                "n_lines": m["n_lines"].fillna(0).astype("int32"),
+                "net_sum": np.floor(m["s"].fillna(0.0) * 100.0 + 0.5) / 100.0,
             }
         )
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.pmod(F.col("o_orderkey"), F.lit(N_BUCKETS)).alias("b")
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.col("l_orderkey"), F.lit(N_BUCKETS)).alias("b"),
     )
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        o.groupBy("b")
+        .cogroup(li.groupBy("b"))
         .applyInPandas(
             reconcile,
             "o_orderkey bigint, has_order boolean, n_lines int, net_sum double",

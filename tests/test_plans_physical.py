@@ -158,3 +158,56 @@ def test_pii_scan_is_narrow(spark):
     """pii_scan is a pure map stage: no exchange anywhere in the plan."""
     plan = plan_of(spark, "pii_scan")
     assert "Exchange" not in plan
+
+
+def test_doc_chunk_is_narrow(spark):
+    """doc_chunk is generate + slice + hash: a pure map stage with no
+    exchange — chunking 100 TB is scan-bound, never shuffle-bound."""
+    plan = plan_of(spark, "doc_chunk")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode fan-out stays in the map stage
+
+
+def test_feature_scale_broadcasts_stats(spark):
+    """feature_scale: the per-type stats aggregate broadcasts; the fact
+    rows must NOT go through a sort-merge shuffle."""
+    plan = plan_of(spark, "feature_scale")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ts_wma_single_window_shuffle(spark):
+    """ts_wma: exactly one exchange (the series-key window partition) —
+    the weighted sum itself is codegen expression work, not a join."""
+    plan = plan_of(spark, "ts_wma")
+    # one exchange node = two mentions (tree line + node detail)
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(event_type" in plan
+    assert "Join" not in plan
+
+
+def test_bloom_filter_reaches_fact_scan(spark):
+    """join_bloom_pruned: inside bloom_filter_scope the optimizer must
+    inject bloom_filter_agg on the dim side and a might_contain filter
+    on the fact side — the semi-join reduction that kills fact rows
+    before the shuffle."""
+    from gcp_de_data_pipeline_cc_spark.plans.scale import (
+        bloom_filter_scope,
+        bloom_pruned_join,
+    )
+
+    with bloom_filter_scope(spark):
+        df = bloom_pruned_join(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+
+
+def test_cdc_apply_single_key_shuffle(spark):
+    """cdc_apply: the three log branches union then collapse with ONE
+    exchange on the change key (row_number and n_ops share the window
+    partition)."""
+    plan = plan_of(spark, "cdc_apply")
+    # one exchange node = two mentions (tree line + node detail)
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(k" in plan
