@@ -101,6 +101,8 @@ _COMPONENT_FIRST = (
     "doc_chunk", "vocab_build", "feature_scale", "cdc_apply",
     "ts_wma", "join_bloom_pruned", "stream_static_enrich",
     "udf_arrow_map", "udf_cogrouped",
+    "text_tfidf", "qc_observe_metrics", "log_compact_retention",
+    "file_stats_manifest", "sql_parameterized",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

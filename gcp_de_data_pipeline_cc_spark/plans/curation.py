@@ -514,7 +514,9 @@ def qc_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry (distributed distinct needs a shuffle, accumulators are
     merge-only) — it rides a tiny separate agg joined in, documenting
     the boundary."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
     from pyspark.sql import Observation
 
     obs = Observation()

@@ -322,3 +322,59 @@ def log_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", roundn(F.col("val"), 2).alias("val"), "v", "tombstone"
     )
     return compacted_base.unionByName(young)
+
+
+@query(
+    "file_stats_manifest",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date,
+           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def file_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-extension — file-statistics manifest collection: after laying
+    orders out month-partitioned (one file per month), scan once and
+    record per-FILE min/max/count/sum keyed by ``input_file_name()`` —
+    the zone-map/manifest tier that Delta/Iceberg keep in metadata and
+    that data skipping (see zorder_layout's test) prunes against. The
+    manifest is derived strictly from file grouping; because the layout
+    put exactly one month in each file, it must equal the logical
+    per-month aggregate — which is the oracle, keeping the check
+    path-independent.
+
+    Scale: stats collection is a single scan with map-side-combinable
+    aggregates keyed on file — the same job shape as a compaction
+    planner's; the manifest (one row per file) is metadata-sized and
+    broadcastable to planners."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="manifest_")
+    (
+        o.withColumn("month", F.date_trunc("month", F.col("o_orderdate")))
+        .repartition("month")  # one task owns each month → one file per dir
+        .write.partitionBy("month")
+        .mode("overwrite")
+        .parquet(f"{tmp}/orders_m")
+    )
+    back = spark.read.parquet(f"{tmp}/orders_m")
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    per_file = back.groupBy(F.input_file_name().alias("file")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        roundn(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return per_file.select(
+        F.date_trunc("month", F.col("min_date")).alias("month"),
+        "n_rows",
+        "min_date",
+        "max_date",
+        "sum_price",
+    )

@@ -343,3 +343,37 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(F.sum("c_acctbal")).alias("bal_sum"),
     )
     return m.unpivot("c_mktsegment", ["n_cust", "bal_sum"], "metric", "value")
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders
+    WHERE o_totalprice > 200000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — parameterized SQL (named-marker binding, Spark
+    3.4+): the injection-safe templating surface for the reference's
+    config-driven queries (`dags/config/pipeline_config.yaml` thresholds
+    are string-formatted into BigQuery SQL,
+    `dags/pipeline_orchestration_dag.py:183-199` — the classic quoting
+    bug factory). Markers bind as literal expressions BEFORE analysis,
+    so constant folding and parquet filter pushdown see the final
+    values — zero plan-quality cost vs inlined literals."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+        FROM orders_param
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 200000.0, "status": "O"},
+    )
