@@ -103,6 +103,7 @@ _COMPONENT_FIRST = (
     "udf_arrow_map", "udf_cogrouped",
     "text_tfidf", "qc_observe_metrics", "log_compact_retention",
     "file_stats_manifest", "sql_parameterized",
+    "fn_variant", "xml_roundtrip", "win_median_smooth", "text_pretokenize",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -294,3 +294,36 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("value", "\t", 1).cast("bigint").alias("doc_id"),
         F.substring(F.col("value"), tab + 1, F.length("value")).alias("text"),
     )
+
+
+@query(
+    "xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-extension — XML source format (built into Spark 4.0; the
+    enterprise-feed shape that still arrives from ERP/B2B exports):
+    write the nation dim as row-tagged XML, re-read with an EXPLICIT
+    schema (inference on XML costs an extra full scan and guesses
+    numerics, same policy as the JSON/CSV tiers). Losslessness makes the
+    source projection the oracle."""
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    (
+        src.write.format("xml")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(f"{tmp}/nation_xml")
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .load(f"{tmp}/nation_xml")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

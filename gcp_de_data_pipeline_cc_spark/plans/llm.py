@@ -548,3 +548,42 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(score, 4).alias("tfidf"),
         )
     )
+
+
+#: GPT-2-style pre-tokenizer classes, simplified to the ASCII feed:
+#: letter runs | digit runs | punctuation runs (no \p classes — the
+#: pattern must parse identically under Java regex and RE2/DuckDB)
+PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9]+"
+
+
+@query(
+    "text_pretokenize",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(c_name, '{PRETOKEN_RE}')) AS INT)
+               AS n_pieces,
+           array_to_string(regexp_extract_all(c_name, '{PRETOKEN_RE}'), '|')
+               AS pieces
+    FROM customer
+    """,
+)
+def text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — BPE-style pre-tokenization: split mixed
+    alphanumeric/punctuation strings into letter/digit/punct runs (the
+    class boundaries GPT-2-family tokenizers cut on BEFORE byte-pair
+    merging), demonstrated on the key-bearing `c_name` field where the
+    split is non-trivial ('Customer#000000042' → 3 pieces; the document
+    corpus is pure word-soup and would degenerate to whitespace
+    tokens). Token-COUNT accounting for context budgeting without
+    shipping a tokenizer model; pieces join back as a string because
+    the cross-engine comparator hashes scalar cells.
+
+    Scale: one regex per row inside codegen — a pure map stage like
+    pii_scan; no shuffle, no UDF."""
+    c = load_table(spark, sf_dir, "customer")
+    pieces = F.regexp_extract_all("c_name", F.lit(PRETOKEN_RE), F.lit(0))
+    return c.select(
+        "c_custkey",
+        F.size(pieces).cast("int").alias("n_pieces"),
+        F.array_join(pieces, "|").alias("pieces"),
+    )

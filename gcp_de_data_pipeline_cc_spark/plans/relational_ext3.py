@@ -377,3 +377,36 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 200000.0, "status": "O"},
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.missing') AS missing_str,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0 AS k_round
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7-extension — the VARIANT type (Spark 4.0 semi-structured
+    binary encoding): `parse_json` once into an open-schema value, then
+    typed `variant_get` path extraction — the schema-on-read upgrade
+    over per-path `get_json_object` string re-parsing (one parse, typed
+    access, pushdown-friendly binary layout; the representation Delta /
+    Iceberg v3 adopt for semi-structured columns). A missing path
+    returns NULL instead of erroring — the open-schema contract.
+
+    Scale: parse cost is paid once per row regardless of path count;
+    with N extracted paths the old string route re-parses N times."""
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.missing", "string").alias("missing_str"),
+        (F.variant_get(v, "$.k", "int") % 10 == 0).alias("k_round"),
+    )

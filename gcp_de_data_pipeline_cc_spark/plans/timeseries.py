@@ -317,3 +317,43 @@ def ts_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         roundn(weighted / (n * (n + 1) / 2.0), 4).alias("wma"),
     )
+
+
+@query(
+    "win_median_smooth",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           FLOOR(quantile_cont(value, 0.5) OVER (
+                     PARTITION BY event_type ORDER BY ts
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 * 10000.0 + 0.5) / 10000.0 AS median5
+    FROM events
+    """,
+)
+def win_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — rolling median filter (trailing 5 rows per series):
+    the outlier-robust smoother that a mean-based rolling window can't
+    give you — one spike corrupts a mean for the whole window but moves
+    a median by at most one rank. Spark evaluates exact `percentile` as
+    a window aggregate over the row frame; both engines interpolate
+    linearly (continuous quantile), so values agree bit-for-bit before
+    shared rounding.
+
+    Scale: same single window shuffle as ts_wma; per-row cost is
+    O(frame) on the 5-row frame. For wide frames at 100 TB prefer
+    approx_percentile partials or the WMA — exact medians don't
+    decompose."""
+    from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        roundn(F.percentile("value", F.lit(0.5)).over(w), 4).alias("median5"),
+    )
