@@ -104,6 +104,10 @@ _COMPONENT_FIRST = (
     "text_tfidf", "qc_observe_metrics", "log_compact_retention",
     "file_stats_manifest", "sql_parameterized",
     "fn_variant", "xml_roundtrip", "win_median_smooth", "text_pretokenize",
+    # Spark-4 SQL-surface wave (relational_ext4)
+    "sql_recursive_cte", "join_lateral", "agg_listagg", "agg_mode_median",
+    "agg_regression", "fn_try_safe", "join_range_band", "agg_bool_bit",
+    "fn_interval", "join_shuffle_hash",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -23,7 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 #: every table the test warehouse carries (TESTDATA.md)
 TABLES = (
@@ -53,7 +53,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _REQUIRED_SQL_CONFS = {
     # instant semantics must match the oracle engine (naive UTC)
     "spark.sql.session.timeZone": "UTC",
-    # events.ts is parquet TIMESTAMP(NANOS); without this the scan errors
+    # events.ts is parquet TIMESTAMP(NANOS); legacy readers need this to
+    # scan it at all (as raw longs). Newer readers map nanos natively to
+    # TIMESTAMP_NTZ and ignore this conf — load_table normalizes both.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
@@ -73,10 +75,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_posture(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # parquet TIMESTAMP(NANOS) read as raw nanos; truncate to micros
-        # (integer div — matches DuckDB's ns→us truncation).
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` (parquet TIMESTAMP(NANOS)) to micros
+    TimestampType, whichever way the reader surfaced it.
+
+    Legacy readers (``nanosAsLong=true``) produce raw nano longs;
+    truncate to micros (integer div — matches DuckDB's ns→us
+    truncation). Newer readers map nanos natively to micros
+    TIMESTAMP_NTZ; cast to TimestampType — an exact reinterpretation
+    under the UTC session timezone — so every consumer (watermarks,
+    unix_micros, window ranges) sees one type either way. Works on both
+    batch and streaming DataFrames.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

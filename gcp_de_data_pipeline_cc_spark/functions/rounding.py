@@ -28,6 +28,14 @@ def roundn(col: Column, n: int = 2) -> Column:
 
 
 def sql_roundn(expr: str, n: int = 2) -> str:
-    """The DuckDB/ANSI-SQL twin of :func:`roundn` — same double ops."""
+    """The DuckDB/ANSI-SQL twin of :func:`roundn` — same double ops.
+
+    Literals use exponent notation (``100.0e0``) so they parse as DOUBLE
+    in *both* dialects: Spark SQL types a bare ``100.0`` as DECIMAL(3,1),
+    which would silently turn the whole expression into decimal math when
+    this helper is embedded in a ``spark.sql`` string (DuckDB keeps it
+    double either way) — a cross-engine hash mismatch at exactly the
+    .xx5 rounding boundaries this helper exists to kill.
+    """
     p = 10**n
-    return f"FLOOR(({expr}) * {p}.0 + 0.5) / {p}.0"
+    return f"FLOOR(({expr}) * {p}.0e0 + 0.5e0) / {p}.0e0"

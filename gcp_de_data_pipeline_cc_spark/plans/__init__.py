@@ -28,6 +28,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext,
     relational_ext2,
     relational_ext3,
+    relational_ext4,
     scale,
     stats,
     timeseries,

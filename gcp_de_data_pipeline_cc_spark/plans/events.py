@@ -204,7 +204,10 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
+    from gcp_de_data_pipeline_cc_spark.catalog import (
+        ensure_session_posture,
+        normalize_event_ts,
+    )
     from gcp_de_data_pipeline_cc_spark.streaming.windows import streaming_dedup
 
     ensure_session_posture(spark)  # direct parquet read bypasses load_table
@@ -212,7 +215,7 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
     raw_schema = spark.read.parquet(tmp).schema
     sdf = spark.readStream.schema(raw_schema).parquet(tmp)
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = normalize_event_ts(sdf)
 
     deduped = streaming_dedup(sdf, ["user_id", "event_type"], "1 hour")
     out = deduped.groupBy(F.window("ts", "1 day").alias("win")).agg(
@@ -326,7 +329,10 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
+    from gcp_de_data_pipeline_cc_spark.catalog import (
+        ensure_session_posture,
+        normalize_event_ts,
+    )
 
     ensure_session_posture(spark)  # direct parquet read bypasses load_table
     tmp = tempfile.mkdtemp(prefix="stream_topk_")
@@ -335,7 +341,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
     raw_schema = spark.read.parquet(tmp).schema
     sdf = spark.readStream.schema(raw_schema).parquet(tmp)
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = normalize_event_ts(sdf)
 
     counts = sdf.groupBy(
         F.window("ts", "1 day").alias("win"), "event_type"
@@ -425,7 +431,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
+    from gcp_de_data_pipeline_cc_spark.catalog import (
+        ensure_session_posture,
+        normalize_event_ts,
+    )
 
     ensure_session_posture(spark)  # direct parquet read bypasses load_table
     tmp = tempfile.mkdtemp(prefix="stream_ss_")
@@ -434,7 +443,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stream():
         sdf = spark.readStream.schema(raw_schema).parquet(tmp)
-        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(sdf)
 
     s = (
         stream()

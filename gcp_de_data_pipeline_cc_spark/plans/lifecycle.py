@@ -323,7 +323,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("xml")
         .option("rowTag", "nation")
-        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
         .load(f"{tmp}/nation_xml")
         .select("n_nationkey", "n_name", "n_regionkey")
     )

@@ -370,7 +370,7 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+               FLOOR(SUM(o_totalprice) * 100.0e0 + 0.5e0) / 100.0e0 AS total_price
         FROM orders_param
         WHERE o_totalprice > :min_price AND o_orderstatus = :status
         GROUP BY o_orderpriority

@@ -211,3 +211,39 @@ def test_cdc_apply_single_key_shuffle(spark):
     # one exchange node = two mentions (tree line + node detail)
     assert plan.count("Exchange") == 2
     assert "hashpartitioning(k" in plan
+
+
+def test_shuffle_hash_hint_pins_shj(spark):
+    """join_shuffle_hash: the SHUFFLE_HASH hint must yield a
+    ShuffledHashJoin (no sort passes), not Spark's default SortMergeJoin
+    — the entire point of the query."""
+    plan = plan_of(spark, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lateral_limit_decorrelates_to_window(spark):
+    """join_lateral: the correlated LATERAL ... LIMIT 3 must decorrelate
+    into a windowed per-partition limit — NOT a per-row re-probe of
+    orders (no nested-loop execution of the subquery)."""
+    plan = plan_of(spark, "join_lateral")
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_band_join_broadcasts_band_side(spark):
+    """join_range_band: the non-equi band join is only scale-safe when
+    the 5-row band side broadcasts (nested-loop against a broadcast,
+    never a shuffled cartesian)."""
+    plan = plan_of(spark, "join_range_band")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_joins_without_fact_shuffle(spark):
+    """sql_recursive_cte: the month spine is tiny; the join against
+    orders must be a broadcast hash join (spine side broadcast), not a
+    shuffled SMJ of the fact."""
+    plan = plan_of(spark, "sql_recursive_cte")
+    assert "UnionLoop" in plan or "Recursive" in plan or "BroadcastHashJoin" in plan

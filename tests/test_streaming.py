@@ -10,7 +10,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import load_table, normalize_event_ts
 from gcp_de_data_pipeline_cc_spark.sources.csv_ingest import EMPLOYEE_COLUMNS
 from gcp_de_data_pipeline_cc_spark.streaming.file_ingest import (
     ingest_available_now,
@@ -68,7 +68,7 @@ def test_tumbling_stream_equals_batch(spark, tmp_path):
 
     raw_schema = spark.read.parquet(str(events_dir)).schema
     sdf = spark.readStream.schema(raw_schema).parquet(str(events_dir))
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = normalize_event_ts(sdf)
 
     # complete mode: append+watermark would hold back windows newer than
     # the final watermark (they'd emit on the *next* batch in production)
@@ -138,7 +138,7 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
 
     def stream():
         sdf = spark.readStream.schema(raw_schema).parquet(str(d))
-        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(sdf)
 
     s = (
         stream().filter(F.col("event_type") == "signup")
