@@ -108,6 +108,9 @@ _COMPONENT_FIRST = (
     "sql_recursive_cte", "join_lateral", "agg_listagg", "agg_mode_median",
     "agg_regression", "fn_try_safe", "join_range_band", "agg_bool_bit",
     "fn_interval", "join_shuffle_hash",
+    # training-curation wave (decontamination / quality / mixing)
+    "decontaminate", "text_repetition", "corpus_mix_weights",
+    "sql_group_by_all", "fn_url",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

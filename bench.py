@@ -39,6 +39,22 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     REGISTRY["qc_count_nonempty"].spark(spark, SF_DIR).collect()
     REGISTRY["agg_grouped"].spark(spark, SF_DIR).collect()
+    # warm the Python worker pool (one worker per core) so the first
+    # Python-path query in the alphabet doesn't absorb the whole pool's
+    # spin-up cost in its own timing
+    spark.range(0, 32 * 100, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # the Python DataSource read path has its own one-time init (plan
+    # pickling + its own worker spin-up, ~6 s) separate from the pandas
+    # UDF pool — warm it with a tiny read
+    from gcp_de_data_pipeline_cc_spark.sources.synthetic import (
+        SyntheticRowsDataSource,
+    )
+    spark.dataSource.register(SyntheticRowsDataSource)
+    spark.read.format("synthetic_rows").option("n", "64").option(
+        "num_partitions", "8"
+    ).load().write.format("noop").mode("overwrite").save()
 
     names = sorted(REGISTRY)
     only = sys.argv[1:]

