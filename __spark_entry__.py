@@ -111,6 +111,11 @@ _COMPONENT_FIRST = (
     # training-curation wave (decontamination / quality / mixing)
     "decontaminate", "text_repetition", "corpus_mix_weights",
     "sql_group_by_all", "fn_url",
+    # tolerance-asof / generators / struct / null-semantics wave
+    "join_asof_tolerance", "fn_explode_outer", "fn_struct",
+    "sql_not_in_nulls",
+    # bitmap-distinct / interpolation / windowed-distinct wave
+    "agg_bitmap_distinct", "ts_interpolate", "win_count_distinct",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

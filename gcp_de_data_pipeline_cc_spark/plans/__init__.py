@@ -29,6 +29,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext2,
     relational_ext3,
     relational_ext4,
+    relational_ext5,
     scale,
     stats,
     timeseries,

@@ -1,0 +1,295 @@
+"""Coverage wave: tolerance-bounded as-of join, outer/positional
+explode, struct operations, and NOT-IN null semantics.
+
+Rounds out the join tier (staleness-bounded enrichment — the feature-
+store lookup contract), the F8 generator tier (posexplode/explode_outer
+— the array-flattening variants the plain explode drops rows on), the
+F7 type tier (STRUCT construction / field access / whole-value
+equality), and the SQL-semantics tier (three-valued NOT IN — the classic
+silent-empty-result bug — beside its NOT EXISTS fix).
+
+Reference parity: the reference's external dbt/Dataflow transforms are
+free to use any of this standard warehouse surface
+(dags/config/pipeline_config.yaml:64-90); each query is oracle-checked
+against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: staleness bound for the tolerance as-of join: 30 minutes, in micros
+_TOL_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH probes AS (
+        SELECT event_id AS probe_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'),
+    refs AS (
+        SELECT event_id AS ref_id, user_id, ts AS ref_ts
+        FROM events WHERE event_type = 'error')
+    SELECT p.probe_id, p.user_id,
+           CASE WHEN r.ref_ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(r.ref_ts) <= {_TOL_US}
+                THEN r.ref_id END AS ref_id,
+           CASE WHEN r.ref_ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(r.ref_ts) <= {_TOL_US}
+                THEN epoch_us(p.ts) - epoch_us(r.ref_ts) END AS gap_us
+    FROM probes p
+    ASOF LEFT JOIN refs r
+      ON p.user_id = r.user_id AND p.ts >= r.ref_ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7-extension — as-of join with a staleness tolerance: each
+    purchase enriched with the same user's most recent error at-or-before
+    it, but only if that error is ≤ 30 minutes old — older matches null
+    out. This is the feature-store lookup contract (pandas
+    ``merge_asof(tolerance=...)``): a stale feature is worse than no
+    feature.
+
+    Spark-first plan: the same union-window formulation as
+    join_asof_event (ONE shuffle on user_id, ``last(ignorenulls)`` over
+    the ordered running frame), with the tolerance applied as a
+    post-projection null-out — the match search itself stays
+    unbounded-preceding, so no extra shuffle or range probe. Oracle:
+    DuckDB's native ASOF LEFT JOIN plus the same CASE.
+
+    100 TB: cost identical to the plain as-of join — one sort-shuffle of
+    |refs|+|probes|; the tolerance is a codegen branch, not a plan
+    change.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    refs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.struct(
+            F.col("event_id").alias("ref_id"), F.col("ts").alias("ref_ts")
+        ).alias("ref"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("probe_id"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<ref_id:bigint,ref_ts:timestamp>")
+        .alias("ref"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("probe_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = refs.unionByName(probes).withColumn(
+        "nearest", F.last("ref", ignorenulls=True).over(w)
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("nearest.ref_ts")
+    in_tol = F.col("nearest").isNotNull() & (gap <= F.lit(_TOL_US))
+    return tagged.filter(F.col("is_probe") == 1).select(
+        "probe_id",
+        "user_id",
+        F.when(in_tol, F.col("nearest.ref_id")).alias("ref_id"),
+        F.when(in_tol, gap).alias("gap_us"),
+    )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 10 = 0 THEN []
+                    ELSE embedding[1:3] END AS arr
+        FROM embeddings),
+    ex AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos,
+               UNNEST(arr) AS val
+        FROM base WHERE len(arr) > 0),
+    empt AS (
+        SELECT vec_id, CAST(NULL AS INT) AS pos, CAST(NULL AS FLOAT) AS val
+        FROM base WHERE len(arr) = 0)
+    SELECT vec_id, pos, val FROM ex
+    UNION ALL
+    SELECT vec_id, pos, val FROM empt
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-completion — positional outer explode: flatten an array with
+    its element index (posexplode), KEEPING rows whose array is empty as
+    a single null row (outer semantics). Plain explode silently drops
+    empty-array documents — the bug class this variant exists to avoid
+    when downstream joins expect every parent row back. Every 10th
+    vector's array is emptied to exercise the outer branch.
+
+    100 TB: explode multiplies rows before any shuffle — project to the
+    minimum columns first (here: id + 3-element slice, never the 64-dim
+    vector). The oracle reproduces outer semantics as unnest ∪ empties.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.when(
+        F.col("vec_id") % 10 == 0, F.array().cast("array<float>")
+    ).otherwise(F.slice("embedding", 1, 3))
+    base = emb.select("vec_id", arr.alias("arr"))
+    return base.select(
+        "vec_id", F.posexplode_outer("arr").alias("pos", "val")
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    WITH s AS (
+        SELECT c_custkey,
+               struct_pack(nm := c_name, bal := c_acctbal) AS cur,
+               struct_pack(nm := c_name,
+                           bal := CASE WHEN c_nationkey < 12
+                                       THEN c_acctbal
+                                       ELSE c_acctbal + 1.0 END) AS probe
+        FROM customer)
+    SELECT c_custkey,
+           cur.nm AS nm,
+           cur.bal AS bal,
+           cur = probe AS unchanged
+    FROM s
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7-completion — STRUCT operations: construction (named fields),
+    dotted field access, and whole-value equality. Struct equality is
+    the SCD2 change-detection primitive generalized — one comparison
+    covers every tracked column, which is why curation merges compare a
+    packed struct (or its hash, fn_hash) instead of N columns.
+
+    100 TB: structs are zero-cost column grouping in Tungsten rows — no
+    serialization, field access compiles to the underlying column read;
+    equality short-circuits per field in codegen.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cur = F.struct(
+        F.col("c_name").alias("nm"), F.col("c_acctbal").alias("bal")
+    )
+    probe = F.struct(
+        F.col("c_name").alias("nm"),
+        F.when(F.col("c_nationkey") < 12, F.col("c_acctbal"))
+        .otherwise(F.col("c_acctbal") + 1.0)
+        .alias("bal"),
+    )
+    return c.select(
+        "c_custkey",
+        cur.getField("nm").alias("nm"),
+        cur.getField("bal").alias("bal"),
+        (cur == probe).alias("unchanged"),
+    )
+
+
+@query(
+    "sql_not_in_nulls",
+    oracle="""
+    SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus NOT IN (SELECT s FROM (VALUES ('P'), (NULL)) t(s))
+    UNION ALL
+    SELECT 'not_in_no_null', COUNT(*)
+    FROM orders WHERE o_orderstatus NOT IN ('P')
+    UNION ALL
+    SELECT 'not_exists_rewrite', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('P'), (NULL)) t(s)
+                      WHERE t.s = o.o_orderstatus)
+    """,
+)
+def sql_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-semantics parity — three-valued NOT IN: when the probe set
+    contains a NULL, ``x NOT IN (...)`` can never be TRUE (x <> NULL is
+    UNKNOWN), so the with-null variant returns zero rows — the classic
+    silently-empty anti-join bug in cleansing SQL. Shown beside the
+    null-free variant and the NOT EXISTS rewrite, which treats NULL as
+    simply non-matching and is the fix every style guide recommends.
+
+    100 TB: Spark plans NOT IN as a null-aware anti join (the null check
+    forces a broadcast of the probe set); NOT EXISTS plans as a plain
+    left-anti join — cheaper AND semantically what's usually meant.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_nin"
+    )
+    return spark.sql("""
+        SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_orders
+        FROM orders_nin
+        WHERE o_orderstatus NOT IN (SELECT s FROM (VALUES ('P'), (NULL)) t(s))
+        UNION ALL
+        SELECT 'not_in_no_null', COUNT(*)
+        FROM orders_nin WHERE o_orderstatus NOT IN ('P')
+        UNION ALL
+        SELECT 'not_exists_rewrite', COUNT(*)
+        FROM orders_nin o
+        WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('P'), (NULL)) t(s)
+                          WHERE t.s = o.o_orderstatus)
+    """)
+
+
+@query(
+    "win_count_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_distinct_types_so_far
+    FROM flagged
+    """,
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extension — running COUNT(DISTINCT) over a window, which no
+    engine supports directly: each event carries how many distinct event
+    types its user has produced up to that moment (the
+    feature-engineering "variety so far" signal). The rewrite: flag each
+    row that is the FIRST occurrence of its (user, type) pair, then a
+    running SUM of flags over the time-ordered per-user window.
+
+    100 TB: two windows over the same user_id partitioning — Catalyst
+    plans one sort-shuffle; per-row state is one counter, vs the naive
+    collect_set-over-window whose state grows with the distinct count
+    per frame. Ties broken by event_id in both windows so the running
+    count is deterministic.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(run_w).cast("bigint").alias(
+            "n_distinct_types_so_far"
+        ),
+    )

@@ -280,3 +280,39 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in the fact scan's filter."""
     with bloom_filter_scope(spark):
         return bloom_pruned_join(spark, sf_dir).localCheckpoint()
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bucketed roaring-style bitmaps
+    (Spark 3.5 bitmap aggregates) — the third point on the
+    distinct-count design curve beside agg_salted_distinct (exact,
+    two-stage shuffle of keys) and sketch_hll_rollup (approximate,
+    mergeable): per (group, bucket-of-32768-ids) partial bitmaps built
+    map-side, OR-merged per group, popcounted. Exact like the salted
+    form, but the merge state is fixed-size bitmap bytes instead of the
+    key stream — and like HLL the partials are mergeable across days
+    without rescanning raw data.
+
+    100 TB: shuffle carries one ≤4 KB bitmap per (group, bucket) —
+    bounded by the id-space/32768, not by row count; integer ids are
+    the precondition (string keys first map through a dictionary, or
+    fall back to the salted/HLL forms).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    return partials.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct_users")
+    )

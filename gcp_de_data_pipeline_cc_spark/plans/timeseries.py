@@ -357,3 +357,110 @@ def win_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         roundn(F.percentile("value", F.lit(0.5)).over(w), 4).alias("median5"),
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events),
+    calendar AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               AVG(value) AS v
+        FROM events GROUP BY 1, 2),
+    spine AS (
+        SELECT t.event_type, c.hour
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN calendar c),
+    filled AS (
+        SELECT s.event_type, s.hour, h.v,
+               last_value(h.v IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(h.hour IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               first_value(h.v IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(h.hour IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM spine s
+        LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour = h.hour)
+    SELECT event_type, hour,
+           (v IS NOT NULL) AS observed,
+           {sql_roundn(
+               "CASE WHEN v IS NOT NULL THEN v "
+               "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
+               "  pv + (nv - pv) * ((epoch_us(hour) - epoch_us(ph)) * 1.0e0"
+               "        / (epoch_us(nh) - epoch_us(ph))) "
+               "ELSE COALESCE(pv, nv) END", 4)} AS v_interp
+    FROM filled
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — linear gap interpolation over a dense hourly spine:
+    observed hours keep their value; interior gaps get the straight line
+    between the neighboring observations, weighted by time distance;
+    leading/trailing gaps fall back to the nearest one-sided neighbor
+    (ts_gapfill's forward-fill generalized to two-sided).
+
+    100 TB: the heavy input collapses to (type, hour) aggregates before
+    any window runs; the four IGNORE-NULLS frames share one partition
+    ordering, so Catalyst plans a single sort-shuffle per type series —
+    interpolation adds zero extra exchanges over plain gap-fill.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL '1' HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(calendar))
+    filled = spine.join(hourly, ["event_type", "hour"], "left")
+
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last("v", ignorenulls=True).over(back)
+    ph = F.last(F.when(F.col("v").isNotNull(), F.col("hour")), True).over(back)
+    nv = F.first("v", ignorenulls=True).over(fwd)
+    nh = F.first(F.when(F.col("v").isNotNull(), F.col("hour")), True).over(fwd)
+    frac = (F.unix_micros("hour") - F.unix_micros(ph)) * F.lit(1.0) / (
+        F.unix_micros(nh) - F.unix_micros(ph)
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
+        .otherwise(F.coalesce(pv, nv))
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.col("v").isNotNull().alias("observed"),
+        roundn(interp, 4).alias("v_interp"),
+    )

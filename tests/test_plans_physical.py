@@ -247,3 +247,13 @@ def test_recursive_cte_joins_without_fact_shuffle(spark):
     shuffled SMJ of the fact."""
     plan = plan_of(spark, "sql_recursive_cte")
     assert "UnionLoop" in plan or "Recursive" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_tolerance_single_shuffle_no_range_join(spark):
+    """join_asof_tolerance: the union-window formulation must plan ONE
+    exchange on user_id and no join node at all — the tolerance is a
+    projection branch, not a range join."""
+    plan = plan_of(spark, "join_asof_tolerance")
+    assert plan.count("Exchange") == 2  # tree line + node detail
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
