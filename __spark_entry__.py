@@ -116,6 +116,8 @@ _COMPONENT_FIRST = (
     "sql_not_in_nulls",
     # bitmap-distinct / interpolation / windowed-distinct wave
     "agg_bitmap_distinct", "ts_interpolate", "win_count_distinct",
+    # PII protection + polymorphic UDTF wave
+    "fn_mask", "fn_crypto_roundtrip", "udtf_polymorphic",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -446,3 +446,72 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles"), 4
         ).alias("overlap_ratio"),
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_default,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS digits_starred
+    FROM customer
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction via the mask() builtin: the display-safe transform
+    that keeps string SHAPE (length, punctuation, case classes) while
+    destroying content — upper→X, lower→x, digit→n by default, with
+    per-class overrides. Pairs with pii_scan: scan finds the columns,
+    mask neutralizes them on the serving path.
+
+    100 TB: single-pass character translation in codegen — same cost
+    class as upper(); no regex engine on the Spark side (the oracle uses
+    regex only because DuckDB lacks mask()).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name",
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("*"),
+        ).alias("digits_starred"),
+    )
+
+
+@query(
+    "fn_crypto_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           CAST(16 * (len(c_name) // 16 + 1) AS INT) AS cipher_len,
+           c_name AS decrypted,
+           TRUE AS roundtrip_ok
+    FROM customer
+    """,
+)
+def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption roundtrip (aes_encrypt/aes_decrypt): the
+    PII-at-rest pattern — sensitive columns encrypted with a per-dataset
+    key before landing, decrypted only on authorized read paths. ECB +
+    PKCS here for deterministic output (the oracle predicts ciphertext
+    LENGTH and verifies the decrypt inverts); production uses GCM, whose
+    random IV is the point — same plan shape, non-deterministic bytes.
+
+    100 TB: AES is a JVM intrinsic projection (~GB/s per core,
+    hardware-accelerated); key distribution is config, not data — no
+    shuffle, no UDF.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    key = F.lit("0123456789abcdef")
+    cipher = F.aes_encrypt(F.col("c_name"), key, F.lit("ECB"))
+    plain = F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string")
+    return c.select(
+        "c_custkey",
+        F.length(cipher).alias("cipher_len"),
+        plain.alias("decrypted"),
+        (plain == F.col("c_name")).alias("roundtrip_ok"),
+    )

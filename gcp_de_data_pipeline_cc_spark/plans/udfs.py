@@ -297,3 +297,53 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey bigint, has_order boolean, n_lines int, net_sum double",
         )
     )
+
+
+@query(
+    "udtf_polymorphic",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS w_0,
+           string_split(text, ' ')[2] AS w_1,
+           string_split(text, ' ')[3] AS w_2
+    FROM documents
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — polymorphic Python UDTF (PySpark 4 ``analyze`` API): the
+    output SCHEMA is computed at plan time from a constant argument —
+    ``split_cols(text, 3)`` emits columns w_0..w_2, ``split_cols(text, 5)``
+    would emit five — the table-function analog of a generic library
+    function, impossible with a fixed returnType. The analyzer calls the
+    UDTF's ``analyze()`` with the literal argument; execution then runs
+    the usual Arrow-batched eval loop.
+
+    100 TB: same execution profile as any lateral UDTF — per-row Python
+    with Arrow transfer; schema resolution costs nothing at runtime. Use
+    for genuinely dynamic-shape lateral expansion; fixed shapes belong in
+    built-in functions (the oracle shows the static equivalent).
+    """
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    class SplitCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split(" ")
+            yield tuple(
+                words[i] if i < len(words) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_cols_udtf", udtf(SplitCols))
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("docs_poly")
+    return spark.sql(
+        "SELECT d.doc_id, t.* "
+        "FROM docs_poly d, LATERAL split_cols_udtf(d.text, 3) t"
+    )
