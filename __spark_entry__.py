@@ -118,6 +118,8 @@ _COMPONENT_FIRST = (
     "agg_bitmap_distinct", "ts_interpolate", "win_count_distinct",
     # PII protection + polymorphic UDTF wave
     "fn_mask", "fn_crypto_roundtrip", "udtf_polymorphic",
+    # Spark-4 SQL dialect trio
+    "sql_pipe_syntax", "sql_udf", "fn_collation",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -293,3 +293,141 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_types_so_far"
         ),
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           FLOOR(SUM(l_quantity) * 100.0e0 + 0.5e0) / 100.0e0 AS sum_qty,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0e0 + 0.5e0)
+               / 100.0e0 AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — SQL pipe syntax (Spark 4.0, SPARK-49555): the Q1
+    pricing-summary shape written as a linear `|>` pipeline — each stage
+    reads top-to-bottom in execution order instead of the inside-out
+    nesting of classic SELECT. Pure parser surface: the analyzed plan is
+    IDENTICAL to the ANSI form (the oracle), so pushdown, codegen, and
+    every optimizer rule apply unchanged.
+
+    100 TB: zero runtime delta by construction; the value is
+    maintainability of long multi-stage transform SQL (the dbt-model
+    audience the reference's curation tier serves).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe"
+    )
+    return spark.sql("""
+        FROM lineitem_pipe
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE
+             FLOOR(SUM(l_quantity) * 100.0e0 + 0.5e0) / 100.0e0 AS sum_qty,
+             FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0e0 + 0.5e0)
+                 / 100.0e0 AS revenue,
+             COUNT(*) AS n_rows
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, revenue, n_rows
+    """)
+
+
+@query(
+    "sql_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                 * 100.0e0 + 0.5e0) / 100.0e0 AS charge,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'large' END AS qty_band
+    FROM lineitem
+    """,
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11-extension — SQL-defined scalar functions (Spark 4.0 CREATE
+    FUNCTION ... RETURN expr): the TPC-H charge expression and a
+    quantity-banding rule packaged as named, reusable functions — the
+    warehouse's shared business-logic layer (dbt macros) without leaving
+    SQL.
+
+    100 TB: SQL UDFs INLINE into the calling plan at analysis time —
+    unlike Python UDFs they cost exactly their expression (codegen,
+    pushdown-transparent, no serialization boundary). The oracle is the
+    hand-inlined equivalent, proving the inlining is semantically exact.
+    """
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION li_charge(
+            p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE
+        RETURN FLOOR((p * (1 - d) * (1 + t)) * 100.0e0 + 0.5e0) / 100.0e0
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q < 10 THEN 'small'
+                    WHEN q < 30 THEN 'mid'
+                    ELSE 'large' END
+    """)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf"
+    )
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               li_charge(l_extendedprice, l_discount, l_tax) AS charge,
+               qty_band(l_quantity) AS qty_band
+        FROM lineitem_sqludf
+    """)
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer)
+    SELECT lower(seg) AS segment,
+           COUNT(*) AS n_customers,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants
+    FROM mixed
+    GROUP BY lower(seg)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-extension — string collation (Spark 4.0): case-insensitive
+    grouping via ``COLLATE UTF8_LCASE`` on a deliberately case-mixed
+    column — the session-standardization step a raw tier needs when
+    upstream systems disagree on casing. COUNT(DISTINCT) on the
+    UNCOLLATED column inside the collated group counts the case
+    variants merged per key.
+
+    100 TB: collation-aware grouping hashes the collation key directly —
+    one aggregate, no lower() materialization; unlike wrapping in
+    lower(), the collated column keeps its statistics usable for
+    pruning. The oracle is the lower()-normalized equivalent.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    d = c.select(mixed.alias("seg"))
+    return (
+        d.groupBy(F.collate("seg", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct(F.collate("seg", "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            # the collated key propagates its collation into the output
+            # type; cast back to plain UTF8_BINARY string at the boundary
+            F.lower("k").cast("string").alias("segment"),
+            "n_customers",
+            "n_case_variants",
+        )
+    )
