@@ -120,6 +120,8 @@ _COMPONENT_FIRST = (
     "fn_mask", "fn_crypto_roundtrip", "udtf_polymorphic",
     # Spark-4 SQL dialect trio
     "sql_pipe_syntax", "sql_udf", "fn_collation",
+    # SCD completion + diff report + feed-health gate
+    "scd4_merge", "table_diff", "qc_volume_drift",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

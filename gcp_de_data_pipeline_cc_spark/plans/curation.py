@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators.scd2 import point_in_time, scd2_apply, scd2_init
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
@@ -551,4 +552,184 @@ def qc_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_null_cust",
         "n_statuses",
         roundn(F.col("sum_price_raw"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "scd4_merge",
+    oracle=f"""
+    WITH {_SNAP_SQL}
+    SELECT 'current' AS tier, cust_id, name, segment, acct_cents
+    FROM s2
+    UNION ALL
+    SELECT 'history', o.cust_id, o.name, o.segment, o.acct_cents
+    FROM s1 o LEFT JOIN s2 n USING (cust_id)
+    WHERE n.cust_id IS NULL OR o.acct_cents <> n.acct_cents
+    """,
+)
+def scd4_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-extension — SCD Type 4: the current tier holds only each key's
+    latest version while displaced versions (updated or deleted keys)
+    append to a separate history tier — the warehouse layout when the
+    serving path must stay narrow/fast and audit queries go to a
+    colder table. Completes the SCD family beside Type 1 (overwrite,
+    scd1_upsert), Type 2 (versioned rows, scd2_merge), and Type 3
+    (prior-value column, scd3_merge). Output is both tiers tagged with a
+    ``tier`` column so one result carries the whole post-load state.
+
+    100 TB: one left join on the key (history detection) + the new
+    snapshot passed through — same single-shuffle shape as scd3; the
+    history tier is append-only, so at scale each load writes only its
+    displaced rows, never rewriting history.
+    """
+    s1, s2 = _snapshots(spark, sf_dir)
+    current = s2.select(
+        F.lit("current").alias("tier"), "cust_id", "name", "segment", "acct_cents"
+    )
+    n = s2.select(
+        F.col("cust_id").alias("n_cust_id"),
+        F.col("acct_cents").alias("n_acct_cents"),
+    )
+    displaced = (
+        s1.join(n, s1.cust_id == n.n_cust_id, "left")
+        .filter(
+            F.col("n_cust_id").isNull()
+            | (F.col("acct_cents") != F.col("n_acct_cents"))
+        )
+        .select(
+            F.lit("history").alias("tier"),
+            "cust_id",
+            "name",
+            "segment",
+            "acct_cents",
+        )
+    )
+    return current.unionByName(displaced)
+
+
+@query(
+    "table_diff",
+    oracle=f"""
+    WITH {_SNAP_SQL},
+    o AS (SELECT *, 1 AS in_old FROM s1),
+    n AS (SELECT *, 1 AS in_new FROM s2)
+    SELECT cust_id,
+           CASE WHEN in_old IS NULL THEN 'added'
+                WHEN in_new IS NULL THEN 'removed'
+                WHEN o.name <> n.name OR o.segment <> n.segment
+                     OR o.acct_cents <> n.acct_cents THEN 'changed'
+                ELSE 'identical' END AS diff_class,
+           COALESCE(in_old = 1 AND in_new = 1 AND o.name <> n.name, FALSE)
+               AS name_changed,
+           COALESCE(in_old = 1 AND in_new = 1 AND o.segment <> n.segment,
+                    FALSE) AS segment_changed,
+           COALESCE(in_old = 1 AND in_new = 1
+                    AND o.acct_cents <> n.acct_cents, FALSE)
+               AS acct_changed
+    FROM o FULL JOIN n USING (cust_id)
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — run-over-run table diff with per-column change
+    classification: every key labeled added / removed / changed /
+    identical plus one boolean per tracked column — the data-diff report
+    a regression QC gate renders when a pipeline change ships (set_except
+    tells you THAT rows differ; this tells you WHERE). The per-column
+    flags are exactly the change-detection predicate SCD2 hashes into
+    one fingerprint (fn_hash) — kept separate here because the consumer
+    is a human diff report.
+
+    100 TB: one full-outer join on the key, flags are codegen
+    projections. For very wide tables the flag list generalizes to a
+    struct-compare per column group; the join shape is unchanged.
+    """
+    s1, s2 = _snapshots(spark, sf_dir)
+    o = s1.select(
+        F.col("cust_id"),
+        F.col("name").alias("o_name"),
+        F.col("segment").alias("o_segment"),
+        F.col("acct_cents").alias("o_acct"),
+        F.lit(1).alias("in_old"),
+    )
+    n = s2.select(
+        F.col("cust_id"),
+        F.col("name").alias("n_name"),
+        F.col("segment").alias("n_segment"),
+        F.col("acct_cents").alias("n_acct"),
+        F.lit(1).alias("in_new"),
+    )
+    j = o.join(n, "cust_id", "full")
+    both = F.col("in_old").isNotNull() & F.col("in_new").isNotNull()
+    name_chg = both & (F.col("o_name") != F.col("n_name"))
+    seg_chg = both & (F.col("o_segment") != F.col("n_segment"))
+    acct_chg = both & (F.col("o_acct") != F.col("n_acct"))
+    return j.select(
+        "cust_id",
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(name_chg | seg_chg | acct_chg, "changed")
+        .otherwise("identical")
+        .alias("diff_class"),
+        F.coalesce(name_chg, F.lit(False)).alias("name_changed"),
+        F.coalesce(seg_chg, F.lit(False)).alias("segment_changed"),
+        F.coalesce(acct_chg, F.lit(False)).alias("acct_changed"),
+    )
+
+
+@query(
+    "qc_volume_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    with_prev AS (
+        SELECT event_type, day, n_events,
+               LAG(n_events) OVER (PARTITION BY event_type ORDER BY day)
+                   AS prev_n
+        FROM daily)
+    SELECT event_type, day, n_events,
+           prev_n,
+           {sql_roundn("CASE WHEN prev_n IS NOT NULL AND prev_n > 0 THEN "
+                       "(n_events - prev_n) * 1.0e0 / prev_n END", 4)}
+               AS pct_change,
+           COALESCE(ABS((n_events - prev_n) * 1.0e0 / prev_n) > 0.5, FALSE)
+               AS drift_flag
+    FROM with_prev
+    """,
+)
+def qc_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — day-over-day volume-drift gate: per (type, day)
+    event counts with the relative change vs the prior day and a flag on
+    swings beyond ±50%. The pipeline-health check that catches silent
+    upstream breakage (a dead producer, a double-delivery) which
+    row-level QC gates can't see — volume is a property of the FEED, not
+    of any row. Generalizes the reference's COUNT(*)>0 gate
+    (dags/pipeline_orchestration_dag.py:153-156) from "non-empty" to
+    "within expected envelope".
+
+    100 TB: counts collapse the feed before the lag window; the window
+    runs over |types|×|days| aggregated rows. In production the envelope
+    comes from a seasonal baseline (same weekday trailing median —
+    win_median_smooth's shape) rather than a fixed ±50%.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_n = F.lag("n_events").over(w)
+    pct = F.when(
+        prev_n.isNotNull() & (prev_n > 0),
+        (F.col("n_events") - prev_n) * F.lit(1.0) / prev_n,
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        prev_n.alias("prev_n"),
+        roundn(pct, 4).alias("pct_change"),
+        F.coalesce(F.abs(pct) > 0.5, F.lit(False)).alias("drift_flag"),
     )
