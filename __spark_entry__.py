@@ -122,6 +122,10 @@ _COMPONENT_FIRST = (
     "sql_pipe_syntax", "sql_udf", "fn_collation",
     # SCD completion + diff report + feed-health gate
     "scd4_merge", "table_diff", "qc_volume_drift",
+    # lakehouse lifecycle pair
+    "partition_overwrite", "json_corrupt_quarantine",
+    # F7/F8/A completions
+    "fn_explode_map", "agg_product",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

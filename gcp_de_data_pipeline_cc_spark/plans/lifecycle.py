@@ -12,11 +12,12 @@ equal to its batch twin in tests/test_streaming.py.
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture, load_table
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 from gcp_de_data_pipeline_cc_spark.sources.csv_ingest import raw_to_staging, read_landing_csv
 from gcp_de_data_pipeline_cc_spark.sources.sink import read_table, write_table
@@ -326,4 +327,144 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey int, n_name string, n_regionkey int")
         .load(f"{tmp}/nation_xml")
         .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "partition_overwrite",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, day,
+           CAST(CASE WHEN day = (SELECT MIN(day) FROM daily)
+                     THEN n * 2 ELSE n END AS BIGINT) AS n_events
+    FROM daily
+    """,
+)
+def partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — DYNAMIC partition overwrite: the idempotent day
+    re-load. An events table lands partitioned by day; re-processing one
+    day (here: the first day, re-landed with doubled rows to make the
+    replacement observable) must replace ONLY that day's partition —
+    static overwrite mode would silently truncate every other day, the
+    classic backfill catastrophe. This is the reference's archive→
+    reprocess semantics (dags/pipeline_orchestration_dag.py:188-206) as
+    a storage-layout contract.
+
+    100 TB: the rewrite touches one partition's files; all other
+    partitions are never read or written. Combined with partition-pruned
+    reads (join_partition_pruned) this is what makes a daily 100 TB
+    table maintainable — every load is O(day), not O(table).
+    """
+    ensure_session_posture(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    tmp = tempfile.mkdtemp(prefix="part_overwrite_")
+    path = f"{tmp}/events_by_day"
+    # repartition on the partition column BEFORE the partitioned write:
+    # without it every shuffle partition writes a sliver into every day
+    # directory (tasks × days small files — the layout compact_small_files
+    # exists to repair); with it each day lands as one well-sized file
+    ev.repartition("day").write.partitionBy("day").mode("overwrite").parquet(
+        path
+    )
+
+    first_day = ev.agg(F.min("day").alias("d"))
+    reload_slice = (
+        ev.join(F.broadcast(first_day), ev.day == F.col("d"))
+        .drop("d")
+    )
+    # re-land the day twice as large so replacement (not append) shows
+    doubled = reload_slice.unionByName(reload_slice)
+    with _scoped_conf(spark, "spark.sql.sources.partitionOverwriteMode",
+                      "dynamic"):
+        doubled.repartition("day").write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(path)
+
+    out = spark.read.parquet(path)
+    return out.groupBy(
+        "event_type", F.col("day").cast("timestamp").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a SQL conf for one block, restoring the prior value after."""
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@query(
+    "json_corrupt_quarantine",
+    oracle="""
+    SELECT (o_orderkey % 50 <> 0) AS parsed_ok,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 50 <> 0 THEN o_orderkey END)
+                AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — corrupt-record quarantine on ingest: a JSON-lines
+    feed where ~2% of lines are deliberately truncated mid-record reads
+    under PERMISSIVE mode with ``columnNameOfCorruptRecord`` — parseable
+    rows land typed, broken lines land whole in the corrupt column with
+    every data field NULL. The raw tier keeps BOTH (the quarantine
+    pattern): dropping malformed lines silently (DROPMALFORMED) loses
+    the evidence QC needs, failing the job (FAILFAST) turns one bad
+    producer into an outage.
+
+    100 TB: parsing and quarantining happen inside the scan — no second
+    pass; the corrupt column is NULL for good rows (pruned away
+    downstream) and the quarantine query is a partition-local filter.
+    """
+    ensure_session_posture(spark)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="json_corrupt_")
+    path = f"{tmp}/orders_dirty"
+    # fabricate the dirty feed deterministically: every 50th record's
+    # JSON line is truncated (drop its closing brace and tail)
+    lines = src.select(
+        F.when(
+            F.col("o_orderkey") % 50 == 0,
+            F.expr("substring(to_json(struct(o_orderkey, o_orderstatus,"
+                   " o_totalprice)), 1, 20)"),
+        )
+        .otherwise(
+            F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+
+    parsed = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+            " _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return parsed.groupBy(
+        F.col("_corrupt").isNull().alias("parsed_ok")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
 #: staleness bound for the tolerance as-of join: 30 minutes, in micros
@@ -430,4 +431,69 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "n_case_variants",
         )
+    )
+
+
+@query(
+    "fn_explode_map",
+    oracle="""
+    SELECT event_id,
+           UNNEST(json_keys(props)) AS prop_key,
+           CAST(json_extract(props,
+                '$.' || UNNEST(json_keys(props))) AS INT) AS prop_value
+    FROM events
+    """,
+)
+def fn_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8-completion — MapType explode: the JSON payload parsed to a
+    map once, then flattened to one (key, value) row per entry — the
+    entity-attribute-value normalization of a schemaless property bag
+    (how a raw events feed becomes a queryable properties table).
+
+    100 TB: explode multiplies rows by entries-per-map BEFORE any
+    shuffle; parse once into a map column (not one from_json per
+    accessed key) and project only (id, key, value). Map iteration
+    order is engine-specific but the result SET is identical — the
+    driver's order-insensitive hash is the right comparator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.explode(m).alias("prop_key", "prop_value"),
+    )
+
+
+@query(
+    "agg_product",
+    oracle=f"""
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           {sql_roundn("product(1 - l_discount)", 6)}
+               AS retained_frac,
+           {sql_roundn("1 - product(1 - l_discount)", 6)}
+               AS compound_discount
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — the PRODUCT aggregate: per-order compounded
+    discount retention Π(1 - dᵢ) — the multiplicative fold that shows up
+    wherever rates compose (compound interest, survival probabilities,
+    independent-event reliability). SUM has first-class SQL support;
+    PRODUCT usually gets hand-rolled as exp(sum(ln)) with edge-case bugs
+    at zero/negative — both engines here provide it natively.
+
+    100 TB: same partial-aggregation shape as SUM (map-side combinable,
+    constant state). Float discipline: groups are ≤7 doubles in [0.9,1],
+    so cross-engine multiplication-order drift is ~1e-16 — far inside
+    the shared 6-decimal rounding.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    retained = F.product(F.lit(1) - F.col("l_discount"))
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        roundn(retained, 6).alias("retained_frac"),
+        roundn(F.lit(1) - retained, 6).alias("compound_discount"),
     )
