@@ -126,6 +126,8 @@ _COMPONENT_FIRST = (
     "partition_overwrite", "json_corrupt_quarantine",
     # F7/F8/A completions
     "fn_explode_map", "agg_product",
+    # multimodal metadata path + vector hygiene
+    "multimodal_manifest", "embedding_normalize",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
-from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
 from gcp_de_data_pipeline_cc_spark.operators import multimodal as mm
 from gcp_de_data_pipeline_cc_spark.operators import similarity as sim
@@ -586,4 +586,93 @@ def text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.size(pieces).cast("int").alias("n_pieces"),
         F.array_join(pieces, "|").alias("pieces"),
+    )
+
+
+@query(
+    "multimodal_manifest",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(GREATEST((octet_length(encode(text)) - 16) // 64, 0)
+                AS BIGINT) AS n_frames,
+           CAST(octet_length(encode(text)) % 16 AS INT) AS route_bucket
+    FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — multimodal ingest MANIFEST: the typed-metadata path of
+    the binary-column tier, fully oracle-checked (unlike the decode path,
+    which is env-stubbed): per-item content hash, byte length, expected
+    frame count under a fixed header+frame layout (16-byte header,
+    64-byte frames — the arithmetic a media reader uses to plan range
+    reads), and a size-derived routing bucket. This is what an object-
+    store crawl writes BEFORE any decode: dedup keys (sha256), layout
+    stats, and shard routing all come from bytes, not codecs.
+
+    100 TB: one narrow scan — hash/length are codegen over the payload
+    column; the manifest is rows-not-bytes sized, so it broadcast-joins
+    back to route the heavy decode stage (multimodal_features) without
+    ever shuffling payloads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = mm.attach_binary_payload(docs)
+    nb = F.col("media_meta.n_bytes")
+    return with_payload.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        nb.alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+        F.greatest(
+            F.floor((nb - F.lit(16)) / F.lit(64)), F.lit(0)
+        ).cast("bigint").alias("n_frames"),
+        (nb % F.lit(16)).alias("route_bucket"),
+    )
+
+
+@query(
+    "embedding_normalize",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               sqrt(list_sum(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE) *
+                                                 CAST(x AS DOUBLE)))) AS l2
+        FROM embeddings)
+    SELECT vec_id, label,
+           {sql_roundn("l2", 4)} AS l2_norm,
+           (l2 BETWEEN 0.999 AND 1.001) AS already_unit,
+           CAST(64 AS INT) AS n_dims
+    FROM n
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-extension — vector hygiene before similarity search: per-vector
+    L2 norm and a unit-norm audit flag. Cosine similarity degrades to an
+    unnormalized dot product when upstream embedding jobs disagree on
+    normalization — this is the QC gate that catches it (the actual
+    renormalization is then `transform(v, x -> x / l2)`, elided from the
+    output because the driver compares scalars, and asserted in the
+    invariant tests).
+
+    100 TB: `aggregate` over the array is codegen per row — no explode,
+    no shuffle; the norm audit aggregates to one row per vector, so the
+    gate's output is rows-not-dims sized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        roundn(l2, 4).alias("l2_norm"),
+        l2.between(0.999, 1.001).alias("already_unit"),
+        F.size("embedding").alias("n_dims"),
     )
