@@ -128,6 +128,10 @@ _COMPONENT_FIRST = (
     "fn_explode_map", "agg_product",
     # multimodal metadata path + vector hygiene
     "multimodal_manifest", "embedding_normalize",
+    # asof completion + contract gate
+    "join_asof_forward", "qc_schema_contract",
+    # seasonal baseline + retrieval scoring
+    "ts_seasonal_baseline", "text_bm25",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

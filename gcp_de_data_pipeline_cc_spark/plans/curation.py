@@ -733,3 +733,63 @@ def qc_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(pct, 4).alias("pct_change"),
         F.coalesce(F.abs(pct) > 0.5, F.lit(False)).alias("drift_flag"),
     )
+
+
+#: declared contract for the orders staging table — deliberately includes
+#: one type mismatch (o_totalprice as decimal) and one missing column
+#: (o_comment) so the gate's failure rows are exercised
+_ORDERS_CONTRACT = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "decimal(12,2)"),
+    ("o_orderdate", "timestamp_ntz"),
+    ("o_orderpriority", "string"),
+    ("o_comment", "string"),
+)
+
+
+@query(
+    "qc_schema_contract",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('o_orderkey',     'bigint',        'bigint',        TRUE),
+        ('o_custkey',      'bigint',        'bigint',        TRUE),
+        ('o_orderstatus',  'string',        'string',        TRUE),
+        ('o_totalprice',   'decimal(12,2)', 'double',        FALSE),
+        ('o_orderdate',    'timestamp_ntz', 'timestamp_ntz', TRUE),
+        ('o_orderpriority','string',        'string',        TRUE),
+        ('o_comment',      'string',        'MISSING',       FALSE)
+    ) t(column_name, expected_type, actual_type, type_ok)
+    """,
+)
+def qc_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — schema data-contract gate: the staged table's
+    ACTUAL column types audited against the declared contract, one
+    verdict row per contracted column (missing columns surface as
+    ``MISSING``). This is the inter-team API check that runs BEFORE any
+    row-level gate — a producer silently widening a decimal to double or
+    dropping a column breaks consumers in ways row QC never sees.
+    The fixture contract deliberately carries one type drift and one
+    missing column so both failure modes are exercised; the oracle pins
+    the full verdict table.
+
+    100 TB: pure metadata — the verdict derives from the parquet footer
+    schema at plan time; zero data is read regardless of table size
+    (contrast every row-level gate in qc_gate_suite).
+    """
+    actual = dict(load_table(spark, sf_dir, "orders").dtypes)
+    rows = [
+        (
+            col,
+            want,
+            actual.get(col, "MISSING"),
+            actual.get(col, "MISSING") == want,
+        )
+        for col, want in _ORDERS_CONTRACT
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, expected_type string, actual_type string,"
+        " type_ok boolean",
+    )

@@ -676,3 +676,93 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2.between(0.999, 1.001).alias("already_unit"),
         F.size("embedding").alias("n_dims"),
     )
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(dl * 1.0e0) AS avg_dl
+        FROM dl),
+    dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    qterms AS (
+        SELECT token FROM (
+            SELECT token, SUM(tf) AS n FROM tf GROUP BY 1
+            ORDER BY n DESC, token LIMIT 3))
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           {sql_roundn(
+               "SUM(ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)"
+               "    * (tf.tf * 2.2e0)"
+               "    / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / avg_dl)))",
+               4)} AS bm25
+    FROM tf
+    JOIN qterms USING (token)
+    JOIN dfreq USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — BM25 relevance scoring (k1=1.2, b=0.75) against the
+    corpus's three most frequent tokens as the standing query: the
+    retrieval-ranking step past TF-IDF (text_tfidf) — term saturation
+    (k1) stops high-tf spam from dominating, length normalization (b)
+    stops long documents from winning by volume. The query-term set is
+    derived deterministically (top total-tf, token tiebreak) so both
+    engines score the identical query.
+
+    100 TB: tf/df/length stats all come from ONE tokenize pass (same
+    shuffles as text_tfidf); query terms and corpus stats are tiny and
+    broadcast; scoring touches only postings of the query terms —
+    |qterms| × avg-postings rows, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    qterms = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(3)
+        .select("token")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    sat = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avg_dl"))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq.join(qterms, "token")), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            roundn(F.sum(idf * sat), 4).alias("bm25"),
+        )
+    )

@@ -497,3 +497,73 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(retained, 6).alias("retained_frac"),
         roundn(F.lit(1) - retained, 6).alias("compound_discount"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH probes AS (
+        SELECT event_id AS probe_id, user_id, ts
+        FROM events WHERE event_type = 'signup'),
+    refs AS (
+        SELECT event_id AS ref_id, user_id, ts AS ref_ts
+        FROM events WHERE event_type = 'purchase')
+    SELECT p.probe_id, p.user_id,
+           r.ref_id AS next_purchase_id,
+           CASE WHEN r.ref_ts IS NOT NULL
+                THEN epoch_us(r.ref_ts) - epoch_us(p.ts) END AS wait_us
+    FROM probes p
+    ASOF LEFT JOIN refs r
+      ON p.user_id = r.user_id AND p.ts <= r.ref_ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7-extension — FORWARD as-of join: each signup matched to the same
+    user's EARLIEST purchase at-or-after it (time-to-convert — the
+    mirror of the backward last-touch join). Completes the as-of family:
+    backward (join_asof_event), backward + tolerance
+    (join_asof_tolerance), forward (this).
+
+    Spark-first plan: the union-window formulation flipped — the window
+    frame runs CURRENT ROW → UNBOUNDED FOLLOWING and picks
+    ``first(ref, ignorenulls)``; probes sort BEFORE refs on ts ties so
+    the inclusive ``<=`` matches DuckDB ASOF. Still one sort-shuffle on
+    user_id, no range probe.
+
+    100 TB: identical cost profile to the backward join — direction only
+    changes the frame bounds, not the exchange count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    refs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.struct(
+            F.col("event_id").alias("ref_id"), F.col("ts").alias("ref_ts")
+        ).alias("ref"),
+        F.lit(1).alias("is_ref"),
+        F.lit(None).cast("bigint").alias("probe_id"),
+    )
+    probes = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<ref_id:bigint,ref_ts:timestamp>")
+        .alias("ref"),
+        F.lit(0).alias("is_ref"),
+        F.col("event_id").alias("probe_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_ref")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    tagged = refs.unionByName(probes).withColumn(
+        "nearest", F.first("ref", ignorenulls=True).over(w)
+    )
+    wait = F.unix_micros("nearest.ref_ts") - F.unix_micros("ts")
+    return tagged.filter(F.col("is_ref") == 0).select(
+        "probe_id",
+        "user_id",
+        F.col("nearest.ref_id").alias("next_purchase_id"),
+        F.when(F.col("nearest").isNotNull(), wait).alias("wait_us"),
+    )

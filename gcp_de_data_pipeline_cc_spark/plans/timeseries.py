@@ -464,3 +464,65 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         roundn(interp, 4).alias("v_interp"),
     )
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    d AS (
+        SELECT *, dayofweek(day) AS dow FROM daily),
+    b AS (
+        SELECT event_type, day, n_events,
+               median(n_events) OVER (
+                   PARTITION BY event_type, dow ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS baseline
+        FROM d)
+    SELECT event_type, day, n_events,
+           {sql_roundn("baseline", 2)} AS baseline,
+           {sql_roundn("CASE WHEN baseline > 0 THEN "
+                       "(n_events - baseline) / baseline END", 4)}
+               AS rel_deviation,
+           COALESCE(ABS((n_events - baseline) / baseline) > 0.5, FALSE)
+               AS anomaly_flag
+    FROM b
+    """,
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — seasonal volume baseline: each (type, day) count
+    compared against the trailing median of the SAME WEEKDAY's last three
+    observations — the production form of qc_volume_drift's fixed ±50%
+    envelope (a Sunday is judged against Sundays, so weekly seasonality
+    doesn't false-alarm). Median, not mean, so one prior outage doesn't
+    poison the baseline.
+
+    100 TB: the feed collapses to (type, day) counts before any window;
+    the seasonal window partitions by (type, weekday) over ~|days|/7
+    aggregated rows each. Weekday alignment: Spark's dayofweek is
+    1-based (Sunday=1), DuckDB's 0-based — the Spark side subtracts 1.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    d = daily.withColumn("dow", F.dayofweek("day") - 1)
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day")
+        .rowsBetween(-3, -1)
+    )
+    baseline = F.expr("percentile(n_events, 0.5)").over(w)
+    rel = F.when(baseline > 0, (F.col("n_events") - baseline) / baseline)
+    return d.select(
+        "event_type",
+        "day",
+        "n_events",
+        roundn(baseline, 2).alias("baseline"),
+        roundn(rel, 4).alias("rel_deviation"),
+        F.coalesce(F.abs(rel) > 0.5, F.lit(False)).alias("anomaly_flag"),
+    )
