@@ -766,3 +766,79 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.sum(idf * sat), 4).alias("bm25"),
         )
     )
+
+
+@query(
+    "text_keywords",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+    dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               FLOOR(tf.tf * (ln((n_docs + 1.0e0) / (dfreq.df + 1.0e0))
+                              + 1.0e0) * 1000000.0e0 + 0.5e0)
+                   / 1000000.0e0 AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN total),
+    ranked AS (
+        SELECT doc_id, token, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token)
+                    AS INT) AS kw_rank
+        FROM scored)
+    SELECT doc_id, kw_rank, token, tfidf
+    FROM ranked WHERE kw_rank <= 3
+    """,
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — per-document keyword extraction: each document's
+    top-3 most DISTINCTIVE tokens by TF-IDF (not top-frequency — those
+    are stopword-like corpus-wide). The metadata-tagging step of a
+    curation pipeline: keywords feed topic routing, dedup explanations,
+    and search facets. Ranking uses the score ROUNDED to 6 decimals with
+    a token tiebreak so the selected set is identical across engines —
+    ranking on raw floats would let last-ulp ln() differences flip
+    near-ties.
+
+    100 TB: the same one-tokenize-pass tf/df shuffles as text_tfidf,
+    then WindowGroupLimit prunes to 3 rows per doc BEFORE the final
+    projection — output is 3×|docs|, never |postings|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = roundn(
+        F.col("tf")
+        * (
+            F.log(
+                (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "token", tfidf.alias("tfidf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), "token"
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= 3)
+        .select("doc_id", "kw_rank", "token", "tfidf")
+    )

@@ -567,3 +567,106 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nearest.ref_id").alias("next_purchase_id"),
         F.when(F.col("nearest").isNotNull(), wait).alias("wait_us"),
     )
+
+
+@query(
+    "win_islands",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                  ORDER BY o_orderdate, o_orderkey) AS rn_s
+        FROM orders),
+    runs AS (
+        SELECT o_custkey, o_orderstatus, rn - rn_s AS island
+        FROM seq)
+    SELECT o_custkey, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS run_length,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY island, o_orderstatus)
+                AS INT) AS run_idx
+    FROM runs
+    GROUP BY o_custkey, o_orderstatus, island
+    """,
+)
+def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extension — generic gaps-and-islands: consecutive same-status
+    runs within each customer's order sequence, via the classic
+    row_number difference (global rn − per-status rn is constant within
+    a run). The streak/regime-detection primitive behind sessionization
+    (stream_session uses the time-gap variant), uptime runs, and
+    consecutive-failure alerting.
+
+    100 TB: both row_numbers and the final run aggregation share the
+    o_custkey partitioning — one sort-shuffle total; per-run state is a
+    counter. The island arithmetic is pure codegen.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_status = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        (F.row_number().over(w_all) - F.row_number().over(w_status)).alias(
+            "island"
+        ),
+    )
+    runs = seq.groupBy("o_custkey", "o_orderstatus", "island").agg(
+        F.count("*").alias("run_length")
+    )
+    # two runs of different statuses can share an island value;
+    # the status tiebreak makes run numbering deterministic
+    w_runs = Window.partitionBy("o_custkey").orderBy("island", "o_orderstatus")
+    return runs.select(
+        "o_custkey",
+        "o_orderstatus",
+        "run_length",
+        F.row_number().over(w_runs).alias("run_idx"),
+    )
+
+
+@query(
+    "agg_histogram_log",
+    oracle=f"""
+    WITH t AS (
+        SELECT FLOOR(LOG10(o_totalprice)) AS magnitude
+        FROM orders WHERE o_totalprice > 0)
+    SELECT CAST(magnitude AS INT) AS magnitude,
+           CAST(POW(10.0e0, magnitude) AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM t
+    GROUP BY magnitude
+    """,
+)
+def agg_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — log-scale histogram: order values bucketed by
+    decimal magnitude (the heavy-tail profiling view: linear-width
+    buckets (histogram_values) waste resolution when values span orders
+    of magnitude — payload sizes, token counts, account balances all
+    do). Complements skew_profile: that ranks hot KEYS, this shapes the
+    VALUE distribution.
+
+    100 TB: floor(log10(x)) is a codegen projection into a ~10-bucket
+    groupBy — constant state, map-side combinable, the cheapest possible
+    profile of an arbitrarily large fact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mag = F.floor(F.log10("o_totalprice"))
+    return (
+        o.filter(F.col("o_totalprice") > 0)
+        .groupBy(mag.cast("int").alias("magnitude"))
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "magnitude",
+            F.pow(F.lit(10.0), F.col("magnitude")).alias("bucket_lo"),
+            "n_orders",
+        )
+    )
