@@ -257,3 +257,39 @@ def test_asof_tolerance_single_shuffle_no_range_join(spark):
     assert plan.count("Exchange") == 2  # tree line + node detail
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan
+
+
+def test_keywords_use_window_group_limit(spark):
+    """text_keywords: the per-doc top-3 must plan a WindowGroupLimit
+    (partial limit before the full window sort), and the df/total sides
+    must broadcast — no SMJ against the postings."""
+    plan = plan_of(spark, "text_keywords")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_islands_share_one_shuffle(spark):
+    """win_islands: both row_number windows and the run aggregation key
+    on o_custkey — the plan must contain exactly one exchange over the
+    orders scan (plus its AQE mention), not one per window."""
+    plan = plan_of(spark, "win_islands")
+    assert plan.count("Exchange") == 2  # tree line + node detail
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_seasonal_baseline_windows_on_aggregates(spark):
+    """ts_seasonal_baseline: the median window must run AFTER the daily
+    count aggregation — the raw events scan feeds a HashAggregate before
+    any Window node."""
+    plan = plan_of(spark, "ts_seasonal_baseline")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 < agg_pos and 0 < win_pos
+
+
+def test_bm25_broadcasts_query_terms_and_stats(spark):
+    """text_bm25: query terms, df, and corpus stats are tiny — every
+    join against the postings must be broadcast, never SMJ on the
+    token or doc_id keys for the small sides."""
+    plan = plan_of(spark, "text_bm25")
+    assert "BroadcastHashJoin" in plan
