@@ -469,9 +469,11 @@ def fn_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey,
            COUNT(*) AS n_lines,
-           {sql_roundn("product(1 - l_discount)", 6)}
+           {sql_roundn("product(100 - FLOOR(l_discount * 100.0e0 + 0.5e0))"
+                       " / POW(100.0e0, COUNT(*))", 6)}
                AS retained_frac,
-           {sql_roundn("1 - product(1 - l_discount)", 6)}
+           {sql_roundn("1 - product(100 - FLOOR(l_discount * 100.0e0 + 0.5e0))"
+                       " / POW(100.0e0, COUNT(*))", 6)}
                AS compound_discount
     FROM lineitem
     GROUP BY l_orderkey
@@ -485,13 +487,22 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRODUCT usually gets hand-rolled as exp(sum(ln)) with edge-case bugs
     at zero/negative — both engines here provide it natively.
 
+    Float discipline (the sf0.1 lesson, tests/test_differential_sf01.py):
+    multiplying the raw doubles is ORDER-DEPENDENT in the last ulp, and
+    decimal-derived discounts make Π land exactly on .xxxxxx5 rounding
+    half-points, where that ulp decides the floor — so the product runs
+    in exact integer space instead: Π(100 − cents) as integer-valued
+    doubles (≤100⁷ < 2⁵³, every partial exact, any order), divided by
+    100ⁿ once at the end. Bit-identical across engines by construction.
+
     100 TB: same partial-aggregation shape as SUM (map-side combinable,
-    constant state). Float discipline: groups are ≤7 doubles in [0.9,1],
-    so cross-engine multiplication-order drift is ~1e-16 — far inside
-    the shared 6-decimal rounding.
+    constant state).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    retained = F.product(F.lit(1) - F.col("l_discount"))
+    cents_kept = F.lit(100) - F.floor(
+        F.col("l_discount") * F.lit(100.0) + F.lit(0.5)
+    )
+    retained = F.product(cents_kept) / F.pow(F.lit(100.0), F.count("*"))
     return li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_lines"),
         roundn(retained, 6).alias("retained_frac"),

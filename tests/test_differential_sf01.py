@@ -1,0 +1,79 @@
+"""Opt-in large-scale differential tier: headline queries vs DuckDB at
+sf0.1 — 100× the rows of the default sf0.001 suite. Rounding-boundary
+and accumulation-order bugs scale with row count (the round-half
+mismatch class was invisible at sf0.001), so this tier exists to catch
+them before the driver's sf0.01 gate does.
+
+Skipped unless SPARK_GRAFT_SLOW=1 (adds ~1-2 min); run explicitly:
+
+    SPARK_GRAFT_SLOW=1 python -m pytest tests/test_differential_sf01.py -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from tests.compare import assert_frames_match
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW") != "1",
+    reason="large-scale tier: set SPARK_GRAFT_SLOW=1",
+)
+
+#: headline set: every operator family with float aggregation, ranking,
+#: or windowing whose failure mode is volume-dependent
+HEADLINE = (
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "curation_revenue_by_nation",
+    "agg_grouped",
+    "agg_stats",
+    "agg_regression",
+    "agg_incremental",
+    "agg_product",
+    "win_rolling",
+    "win_median_smooth",
+    "win_count_distinct",
+    "ts_wma",
+    "ts_interpolate",
+    "ts_seasonal_baseline",
+    "text_tfidf",
+    "text_bm25",
+    "text_keywords",
+    "dedup_ngram_jaccard",
+    "sim_topk",
+    "decontaminate",
+    "scd2_merge",
+    "join_asof_tolerance",
+)
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import duckdb
+
+    con = duckdb.connect()
+    from gcp_de_data_pipeline_cc_spark.catalog import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_matches_oracle_at_sf01(spark, duck01, name):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} must be oracle-paired"
+    got = spec.spark(spark, SF01_DIR).toPandas()
+    want = duck01.execute(spec.oracle).df()
+    assert_frames_match(got, want, name=name)
