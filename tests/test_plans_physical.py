@@ -293,3 +293,70 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
     token or doc_id keys for the small sides."""
     plan = plan_of(spark, "text_bm25")
     assert "BroadcastHashJoin" in plan
+
+
+#: reviewed BroadcastNestedLoopJoin consumers — every entry is one of:
+#: (a) a broadcast ONE-ROW scalar side (corpus totals, thresholds, avg
+#:     comparisons — the scalar-subquery pattern: a per-row codegen
+#:     branch, not a join blow-up),
+#: (b) a bounded broadcast block (5-row band table, 29-customer
+#:     levenshtein block, query-subset in brute-force similarity), or
+#: (c) a broadcast calendar spine (ts_gapfill / ts_interpolate).
+#: A NEW query planning a BNLJ must be reviewed and added here, or the
+#: sweep fails — that is the point.
+_BNLJ_REVIEWED = frozenset({
+    "agg_approx_distinct", "fn_levenshtein", "funnel_conversion",
+    "join_range_band", "kmeans_assign", "qc_foreign_keys",
+    "qc_observe_metrics", "sim_topk", "sim_topk_ivf", "skew_profile",
+    "text_bm25", "text_keywords", "text_tfidf",
+    "tpch_q11_important_stock", "tpch_q22_idle_customers",
+    "ts_gapfill", "ts_interpolate",
+})
+
+
+def test_no_cartesian_anywhere_in_registry(spark):
+    """Registry-wide physical audit: NO query may plan a CartesianProduct,
+    and nested-loop joins must be broadcast (bounded small side). A
+    cartesian sneaking into any of the 200+ plans is the single worst
+    100 TB failure mode — this pins the invariant for every current and
+    future registry entry in one sweep. Streaming/write-side queries are
+    exercised via their batch plan where one exists; exclusions are
+    queries whose plan cannot be built without side effects.
+
+    fn_levenshtein is the one allowed BroadcastNestedLoopJoin consumer
+    beyond the band/calendar joins — its docstring documents the bounded
+    blocking requirement.
+    """
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    # plans that run streams / write tables as a side effect of building
+    # the DataFrame: plan text still obtainable, but building them is
+    # slow — they have dedicated plan tests instead
+    skip = {
+        "stream_ingest_e2e", "stream_watermark_dedup",
+        "stream_custom_stateful", "stream_tumbling", "stream_sliding",
+        "stream_topk", "stream_stream_join", "stream_static_enrich",
+        "join_bucketed", "compact_small_files", "zorder_layout",
+        "time_travel_read", "log_compact_retention", "file_stats_manifest",
+        "partition_overwrite", "json_corrupt_quarantine", "csv_roundtrip",
+        "sink_roundtrip", "json_roundtrip", "orc_roundtrip",
+        "xml_roundtrip", "text_roundtrip", "schema_evolution_read",
+        "custom_datasource_scan", "join_partition_pruned", "scd2_merge",
+        "scd1_upsert", "scd3_merge", "join_bloom_pruned", "agg_incremental",
+        "corpus_curation", "training_prep", "dedup_clusters",
+        "graph_pagerank", "sessionize_path",
+    }
+    offenders = {}
+    for name in sorted(REGISTRY):
+        if name in skip:
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception as ex:  # plan must at least build
+            offenders[name] = f"plan build failed: {ex}"[:120]
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_REVIEWED:
+            offenders[name] = "non-allowlisted BroadcastNestedLoopJoin"
+    assert not offenders, offenders
