@@ -67,17 +67,30 @@ def ngram_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the shingle-join plan.
 
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with
     jaccard >= threshold. Jaccard is exact integer arithmetic
     (|∩| / (|A|+|B|-|∩|)) so results are engine-portable bit-for-bit.
+
+    ``join_on_hash=True`` is the 100 TB shuffle profile: shingle strings
+    collapse to ``xxhash64`` longs BEFORE the self-join, so the shuffle
+    carries 8-byte keys instead of ~k-word strings (roughly 3-4× less
+    shuffle volume at k=3). Results are identical up to 64-bit hash
+    collisions (~n²/2⁶⁵ expected spurious co-occurrences — negligible at
+    any corpus size that fits a cluster, and a collision only perturbs
+    one intersection count by 1). Default False so the registry oracle
+    compares the collision-free formulation; equivalence of the two
+    modes is asserted in tests/test_llm.py.
     """
     # not cached: callers run this once per job, and a session-lifetime
     # cache with no unpersist would pin storage memory across queries;
     # persist explicitly in iterative callers if profiling warrants it
     sh = _doc_shingles(docs, id_col, text_col, k)
+    if join_on_hash:
+        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")

@@ -160,3 +160,55 @@ def test_bitmap_distinct_equals_plain_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_asof_forward_matches_minimal_following(spark):
+    """join_asof_forward: every matched purchase must be the user's
+    earliest purchase at-or-after the signup (cross-checked directly on
+    the small fixture); unmatched signups have no later purchase."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    purchases: dict[int, list] = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    for v in purchases.values():
+        v.sort()
+    rows = REGISTRY["join_asof_forward"].spark(spark, SF_DIR).collect()
+    assert rows
+    signup_ts = {
+        r.event_id: r.ts for r in ev if r.event_type == "signup"
+    }
+    for r in rows:
+        s_ts = signup_ts[r.probe_id]
+        later = [
+            (ts, eid)
+            for ts, eid in purchases.get(r.user_id, [])
+            if ts >= s_ts
+        ]
+        if r.next_purchase_id is None:
+            assert not later, r
+        else:
+            assert later and later[0][1] == r.next_purchase_id, r
+            assert r.wait_us >= 0
+
+
+def test_islands_partition_order_counts(spark):
+    """win_islands: per customer, run lengths must sum to the customer's
+    order count and run_idx must be contiguous 1..n_runs."""
+    from pyspark.sql import functions as F2
+
+    ev = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    totals = {
+        r.o_custkey: r.n
+        for r in ev.groupBy("o_custkey").agg(F2.count("*").alias("n")).collect()
+    }
+    rows = REGISTRY["win_islands"].spark(spark, SF_DIR).collect()
+    per_cust: dict[int, list] = {}
+    for r in rows:
+        per_cust.setdefault(r.o_custkey, []).append(r)
+    assert set(per_cust) == set(totals)
+    for cust, runs in per_cust.items():
+        assert sum(r.run_length for r in runs) == totals[cust]
+        assert sorted(r.run_idx for r in runs) == list(
+            range(1, len(runs) + 1)
+        )

@@ -185,3 +185,25 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     import os
 
     assert os.listdir(ckpt), "reliable checkpoint dir should contain RDD data"
+
+
+def test_ngram_jaccard_hash_join_mode_equivalent(spark):
+    """join_on_hash=True (8-byte shuffle keys, the 100 TB profile) must
+    produce the identical pair set and jaccard values as the string-join
+    formulation on the test corpus."""
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
+    from gcp_de_data_pipeline_cc_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    by_str = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    by_hash = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, join_on_hash=True).collect()
+    }
+    assert by_str == by_hash and by_str
