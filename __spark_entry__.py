@@ -132,8 +132,8 @@ _COMPONENT_FIRST = (
     "join_asof_forward", "qc_schema_contract",
     # seasonal baseline + retrieval scoring
     "ts_seasonal_baseline", "text_bm25",
-    # islands / heavy-tail profile / keywords
-    "win_islands", "agg_histogram_log", "text_keywords",
+    # islands / heavy-tail profile / keywords / validation
+    "win_islands", "agg_histogram_log", "text_keywords", "fn_luhn",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -681,3 +681,47 @@ def agg_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "fn_luhn",
+    oracle="""
+    WITH acct AS (
+        SELECT c_custkey,
+               lpad(CAST(c_custkey * 37 + 11 AS VARCHAR), 11, '0') AS acct_no
+        FROM customer)
+    SELECT c_custkey, acct_no,
+           list_sum(list_transform(range(1, len(acct_no) + 1),
+               i -> CASE WHEN i % 2 = 0
+                         THEN CASE WHEN 2 * CAST(acct_no[len(acct_no)-i+1]
+                                                 AS INT) > 9
+                                   THEN 2 * CAST(acct_no[len(acct_no)-i+1]
+                                                 AS INT) - 9
+                                   ELSE 2 * CAST(acct_no[len(acct_no)-i+1]
+                                                 AS INT) END
+                         ELSE CAST(acct_no[len(acct_no)-i+1] AS INT) END))
+               % 10 = 0 AS luhn_ok
+    FROM acct
+    """,
+)
+def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-extension — Luhn checksum validation (Spark 4.0 luhn_check):
+    the card/IMEI/account-number check digit every intake-validation
+    tier runs before accepting an identifier — a wrong digit or a
+    single transposition fails the mod-10 test. Account numbers are
+    synthesized deterministically from customer keys so both engines
+    validate the identical strings; the oracle hand-rolls Luhn
+    (reversed alternating doubling) since DuckDB has no builtin.
+
+    100 TB: one codegen string pass per row — the same cost class as
+    the regex tier (pii_scan); pairs with fn_mask/fn_crypto_roundtrip
+    as the validate→redact→encrypt identifier-handling chain.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    acct = F.lpad((F.col("c_custkey") * 37 + 11).cast("string"), 11, "0")
+    return c.select(
+        "c_custkey",
+        acct.alias("acct_no"),
+        F.expr("luhn_check(lpad(CAST(c_custkey * 37 + 11 AS STRING), 11, '0'))")
+        .alias("luhn_ok"),
+    )
