@@ -134,6 +134,7 @@ _COMPONENT_FIRST = (
     "ts_seasonal_baseline", "text_bm25",
     # islands / heavy-tail profile / keywords / validation
     "win_islands", "agg_histogram_log", "text_keywords", "fn_luhn",
+    "dedup_ngram_hashjoin",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

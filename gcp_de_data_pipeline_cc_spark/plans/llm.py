@@ -220,6 +220,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_hashjoin",
+    # identical oracle to dedup_ngram_jaccard: the hash mode changes the
+    # SHUFFLE representation, not the result (64-bit collision odds
+    # ~n²/2⁶⁵ — negligible; equality also asserted in tests/test_llm.py)
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_both / (ca.n_sh + cb.n_sh - n_both) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_both / (ca.n_sh + cb.n_sh - n_both) >= 0.5
+    """,
+)
+def dedup_ngram_hashjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — the SAME exact 3-gram Jaccard join with the 100 TB shuffle
+    profile: shingles collapse to xxhash64 longs before the self-join,
+    so the shuffle carries 8-byte keys instead of 3-word strings. Held
+    beside dedup_ngram_jaccard in the registry so the bench records the
+    shuffle-width saving empirically at every scale factor; verified
+    against the identical DuckDB oracle (collision risk documented in
+    operators/dedup.py).
+
+    Measured at sf0.1 local[32]: ~10% faster warm (1.57 s vs 1.76 s) —
+    modest, because a local in-memory shuffle barely charges for byte
+    width; on a networked cluster the 3-4× key-byte reduction is the
+    dominant term of this join's cost, which is why hash keys are the
+    100 TB default and the string formulation is the oracle/debug path."""
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        join_on_hash=True,
+    )
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE sh AS (
