@@ -54,7 +54,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursion carries the stop bound as a COLUMN (months.hi) computed
     once in the anchor: a correlated ``m < (SELECT MAX(..) FROM orders)``
     stop predicate re-scans the fact table on every iteration step —
-    ~80 scans here, unbounded at 100 TB (measured 14.6 s → 0.4 s at
+    ~80 scans here, unbounded at 100 TB (measured 14.6 s → 2.4 s at
     sf0.1). With the bound inlined, each step touches only the one-row
     recursion state; the fact is scanned twice total (bounds + join).
 
