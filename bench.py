@@ -59,7 +59,8 @@ def main() -> None:
     names = sorted(REGISTRY)
     only = sys.argv[1:]
     if only:
-        names = [n for n in names if n in only]
+        # exact key or prefix, so `bench.py tpch_q6` hits the full key
+        names = [n for n in names if any(n == o or n.startswith(o) for o in only)]
 
     timings: dict[str, float] = {}
     for name in names:

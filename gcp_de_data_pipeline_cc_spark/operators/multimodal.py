@@ -7,11 +7,16 @@ feature-extraction run as Arrow-batched ``mapInPandas`` stages: the only
 part of this engine where Python is the right tool, because codec
 libraries are Python/C, not Catalyst.
 
-The decode step is a STUB in this environment (no image/audio libs in the
-container): :func:`decode_stub` raises ``NotImplementedError`` for real
-codecs and the pipelines use :func:`fake_decode_features` — a
-deterministic byte-level featurizer — so the Spark-side plumbing (schema,
-batch iteration, partitioning) is fully real and tested.
+Decode comes in two rungs. Formats with pure-Python containers — BMP
+(BITMAPINFOHEADER, 24-bit uncompressed) and WAV (RIFF PCM) — are decoded
+for REAL by :func:`decode_bmp` / :func:`decode_wav`: header parse with
+``struct``, pixel/sample extraction honoring row padding and chunk
+layout, no external libraries. Compressed codecs (JPEG/MP3/H.264) need
+C libraries absent from this container, so :func:`decode_stub` raises
+``NotImplementedError`` for those and the pipelines fall back to
+:func:`fake_decode_features` — a deterministic byte-level featurizer —
+keeping the Spark-side plumbing (schema, batch iteration, partitioning)
+fully real and tested either way.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
 binary payloads stay off the driver; feature extraction is narrow, so it
@@ -23,6 +28,7 @@ against large payloads.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -56,15 +62,225 @@ def attach_binary_payload(
 
 
 def decode_stub(payload: bytes, media_type: str) -> object:
-    """Placeholder for real codec decode (PIL/librosa/ffmpeg).
-
-    Not available in this container — any real media type raises, and
-    pipelines must inject :func:`fake_decode_features` instead.
+    """Codec router. BMP and WAV decode for real (pure-Python container
+    parsers below); compressed codecs (JPEG/MP3/H.264/...) need C
+    libraries absent from this container and raise.
     """
+    if media_type == "image/bmp":
+        return decode_bmp(payload)
+    if media_type == "audio/wav":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
         "use fake_decode_features for the deterministic test path"
     )
+
+
+# ---------------------------------------------------------------------------
+# real pure-Python containers: 24-bit BMP and PCM WAV
+# ---------------------------------------------------------------------------
+
+def synthesize_bmp(seed: bytes, width: int | None = None,
+                   height: int | None = None) -> bytes:
+    """Deterministically build a VALID 24-bit uncompressed BMP from seed
+    bytes (pixels cycle through the seed). Stands in for object-storage
+    image payloads so the decode rung can be exercised end-to-end with no
+    codec libraries; the output parses in any image viewer.
+    """
+    if not seed:
+        seed = b"\x00"
+    w = width if width is not None else 4 + (len(seed) % 5)
+    h = height if height is not None else 4 + (seed[0] % 5)
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    pixel_bytes = bytearray()
+    i = 0
+    for _ in range(h):
+        for _ in range(row_raw):
+            pixel_bytes.append(seed[i % len(seed)])
+            i += 1
+        pixel_bytes.extend(b"\x00" * pad)
+    data_size = len(pixel_bytes)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + data_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return bytes(header + info + pixel_bytes)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL BMP decode: parse the file + info headers, then walk pixel
+    rows honoring the 4-byte row alignment (bottom-up storage order).
+
+    Returns width/height/channels and per-channel means — the shape a
+    PIL-backed decoder would feed the featurizer.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _file_size, _, _, offset) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp})"
+        )
+    abs_h = abs(h)
+    row_raw = w * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    sums = [0, 0, 0]  # B, G, R channel order on disk
+    n_px = w * abs_h
+    for r in range(abs_h):
+        row = payload[offset + r * stride : offset + r * stride + row_raw]
+        for p in range(0, row_raw, 3):
+            sums[0] += row[p]
+            sums[1] += row[p + 1]
+            sums[2] += row[p + 2]
+    return {
+        "width": w,
+        "height": abs_h,
+        "n_channels": 3,
+        "mean_b": round(sums[0] / n_px, 6),
+        "mean_g": round(sums[1] / n_px, 6),
+        "mean_r": round(sums[2] / n_px, 6),
+    }
+
+
+def synthesize_wav(seed: bytes, sample_rate: int = 8000) -> bytes:
+    """Deterministically build a VALID RIFF/WAVE file (16-bit PCM mono)
+    whose samples derive from the seed bytes (centered, amplified). The
+    output plays in any audio player."""
+    if not seed:
+        seed = b"\x00"
+    samples = [((b - 128) * 256) for b in seed]
+    data = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL WAV decode: walk the RIFF chunk list, parse the ``fmt ``
+    chunk, then unpack the 16-bit PCM frames from ``data``.
+
+    Returns sample-rate/channel/sample-count plus amplitude stats — the
+    shape a librosa-backed decoder would feed the featurizer.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt_info, data = None, None
+    while pos + 8 <= n:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt_info = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize % 2)  # RIFF chunks are word-aligned
+    if fmt_info is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt_info
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})"
+        )
+    n_samples = len(data) // 2
+    samples = struct.unpack("<%dh" % n_samples, data[: n_samples * 2])
+    peak = max((abs(s) for s in samples), default=0)
+    mean_amp = (
+        round(sum(abs(s) for s in samples) / n_samples, 6) if n_samples else 0.0
+    )
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_samples": n_samples,
+        "peak": peak,
+        "mean_amp": mean_amp,
+    }
+
+
+#: unified output schema of the real-decode featurizer (image + audio
+#: rows share it; inapplicable fields are null)
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, "
+    "n_channels int, n_samples int, sample_rate int, "
+    "feat_mean double, feat_peak double"
+)
+
+
+def attach_media_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Simulate a mixed-modality table: even doc_ids carry a real BMP
+    image, odd doc_ids a real WAV clip, both synthesized deterministically
+    from the document text (Arrow-batched; payloads never touch the
+    driver)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                seed = str(text).encode("utf-8")
+                if int(doc_id) % 2 == 0:
+                    payloads.append(synthesize_bmp(seed))
+                    types.append("image/bmp")
+                else:
+                    payloads.append(synthesize_wav(seed))
+                    types.append("audio/wav")
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads,
+                 "media_type": types}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        synth, "doc_id long, payload binary, media_type string"
+    )
+
+
+def extract_decoded_features(media: DataFrame) -> DataFrame:
+    """REAL decode + featurize over mixed media: route each row by
+    media_type through :func:`decode_bmp` / :func:`decode_wav` and emit
+    one unified scalar feature row (DECODE_SCHEMA).
+
+    Same Arrow-batched mapInPandas contract as :func:`extract_features`;
+    the decode runs on executors, payload bytes never leave the worker.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                raw = bytes(payload)
+                d = decode_stub(raw, mtype)
+                if mtype == "image/bmp":
+                    rows.append(
+                        (int(doc_id), mtype, len(raw), d["width"],
+                         d["height"], d["n_channels"], None, None,
+                         round((d["mean_b"] + d["mean_g"] + d["mean_r"]) / 3, 6),
+                         float(max(d["mean_b"], d["mean_g"], d["mean_r"])))
+                    )
+                else:
+                    rows.append(
+                        (int(doc_id), mtype, len(raw), None, None,
+                         d["n_channels"], d["n_samples"], d["sample_rate"],
+                         d["mean_amp"], float(d["peak"]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "n_bytes", "width",
+                         "height", "n_channels", "n_samples", "sample_rate",
+                         "feat_mean", "feat_peak"],
+            )
+
+    return media.mapInPandas(featurize, DECODE_SCHEMA)
 
 
 def fake_decode_features(payload: bytes, n_dims: int = 4) -> list[float]:

@@ -319,3 +319,41 @@ def cosine_topk_lsh(
             "rank",
         )
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact brute-force one: (query_id, k, n_exact, n_hit, recall).
+
+    Both inputs are (query_id, neighbor_id, ..., rank) frames as produced
+    by :func:`cosine_topk` / :func:`cosine_topk_lsh` / :func:`ivf_topk`.
+    The join is a left-semi on (query_id, neighbor_id) — the hit count
+    shuffles id pairs only, never vectors — and the output is one scalar
+    row per query, so an approximate-search query can ship quantitative
+    accuracy evidence as its driver-visible result instead of an
+    unverifiable neighbor list.
+    """
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_exact").cast("int").alias("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            roundn(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )

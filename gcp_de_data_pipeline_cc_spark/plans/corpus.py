@@ -13,13 +13,63 @@ from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
-from gcp_de_data_pipeline_cc_spark.operators.dedup import ngram_jaccard_pairs
+from gcp_de_data_pipeline_cc_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
 from gcp_de_data_pipeline_cc_spark.operators.text import tokens_col
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
 MIN_DISTINCT_RATIO = 0.35
 MIN_TOKENS = 20
 NEAR_DUP_JACCARD = 0.5
+
+#: near-dup stage implementations for curate_corpus — both return
+#: (doc_a, doc_b, jaccard) pairs above threshold with doc_a < doc_b
+_NEAR_DUP_STAGES = {
+    "exact": ngram_jaccard_pairs,
+    "minhash": minhash_lsh_pairs,
+}
+
+
+def curate_corpus(
+    docs: DataFrame,
+    near_dup: str = "exact",
+    min_distinct_ratio: float = MIN_DISTINCT_RATIO,
+    min_tokens: int = MIN_TOKENS,
+    threshold: float = NEAR_DUP_JACCARD,
+) -> DataFrame:
+    """Quality filter → near-dup removal → curated set, with the near-dup
+    stage a PARAMETER: ``'exact'`` (shingle-join exact Jaccard — the
+    correctness baseline) or ``'minhash'`` (MinHash+LSH candidates
+    verified with exact Jaccard — the 100 TB plan, where the banded
+    bucket join bounds candidate pairs instead of Σ|bucket|² exact
+    shingle groups). Both stages share the (doc_a, doc_b, jaccard)
+    interface, so the swap the r2 docstring promised is now an argument;
+    tests assert the two modes' curated sets agree on the fixture corpus.
+    """
+    if near_dup not in _NEAR_DUP_STAGES:
+        raise ValueError(f"near_dup must be one of {sorted(_NEAR_DUP_STAGES)}")
+    toks = tokens_col(F.col("text"))
+    q = docs.select(
+        "doc_id", "lang", "text",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("dr"),
+    )
+    quality_pass = q.filter(
+        (F.col("dr") >= min_distinct_ratio) & (F.col("n_tokens") >= min_tokens)
+    )
+    pairs = _NEAR_DUP_STAGES[near_dup](
+        quality_pass.select("doc_id", "text"), threshold=threshold
+    )
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        quality_pass.join(dropped, "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            roundn(F.col("dr"), 4).alias("distinct_ratio"),
+        )
+    )
 
 
 @query(
@@ -69,31 +119,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the composition the LLM-data extension exists for; every
     stage is the scalable plan (narrow quality signals, shingle-join
     dedup, anti-join removal) and the whole chain hash-matches the SQL
-    oracle. At 100 TB: swap the exact Jaccard stage for dedup_minhash
-    (same interface, LSH-bounded candidates).
+    oracle. The 100 TB swap (exact Jaccard → MinHash+LSH) is
+    :func:`curate_corpus`'s ``near_dup`` argument; this registered key
+    runs the exact mode because the oracle is exact-Jaccard SQL.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    q = docs.select(
-        "doc_id", "lang", "text",
-        F.size(toks).alias("n_tokens"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("dr"),
-    )
-    quality_pass = q.filter(
-        (F.col("dr") >= MIN_DISTINCT_RATIO) & (F.col("n_tokens") >= MIN_TOKENS)
-    )
-
-    pairs = ngram_jaccard_pairs(
-        quality_pass.select("doc_id", "text"), threshold=NEAR_DUP_JACCARD
-    )
-    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return (
-        quality_pass.join(dropped, "doc_id", "left_anti")
-        .select(
-            "doc_id", "lang", "n_tokens",
-            roundn(F.col("dr"), 4).alias("distinct_ratio"),
-        )
-    )
+    return curate_corpus(load_table(spark, sf_dir, "documents"),
+                         near_dup="exact")
 
 
 @query(

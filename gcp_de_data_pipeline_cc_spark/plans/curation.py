@@ -774,6 +774,15 @@ def qc_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing column so both failure modes are exercised; the oracle pins
     the full verdict table.
 
+    NOTE (env dependence): the oracle's pinned ``actual_type`` values
+    encode how THIS Spark build reads the fixture parquet ('double' for
+    o_totalprice, 'timestamp_ntz' for o_orderdate under the
+    nanos-as-NTZ reader default). A reader-behavior change (like the
+    int96→NTZ shift catalog.py adapts to) flips the pinned verdicts,
+    not the gate logic — if this oracle ever mismatches, re-pin the
+    VALUES rows from ``load_table(...).dtypes`` before suspecting the
+    gate.
+
     100 TB: pure metadata — the verdict derives from the parquet footer
     schema at plan time; zero data is read regardless of table size
     (contrast every row-level gate in qc_gate_suite).

@@ -11,6 +11,8 @@ equal to its batch twin in tests/test_streaming.py.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 from contextlib import contextmanager
 
@@ -28,6 +30,24 @@ from gcp_de_data_pipeline_cc_spark.streaming.file_ingest import (
 
 CUSTOMER_COLS = ("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
 
+#: shared scratch root for every lifecycle query's landing/sink dirs
+_WORK_BASE = os.path.join(tempfile.gettempdir(), "spark_graft_work")
+
+
+def _work_dir(name: str) -> str:
+    """Fixed per-query scratch dir, wiped at each invocation.
+
+    Repeated bench/test runs reuse one path per query instead of
+    accumulating fresh ``mkdtemp`` copies of the source tables under
+    /tmp (r2 advisor finding). The wipe happens eagerly here — callers
+    build lazy DataFrames over the path, so the only safe delete point
+    is the start of the NEXT invocation of the same query.
+    """
+    path = os.path.join(_WORK_BASE, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
 
 @query(
     "csv_roundtrip",
@@ -41,7 +61,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the raw (all-string) tier, cast at staging. Losslessness makes
     the source projection the oracle."""
     src = load_table(spark, sf_dir, "customer").select(*CUSTOMER_COLS)
-    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    tmp = _work_dir("csv_roundtrip")
     src.write.mode("overwrite").option("header", "true").csv(f"{tmp}/landing")
     raw = read_landing_csv(spark, f"{tmp}/landing", CUSTOMER_COLS)
     staged = raw_to_staging(
@@ -73,7 +93,7 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
-    tmp = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    tmp = _work_dir("sink_roundtrip")
     write_table(staged, f"{tmp}/orders_f", partition_by=["o_orderstatus"])
     back = read_table(spark, f"{tmp}/orders_f")
     # partitionBy moves the partition column last and reads it as string;
@@ -104,7 +124,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "O")
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     )
-    tmp = tempfile.mkdtemp(prefix="json_roundtrip_")
+    tmp = _work_dir("json_roundtrip")
     src.write.mode("overwrite").json(f"{tmp}/orders_o")
     return spark.read.schema(src.schema).json(f"{tmp}/orders_o")
 
@@ -126,7 +146,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "A")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
-    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    tmp = _work_dir("orc_roundtrip")
     src.write.mode("overwrite").orc(f"{tmp}/li_a")
     return spark.read.orc(f"{tmp}/li_a")
 
@@ -152,7 +172,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the catalog and use it instead of re-inferring from footers.
     """
     src = load_table(spark, sf_dir, "supplier")
-    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    tmp = _work_dir("schema_evo")
     old = src.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_name")
     new = src.filter(F.col("s_suppkey") % 2 == 1).select(
         "s_suppkey", "s_name", "s_acctbal"
@@ -201,7 +221,7 @@ if avro_available():
         src = load_table(spark, sf_dir, "supplier").select(
             "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
         )
-        tmp = tempfile.mkdtemp(prefix="avro_roundtrip_")
+        tmp = _work_dir("avro_roundtrip")
         src.write.mode("overwrite").format("avro").save(f"{tmp}/supp")
         return spark.read.format("avro").load(f"{tmp}/supp")
 
@@ -249,7 +269,7 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the ingested raw tier. Tests assert archive/output counts.
     """
     src = load_table(spark, sf_dir, "customer").select(*CUSTOMER_COLS)
-    tmp = tempfile.mkdtemp(prefix="stream_ingest_")
+    tmp = _work_dir("stream_ingest")
     landing, archive = f"{tmp}/landing", f"{tmp}/archived"
     out, ckpt = f"{tmp}/raw", f"{tmp}/ckpt"
     src.coalesce(4).write.mode("overwrite").option("header", "true").csv(landing)
@@ -283,7 +303,7 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     source projection is the oracle. At scale `text` sources split by
     line ranges exactly like CSV — same maxPartitionBytes parallelism."""
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="text_roundtrip_")
+    tmp = _work_dir("text_roundtrip")
     docs.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
             "value"
@@ -314,7 +334,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    tmp = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    tmp = _work_dir("xml_roundtrip")
     (
         src.write.format("xml")
         .option("rowTag", "nation")
@@ -363,7 +383,7 @@ def partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts"))
     )
-    tmp = tempfile.mkdtemp(prefix="part_overwrite_")
+    tmp = _work_dir("part_overwrite")
     path = f"{tmp}/events_by_day"
     # repartition on the partition column BEFORE the partitioned write:
     # without it every shuffle partition writes a sliver into every day
@@ -436,7 +456,7 @@ def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    tmp = tempfile.mkdtemp(prefix="json_corrupt_")
+    tmp = _work_dir("json_corrupt")
     path = f"{tmp}/orders_dirty"
     # fabricate the dirty feed deterministically: every 50th record's
     # JSON line is truncated (drop its closing brace and tail)

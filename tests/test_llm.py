@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
 from gcp_de_data_pipeline_cc_spark.operators import multimodal as mm
+from gcp_de_data_pipeline_cc_spark.operators import similarity as sim
 from gcp_de_data_pipeline_cc_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from tests.conftest import SF_DIR
 
@@ -207,3 +208,119 @@ def test_ngram_jaccard_hash_join_mode_equivalent(spark):
         for r in ngram_jaccard_pairs(docs, join_on_hash=True).collect()
     }
     assert by_str == by_hash and by_str
+
+
+# ---------------------------------------------------------------------------
+# real BMP/WAV codecs + decode round-trip
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_pure_python():
+    seed = b"hello multimodal world"
+    payload = mm.synthesize_bmp(seed)
+    d = mm.decode_bmp(payload)
+    w, h = 4 + (len(seed) % 5), 4 + (seed[0] % 5)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, 3)
+    # independent recomputation: pixels cycle the seed over w*3*h bytes
+    flat = [seed[i % len(seed)] for i in range(w * 3 * h)]
+    for ch, key in enumerate(("mean_b", "mean_g", "mean_r")):
+        expect = sum(flat[ch::3]) / (w * h)
+        assert abs(d[key] - expect) < 1e-6, key
+    # container is structurally valid: declared size matches payload
+    import struct as st
+    assert st.unpack_from("<I", payload, 2)[0] == len(payload)
+
+
+def test_wav_roundtrip_pure_python():
+    seed = bytes(range(0, 200, 3))
+    payload = mm.synthesize_wav(seed, sample_rate=16000)
+    d = mm.decode_wav(payload)
+    assert d["sample_rate"] == 16000
+    assert d["n_channels"] == 1
+    assert d["n_samples"] == len(seed)
+    samples = [(b - 128) * 256 for b in seed]
+    assert d["peak"] == max(abs(s) for s in samples)
+    assert abs(d["mean_amp"] - sum(abs(s) for s in samples) / len(seed)) < 1e-6
+
+
+def test_decode_stub_routes_and_raises():
+    assert mm.decode_stub(mm.synthesize_bmp(b"x"), "image/bmp")["n_channels"] == 3
+    assert mm.decode_stub(mm.synthesize_wav(b"x"), "audio/wav")["n_samples"] == 1
+    with pytest.raises(NotImplementedError):
+        mm.decode_stub(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_extract_decoded_features_mixed_modalities(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = mm.attach_media_payload(docs)
+    rows = {r.doc_id: r for r in mm.extract_decoded_features(media).collect()}
+    assert len(rows) == 20
+    for doc_id, r in rows.items():
+        if doc_id % 2 == 0:
+            assert r.media_type == "image/bmp"
+            assert r.width >= 4 and r.height >= 4 and r.n_channels == 3
+            assert r.n_samples is None and r.sample_rate is None
+            assert 0.0 <= r.feat_mean <= 255.0
+        else:
+            assert r.media_type == "audio/wav"
+            assert r.sample_rate == 8000 and r.n_samples == r.n_bytes // 2 - 22
+            assert r.width is None and r.height is None
+
+
+# ---------------------------------------------------------------------------
+# topk_recall operator
+# ---------------------------------------------------------------------------
+
+def test_topk_recall_on_clustered_vectors(spark):
+    # tight clusters: each vector's whole top-5 is its cluster-mates, so
+    # recall@5 measures the ANN path, not noise-rank ordering
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 16, 10, 6
+    rows = []
+    for c in range(n_clusters):
+        center = rng.standard_normal(dim) * 3
+        for m in range(per):
+            v = center + 0.01 * rng.standard_normal(dim)
+            rows.append((c * 100 + m, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(queries, df, k=5)
+    approx = cosine_topk_lsh(queries, df, k=5, n_tables=8, bits=4, dim=dim)
+    rec = sim.topk_recall(approx, exact, k=5).collect()
+    assert len(rec) == n_clusters
+    assert all(r.n_exact == 5 for r in rec)
+    mean_recall = sum(r.recall for r in rec) / n_clusters
+    assert mean_recall >= 0.9, f"mean recall@5 {mean_recall:.2f}"
+
+
+def test_topk_recall_perfect_on_self(spark):
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = cosine_topk(df.limit(5), df, k=3)
+    rec = sim.topk_recall(exact, exact, k=3).collect()
+    assert all(r.recall == 1.0 and r.n_hit == 3 for r in rec)
+
+
+# ---------------------------------------------------------------------------
+# corpus curation near-dup mode parameter
+# ---------------------------------------------------------------------------
+
+def test_curate_corpus_modes_agree(spark):
+    """The 100 TB swap (exact shingle join → MinHash+LSH) must not change
+    the curated set on the fixture corpus: LSH candidates are verified
+    with exact Jaccard, so any divergence would be a recall miss."""
+    from gcp_de_data_pipeline_cc_spark.plans.corpus import curate_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = set(map(tuple, curate_corpus(docs, near_dup="exact").collect()))
+    mh = set(map(tuple, curate_corpus(docs, near_dup="minhash").collect()))
+    assert exact, "curated set must be non-empty"
+    assert mh == exact
+
+
+def test_curate_corpus_rejects_unknown_mode(spark):
+    from gcp_de_data_pipeline_cc_spark.plans.corpus import curate_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="near_dup"):
+        curate_corpus(docs, near_dup="bogus")

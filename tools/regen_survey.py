@@ -34,19 +34,33 @@ def main() -> None:
     n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
 
     lines = open("SURVEY.md").read().split("\n")
-    hdr_i = lines.index(HEADER)  # exactly one §8 table header
-    stats_i, stats_line = next(
-        (i, l) for i, l in enumerate(lines)
-        if re.match(r"\*\*\d+ queries: \d+ oracle-checked", l)
+    try:
+        hdr_i = lines.index(HEADER)  # exactly one §8 table header
+    except ValueError:
+        sys.exit(f"SURVEY.md §8 header not found (expected {HEADER!r}); "
+                 "refusing to rewrite anything")
+    # replace only the contiguous run of table rows (and the separator)
+    # directly under the header — prose added after the table survives
+    end_i = hdr_i + 1
+    while end_i < len(lines) and (
+        lines[end_i] == SEP or lines[end_i].startswith("| `")
+    ):
+        end_i += 1
+    stats = next(
+        ((i, l) for i, l in enumerate(lines)
+         if re.match(r"\*\*\d+ queries: \d+ oracle-checked", l)),
+        None,
     )
-    assert stats_i > hdr_i
-    stats_line = re.sub(
+    if stats is None:
+        sys.exit("SURVEY.md §8 stats line not found; refusing to rewrite")
+    stats_i, stats_line = stats
+    lines[stats_i] = re.sub(
         r"\*\*\d+ queries: \d+ oracle-checked, \d+ rows-only\.\*\*",
         f"**{n_total} queries: {n_oracle} oracle-checked, "
         f"{n_total - n_oracle} rows-only.**",
         stats_line,
     )
-    out = lines[:hdr_i] + [HEADER, SEP] + rows + [""] + [stats_line] + lines[stats_i + 1:]
+    out = lines[:hdr_i] + [HEADER, SEP] + rows + lines[end_i:]
     open("SURVEY.md", "w").write("\n".join(out))
     print(f"SURVEY.md §8: {n_total} queries ({n_oracle} oracle)")
 
