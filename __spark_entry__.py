@@ -135,8 +135,8 @@ _COMPONENT_FIRST = (
     # islands / heavy-tail profile / keywords / validation
     "win_islands", "agg_histogram_log", "text_keywords", "fn_luhn",
     "dedup_ngram_hashjoin",
-    # round-3 wave — real-decode multimodal rung
-    "multimodal_decode",
+    # round-3 wave — real-decode multimodal rung + pure-Python Avro
+    "multimodal_decode", "avro_roundtrip",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -206,24 +206,40 @@ def avro_available() -> bool:
     return bool(_glob.glob(_os.path.join(jar_dir, "spark-avro*.jar")))
 
 
-if avro_available():
+@query(
+    "avro_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-extension — Avro row-oriented source format (the streaming-
+    interchange format; schema travels with the data).
 
-    @query(
-        "avro_roundtrip",
-        oracle="""
-        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-        FROM supplier
-        """,
+    Two engines, one key: with the external spark-avro jar on the
+    classpath the JVM datasource runs; without it (this container — no
+    jar, no network) the roundtrip runs through ``format("pyavro")``,
+    the pure-Python Avro Object Container File implementation in
+    ``sources/avro_py.py`` (spec-conformant: zigzag varints, deflate
+    blocks, schema-in-header — readable by any stock Avro tool). The
+    oracle is the same either way: losslessness makes the source
+    projection the expected result."""
+    src = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """S1-extension — Avro row-oriented source format (the streaming-
-        interchange format; schema travels with the data)."""
-        src = load_table(spark, sf_dir, "supplier").select(
-            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
-        )
-        tmp = _work_dir("avro_roundtrip")
+    tmp = _work_dir("avro_roundtrip")
+    if avro_available():
         src.write.mode("overwrite").format("avro").save(f"{tmp}/supp")
         return spark.read.format("avro").load(f"{tmp}/supp")
+    from gcp_de_data_pipeline_cc_spark.sources.avro_py import PyAvroDataSource
+
+    try:
+        spark.dataSource.register(PyAvroDataSource)
+    except Exception:
+        pass  # already registered in this session
+    src.write.format("pyavro").mode("overwrite").save(f"{tmp}/supp")
+    return spark.read.format("pyavro").load(f"{tmp}/supp")
 
 
 @query(

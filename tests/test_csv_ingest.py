@@ -54,21 +54,90 @@ def test_quarantine_catches_bad_required_casts(spark, landing):
     assert ids == ["carol", "dave"]
 
 
-def test_avro_capability_gate(spark):
-    """avro_roundtrip registers iff the spark-avro datasource jar exists;
-    the gate must agree with what the session can actually do."""
+def test_avro_roundtrip_always_registered(spark):
+    """avro_roundtrip is no longer capability-gated: the JVM spark-avro
+    datasource is used when its jar exists, the pure-Python ``pyavro``
+    container codec otherwise — either way the key must run and return
+    the supplier projection."""
     from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
-    from gcp_de_data_pipeline_cc_spark.plans.lifecycle import avro_available
 
-    if avro_available():
-        assert "avro_roundtrip" in REGISTRY
-        out = REGISTRY["avro_roundtrip"].spark(spark, "/root/testdata/sf0.001")
-        assert out.count() > 0
-    else:
-        assert "avro_roundtrip" not in REGISTRY
-        import pytest as _pytest
+    assert "avro_roundtrip" in REGISTRY
+    out = REGISTRY["avro_roundtrip"].spark(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
 
-        with _pytest.raises(Exception, match="[Aa]vro"):
-            spark.range(1).write.format("avro").mode("overwrite").save(
-                "/tmp/avro_gate_probe"
-            )
+
+# ---------------------------------------------------------------------------
+# pure-Python Avro container codec (sources/avro_py)
+# ---------------------------------------------------------------------------
+
+def test_avro_codec_roundtrip_all_types(tmp_path):
+    import datetime
+
+    from gcp_de_data_pipeline_cc_spark.sources import avro_py as av
+
+    schema = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "bal", "type": ["null", "double"]},
+            {"name": "ok", "type": "boolean"},
+            {"name": "blob", "type": "bytes"},
+            {"name": "ts", "type": ["null", {
+                "type": "long", "logicalType": "timestamp-micros"}]},
+        ],
+    }
+    rows = [
+        (1, "alice", 10.5, True, b"\x00\xff", datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (2, None, None, False, b"", None),
+        (-(2**40), "b—τ", -0.25, True, b"x", datetime.datetime(1969, 12, 31, 23, 59, 59)),
+    ]
+    p = str(tmp_path / "t.avro")
+    assert av.write_avro_file(p, iter(rows), schema) == 3
+    s2, back = av.read_avro_file(p)
+    assert s2 == schema and back == rows
+    assert av.read_avro_header(p) == schema
+
+
+def test_avro_codec_null_codec_and_blocks(tmp_path):
+    from gcp_de_data_pipeline_cc_spark.sources import avro_py as av
+
+    schema = {"type": "record", "name": "row",
+              "fields": [{"name": "k", "type": "long"}]}
+    rows = [(i,) for i in range(1000)]
+    p = str(tmp_path / "t.avro")
+    # tiny blocks force multiple sync-marked blocks; null codec path
+    av.write_avro_file(p, iter(rows), schema, codec="null", block_rows=64)
+    _, back = av.read_avro_file(p)
+    assert back == rows
+
+
+def test_avro_zigzag_edge_values():
+    import io
+
+    from gcp_de_data_pipeline_cc_spark.sources import avro_py as av
+
+    for v in (0, -1, 1, 63, -64, 64, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        buf = io.BytesIO()
+        av.write_long(buf, v)
+        buf.seek(0)
+        assert av.read_long(buf) == v, v
+
+
+def test_pyavro_datasource_spark_roundtrip(spark, tmp_path):
+    from gcp_de_data_pipeline_cc_spark.sources.avro_py import PyAvroDataSource
+
+    try:
+        spark.dataSource.register(PyAvroDataSource)
+    except Exception:
+        pass
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "c", -2.25)],
+        "k bigint, name string, bal double",
+    ).repartition(2)
+    path = str(tmp_path / "avro_out")
+    src.write.format("pyavro").mode("overwrite").save(path)
+    import glob as g
+    assert len(g.glob(path + "/*.avro")) == 2  # one file per partition
+    back = spark.read.format("pyavro").load(path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

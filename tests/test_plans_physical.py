@@ -307,7 +307,8 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
 _BNLJ_REVIEWED = frozenset({
     "agg_approx_distinct", "fn_levenshtein", "funnel_conversion",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
-    "qc_observe_metrics", "sim_topk", "sim_topk_ivf", "skew_profile",
+    "qc_observe_metrics", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
+    "skew_profile",
     "text_bm25", "text_keywords", "text_tfidf",
     "tpch_q11_important_stock", "tpch_q22_idle_customers",
     "ts_gapfill", "ts_interpolate",
