@@ -137,6 +137,13 @@ _COMPONENT_FIRST = (
     "dedup_ngram_hashjoin",
     # round-3 wave — real-decode multimodal rung + pure-Python Avro
     "multimodal_decode", "avro_roundtrip",
+    # round-3 corpus-curation wave 2
+    "text_perplexity", "dedup_blocks", "sample_weighted",
+    "dedup_containment", "inverted_index",
+    # round-3 robust time-series + SQL-surface wave
+    "ts_ewma", "anomaly_mad", "feature_winsorize",
+    "sql_distinct_on", "fn_format", "sql_correlated_scalar",
+    "stream_foreachbatch_upsert",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

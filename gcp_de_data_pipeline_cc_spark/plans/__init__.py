@@ -16,6 +16,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics2,
     analytics3,
     corpus,
+    corpus2,
     corpus_stats,
     curation,
     events,
@@ -30,9 +31,11 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext3,
     relational_ext4,
     relational_ext5,
+    relational_ext6,
     scale,
     stats,
     timeseries,
+    timeseries2,
     training,
     udfs,
 )

@@ -543,3 +543,99 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.table(name).localCheckpoint()
     shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT user_id, event_id, ts, event_type, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — the foreachBatch incremental-upsert sink: a real
+    Structured Streaming query whose every micro-batch MERGEs into a
+    keyed parquet target (keep the latest row per user_id by (ts,
+    event_id)). foreachBatch is the canonical escape hatch for sinks
+    Spark has no native writer for — idempotent upserts, JDBC merges,
+    multi-table fan-out — and the one streaming surface where batch
+    DataFrame logic runs inside a stream. Three source files with
+    maxFilesPerTrigger=1 force three sequential merges, so cross-batch
+    replacement (a user's later event landing in a later batch) is
+    actually exercised; the final target equals the batch latest-per-key
+    query, which makes the whole pipeline oracle-checkable.
+
+    Scale: per batch, the merge is one WindowGroupLimit dedup of
+    (current ∪ batch-latest) keyed on user_id — shuffle bounded by
+    target + batch size. The swap-directory write stands in for a
+    transactional table format (Delta/Iceberg MERGE INTO); the batch
+    logic is exactly what their merge executes, minus the log. State
+    never lives in the stream (no watermark, no state store): the
+    target IS the state, which is why restarts are safe — re-merging a
+    batch is idempotent."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
+
+    ensure_session_posture(spark)
+    stage = tempfile.mkdtemp(prefix="stream_fb_src_")
+    root = tempfile.mkdtemp(prefix="stream_fb_tgt_")
+    target = f"{root}/current"
+    # stage the (normalized-timestamp) feed as 3 files = 3 micro-batches
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        bspark = batch.sparkSession
+        try:
+            current = bspark.read.parquet(target)
+            merged = current.unionByName(latest)
+        except Exception:  # first batch: target does not exist yet
+            merged = latest
+        merged = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp_out = f"{root}/merge_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.move(tmp_out, target)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = (
+        spark.read.parquet(target)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .localCheckpoint()
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -1,0 +1,225 @@
+"""Time-series analytics wave 2: exponential smoothing and robust
+(median/MAD-based) statistics.
+
+Extends plans/timeseries.py (gapfill / OHLC / WMA / interpolation /
+seasonal baseline) with the two remaining families a monitoring or
+feature pipeline needs:
+
+- **EWMA** — the exponential smoother (recent points decay geometrically)
+  in its truncated-window form, so the expression is a bounded frame
+  aggregate rather than an unbounded recursion;
+- **robust anomaly/scaling stats** — median + MAD replace mean + stddev
+  (anomaly_zscore) so heavy-tailed series don't let outliers mask
+  themselves, and winsorized means quantify tail influence.
+
+Exact-percentile discipline: Spark ``percentile()`` and DuckDB
+``quantile_cont()`` implement the same (n-1)·q linear interpolation over
+sorted doubles, established cross-engine by win_median_smooth — every
+percentile here reuses that mapping and rounds at final projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: EWMA trailing-frame length and decay (1-alpha)
+_EWMA_K = 8
+_EWMA_DECAY = 0.7
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH framed AS (
+        SELECT event_id, event_type, ts, value,
+               list(value) OVER (
+                   PARTITION BY event_type ORDER BY ts
+                   ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW
+               ) AS vals
+        FROM events)
+    SELECT event_id, event_type, ts,
+           {sql_roundn(
+               "list_sum(list_transform(generate_series(1, len(vals)),"
+               f" i -> vals[i] * POW({_EWMA_DECAY}e0, len(vals) - i)))"
+               " / list_sum(list_transform(generate_series(1, len(vals)),"
+               f" i -> POW({_EWMA_DECAY}e0, len(vals) - i)))", 4)} AS ewma
+    FROM framed
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — exponentially-weighted moving average over the
+    trailing ``_EWMA_K`` rows per series: weight (1-α)^age, normalized
+    over the present taps. The truncated form keeps EWMA a *bounded
+    frame aggregate* — the textbook recursive definition needs either an
+    unbounded running product (overflow-prone: decay^-n grows without
+    bound) or sequential state; truncation at 8 taps retains >94% of the
+    weight mass at decay 0.7 and keeps the plan a single window shuffle.
+
+    Both engines build the frame list in ts order (feed has no ties) and
+    fold the same expression tree, so the result is bit-stable before
+    the shared rounding. Scale: identical profile to ts_wma — one
+    shuffle on the series key, K doubles of state per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rowsBetween(-(_EWMA_K - 1), Window.currentRow)
+    )
+    framed = ev.select(
+        "event_id", "event_type", "ts",
+        F.collect_list("value").over(w).alias("vals"),
+    )
+    n = F.size("vals")
+    decay_at = lambda i: F.pow(  # noqa: E731
+        F.lit(_EWMA_DECAY), (n - i).cast("double")
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("vals"), F.sequence(F.lit(1), n),
+                   lambda x, i: x * decay_at(i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(F.sequence(F.lit(1), n), decay_at),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return framed.select(
+        "event_id", "event_type", "ts", roundn(num / den, 4).alias("ewma")
+    )
+
+
+@query(
+    "anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5e0) AS med,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, med.med, med.n,
+               ABS(e.value - med.med) AS adev
+        FROM events e JOIN med USING (event_type)),
+    mad AS (
+        SELECT event_type, ANY_VALUE(med) AS med, ANY_VALUE(n) AS n,
+               quantile_cont(adev, 0.5e0) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT e.event_type, mad.n,
+           {sql_roundn("ANY_VALUE(mad.med)", 4)} AS med,
+           {sql_roundn("ANY_VALUE(mad.mad)", 4)} AS mad,
+           CAST(SUM(CASE WHEN ABS(0.6745e0 * (e.value - mad.med) / mad.mad)
+                              > 3.5e0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, mad.n
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate per series: median + MAD (median absolute
+    deviation) replace the mean + stddev of anomaly_zscore, and the
+    modified z-score 0.6745·(x-med)/MAD > 3.5 flags outliers. The robust
+    pair matters on heavy-tailed feeds: a burst of extreme values
+    inflates the stddev enough to mask itself from a plain z-gate, while
+    the median/MAD gate is immune to ~50% contamination.
+
+    Exact two-pass formulation: median per group, rejoin for absolute
+    deviations, median of those, rejoin for the count — three
+    aggregations keyed on the series key, each with bounded per-group
+    sort state (Spark's exact percentile). At 100 TB swap the exact
+    percentiles for approx_percentile under a documented error budget;
+    the gate logic is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5d)").alias("med"),
+        F.count("*").alias("n"),
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.any_value("n").alias("n"),
+        F.expr("percentile(adev, 0.5d)").alias("mad"),
+    )
+    z = F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"))
+    flag = F.when(z > 3.5, 1).otherwise(0)
+    return (
+        ev.join(mad, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            roundn(F.any_value("med"), 4).alias("med"),
+            roundn(F.any_value("mad"), 4).alias("mad"),
+            F.sum(flag).alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+    )
+
+
+@query(
+    "feature_winsorize",
+    oracle=f"""
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05e0) AS p05,
+               quantile_cont(value, 0.95e0) AS p95,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type)
+    SELECT e.event_type, pct.n,
+           {sql_roundn("ANY_VALUE(pct.p05)", 4)} AS p05,
+           {sql_roundn("ANY_VALUE(pct.p95)", 4)} AS p95,
+           CAST(SUM(CASE WHEN e.value < pct.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > pct.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           {sql_roundn("AVG(e.value)", 4)} AS raw_mean,
+           {sql_roundn(
+               "AVG(LEAST(GREATEST(e.value, pct.p05), pct.p95))", 4)}
+               AS winsor_mean
+    FROM events e JOIN pct USING (event_type)
+    GROUP BY e.event_type, pct.n
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized feature statistics per series: clip values into the
+    exact [P05, P95] band and compare the clipped mean against the raw
+    mean — the standard tail-robust normalization a feature pipeline
+    applies before scaling (feature_scale), plus the clip counts a drift
+    monitor watches. clip = LEAST(GREATEST(x, p05), p95) — identical
+    fenceposts on both engines, values exactly at the fence unclipped.
+
+    Scale: one exact-percentile aggregation keyed on the series key, one
+    broadcastable rejoin (|event_type| rows), one final aggregation —
+    two shuffles total; the percentile swap to approx_percentile is the
+    same documented trade as anomaly_mad."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05d)").alias("p05"),
+        F.expr("percentile(value, 0.95d)").alias("p95"),
+        F.count("*").alias("n"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            roundn(F.any_value("p05"), 4).alias("p05"),
+            roundn(F.any_value("p95"), 4).alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            roundn(F.avg("value"), 4).alias("raw_mean"),
+            roundn(F.avg(clipped), 4).alias("winsor_mean"),
+        )
+        .select(
+            "event_type", "n", "p05", "p95",
+            "n_clipped_low", "n_clipped_high", "raw_mean", "winsor_mean",
+        )
+    )

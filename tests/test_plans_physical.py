@@ -309,7 +309,7 @@ _BNLJ_REVIEWED = frozenset({
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
     "qc_observe_metrics", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
     "skew_profile",
-    "text_bm25", "text_keywords", "text_tfidf",
+    "text_bm25", "text_keywords", "text_perplexity", "text_tfidf",
     "tpch_q11_important_stock", "tpch_q22_idle_customers",
     "ts_gapfill", "ts_interpolate",
 })
@@ -337,6 +337,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "stream_ingest_e2e", "stream_watermark_dedup",
         "stream_custom_stateful", "stream_tumbling", "stream_sliding",
         "stream_topk", "stream_stream_join", "stream_static_enrich",
+        "stream_foreachbatch_upsert",
         "join_bucketed", "compact_small_files", "zorder_layout",
         "time_travel_read", "log_compact_retention", "file_stats_manifest",
         "partition_overwrite", "json_corrupt_quarantine", "csv_roundtrip",
