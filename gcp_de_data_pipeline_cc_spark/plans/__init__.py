@@ -17,6 +17,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics3,
     corpus,
     corpus2,
+    corpus3,
     corpus_stats,
     curation,
     events,
@@ -32,6 +33,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext4,
     relational_ext5,
     relational_ext6,
+    relational_ext7,
     scale,
     stats,
     timeseries,

@@ -1,0 +1,203 @@
+"""Semantic tests for SQL-surface wave 7 (plans/relational_ext7.py):
+quantified-ALL rewrite equivalence, inline-VALUES tier accounting,
+shared-CTE physical reuse, and bag-semantics multiplicity laws.
+
+Value correctness is covered by the auto-parametrized differential
+suite; these pin the operator *properties* — the algebraic identities
+the rewrites must satisfy independent of the fixture's numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_quantified_all_equals_not_exists_formulation(spark):
+    """x > ALL S  ⟺  NOT EXISTS (s ∈ S: s >= x) when S is null-free —
+    cross-check the max-aggregate rewrite against the independent
+    anti-join formulation, including the vacuous-ALL (empty S) leg."""
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    blockers = cust.alias("c").join(
+        supp.alias("s"),
+        (F.col("s.s_nationkey") == F.col("c.c_nationkey"))
+        & (F.col("s.s_acctbal") >= F.col("c.c_acctbal")),
+        "left_semi",
+    )
+    expected = {
+        (r.nationkey, r.n)
+        for r in cust.join(blockers.select("c_custkey"), "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.nationkey, r.n_dominant_customers)
+        for r in REGISTRY["sql_quantified_all"].spark(spark, SF_DIR).collect()
+    }
+    assert got == expected and got
+
+
+def test_quantified_all_vacuous_truth_on_empty_set(spark):
+    """A correlation key with an EMPTY subquery set satisfies ALL
+    vacuously — every customer of a supplier-less nation must count."""
+    cust = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 1.0), (3, 99, -100.0)],
+        "c_custkey INT, c_nationkey INT, c_acctbal DOUBLE",
+    )
+    supp = spark.createDataFrame(
+        [(1, 10, 3.0)], "s_suppkey INT, s_nationkey INT, s_acctbal DOUBLE"
+    )
+    per_nation = supp.groupBy("s_nationkey").agg(
+        F.max("s_acctbal").alias("max_bal"), F.count("*").alias("n_sup")
+    )
+    out = {
+        (r.c_nationkey, r.n)
+        for r in cust.join(
+            per_nation, cust.c_nationkey == per_nation.s_nationkey, "left"
+        )
+        .filter(F.col("n_sup").isNull() | (F.col("c_acctbal") > F.col("max_bal")))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # nation 10: only the 5.0 customer beats max(3.0); nation 99: no
+    # suppliers at all -> its (negative-balance!) customer still counts
+    assert out == {(10, 1), (99, 1)}
+
+
+def test_values_inline_tiers_partition_the_orders(spark):
+    rows = REGISTRY["sql_values_inline"].spark(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.n_orders for r in rows) == orders.count()
+    by_tier = {r.tier_name: r for r in rows}
+    # average order price must sit inside each tier's band
+    bands = {
+        "micro": (0, 50_000),
+        "small": (50_000, 150_000),
+        "mid": (150_000, 300_000),
+        "large": (300_000, float("inf")),
+    }
+    for name, (lo, hi) in bands.items():
+        if name in by_tier:
+            avg = by_tier[name].revenue / by_tier[name].n_orders
+            assert lo <= avg < hi, name
+
+
+def test_cte_reuse_scans_orders_once(spark):
+    """The shared CTE must not re-run the fact-side aggregate: exactly
+    one orders scan in the physical plan, with the second CTE consumer
+    fed by exchange reuse."""
+    # AQE defers exchange reuse to runtime re-planning, so inspect the
+    # statically-planned tree where ReuseExchange applies at planning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["sql_cte_reuse"].spark(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "ReusedExchange" in plan
+
+
+def test_vocab_coverage_bounds_and_head_membership(spark):
+    """OOV accounting laws: 0 <= n_oov <= n_tokens, rate consistent,
+    and the corpus's single most frequent token is always in-vocab, so
+    no document consisting of head tokens may score OOV > 0."""
+    rows = REGISTRY["vocab_coverage"].spark(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - round(r.n_oov / r.n_tokens, 4)) < 2e-4
+    # VOCAB_K < corpus vocabulary (pinned below) -> OOV must exist
+    assert any(r.n_oov > 0 for r in rows)
+    from gcp_de_data_pipeline_cc_spark.plans.corpus3 import VOCAB_K
+
+    n_vocab = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    assert VOCAB_K < n_vocab, "coverage audit must be non-vacuous at test scale"
+
+
+def test_dedup_prefix_group_invariants(spark):
+    rows = REGISTRY["dedup_prefix"].spark(spark, SF_DIR).collect()
+    assert rows, "fixture corpus contains exact/near dups by design"
+    by_keeper = {}
+    for r in rows:
+        assert r.group_size >= 2
+        assert r.keeper_doc_id <= r.doc_id or not r.is_keeper
+        assert r.is_keeper == (r.doc_id == r.keeper_doc_id)
+        by_keeper.setdefault(r.keeper_doc_id, []).append(r)
+    for keeper, members in by_keeper.items():
+        assert sum(1 for m in members if m.is_keeper) == 1
+        assert len(members) == members[0].group_size
+
+
+def test_corpus_zipf_profile_shape(spark):
+    from gcp_de_data_pipeline_cc_spark.plans.corpus3 import ZIPF_K
+
+    r = REGISTRY["corpus_zipf"].spark(spark, SF_DIR).first()
+    assert r.zipf_slope < 0  # frequency falls with rank, always
+    assert 0.0 <= r.fit_r2 <= 1.0
+    assert r.n_fitted == min(ZIPF_K, r.vocab_size)
+    assert ZIPF_K < r.vocab_size, "the top-K cut must be real at test scale"
+
+
+def test_zipf_topk_cut_avoids_global_sort(spark):
+    """The rank window must run over the top-K cut, not the vocabulary:
+    TakeOrderedAndProject appears below the window in the plan."""
+    df = REGISTRY["corpus_zipf"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bag_ops_multiplicity_laws(spark):
+    """INTERSECT ALL keeps min(n1,n2) copies per value; EXCEPT ALL keeps
+    max(n1-n2, 0) — check the laws per key against branch counts."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    def year_counts(y):
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (
+                    F.col("o_orderdate")
+                    < F.lit(f"{y + 1}-01-01").cast("timestamp")
+                )
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    n94 = {r.o_custkey: r.n for r in year_counts(1996)}
+    n95 = {r.o_custkey: r.n for r in year_counts(1997)}
+
+    inter = REGISTRY["set_intersect_all"].spark(spark, SF_DIR).collect()
+    got_i = {}
+    for r in inter:
+        got_i[r.o_custkey] = got_i.get(r.o_custkey, 0) + 1
+    want_i = {
+        k: min(n94[k], n95[k]) for k in n94 if k in n95 and min(n94[k], n95[k])
+    }
+    assert got_i == want_i
+
+    exc = REGISTRY["set_except_all"].spark(spark, SF_DIR).collect()
+    got_e = {}
+    for r in exc:
+        got_e[r.o_custkey] = got_e.get(r.o_custkey, 0) + 1
+    want_e = {
+        k: n94[k] - n95.get(k, 0) for k in n94 if n94[k] - n95.get(k, 0) > 0
+    }
+    assert got_e == want_e
