@@ -119,3 +119,122 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.select("node", roundn(F.col("rank"), 6).alias("rank"))
+
+
+_TRI_K = 8  # kNN backbone: strongest partners kept per node
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH pl AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pl a JOIN pl b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2),
+    d AS (
+        SELECT sa AS u, sb AS v, w FROM e
+        UNION ALL SELECT sb, sa, w FROM e),
+    r AS (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v ASC)
+                   AS rn
+        FROM d),
+    bb AS (
+        SELECT DISTINCT LEAST(u, v) AS sa, GREATEST(u, v) AS sb
+        FROM r WHERE rn <= {_TRI_K}),
+    tri AS (
+        SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+        FROM bb e1
+        JOIN bb e2 ON e1.sb = e2.sa
+        JOIN bb e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),
+    nodes AS (
+        SELECT a AS suppkey FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+    SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY 1 ORDER BY suppkey
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-shipment kNN backbone:
+    suppliers are linked when they ship lineitems in the same order;
+    each node keeps its K=8 strongest partners (weight DESC, partner
+    ASC tie-break — deterministic), an edge survives if EITHER endpoint
+    selected it, and each node's triangle participation on that backbone
+    is counted. Triangle density is the clustering / community-cohesion
+    primitive beside graph_pagerank's centrality.
+
+    Why kNN, not a weight-quantile cut: co-occurrence graphs saturate —
+    a quantile keeps a constant FRACTION of a quadratic edge set, so
+    the backbone (and its triangle count) still grows quadratically
+    with nodes (measured here: P80 left 109k edges / 1.8M triangles at
+    sf0.1). The top-K backbone is ≤ K·n edges — LINEAR in nodes at
+    every scale — and wedge fan-out is bounded by K², which is what
+    makes triangle enumeration viable on a dense 100 TB graph at all.
+
+    100 TB: the pair build is a per-order self-join (bounded by the
+    order's line width, ≤ C(8,2) pairs — never all-pairs); the top-K
+    cut is a WindowGroupLimit-pruned rank per node; the enumeration
+    joins broadcast the K·n backbone so the wedge set is probed
+    map-side; orientation sa<sb yields each triangle exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    d = e.select(
+        F.col("sa").alias("u"), F.col("sb").alias("v"), "w"
+    ).unionAll(e.select(F.col("sb").alias("u"), F.col("sa").alias("v"), "w"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    )
+    bb = (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= _TRI_K)
+        .select(
+            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
+        )
+        .distinct()
+    )
+    # the kNN backbone is <= K*n rows by construction — broadcast it for
+    # both enumeration joins so the wedge set is probed map-side instead
+    # of shuffle-sorted
+    e1, e2, e3 = bb.alias("e1"), bb.alias("e2"), bb.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e1.sb") == F.col("e2.sa"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.sa") == F.col("e1.sa"))
+            & (F.col("e3.sb") == F.col("e2.sb")),
+        )
+        .select(
+            F.col("e1.sa").alias("a"),
+            F.col("e1.sb").alias("b"),
+            F.col("e2.sb").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("suppkey"))
+        .unionAll(tri.select(F.col("b").alias("suppkey")))
+        .unionAll(tri.select(F.col("c").alias("suppkey")))
+    )
+    return (
+        nodes.groupBy("suppkey")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("suppkey")
+    )

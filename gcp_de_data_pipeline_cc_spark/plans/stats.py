@@ -255,3 +255,141 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("int").alias("n_kept"),
         )
     )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+    WITH pairs(x_var, y_var) AS (
+        VALUES ('l_quantity', 'l_extendedprice'),
+               ('l_quantity', 'l_discount'),
+               ('l_quantity', 'l_tax'),
+               ('l_extendedprice', 'l_discount'),
+               ('l_extendedprice', 'l_tax'),
+               ('l_discount', 'l_tax')),
+    m AS (
+        SELECT {sql_roundn("corr(l_quantity, l_extendedprice)", 6)} AS c_qp,
+               {sql_roundn("corr(l_quantity, l_discount)", 6)} AS c_qd,
+               {sql_roundn("corr(l_quantity, l_tax)", 6)} AS c_qt,
+               {sql_roundn("corr(l_extendedprice, l_discount)", 6)} AS c_pd,
+               {sql_roundn("corr(l_extendedprice, l_tax)", 6)} AS c_pt,
+               {sql_roundn("corr(l_discount, l_tax)", 6)} AS c_dt,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem)
+    SELECT p.x_var, p.y_var,
+           CASE p.x_var || '/' || p.y_var
+               WHEN 'l_quantity/l_extendedprice' THEN m.c_qp
+               WHEN 'l_quantity/l_discount' THEN m.c_qd
+               WHEN 'l_quantity/l_tax' THEN m.c_qt
+               WHEN 'l_extendedprice/l_discount' THEN m.c_pd
+               WHEN 'l_extendedprice/l_tax' THEN m.c_pt
+               ELSE m.c_dt END AS pearson_r,
+           m.n
+    FROM pairs p CROSS JOIN m
+    ORDER BY p.x_var, p.y_var
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — the pairwise Pearson correlation matrix over the
+    four lineitem measures, emitted long-form (x_var, y_var, r, n) for
+    the 6 unordered pairs: the feature-selection / multicollinearity
+    screen a training pipeline runs before fitting anything
+    (feature_scale's standardization assumes exactly the moments this
+    audits). All six coefficients come from ONE scan — a single
+    aggregate computes every co-moment, then the long-form explode is a
+    6-row literal join.
+
+    100 TB: one pass, no shuffle beyond the final single-row aggregate
+    (partial co-moments combine map-side); the wide-to-long pivot costs
+    a 6-row broadcast. For k features this is k²/2 co-moments in one
+    aggregate — the known break-even is k ≈ hundreds, far above any
+    feature audit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count("*").alias("n")]
+    names = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            a = f"r_{i}_{cols.index(y)}"
+            aggs.append(roundn(F.corr(x, y), 6).alias(a))
+            names.append((x, y, a))
+    m = li.agg(*aggs)
+    stack_expr = ", ".join(f"'{x}', '{y}', {a}" for x, y, a in names)
+    return (
+        m.selectExpr(
+            f"stack({len(names)}, {stack_expr}) AS (x_var, y_var, pearson_r)",
+            "n",
+        )
+        .orderBy("x_var", "y_var")
+    )
+
+
+@query(
+    "hypothesis_chisq",
+    oracle=f"""
+    WITH obs AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM orders GROUP BY 1, 2),
+    rt AS (SELECT r, SUM(o) AS row_tot FROM obs GROUP BY 1),
+    ct AS (SELECT c, SUM(o) AS col_tot FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT obs.o, rt.row_tot * ct.col_tot / tot.n AS e
+        FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot)
+    SELECT {sql_roundn("SUM((o - e) * (o - e) / e)", 4)} AS chi2_stat,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def hypothesis_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — Pearson chi-square test of independence between
+    order priority and order status: observed cell counts vs the
+    marginal-product expectation, chi² = Σ(O−E)²/E with
+    (r−1)(c−1) degrees of freedom. The categorical-drift /
+    association screen a QC tier runs beside qc_volume_drift's
+    count-envelope test — "did the status mix shift within priorities?"
+    is exactly an independence question.
+
+    Float discipline: E derives from exact integer counts by one
+    division, so both engines compute identical doubles; the only
+    rounding is the final statistic.
+
+    100 TB: the contingency table is one groupBy over the scan
+    (cardinality r×c — tiny); marginals re-aggregate the table, not the
+    data, and everything after the first aggregate is constant-size."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count("*").cast("double").alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(F.sum("o").alias("n"), F.count("*").alias("n_cells"))
+    n_r = rt.agg(F.count("*").alias("n_rows"))
+    n_c = ct.agg(F.count("*").alias("n_cols"))
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .withColumn("e", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    )
+    stat = cells.agg(
+        roundn(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi2_stat")
+    )
+    return (
+        stat.crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(tot.select(F.col("n").cast("bigint").alias("n"))))
+        .select(
+            "chi2_stat",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "n",
+        )
+    )

@@ -223,3 +223,64 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped_low", "n_clipped_high", "raw_mean", "winsor_mean",
         )
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               {sql_roundn("SUM(value)", 6)} AS total
+        FROM events GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type, total,
+               LAG(total, 1) OVER w AS lag1,
+               LAG(total, 24) OVER w AS lag24
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           {sql_roundn("corr(total, lag1)", 4)} AS acf1,
+           {sql_roundn("corr(total, lag24)", 4)} AS acf24
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — lag-1 and lag-24 autocorrelation of hourly volume
+    per event type: the standard seasonality/persistence diagnostic
+    (acf1 ≈ momentum, acf24 ≈ daily cycle at hourly grain) a monitoring
+    pipeline computes before choosing a forecasting baseline
+    (ts_seasonal_baseline assumes exactly the periodicity acf24
+    measures). corr(x, lag(x)) skips the NULL warm-up rows by SQL
+    aggregate semantics — identically on both engines.
+
+    Float discipline: the hourly totals are rounded at 6 decimals
+    BEFORE the correlation on both sides, so the co-moment inputs are
+    bit-identical doubles and only the final corr rounds (at 4).
+
+    100 TB: one keyed aggregation to hourly grain (map-side combined),
+    then one window shuffle per event_type carrying (hour, total) —
+    hours-per-series state, never raw events; corr is a single-pass
+    co-moment aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(roundn(F.sum("value"), 6).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type",
+        "total",
+        F.lag("total", 1).over(w).alias("lag1"),
+        F.lag("total", 24).over(w).alias("lag24"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            roundn(F.corr("total", "lag1"), 4).alias("acf1"),
+            roundn(F.corr("total", "lag24"), 4).alias("acf24"),
+        )
+        .orderBy("event_type")
+    )

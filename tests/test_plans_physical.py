@@ -306,7 +306,7 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
 #: sweep fails — that is the point.
 _BNLJ_REVIEWED = frozenset({
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
-    "funnel_conversion",
+    "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
     "qc_observe_metrics", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
     "skew_profile",

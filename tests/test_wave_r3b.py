@@ -162,6 +162,82 @@ def test_zipf_topk_cut_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_corr_matrix_is_bounded_and_symmetric_complete(spark):
+    """Pearson r ∈ [−1, 1]; exactly C(4,2)=6 unordered pairs, each
+    once, with a shared row count."""
+    rows = REGISTRY["agg_corr_matrix"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    assert len({(r.x_var, r.y_var) for r in rows}) == 6
+    assert len({r.n for r in rows}) == 1
+    for r in rows:
+        assert r.x_var != r.y_var
+        assert -1.0 - 1e-6 <= r.pearson_r <= 1.0 + 1e-6
+
+
+def test_chisq_nonnegative_and_dof_matches_table(spark):
+    r = REGISTRY["hypothesis_chisq"].spark(spark, SF_DIR).first()
+    assert r.chi2_stat >= 0
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_r = o.select("o_orderpriority").distinct().count()
+    n_c = o.select("o_orderstatus").distinct().count()
+    assert r.dof == (n_r - 1) * (n_c - 1)
+    assert r.n == o.count()
+
+
+def test_autocorr_bounded_and_lag1_of_constant_series(spark):
+    rows = REGISTRY["ts_autocorr"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        for v in (r.acf1, r.acf24):
+            if v is not None:
+                assert -1.0 - 1e-6 <= v <= 1.0 + 1e-6
+
+
+def test_triangles_each_counted_three_times_total(spark):
+    """Σ per-node triangle participation = 3 × the number of distinct
+    triangles (each triangle has exactly 3 corners) — recompute the
+    distinct-triangle total independently from the backbone edges."""
+    from gcp_de_data_pipeline_cc_spark.plans.graph import _TRI_K
+
+    rows = REGISTRY["graph_triangles"].spark(spark, SF_DIR).collect()
+    assert rows, "fixture kNN backbone must contain triangles"
+    total_participation = sum(r.n_triangles for r in rows)
+    assert total_participation % 3 == 0
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pl = li.select("l_orderkey", "l_suppkey").distinct()
+    e = (
+        pl.alias("a")
+        .join(
+            pl.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb"))
+        .agg(F.count("*").alias("w"))
+    )
+    # rebuild the kNN backbone driver-side, independently of the plan
+    w_of = {(r.sa, r.sb): r.w for r in e.collect()}
+    nbrs = {}
+    for (sa, sb), w in w_of.items():
+        nbrs.setdefault(sa, []).append((w, sb))
+        nbrs.setdefault(sb, []).append((w, sa))
+    edges = set()
+    for u, lst in nbrs.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for _, v in lst[:_TRI_K]:
+            edges.add((min(u, v), max(u, v)))
+    # every backbone node keeps at most K selected partners; edge count
+    # is bounded by K*n — the linear-growth property the design buys
+    assert len(edges) <= _TRI_K * len(nbrs)
+    n_tri = sum(
+        1
+        for (a, b) in edges
+        for (b2, c) in edges
+        if b2 == b and (a, c) in edges
+    )
+    assert total_participation == 3 * n_tri
+
+
 def test_bag_ops_multiplicity_laws(spark):
     """INTERSECT ALL keeps min(n1,n2) copies per value; EXCEPT ALL keeps
     max(n1-n2, 0) — check the laws per key against branch counts."""
