@@ -144,6 +144,14 @@ _COMPONENT_FIRST = (
     "ts_ewma", "anomaly_mad", "feature_winsorize",
     "sql_distinct_on", "fn_format", "sql_correlated_scalar",
     "stream_foreachbatch_upsert",
+    # round-3 SQL-surface wave 7 + corpus wave 3 + analytics wave
+    "sql_quantified_all", "sql_values_inline", "sql_cte_reuse",
+    "set_intersect_all", "set_except_all",
+    "vocab_coverage", "dedup_prefix", "corpus_zipf",
+    "graph_triangles", "agg_corr_matrix", "hypothesis_chisq",
+    "ts_autocorr",
+    "sql_exists_subquery", "sql_qualify", "sql_window_clause",
+    "agg_moments", "embedding_quantize",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

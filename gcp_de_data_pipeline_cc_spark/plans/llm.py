@@ -976,3 +976,87 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kw_rank") <= 3)
         .select("doc_id", "kw_rank", "token", "tfidf")
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0e0 AS scale
+        FROM embeddings),
+    err AS (
+        SELECT e.vec_id, q.n_dims, q.scale,
+               list_transform(e.embedding,
+                   x -> abs(CAST(x AS DOUBLE)
+                        - FLOOR(CAST(x AS DOUBLE) / q.scale + 0.5e0)
+                          * q.scale)) AS errs
+        FROM embeddings e JOIN q USING (vec_id)
+        WHERE q.scale > 0)
+    SELECT vec_id, n_dims,
+           {sql_roundn("scale", 8)} AS scale,
+           {sql_roundn("list_max(errs)", 8)} AS max_abs_err,
+           {sql_roundn(
+               "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+               "list_transform(errs, x -> x * x)), (acc, x) -> acc + x)"
+               " / n_dims", 10)} AS mse
+    FROM err ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-extension — symmetric int8 quantization audit: per vector,
+    scale = max|x|/127, q_i = half-up(x_i/scale), and the
+    reconstruction-error profile (max absolute error, MSE) of
+    dequantizing q_i·scale. The standing pre-flight check before
+    shipping an embedding corpus to an int8 ANN index (4× smaller,
+    ~GEMM-rate scoring) — vectors whose error profile is an outlier
+    (one dominant coordinate blows up everyone else's step size) need
+    per-block scales instead.
+
+    Float discipline: float32 inputs widen to identical doubles on both
+    engines; quantize uses the catalog's floor(x+0.5) half-up (NOT
+    banker's round — engines disagree on .5 ties); the MSE sum is a
+    LEFT FOLD on both sides (F.aggregate / list_reduce), so the
+    summation order — and therefore the bits — match by construction.
+
+    100 TB: pure per-row array arithmetic in whole-stage codegen — no
+    shuffle, no UDF; the 64-dim fold is ~200 flops/row. The int8
+    payload itself (transform to TINYINT array) is elided from the
+    registered output because the driver compares scalars; the
+    library-facing variant is the same expression minus the error
+    stats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, F.abs)) / F.lit(127.0)
+    q = emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        scale.alias("scale"),
+        xd.alias("xd"),
+    ).filter(F.col("scale") > 0)
+    errs = F.transform(
+        F.col("xd"),
+        lambda x: F.abs(
+            x - F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+        ),
+    )
+    return (
+        q.select(
+            "vec_id",
+            "n_dims",
+            roundn(F.col("scale"), 8).alias("scale"),
+            roundn(F.array_max(errs), 8).alias("max_abs_err"),
+            roundn(
+                F.aggregate(
+                    F.transform(errs, lambda e: e * e),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e,
+                )
+                / F.col("n_dims"),
+                10,
+            ).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )

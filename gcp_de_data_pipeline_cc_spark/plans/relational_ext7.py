@@ -273,3 +273,141 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("o_custkey")
 
     return year(1996).exceptAll(year(1997))
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderstatus = 'F')
+    ORDER BY c.c_custkey
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ``EXISTS`` / ``NOT EXISTS`` in one predicate —
+    customers with at least one urgent order and no failed order,
+    written as SQL subqueries (the declarative spelling of
+    join_semi + join_anti; TPC-H Q4/Q21/Q22 use the same shape).
+    Registered at the SQL surface so the Catalyst de-correlation
+    (EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both null-safe here) is
+    exercised from the dialect side, not just the DataFrame API.
+
+    100 TB: both subqueries de-correlate to hash joins on o_custkey with
+    the priority/status filters pushed to the orders scan; no per-row
+    subquery execution survives the optimizer."""
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(
+            f"exists_{name}"
+        )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey
+        FROM exists_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM exists_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (
+            SELECT 1 FROM exists_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F')
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@query(
+    "sql_qualify",
+    oracle="""
+    SELECT event_type, event_id, user_id, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY value DESC, event_id ASC) <= 3
+    ORDER BY event_type, value DESC, event_id
+    """,
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect mapping — Snowflake/DuckDB ``QUALIFY`` (filter on a
+    window function without a subquery) has no Spark SQL spelling; the
+    registered plan is the canonical rewrite — project the window,
+    filter, drop the helper column — while the oracle runs the real
+    QUALIFY clause, so the porting rule is checked, not assumed. The
+    sibling of sql_distinct_on (top-1) generalized to top-N per key.
+
+    100 TB: one window shuffle on event_type; Spark collapses the
+    rank-then-filter into WindowGroupLimit, retaining only 3 rows per
+    key during the shuffle — the rewrite is cheaper than it reads."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "user_id", "value")
+        .orderBy("event_type", F.desc("value"), "event_id")
+    )
+
+
+@query(
+    "sql_window_clause",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far,
+           CAST(MAX(cents) OVER w AS BIGINT) AS max_cents_so_far
+    FROM (SELECT user_id, event_id, ts,
+                 CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ``WINDOW`` clause — one window specification shared by
+    three frame aggregates (running total, running count, running max
+    per user), the SQL:2003 surface that keeps N window functions from
+    re-declaring — and more importantly re-shuffling — the same
+    partitioning. Spark SQL supports the clause natively; registered to
+    pin that all three functions land in ONE Window physical node.
+
+    Float discipline: the running SUM is computed in integer cents
+    (deterministic half-up at ingest), because windowed double summation
+    is association-order-dependent across engines (DuckDB segment-trees
+    large frames); integer arithmetic is exact in any order.
+
+    100 TB: one window shuffle on user_id carrying (ts, event_id,
+    cents); all three aggregates stream over the sorted run with O(1)
+    state each."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).createOrReplaceTempView("winclause_events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               SUM(cents) OVER w AS cum_cents,
+               COUNT(*) OVER w AS n_so_far,
+               MAX(cents) OVER w AS max_cents_so_far
+        FROM winclause_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+        """
+    )

@@ -393,3 +393,81 @@ def hypothesis_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_moments",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS s1,
+               SUM(value * value) AS s2,
+               SUM(value * value * value) AS s3,
+               SUM(value * value * value * value) AS s4
+        FROM events GROUP BY 1),
+    m AS (
+        SELECT event_type, n,
+               s1 / n AS mu,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0e0 * (s1 / n) * (s2 / n)
+                   + 2.0e0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0e0 * (s1 / n) * (s3 / n)
+                   + 6.0e0 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3.0e0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+                   AS m4
+        FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {sql_roundn("mu", 4)} AS mean,
+           {sql_roundn("m3 / POW(m2, 1.5e0)", 4)} AS skewness_g1,
+           {sql_roundn("m4 / (m2 * m2) - 3.0e0", 4)} AS kurtosis_excess
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — population skewness g1 = m3/m2^1.5 and excess
+    kurtosis g2 = m4/m2² − 3 per event type, computed from raw power
+    sums (Σx..Σx⁴) with the SAME central-moment expansion on both
+    engines. Deliberately NOT the built-in skewness()/kurtosis():
+    Spark's are population moments while DuckDB's are bias-corrected
+    sample statistics — silently different numbers — so the catalog
+    derives both from explicit sums, which also documents the
+    one-pass mergeable-state formulation (5 numbers per group).
+
+    100 TB: a single map-side-combinable aggregate; the moment algebra
+    happens on the r-row group table. The known caveat of the power-sum
+    route — catastrophic cancellation when |mu| >> sigma — doesn't bite
+    this value distribution and is the documented trade against a
+    second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("n")
+        - F.lit(3.0) * mu * (F.col("s2") / F.col("n"))
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - F.lit(4.0) * mu * (F.col("s3") / F.col("n"))
+        + F.lit(6.0) * mu * mu * (F.col("s2") / F.col("n"))
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return (
+        s.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            roundn(mu, 4).alias("mean"),
+            roundn(m3 / F.pow(m2, F.lit(1.5)), 4).alias("skewness_g1"),
+            roundn(m4 / (m2 * m2) - F.lit(3.0), 4).alias("kurtosis_excess"),
+        )
+        .orderBy("event_type")
+    )

@@ -238,6 +238,69 @@ def test_triangles_each_counted_three_times_total(spark):
     assert total_participation == 3 * n_tri
 
 
+def test_exists_subquery_decorrelates_to_semi_and_anti(spark):
+    df = REGISTRY["sql_exists_subquery"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_qualify_rewrite_topn_and_group_limit(spark):
+    rows = REGISTRY["sql_qualify"].spark(spark, SF_DIR).collect()
+    per_type = {}
+    for r in rows:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + 1
+    assert per_type and all(v <= 3 for v in per_type.values())
+    df = REGISTRY["sql_qualify"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_window_clause_shares_one_window_node(spark):
+    """Three OVER w aggregates on one named window must land in a
+    single Window physical node (one shuffle, one sort)."""
+    df = REGISTRY["sql_window_clause"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    headers = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(headers) == 1, plan
+
+
+def test_moments_match_sparks_population_builtins(spark):
+    """The power-sum formulation must agree with Spark's own population
+    skewness()/kurtosis() — an independent second implementation."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    builtin = {
+        r.event_type: (r.sk, r.ku)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.skewness("value").alias("sk"), F.kurtosis("value").alias("ku")
+        )
+        .collect()
+    }
+    for r in REGISTRY["agg_moments"].spark(spark, SF_DIR).collect():
+        sk, ku = builtin[r.event_type]
+        assert abs(r.skewness_g1 - sk) < 1e-3
+        assert abs(r.kurtosis_excess - ku) < 1e-3
+
+
+def test_quantize_error_obeys_half_step_bound(spark):
+    """Symmetric int8 half-up quantization can never err more than half
+    a step: max_abs_err <= scale/2, and mse <= (scale/2)^2."""
+    rows = REGISTRY["embedding_quantize"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        half = r.scale / 2
+        assert r.max_abs_err <= half + 1e-8
+        assert 0 <= r.mse <= half * half + 1e-8
+
+
 def test_bag_ops_multiplicity_laws(spark):
     """INTERSECT ALL keeps min(n1,n2) copies per value; EXCEPT ALL keeps
     max(n1-n2, 0) — check the laws per key against branch counts."""
