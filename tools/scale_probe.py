@@ -1,0 +1,145 @@
+"""Measured scaling curves for the load-bearing operator families.
+
+SCALE.md argues the designs hold at 100 TB; this probe MEASURES the
+local scaling exponent: each family runs on 1x / 2x / 4x / 8x replicas
+of the sf0.1 tables (keys offset per replica so cardinalities scale too)
+and reports wall seconds. A design with the claimed plan shape shows
+near-linear growth (fixed session overhead makes small scales sub-
+linear); anything super-linear is a red flag the analytical argument
+missed.
+
+Replicas are materialized to a scratch parquet dir first so every
+timing measures the operator over a real scan, not an in-memory union.
+
+Usage: python tools/scale_probe.py [--max-mult 8]
+Writes scale_probe.json at the repo root and prints one line per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/spark_graft_scale_probe"
+
+# key columns whose value-space must grow with the replica factor so
+# group/join cardinalities scale instead of just duplicating rows
+_OFFSETS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+}
+
+
+def materialize(spark, table: str, mult: int) -> str:
+    path = f"{SCRATCH}/{table}_x{mult}"
+    if os.path.exists(path):
+        return path
+    base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+    parts = []
+    for i in range(mult):
+        rep = base
+        for col, span in _OFFSETS.get(table, {}).items():
+            rep = rep.withColumn(col, F.col(col) + F.lit(i * span))
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def probe_agg(spark, mult: int) -> float:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partials."""
+    li = spark.read.parquet(materialize(spark, "lineitem", mult))
+    t0 = time.time()
+    (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    return time.time() - t0
+
+
+def probe_join(spark, mult: int) -> float:
+    """Fact-fact sort-merge join: orders x lineitem on the offset key."""
+    li = spark.read.parquet(materialize(spark, "lineitem", mult))
+    o = spark.read.parquet(materialize(spark, "orders", mult))
+    t0 = time.time()
+    (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("rev"))
+        .collect()
+    )
+    return time.time() - t0
+
+
+def probe_minhash(spark, mult: int) -> float:
+    """MinHash near-dup: signature build + banded bucket join + verify."""
+    from gcp_de_data_pipeline_cc_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(materialize(spark, "documents", mult))
+    t0 = time.time()
+    minhash_lsh_pairs(docs, id_col="doc_id", text_col="text").count()
+    return time.time() - t0
+
+
+PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
+          "dedup_minhash": probe_minhash}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-mult", type=int, default=8)
+    args = ap.parse_args()
+    mults = [m for m in (1, 2, 4, 8) if m <= args.max_mult]
+
+    # the default local-mode driver heap (~1g) rejects runtime-size
+    # broadcasts the optimizer legitimately picks at the x8 scale; a
+    # real cluster sizes the driver for its broadcast budget, so the
+    # probe does too (measured finding, recorded in SCALE.md)
+    spark = build_session(
+        app_name="scale-probe",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+        },
+    )
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in PROBES.items():
+        fn(spark, 1)  # warm: JIT, parquet footer caches, shuffle services
+        for m in mults:
+            sec = fn(spark, m)
+            results.setdefault(name, {})[f"x{m}"] = round(sec, 3)
+            print(f"{name} x{m}: {sec:.3f}s", flush=True)
+    spark.stop()
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+    for name, r in results.items():
+        if "x8" in r and "x1" in r:
+            r["x8_over_x1"] = round(r["x8"] / r["x1"], 2)
+    with open("scale_probe.json", "w") as f:
+        json.dump({"sf_base": SF_DIR, "results": results}, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
