@@ -152,6 +152,7 @@ _COMPONENT_FIRST = (
     "ts_autocorr",
     "sql_exists_subquery", "sql_qualify", "sql_window_clause",
     "agg_moments", "embedding_quantize",
+    "ts_twap", "dedup_sorted_neighborhood", "agg_weighted_median",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

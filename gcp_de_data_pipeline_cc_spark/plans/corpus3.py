@@ -230,3 +230,105 @@ def corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 corpus_zipf.__doc__ = corpus_zipf.__doc__.replace("{Z}", str(ZIPF_K))
+
+
+SNM_WINDOW = 3  # sorted-neighborhood slide width (compare next W-1 docs)
+SNM_THRESHOLD = 0.5  # token-set Jaccard at/above which a pair is emitted
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               array_to_string(
+                   list_slice(string_split(text, ' '), 1, 2), ' ') AS block,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents),
+    nbr AS (
+        SELECT doc_id AS doc_a, toks AS toks_a, block,
+               LEAD(doc_id, 1) OVER w AS doc_b1,
+               LEAD(toks, 1) OVER w AS toks_b1,
+               LEAD(doc_id, 2) OVER w AS doc_b2,
+               LEAD(toks, 2) OVER w AS toks_b2
+        FROM keyed
+        WINDOW w AS (PARTITION BY block ORDER BY n_chars, doc_id)),
+    pairs AS (
+        SELECT doc_a, doc_b1 AS doc_b, toks_a, toks_b1 AS toks_b
+        FROM nbr WHERE doc_b1 IS NOT NULL
+        UNION ALL
+        SELECT doc_a, doc_b2, toks_a, toks_b2
+        FROM nbr WHERE doc_b2 IS NOT NULL),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(length(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                   / (length(toks_a) + length(toks_b)
+                      - length(list_intersect(toks_a, toks_b))) AS jac
+        FROM pairs)
+    SELECT doc_a, doc_b, {sql_roundn("jac", 4)} AS jaccard
+    FROM scored WHERE jac >= {SNM_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup — the third near-dup family beside the
+    shingle join (content-bucketed) and MinHash/SimHash (signature-
+    bucketed): sort within a cheap blocking key (leading 2-token block,
+    then length), slide a width-{W} window, and score only adjacent
+    candidates with token-set Jaccard. SNM's bet is that near-dups sort
+    near each other — it catches the boilerplate-family pairs prefix
+    blocking finds, at linear candidate count (W−1 per doc), and is the
+    classic entity-resolution screen when LSH tuning is too heavy.
+
+    100 TB: no global sort — the sort lives INSIDE blocks (one window
+    shuffle on the blocking key), and candidates are (W−1)·n, not
+    Σ|block|²; the window carries distinct-token arrays, whose size is
+    bounded by the lexicon. Multi-pass SNM (second sort key, union of
+    pair sets) is the documented extension — same plan, different key."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("block"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    w = Window.partitionBy("block").orderBy("n_chars", "doc_id")
+    nbr = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        *[
+            c
+            for i in range(1, SNM_WINDOW)
+            for c in (
+                F.lead("doc_id", i).over(w).alias(f"doc_b{i}"),
+                F.lead("toks", i).over(w).alias(f"toks_b{i}"),
+            )
+        ],
+    )
+    pairs = None
+    for i in range(1, SNM_WINDOW):
+        p = nbr.filter(F.col(f"doc_b{i}").isNotNull()).select(
+            "doc_a",
+            F.col(f"doc_b{i}").alias("doc_b"),
+            "toks_a",
+            F.col(f"toks_b{i}").alias("toks_b"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (
+        F.size("toks_a") + F.size("toks_b")
+        - F.size(F.array_intersect("toks_a", "toks_b"))
+    )
+    scored = pairs.select(
+        "doc_a", "doc_b", (inter / union).alias("jac")
+    )
+    return (
+        scored.filter(F.col("jac") >= SNM_THRESHOLD)
+        .select("doc_a", "doc_b", roundn(F.col("jac"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+dedup_sorted_neighborhood.__doc__ = dedup_sorted_neighborhood.__doc__.replace(
+    "{W}", str(SNM_WINDOW)
+)

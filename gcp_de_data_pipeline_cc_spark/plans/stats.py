@@ -471,3 +471,80 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle=f"""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice,
+               CAST(FLOOR(l_quantity + 0.5e0) AS BIGINT) AS qty
+        FROM lineitem),
+    c AS (
+        SELECT l_returnflag, l_extendedprice, qty,
+               SUM(qty) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS cum,
+               SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
+        FROM (SELECT l_returnflag, l_extendedprice, l_orderkey,
+                     l_linenumber,
+                     CAST(FLOOR(l_quantity + 0.5e0) AS BIGINT) AS qty
+              FROM lineitem))
+    SELECT l_returnflag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           {sql_roundn("MIN(l_extendedprice)", 2)} AS weighted_median
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — weighted median: the price at which half the
+    QUANTITY (not half the rows) sits below, per return flag — the
+    right central tendency when rows carry different masses (volume-
+    weighted pricing, token-weighted doc stats). Neither engine ships a
+    weighted percentile, so both sides run the same cumulative-weight
+    formulation: order by value, running weight sum, first value whose
+    doubled cumulative weight reaches the total (lower weighted
+    median — deterministic for ties because tied values ARE the
+    answer, whatever the tie order).
+
+    Exactness: weights snap to integer units, the crossing test is
+    2·cum ≥ tot in integer space (no total/2 fraction), and the only
+    float is the final price projection.
+
+    100 TB: one window shuffle per group key for the running sum, then
+    a filter+min — same profile as any frame aggregate. For a
+    million-group workload the documented swap is two-pass binning
+    (approximate range, then exact within the crossing bin)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = base.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("qty").over(wc).alias("cum"),
+        F.sum("qty").over(wt).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("tot").cast("bigint").alias("total_weight"),
+            roundn(F.min("l_extendedprice"), 2).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -284,3 +284,76 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_twap",
+    oracle=f"""
+    WITH seg AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)
+                   - epoch_us(ts) AS w_us
+        FROM events),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               SUM(CAST(cents AS DECIMAL(38,0)) * CAST(w_us AS DECIMAL(38,0)))
+                   AS pw,
+               SUM(CAST(w_us AS DECIMAL(38,0))) AS w
+        FROM seg WHERE w_us IS NOT NULL
+        GROUP BY 1)
+    SELECT event_type, n_segments,
+           {sql_roundn("CAST(pw AS DOUBLE) / CAST(w AS DOUBLE) / 100.0e0", 4)}
+               AS twap
+    FROM s ORDER BY event_type
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — time-weighted average price/value per event type:
+    each observation is held until the next one (step interpolation),
+    so its weight is the microseconds until the successor; the last
+    observation of a series has no holding interval and drops out. THE
+    aggregation for irregularly-sampled series — a plain AVG
+    over-weights bursts, which is exactly when values are least
+    representative.
+
+    Exactness: value snaps to integer cents, holding times are exact
+    integer microseconds (unix_micros / epoch_us), and the weighted sum
+    accumulates cents×µs products in DECIMAL(38,0) — cent-scale values
+    over month-scale spans overflow int64 in the SUM, and double
+    accumulation is order-dependent; 38-digit decimal is exact in any
+    order on both engines. One division at the end, then the shared
+    rounding.
+
+    100 TB: one window shuffle per series for the LEAD (carrying
+    (ts, cents) only), then a map-side-combinable decimal aggregate —
+    the same cost profile as win_lag_lead plus a groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("w_us"),
+    ).filter(F.col("w_us").isNotNull())
+    s = seg.groupBy("event_type").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("w_us").cast("decimal(38,0)")
+        ).alias("pw"),
+        F.sum(F.col("w_us").cast("decimal(38,0)")).alias("w"),
+    )
+    return s.select(
+        "event_type",
+        "n_segments",
+        roundn(
+            F.col("pw").cast("double") / F.col("w").cast("double") / F.lit(100.0),
+            4,
+        ).alias("twap"),
+    ).orderBy("event_type")

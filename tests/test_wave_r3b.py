@@ -301,6 +301,66 @@ def test_quantize_error_obeys_half_step_bound(spark):
         assert 0 <= r.mse <= half * half + 1e-8
 
 
+def test_twap_segment_accounting_and_bounds(spark):
+    """n_segments = n_events − 1 per series (last point holds nothing),
+    and a weighted average of the cents grid stays within value bounds
+    (rounding slack: cents snap + final 1e-4)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    counts = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    rows = REGISTRY["ts_twap"].spark(spark, SF_DIR).collect()
+    assert {r.event_type for r in rows} == set(counts)
+    for r in rows:
+        assert r.n_segments == counts[r.event_type] - 1
+        lo, hi = bounds[r.event_type]
+        assert lo - 0.006 <= r.twap <= hi + 0.006
+
+
+def test_sorted_neighborhood_candidate_budget_and_threshold(spark):
+    from gcp_de_data_pipeline_cc_spark.plans.corpus3 import (
+        SNM_THRESHOLD,
+        SNM_WINDOW,
+    )
+
+    rows = REGISTRY["dedup_sorted_neighborhood"].spark(spark, SF_DIR).collect()
+    assert rows, "fixture near-dup families must surface SNM pairs"
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) <= (SNM_WINDOW - 1) * n_docs  # linear candidate law
+    for r in rows:
+        assert r.doc_a != r.doc_b
+        assert r.jaccard >= SNM_THRESHOLD - 1e-4
+
+
+def test_weighted_median_defining_property(spark):
+    """At least half the total weight sits at-or-below the weighted
+    median and at least half at-or-above — checked against raw data."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for r in REGISTRY["agg_weighted_median"].spark(spark, SF_DIR).collect():
+        grp = li.filter(F.col("l_returnflag") == r.l_returnflag)
+        tot = grp.agg(F.sum("l_quantity")).first()[0]
+        below = (
+            grp.filter(F.col("l_extendedprice") <= r.weighted_median)
+            .agg(F.sum("l_quantity"))
+            .first()[0]
+        )
+        above = (
+            grp.filter(F.col("l_extendedprice") >= r.weighted_median)
+            .agg(F.sum("l_quantity"))
+            .first()[0]
+        )
+        assert 2 * below >= tot - 1e-6
+        assert 2 * above >= tot - 1e-6
+        assert abs(r.total_weight - tot) < 1e-6
+
+
 def test_bag_ops_multiplicity_laws(spark):
     """INTERSECT ALL keeps min(n1,n2) copies per value; EXCEPT ALL keeps
     max(n1-n2, 0) — check the laws per key against branch counts."""
