@@ -153,6 +153,7 @@ _COMPONENT_FIRST = (
     "sql_exists_subquery", "sql_qualify", "sql_window_clause",
     "agg_moments", "embedding_quantize",
     "ts_twap", "dedup_sorted_neighborhood", "agg_weighted_median",
+    "agg_gini", "pareto_concentration",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

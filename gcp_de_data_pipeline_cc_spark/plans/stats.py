@@ -548,3 +548,174 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_gini",
+    oracle=f"""
+    WITH cust_rev AS (
+        SELECT n.n_regionkey AS regionkey, o.o_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT regionkey, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY regionkey ORDER BY cents, o_custkey
+               ) AS i,
+               COUNT(*) OVER (PARTITION BY regionkey) AS n,
+               SUM(cents) OVER (PARTITION BY regionkey) AS tot
+        FROM cust_rev)
+    SELECT regionkey,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           {sql_roundn(
+               "CAST(SUM((2 * i - n - 1) * cents) AS DOUBLE)"
+               " / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE))", 6)}
+               AS gini
+    FROM ranked
+    GROUP BY regionkey
+    ORDER BY regionkey
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — Gini coefficient of customer-revenue concentration
+    per region: G = Σᵢ(2i−n−1)xᵢ / (n·Σx) over ascending-ranked
+    per-customer revenue — the one-number inequality measure a
+    marketplace/risk pipeline tracks per segment (0 = uniform,
+    →1 = one-customer-is-the-book). Degenerate regions (all-equal
+    revenue) give exactly 0.
+
+    Exactness: revenue snaps to integer cents, ranks are integers with
+    a custkey tie-break, and the WHOLE numerator accumulates in int64
+    (max |2i−n−1|·cents ≈ 3·10⁴ × 5·10⁷ ≈ 10¹², × 3·10⁴ customers ≈
+    10¹⁶ < 2⁶³) — order-independent; one double division at the end.
+
+    100 TB: per-customer rollup is a keyed aggregate; the rank window
+    shuffles once per region partition carrying (cents) — for a
+    single-key hot region the documented swap is the binned
+    approximation (histogram Gini), same output contract."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cust_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("regionkey"), "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wp = Window.partitionBy("regionkey")
+    ranked = cust_rev.select(
+        "regionkey",
+        "cents",
+        F.row_number()
+        .over(wp.orderBy("cents", "o_custkey"))
+        .alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("tot"),
+    )
+    return (
+        ranked.groupBy("regionkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            roundn(
+                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+                .cast("double")
+                / (F.max("n").cast("double") * F.max("tot").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("regionkey")
+    )
+
+
+@query(
+    "pareto_concentration",
+    oracle=f"""
+    WITH cust_rev AS (
+        SELECT n.n_regionkey AS regionkey, o.o_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT regionkey, cents,
+               SUM(cents) OVER (
+                   PARTITION BY regionkey
+                   ORDER BY cents DESC, o_custkey ASC
+               ) AS cum,
+               COUNT(*) OVER (PARTITION BY regionkey) AS n,
+               SUM(cents) OVER (PARTITION BY regionkey) AS tot
+        FROM cust_rev)
+    SELECT regionkey,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS k80,
+           {sql_roundn("COUNT(*) * 1.0e0 / MAX(n)", 4)} AS top_share
+    FROM ranked
+    WHERE 5 * (cum - cents) < 4 * tot
+    GROUP BY regionkey
+    ORDER BY regionkey
+    """,
+)
+def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — Pareto/80-20 concentration: per region, the
+    smallest customer count whose combined revenue reaches 80% of the
+    total, and that count as a share of all customers (the "how few
+    customers are the business" answer behind agg_gini's coefficient).
+    A customer is in the top set while the revenue ABOVE them (cum
+    before their row) is still under the 80% line.
+
+    Exactness: integer cents; the crossing test 5·(cum−x) < 4·tot is
+    pure int64 (no 0.8·tot fraction); ranks break ties by custkey.
+
+    100 TB: same profile as agg_gini — one rollup, one window per
+    region; the descending running sum is the only stateful pass."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cust_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("regionkey"), "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wp = Window.partitionBy("regionkey")
+    ranked = cust_rev.select(
+        "regionkey",
+        "cents",
+        F.sum("cents")
+        .over(wp.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .alias("cum"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("tot"),
+    )
+    return (
+        ranked.filter(
+            5 * (F.col("cum") - F.col("cents")) < 4 * F.col("tot")
+        )
+        .groupBy("regionkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.count("*").alias("k80"),
+            roundn(F.count("*") / F.max("n"), 4).alias("top_share"),
+        )
+        .orderBy("regionkey")
+    )

@@ -361,6 +361,77 @@ def test_weighted_median_defining_property(spark):
         assert abs(r.total_weight - tot) < 1e-6
 
 
+def test_gini_bounds_and_degenerate_zero(spark):
+    """G ∈ [0, 1); an all-equal distribution scores exactly 0 under the
+    same formula (checked on a constant synthetic frame)."""
+    rows = REGISTRY["agg_gini"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+    vals = [(0, k, 100) for k in range(10)]
+    df = spark.createDataFrame(vals, "regionkey INT, o_custkey INT, cents LONG")
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("regionkey")
+    ranked = df.select(
+        "regionkey",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "o_custkey")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("tot"),
+    )
+    g = (
+        ranked.groupBy("regionkey")
+        .agg(
+            (
+                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+                .cast("double")
+                / (F.max("n").cast("double") * F.max("tot").cast("double"))
+            ).alias("gini")
+        )
+        .first()
+        .gini
+    )
+    assert g == 0.0
+
+
+def test_pareto_k80_is_minimal_crossing(spark):
+    """The reported k80 must be the MINIMAL prefix reaching 80% of
+    revenue: top-k80 >= 80% and top-(k80-1) < 80% — checked against a
+    driver-side recomputation in exact cents."""
+    li_free = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_DIR}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(f"{SF_DIR}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_regionkey").alias("rk"), "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("bigint")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    per_region = {}
+    for r in li_free:
+        per_region.setdefault(r.rk, []).append((r.cents, r.o_custkey))
+    for r in REGISTRY["pareto_concentration"].spark(spark, SF_DIR).collect():
+        revs = sorted(per_region[r.regionkey], key=lambda t: (-t[0], t[1]))
+        tot = sum(c for c, _ in revs)
+        cum_k = sum(c for c, _ in revs[: r.k80])
+        assert 5 * cum_k >= 4 * tot  # top-k80 reaches 80%
+        if r.k80 > 1:
+            cum_k1 = cum_k - revs[r.k80 - 1][0]
+            assert 5 * cum_k1 < 4 * tot  # k80 - 1 does not
+        assert r.n_customers == len(revs)
+
+
 def test_bag_ops_multiplicity_laws(spark):
     """INTERSECT ALL keeps min(n1,n2) copies per value; EXCEPT ALL keeps
     max(n1-n2, 0) — check the laws per key against branch counts."""
