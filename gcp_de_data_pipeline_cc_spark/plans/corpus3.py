@@ -332,3 +332,67 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_sorted_neighborhood.__doc__ = dedup_sorted_neighborhood.__doc__.replace(
     "{W}", str(SNM_WINDOW)
 )
+
+
+@query(
+    "text_ttr",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+        FROM tok GROUP BY 1),
+    hapax AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hapax
+        FROM (SELECT doc_id, token FROM tok
+              GROUP BY 1, 2 HAVING COUNT(*) = 1)
+        GROUP BY 1)
+    SELECT p.doc_id, p.n_tokens, p.n_types,
+           {sql_roundn("p.n_types * 1.0e0 / p.n_tokens", 4)} AS ttr,
+           COALESCE(h.n_hapax, 0) AS n_hapax,
+           {sql_roundn("COALESCE(h.n_hapax, 0) * 1.0e0 / p.n_types", 4)}
+               AS hapax_share
+    FROM per_doc p LEFT JOIN hapax h USING (doc_id)
+    """,
+)
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity audit: per-document type-token ratio
+    (distinct-token share — the standard vocabulary-richness measure)
+    and hapax profile (types used exactly once in the doc, and their
+    share of the doc's types). The curation signal orthogonal to
+    text_repetition: templated/boilerplate docs sit at LOW TTR with few
+    hapax, keyboard-mash/corrupted docs at TTR ≈ 1 — both tails are
+    filter candidates before tokenizer time.
+
+    100 TB: one explode→groupBy(doc_id, token) shuffle produces both
+    the type counts and the hapax flags (HAVING count=1 is a filter on
+    the same aggregate); the per-doc rollups re-aggregate doc-keyed
+    rows — no second pass over text. Bounded state: distinct-token
+    space per doc is lexicon-bounded.
+
+    Fixture note: the 31-token word-soup lexicon means long docs
+    saturate types at 31 and TTR falls with length — the audit's
+    discriminative regime is short docs, which is also where curation
+    uses it."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("token")
+    )
+    dt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per_doc = dt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        roundn(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+        "n_hapax",
+        roundn(F.col("n_hapax") / F.col("n_types"), 4).alias("hapax_share"),
+    )

@@ -357,3 +357,78 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("twap"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_theilsen",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+    slopes AS (
+        SELECT a.event_type,
+               (b.cents - a.cents) * 1.0e0 / (b.day - a.day) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {sql_roundn("quantile_cont(slope, 0.5) / 100.0e0", 4)}
+               AS theilsen_slope
+    FROM slopes
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — Theil–Sen robust trend: the median of all pairwise
+    slopes of the daily-volume series per event type, in value-units
+    per day. The robust complement to agg_regression's least squares —
+    up to ~29% of the days can be corrupted (outages, backfills,
+    spikes) before the estimate moves, where OLS bends for a single
+    wild day.
+
+    Exactness: day indices and daily cents are exact integers, each
+    pairwise slope is one identical double division, and the median
+    uses the established (n−1)·q percentile mapping
+    (win_median_smooth); one rounding at the end.
+
+    100 TB: the O(d²) pair build is per-series and bounded by the
+    window length (30 days → 435 pairs), never by event volume — the
+    heavy reduction is the daily rollup, a map-side-combinable
+    aggregate. For year-scale windows the documented swap is the
+    repeated-median or sampled-pairs variant, same output contract."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            * F.lit(1.0)
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            roundn(
+                F.expr("percentile(slope, 0.5d)") / F.lit(100.0), 4
+            ).alias("theilsen_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -432,6 +432,55 @@ def test_pareto_k80_is_minimal_crossing(spark):
         assert r.n_customers == len(revs)
 
 
+def test_theilsen_pair_count_and_robustness(spark):
+    """n_pairs = C(days, 2) per series; and the estimator's point: on a
+    clean linear series with ONE wild outlier day, the pairwise-slope
+    median stays at the true slope (OLS would not)."""
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")  # normalizes ts to micros
+    days = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct(
+                (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint")
+            ).alias("d")
+        )
+        .collect()
+    }
+    for r in REGISTRY["ts_theilsen"].spark(spark, SF_DIR).collect():
+        d = days[r.event_type]
+        assert r.n_pairs == d * (d - 1) // 2
+    # controlled robustness check: y = 5x, day 7 corrupted to 10_000
+    rows = [("s", float(d), 5.0 * d if d != 7 else 10_000.0) for d in range(20)]
+    df = spark.createDataFrame(rows, "k string, day double, y double")
+    a, b = df.alias("a"), df.alias("b")
+    med = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.day") < F.col("b.day")))
+        .select(
+            ((F.col("b.y") - F.col("a.y")) / (F.col("b.day") - F.col("a.day"))).alias(
+                "slope"
+            )
+        )
+        .agg(F.expr("percentile(slope, 0.5d)").alias("m"))
+        .first()
+        .m
+    )
+    assert abs(med - 5.0) < 0.5
+
+
+def test_ttr_accounting_identities(spark):
+    rows = REGISTRY["text_ttr"].spark(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 <= r.n_hapax <= r.n_types
+        assert 0.0 < r.ttr <= 1.0
+        assert abs(r.ttr - round(r.n_types / r.n_tokens, 4)) < 2e-4
+
+
 def test_bag_ops_multiplicity_laws(spark):
     """INTERSECT ALL keeps min(n1,n2) copies per value; EXCEPT ALL keeps
     max(n1-n2, 0) — check the laws per key against branch counts."""
