@@ -102,8 +102,44 @@ def probe_minhash(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def probe_skew_plain(spark, mult: int) -> float:
+    """Distinct-count over a 90%-one-key skewed grouping, plain form:
+    every distinct value of the hot key funnels through one reducer."""
+    li, key = _skewed(spark, mult)
+    t0 = time.time()
+    li.groupBy(key.alias("k")).agg(
+        F.countDistinct("l_partkey").alias("nd")
+    ).collect()
+    return time.time() - t0
+
+
+def probe_skew_salted(spark, mult: int) -> float:
+    """Same aggregation, two-stage salted (the agg_salted_distinct
+    pattern): salt derived from the distinct value, partial counts
+    disjoint, second stage sums — hot key spread over 16 reducers."""
+    li, key = _skewed(spark, mult)
+    t0 = time.time()
+    partial = li.groupBy(
+        key.alias("k"), F.pmod(F.col("l_partkey"), F.lit(16)).alias("_s")
+    ).agg(F.countDistinct("l_partkey").alias("p"))
+    partial.groupBy("k").agg(F.sum("p").alias("nd")).collect()
+    return time.time() - t0
+
+
+def _skewed(spark, mult: int):
+    """90% of rows share key 0; the rest spread over ~1000 keys —
+    deterministic (no rand), derived from the order key."""
+    li = spark.read.parquet(materialize(spark, "lineitem", mult))
+    key = F.when(F.col("l_orderkey") % 10 < 9, F.lit(0)).otherwise(
+        F.col("l_orderkey") % 1000
+    )
+    return li, key
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
-          "dedup_minhash": probe_minhash}
+          "dedup_minhash": probe_minhash,
+          "skew_distinct_plain": probe_skew_plain,
+          "skew_distinct_salted": probe_skew_salted}
 
 
 def main() -> None:
