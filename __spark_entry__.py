@@ -154,7 +154,7 @@ _COMPONENT_FIRST = (
     "agg_moments", "embedding_quantize",
     "ts_twap", "dedup_sorted_neighborhood", "agg_weighted_median",
     "agg_gini", "pareto_concentration",
-    "ts_theilsen", "text_ttr",
+    "ts_theilsen", "text_ttr", "win_pct_change",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -432,3 +432,65 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "win_pct_change",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type, day, cents,
+               LAG(cents) OVER (
+                   PARTITION BY event_type ORDER BY day) AS prev
+        FROM daily)
+    SELECT event_type, day,
+           {sql_roundn("cents / 100.0e0", 2)} AS revenue,
+           {sql_roundn("(cents - prev) * 100.0e0 / prev", 2)} AS pct_change
+    FROM lagged
+    ORDER BY event_type, day
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W/T-extension — period-over-period growth: day-over-day percent
+    change of daily volume per event type, NULL on each series' first
+    day (no prior period — not 0, which would claim flatness). The
+    ubiquitous dashboard/reporting primitive, composed here the
+    scale-correct way: aggregate FIRST (calendar-grain rollup), window
+    SECOND — lag over the ~30-row-per-series daily table, never over
+    raw events.
+
+    Exactness: daily sums in integer cents; the growth ratio is one
+    identical double expression ((cents−prev)·100/prev) rounded at 2 on
+    both sides.
+
+    100 TB: the rollup is map-side combinable; the window shuffle
+    carries days-per-series rows. Same profile as ts_autocorr's hourly
+    pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            roundn(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+            roundn(
+                (F.col("cents") - F.lag("cents").over(w))
+                * F.lit(100.0)
+                / F.lag("cents").over(w),
+                2,
+            ).alias("pct_change"),
+        )
+        .orderBy("event_type", "day")
+    )

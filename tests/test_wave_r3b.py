@@ -481,6 +481,23 @@ def test_ttr_accounting_identities(spark):
         assert abs(r.ttr - round(r.n_types / r.n_tokens, 4)) < 2e-4
 
 
+def test_pct_change_null_first_day_and_reconstruction(spark):
+    """Each series' first day must be NULL (no prior period), and the
+    growth chain must reconstruct: prev · (1 + pct/100) ≈ revenue."""
+    rows = REGISTRY["win_pct_change"].spark(spark, SF_DIR).collect()
+    assert rows
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for days in series.values():
+        days.sort(key=lambda r: r.day)
+        assert days[0].pct_change is None
+        for prev, cur in zip(days, days[1:]):
+            assert cur.pct_change is not None
+            recon = prev.revenue * (1 + cur.pct_change / 100.0)
+            assert abs(recon - cur.revenue) <= max(0.01 * prev.revenue, 0.02)
+
+
 def test_bag_ops_multiplicity_laws(spark):
     """INTERSECT ALL keeps min(n1,n2) copies per value; EXCEPT ALL keeps
     max(n1-n2, 0) — check the laws per key against branch counts."""
