@@ -15,9 +15,11 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     corpus,
     corpus2,
     corpus3,
+    corpus4,
     corpus_stats,
     curation,
     events,

@@ -1,0 +1,336 @@
+"""Retail-analytics wave 4: market-basket affinity, RFM segmentation,
+and new-vs-returning acquisition accounting.
+
+Three classic warehouse workloads the reference's curated tier feeds
+(readme:10 "business-ready tables for analytics"; the staging→curation
+tier of dags/pipeline_orchestration_dag.py:101-143) that the catalog
+didn't yet cover:
+
+- **market_basket** — association mining over order contents: pairwise
+  brand co-occurrence with support / confidence / lift. The recommender
+  and assortment-planning primitive;
+- **rfm_segments** — recency/frequency/monetary quintile scoring per
+  customer, the standing CRM segmentation;
+- **cohort_new_returning** — per month, orders and volume split by
+  whether the customer is in their acquisition month — the growth
+  dashboard's topline (cohort_retention's triangle is the drill-down).
+
+Float discipline: supports/confidences/lifts are ratios of exact
+integer counts, computed by the identical double expression and rounded
+at projection; money aggregates run in integer cents; quintile scores
+come from row_number over a total order (metric, custkey) — exact and
+engine-portable where ntile/percentile boundaries are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: a brand pair must co-occur in this many orders to be reported
+_MIN_SUP = 10
+
+#: how many top-lift pairs the basket report returns
+_TOP_PAIRS = 50
+
+
+@query(
+    "market_basket",
+    oracle=f"""
+    WITH tx AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM tx),
+    item AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM tx GROUP BY 1),
+    pair AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM tx a JOIN tx b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MIN_SUP})
+    SELECT brand_a, brand_b, n_pair,
+           {sql_roundn("n_pair * 1.0e0 / n.n_orders", 6)} AS support,
+           {sql_roundn("n_pair * 1.0e0 / ia.n_item", 6)} AS conf_a_to_b,
+           {sql_roundn("n_pair * 1.0e0 / ib.n_item", 6)} AS conf_b_to_a,
+           {sql_roundn(
+               "n_pair * 1.0e0 * n.n_orders / (ia.n_item * ib.n_item)", 6
+           )} AS lift
+    FROM pair
+    JOIN item ia ON pair.brand_a = ia.p_brand
+    JOIN item ib ON pair.brand_b = ib.p_brand
+    CROSS JOIN n
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT {_TOP_PAIRS}
+    """,
+)
+def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — market-basket association mining: distinct brands
+    per order, pairwise co-occurrence with a minimum-support floor, and
+    support / directional confidence / lift per surviving pair, top-K
+    by lift. Lift > 1 = brands bought together beyond chance — the
+    cross-sell signal.
+
+    100 TB: the transaction relation carries (orderkey, brand) — the
+    basket self-join's candidate count is Σ C(|basket|,2), bounded by
+    basket SIZE (≤ tens), never catalog size; the item-support and
+    total-order sides are brand-cardinality tables that broadcast. The
+    support floor prunes the pair table before the metric joins. The
+    final top-K is TakeOrderedAndProject over an already
+    brand²-bounded relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    tx = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = tx.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = tx.groupBy("p_brand").agg(F.count("*").alias("n_item"))
+    a, b = tx.alias("a"), tx.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _MIN_SUP)
+    )
+    ia = item.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_item").alias("n_b")
+    )
+    out = (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            roundn(
+                F.col("n_pair") * F.lit(1.0) / F.col("n_orders"), 6
+            ).alias("support"),
+            roundn(
+                F.col("n_pair") * F.lit(1.0) / F.col("n_a"), 6
+            ).alias("conf_a_to_b"),
+            roundn(
+                F.col("n_pair") * F.lit(1.0) / F.col("n_b"), 6
+            ).alias("conf_b_to_a"),
+            roundn(
+                F.col("n_pair")
+                * F.lit(1.0)
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift"), "brand_a", "brand_b"
+    ).limit(_TOP_PAIRS)
+
+
+def _quintile_sql(metric_order: str) -> str:
+    """1..5 score from row_number over a deterministic total order.
+
+    Explicit FLOOR on both engines: DuckDB's ``/`` on integers is float
+    division and its double→BIGINT cast rounds half-even, while Spark's
+    cast truncates — FLOOR of the (exact-in-double) ratio is identical
+    everywhere.
+    """
+    return (
+        "CAST(1 + FLOOR((ROW_NUMBER() OVER (ORDER BY "
+        + metric_order
+        + ") - 1) * 5.0e0 / COUNT(*) OVER ()) AS BIGINT)"
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    per_cust AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(DATE_DIFF('day', MAX(o_orderdate),
+                              (SELECT mx FROM anchor)) AS BIGINT)
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1),
+    scored AS (
+        SELECT c_custkey, recency_days, frequency, monetary_cents,
+               {_quintile_sql("recency_days ASC, c_custkey ASC")} AS r_score,
+               {_quintile_sql("frequency DESC, c_custkey ASC")} AS f_score,
+               {_quintile_sql("monetary_cents DESC, c_custkey ASC")} AS m_score
+        FROM per_cust)
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+               AS rfm_code
+    FROM scored
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — RFM customer segmentation: days since last order
+    (vs the warehouse's anchor date), order count, and lifetime value in
+    exact cents, each scored into balanced quintiles (5 = best), and
+    the three digits packed into the classic RFM code.
+
+    Quintiles come from ``row_number`` over (metric, custkey) — a total
+    order, so the cut is exact and identical on any engine; ntile or
+    interpolated-percentile thresholds can flip a score across engines
+    when a value sits on a boundary.
+
+    100 TB: the per-customer rollup reduces orders to customer
+    cardinality first (map-side combined); the scoring windows sort the
+    CUSTOMER relation, which the catalog classes dimension-sized
+    (DIM_TABLES) — for entity tables that genuinely outgrow a sort,
+    swap the rank windows for broadcast quantile-boundary joins and
+    accept boundary-tie coarseness. The anchor is a one-row broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("mx"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+
+    def quintile(order_cols) -> F.Column:
+        w = Window.orderBy(*order_cols)
+        n = F.count("*").over(
+            Window.partitionBy()
+        )
+        return (
+            1 + F.floor((F.row_number().over(w) - 1) * F.lit(5.0) / n)
+        ).cast("long")
+
+    scored = per_cust.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        quintile([F.asc("recency_days"), F.asc("c_custkey")]).alias(
+            "r_score"
+        ),
+        quintile([F.desc("frequency"), F.asc("c_custkey")]).alias(
+            "f_score"
+        ),
+        quintile([F.desc("monetary_cents"), F.asc("c_custkey")]).alias(
+            "m_score"
+        ),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )
+
+
+@query(
+    "cohort_new_returning",
+    oracle="""
+    WITH first_m AS (
+        SELECT o_custkey,
+               MIN(DATE_TRUNC('month', o_orderdate)) AS m0
+        FROM orders GROUP BY 1),
+    tagged AS (
+        SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP)
+                   AS month,
+               (DATE_TRUNC('month', o.o_orderdate) = f.m0) AS is_new,
+               o.o_custkey,
+               CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN first_m f USING (o_custkey))
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_orders,
+           CAST(COUNT(DISTINCT CASE WHEN is_new THEN o_custkey END)
+                AS BIGINT) AS n_new_customers,
+           CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+               AS new_revenue_cents,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT)
+               AS returning_revenue_cents
+    FROM tagged
+    GROUP BY month
+    """,
+)
+def cohort_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — acquisition split: per order month, how many
+    orders (and how much revenue, in exact cents) came from customers
+    in their FIRST month vs returning customers, plus the count of
+    newly acquired customers. The growth topline; cohort_retention's
+    triangle is the same first-month key drilled by age.
+
+    100 TB: the first-month relation is a per-customer MIN — customer
+    cardinality, map-side combined, broadcast back into the order scan
+    (dimension-vs-fact asymmetry); the month rollup then map-side
+    combines to a few hundred rows. Revenue stays in int64 cents so
+    every sum is order-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    first_m = orders.groupBy("o_custkey").agg(
+        F.min(month).alias("m0")
+    )
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    tagged = (
+        orders.join(F.broadcast(first_m), "o_custkey")
+        .select(
+            month.cast("timestamp").alias("month"),
+            (month == F.col("m0")).alias("is_new"),
+            "o_custkey",
+            cents.alias("cents"),
+        )
+    )
+    is_new = F.col("is_new")
+    return tagged.groupBy("month").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(is_new, 1).otherwise(0)).alias("n_new_orders"),
+        F.countDistinct(
+            F.when(is_new, F.col("o_custkey"))
+        ).alias("n_new_customers"),
+        F.sum(F.when(is_new, F.col("cents")).otherwise(0)).alias(
+            "new_revenue_cents"
+        ),
+        F.sum(F.when(is_new, 0).otherwise(F.col("cents"))).alias(
+            "returning_revenue_cents"
+        ),
+    )

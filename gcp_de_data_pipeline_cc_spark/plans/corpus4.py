@@ -1,0 +1,272 @@
+"""Corpus curation wave 4: boilerplate-line REMOVAL (the rewrite rung),
+logistic quality-classifier inference, and the tokenizer fertility audit.
+
+Closes three gaps in the LLM curation tier (plans/llm.py, corpus2/3.py):
+
+- **dedup_lines_rewrite** — corpus2's ``dedup_blocks`` *detects*
+  cross-document duplicate blocks (the line-level dedup signal of
+  CCNet / RefinedWeb-style crawl pipelines); this is the missing
+  *transform*: drop every block that appears in ≥2 distinct documents
+  and reassemble each document from its surviving blocks in original
+  order. Detection tells you a doc is 40% boilerplate; the rewrite is
+  what actually reclaims the other 60% for training instead of
+  discarding the whole doc;
+- **quality_logistic** — the inference step of a trained quality
+  classifier (fastText/logreg-style): a fixed weight vector over cheap
+  per-doc features (length, stopword ratio, type-token ratio, mean
+  token length) scored through a sigmoid. feature_scale/training_prep
+  built the feature plumbing; this is the serving pass every corpus
+  actually runs to keep/drop docs;
+- **token_fertility** — chars-per-token by (lang, source): the
+  tokenizer-efficiency audit. A cell whose fertility is far above the
+  corpus norm is the wrong tokenizer for that slice (or mojibake) —
+  caught here before GPU time is spent.
+
+Reference parity: extends the staging→curation quality gates of
+dags/pipeline_orchestration_dag.py:149-167 from row-level QC to
+corpus-level curation, per the extension mandate.
+
+Float discipline: the sigmoid/ratio expression trees are built from the
+identical operation sequence on both engines and rounded at final
+projection (functions/rounding.py); block membership, counts, and
+reassembly order are exact integers/strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.operators import text as tx
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: non-overlapping block width (tokens) for the line-rewrite pass — the
+#: same width corpus2's dedup_blocks detects at, so the two tiers agree
+#: on what a "line" is in this punctuation-free feed.
+_BLOCK = 10
+
+#: drop a block once it appears in this many distinct documents
+_DROP_DF = 2
+
+#: logistic quality model: fixed trained weights (intercept, n_tokens/100,
+#: stopword_ratio, type_token_ratio, mean_token_len). Deterministic
+#: stand-in for a model artifact — at serving time these arrive as a
+#: broadcast side input, exactly how they're applied here.
+_W0, _W_LEN, _W_STOP, _W_TTR, _W_MLEN = -1.5, 0.8, -3.0, 2.0, 0.15
+
+
+@query(
+    "dedup_lines_rewrite",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    blk AS (
+        SELECT doc_id,
+               UNNEST(generate_series(
+                   0, CAST(CEIL(len(t) / {_BLOCK}.0e0) AS BIGINT) - 1)) AS i,
+               t
+        FROM base),
+    spans AS (
+        SELECT doc_id, i,
+               array_to_string(
+                   list_slice(t, i * {_BLOCK} + 1,
+                              LEAST((i + 1) * {_BLOCK}, len(t))),
+                   ' ') AS span
+        FROM blk),
+    shared AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN shared.df >= {_DROP_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN shared.df < {_DROP_DF}
+                                    THEN s.span END, ' ' ORDER BY s.i),
+                    '') AS clean_text
+    FROM spans s JOIN shared USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_lines_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-extension — boilerplate-line removal with document REWRITE:
+    split each document into non-overlapping 10-token blocks, drop every
+    block whose corpus-wide document frequency is >= 2 (all copies — the
+    RefinedWeb policy: a line shared across documents is template
+    chrome, not content), and reassemble each document from surviving
+    blocks in original order. Returns the cleaned text plus the
+    before/after block accounting.
+
+    100 TB: the only corpus-wide state is the block->df map, built by
+    one explode + groupBy carrying (block, doc_id) pairs — at scale,
+    hash blocks to 8-byte keys for the shuffle (the measured
+    dedup_ngram_hashjoin trade) and the df map never materializes
+    per-doc text. Reassembly re-keys by doc_id: per-doc bounded state,
+    order restored from carried block indexes, no driver participation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tx.tokens_col(F.col("text")).alias("t"))
+    n_blk = F.ceil(F.size("t") / float(_BLOCK)).cast("long")
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_blk - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i * _BLOCK + 1, _BLOCK)
+                ),
+            )
+        ).alias("i", "span"),
+    )
+    shared = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    keep = F.col("df") < _DROP_DF
+    kept_struct = F.when(keep, F.struct("i", "span"))
+    return (
+        spans.join(shared, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped"),
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["span"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )
+
+
+_SIGMOID_FEATS_SQL = f"""
+        SELECT doc_id,
+               len(t) * 1.0e0 / 100.0e0 AS f_len,
+               len(list_filter(t, x -> x IN ('the', 'a')))
+                   * 1.0e0 / len(t) AS f_stop,
+               len(list_distinct(t)) * 1.0e0 / len(t) AS f_ttr,
+               len(array_to_string(t, '')) * 1.0e0 / len(t) AS f_mlen
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+@query(
+    "quality_logistic",
+    oracle=f"""
+    WITH feats AS ({_SIGMOID_FEATS_SQL}),
+    scored AS (
+        SELECT doc_id,
+               1.0e0 / (1.0e0 + EXP(-({_W0}e0 + {_W_LEN}e0 * f_len
+                   + {_W_STOP}e0 * f_stop + {_W_TTR}e0 * f_ttr
+                   + {_W_MLEN}e0 * f_mlen))) AS s
+        FROM feats)
+    SELECT doc_id,
+           {sql_roundn("s", 4)} AS score,
+           s >= 0.5e0 AS keep
+    FROM scored
+    """,
+)
+def quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — quality-classifier INFERENCE: score every document
+    with a fixed logistic model over cheap lexical features (scaled
+    token count, stopword ratio, type-token ratio, mean token length)
+    and emit the keep/drop verdict at the 0.5 threshold. The serving
+    pass of the quality gate every crawl corpus runs (the trained
+    weights arrive as a small broadcast artifact; here they're module
+    constants so the audit is deterministic).
+
+    100 TB: per-document narrow compute — features and sigmoid all
+    inside whole-stage codegen, zero shuffles, zero Python. The model
+    artifact is O(n_features), broadcast once. Float discipline: both
+    engines evaluate the identical expression tree; the score is
+    rounded at projection, and the keep flag thresholds the UNrounded
+    score identically on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", tx.tokens_col(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        (F.size("t") * F.lit(1.0) / F.lit(100.0)).alias("f_len"),
+        (
+            F.size(F.filter("t", lambda x: x.isin(*tx.STOPWORDS)))
+            * F.lit(1.0)
+            / F.size("t")
+        ).alias("f_stop"),
+        (
+            F.size(F.array_distinct("t")) * F.lit(1.0) / F.size("t")
+        ).alias("f_ttr"),
+        (
+            F.length(F.concat_ws("", F.col("t")))
+            * F.lit(1.0)
+            / F.size("t")
+        ).alias("f_mlen"),
+    )
+    z = (
+        F.lit(_W0)
+        + F.lit(_W_LEN) * F.col("f_len")
+        + F.lit(_W_STOP) * F.col("f_stop")
+        + F.lit(_W_TTR) * F.col("f_ttr")
+        + F.lit(_W_MLEN) * F.col("f_mlen")
+    )
+    s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        roundn(s, 4).alias("score"),
+        (s >= F.lit(0.5)).alias("keep"),
+    )
+
+
+@query(
+    "token_fertility",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, source,
+               len(t) AS n_tokens,
+               len(array_to_string(t, '')) AS n_tok_chars
+        FROM (SELECT lang, source, string_split(text, ' ') AS t
+              FROM documents))
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tok_chars) AS BIGINT) AS n_chars,
+           {sql_roundn("SUM(n_tok_chars) * 1.0e0 / SUM(n_tokens)", 4)}
+               AS chars_per_token
+    FROM tok
+    GROUP BY lang, source
+    """,
+)
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — tokenizer fertility audit: characters per token by
+    (lang, source) cell. The standing tokenizer-efficiency check of a
+    multilingual corpus: a cell whose chars/token sits far from the
+    corpus norm is being tokenized by the wrong model (or is mojibake /
+    the wrong language label) — the cheap audit run before any GPU
+    tokenization batch is scheduled.
+
+    100 TB: per-doc narrow token/char counts (codegen array ops — the
+    doc text never reaches the shuffle), then one partial-aggregated
+    groupBy over a (|langs| x |sources|) key space of a few hundred
+    cells. Output is dashboard-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        "source",
+        F.size(tx.tokens_col(F.col("text"))).alias("n_tokens"),
+        F.length(
+            F.concat_ws("", tx.tokens_col(F.col("text")))
+        ).alias("n_tok_chars"),
+    )
+    return tok.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_tok_chars").alias("n_chars"),
+        roundn(
+            F.sum("n_tok_chars") * F.lit(1.0) / F.sum("n_tokens"), 4
+        ).alias("chars_per_token"),
+    )
