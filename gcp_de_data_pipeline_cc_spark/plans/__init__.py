@@ -40,6 +40,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     stats,
     timeseries,
     timeseries2,
+    timeseries3,
     training,
     udfs,
 )

@@ -719,3 +719,111 @@ def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("regionkey")
     )
+
+
+@query(
+    "hypothesis_ttest",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)) AS s1,
+               SUM(CAST(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)
+                        AS DECIMAL(38,0))
+                   * CAST(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)
+                          AS DECIMAL(38,0))) AS s2
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1),
+    w AS (
+        SELECT
+            MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+            MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+            MAX(CASE WHEN event_type = 'click' THEN s1 * 1.0e0 / n END)
+                AS m1,
+            MAX(CASE WHEN event_type = 'view' THEN s1 * 1.0e0 / n END)
+                AS m2,
+            MAX(CASE WHEN event_type = 'click'
+                     THEN CAST(n * s2 - CAST(s1 AS DECIMAL(38,0))
+                               * CAST(s1 AS DECIMAL(38,0)) AS DOUBLE)
+                          / (n * (n - 1.0e0)) END) AS v1,
+            MAX(CASE WHEN event_type = 'view'
+                     THEN CAST(n * s2 - CAST(s1 AS DECIMAL(38,0))
+                               * CAST(s1 AS DECIMAL(38,0)) AS DOUBLE)
+                          / (n * (n - 1.0e0)) END) AS v2
+        FROM g)
+    SELECT n1, n2,
+           {sql_roundn("(m1 - m2) / 100.0e0", 4)} AS mean_diff,
+           {sql_roundn("(m1 - m2) / SQRT(v1 / n1 + v2 / n2)", 4)} AS t_stat,
+           {sql_roundn(
+               "((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))"
+               " / ((v1 / n1) * (v1 / n1) / (n1 - 1.0e0)"
+               "    + (v2 / n2) * (v2 / n2) / (n2 - 1.0e0))", 2
+           )} AS df_welch
+    FROM w
+    """,
+)
+def hypothesis_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-extension — Welch's two-sample t-test (unequal variances):
+    does the 'click' value distribution differ in mean from 'view'?
+    The A/B-test workhorse beside hypothesis_chisq's categorical
+    independence gate. Emits the t statistic and Welch–Satterthwaite
+    degrees of freedom; the test is scale-invariant, so running it in
+    integer cents changes nothing while making every sum exact.
+
+    Both engines derive (n, Σx, Σx²) with Σx² in DECIMAL(38,0)
+    (order-independent — the ts_twap discipline), then evaluate the
+    identical mean/variance/t expression trees in double; outputs are
+    rounded at projection.
+
+    100 TB: one filtered scan → two-group partial aggregate (map-side
+    combined to six numbers per group); everything after is constant
+    size. The filter prunes at the parquet scan.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    dec = cents.cast("decimal(38,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+
+    def pick(t: str, col) -> F.Column:
+        return F.max(F.when(F.col("event_type") == t, col))
+
+    var = (
+        F.col("n") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    ).cast("double") / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    mean = F.col("s1") * F.lit(1.0) / F.col("n")
+    w = g.agg(
+        pick("click", F.col("n")).alias("n1"),
+        pick("view", F.col("n")).alias("n2"),
+        pick("click", mean).alias("m1"),
+        pick("view", mean).alias("m2"),
+        pick("click", var).alias("v1"),
+        pick("view", var).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        "n1",
+        "n2",
+        roundn((F.col("m1") - F.col("m2")) / F.lit(100.0), 4).alias(
+            "mean_diff"
+        ),
+        roundn((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        roundn(
+            (se2 * se2)
+            / (
+                (F.col("v1") / F.col("n1"))
+                * (F.col("v1") / F.col("n1"))
+                / (F.col("n1") - F.lit(1.0))
+                + (F.col("v2") / F.col("n2"))
+                * (F.col("v2") / F.col("n2"))
+                / (F.col("n2") - F.lit(1.0))
+            ),
+            2,
+        ).alias("df_welch"),
+    )

@@ -1,0 +1,283 @@
+"""Time-series wave 3: CUSUM changepoint localization, Bollinger-band
+breakout monitoring, and the event-transition Markov matrix.
+
+Completes the monitoring tier around ts_seasonal_baseline /
+anomaly_zscore / anomaly_mad with the three remaining standing tools:
+
+- **ts_cusum** — WHERE did the level shift? zscore/MAD gates flag
+  single outliers; CUSUM's running sum of deviations peaks at the
+  changepoint of a sustained mean shift. Computed in a fully exact
+  integer form: S_k = Σ_{i<=k}(x_i − μ) scaled by n gives
+  n·prefix_k − k·total — int64 arithmetic, no division, so the argmax
+  day is engine-exact (the float mean never appears);
+- **ts_bollinger** — the rolling ±2σ envelope with breakout flags; the
+  per-series volatility-adaptive cousin of the fixed-threshold gates.
+  Rolling variance runs in exact DECIMAL(38,0) power sums
+  (n·Σx² − (Σx)² — the ts_twap discipline), converted to double only
+  at the final σ;
+- **markov_transitions** — P(next event type | current) per user
+  journey: the behavioral fingerprint funnel_conversion and
+  sessionize_path read slices of, here as the full first-order
+  transition matrix with row-stochastic law tested.
+
+Reference parity: extends the events-feed curation tier
+(dags/pipeline_orchestration_dag.py:101-143) with the monitoring
+queries its curated output feeds, per the extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: Bollinger rolling window (trailing days, current inclusive)
+_BOLL_W = 7
+
+#: band half-width in standard deviations
+_BOLL_K = 2
+
+
+@query(
+    "ts_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+    st AS (
+        SELECT event_type,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total,
+               day,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+               CAST(SUM(cents) OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT)
+                   AS prefix
+        FROM daily),
+    scored AS (
+        SELECT event_type, n, day,
+               n * prefix - k * total AS s_scaled,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ABS(n * prefix - k * total) DESC, day ASC)
+                   AS pick
+        FROM st)
+    SELECT event_type, day AS changepoint_day,
+           CAST(s_scaled AS BIGINT) AS s_scaled,
+           {sql_roundn(
+               "ABS(s_scaled) * 1.0e0 / (n * 100.0e0)", 2
+           )} AS cusum_stat
+    FROM scored WHERE pick = 1
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — CUSUM changepoint localization per series: the
+    day where the running sum of deviations from the series mean peaks
+    in magnitude is the maximum-likelihood location of a sustained mean
+    shift. The whole statistic runs scaled by n —
+    ``S'_k = n·prefix_k − k·total`` — so it is EXACT int64 arithmetic
+    (the mean μ = total/n never materializes as a float) and the argmax
+    day can never flip across engines; ties break to the earliest day.
+
+    100 TB: events collapse to (series, day) first (map-side combined),
+    so the windows run over day-cardinality rows per series; one window
+    shuffle serves prefix, count, total, and the pick. Magnitudes:
+    n·prefix stays < 2⁶³ up to ~10⁴ days of ~10¹⁴ daily cents; past
+    that, lift s_scaled into DECIMAL(38,0) (the ts_twap discipline)
+    with the same shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("timestamp").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    series = Window.partitionBy("event_type")
+    ordered = series.orderBy("day")
+    st = daily.select(
+        "event_type",
+        F.count("*").over(series).alias("n"),
+        F.sum("cents").over(series).alias("total"),
+        "day",
+        F.row_number().over(ordered).cast("long").alias("k"),
+        F.sum("cents").over(ordered).alias("prefix"),
+    )
+    s = (F.col("n") * F.col("prefix") - F.col("k") * F.col("total")).alias(
+        "s_scaled"
+    )
+    scored = st.select(
+        "event_type", "n", "day", s
+    ).withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("s_scaled")).desc(), F.col("day").asc()
+            )
+        ),
+    )
+    return scored.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("day").alias("changepoint_day"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        roundn(
+            F.abs(F.col("s_scaled")) * F.lit(1.0) / (F.col("n") * F.lit(100.0)),
+            2,
+        ).alias("cusum_stat"),
+    )
+
+
+@query(
+    "ts_bollinger",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+    win AS (
+        SELECT event_type, day, cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+               SUM(CAST(cents AS DECIMAL(38,0))) OVER w AS s1,
+               SUM(CAST(cents AS DECIMAL(38,0))
+                   * CAST(cents AS DECIMAL(38,0))) OVER w AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {_BOLL_W - 1} PRECEDING AND CURRENT ROW)),
+    bands AS (
+        SELECT event_type, day, cents, n_w,
+               CAST(s1 AS DOUBLE) / n_w AS mean_c,
+               SQRT(CAST(n_w * s2 - s1 * s1 AS DOUBLE)
+                    / (n_w * (n_w - 1.0e0))) AS sd_c
+        FROM win WHERE n_w = {_BOLL_W})
+    SELECT event_type, day, cents,
+           {sql_roundn("mean_c / 100.0e0", 2)} AS band_mid,
+           {sql_roundn(f"(mean_c + {_BOLL_K}.0e0 * sd_c) / 100.0e0", 2)}
+               AS band_upper,
+           {sql_roundn(f"(mean_c - {_BOLL_K}.0e0 * sd_c) / 100.0e0", 2)}
+               AS band_lower,
+           (cents > mean_c + {_BOLL_K}.0e0 * sd_c
+            OR cents < mean_c - {_BOLL_K}.0e0 * sd_c) AS is_breakout
+    FROM bands
+    """,
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — Bollinger envelope: trailing-7-day rolling
+    mean ± 2σ per series with breakout flags, emitted only once
+    the window is full (a partial window's σ is noise, not a band).
+    The volatility-adaptive alert the fixed-threshold zscore/MAD gates
+    can't express for heteroscedastic series.
+
+    Rolling variance comes from exact DECIMAL(38,0) power sums —
+    ``n·Σx² − (Σx)²`` is an exact integer, order-independent, converted
+    to double only inside the final sqrt — so band edges are identical
+    across engines and the breakout comparison (against the UNrounded
+    band) can't flip. Rounding happens at projection only.
+
+    100 TB: same profile as ts_cusum — daily pre-aggregation first,
+    then one bounded-frame window shuffle per series; frame state is
+    7 rows of three numbers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("timestamp").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_BOLL_W - 1), 0)
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    win = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count("*").over(w).cast("long").alias("n_w"),
+        F.sum(dec).over(w).alias("s1"),
+        F.sum(dec * dec).over(w).alias("s2"),
+    ).filter(F.col("n_w") == _BOLL_W)
+    mean_c = F.col("s1").cast("double") / F.col("n_w")
+    sd_c = F.sqrt(
+        (F.col("n_w") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n_w") * (F.col("n_w") - F.lit(1.0)))
+    )
+    upper = mean_c + F.lit(float(_BOLL_K)) * sd_c
+    lower = mean_c - F.lit(float(_BOLL_K)) * sd_c
+    return win.select(
+        "event_type",
+        "day",
+        "cents",
+        roundn(mean_c / F.lit(100.0), 2).alias("band_mid"),
+        roundn(upper / F.lit(100.0), 2).alias("band_upper"),
+        roundn(lower / F.lit(100.0), 2).alias("band_lower"),
+        ((F.col("cents") > upper) | (F.col("cents") < lower)).alias(
+            "is_breakout"
+        ),
+    )
+
+
+@query(
+    "markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+    trans AS (
+        SELECT event_type AS prev_type, next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2),
+    tot AS (
+        SELECT prev_type, SUM(n_trans) AS n_from
+        FROM trans GROUP BY 1)
+    SELECT t.prev_type, t.next_type, t.n_trans,
+           CAST(tot.n_from AS BIGINT) AS n_from,
+           {sql_roundn("t.n_trans * 1.0e0 / tot.n_from", 6)} AS p
+    FROM trans t JOIN tot USING (prev_type)
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — first-order Markov transition matrix over user
+    event journeys: for each user's (ts, event_id)-ordered stream, count
+    consecutive (current → next) type pairs and normalize per source
+    type into row-stochastic probabilities. funnel_conversion asks one
+    path's question; this is the whole behavioral fingerprint, the
+    input to next-action models and to drift diffs between cohorts.
+
+    100 TB: the LEAD window shuffles (user_id, ts, type) once — the
+    journey relation, not raw payloads; the pair rollup then collapses
+    to a |types|² matrix (map-side combined), and the per-source
+    normalizer re-aggregates that constant-size table. Deterministic
+    by the unique (ts, event_id) order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"), "next_type"
+        )
+        .agg(F.count("*").alias("n_trans"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.col("n_from").cast("long").alias("n_from"),
+        roundn(F.col("n_trans") * F.lit(1.0) / F.col("n_from"), 6).alias("p"),
+    )
