@@ -36,6 +36,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext5,
     relational_ext6,
     relational_ext7,
+    relational_ext8,
     scale,
     stats,
     timeseries,

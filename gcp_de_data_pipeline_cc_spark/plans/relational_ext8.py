@@ -1,0 +1,153 @@
+"""SQL-surface wave 8: timezone-shift functions and business-day
+arithmetic.
+
+- **fn_datetime_tz** — the `from_utc_timestamp`/`to_utc_timestamp`
+  surface every multi-region warehouse needs for local-time reporting.
+  Pinned to a FIXED offset (+05:30) rather than a named zone: named
+  zones pull in tzdata, and two engines with different tzdata releases
+  silently disagree around DST transitions — a reproducibility bug, not
+  a feature. The oracle is plain interval arithmetic, so the Spark tz
+  functions are checked against an engine-independent definition;
+- **fn_business_days** — order→ship SLA in BUSINESS days. Uses the
+  closed form f(d) = 5·⌊u/7⌋ + min(u mod 7, 5) with u = days since a
+  known Monday, so the count is exact integer arithmetic on both
+  engines — no per-day explode, no weekday CASE ladder.
+
+Reference parity: the reference's curation tier stamps partition dates
+and SLAs around a UTC DAG schedule (dags/pipeline_orchestration_dag.py
+schedule_interval, :101-143); these are the reporting-side functions of
+that contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: fixed reporting offset (IST) — half-hour offsets catch the bugs
+#: whole-hour test values miss
+_TZ = "+05:30"
+
+#: 1994-12-26 was a Monday STRICTLY BEFORE every fixture date — u must
+#: stay non-negative because floor-division and modulo semantics on
+#: negative operands differ between engines (Spark % keeps the dividend
+#: sign; DuckDB // truncates where floor() floors)
+_MONDAY_EPOCH = "1994-12-26"
+
+
+@query(
+    "fn_datetime_tz",
+    oracle="""
+    WITH shifted AS (
+        SELECT event_id, ts,
+               ts + INTERVAL 5 HOUR + INTERVAL 30 MINUTE AS local_ts
+        FROM events)
+    SELECT event_id, ts, local_ts,
+           CAST(EXTRACT(hour FROM local_ts) AS INT) AS local_hour,
+           CAST(DATE_TRUNC('day', local_ts) AS TIMESTAMP) AS local_day,
+           (CAST(DATE_TRUNC('day', local_ts) AS DATE)
+            <> CAST(DATE_TRUNC('day', ts) AS DATE)) AS day_rolled,
+           (local_ts - INTERVAL 5 HOUR - INTERVAL 30 MINUTE = ts)
+               AS roundtrip_ok
+    FROM shifted
+    """,
+)
+def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-extension — timezone-shift reporting: project every event into
+    a fixed +05:30 reporting zone via ``from_utc_timestamp``, extract
+    the local hour and local day, flag events whose local calendar day
+    differs from the UTC day (the daily-rollup boundary hazard), and
+    prove ``to_utc_timestamp`` inverts the shift. The oracle computes
+    the same columns with bare interval arithmetic, so Spark's tz
+    functions are validated against an engine-independent definition
+    instead of a second tzdata copy.
+
+    100 TB: narrow per-row codegen — the shift is arithmetic, no
+    shuffle, no UDF; day_rolled feeds partition-assignment audits when
+    a feed lands in local time but the lake partitions in UTC.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), _TZ)
+    return ev.select(
+        "event_id",
+        "ts",
+        local.alias("local_ts"),
+        F.hour(local).cast("int").alias("local_hour"),
+        F.date_trunc("day", local).cast("timestamp").alias("local_day"),
+        (
+            F.to_date(F.date_trunc("day", local))
+            != F.to_date(F.date_trunc("day", F.col("ts")))
+        ).alias("day_rolled"),
+        (
+            F.to_utc_timestamp(local, _TZ) == F.col("ts")
+        ).alias("roundtrip_ok"),
+    )
+
+
+def _bd_sql(date_expr: str) -> str:
+    """Business days from the Monday epoch through ``date_expr`` (SQL)."""
+    u = f"DATE_DIFF('day', DATE '{_MONDAY_EPOCH}', {date_expr})"
+    return f"(5 * (({u}) // 7) + LEAST(({u}) % 7, 5))"
+
+
+@query(
+    "fn_business_days",
+    oracle=f"""
+    WITH sla AS (
+        SELECT {_bd_sql("CAST(l.l_shipdate AS DATE)")}
+               - {_bd_sql("CAST(o.o_orderdate AS DATE)")} AS bdays
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT CASE WHEN bdays <= 20 THEN 'fast'
+                WHEN bdays <= 60 THEN 'standard'
+                ELSE 'slow' END AS sla_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+           CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+           {sql_roundn("AVG(bdays * 1.0e0)", 4)} AS avg_bdays
+    FROM sla
+    GROUP BY 1
+    """,
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-extension — order→ship SLA in business days, banded: the
+    Mon–Fri day count between order date and ship date via the closed
+    form ``f(d) = 5·⌊u/7⌋ + min(u mod 7, 5)`` (u = days since a known
+    Monday; f(d) = business days in [epoch, d)), so bd(d1,d2) =
+    f(d2) − f(d1) counts business days in [d1, d2) — the order day
+    counts when it's a weekday, the ship day doesn't — as exact
+    integer arithmetic: no calendar explode, no weekday CASE ladder,
+    and the convention is pinned by a brute-force law test
+    (tests/test_wave_r3d.py).
+
+    100 TB: the fact-fact join shuffles on orderkey (both sides
+    pre-partitionable / bucketable on it — join_bucketed shows the
+    co-located layout); the SLA math is scan-side codegen and the band
+    rollup map-side combines to three rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bd(col: F.Column) -> F.Column:
+        u = F.datediff(F.to_date(col), F.lit(_MONDAY_EPOCH).cast("date"))
+        return 5 * F.floor(u / 7).cast("long") + F.least(
+            u % 7, F.lit(5)
+        ).cast("long")
+
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (bd(F.col("l_shipdate")) - bd(F.col("o_orderdate"))).alias("bdays")
+    )
+    band = (
+        F.when(F.col("bdays") <= 20, "fast")
+        .when(F.col("bdays") <= 60, "standard")
+        .otherwise("slow")
+    )
+    return joined.groupBy(band.alias("sla_band")).agg(
+        F.count("*").alias("n_lineitems"),
+        F.min("bdays").cast("long").alias("min_bdays"),
+        F.max("bdays").cast("long").alias("max_bdays"),
+        roundn(F.avg(F.col("bdays") * F.lit(1.0)), 4).alias("avg_bdays"),
+    )

@@ -281,3 +281,75 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_from").cast("long").alias("n_from"),
         roundn(F.col("n_trans") * F.lit(1.0) / F.col("n_from"), 6).alias("p"),
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+        FROM events),
+    attrib AS (
+        SELECT COALESCE(channel, 'direct') AS channel,
+               CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+        FROM tagged WHERE event_type = 'purchase'),
+    tot AS (SELECT COUNT(*) AS n FROM attrib)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           {sql_roundn("COUNT(*) * 1.0e0 / tot.n", 6)} AS share
+    FROM attrib CROSS JOIN tot
+    GROUP BY channel, tot.n
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — last-touch marketing attribution: each purchase is
+    credited to the user's most recent PRECEDING non-purchase event type
+    (purchases with no prior touch credit 'direct'), with purchase count,
+    revenue in exact cents, and share per channel. The counterpart query
+    to funnel_conversion: the funnel asks "did the path complete?", this
+    asks "which touchpoint gets the credit?".
+
+    100 TB: one window shuffle on user_id carrying (ts, event_id, type,
+    value) — the IGNORE NULLS last_value runs in a single pass over each
+    user's ordered journey with O(1) state; the channel rollup collapses
+    to |event types| rows, map-side combined. Deterministic by the
+    unique (ts, event_id) order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    attrib = tagged.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        cents.alias("cents"),
+    )
+    tot = attrib.agg(F.count("*").alias("n"))
+    return (
+        attrib.crossJoin(F.broadcast(tot))
+        .groupBy("channel", "n")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+            roundn(F.count("*") * F.lit(1.0) / F.first("n"), 6).alias(
+                "share"
+            ),
+        )
+        .drop("n")
+    )

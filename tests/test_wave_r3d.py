@@ -159,3 +159,91 @@ def test_ttest_fixture_shape(spark):
     assert min(r.n1, r.n2) - 1 <= r.df_welch <= r.n1 + r.n2 - 2
     # t and the mean difference must agree in sign
     assert (r.t_stat >= 0) == (r.mean_diff >= 0)
+
+
+# ---- SQL-surface wave 8 + attribution ----
+
+
+def test_business_day_closed_form_matches_brute_force():
+    """Validate the 5*floor(u/7)+min(u%7,5) closed form against a
+    brute-force Mon-Fri count, independently of both engines — the
+    differential suite only proves Spark and DuckDB run the SAME
+    formula, not that the formula is right."""
+    epoch = dt.date(1994, 12, 26)  # Monday
+
+    def f(d: dt.date) -> int:
+        u = (d - epoch).days
+        return 5 * (u // 7) + min(u % 7, 5)
+
+    def brute(d1: dt.date, d2: dt.date) -> int:
+        # business days in [d1, d2): count Mon-Fri dates from d1,
+        # excluding d2 — the convention f(d2)-f(d1) implements
+        n, d = 0, d1
+        while d < d2:
+            if d.weekday() < 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        return n
+
+    base = dt.date(1995, 1, 1)
+    for i in range(0, 30):
+        for j in range(i, i + 40):
+            d1 = base + dt.timedelta(days=i)
+            d2 = base + dt.timedelta(days=j)
+            assert f(d2) - f(d1) == brute(d1, d2), (d1, d2)
+
+
+def test_datetime_tz_roundtrip_and_day_roll_law(spark):
+    out = REGISTRY["fn_datetime_tz"].spark(spark, SF_DIR).cache()
+    try:
+        assert out.filter(~F.col("roundtrip_ok")).count() == 0
+        # +05:30 rolls the calendar day exactly when UTC time >= 18:30
+        law = (
+            F.hour("ts") * 60 + F.minute("ts") >= 18 * 60 + 30
+        )
+        assert out.filter(F.col("day_rolled") != law).count() == 0
+        assert 0 < out.filter("day_rolled").count() < out.count()
+    finally:
+        out.unpersist()
+
+
+def test_attribution_conserves_purchases_and_credits_correctly(
+    spark, tmp_path
+):
+    rows = [
+        # user 1: view -> click -> purchase -> purchase (both to click)
+        (1, _day(0), 1, "view", 1.0, "{}"),
+        (2, _day(1), 1, "click", 1.0, "{}"),
+        (3, _day(2), 1, "purchase", 10.0, "{}"),
+        (4, _day(3), 1, "purchase", 20.0, "{}"),
+        # user 2: purchase with no prior touch -> direct
+        (5, _day(0), 2, "purchase", 5.0, "{}"),
+        # user 3: error then purchase -> error channel
+        (6, _day(0), 3, "error", 1.0, "{}"),
+        (7, _day(1), 3, "purchase", 7.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = {
+        r.channel: r
+        for r in REGISTRY["attribution_last_touch"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {"click", "direct", "error"}
+    assert out["click"].n_purchases == 2
+    assert out["click"].revenue_cents == 3000
+    assert out["direct"].n_purchases == 1
+    assert out["direct"].revenue_cents == 500
+    assert out["error"].n_purchases == 1
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-5
+
+
+def test_attribution_fixture_conservation(spark):
+    out = REGISTRY["attribution_last_touch"].spark(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    assert sum(r.n_purchases for r in out) == purchases.count()
+    total_cents = purchases.select(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("c")
+    ).first().c
+    assert sum(r.revenue_cents for r in out) == total_cents
