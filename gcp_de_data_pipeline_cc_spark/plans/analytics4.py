@@ -77,70 +77,101 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     by lift. Lift > 1 = brands bought together beyond chance — the
     cross-sell signal.
 
-    100 TB: the transaction relation carries (orderkey, brand) — the
-    basket self-join's candidate count is Σ C(|basket|,2), bounded by
-    basket SIZE (≤ tens), never catalog size; the item-support and
-    total-order sides are brand-cardinality tables that broadcast. The
-    support floor prunes the pair table before the metric joins. The
-    final top-K is TakeOrderedAndProject over an already
-    brand²-bounded relation.
+    100 TB: a STRICT one-pass design. One shuffle builds per-order
+    baskets (collect_set over orderkey, map-side combined); each basket
+    then emits, in a single narrow explode, (a) one sentinel element
+    counting the basket, (b) each brand twice — tagged left and right —
+    for the item supports, and (c) candidate pairs generated inside the
+    sorted array (Σ C(|basket|,2), bounded by basket SIZE, with
+    brand_a < brand_b canonical for free). ONE groupBy counts all of
+    them together into a ≤(1+2·|brands|+|brands|²)-row relation, and
+    the support/total lookups the lift needs become window aggregates
+    over that tiny relation — no diamond: a join-based formulation
+    re-executes the fact scan once per consumer (measured: 4 scans in
+    the executed plan, warm 4.0 s at sf0.1 vs 2.8 s and ONE scan for
+    this shape), because Spark reuses identical exchanges, not
+    arbitrary shared subtrees. The final top-K is TakeOrderedAndProject.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    tx = (
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
     )
-    n_orders = tx.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    # pair expansion inside the sorted basket array: bs[i-1] with every
+    # later element; '' tags (never a brand value) mark the sentinel
+    # and single-brand bookkeeping rows that ride the same aggregation
+    mk = lambda a, b: F.struct(a.alias("brand_a"), b.alias("brand_b"))
+    empty = F.lit("")
+    elements = F.concat(
+        F.array(mk(empty, empty)),
+        F.transform(F.col("bs"), lambda x: mk(x, empty)),
+        F.transform(F.col("bs"), lambda x: mk(empty, x)),
+        F.flatten(
+            F.transform(
+                # sequence(1, 0) DESCENDS for 1-brand baskets — filter
+                # to the valid index range instead of a row-level guard
+                F.filter(
+                    F.sequence(F.lit(1), F.size("bs") - 1),
+                    lambda i: (i >= 1) & (i <= F.size("bs") - 1),
+                ),
+                lambda i: F.transform(
+                    F.slice(F.col("bs"), i + 1, F.size("bs") - i),
+                    lambda x: mk(F.col("bs")[i - 1], x),
+                ),
+            )
+        ),
     )
-    item = tx.groupBy("p_brand").agg(F.count("*").alias("n_item"))
-    a, b = tx.alias("a"), tx.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
+    counts = (
+        baskets.select(F.explode(elements).alias("p"))
         .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
         )
-        .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= _MIN_SUP)
+        .agg(F.count("*").alias("n"))
     )
-    ia = item.select(
-        F.col("p_brand").alias("brand_a"), F.col("n_item").alias("n_a")
+    is_sentinel = (F.col("brand_a") == "") & (F.col("brand_b") == "")
+    is_single_l = (F.col("brand_a") != "") & (F.col("brand_b") == "")
+    is_single_r = (F.col("brand_a") == "") & (F.col("brand_b") != "")
+    stats = counts.select(
+        "brand_a",
+        "brand_b",
+        "n",
+        F.max(F.when(is_sentinel, F.col("n"))).over(
+            Window.partitionBy()
+        ).alias("n_orders"),
+        F.max(F.when(is_single_l, F.col("n"))).over(
+            Window.partitionBy("brand_a")
+        ).alias("n_a"),
+        F.max(F.when(is_single_r, F.col("n"))).over(
+            Window.partitionBy("brand_b")
+        ).alias("n_b"),
     )
-    ib = item.select(
-        F.col("p_brand").alias("brand_b"), F.col("n_item").alias("n_b")
-    )
-    out = (
-        pair.join(F.broadcast(ia), "brand_a")
-        .join(F.broadcast(ib), "brand_b")
-        .crossJoin(F.broadcast(n_orders))
-        .select(
-            "brand_a",
-            "brand_b",
-            "n_pair",
-            roundn(
-                F.col("n_pair") * F.lit(1.0) / F.col("n_orders"), 6
-            ).alias("support"),
-            roundn(
-                F.col("n_pair") * F.lit(1.0) / F.col("n_a"), 6
-            ).alias("conf_a_to_b"),
-            roundn(
-                F.col("n_pair") * F.lit(1.0) / F.col("n_b"), 6
-            ).alias("conf_b_to_a"),
-            roundn(
-                F.col("n_pair")
-                * F.lit(1.0)
-                * F.col("n_orders")
-                / (F.col("n_a") * F.col("n_b")),
-                6,
-            ).alias("lift"),
-        )
+    out = stats.filter(
+        (F.col("brand_a") != "")
+        & (F.col("brand_b") != "")
+        & (F.col("n") >= _MIN_SUP)
+    ).select(
+        "brand_a",
+        "brand_b",
+        F.col("n").alias("n_pair"),
+        roundn(F.col("n") * F.lit(1.0) / F.col("n_orders"), 6).alias(
+            "support"
+        ),
+        roundn(F.col("n") * F.lit(1.0) / F.col("n_a"), 6).alias(
+            "conf_a_to_b"
+        ),
+        roundn(F.col("n") * F.lit(1.0) / F.col("n_b"), 6).alias(
+            "conf_b_to_a"
+        ),
+        roundn(
+            F.col("n")
+            * F.lit(1.0)
+            * F.col("n_orders")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
     )
     return out.orderBy(
         F.desc("lift"), "brand_a", "brand_b"
