@@ -270,3 +270,102 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok_chars") * F.lit(1.0) / F.sum("n_tokens"), 4
         ).alias("chars_per_token"),
     )
+
+
+#: URL synthesis + canonicalization policy, shared by the Spark plan and
+#: the oracle: raw URLs are derived deterministically from (source,
+#: doc_id) with the four classic duplicate-variant noises — host case,
+#: explicit default port, utm tracking params, fragments, and trailing
+#: slashes; ~3 docs share each canonical path so duplication is real.
+_URL_RAW_SQL = """
+        SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 2 = 0 THEN 'WWW' ELSE 'www' END
+               || '.example.com'
+               || CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END
+               || '/docs/' || CAST(doc_id // 3 AS VARCHAR)
+               || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
+               AS url
+        FROM documents
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS ({_URL_RAW_SQL}),
+    canon AS (
+        SELECT doc_id, url,
+               REGEXP_REPLACE(
+                   REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                           REGEXP_REPLACE(LOWER(url), '#.*$', ''),
+                           '\\?utm_[^#]*', ''),
+                       ':443', ''),
+                   '/$', '') AS canonical_url
+        FROM raw)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+           (COUNT(*) > 1) AS is_dup,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-extension — URL canonicalization dedup: the FIRST dedup pass
+    of every crawl pipeline, upstream of any content hashing — the same
+    page arrives as https://Host.example.com:443/docs/1/?utm_source=x#f
+    and https://host.example.com/docs/1 and must collapse before fetch
+    budgets and content dedup are spent on it. Canonicalization policy:
+    lowercase, strip fragments, utm tracking params, explicit default
+    port, and trailing slash; group by the canonical form, keep the
+    min doc_id. (Raw URLs are synthesized deterministically from the
+    documents table with all four noise classes — the fixture carries
+    no URL column; the synthesis is part of the registered query and
+    identical in the oracle, the fn_luhn precedent.)
+
+    100 TB: canonicalization is narrow scan-side regexp codegen; the
+    only shuffle carries (canonical_url, doc_id, url) — at frontier
+    scale hash the canonical to 8 bytes first (dedup_ngram_hashjoin
+    trade). Patterns avoid backreferences: Spark ($1) and DuckDB (\\1)
+    disagree on backref syntax, so portable canonicalizers must.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, "WWW").otherwise("www"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 11 == 0, ":443").otherwise(""),
+        F.lit("/docs/"),
+        F.floor(F.col("doc_id") / 3).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0, "?utm_source=feed").otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "#section-2").otherwise(""),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""),
+                r"\?utm_[^#]*",
+                "",
+            ),
+            ":443",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    canon = docs.select(
+        "doc_id", url.alias("url"), canonical.alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc"),
+        (F.count("*") > 1).alias("is_dup"),
+        F.countDistinct("url").alias("n_raw_variants"),
+    )

@@ -1060,3 +1060,71 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    per AS (
+        SELECT label, dim, SUM(x) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2),
+    g AS (
+        SELECT label, dim, s, n,
+               SUM(s) OVER (PARTITION BY dim) AS gs,
+               SUM(n) OVER (PARTITION BY dim) AS gn
+        FROM per)
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           {sql_roundn(
+               "SQRT(SUM((s / n - gs / gn) * (s / n - gs / gn)))", 4
+           )} AS drift
+    FROM g GROUP BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-extension — embedding-space domain-shift audit: per label
+    cohort, the L2 distance between the cohort centroid and the global
+    corpus centroid. A cohort whose centroid drifts far from the global
+    one occupies its own region of embedding space — the signal that a
+    source changed domain, an encoder version skewed, or a slice needs
+    its own ANN index. The distributional cousin of the per-vector
+    embedding_normalize gate.
+
+    100 TB: vectors explode to (label, dim, x) — dims× the row count
+    but each row is 20 bytes, and the (label, dim) rollup is map-side
+    combined, so the shuffle carries |labels|·|dims| partial sums, not
+    vectors. The global centroid derives from the SAME rollup by a
+    window over the tiny aggregated relation (one fact pass — no
+    diamond, same lesson as market_basket); everything after is
+    |labels|·|dims| sized. Float discipline: sums of doubles rounded at
+    4dp sit ~1e5 ulps above the cross-engine summation-order noise.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "x")
+    per = ex.groupBy("label", "dim").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    wd = Window.partitionBy("dim")
+    g = per.select(
+        "label",
+        "dim",
+        "s",
+        "n",
+        F.sum("s").over(wd).alias("gs"),
+        F.sum("n").over(wd).alias("gn"),
+    )
+    d = F.col("s") / F.col("n") - F.col("gs") / F.col("gn")
+    return g.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        roundn(F.sqrt(F.sum(d * d)), 4).alias("drift"),
+    )

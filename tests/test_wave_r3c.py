@@ -198,3 +198,62 @@ def test_cohort_new_returning_conservation(spark):
     # the earliest month is acquisition-only by construction
     first = min(out, key=lambda r: r.month)
     assert first.n_new_orders == first.n_orders
+
+
+# ---- wave E: URL canonicalization + centroid drift ----
+
+
+def test_url_canonical_output_is_fully_canonical(spark):
+    out = REGISTRY["dedup_url_canonical"].spark(spark, SF_DIR).cache()
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # every document lands in exactly one canonical group
+        assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+        # no residual noise may survive canonicalization
+        dirty = out.filter(
+            F.col("canonical_url").rlike("[A-Z]|#|utm_|:443|/$")
+        )
+        assert dirty.count() == 0
+        # the synthesized noise must actually exercise the collapse
+        assert out.filter("is_dup").count() > 0
+        assert out.filter(F.col("n_raw_variants") > 1).count() > 0
+        bad = out.filter(F.col("n_raw_variants") > F.col("n_docs"))
+        assert bad.count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_centroid_drift_two_orthogonal_cohorts(spark, tmp_path):
+    """Two cohorts pinned at orthogonal unit vectors sit sqrt(0.5) from
+    the midpoint global centroid — exact by construction."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 1.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {
+        r.label: r
+        for r in REGISTRY["embedding_centroid_drift"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    import math
+
+    want = round(math.sqrt(0.5), 4)
+    assert out[0].n_vecs == 2 and out[1].n_vecs == 2
+    assert abs(out[0].drift - want) < 1e-9
+    assert abs(out[1].drift - want) < 1e-9
+
+
+def test_centroid_drift_fixture_conservation(spark):
+    out = REGISTRY["embedding_centroid_drift"].spark(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = out.collect()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert all(r.drift >= 0 for r in rows)
+    # a single-label corpus would have zero drift; the fixture has many
+    assert any(r.drift > 0 for r in rows)
