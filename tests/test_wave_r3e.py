@@ -1,0 +1,118 @@
+"""Semantic tests for the dbt-style declarative test suite
+(plans/curation.py: qc_accepted_values / qc_uniqueness / qc_freshness):
+each gate must CATCH an injected violation and pass the clean fixture.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _day(i: int, h: int = 12) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=i, hours=h)
+
+
+def _write_minimal_warehouse(spark, path, orders_rows, events_rows,
+                             lineitem_rows):
+    spark.createDataFrame(
+        orders_rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, "
+        "o_orderpriority STRING",
+    ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        events_rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    spark.createDataFrame(
+        lineitem_rows,
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+        "l_linestatus STRING, l_shipdate TIMESTAMP",
+    ).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+
+_OK_ORDER = (1, 1, "O", 10.0, _day(0), "1-URGENT")
+_OK_EVENT = (1, _day(0), 1, "click", 1.0, "{}")
+_OK_LINE = (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _day(1))
+
+
+def test_accepted_values_catches_injected_bad_status(spark, tmp_path):
+    bad_order = (2, 1, "X", 10.0, _day(0), "1-URGENT")
+    _write_minimal_warehouse(
+        spark, tmp_path, [_OK_ORDER, bad_order], [_OK_EVENT], [_OK_LINE]
+    )
+    out = {
+        r.test: r
+        for r in REGISTRY["qc_accepted_values"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    r = out["orders.o_orderstatus"]
+    assert not r.passed and r.n_violations == 1 and r.n_bad_values == 1
+    assert out["lineitem.l_returnflag"].passed
+    assert out["events.event_type"].passed
+
+
+def test_uniqueness_catches_duplicate_event_id(spark, tmp_path):
+    dup = (1, _day(1), 2, "view", 2.0, "{}")  # same event_id as _OK_EVENT
+    _write_minimal_warehouse(
+        spark, tmp_path, [_OK_ORDER], [_OK_EVENT, dup], [_OK_LINE]
+    )
+    out = {
+        r.test: r
+        for r in REGISTRY["qc_uniqueness"].spark(spark, str(tmp_path)).collect()
+    }
+    r = out["events.event_id"]
+    assert not r.passed and r.n_duplicate_rows == 1
+    assert out["orders.o_orderkey"].passed
+    assert out["lineitem.(l_orderkey,l_linenumber)"].passed
+
+
+def test_freshness_bands_stale_slices(spark, tmp_path):
+    events = [
+        (1, _day(10), 1, "click", 1.0, "{}"),     # anchor slice: ok
+        (2, _day(9, 10), 1, "view", 1.0, "{}"),   # ~26h behind: warn
+        (3, _day(7), 1, "error", 1.0, "{}"),      # 72h behind: error
+    ]
+    _write_minimal_warehouse(spark, tmp_path, [_OK_ORDER], events, [_OK_LINE])
+    out = {
+        r.event_type: r
+        for r in REGISTRY["qc_freshness"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out["click"].status == "ok" and out["click"].lag_seconds == 0
+    assert out["view"].status == "warn"
+    assert out["error"].status == "error"
+    assert out["error"].lag_seconds == 72 * 3600
+
+
+def test_qc_suite_clean_on_fixture(spark):
+    av = REGISTRY["qc_accepted_values"].spark(spark, SF_DIR).collect()
+    assert all(r.passed for r in av), av
+    uq = {r.test: r for r in
+          REGISTRY["qc_uniqueness"].spark(spark, SF_DIR).collect()}
+    assert uq["orders.o_orderkey"].passed
+    assert uq["events.event_id"].passed
+    # a REAL catch: the synthetic fixture does not honor TPC-H's
+    # (l_orderkey, l_linenumber) uniqueness (1161 duplicated pairs at
+    # sf0.001, verified key-by-key) — exactly what this gate exists to
+    # surface before MERGE/SCD logic trusts the key
+    li = uq["lineitem.(l_orderkey,l_linenumber)"]
+    assert not li.passed and li.n_duplicate_rows > 0
+    fr = REGISTRY["qc_freshness"].spark(spark, SF_DIR).collect()
+    # statuses must agree with the banding law applied to the lags
+    for r in fr:
+        want = (
+            "error"
+            if r.lag_seconds > 48 * 3600
+            else "warn" if r.lag_seconds > 12 * 3600 else "ok"
+        )
+        assert r.status == want, r
+    assert any(r.status == "ok" for r in fr)

@@ -136,10 +136,55 @@ def _skewed(spark, mult: int):
     return li, key
 
 
+def materialize_dir(spark, mult: int, tables: tuple[str, ...]) -> str:
+    """Materialize a warehouse DIRECTORY (sf_dir layout) at ``mult``×,
+    so probes can run REGISTERED plans verbatim instead of copies.
+    Tables with offset specs replicate with growing key spaces; the
+    rest land as single untouched copies (dimension semantics)."""
+    d = f"{SCRATCH}/dir_x{mult}"
+    for t in tables:
+        dst = f"{d}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        if t in _OFFSETS or mult == 1:
+            src = materialize(spark, t, mult if t in _OFFSETS else 1)
+        else:
+            src = f"{SF_DIR}/{t}.parquet"
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    return d
+
+
+def probe_lines_rewrite(spark, mult: int) -> float:
+    """Boilerplate-line rewrite, REGISTERED plan: span explode → df map
+    → rejoin → ordered reassembly. Replication makes every block hot
+    (df >= mult), so this measures the worst case where the rewrite
+    touches every document."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("documents",))
+    t0 = time.time()
+    REGISTRY["dedup_lines_rewrite"].spark(spark, d).count()
+    return time.time() - t0
+
+
+def probe_basket(spark, mult: int) -> float:
+    """Market-basket one-pass plan, REGISTERED: basket build over the
+    offset orderkeys (order count scales, basket size stays bounded) +
+    sentinel/single/pair aggregation."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("lineitem", "part"))
+    t0 = time.time()
+    REGISTRY["market_basket"].spark(spark, d).collect()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
-          "skew_distinct_salted": probe_skew_salted}
+          "skew_distinct_salted": probe_skew_salted,
+          "lines_rewrite": probe_lines_rewrite,
+          "market_basket": probe_basket}
 
 
 def main() -> None:
