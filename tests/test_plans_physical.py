@@ -306,8 +306,9 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
 #: sweep fails — that is the point.
 _BNLJ_REVIEWED = frozenset({
     # r3 wave: one-row scalar broadcasts (corpus size / anchor date /
-    # purchase total) — category (a)
-    "attribution_last_touch", "market_basket", "rfm_segments",
+    # purchase total / freshness anchor) — category (a)
+    "attribution_last_touch", "market_basket", "qc_freshness",
+    "rfm_segments",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
