@@ -34,7 +34,7 @@ reassembly order are exact integers/strings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -368,4 +368,68 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keeper_doc"),
         (F.count("*") > 1).alias("is_dup"),
         F.countDistinct("url").alias("n_raw_variants"),
+    )
+
+
+#: coverage-curve checkpoints, sized to the fixture's ~31-token lexicon
+#: (at production scale these are 1k/8k/32k/128k vocab-size candidates)
+_COVERAGE_KS = (5, 10, 20)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT token, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r,
+               SUM(c) OVER (ORDER BY c DESC, token ASC) AS cum,
+               SUM(c) OVER () AS tot
+        FROM freq)
+    SELECT CAST(r AS BIGINT) AS vocab_k,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           {sql_roundn("cum * 1.0e0 / tot", 6)} AS cum_share
+    FROM ranked
+    WHERE r IN ({", ".join(str(k) for k in _COVERAGE_KS)})
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — the vocabulary-size/coverage trade-off curve:
+    cumulative token-mass share captured by the top-K vocabulary at
+    each candidate K. vocab_coverage audits ONE chosen vocab per doc;
+    this is the corpus-level curve that CHOOSES K — the marginal
+    coverage of doubling the vocabulary, read straight off adjacent
+    checkpoints. (Deterministic rank order: freq DESC, token ASC — the
+    vocab_build tie-break.)
+
+    100 TB: token frequencies map-side combine to lexicon cardinality;
+    the rank/cumsum windows run over the LEXICON (millions of rows at
+    web scale — one reducer-friendly relation), never the corpus. The
+    checkpoint filter is a constant IN-list.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tx.tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = freq.select(
+        F.row_number().over(w).cast("long").alias("vocab_k"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy()
+        ).alias("tot"),
+    )
+    return ranked.filter(
+        F.col("vocab_k").isin(*_COVERAGE_KS)
+    ).select(
+        "vocab_k",
+        F.col("cum").cast("long").alias("cum_tokens"),
+        roundn(F.col("cum") * F.lit(1.0) / F.col("tot"), 6).alias(
+            "cum_share"
+        ),
     )

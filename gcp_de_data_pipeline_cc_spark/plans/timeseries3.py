@@ -353,3 +353,137 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n")
     )
+
+
+#: each event occupies a 5-minute activity interval for the
+#: concurrency sweep — the "active session" horizon
+_CONC_WIN_MIN = 5
+
+
+@query(
+    "ts_concurrency",
+    oracle=f"""
+    WITH iv AS (
+        SELECT event_type, ts AS s,
+               ts + INTERVAL {_CONC_WIN_MIN} MINUTE AS e
+        FROM events),
+    deltas AS (
+        SELECT event_type, s AS at, 1 AS d FROM iv
+        UNION ALL
+        SELECT event_type, e, -1 FROM iv),
+    swept AS (
+        SELECT event_type, at, d,
+               SUM(d) OVER (PARTITION BY event_type
+                            ORDER BY at, d) AS conc
+        FROM deltas)
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', at) AS TIMESTAMP) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM swept
+    GROUP BY 1, 2
+    """,
+)
+def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — peak concurrency by sweep line: each event opens
+    a 5-minute activity interval; +1/−1 deltas sorted by (instant,
+    delta) and prefix-summed give the live concurrency at every
+    boundary, rolled up to the per-day peak per series. THE capacity
+    question (how many sessions at once?) that no windowed rollup
+    answers — tumbling counts events per bucket, not simultaneous
+    overlap. Interval ends sort BEFORE starts at the same instant
+    (delta ascending), making intervals half-open [s, e) so a
+    back-to-back handoff never double-counts; because both engines'
+    default window frame is RANGE (peers included), the prefix sum at
+    any instant is tie-order independent — deterministic without a
+    unique tiebreak.
+
+    100 TB: the sweep is one window shuffle per series carrying
+    (instant, ±1); the day rollup map-side combines. A single series
+    too hot for one reducer splits by day with per-day offsets carried
+    forward (two-phase scan — the agg_incremental pattern), documented
+    here rather than built because the per-series volume bound makes
+    one reducer per series the right local plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_CONC_WIN_MIN} MINUTES")).alias(
+            "e"
+        ),
+    )
+    deltas = iv.select(
+        "event_type", F.col("s").alias("at"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("event_type", F.col("e").alias("at"), F.lit(-1).alias("d"))
+    )
+    swept = deltas.select(
+        "event_type",
+        "at",
+        F.sum("d")
+        .over(Window.partitionBy("event_type").orderBy("at", "d"))
+        .alias("conc"),
+    )
+    return swept.groupBy(
+        "event_type",
+        F.date_trunc("day", "at").cast("timestamp").alias("day"),
+    ).agg(F.max("conc").cast("long").alias("peak_concurrency"))
+
+
+@query(
+    "ts_interarrival",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id))
+                   AS gap_us
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           {sql_roundn("AVG(gap_us / 1.0e6)", 3)} AS mean_gap_s,
+           {sql_roundn("quantile_cont(gap_us, 0.5) / 1.0e6", 3)}
+               AS p50_gap_s,
+           {sql_roundn("quantile_cont(gap_us, 0.9) / 1.0e6", 3)}
+               AS p90_gap_s,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — inter-arrival cadence per series: the
+    microsecond-exact gap between consecutive events (LAG over the
+    unique (ts, event_id) order), summarized as mean / exact p50 / p90
+    / max. The feed's heartbeat profile: qc_freshness asks "is the
+    newest record recent?"; this characterizes the arrival process
+    itself — a p90 gap that doubles flags upstream batching or
+    throttling long before freshness alarms.
+
+    100 TB: one LAG window shuffle per series carrying (ts, event_id);
+    gaps are exact int64 microseconds (epoch_us on both engines), so
+    only the final summary divides into float. Exact percentiles
+    re-shuffle per-series gap lists; the approx_percentile swap for
+    billion-event series is the agg_percentile_approx trade.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.unix_micros("ts")
+        - F.unix_micros(
+            F.lag("ts").over(
+                Window.partitionBy("event_type").orderBy("ts", "event_id")
+            )
+        )
+    ).alias("gap_us")
+    gaps = ev.select("event_type", gap).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        roundn(F.avg(F.col("gap_us") / F.lit(1.0e6)), 3).alias("mean_gap_s"),
+        roundn(
+            F.percentile(F.col("gap_us"), F.lit(0.5)) / F.lit(1.0e6), 3
+        ).alias("p50_gap_s"),
+        roundn(
+            F.percentile(F.col("gap_us"), F.lit(0.9)) / F.lit(1.0e6), 3
+        ).alias("p90_gap_s"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -116,3 +116,72 @@ def test_qc_suite_clean_on_fixture(spark):
         )
         assert r.status == want, r
     assert any(r.status == "ok" for r in fr)
+
+
+# ---- wave G: concurrency sweep, inter-arrival, coverage curve ----
+
+
+def _events_only(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_concurrency_counts_overlap_not_volume(spark, tmp_path):
+    """Three events inside one 5-minute horizon peak at 3; a
+    back-to-back handoff exactly at the horizon boundary stays at 1
+    (half-open intervals — the end sorts before the start)."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "burst", 1.0, "{}"),
+        (2, t0 + 2 * m, 2, "burst", 1.0, "{}"),
+        (3, t0 + 4 * m, 3, "burst", 1.0, "{}"),
+        (4, t0, 1, "handoff", 1.0, "{}"),
+        (5, t0 + 5 * m, 2, "handoff", 1.0, "{}"),  # starts as #4 ends
+    ]
+    _events_only(spark, tmp_path, rows)
+    out = {
+        r.event_type: r.peak_concurrency
+        for r in REGISTRY["ts_concurrency"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out["burst"] == 3
+    assert out["handoff"] == 1
+
+
+def test_interarrival_uniform_series_degenerate_stats(spark, tmp_path):
+    """An exactly evenly spaced series has mean = p50 = p90 = the
+    spacing, and n_gaps = n-1."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=30 * i), 1, "tick", 1.0, "{}")
+        for i in range(10)
+    ]
+    _events_only(spark, tmp_path, rows)
+    r = REGISTRY["ts_interarrival"].spark(spark, str(tmp_path)).first()
+    assert r.n_gaps == 9
+    assert r.mean_gap_s == r.p50_gap_s == r.p90_gap_s == 30.0
+    assert r.max_gap_us == 30_000_000
+
+
+def test_coverage_curve_monotone_and_exact(spark):
+    rows = sorted(
+        REGISTRY["vocab_coverage_curve"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r.vocab_k,
+    )
+    assert [r.vocab_k for r in rows] == [5, 10, 20]
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares) and shares[-1] <= 1.0
+    # independent recomputation of the top-5 token mass
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    counts = sorted(((-r["count"], r.t) for r in freq))
+    top5 = sum(-c for c, _ in counts[:5])
+    assert rows[0].cum_tokens == top5
