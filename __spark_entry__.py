@@ -155,6 +155,15 @@ _COMPONENT_FIRST = (
     "ts_twap", "dedup_sorted_neighborhood", "agg_weighted_median",
     "agg_gini", "pareto_concentration",
     "ts_theilsen", "text_ttr", "win_pct_change",
+    # round-3 continuation: corpus wave 4 + retail + monitoring +
+    # dbt-test + SQL-surface-8 waves (X121-X141)
+    "dedup_lines_rewrite", "quality_logistic", "token_fertility",
+    "market_basket", "rfm_segments", "cohort_new_returning",
+    "ts_cusum", "ts_bollinger", "markov_transitions", "hypothesis_ttest",
+    "fn_datetime_tz", "fn_business_days", "attribution_last_touch",
+    "dedup_url_canonical", "embedding_centroid_drift",
+    "qc_accepted_values", "qc_uniqueness", "qc_freshness",
+    "ts_concurrency", "ts_interarrival", "vocab_coverage_curve",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 
