@@ -367,3 +367,33 @@ def test_no_cartesian_anywhere_in_registry(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_REVIEWED:
             offenders[name] = "non-allowlisted BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_market_basket_single_fact_pass(spark):
+    """The one-pass property is the operator's whole design (the join
+    diamond re-scanned lineitem 4x): the physical plan must contain
+    exactly ONE lineitem scan and one part scan."""
+    plan = plan_of(spark, "market_basket")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("part.parquet") == 1
+
+
+def test_centroid_drift_single_fact_pass(spark):
+    """Same law for the embedding rollup: the global centroid derives
+    from the label rollup via a window, not a second embeddings scan."""
+    plan = plan_of(spark, "embedding_centroid_drift")
+    assert plan.count("embeddings.parquet") == 1, plan
+
+
+def test_cusum_single_window_exchange(spark):
+    """All four window quantities (count/total/prefix/pick) must share
+    the event_type partitioning: exactly one hashpartitioning exchange
+    on the daily rollup, not one per window."""
+    import re
+
+    plan = plan_of(spark, "ts_cusum")
+    # exchanges: one for the daily groupBy, one re-used partitioning for
+    # the windows (hashpartitioning(event_type)); anything more means a
+    # window picked up its own shuffle
+    n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_ex <= 2, plan
