@@ -1128,3 +1128,103 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_vecs"),
         roundn(F.sqrt(F.sum(d * d)), 4).alias("drift"),
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token
+        FROM documents),
+    profile AS (
+        SELECT lang, token FROM (
+            SELECT lang, token,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY COUNT(*) DESC, token
+                   ) AS rnk
+            FROM tok GROUP BY lang, token
+        ) WHERE rnk <= 10),
+    scored AS (
+        SELECT t.doc_id, p.lang AS cand_lang, COUNT(*) AS hits
+        FROM tok t JOIN profile p ON t.token = p.token
+        GROUP BY t.doc_id, p.lang),
+    best AS (
+        SELECT doc_id, cand_lang AS predicted_lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY hits DESC, cand_lang
+               ) AS rnk
+        FROM scored),
+    cells AS (
+        SELECT d.lang AS true_lang, b.predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM best b JOIN documents d USING (doc_id)
+        WHERE b.rnk = 1
+        GROUP BY 1, 2)
+    SELECT true_lang, predicted_lang, n_docs,
+           {sql_roundn(
+               "n_docs * 1.0e0 / SUM(n_docs) OVER (PARTITION BY true_lang)",
+               6,
+           )} AS row_share,
+           (true_lang = predicted_lang) AS is_diagonal
+    FROM cells
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — the language-ID EVALUATION harness: the confusion
+    matrix of the n-gram classifier (text_langid) against the labeled
+    lang column, with per-true-language recall shares. text_langid
+    scores documents; this is the query a pipeline owner actually reads
+    before trusting the classifier to route a corpus — which language
+    pairs leak into each other, and how much of each slice is
+    misrouted. Same classifier expression tree as text_langid (profile
+    build + broadcast + hit-count argmax), so the two stay consistent
+    by construction.
+
+    100 TB: identical profile to text_langid — the per-language profile
+    is dimension-sized and broadcasts onto the token stream; ONE
+    doc-keyed shuffle for the argmax; the confusion rollup collapses to
+    |langs|² cells, map-side combined. The row_share window runs over
+    the cell table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens_col(F.col("text"))).alias("token")
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.col("count").desc(), "token")
+    profile = (
+        tok.groupBy("lang", "token")
+        .count()
+        .withColumn("rnk", F.row_number().over(w_prof))
+        .filter(F.col("rnk") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    scored = (
+        tok.select("doc_id", "token")
+        .join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), "cand_lang"
+    )
+    best = (
+        scored.withColumn("rnk", F.row_number().over(w_best))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    )
+    cells = (
+        best.join(docs.select("doc_id", F.col("lang").alias("true_lang")),
+                  "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w_row = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        roundn(
+            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w_row), 6
+        ).alias("row_share"),
+        (F.col("true_lang") == F.col("predicted_lang")).alias("is_diagonal"),
+    )

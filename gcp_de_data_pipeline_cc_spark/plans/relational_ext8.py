@@ -21,7 +21,7 @@ that contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -150,4 +150,99 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bdays").cast("long").alias("min_bdays"),
         F.max("bdays").cast("long").alias("max_bdays"),
         roundn(F.avg(F.col("bdays") * F.lit(1.0)), 4).alias("avg_bdays"),
+    )
+
+
+#: nearest-join tolerance: candidates farther than this are not matches
+_NEAREST_TOL_H = 24
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'),
+    c AS (
+        SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.p_id, p.user_id, p.p_ts, c.c_id,
+               epoch_us(c.c_ts) - epoch_us(p.p_ts) AS gap_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.p_id
+                   ORDER BY ABS(epoch_us(c.c_ts) - epoch_us(p.p_ts)),
+                            c.c_ts, c.c_id) AS rnk
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND ABS(epoch_us(c.c_ts) - epoch_us(p.p_ts))
+             <= CAST({_NEAREST_TOL_H} AS BIGINT) * 3600 * 1000000)
+    SELECT p.p_id AS purchase_id, p.user_id,
+           cand.c_id AS click_id,
+           CAST(cand.gap_us AS BIGINT) AS gap_us,
+           CASE WHEN cand.c_id IS NULL THEN 'none'
+                WHEN cand.gap_us <= 0 THEN 'before'
+                ELSE 'after' END AS direction
+    FROM p LEFT JOIN (SELECT * FROM cand WHERE rnk = 1) cand
+      USING (p_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7-completion — NEAREST-direction as-of join: each purchase
+    matches the click by the same user closest in time in EITHER
+    direction, within a 24 h tolerance; unmatched purchases survive
+    with direction 'none'. Backward as-of (join_asof_event) answers
+    "what state preceded this?"; forward (join_asof_forward) "what
+    followed?"; nearest is the entity-resolution flavor — "which
+    interaction does this belong to?" — and completes the family.
+    Deterministic pick: (|gap|, ts, event_id) — an equidistant
+    before/after pair resolves to the earlier click.
+
+    100 TB: candidates join on user_id with the tolerance band bounding
+    each purchase's candidates to its ±24 h click neighborhood — work
+    is Σ|purchases_u|·|clicks_u∩window|, never |P|×|C|; the pick is
+    WindowGroupLimit-shaped (rank 1 per purchase) during the same
+    shuffle, and the final LEFT join re-attaches the no-candidate
+    purchases. A DuckDB ASOF JOIN can't express 'nearest either way' —
+    the oracle runs the same explicit formulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    gap = F.unix_micros("c_ts") - F.unix_micros("p_ts")
+    tol_us = _NEAREST_TOL_H * 3600 * 1_000_000
+    cand = (
+        p.join(
+            c,
+            (p.user_id == c.c_user) & (F.abs(gap) <= tol_us),
+        )
+        .select("p_id", "user_id", "p_ts", "c_id", "c_ts", gap.alias("gap_us"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("p_id").orderBy(
+                    F.abs(F.col("gap_us")), "c_ts", "c_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("p_id", "c_id", "gap_us")
+    )
+    out = p.join(cand, "p_id", "left")
+    return out.select(
+        F.col("p_id").alias("purchase_id"),
+        "user_id",
+        F.col("c_id").alias("click_id"),
+        F.col("gap_us").cast("long").alias("gap_us"),
+        F.when(F.col("c_id").isNull(), "none")
+        .when(F.col("gap_us") <= 0, "before")
+        .otherwise("after")
+        .alias("direction"),
     )

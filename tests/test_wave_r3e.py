@@ -185,3 +185,54 @@ def test_coverage_curve_monotone_and_exact(spark):
     counts = sorted(((-r["count"], r.t) for r in freq))
     top5 = sum(-c for c, _ in counts[:5])
     assert rows[0].cum_tokens == top5
+
+
+# ---- wave H: nearest as-of join + lang-ID confusion matrix ----
+
+
+def test_asof_nearest_picks_closest_and_breaks_ties_earlier(
+    spark, tmp_path
+):
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: clicks 2h before and 1h after -> match the after one
+        (1, t0 - 2 * h, 1, "click", 1.0, "{}"),
+        (2, t0 + 1 * h, 1, "click", 1.0, "{}"),
+        (3, t0, 1, "purchase", 5.0, "{}"),
+        # user 2: equidistant clicks (3h both sides) -> earlier wins
+        (4, t0 - 3 * h, 2, "click", 1.0, "{}"),
+        (5, t0 + 3 * h, 2, "click", 1.0, "{}"),
+        (6, t0, 2, "purchase", 5.0, "{}"),
+        # user 3: nearest click is 30h away -> outside tolerance, none
+        (7, t0 + 30 * h, 3, "click", 1.0, "{}"),
+        (8, t0, 3, "purchase", 5.0, "{}"),
+    ]
+    _events_only(spark, tmp_path, rows)
+    out = {
+        r.purchase_id: r
+        for r in REGISTRY["join_asof_nearest"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[3].click_id == 2 and out[3].direction == "after"
+    assert out[3].gap_us == 3600 * 1_000_000
+    assert out[6].click_id == 4 and out[6].direction == "before"
+    assert out[8].click_id is None and out[8].direction == "none"
+
+
+def test_lang_confusion_consistent_with_langid(spark):
+    cells = REGISTRY["text_lang_confusion"].spark(spark, SF_DIR).collect()
+    perdoc = REGISTRY["text_langid"].spark(spark, SF_DIR).collect()
+    # cell mass equals classified docs; diagonal mass equals correct docs
+    assert sum(c.n_docs for c in cells) == len(perdoc)
+    n_correct = sum(1 for r in perdoc if r.is_correct)
+    assert sum(c.n_docs for c in cells if c.is_diagonal) == n_correct
+    # row shares are row-stochastic (<=5 cells per row, rounded 1e-6)
+    from collections import defaultdict
+
+    rows = defaultdict(float)
+    for c in cells:
+        rows[c.true_lang] += c.row_share
+    for lang, s in rows.items():
+        assert abs(s - 1.0) < 5e-6, (lang, s)
