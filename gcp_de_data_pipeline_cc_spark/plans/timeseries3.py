@@ -155,7 +155,7 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                SQRT(CAST(n_w * s2 - s1 * s1 AS DOUBLE)
                     / (n_w * (n_w - 1.0e0))) AS sd_c
         FROM win WHERE n_w = {_BOLL_W})
-    SELECT event_type, day, cents,
+    SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
            {sql_roundn("mean_c / 100.0e0", 2)} AS band_mid,
            {sql_roundn(f"(mean_c + {_BOLL_K}.0e0 * sd_c) / 100.0e0", 2)}
                AS band_upper,
