@@ -4,11 +4,11 @@ volume (Q7), plus SCD1 upsert and a dynamic-partition-pruning join."""
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gcp_de_data_pipeline_cc_spark.scratch import scratch_dir
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
 from gcp_de_data_pipeline_cc_spark.operators.merge import scd1_upsert
@@ -185,7 +185,7 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-listing level.
     """
     o = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="dpp_orders_")
+    tmp = scratch_dir("dpp_orders")
     (
         o.withColumn("order_year", F.year("o_orderdate"))
         .write.mode("overwrite")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from contextlib import contextmanager
 
+from gcp_de_data_pipeline_cc_spark.scratch import scratch_dir
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 from gcp_de_data_pipeline_cc_spark.streaming.windows import (
@@ -154,7 +155,7 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_de_data_pipeline_cc_spark.streaming.stateful import running_user_totals
 
     ensure_session_posture(spark)  # direct parquet read bypasses load_table
-    tmp = tempfile.mkdtemp(prefix="stream_state_")
+    tmp = scratch_dir("stream_state")
     src_dir = f"{tmp}/src"
     # split the stream into two files → two micro-batches; project to
     # the two columns the operator needs BEFORE landing the stream so
@@ -211,7 +212,7 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_de_data_pipeline_cc_spark.streaming.windows import streaming_dedup
 
     ensure_session_posture(spark)  # direct parquet read bypasses load_table
-    tmp = tempfile.mkdtemp(prefix="stream_wm_")
+    tmp = scratch_dir("stream_wm")
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
     raw_schema = spark.read.parquet(tmp).schema
     sdf = spark.readStream.schema(raw_schema).parquet(tmp)
@@ -335,7 +336,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_session_posture(spark)  # direct parquet read bypasses load_table
-    tmp = tempfile.mkdtemp(prefix="stream_topk_")
+    tmp = scratch_dir("stream_topk")
     import shutil
 
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
@@ -437,7 +438,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_session_posture(spark)  # direct parquet read bypasses load_table
-    tmp = tempfile.mkdtemp(prefix="stream_ss_")
+    tmp = scratch_dir("stream_ss")
     shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/part-0.parquet")
     raw_schema = spark.read.parquet(tmp).schema
 
@@ -511,7 +512,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
 
     ensure_session_posture(spark)
-    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
+    tmp = scratch_dir("stream_enrich")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw.repartition(3).write.mode("overwrite").parquet(tmp)
     schema = spark.read.parquet(tmp).schema
@@ -586,8 +587,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture
 
     ensure_session_posture(spark)
-    stage = tempfile.mkdtemp(prefix="stream_fb_src_")
-    root = tempfile.mkdtemp(prefix="stream_fb_tgt_")
+    stage = scratch_dir("stream_fb_src")
+    root = scratch_dir("stream_fb_tgt")
     target = f"{root}/current"
     # stage the (normalized-timestamp) feed as 3 files = 3 micro-batches
     ev = load_table(spark, sf_dir, "events").select(

@@ -14,12 +14,12 @@ tests/test_layout.py.
 from __future__ import annotations
 
 import os
-import tempfile
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gcp_de_data_pipeline_cc_spark.scratch import scratch_dir
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
@@ -67,7 +67,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "P")
         .select(*COMPACT_COLS)
     )
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    tmp = scratch_dir("compact")
     frag, tight = f"{tmp}/fragmented", f"{tmp}/compacted"
     # simulate micro-batch landings: 16 small files
     src.repartition(16).write.mode("overwrite").parquet(frag)
@@ -128,7 +128,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .bitwiseAND(F.lit((1 << Z_BITS) - 1))
     )
-    tmp = tempfile.mkdtemp(prefix="zorder_")
+    tmp = scratch_dir("zorder")
     (
         o.withColumn("zval", zvalue_col(x, y))
         .repartitionByRange(8, "zval")
@@ -354,7 +354,7 @@ def file_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    tmp = tempfile.mkdtemp(prefix="manifest_")
+    tmp = scratch_dir("manifest")
     (
         o.withColumn("month", F.date_trunc("month", F.col("o_orderdate")))
         .repartition("month")  # one task owns each month → one file per dir

@@ -12,8 +12,6 @@ equal to its batch twin in tests/test_streaming.py.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +20,7 @@ from pyspark.sql import functions as F
 from gcp_de_data_pipeline_cc_spark.catalog import ensure_session_posture, load_table
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 from gcp_de_data_pipeline_cc_spark.sources.csv_ingest import raw_to_staging, read_landing_csv
+from gcp_de_data_pipeline_cc_spark.scratch import scratch_dir
 from gcp_de_data_pipeline_cc_spark.sources.sink import read_table, write_table
 from gcp_de_data_pipeline_cc_spark.streaming.file_ingest import (
     ingest_available_now,
@@ -30,23 +29,9 @@ from gcp_de_data_pipeline_cc_spark.streaming.file_ingest import (
 
 CUSTOMER_COLS = ("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
 
-#: shared scratch root for every lifecycle query's landing/sink dirs
-_WORK_BASE = os.path.join(tempfile.gettempdir(), "spark_graft_work")
-
-
 def _work_dir(name: str) -> str:
-    """Fixed per-query scratch dir, wiped at each invocation.
-
-    Repeated bench/test runs reuse one path per query instead of
-    accumulating fresh ``mkdtemp`` copies of the source tables under
-    /tmp (r2 advisor finding). The wipe happens eagerly here — callers
-    build lazy DataFrames over the path, so the only safe delete point
-    is the start of the NEXT invocation of the same query.
-    """
-    path = os.path.join(_WORK_BASE, name)
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    return path
+    """Per-(process, query) scratch dir — see scratch.scratch_dir."""
+    return scratch_dir(name)
 
 
 @query(
