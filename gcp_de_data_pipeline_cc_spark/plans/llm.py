@@ -1228,3 +1228,137 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("row_share"),
         (F.col("true_lang") == F.col("predicted_lang")).alias("is_diagonal"),
     )
+
+
+#: Lloyd's iterations unrolled in the plan (assignment -> mean twice)
+_KM_ITERS = 2
+#: cluster count: seeded from the K smallest vec_ids
+_KM_K = 4
+
+
+@query(
+    "kmeans_iterate",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    c0 AS (
+        SELECT vec_id AS cid, dim, x AS c FROM ex WHERE vec_id < {_KM_K}),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY SUM((e.x - c.c) * (e.x - c.c)), c.cid
+                   ) AS rn
+            FROM ex e JOIN c0 c USING (dim)
+            GROUP BY e.vec_id, c.cid) WHERE rn = 1),
+    c1 AS (
+        SELECT a.cid, e.dim, AVG(e.x) AS c
+        FROM ex e JOIN a1 a USING (vec_id)
+        GROUP BY a.cid, e.dim),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY SUM((e.x - c.c) * (e.x - c.c)), c.cid
+                   ) AS rn
+            FROM ex e JOIN c1 c USING (dim)
+            GROUP BY e.vec_id, c.cid) WHERE rn = 1),
+    c2 AS (
+        SELECT a.cid, e.dim, AVG(e.x) AS c
+        FROM ex e JOIN a2 a USING (vec_id)
+        GROUP BY a.cid, e.dim),
+    dist AS (
+        SELECT a.vec_id, a.cid,
+               SUM((e.x - c.c) * (e.x - c.c)) AS d2
+        FROM ex e JOIN a2 a USING (vec_id) JOIN c2 c
+          ON a.cid = c.cid AND e.dim = c.dim
+        GROUP BY a.vec_id, a.cid)
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {sql_roundn("SUM(d2)", 2)} AS inertia
+    FROM dist GROUP BY cid
+    """,
+)
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-extension — FULL Lloyd's k-means (kmeans_assign is the E-step
+    alone): deterministic seeding from the K smallest vec_ids, then two
+    unrolled assignment→mean iterations, reporting per-cluster size and
+    inertia against the final centroids. The iterative-ML pattern on
+    DataFrames: each iteration is one plan layer (distance join →
+    argmin window → mean rollup), so Catalyst sees the whole loop and
+    the convergence trade is explicit — iterations × passes, exactly
+    like graph_pagerank's rounds.
+
+    Exploded (vec, dim, x) space keeps the distance arithmetic
+    identical on both engines; assignment argmin is unrounded but
+    cluster margins (~1e-1) sit ~9 orders above cross-engine
+    summation noise (~1e-12) — same float posture as kmeans_assign.
+
+    100 TB: per iteration, the distance join broadcasts the K·dims
+    centroid relation against one fact pass, and the mean rollup
+    map-side combines to K·dims — the classic Lloyd profile (one scan
+    per iteration, no all-pairs). The unrolled plan re-derives the
+    exploded relation per pass; a production loop caches it once
+    (immutable across iterations) and checkpoints assignments every
+    few rounds — the dedup_clusters checkpoint pattern.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+
+    centroids = (
+        ex.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), "dim", F.col("x").alias("c"))
+    )
+
+    def assign(cents):
+        d = (
+            ex.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    def update(assigned):
+        return (
+            ex.join(assigned, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("c"))
+        )
+
+    for _ in range(_KM_ITERS):
+        assigned = assign(centroids)
+        centroids = update(assigned)
+
+    dist = (
+        ex.join(assigned, "vec_id")
+        .join(F.broadcast(centroids), ["cid", "dim"])
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    return dist.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_vecs"),
+        roundn(F.sum("d2"), 2).alias("inertia"),
+    )

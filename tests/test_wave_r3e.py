@@ -236,3 +236,40 @@ def test_lang_confusion_consistent_with_langid(spark):
         rows[c.true_lang] += c.row_share
     for lang, s in rows.items():
         assert abs(s - 1.0) < 5e-6, (lang, s)
+
+
+# ---- kmeans_iterate ----
+
+
+def test_kmeans_iterate_recovers_separated_blobs(spark, tmp_path):
+    """Four well-separated blobs, seeded with one member each (vec_ids
+    0-3): two Lloyd iterations must assign every vector to its blob and
+    leave tiny inertia."""
+    import itertools
+
+    corners = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)]
+    rows = []
+    vid = 0
+    # vec_ids 0..3 are one seed per blob, then 5 more members per blob
+    for cx, cy in corners:
+        rows.append((vid, [cx, cy], vid))
+        vid += 1
+    for i, (cx, cy) in itertools.product(range(5), corners):
+        jit = 0.1 * (i + 1)
+        rows.append((vid, [cx + jit, cy - jit], 0))
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = REGISTRY["kmeans_iterate"].spark(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(r.n_vecs == 6 for r in out), out
+    assert all(r.inertia < 5.0 for r in out), out
+
+
+def test_kmeans_iterate_fixture_conservation(spark):
+    out = REGISTRY["kmeans_iterate"].spark(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert sum(r.n_vecs for r in out) == emb.count()
+    assert all(r.inertia >= 0 for r in out)
+    assert len(out) == 4  # no cluster collapsed on this corpus
