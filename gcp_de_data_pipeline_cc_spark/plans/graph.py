@@ -176,28 +176,55 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     every scale — and wedge fan-out is bounded by K², which is what
     makes triangle enumeration viable on a dense 100 TB graph at all.
 
-    100 TB: the pair build is a per-order self-join (bounded by the
-    order's line width, ≤ C(8,2) pairs — never all-pairs); the top-K
-    cut is a WindowGroupLimit-pruned rank per node; the enumeration
-    joins broadcast the K·n backbone so the wedge set is probed
+    100 TB: the pair build is ONE pass — per-order supplier sets via
+    collect_set, pairs generated inside the sorted array (bounded by
+    the order's line width, ≤ C(8,2) — never all-pairs; the
+    market_basket shape); both edge orientations explode from one edge
+    row instead of a union-of-two-subtrees (a diamond re-runs the pair
+    build per consumer). The ≤K·n backbone is localCheckpoint'd
+    (lazily) before the triangle joins — three consumers of a diamond
+    otherwise re-derive it three times (measured: the old
+    union+self-join formulation planned THIRTY-SIX lineitem scans,
+    4.8 s at sf0.1; this shape plans one fact scan, the
+    tools/plan_report.py census caught it). The top-K cut is a
+    WindowGroupLimit-pruned rank per node; the enumeration joins
+    broadcast the checkpointed backbone so the wedge set is probed
     map-side; orientation sa<sb yields each triangle exactly once."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = pl.alias("a"), pl.alias("b")
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
+        .filter(F.size("bs") >= 2)
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size("bs") - 1),
+                lambda i: (i >= 1) & (i <= F.size("bs") - 1),
+            ),
+            lambda i: F.transform(
+                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
+                lambda x: F.struct(
+                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
+                ),
+            ),
+        )
+    )
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
-        )
+        sets.select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
         .agg(F.count("*").alias("w"))
     )
+    # both orientations from ONE edge row — no union diamond
     d = e.select(
-        F.col("sa").alias("u"), F.col("sb").alias("v"), "w"
-    ).unionAll(e.select(F.col("sb").alias("u"), F.col("sa").alias("v"), "w"))
+        F.explode(
+            F.array(
+                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
+                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
+            )
+        ).alias("o"),
+        "w",
+    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
     from pyspark.sql import Window
 
     rn = F.row_number().over(
@@ -210,10 +237,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
         )
         .distinct()
+        # ≤ K·n rows; materialize once for the three triangle-join
+        # consumers (lazy: nothing runs until the query's own action)
+        .localCheckpoint(eager=False)
     )
-    # the kNN backbone is <= K*n rows by construction — broadcast it for
-    # both enumeration joins so the wedge set is probed map-side instead
-    # of shuffle-sorted
     e1, e2, e3 = bb.alias("e1"), bb.alias("e2"), bb.alias("e3")
     tri = (
         e1.join(F.broadcast(e2), F.col("e1.sb") == F.col("e2.sa"))
@@ -228,10 +255,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.sb").alias("c"),
         )
     )
-    nodes = (
-        tri.select(F.col("a").alias("suppkey"))
-        .unionAll(tri.select(F.col("b").alias("suppkey")))
-        .unionAll(tri.select(F.col("c").alias("suppkey")))
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("suppkey")
     )
     return (
         nodes.groupBy("suppkey")
