@@ -85,13 +85,19 @@ def ngram_jaccard_pairs(
     compares the collision-free formulation; equivalence of the two
     modes is asserted in tests/test_llm.py.
     """
-    # not cached: callers run this once per job, and a session-lifetime
-    # cache with no unpersist would pin storage memory across queries;
-    # persist explicitly in iterative callers if profiling warrants it
+    # lazily localCheckpoint'd, NOT cached: a session-lifetime cache
+    # with no unpersist would pin storage memory across queries, while
+    # the checkpoint lives only as long as the plan object (cleaned by
+    # the ContextCleaner). Without it the shingle explode runs once per
+    # consumer — both self-join sides plus the size rollup (plan-census
+    # finding: 4 scans; Spark reuses exchanges, not shared subtrees).
     sh = _doc_shingles(docs, id_col, text_col, k)
     if join_on_hash:
         sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(
+        F.count("*").alias("n_sh")
+    ).localCheckpoint(eager=False)
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -177,6 +183,10 @@ def minhash_lsh_pairs(
     banded = sigs.select(id_col, F.explode(band_structs).alias("bb")).select(
         id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
     )
+    # n·bands rows, consumed by BOTH sides of the bucket self-join —
+    # materialize once (lazy) or the signature build runs twice (plan
+    # census finding; Spark reuses exchanges, not shared subtrees)
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -193,9 +203,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verification: exact jaccard on the candidate pairs only
-    sh = _doc_shingles(docs, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # verification: exact jaccard on the candidate pairs only.
+    # The shingle relation feeds both join sides AND both size lookups —
+    # four consumers; checkpoint it (and the tiny per-doc size rollup)
+    # so tokenize+explode runs once.
+    sh = _doc_shingles(docs, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy(id_col).agg(
+        F.count("*").alias("n_sh")
+    ).localCheckpoint(eager=False)
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (

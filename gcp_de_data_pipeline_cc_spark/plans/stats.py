@@ -358,40 +358,41 @@ def hypothesis_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding is the final statistic.
 
     100 TB: the contingency table is one groupBy over the scan
-    (cardinality r×c — tiny); marginals re-aggregate the table, not the
-    data, and everything after the first aggregate is constant-size."""
+    (cardinality r×c — tiny); marginals, totals, and level counts all
+    attach as WINDOW aggregates over that r×c table — ONE fact pass.
+    The earlier join formulation gave each marginal its own consumer
+    subtree and re-ran the orders scan seven times (the
+    tools/plan_report.py census finding; Spark reuses exchanges, not
+    shared subtrees — the market_basket lesson applied here)."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders")
     obs = o.groupBy(
         F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
     ).agg(F.count("*").cast("double").alias("o"))
-    rt = obs.groupBy("r").agg(F.sum("o").alias("row_tot"))
-    ct = obs.groupBy("c").agg(F.sum("o").alias("col_tot"))
-    tot = obs.agg(F.sum("o").alias("n"), F.count("*").alias("n_cells"))
-    n_r = rt.agg(F.count("*").alias("n_rows"))
-    n_c = ct.agg(F.count("*").alias("n_cols"))
-    cells = (
-        obs.join(F.broadcast(rt), "r")
-        .join(F.broadcast(ct), "c")
-        .crossJoin(F.broadcast(tot.select("n")))
-        .withColumn("e", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    w_all = Window.partitionBy()
+    cells = obs.select(
+        "o",
+        (
+            F.sum("o").over(Window.partitionBy("r"))
+            * F.sum("o").over(Window.partitionBy("c"))
+            / F.sum("o").over(w_all)
+        ).alias("e"),
+        F.sum("o").over(w_all).alias("n"),
+        F.size(F.collect_set("r").over(w_all)).alias("n_rows"),
+        F.size(F.collect_set("c").over(w_all)).alias("n_cols"),
     )
-    stat = cells.agg(
+    return cells.agg(
         roundn(
-            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            F.sum(
+                (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+            ),
             4,
-        ).alias("chi2_stat")
-    )
-    return (
-        stat.crossJoin(F.broadcast(n_r))
-        .crossJoin(F.broadcast(n_c))
-        .crossJoin(F.broadcast(tot.select(F.col("n").cast("bigint").alias("n"))))
-        .select(
-            "chi2_stat",
-            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
-            .cast("bigint")
-            .alias("dof"),
-            "n",
-        )
+        ).alias("chi2_stat"),
+        ((F.max("n_rows") - 1) * (F.max("n_cols") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.max("n").cast("bigint").alias("n"),
     )
 
 
