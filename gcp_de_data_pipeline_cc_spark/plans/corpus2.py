@@ -251,8 +251,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_de_data_pipeline_cc_spark.operators.dedup import _doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, "doc_id", "text", 3)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # lazy checkpoints: the shingle relation feeds both self-join sides
+    # and the size rollup (the ngram_jaccard_pairs treatment)
+    sh = _doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh")
+    ).localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -119,9 +119,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit count. The profile is dimension-sized → broadcast onto the token
     stream; one shuffle for the per-doc score."""
     docs = load_table(spark, sf_dir, "documents")
+    # tok feeds the profile build AND the scoring join — checkpoint so
+    # the tokenize pass runs once (plan-census lesson)
     tok = docs.select(
         "doc_id", "lang", F.explode(tx.tokens_col(F.col("text"))).alias("token")
-    )
+    ).localCheckpoint(eager=False)
     w_prof = Window.partitionBy("lang").orderBy(F.col("count").desc(), "token")
     profile = (
         tok.groupBy("lang", "token")
@@ -863,10 +865,15 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     |qterms| × avg-postings rows, not the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # lazy checkpoints: tok feeds tf and dl; tf feeds df, the query-term
+    # cut, and the scoring join — without them each consumer re-runs
+    # the tokenize pass (plan-census finding: 6 scans)
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    ).localCheckpoint(eager=False)
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False)
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
@@ -1187,9 +1194,11 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell table.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # tok feeds the profile build AND the scoring join — checkpoint so
+    # the tokenize pass runs once (plan-census lesson)
     tok = docs.select(
         "doc_id", "lang", F.explode(tx.tokens_col(F.col("text"))).alias("token")
-    )
+    ).localCheckpoint(eager=False)
     w_prof = Window.partitionBy("lang").orderBy(F.col("count").desc(), "token")
     profile = (
         tok.groupBy("lang", "token")

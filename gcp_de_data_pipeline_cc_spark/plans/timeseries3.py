@@ -273,13 +273,16 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_trans"))
     )
-    tot = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
-    return trans.join(F.broadcast(tot), "prev_type").select(
+    # per-source normalizer as a window over the |types|^2 matrix — a
+    # tot-join formulation makes the LEAD pass a second consumer and
+    # re-runs the event window (plan-census lesson)
+    n_from = F.sum("n_trans").over(Window.partitionBy("prev_type"))
+    return trans.select(
         "prev_type",
         "next_type",
         "n_trans",
-        F.col("n_from").cast("long").alias("n_from"),
-        roundn(F.col("n_trans") * F.lit(1.0) / F.col("n_from"), 6).alias("p"),
+        n_from.cast("long").alias("n_from"),
+        roundn(F.col("n_trans") * F.lit(1.0) / n_from, 6).alias("p"),
     )
 
 
@@ -340,18 +343,18 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
         cents.alias("cents"),
     )
-    tot = attrib.agg(F.count("*").alias("n"))
-    return (
-        attrib.crossJoin(F.broadcast(tot))
-        .groupBy("channel", "n")
-        .agg(
-            F.count("*").alias("n_purchases"),
-            F.sum("cents").alias("revenue_cents"),
-            roundn(F.count("*") * F.lit(1.0) / F.first("n"), 6).alias(
-                "share"
-            ),
-        )
-        .drop("n")
+    per = attrib.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    # share normalizer as a window over the |channels|-row rollup — the
+    # one-row-total crossJoin made the window pass run twice
+    tot = F.sum("n_purchases").over(Window.partitionBy())
+    return per.select(
+        "channel",
+        "n_purchases",
+        "revenue_cents",
+        roundn(F.col("n_purchases") * F.lit(1.0) / tot, 6).alias("share"),
     )
 
 

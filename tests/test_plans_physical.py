@@ -305,10 +305,11 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
 #: A NEW query planning a BNLJ must be reviewed and added here, or the
 #: sweep fails — that is the point.
 _BNLJ_REVIEWED = frozenset({
-    # r3 wave: one-row scalar broadcasts (corpus size / anchor date /
-    # purchase total / freshness anchor) — category (a)
-    "attribution_last_touch", "market_basket", "qc_freshness",
-    "rfm_segments",
+    # r3 wave: one-row scalar broadcasts (RFM anchor date / freshness
+    # anchor) — category (a); market_basket and attribution_last_touch
+    # were REMOVED after their window-normalizer rewrites eliminated
+    # the scalar crossJoin entirely
+    "qc_freshness", "rfm_segments",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
