@@ -433,3 +433,131 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+#: sampling budget: resample to this fraction of the corpus's docs
+_MIX_BUDGET_FRAC = 0.6
+
+#: Knuth multiplicative constant + prime modulus — the deterministic
+#: pseudo-uniform both engines compute identically (sample_weighted's)
+_MIX_MULT = 2_654_435_761
+_MIX_MOD = 1_000_003
+
+
+@query(
+    "corpus_sample_by_weights",
+    oracle=f"""
+    WITH perdoc AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+               (doc_id * {_MIX_MULT}) % {_MIX_MOD} AS hk
+        FROM documents),
+    ranked AS (
+        SELECT source, doc_id, ntok, hk,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) OVER w AS BIGINT) AS n_tokens,
+               CAST(FLOOR(SQRT(SUM(ntok) OVER w)) AS BIGINT) AS s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY hk, doc_id) AS rnk
+        FROM perdoc
+        WINDOW w AS (PARTITION BY source)),
+    scoped AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN rnk = 1 THEN s END) OVER () AS BIGINT)
+                   AS s_tot,
+               CAST(FLOOR({_MIX_BUDGET_FRAC}e0 *
+                          SUM(CASE WHEN rnk = 1 THEN n_docs END) OVER ())
+                    AS BIGINT) AS budget
+        FROM ranked),
+    tagged AS (
+        SELECT *,
+               LEAST(n_docs,
+                     CAST(FLOOR((budget * s) * 1.0e0 / s_tot) AS BIGINT))
+                   AS n_target,
+               (rnk <= LEAST(n_docs,
+                     CAST(FLOOR((budget * s) * 1.0e0 / s_tot) AS BIGINT)))
+                   AS kept
+        FROM scoped)
+    SELECT source,
+           CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_target) AS BIGINT) AS n_target,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           {sql_roundn("MAX(s) * 1.0e0 / MAX(s_tot)", 6)} AS target_share
+    FROM tagged
+    GROUP BY source
+    """,
+)
+def corpus_sample_by_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — the MATERIALIZATION of the domain-mix policy:
+    corpus_mix_weights computes temperature-0.5 target weights; this
+    query actually draws the resample — per-source quotas from exact
+    integer arithmetic (⌊√tokens⌋ scores, so the allocation can never
+    flip on a floating summation ulp), membership by deterministic
+    multiplicative-hash rank within each source (reproducible across
+    runs AND engines — no rand()), quota capped at availability. The
+    audit output reports target vs achieved per source; the kept flag
+    is the training-set membership column a real pipeline writes.
+
+    100 TB: one fact pass — per-source stats, scores, global budget,
+    and the rank cut all attach as windows over the per-doc relation
+    (two window shuffles: source-keyed, then the constant-size
+    global); no joins, no second scan. The hash-rank cut means adding
+    documents to one source never perturbs another source's sample
+    (stratum stability), and re-runs are byte-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = docs.select(
+        "source",
+        "doc_id",
+        F.size(tx.tokens_col(F.col("text"))).cast("long").alias("ntok"),
+        ((F.col("doc_id") * _MIX_MULT) % _MIX_MOD).alias("hk"),
+    )
+    w_src = Window.partitionBy("source")
+    ranked = perdoc.select(
+        "source",
+        "doc_id",
+        "ntok",
+        F.count("*").over(w_src).cast("long").alias("n_docs"),
+        F.sum("ntok").over(w_src).cast("long").alias("n_tokens"),
+        F.floor(F.sqrt(F.sum("ntok").over(w_src))).cast("long").alias("s"),
+        F.row_number()
+        .over(w_src.orderBy("hk", "doc_id"))
+        .alias("rnk"),
+    )
+    w_all = Window.partitionBy()
+    first = F.when(F.col("rnk") == 1, F.col("s"))
+    first_docs = F.when(F.col("rnk") == 1, F.col("n_docs"))
+    scoped = ranked.select(
+        "*",
+        F.sum(first).over(w_all).cast("long").alias("s_tot"),
+        F.floor(
+            F.lit(_MIX_BUDGET_FRAC) * F.sum(first_docs).over(w_all)
+        ).cast("long").alias("budget"),
+    )
+    n_target = F.least(
+        F.col("n_docs"),
+        F.floor(
+            (F.col("budget") * F.col("s")) * F.lit(1.0) / F.col("s_tot")
+        ).cast("long"),
+    )
+    tagged = scoped.select(
+        "*",
+        n_target.alias("n_target"),
+        (F.col("rnk") <= n_target).alias("kept"),
+    )
+    return tagged.groupBy("source").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.max("n_target").cast("long").alias("n_target"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("ntok")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+        roundn(
+            F.max("s") * F.lit(1.0) / F.max("s_tot"), 6
+        ).alias("target_share"),
+    )

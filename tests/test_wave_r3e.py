@@ -273,3 +273,29 @@ def test_kmeans_iterate_fixture_conservation(spark):
     assert sum(r.n_vecs for r in out) == emb.count()
     assert all(r.inertia >= 0 for r in out)
     assert len(out) == 4  # no cluster collapsed on this corpus
+
+
+# ---- corpus_sample_by_weights ----
+
+
+def test_mix_sample_quota_laws(spark):
+    rows = REGISTRY["corpus_sample_by_weights"].spark(spark, SF_DIR).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    budget = int(0.6 * total_docs)
+    for r in rows:
+        assert r.n_kept == r.n_target <= r.n_docs
+        assert r.kept_tokens <= r.n_tokens
+    # floor allocation never exceeds the budget
+    assert sum(r.n_kept for r in rows) <= budget
+    # and lands close to it (floors lose < 1 doc per source)
+    assert sum(r.n_kept for r in rows) >= budget - len(rows)
+    # temperature 0.5 flattens: the doc-share ratio between the largest
+    # and smallest sources shrinks vs their token-share ratio
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    token_ratio = big.n_tokens / small.n_tokens
+    quota_ratio = big.n_target / max(small.n_target, 1)
+    assert quota_ratio < token_ratio
+    # shares are a distribution
+    assert abs(sum(r.target_share for r in rows) - 1.0) < len(rows) * 1e-6
