@@ -430,6 +430,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3]))")
         ).alias("shingle"),
     ).distinct()
+    # sh feeds the eval side, the per-doc totals, and the overlap join —
+    # checkpoint so the shingle explode+distinct runs once (plan-census
+    # lesson: Spark reuses exchanges, not shared subtrees)
+    sh = sh.localCheckpoint(eager=False)
     ev = sh.filter(F.col("source") == "src0").select("shingle").distinct()
     tr = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
     tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
