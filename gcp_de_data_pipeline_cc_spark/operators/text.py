@@ -93,6 +93,22 @@ def min_shingle_fingerprint(
     return d.select(docs.columns[0], fp.alias("fingerprint"))
 
 
+def portable_token_hash(tok) -> Column:
+    """Engine-portable polynomial token hash: left fold of
+    ``h' = (131·h + codepoint) mod (2^31−1)`` over the token's
+    characters — the identical arithmetic is expressible in any engine
+    with list folds (DuckDB: list_reduce over unicode()), which is what
+    upgrades the rolling fingerprint from rows-only to oracle-paired.
+    At production scale swap in ``xxhash64(tok)`` (one JVM intrinsic vs
+    a per-char fold) — the fingerprint semantics don't change, only the
+    cross-engine verifiability."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda a, c: F.pmod(a * 131 + F.ascii(c), F.lit(MERSENNE_31)),
+    )
+
+
 def rolling_hash_fingerprint(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -100,16 +116,16 @@ def rolling_hash_fingerprint(
     unlike the min-shingle signature, permuted documents hash apart).
 
     acc' = (31·acc + h(token)) mod (2^31-1), evaluated with `aggregate`
-    entirely JVM-side. Not SQL-oracle-portable (xxhash64 is
-    Spark-specific) → rows-only checks.
+    entirely JVM-side; h is the portable per-char polynomial
+    (portable_token_hash), so the whole fingerprint is exact integer
+    arithmetic any engine reproduces bit-for-bit.
     """
     toks = tokens_col(F.col(text_col))
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(
-            acc * 31 + F.pmod(F.xxhash64(x), F.lit(MERSENNE_31)),
-            F.lit(MERSENNE_31),
+            acc * 31 + portable_token_hash(x), F.lit(MERSENNE_31)
         ),
     )
     return docs.select(docs.columns[0], fp.alias("rolling_fp"))

@@ -167,10 +167,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.min_shingle_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
-@query("text_rolling_fp", oracle=None)
+@query(
+    "text_rolling_fp",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(
+                   string_split(text, ' '),
+                   tok -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(tok, ''),
+                                          c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 131 + b) % 2147483647)) AS th
+        FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                       (acc, x) -> (acc * 31 + x) % 2147483647)
+               AS rolling_fp
+    FROM h
+    """,
+)
 def text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 — order-sensitive polynomial rolling hash (rows-only: xxhash64
-    is Spark-specific)."""
+    """C6 — order-sensitive polynomial rolling hash. Oracle-paired since
+    the r3 portable-hash upgrade: the per-char polynomial token hash
+    (operators/text.portable_token_hash) is exact integer arithmetic
+    both engines fold identically, so the fingerprints match
+    bit-for-bit (previously rows-only because xxhash64 is
+    Spark-specific; the xxhash64 swap remains the documented
+    production fast path)."""
     return tx.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
