@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.operators.text import (
     MERSENNE_31,
+    portable_token_hash,
     shingles_col,
     tokens_col,
 )
@@ -143,7 +144,12 @@ def minhash_signatures(
     shuffle carries (doc, shingle_hash) longs, not text.
     """
     sh = _doc_shingles(docs, id_col, text_col, k)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_31))
+    # portable per-char polynomial (operators/text.portable_token_hash):
+    # exact integer arithmetic any engine folds identically, which is
+    # what makes the whole MinHash pipeline oracle-paired; swap in
+    # pmod(xxhash64(shingle), P) for the production fast path (one JVM
+    # intrinsic per shingle instead of a per-char fold)
+    h = portable_token_hash(F.col("shingle"))
     hashed = sh.select(id_col, h.alias("h"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_31))).alias(f"sig_{i}")
@@ -175,8 +181,13 @@ def minhash_lsh_pairs(
     band_structs = F.array(*[
         F.struct(
             F.lit(band).alias("band_id"),
-            F.xxhash64(*[F.col(f"sig_{band * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias("bucket"),
+            # exact signature tuple as the bucket key (engine-portable);
+            # hash to 8 bytes (xxhash64) at frontier scale to shrink the
+            # bucket-join shuffle — the dedup_ngram_hashjoin trade
+            F.concat_ws("_", *[
+                F.col(f"sig_{band * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]).alias("bucket"),
         )
         for band in range(bands)
     ])

@@ -342,11 +342,77 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
-@query("dedup_minhash", oracle=None)
+_MINHASH_CHARFOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(shingle, ''), "
+    "c -> CAST(unicode(c) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 2147483647)"
+)
+
+
+def _minhash_oracle() -> str:
+    """The full MinHash+LSH+verify pipeline in DuckDB SQL, sharing the
+    seed-42 affine coefficients with operators/dedup._hash_params —
+    possible since the r3 portable-hash upgrade (per-char shingle fold
+    + exact signature-tuple buckets; nothing Spark-specific remains)."""
+    perms = dd._hash_params(32)
+    sig_cols = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % 2147483647) AS sig_{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band_id, "
+        "CAST(sig_{r0} AS VARCHAR) || '_' || CAST(sig_{r1} AS VARCHAR) "
+        "|| '_' || CAST(sig_{r2} AS VARCHAR) || '_' "
+        "|| CAST(sig_{r3} AS VARCHAR) AS bucket FROM sig".format(
+            b=b, r0=4 * b, r1=4 * b + 1, r2=4 * b + 2, r3=4 * b + 3
+        )
+        for b in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+    h AS (
+        SELECT doc_id, {_MINHASH_CHARFOLD} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM h GROUP BY doc_id),
+    banded AS (
+        {band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_both
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           n_both / (ca.n_sh + cb.n_sh - n_both) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_both / (ca.n_sh + cb.n_sh - n_both) >= 0.5
+    """
+
+
+@query("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — MinHash+LSH near-dup join (32 perms, 8 bands × 4 rows),
-    candidates verified with exact Jaccard. Rows-only (hash functions are
-    Spark-specific); tests assert recall vs dedup_ngram_jaccard."""
+    candidates verified with exact Jaccard. Oracle-paired since the r3
+    portable-hash upgrade: the shingle hash is the per-char polynomial
+    fold and band buckets are exact signature tuples, so DuckDB runs
+    the ENTIRE pipeline — banding, candidate join, and verification —
+    from the same seed-42 coefficients (xxhash64 signatures/buckets
+    remain the documented production fast path). Tests additionally
+    assert recall vs dedup_ngram_jaccard."""
     return dd.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
     )
