@@ -254,7 +254,10 @@ def simhash_signatures(
     equal (or near) signatures are near-duplicates."""
     tok = (
         docs.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("token"))
-        .withColumn("h", F.xxhash64("token"))
+        # portable per-char polynomial hash (31 usable bits) — makes the
+        # signature engine-reproducible and the registered query
+        # oracle-paired; xxhash64 is the production fast path
+        .withColumn("h", portable_token_hash(F.col("token")))
     )
     bit_sums = [
         F.sum(

@@ -418,10 +418,68 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
+_SIMHASH_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(token, ''),
+                                  c -> CAST(unicode(c) AS BIGINT))),
+                   (a, b) -> (a * 131 + b) % 2147483647) AS h
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+              FROM documents)),
+    bitsums AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_0,
+               CAST(SUM(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_1,
+               CAST(SUM(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_2,
+               CAST(SUM(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_3,
+               CAST(SUM(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_4,
+               CAST(SUM(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_5,
+               CAST(SUM(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_6,
+               CAST(SUM(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_7,
+               CAST(SUM(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_8,
+               CAST(SUM(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_9,
+               CAST(SUM(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_10,
+               CAST(SUM(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_11,
+               CAST(SUM(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_12,
+               CAST(SUM(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_13,
+               CAST(SUM(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_14,
+               CAST(SUM(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bit_15
+        FROM tok GROUP BY doc_id),
+    sig AS (
+        SELECT doc_id,
+               CAST(CASE WHEN bit_0 > 0 THEN 1 ELSE 0 END
+               + CASE WHEN bit_1 > 0 THEN 2 ELSE 0 END
+               + CASE WHEN bit_2 > 0 THEN 4 ELSE 0 END
+               + CASE WHEN bit_3 > 0 THEN 8 ELSE 0 END
+               + CASE WHEN bit_4 > 0 THEN 16 ELSE 0 END
+               + CASE WHEN bit_5 > 0 THEN 32 ELSE 0 END
+               + CASE WHEN bit_6 > 0 THEN 64 ELSE 0 END
+               + CASE WHEN bit_7 > 0 THEN 128 ELSE 0 END
+               + CASE WHEN bit_8 > 0 THEN 256 ELSE 0 END
+               + CASE WHEN bit_9 > 0 THEN 512 ELSE 0 END
+               + CASE WHEN bit_10 > 0 THEN 1024 ELSE 0 END
+               + CASE WHEN bit_11 > 0 THEN 2048 ELSE 0 END
+               + CASE WHEN bit_12 > 0 THEN 4096 ELSE 0 END
+               + CASE WHEN bit_13 > 0 THEN 8192 ELSE 0 END
+               + CASE WHEN bit_14 > 0 THEN 16384 ELSE 0 END
+               + CASE WHEN bit_15 > 0 THEN 32768 ELSE 0 END AS BIGINT) AS simhash
+        FROM bitsums)
+    SELECT simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           '[' || array_to_string(list_sort(list(doc_id)), ',') || ']'
+               AS members
+    FROM sig GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — SimHash bucketing: documents sharing a 16-bit weighted-bit
-    signature (near-dup candidate groups).
+    signature (near-dup candidate groups). Oracle-paired since the r3
+    portable-hash upgrade: bit weights come from the per-char
+    polynomial token hash, so DuckDB reproduces every signature
+    bit-for-bit (xxhash64 stays the production fast path).
 
     Driver-visible output is scalar-only: the ``members`` id array is
     serialized with ``to_json`` here in the wrapper (the driver's row
