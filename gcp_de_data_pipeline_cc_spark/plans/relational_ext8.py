@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import (
+    ensure_session_posture,
+    load_table,
+)
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
@@ -245,4 +248,39 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("gap_us") <= 0, "before")
         .otherwise("after")
         .alias("direction"),
+    )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (l_suppkey, l_tax, l_linestatus)
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface — star-except projection: ``SELECT * EXCEPT (cols)``
+    (Spark 4) vs DuckDB's ``* EXCLUDE (cols)`` — same semantics, a
+    keyword apart, which is exactly the dialect mapping a migrating
+    user needs written down. The everyday use: project a wide fact
+    minus its bulky/irrelevant columns without enumerating the dozens
+    you keep (and without the maintenance hazard of a stale explicit
+    list when the table evolves).
+
+    100 TB: the analyzer expands the star minus the exclusions BEFORE
+    optimization, so column pruning reaches the parquet scan — the
+    excluded columns are never read (ReadSchema-pinned beside the
+    other pushdown tests). Remaining column order is the table's.
+    """
+    ensure_session_posture(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_star_except"
+    )
+    return spark.sql(
+        """
+        SELECT * EXCEPT (l_suppkey, l_tax, l_linestatus)
+        FROM li_star_except
+        WHERE l_quantity >= 45
+        """
     )

@@ -398,3 +398,13 @@ def test_cusum_single_window_exchange(spark):
     # window picked up its own shuffle
     n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_ex <= 2, plan
+
+
+def test_star_except_prunes_excluded_columns(spark):
+    """The analyzer must expand * EXCEPT before optimization, so the
+    excluded columns never reach the parquet ReadSchema."""
+    plan = plan_of(spark, "sql_star_except")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema
+    for gone in ("l_tax", "l_suppkey", "l_linestatus"):
+        assert gone not in read_schema, gone
