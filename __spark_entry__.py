@@ -164,6 +164,8 @@ _COMPONENT_FIRST = (
     "dedup_url_canonical", "embedding_centroid_drift",
     "qc_accepted_values", "qc_uniqueness", "qc_freshness",
     "ts_concurrency", "ts_interarrival", "vocab_coverage_curve",
+    "join_asof_nearest", "text_lang_confusion", "kmeans_iterate",
+    "corpus_sample_by_weights", "sql_star_except",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 
