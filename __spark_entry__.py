@@ -166,6 +166,7 @@ _COMPONENT_FIRST = (
     "ts_concurrency", "ts_interarrival", "vocab_coverage_curve",
     "join_asof_nearest", "text_lang_confusion", "kmeans_iterate",
     "corpus_sample_by_weights", "sql_star_except",
+    "cdc_to_history", "ts_calendar_heatmap",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

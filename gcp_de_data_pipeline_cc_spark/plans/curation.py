@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -1013,4 +1013,98 @@ def qc_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(lag > _FRESH_WARN_H * 3600, "warn")
         .otherwise("ok")
         .alias("status"),
+    )
+
+
+@query(
+    "cdc_to_history",
+    oracle=f"""
+    WITH log AS (
+        SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_totalprice * 1.1
+        FROM orders
+        WHERE SUBSTR(md5('u:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '55'
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', NULL
+        FROM orders
+        WHERE SUBSTR(md5('d:' || CAST(o_orderkey AS VARCHAR)), 1, 2) >= 'aa'
+    ),
+    hist AS (
+        SELECT k, seq, op, price,
+               LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to_seq,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log)
+    SELECT k AS o_orderkey,
+           CAST(seq AS BIGINT) AS valid_from_seq,
+           CAST(valid_to_seq AS BIGINT) AS valid_to_seq,
+           op,
+           {sql_roundn("price", 2)} AS price,
+           (rn = 1 AND op <> 'D') AS is_current
+    FROM hist
+    """,
+)
+def cdc_to_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-extension — CDC log → FULL SCD2-style history: where cdc_apply
+    collapses the ordered insert/update/delete feed to current state,
+    this materializes the version TABLE — every change becomes an
+    interval row [valid_from_seq, valid_to_seq) via LEAD over the
+    per-key change sequence, deletes land as closed tombstones, and
+    is_current marks the open head (absent for deleted keys). The
+    history-rebuild every lakehouse needs when an SCD2 table must be
+    reconstructed from the raw CDC stream (bad deploy, late schema
+    fix) instead of incrementally merged.
+
+    100 TB: ONE window shuffle on the change key — interval assembly
+    is LEAD + row_number sharing the same partitioning; no joins, no
+    second pass over the log. Same synthesized feed as cdc_apply so
+    the two views of the stream stay comparable; at production scale
+    seq is the (commit_ts, lsn) pair and the window order carries both.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def tagged(tag: str) -> F.Column:
+        return F.substring(
+            F.md5(F.concat(F.lit(tag + ":"), F.col("o_orderkey").cast("string"))),
+            1,
+            2,
+        )
+
+    ins = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = orders.filter(tagged("u") < "55").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("price"),
+    )
+    dels = orders.filter(tagged("d") >= "aa").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    w = Window.partitionBy("k").orderBy("seq")
+    wd = Window.partitionBy("k").orderBy(F.desc("seq"))
+    hist = log.select(
+        "k",
+        "seq",
+        "op",
+        "price",
+        F.lead("seq").over(w).alias("valid_to_seq"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    return hist.select(
+        F.col("k").alias("o_orderkey"),
+        F.col("seq").cast("long").alias("valid_from_seq"),
+        F.col("valid_to_seq").cast("long").alias("valid_to_seq"),
+        "op",
+        roundn(F.col("price"), 2).alias("price"),
+        ((F.col("rn") == 1) & (F.col("op") != "D")).alias("is_current"),
     )

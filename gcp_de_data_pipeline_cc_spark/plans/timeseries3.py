@@ -490,3 +490,42 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_gap_s"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@query(
+    "ts_calendar_heatmap",
+    oracle=f"""
+    SELECT CAST(EXTRACT(isodow FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+               AS value_cents,
+           (EXTRACT(isodow FROM ts) >= 6) AS is_weekend
+    FROM events
+    GROUP BY 1, 2, 5
+    """,
+)
+def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — the (day-of-week × hour) activity heatmap:
+    event count and exact-cents volume per calendar cell with a
+    weekend flag — the load-profile matrix behind capacity planning
+    and anomaly baselining (ts_seasonal_baseline assumes exactly the
+    weekly periodicity this makes visible). ISO day numbering
+    (Mon=1..Sun=7) on both engines: Spark's ``dayofweek`` is
+    Sun=1-based, so the portable form is ``(dayofweek+5) % 7 + 1``.
+
+    100 TB: a single scan-side projection into a 7×24-cell rollup,
+    map-side combined — the cheapest query in the catalog regardless
+    of feed size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return ev.groupBy(
+        iso_dow.alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+        (iso_dow >= 6).alias("is_weekend"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents).alias("value_cents"),
+    ).select("dow", "hour", "n_events", "value_cents", "is_weekend")

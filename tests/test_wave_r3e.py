@@ -299,3 +299,51 @@ def test_mix_sample_quota_laws(spark):
     assert quota_ratio < token_ratio
     # shares are a distribution
     assert abs(sum(r.target_share for r in rows) - 1.0) < len(rows) * 1e-6
+
+
+# ---- wave J: CDC history + calendar heatmap ----
+
+
+def test_cdc_history_consistent_with_apply(spark):
+    """The interval view and the collapsed view of the SAME CDC feed
+    must agree: current history heads == cdc_apply's surviving keys
+    (with equal prices), intervals chain without gaps, and deleted keys
+    have no current row."""
+    hist = REGISTRY["cdc_to_history"].spark(spark, SF_DIR).collect()
+    cur = {r.o_orderkey: r for r in
+           REGISTRY["cdc_apply"].spark(spark, SF_DIR).collect()}
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in hist:
+        by_key[r.o_orderkey].append(r)
+    heads = [r for r in hist if r.is_current]
+    assert {r.o_orderkey for r in heads} == set(cur)
+    for r in heads:
+        assert r.price == cur[r.o_orderkey].price
+        assert r.valid_to_seq is None
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from_seq)
+        # chain: each non-final interval closes at the next open
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_seq == b.valid_from_seq, k
+        # at most one current row; deleted keys have none
+        n_cur = sum(1 for r in rows if r.is_current)
+        if rows[-1].op == "D":
+            assert n_cur == 0, k
+        else:
+            assert n_cur == 1, k
+
+
+def test_calendar_heatmap_conserves_and_flags(spark):
+    rows = REGISTRY["ts_calendar_heatmap"].spark(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert len(rows) <= 7 * 24
+    assert sum(r.n_events for r in rows) == ev.count()
+    total_cents = ev.select(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("c")
+    ).first().c
+    assert sum(r.value_cents for r in rows) == total_cents
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23
+        assert r.is_weekend == (r.dow >= 6)
