@@ -78,3 +78,31 @@ def test_declared_types_match(spark, duck, name):
         assert spark_types[col] == duck_types[col], (
             f"{name}.{col}: spark={spark_types[col]} oracle={duck_types[col]}"
         )
+
+
+def test_all_registered_outputs_are_scalar_typed(spark):
+    """The driver's row canonicalizer crashes on pandas list/struct
+    cells (r2: dedup_simhash / multimodal_features ERR) — every
+    registered query's output schema must therefore be atomic-typed
+    only. Library operators may return arrays; the registered WRAPPER
+    serializes them (to_json/concat_ws)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        MapType,
+        StructType,
+    )
+
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            df = spec.spark(spark, SF_DIR)
+        except Exception:
+            continue  # side-effecting builds have dedicated tests
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType,
+                                       BinaryType)):
+                offenders.setdefault(name, []).append(
+                    f"{f.name}: {f.dataType.simpleString()}"
+                )
+    assert not offenders, offenders
