@@ -270,7 +270,7 @@ def simhash_signatures(
     for b in range(bits):
         contrib = F.when(F.col(f"bit_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sig = contrib if sig is None else (sig + contrib)
-    return per_doc.select(id_col, sig.alias("simhash"))
+    return per_doc.select(id_col, sig.cast("long").alias("simhash"))
 
 
 def simhash_buckets(

@@ -498,8 +498,8 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(isodow FROM ts) AS INT) AS dow,
            CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
-               AS value_cents,
+           CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                AS BIGINT) AS value_cents,
            (EXTRACT(isodow FROM ts) >= 6) AS is_weekend
     FROM events
     GROUP BY 1, 2, 5
