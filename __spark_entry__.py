@@ -167,6 +167,7 @@ _COMPONENT_FIRST = (
     "join_asof_nearest", "text_lang_confusion", "kmeans_iterate",
     "corpus_sample_by_weights", "sql_star_except",
     "cdc_to_history", "ts_calendar_heatmap",
+    "fn_surrogate_key", "qc_reconcile_sink",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -489,3 +489,82 @@ def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@query(
+    "qc_reconcile_sink",
+    oracle=f"""
+    WITH per AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)
+                   AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS cents,
+               CAST(SUM(o_custkey) AS BIGINT) AS key_checksum
+        FROM orders GROUP BY 1)
+    SELECT month,
+           n_rows AS src_rows, n_rows AS tgt_rows,
+           cents AS src_cents, cents AS tgt_cents,
+           key_checksum AS src_checksum, key_checksum AS tgt_checksum,
+           TRUE AS reconciled
+    FROM per
+    """,
+)
+def qc_reconcile_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — source↔target reconciliation by CONTROL TOTALS:
+    after landing a curated slice to the sink, re-read it and compare
+    per-month row counts, exact-cents sums, and a key checksum against
+    an independent aggregation of the source. The cheap standing audit
+    every pipeline hop runs (table_diff is the expensive row-level
+    drill-down you reach for AFTER a control total breaks) — and the
+    reference's COUNT(*)>0 gate (dags/pipeline_orchestration_dag.py:
+    149-167) generalized to value-preserving totals. The sink side
+    here REALLY writes and re-reads parquet, so the reconciliation
+    exercises the round trip; the oracle aggregates the source once
+    (losslessness makes both sides identical — which IS the contract
+    under test: any writer/reader corruption breaks the match).
+
+    100 TB: both sides are map-side-combined month rollups (source
+    scan and target scan, each pruned to three columns); the compare
+    joins two ~month-cardinality relations. Checksums are
+    order-independent integer sums, so partition layout can't perturb
+    them.
+    """
+    src = load_table(spark, sf_dir, "orders")
+    tmp = _work_dir("reconcile_sink")
+    curated = src.select("o_orderkey", "o_custkey", "o_totalprice",
+                         "o_orderdate")
+    curated.write.mode("overwrite").parquet(f"{tmp}/orders_curated")
+    tgt = spark.read.parquet(f"{tmp}/orders_curated")
+
+    def totals(df: DataFrame, prefix: str) -> DataFrame:
+        cents = F.floor(
+            F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+        ).cast("long")
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("timestamp").alias(
+                "month"
+            )
+        ).agg(
+            F.count("*").alias(f"{prefix}_rows"),
+            F.sum(cents).alias(f"{prefix}_cents"),
+            F.sum("o_custkey").alias(f"{prefix}_checksum"),
+        )
+
+    s = totals(src, "src")
+    t = totals(tgt, "tgt")
+    joined = s.join(t, "month", "full_outer")
+    return joined.select(
+        "month",
+        "src_rows",
+        "tgt_rows",
+        "src_cents",
+        "tgt_cents",
+        "src_checksum",
+        "tgt_checksum",
+        (
+            (F.col("src_rows") == F.col("tgt_rows"))
+            & (F.col("src_cents") == F.col("tgt_cents"))
+            & (F.col("src_checksum") == F.col("tgt_checksum"))
+        ).alias("reconciled"),
+    )

@@ -284,3 +284,66 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_quantity >= 45
         """
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+    WITH keyed AS (
+        SELECT l_orderkey, l_linenumber,
+               md5(COALESCE(CAST(l_orderkey AS VARCHAR), '_null_')
+                   || '-' ||
+                   COALESCE(CAST(l_linenumber AS VARCHAR), '_null_'))
+                   AS sk
+        FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_keys,
+           MIN(sk) AS min_key,
+           MAX(sk) AS max_key,
+           (COUNT(DISTINCT sk) =
+            COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '-' ||
+                  CAST(l_linenumber AS VARCHAR))) AS injective_on_input
+    FROM keyed
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5-extension — surrogate-key minting, the dbt
+    ``generate_surrogate_key`` pattern: hash the null-safe,
+    separator-joined natural key into a stable 128-bit id. The
+    separator and the explicit null sentinel are the load-bearing
+    details — ``concat(a, b)`` without them makes ('ab', 'c') and
+    ('a', 'bc') collide, and NULL concat swallows whole keys; both are
+    classic silent-corruption bugs in hand-rolled key macros. The
+    audit output reports key cardinality vs input cardinality
+    (injectivity on this dataset) plus the key range endpoints.
+
+    100 TB: the hash is scan-side codegen; the audit's COUNT DISTINCT
+    is the only shuffle (pruned to the key columns). Minting itself is
+    embarrassingly parallel and deterministic — the same natural key
+    mints the same surrogate on any engine, any run, any cluster,
+    which is the whole point vs monotonically_increasing_id (stable
+    across reruns, mergeable across backfills).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def nullsafe(c: str) -> F.Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("_null_"))
+
+    sk = F.md5(
+        F.concat_ws("-", nullsafe("l_orderkey"), nullsafe("l_linenumber"))
+    )
+    nat = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    keyed = li.select(sk.alias("sk"), nat.alias("nat"))
+    return keyed.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("sk").alias("n_keys"),
+        F.min("sk").alias("min_key"),
+        F.max("sk").alias("max_key"),
+        (
+            F.countDistinct("sk") == F.countDistinct("nat")
+        ).alias("injective_on_input"),
+    )

