@@ -406,3 +406,44 @@ def test_reconcile_detects_injected_target_corruption(spark, tmp_path):
     assert bad.count() > 0
     assert good.count() > 0
     assert all(r.month.month == 3 for r in bad.collect())
+
+
+# ---- text_compression_ratio ----
+
+
+def test_compression_bands_separate_known_inputs(spark, tmp_path):
+    """DEFLATE must put a long repetitive doc in 'boilerplate' and a
+    high-entropy doc well above it — the bands the filter promises."""
+    import random
+
+    rng = random.Random(7)
+    rep = "lorem ipsum dolor " * 300
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(600)
+    )
+    rows = [(1, rep, "en", "s", len(rep)), (2, noisy, "en", "s", len(noisy))]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+              "n_chars BIGINT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_compression_ratio"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].band == "boilerplate" and out[1].ratio < 0.1
+    assert out[2].ratio > 0.5
+    assert out[2].ratio > out[1].ratio * 5
+
+
+def test_compression_ratio_deterministic_and_complete(spark):
+    a = {r.doc_id: r.deflate_bytes for r in
+         REGISTRY["text_compression_ratio"].spark(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.deflate_bytes for r in
+         REGISTRY["text_compression_ratio"].spark(spark, SF_DIR).collect()}
+    assert a == b
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(a) == docs.count()
