@@ -168,6 +168,7 @@ _COMPONENT_FIRST = (
     "corpus_sample_by_weights", "sql_star_except",
     "cdc_to_history", "ts_calendar_heatmap",
     "fn_surrogate_key", "qc_reconcile_sink",
+    "text_compression_ratio", "ts_active_users",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

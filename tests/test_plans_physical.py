@@ -310,6 +310,9 @@ _BNLJ_REVIEWED = frozenset({
     # were REMOVED after their window-normalizer rewrites eliminated
     # the scalar crossJoin entirely
     "qc_freshness", "rfm_segments",
+    # trailing-window distinct actives: 28-day band join against the
+    # broadcast day spine — category (c) calendar spine
+    "ts_active_users",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",

@@ -447,3 +447,41 @@ def test_compression_ratio_deterministic_and_complete(spark):
     assert a == b
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert len(a) == docs.count()
+
+
+# ---- ts_active_users ----
+
+
+def test_active_users_windows_nest_and_age_out(spark, tmp_path):
+    """A user active ONLY on day 0 stays in WAU through day 6 and MAU
+    through day 27, then ages out; a daily user is in all three."""
+    rows = [(1000 + i, _day(i), 1, "click", 1.0, "{}") for i in range(30)]
+    rows.append((1, _day(0), 99, "view", 1.0, "{}"))  # one-shot user
+    _events_only(spark, tmp_path, rows)
+    out = {
+        r.day.day - 1: r  # days are 2024-01-(1+i)
+        for r in REGISTRY["ts_active_users"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[0].dau == 2 and out[0].wau == 2 and out[0].mau == 2
+    assert out[6].dau == 1 and out[6].wau == 2  # still inside 7d
+    assert out[7].wau == 1  # aged out of WAU
+    assert out[27].mau == 2  # last MAU day for the one-shot
+    assert out[28].mau == 1  # aged out of MAU
+    for r in out.values():
+        assert r.dau <= r.wau <= r.mau
+
+
+def test_active_users_dau_matches_direct_count(spark):
+    out = {r.day: r for r in
+           REGISTRY["ts_active_users"].spark(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    direct = {
+        r.day: r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(out) == set(direct)
+    for day, r in out.items():
+        assert r.dau == direct[day]
+        assert r.dau <= r.wau <= r.mau
