@@ -169,6 +169,7 @@ _COMPONENT_FIRST = (
     "cdc_to_history", "ts_calendar_heatmap",
     "fn_surrogate_key", "qc_reconcile_sink",
     "text_compression_ratio", "ts_active_users",
+    "corpus_novelty", "feature_overlap_matrix",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

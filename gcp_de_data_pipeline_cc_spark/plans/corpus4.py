@@ -615,3 +615,63 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ratio") > 0.8, "noise")
         .otherwise("prose"),
     )
+
+
+@query(
+    "corpus_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+    owner AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN owner.first_doc = sh.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           {sql_roundn(
+               "SUM(CASE WHEN owner.first_doc = sh.doc_id THEN 1 ELSE 0 END)"
+               " * 1.0e0 / COUNT(*)", 4
+           )} AS novelty
+    FROM sh JOIN owner USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — the corpus NOVELTY curve: per document (in
+    ingestion order = doc_id), the share of its 3-gram shingles never
+    seen in any earlier document. The marginal-content diagnostic of a
+    growing corpus — when a source's novelty rate decays toward zero,
+    further crawling it buys tokens but no new content, which is the
+    signal behind crawl-budget reallocation and dedup-threshold
+    tuning (the aggregate view of what dedup_blocks flags doc-by-doc).
+
+    100 TB: one shingle explode (the dedup-family relation, hash to 8
+    bytes at scale) → a MIN-by-shingle rollup (map-side combined) →
+    rejoin keyed by shingle → per-doc rollup. First-ownership by
+    min(doc_id) makes the curve deterministic and incremental —
+    appending documents never changes earlier docs' novelty.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from gcp_de_data_pipeline_cc_spark.operators.dedup import _doc_shingles
+
+    sh = _doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    is_novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(is_novel).alias("n_novel"),
+            roundn(
+                F.sum(is_novel) * F.lit(1.0) / F.count("*"), 4
+            ).alias("novelty"),
+        )
+    )

@@ -593,3 +593,83 @@ def ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wau"),
         F.countDistinct("user_id").alias("mau"),
     )
+
+
+@query(
+    "feature_overlap_matrix",
+    oracle=f"""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM tu GROUP BY 1),
+    pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both,
+           sa.n_users AS n_a, sb.n_users AS n_b,
+           {sql_roundn(
+               "n_both * 1.0e0 / (sa.n_users + sb.n_users - n_both)", 6
+           )} AS user_jaccard
+    FROM pair
+    JOIN sizes sa ON sa.event_type = pair.type_a
+    JOIN sizes sb ON sb.event_type = pair.type_b
+    """,
+)
+def feature_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — feature-audience overlap: pairwise distinct-user
+    Jaccard between event types — which features share an audience and
+    which segment it. The adjacency input to bundling/cross-promotion
+    decisions, and the user-set analogue of market_basket's order-level
+    lift. Canonical type_a < type_b orientation.
+
+    100 TB: activity collapses to distinct (type, user) first; the
+    self-join keys on user_id, so candidate work is Σ C(types_per_
+    user, 2) — bounded by the TYPE fan-out per user (≤ |types|²/2 per
+    user), never |users|²; sizes broadcast into the |types|²-row
+    metric join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a, b = tu.alias("a"), tu.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            roundn(
+                F.col("n_both")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("user_jaccard"),
+        )
+    )

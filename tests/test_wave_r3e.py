@@ -485,3 +485,50 @@ def test_active_users_dau_matches_direct_count(spark):
     for day, r in out.items():
         assert r.dau == direct[day]
         assert r.dau <= r.wau <= r.mau
+
+
+# ---- wave L: corpus novelty + feature overlap ----
+
+
+def test_novelty_first_doc_is_fully_novel_and_incremental(spark):
+    rows = {r.doc_id: r for r in
+            REGISTRY["corpus_novelty"].spark(spark, SF_DIR).collect()}
+    # the first document by id can only contain novel shingles
+    assert rows[min(rows)].novelty == 1.0
+    for r in rows.values():
+        assert 0 <= r.n_novel <= r.n_shingles
+    # global conservation: novel shingles across docs == distinct shingles
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.col("t")[i - 1], F.col("t")[i], F.col("t")[i + 1]
+                ),
+            )
+        ).alias("s")
+    )
+    n_distinct = sh.distinct().count()
+    assert sum(r.n_novel for r in rows.values()) == n_distinct
+
+
+def test_feature_overlap_jaccard_laws(spark):
+    rows = REGISTRY["feature_overlap_matrix"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0 <= r.user_jaccard <= 1
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sizes = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_a == sizes[r.type_a] and r.n_b == sizes[r.type_b]
