@@ -675,3 +675,77 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "source_mirror_matrix",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE n_both / (ca.n_sh + cb.n_sh - n_both) >= 0.5),
+    tagged AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               (da.source = db.source) AS same_source
+        FROM pairs
+        JOIN documents da ON da.doc_id = pairs.doc_a
+        JOIN documents db ON db.doc_id = pairs.doc_b)
+    SELECT source_a, source_b, same_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY 1, 2, 3
+    """,
+)
+def source_mirror_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-extension — WHERE does duplication come from: near-dup pairs
+    (exact 3-gram Jaccard ≥ 0.5, the dedup_ngram_jaccard relation)
+    rolled up to the source-pair level with a same-source flag. High
+    cross-source cells are mirrors/syndication (drop one side, fix the
+    crawl frontier); high same-source cells are template spam inside
+    one feed (fix extraction). Doc-level dedup says WHAT to drop; this
+    matrix says what to fix UPSTREAM so the duplicates stop arriving.
+
+    100 TB: the pair relation is the measured shingle-join (candidate
+    work Σ|bucket|², hash-key mode applies); the rollup joins two
+    doc→source lookups (dimension-sized projection of the docs table,
+    broadcastable) and collapses to ≤|sources|² cells.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from gcp_de_data_pipeline_cc_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    da = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    db = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    tagged = (
+        pairs.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("sa") == F.col("sb")).alias("same_source"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b", "same_source").agg(
+        F.count("*").alias("n_pairs")
+    )

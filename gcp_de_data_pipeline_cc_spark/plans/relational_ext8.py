@@ -347,3 +347,49 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("sk") == F.countDistinct("nat")
         ).alias("injective_on_input"),
     )
+
+
+@query(
+    "sla_lag_percentiles",
+    oracle=f"""
+    WITH lag AS (
+        SELECT o.o_orderpriority AS priority,
+               DATE_DIFF('day', o.o_orderdate, l.l_shipdate) AS lag_days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           {sql_roundn("quantile_cont(lag_days, 0.5)", 4)} AS p50_days,
+           {sql_roundn("quantile_cont(lag_days, 0.9)", 4)} AS p90_days,
+           {sql_roundn("quantile_cont(lag_days, 0.99)", 4)} AS p99_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_days
+    FROM lag GROUP BY priority
+    """,
+)
+def sla_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — the SLA percentile report: order→ship lag
+    distribution tails (exact p50/p90/p99, max) per order priority.
+    fn_business_days bands the mean story; operations actually watch
+    the TAIL — a p99 that doubles while the median holds is a queueing
+    problem, not a throughput problem, and only percentiles see it.
+
+    100 TB: the fact-fact orderkey join (bucketable, as
+    fn_business_days); exact percentiles re-shuffle per-priority lag
+    lists — five groups, so the skew bound is the largest priority's
+    row count; the approx_percentile swap (agg_percentile_approx's ±ε
+    envelope) is the documented fast path when that bound breaks.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    return lag.groupBy("priority").agg(
+        F.count("*").alias("n_lineitems"),
+        roundn(F.percentile("lag_days", F.lit(0.5)), 4).alias("p50_days"),
+        roundn(F.percentile("lag_days", F.lit(0.9)), 4).alias("p90_days"),
+        roundn(F.percentile("lag_days", F.lit(0.99)), 4).alias("p99_days"),
+        F.max("lag_days").cast("long").alias("max_days"),
+    )

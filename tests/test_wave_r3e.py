@@ -532,3 +532,34 @@ def test_feature_overlap_jaccard_laws(spark):
     }
     for r in rows:
         assert r.n_a == sizes[r.type_a] and r.n_b == sizes[r.type_b]
+
+
+# ---- wave M: SLA percentiles + source mirror matrix ----
+
+
+def test_sla_percentiles_monotone_and_bounded(spark):
+    rows = REGISTRY["sla_lag_percentiles"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert sum(r.n_lineitems for r in rows) == li.count()
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+        assert r.p50_days >= 0
+
+
+def test_source_mirror_matrix_conserves_pairs(spark):
+    from gcp_de_data_pipeline_cc_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = REGISTRY["source_mirror_matrix"].spark(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_pairs = ngram_jaccard_pairs(docs, threshold=0.5).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b
+        # the same_source flag must agree with the pair orientation
+        if r.same_source:
+            assert r.source_a == r.source_b
+        else:
+            assert r.source_a < r.source_b
