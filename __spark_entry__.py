@@ -170,7 +170,7 @@ _COMPONENT_FIRST = (
     "fn_surrogate_key", "qc_reconcile_sink",
     "text_compression_ratio", "ts_active_users",
     "corpus_novelty", "feature_overlap_matrix",
-    "sla_lag_percentiles", "source_mirror_matrix",
+    "sla_lag_percentiles", "source_mirror_matrix", "ts_drawdown",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -673,3 +673,80 @@ def feature_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("user_jaccard"),
         )
     )
+
+
+@query(
+    "ts_drawdown",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+    cum1 AS (
+        SELECT event_type, day,
+               CAST(SUM(cents) OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS c
+        FROM daily),
+    cum AS (
+        SELECT event_type, day, c,
+               CAST(MAX(c) OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS peak
+        FROM cum1),
+    scored AS (
+        SELECT event_type, day, peak - c AS dd,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY peak - c DESC, day ASC) AS pick
+        FROM cum)
+    SELECT event_type,
+           day AS trough_day,
+           CAST(dd AS BIGINT) AS max_drawdown_cents,
+           {sql_roundn("dd / 100.0e0", 2)} AS max_drawdown
+    FROM scored WHERE pick = 1
+    """,
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — maximum drawdown: the deepest peak-to-trough fall
+    of the cumulative daily series, with the trough day (earliest on
+    ties). The risk counterpart of ts_cusum — CUSUM localizes a mean
+    SHIFT relative to the whole series; drawdown measures the worst
+    excursion relative to the RUNNING PEAK, which is what a budget or
+    inventory position actually experiences. Exact int64 cents
+    throughout: running sum, running max-of-running-sum, and the
+    argmax are all integer window arithmetic — no float can flip the
+    day.
+
+    100 TB: daily pre-aggregation first, then one window shuffle per
+    series carries running sum, running peak (a window over a window
+    on the SAME partitioning — one exchange), and the pick.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("timestamp").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(w).alias("c"),
+    ).select(
+        "event_type",
+        "day",
+        (F.max("c").over(w) - F.col("c")).alias("dd"),
+    )
+    scored = cum.withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("dd"), F.asc("day")
+            )
+        ),
+    )
+    return scored.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("day").alias("trough_day"),
+        F.col("dd").cast("long").alias("max_drawdown_cents"),
+        roundn(F.col("dd") / F.lit(100.0), 2).alias("max_drawdown"),
+    )

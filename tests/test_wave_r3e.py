@@ -563,3 +563,30 @@ def test_source_mirror_matrix_conserves_pairs(spark):
             assert r.source_a == r.source_b
         else:
             assert r.source_a < r.source_b
+
+
+# ---- ts_drawdown ----
+
+
+def test_drawdown_localizes_constructed_trough(spark, tmp_path):
+    """Climb 5 days (+10), fall 3 days (-20/day), recover: the trough
+    is the last fall day and the depth is exactly 60.00."""
+    vals = [10.0] * 5 + [-20.0] * 3 + [15.0] * 4
+    rows = [(i, _day(i), 1, "pos", v, "{}") for i, v in enumerate(vals)]
+    _events_only(spark, tmp_path, rows)
+    r = REGISTRY["ts_drawdown"].spark(spark, str(tmp_path)).first()
+    assert r.trough_day.date() == _day(7).date()
+    assert r.max_drawdown_cents == 6000
+    assert r.max_drawdown == 60.0
+
+
+def test_drawdown_nonnegative_and_monotone_series_zero(spark, tmp_path):
+    rows = [(i, _day(i), 1, "up", 5.0, "{}") for i in range(10)]
+    _events_only(spark, tmp_path, rows)
+    r = REGISTRY["ts_drawdown"].spark(spark, str(tmp_path)).first()
+    # a strictly rising cumulative series never draws down; the
+    # earliest-day tie-break pins the (all-zero) argmax to day 0
+    assert r.max_drawdown_cents == 0
+    assert r.trough_day.date() == _day(0).date()
+    fixture = REGISTRY["ts_drawdown"].spark(spark, SF_DIR).collect()
+    assert all(r.max_drawdown_cents >= 0 for r in fixture)
