@@ -1108,3 +1108,85 @@ def cdc_to_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(F.col("price"), 2).alias("price"),
         ((F.col("rn") == 1) & (F.col("op") != "D")).alias("is_current"),
     )
+
+
+@query(
+    "qc_order_total_integrity",
+    oracle=f"""
+    WITH line AS (
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0e0 - l_discount)
+                              * (1.0e0 + l_tax) * 100.0e0 + 0.5e0)
+                        AS BIGINT)) AS recomputed_cents
+        FROM lineitem GROUP BY 1),
+    cmp AS (
+        SELECT o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS stated_cents,
+               line.recomputed_cents,
+               ABS(CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   - line.recomputed_cents) AS abs_diff
+        FROM orders o JOIN line ON o.o_orderkey = line.l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN abs_diff <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_consistent,
+           {sql_roundn(
+               "SUM(CASE WHEN abs_diff <= 1 THEN 1 ELSE 0 END)"
+               " * 1.0e0 / COUNT(*)", 6)} AS consistency_rate,
+           {sql_roundn("quantile_cont(abs_diff, 0.5) / 100.0e0", 2)}
+               AS p50_abs_diff,
+           CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_cents
+    FROM cmp
+    """,
+)
+def qc_order_total_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — INTRA-schema reconciliation: does the order
+    header's stated total equal the recomputation from its own line
+    items (extended price × (1−discount) × (1+tax), cents-rounded per
+    line)? The accounting identity every order schema promises and the
+    audit that catches rounding-policy drift, partial loads, and
+    currency bugs between the header and detail feeds.
+
+    Standing catch: the synthetic fixture does NOT maintain the
+    identity (header totals and line prices are generated
+    independently — consistency_rate ≈ 0, pinned by the law test), so
+    like qc_uniqueness this gate documents a REAL contract violation
+    in the data rather than vacuously passing.
+
+    100 TB: the line recomputation is a map-side-combined orderkey
+    rollup; the header join shuffles on the same key (bucketable);
+    everything after is one summary row. Per-line cents rounding uses
+    the shared floor form so both engines agree to the cent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    line = li.groupBy("l_orderkey").agg(
+        F.sum(line_cents).alias("recomputed_cents")
+    )
+    stated = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    cmp = orders.join(
+        line, orders.o_orderkey == line.l_orderkey
+    ).select(
+        (stated - F.col("recomputed_cents")).alias("diff")
+    ).select(F.abs(F.col("diff")).alias("abs_diff"))
+    ok = F.when(F.col("abs_diff") <= 1, 1).otherwise(0)
+    return cmp.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(ok).alias("n_consistent"),
+        roundn(F.sum(ok) * F.lit(1.0) / F.count("*"), 6).alias(
+            "consistency_rate"
+        ),
+        roundn(
+            F.percentile("abs_diff", F.lit(0.5)) / F.lit(100.0), 2
+        ).alias("p50_abs_diff"),
+        F.max("abs_diff").alias("max_abs_diff_cents"),
+    )

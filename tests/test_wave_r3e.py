@@ -590,3 +590,32 @@ def test_drawdown_nonnegative_and_monotone_series_zero(spark, tmp_path):
     assert r.trough_day.date() == _day(0).date()
     fixture = REGISTRY["ts_drawdown"].spark(spark, SF_DIR).collect()
     assert all(r.max_drawdown_cents >= 0 for r in fixture)
+
+
+# ---- qc_order_total_integrity ----
+
+
+def test_order_total_integrity_passes_consistent_and_fails_fixture(
+    spark, tmp_path
+):
+    """A constructed warehouse whose header totals DO equal the line
+    recomputation scores rate 1.0; the synthetic fixture (independent
+    header/line generators) scores 0 — a real standing catch."""
+    lines = [
+        (1, 1, 1, 1, 1.0, 100.0, 0.1, 0.05, "N", "O", _day(1)),
+        (1, 2, 1, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", _day(1)),
+        (2, 3, 1, 1, 1.0, 200.0, 0.25, 0.0, "N", "O", _day(1)),
+    ]
+    # totals = line1: 100*0.9*1.05=94.50 + line2: 50 => 144.50; order2: 150
+    orders = [
+        (1, 1, "O", 144.50, _day(0), "1-URGENT"),
+        (2, 1, "O", 150.00, _day(0), "1-URGENT"),
+    ]
+    _write_minimal_warehouse(spark, tmp_path, orders, [_OK_EVENT], lines)
+    r = REGISTRY["qc_order_total_integrity"].spark(spark, str(tmp_path)).first()
+    assert r.n_checked == 2 and r.n_consistent == 2
+    assert r.consistency_rate == 1.0 and r.max_abs_diff_cents <= 1
+
+    f = REGISTRY["qc_order_total_integrity"].spark(spark, SF_DIR).first()
+    assert f.consistency_rate < 0.01  # the fixture violates the identity
+    assert f.n_checked > 0
