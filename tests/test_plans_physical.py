@@ -309,7 +309,7 @@ _BNLJ_REVIEWED = frozenset({
     # anchor) — category (a); market_basket and attribution_last_touch
     # were REMOVED after their window-normalizer rewrites eliminated
     # the scalar crossJoin entirely
-    "qc_freshness", "rfm_segments",
+    "fn_surrogate_key", "qc_freshness", "rfm_segments",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
