@@ -171,7 +171,7 @@ _COMPONENT_FIRST = (
     "text_compression_ratio", "ts_active_users",
     "corpus_novelty", "feature_overlap_matrix",
     "sla_lag_percentiles", "source_mirror_matrix", "ts_drawdown",
-    "qc_order_total_integrity",
+    "qc_order_total_integrity", "user_behavior_entropy",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

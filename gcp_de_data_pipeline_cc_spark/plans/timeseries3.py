@@ -750,3 +750,66 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dd").cast("long").alias("max_drawdown_cents"),
         roundn(F.col("dd") / F.lit(100.0), 2).alias("max_drawdown"),
     )
+
+
+@query(
+    "user_behavior_entropy",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    shared AS (
+        SELECT user_id, event_type, n,
+               CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY n DESC, event_type ASC) AS rnk
+        FROM cnt)
+    SELECT user_id,
+           CAST(MAX(tot) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           MAX(CASE WHEN rnk = 1 THEN event_type END) AS dominant_type,
+           {sql_roundn(
+               "-SUM((n * 1.0e0 / tot) * LN(n * 1.0e0 / tot))", 4
+           )} AS entropy
+    FROM shared
+    GROUP BY user_id
+    """,
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — behavioral diversity per user: Shannon entropy of
+    the user's event-type distribution plus the dominant type. Entropy
+    0 = single-behavior user (bot-like or single-feature), ln(|types|)
+    = uniform explorer — the one-number behavioral segmentation
+    feature next to RFM's value segmentation, and the per-entity
+    analogue of corpus-level text_entropy. Deterministic dominant-type
+    tie-break (count DESC, type ASC).
+
+    100 TB: the (user, type) rollup map-side combines; shares,
+    totals, and the dominant pick are windows over that rollup (≤
+    |types| rows per user — the market_basket one-pass discipline);
+    the final per-user rollup re-keys the same relation. Entropy terms
+    use the identical p·ln p expression tree on both engines, rounded
+    at projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w_u = Window.partitionBy("user_id")
+    shared = cnt.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.sum("n").over(w_u).alias("tot"),
+        F.row_number()
+        .over(w_u.orderBy(F.desc("n"), F.asc("event_type")))
+        .alias("rnk"),
+    )
+    p = F.col("n") * F.lit(1.0) / F.col("tot")
+    return shared.groupBy("user_id").agg(
+        F.max("tot").cast("long").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.max(
+            F.when(F.col("rnk") == 1, F.col("event_type"))
+        ).alias("dominant_type"),
+        roundn(-F.sum(p * F.log(p)), 4).alias("entropy"),
+    )

@@ -619,3 +619,41 @@ def test_order_total_integrity_passes_consistent_and_fails_fixture(
     f = REGISTRY["qc_order_total_integrity"].spark(spark, SF_DIR).first()
     assert f.consistency_rate < 0.01  # the fixture violates the identity
     assert f.n_checked > 0
+
+
+# ---- user_behavior_entropy ----
+
+
+def test_behavior_entropy_degenerate_and_uniform_users(spark, tmp_path):
+    import math
+
+    rows = []
+    # user 1: single behavior -> entropy 0
+    for i in range(10):
+        rows.append((i, _day(i % 5, i % 24), 1, "click", 1.0, "{}"))
+    # user 2: perfectly uniform over 5 types -> entropy ln(5)
+    for i, t in enumerate(
+        ["click", "view", "purchase", "signup", "error"] * 4
+    ):
+        rows.append((100 + i, _day(i % 7, i % 24), 2, t, 1.0, "{}"))
+    _events_only(spark, tmp_path, rows)
+    out = {
+        r.user_id: r
+        for r in REGISTRY["user_behavior_entropy"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].entropy == 0.0 and out[1].n_types == 1
+    assert out[1].dominant_type == "click"
+    assert abs(out[2].entropy - round(math.log(5), 4)) < 1e-9
+    assert out[2].n_types == 5
+
+
+def test_behavior_entropy_fixture_bounds(spark):
+    import math
+
+    rows = REGISTRY["user_behavior_entropy"].spark(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert len(rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert 0 <= r.entropy <= round(math.log(r.n_types), 4) + 1e-9
