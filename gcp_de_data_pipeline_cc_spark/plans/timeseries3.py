@@ -813,3 +813,83 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dominant_type"),
         roundn(-F.sum(p * F.log(p)), 4).alias("entropy"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle=f"""
+    WITH first_w AS (
+        SELECT user_id,
+               MIN(DATE_TRUNC('week', ts)) AS cohort_week
+        FROM events GROUP BY 1),
+    purchases AS (
+        SELECT f.cohort_week,
+               CAST(DATE_DIFF('week', f.cohort_week,
+                              DATE_TRUNC('week', e.ts)) AS BIGINT)
+                   AS age_weeks,
+               e.user_id,
+               CAST(FLOOR(e.value * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+        FROM events e JOIN first_w f USING (user_id)
+        WHERE e.event_type = 'purchase'),
+    cells AS (
+        SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, age_weeks,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM purchases GROUP BY 1, 2)
+    SELECT cohort_week, age_weeks, n_buyers, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_week ORDER BY age_weeks) AS BIGINT)
+               AS cum_revenue_cents
+    FROM cells
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — the cohort LTV curve: purchase revenue (exact
+    cents) by acquisition-week cohort and weeks-since-acquisition, with
+    the running cumulative per cohort — cohort_retention's triangle
+    with MONEY in the cells instead of presence. The payback-period
+    read ("when does a cohort's cumulative revenue cross acquisition
+    cost?") comes straight off the cum column.
+
+    100 TB: the acquisition-week relation is a per-user MIN (user
+    cardinality, broadcastable into the purchase-filtered scan — the
+    cohort_new_returning asymmetry); the (cohort, age) rollup map-side
+    combines to a triangle of a few hundred cells; the cumulative is a
+    window over THAT triangle. Revenue stays int64 cents end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_w = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_w), "user_id")
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", "ts"), F.col("cohort_week")
+                    )
+                    / 7
+                )
+            ).cast("long").alias("age_weeks"),
+            "user_id",
+            cents.alias("cents"),
+        )
+    )
+    cells = purchases.groupBy("cohort_week", "age_weeks").agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return cells.select(
+        "cohort_week",
+        "age_weeks",
+        "n_buyers",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias(
+            "cum_revenue_cents"
+        ),
+    )

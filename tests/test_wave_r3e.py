@@ -657,3 +657,26 @@ def test_behavior_entropy_fixture_bounds(spark):
     assert len(rows) == ev.select("user_id").distinct().count()
     for r in rows:
         assert 0 <= r.entropy <= round(math.log(r.n_types), 4) + 1e-9
+
+
+# ---- cohort_ltv_curve ----
+
+
+def test_ltv_curve_cumulative_and_conservation(spark):
+    rows = sorted(
+        REGISTRY["cohort_ltv_curve"].spark(spark, SF_DIR).collect(),
+        key=lambda r: (r.cohort_week, r.age_weeks),
+    )
+    assert rows
+    from collections import defaultdict
+
+    running = defaultdict(int)
+    for r in rows:
+        running[r.cohort_week] += r.revenue_cents
+        assert r.cum_revenue_cents == running[r.cohort_week]
+        assert r.age_weeks >= 0 and r.n_buyers >= 1
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total = ev.filter(F.col("event_type") == "purchase").select(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("c")
+    ).first().c
+    assert sum(r.revenue_cents for r in rows) == total
