@@ -172,7 +172,7 @@ _COMPONENT_FIRST = (
     "corpus_novelty", "feature_overlap_matrix",
     "sla_lag_percentiles", "source_mirror_matrix", "ts_drawdown",
     "qc_order_total_integrity", "user_behavior_entropy",
-    "cohort_ltv_curve",
+    "cohort_ltv_curve", "sli_error_budget",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

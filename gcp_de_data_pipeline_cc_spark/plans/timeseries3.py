@@ -893,3 +893,79 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue_cents"
         ),
     )
+
+
+#: availability SLO: error share of events must stay under this
+_SLO_ERR_RATE = 0.25
+
+
+@query(
+    "sli_error_budget",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1),
+    win AS (
+        SELECT day, n_events, n_errors,
+               CAST(SUM(n_events) OVER w AS BIGINT) AS n7_events,
+               CAST(SUM(n_errors) OVER w AS BIGINT) AS n7_errors
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, n_events, n_errors,
+           {sql_roundn("n_errors * 1.0e0 / n_events", 6)} AS day_err_rate,
+           {sql_roundn("n7_errors * 1.0e0 / n7_events", 6)} AS rate_7d,
+           {sql_roundn(
+               f"(n7_errors * 1.0e0 / n7_events) / {_SLO_ERR_RATE}e0", 4
+           )} AS budget_burn_7d,
+           (n7_errors * 1.0e0 / n7_events > {_SLO_ERR_RATE}e0)
+               AS slo_violated
+    FROM win
+    """,
+)
+def sli_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — the SRE error-budget view of the feed: daily
+    error share, the trailing-7-day rate, burn ratio against the SLO
+    (burn > 1 = consuming budget faster than allowed), and the
+    violation flag. qc_volume_drift watches VOLUME health; this
+    watches QUALITY-of-service health the way an on-call burn-rate
+    alert does — the trailing window smooths single-day spikes into an
+    actionable signal. (SLO 25% fits the fixture's uniform 5-type mix;
+    production SLOs are 0.1%, same query.)
+
+    100 TB: events collapse to a per-day (count, errors) pair first
+    (map-side combined, conditional agg — no second scan for the
+    error subset); the trailing window runs over day-cardinality rows
+    in one ordered pass. The violation comparison uses the UNrounded
+    rate with an exact-ratio threshold, identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("timestamp").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(is_err).alias("n_errors"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w).alias("n7_events"),
+        F.sum("n_errors").over(w).alias("n7_errors"),
+    )
+    rate7 = F.col("n7_errors") * F.lit(1.0) / F.col("n7_events")
+    return win.select(
+        "day",
+        "n_events",
+        "n_errors",
+        roundn(
+            F.col("n_errors") * F.lit(1.0) / F.col("n_events"), 6
+        ).alias("day_err_rate"),
+        roundn(rate7, 6).alias("rate_7d"),
+        roundn(rate7 / F.lit(_SLO_ERR_RATE), 4).alias("budget_burn_7d"),
+        (rate7 > F.lit(_SLO_ERR_RATE)).alias("slo_violated"),
+    )

@@ -680,3 +680,40 @@ def test_ltv_curve_cumulative_and_conservation(spark):
         F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("c")
     ).first().c
     assert sum(r.revenue_cents for r in rows) == total
+
+
+# ---- sli_error_budget ----
+
+
+def test_sli_burn_math_and_violation_injection(spark, tmp_path):
+    """Seven clean days then an all-error day: the trailing rate jumps,
+    burn exceeds 1, and the violation flag fires on exactly that day."""
+    rows = []
+    eid = 0
+    for d in range(7):
+        for _ in range(4):
+            rows.append((eid, _day(d), 1, "click", 1.0, "{}")); eid += 1
+    for _ in range(4):
+        rows.append((eid, _day(7), 1, "error", 1.0, "{}")); eid += 1
+    _events_only(spark, tmp_path, rows)
+    out = {r.day.day - 1: r for r in
+           REGISTRY["sli_error_budget"].spark(spark, str(tmp_path)).collect()}
+    assert all(not out[d].slo_violated for d in range(7))
+    r7 = out[7]
+    assert r7.day_err_rate == 1.0
+    # trailing 7d window covers days 1..7: 4 errors / 28 events
+    assert abs(r7.rate_7d - 4 / 28) < 1e-6
+    assert not r7.slo_violated  # 0.1428 < 0.25 SLO
+    assert abs(r7.budget_burn_7d - (4 / 28) / 0.25) < 1e-3
+
+
+def test_sli_fixture_consistency(spark):
+    rows = REGISTRY["sli_error_budget"].spark(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert sum(r.n_events for r in rows) == ev.count()
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    assert sum(r.n_errors for r in rows) == n_err
+    for r in rows:
+        assert r.slo_violated == (r.rate_7d > 0.25) or abs(
+            r.rate_7d - 0.25
+        ) < 1e-5
