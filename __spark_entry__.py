@@ -173,6 +173,11 @@ _COMPONENT_FIRST = (
     "sla_lag_percentiles", "source_mirror_matrix", "ts_drawdown",
     "qc_order_total_integrity", "user_behavior_entropy",
     "cohort_ltv_curve", "sli_error_budget",
+    # round-3 wave r3f: privacy tier + rank/survival stats + item-CF +
+    # mergeable-sketch matrix
+    "privacy_k_anonymity", "privacy_l_diversity", "privacy_generalize",
+    "hypothesis_mannwhitney", "survival_kaplan_meier",
+    "recsys_item_knn", "sketch_minhash_union",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -28,6 +28,8 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     lifecycle,
     llm,
     pipeline_ops,
+    privacy,
+    recsys,
     relational,
     relational_ext,
     relational_ext2,
@@ -38,7 +40,9 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext7,
     relational_ext8,
     scale,
+    sketches,
     stats,
+    stats2,
     timeseries,
     timeseries2,
     timeseries3,

@@ -1,0 +1,260 @@
+"""Stats wave 2: rank-based hypothesis testing and survival analysis.
+
+Two standing analytics workloads the stats tier
+(`hypothesis_ttest`/`hypothesis_chisq`, plans/stats.py) didn't cover:
+
+- **hypothesis_mannwhitney** — the Mann–Whitney U (Wilcoxon rank-sum)
+  test: does the 'click' value distribution stochastically dominate
+  'view'? The non-parametric sibling of `hypothesis_ttest` — the one to
+  reach for when the metric is skewed (revenue-like metrics always
+  are). Tie-corrected normal approximation plus the rank-biserial
+  effect size;
+- **survival_kaplan_meier** — the Kaplan–Meier product-limit estimator
+  over time-to-first-purchase per user, with ADMINISTRATIVE (Type-I)
+  censoring at a fixed 72-hour horizon: users who hadn't purchased
+  within the horizon contribute risk-time but no event, exactly how a
+  conversion/churn curve must count an unfinished observation window.
+
+Exactness: both tests run on integer cents / integer hour grids, so tie
+groups and event times are exact. Average ranks are multiples of 0.5
+(exact in doubles); U, the tie term Σ(t³−t), and every (d, n) risk-set
+count are exact integers. The only inexact steps — the z denominator's
+sqrt and the KM product — are evaluated by the IDENTICAL expression
+tree in both engines (the KM survival curve is a LEFT FOLD of the
+per-step factors in ascending event-time order on both sides, so the
+double rounding sequence is bit-identical) and rounded at projection.
+
+100 TB scale:
+- mannwhitney: one filtered scan → per-VALUE partial aggregate. The
+  rank window runs over the distinct-value table, whose size is bounded
+  by the metric's cents grid (the value DOMAIN), not the row count —
+  the same boundedness argument as `histogram_values`.
+- kaplan_meier: one scan → per-user aggregate (map-side combined) →
+  per-HOUR aggregate; every window after that runs over the event-time
+  table, bounded by the horizon (≤ 73 rows regardless of input size).
+  The O(k²) prefix-product subqueries cost nothing at k ≤ 73.
+
+Reference parity: the reference's curated tier feeds BI/analytics
+consumers (readme:10, dags/pipeline_orchestration_dag.py:101-143);
+these are the experiment-readout and conversion-curve queries such a
+tier serves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: KM administrative-censoring horizon (hours since first event)
+_HORIZON_H = 72
+
+
+@query(
+    "hypothesis_mannwhitney",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS v,
+               (event_type = 'click') AS g1
+        FROM events WHERE event_type IN ('click', 'view')),
+    per_v AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+        FROM s GROUP BY v),
+    ranked AS (
+        SELECT v, cnt, cnt1,
+               SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt AS before,
+               (SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt) + (cnt + 1.0e0) / 2.0e0 AS avg_rank
+        FROM per_v),
+    agg AS (
+        SELECT SUM(cnt1 * avg_rank) AS r1,
+               CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               SUM(cnt * cnt * cnt - cnt) AS tie_t,
+               CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tied_values
+        FROM ranked)
+    SELECT n1, n2, n_tied_values,
+           r1 - n1 * (n1 + 1.0e0) / 2.0e0 AS u1,
+           {sql_roundn(
+               "(r1 - n1 * (n1 + 1.0e0) / 2.0e0 - n1 * n2 / 2.0e0)"
+               " / SQRT(n1 * 1.0e0 * n2 / 12.0e0"
+               "        * ((n + 1.0e0)"
+               "           - tie_t / (n * (n - 1.0e0))))", 4
+           )} AS z_stat,
+           {sql_roundn(
+               "1.0e0 - 2.0e0 * (r1 - n1 * (n1 + 1.0e0) / 2.0e0)"
+               " / (n1 * 1.0e0 * n2)", 4
+           )} AS rank_biserial
+    FROM agg
+    """,
+)
+def hypothesis_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-extension — tie-corrected Mann–Whitney U ('click' vs
+    'view' on value cents): average ranks from a cumulative count over
+    the distinct-value table, U₁ = R₁ − n₁(n₁+1)/2, z with the
+    Σ(t³−t) tie correction, rank-biserial r = 1 − 2U₁/(n₁n₂)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        (F.col("event_type") == "click").alias("g1"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("cnt1"),
+    )
+    # cumulative over the VALUE DOMAIN (cents grid) — bounded, not
+    # data-sized, so the single-partition window is safe at any scale
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.select(
+        "cnt",
+        "cnt1",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"),
+    ).withColumn(
+        "avg_rank", F.col("before") + (F.col("cnt") + F.lit(1.0)) / F.lit(2.0)
+    )
+    agg = ranked.agg(
+        F.sum(F.col("cnt1") * F.col("avg_rank")).alias("r1"),
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_t"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tied_values"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + F.lit(1.0)) / F.lit(2.0)
+    mu = F.col("n1") * F.col("n2") / F.lit(2.0)
+    sigma2 = (
+        F.col("n1") * F.lit(1.0) * F.col("n2") / F.lit(12.0)
+        * (
+            (F.col("n") + F.lit(1.0))
+            - F.col("tie_t") / (F.col("n") * (F.col("n") - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_tied_values",
+        u1.alias("u1"),
+        roundn((u1 - mu) / F.sqrt(sigma2), 4).alias("z_stat"),
+        roundn(
+            F.lit(1.0) - F.lit(2.0) * u1 / (F.col("n1") * F.lit(1.0) * F.col("n2")),
+            4,
+        ).alias("rank_biserial"),
+    )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, MIN(ts) AS f,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY 1),
+    t AS (
+        SELECT user_id,
+               CASE WHEN fp IS NULL THEN NULL
+                    ELSE CAST(FLOOR(date_diff('second', f, fp) / 3600.0e0)
+                              AS BIGINT) END AS t_raw
+        FROM u),
+    obs AS (
+        SELECT CASE WHEN t_raw IS NOT NULL AND t_raw <= {_HORIZON_H}
+                    THEN t_raw ELSE {_HORIZON_H} END AS t,
+               (t_raw IS NOT NULL AND t_raw <= {_HORIZON_H}) AS observed
+        FROM t),
+    by_t AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d
+        FROM obs GROUP BY 1),
+    risk AS (
+        SELECT t, d,
+               SUM(n_all) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_risk
+        FROM by_t),
+    km AS (
+        SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+               1.0e0 - d * 1.0e0 / n_risk AS factor
+        FROM risk WHERE d > 0)
+    SELECT t AS t_hours, n_risk, d AS n_events,
+           {sql_roundn(
+               "list_reduce(list_prepend(CAST(1.0 AS DOUBLE),"
+               " (SELECT list(k2.factor ORDER BY k2.t) FROM km k2"
+               "  WHERE k2.t <= km.t)), (a, b) -> a * b)", 6
+           )} AS s_km
+    FROM km ORDER BY t
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-extension — Kaplan–Meier product-limit curve of
+    time-to-first-purchase (hours since the user's first event),
+    administratively censored at 72 h.
+
+    S(t) = Π_{{t_i ≤ t}} (1 − dᵢ/nᵢ) evaluated as a LEFT FOLD over the
+    ascending event-time factors — `collect_list` over a running
+    rows-frame window preserves frame order, and the DuckDB oracle
+    folds the identical ordered list, so both engines execute the same
+    IEEE multiply sequence. Risk sets come from a descending cumulative
+    sum (n_t = users with t_u ≥ t; same-time censorings stay at risk,
+    the standard KM convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
+    )
+    sec_diff = F.unix_timestamp("fp") - F.unix_timestamp("f")
+    t_raw = F.floor(sec_diff / F.lit(3600.0)).cast("long")
+    obs = u.select(
+        F.when(
+            F.col("fp").isNotNull() & (t_raw <= _HORIZON_H), t_raw
+        )
+        .otherwise(F.lit(_HORIZON_H))
+        .alias("t"),
+        (F.col("fp").isNotNull() & (t_raw <= _HORIZON_H)).alias("observed"),
+    )
+    by_t = obs.groupBy("t").agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    # windows over the EVENT-TIME table — ≤ horizon+1 rows at any scale
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.select(
+        "t", "d", F.sum("n_all").over(w_desc).cast("long").alias("n_risk")
+    )
+    km = risk.filter(F.col("d") > 0).withColumn(
+        "factor", F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n_risk")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    s_km = F.aggregate(
+        F.collect_list("factor").over(w_asc),
+        F.lit(1.0),
+        lambda a, x: a * x,
+    )
+    return km.select(
+        F.col("t").alias("t_hours"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        roundn(s_km, 6).alias("s_km"),
+    ).orderBy("t_hours")
