@@ -178,6 +178,8 @@ _COMPONENT_FIRST = (
     "privacy_k_anonymity", "privacy_l_diversity", "privacy_generalize",
     "hypothesis_mannwhitney", "survival_kaplan_meier",
     "recsys_item_knn", "sketch_minhash_union",
+    # round-3 wave r3g: Count-Min + portable Bloom + dedup accuracy eval
+    "sketch_countmin", "sketch_bloom", "dedup_accuracy_eval",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -69,6 +69,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     join_on_hash: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the shingle-join plan.
 
@@ -92,7 +93,11 @@ def ngram_jaccard_pairs(
     # the ContextCleaner). Without it the shingle explode runs once per
     # consumer — both self-join sides plus the size rollup (plan-census
     # finding: 4 scans; Spark reuses exchanges, not shared subtrees).
-    sh = _doc_shingles(docs, id_col, text_col, k)
+    # ``shingles`` lets a caller running several shingle consumers (e.g.
+    # dedup_accuracy_eval's exact-join + LSH operands) inject ONE
+    # materialized distinct-(id, shingle) relation instead of paying the
+    # tokenize+explode per operator.
+    sh = shingles if shingles is not None else _doc_shingles(docs, id_col, text_col, k)
     if join_on_hash:
         sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     sh = sh.localCheckpoint(eager=False)
@@ -137,13 +142,14 @@ def minhash_signatures(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature columns sig_0..sig_{n-1}.
 
     One explode + one groupBy with ``num_perms`` min-aggregates; the
     shuffle carries (doc, shingle_hash) longs, not text.
     """
-    sh = _doc_shingles(docs, id_col, text_col, k)
+    sh = shingles if shingles is not None else _doc_shingles(docs, id_col, text_col, k)
     # portable per-char polynomial (operators/text.portable_token_hash):
     # exact integer arithmetic any engine folds identically, which is
     # what makes the whole MinHash pipeline oracle-paired; swap in
@@ -166,6 +172,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """C4 — MinHash+LSH near-dup join: band the signatures, bucket-join
     candidates, then *verify* candidates with exact Jaccard.
@@ -176,7 +183,7 @@ def minhash_lsh_pairs(
     approximation is missed pairs below the curve's knee.
     """
     rows_per_band = num_perms // bands
-    sigs = minhash_signatures(docs, num_perms, k, id_col, text_col)
+    sigs = minhash_signatures(docs, num_perms, k, id_col, text_col, shingles=shingles)
 
     band_structs = F.array(*[
         F.struct(
@@ -218,8 +225,10 @@ def minhash_lsh_pairs(
     # The shingle relation feeds both join sides AND both size lookups —
     # four consumers; checkpoint it (and the tiny per-doc size rollup)
     # so tokenize+explode runs once.
-    sh = _doc_shingles(docs, id_col, text_col, k).localCheckpoint(
-        eager=False
+    sh = (
+        shingles
+        if shingles is not None
+        else _doc_shingles(docs, id_col, text_col, k).localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(
         F.count("*").alias("n_sh")

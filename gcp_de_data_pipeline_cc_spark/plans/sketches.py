@@ -199,3 +199,341 @@ def sketch_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+
+#: Count-Min geometry — D independent rows of W counters
+_CM_D = 4
+_CM_W = 256
+_CM_SEED = 7
+
+#: heavy hitters audited against the sketch
+_CM_TOPK = 25
+
+
+def _countmin_oracle() -> str:
+    params = dd._hash_params(_CM_D, seed=_CM_SEED)
+    charfold = _MINHASH_CHARFOLD.replace("shingle", "token")
+    cell_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT {j} AS j, (({a} * h + {b}) % 2147483647) % {_CM_W} AS bucket,"
+        f" n FROM h"
+        for j, (a, b) in enumerate(params)
+    )
+    probe_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT token, n, {j} AS j,"
+        f" (({a} * h + {b}) % 2147483647) % {_CM_W} AS bucket FROM topk"
+        for j, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1),
+    h AS (SELECT token, n, {charfold} AS h FROM cnt),
+    cells AS (
+        SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS cell_n
+        FROM ({cell_selects})
+        GROUP BY 1, 2),
+    topk AS (SELECT token, n, h FROM h ORDER BY n DESC, token
+             LIMIT {_CM_TOPK}),
+    probes AS ({probe_selects}),
+    est AS (
+        SELECT p.token, p.n, MIN(c.cell_n) AS est_n
+        FROM probes p
+        JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+        GROUP BY 1, 2)
+    SELECT token, n AS exact_n, est_n, est_n - n AS overcount
+    FROM est ORDER BY exact_n DESC, token
+    """
+
+
+@query("sketch_countmin", oracle=_countmin_oracle())
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream (D=4 rows × W=256
+    counters, portable affine hashes): the fixed-size frequency
+    structure that answers "how often does token X appear" at any
+    scale, audited against the exact counts for the top-25 heavy
+    hitters. CMS never underestimates — ``overcount`` is the observed
+    collision error (ε ≈ e/W of the stream mass, w.h.p.).
+
+    Mergeable like every sketch here: cells add associatively, so
+    per-partition partial sketches combine map-side exactly like a
+    partial aggregate. 100 TB: the sketch is built from the per-token
+    partial counts (one explode + groupBy carrying longs); cells are
+    D·W fixed rows broadcast to the probe side; the exact-count audit
+    is what a production build samples rather than computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    params = dd._hash_params(_CM_D, seed=_CM_SEED)
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    from gcp_de_data_pipeline_cc_spark.operators.text import (
+        MERSENNE_31,
+        portable_token_hash,
+    )
+
+    h = cnt.withColumn("h", portable_token_hash(F.col("token")))
+    # token counts feed BOTH the cell build and the top-k probe side
+    h = h.localCheckpoint(eager=False)
+    buckets = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_31))
+            .__mod__(F.lit(_CM_W))
+            .alias("bucket"),
+        )
+        for j, (a, b) in enumerate(params)
+    ])
+    cells = (
+        h.select(F.explode(buckets).alias("jb"), "n")
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.sum("n").alias("cell_n"))
+    )
+    topk = h.orderBy(F.desc("n"), F.asc("token")).limit(_CM_TOPK)
+    probes = topk.select("token", "n", F.explode(buckets).alias("jb")).select(
+        "token", "n", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "n")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return est.select(
+        "token",
+        F.col("n").alias("exact_n"),
+        "est_n",
+        (F.col("est_n") - F.col("n")).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), F.asc("token"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (approximate membership with measured FPR)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry — M bits, K hash functions
+_BF_M = 65536
+_BF_K = 4
+_BF_SEED = 11
+
+
+def _bloom_oracle() -> str:
+    params = dd._hash_params(_BF_K, seed=_BF_SEED)
+    bit_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT {j} AS j, (({a} * k + {b}) % 2147483647) % {_BF_M} AS bit"
+        f" FROM keys"
+        for j, (a, b) in enumerate(params)
+    )
+    probe_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT c_custkey, {j} AS j,"
+        f" (({a} * c_custkey + {b}) % 2147483647) % {_BF_M} AS bit"
+        f" FROM customer"
+        for j, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (SELECT DISTINCT j, bit FROM ({bit_selects})),
+    probes AS ({probe_selects}),
+    hits AS (
+        SELECT p.c_custkey,
+               CAST(SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM probes p
+        LEFT JOIN bits b ON b.j = p.j AND b.bit = p.bit
+        GROUP BY 1),
+    verdict AS (
+        SELECT h.c_custkey, h.n_hit = {_BF_K} AS bloom_pos,
+               k.k IS NOT NULL AS is_member
+        FROM hits h LEFT JOIN keys k ON k.k = h.c_custkey)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN bloom_pos AND is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_pos,
+           CAST(SUM(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT bloom_pos AND is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg,
+           {sql_roundn(
+               "SUM(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)"
+               " * 1.0e0"
+               " / NULLIF(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 0)",
+               6,
+           )} AS fpr
+    FROM verdict
+    """
+
+
+@query("sketch_bloom", oracle=_bloom_oracle())
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (M=65536 bits, K=4 affine hashes) over the
+    active-customer key set, probed with EVERY customer and audited:
+    true/false positives, the structurally-impossible false negatives
+    (must be 0), and the observed false-positive rate.
+
+    This is `join_bloom_pruned`'s engine-internal primitive made
+    engine-portable and driver-checkable. Mergeable: bit sets OR-merge,
+    so per-partition partial filters combine associatively. 100 TB: the
+    filter is ≤ M set-bit rows regardless of input size (broadcast to
+    the probe side); build and probe each carry only (j, bit) longs."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    from gcp_de_data_pipeline_cc_spark.operators.text import MERSENNE_31
+
+    params = dd._hash_params(_BF_K, seed=_BF_SEED)
+
+    def _bits(key_col):
+        return F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(F.lit(a) * key_col + F.lit(b), F.lit(MERSENNE_31))
+                .__mod__(F.lit(_BF_M))
+                .alias("bit"),
+            )
+            for j, (a, b) in enumerate(params)
+        ])
+
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    keys = keys.localCheckpoint(eager=False)  # feeds bits AND membership
+    bits = (
+        keys.select(F.explode(_bits(F.col("k"))).alias("jb"))
+        .select(F.col("jb.j").alias("j"), F.col("jb.bit").alias("bit"))
+        .distinct()
+    )
+    bits = bits.localCheckpoint(eager=False)  # scalar count + probe join
+    probes = cust.select(
+        "c_custkey", F.explode(_bits(F.col("c_custkey"))).alias("jb")
+    ).select("c_custkey", F.col("jb.j").alias("j"), F.col("jb.bit").alias("bit"))
+    hits = (
+        probes.join(F.broadcast(bits.withColumn("present", F.lit(1))), ["j", "bit"], "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_hit"))
+    )
+    member = keys.withColumnRenamed("k", "c_custkey").withColumn(
+        "is_member_i", F.lit(1)
+    )
+    verdict = hits.join(F.broadcast(member), "c_custkey", "left").select(
+        (F.col("n_hit") == _BF_K).alias("bloom_pos"),
+        F.coalesce(F.col("is_member_i"), F.lit(0)).__eq__(1).alias("is_member"),
+    )
+    n_keys = keys.count()
+    n_bits = bits.count()
+    fp = F.sum(F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0))
+    non_member = F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+    return verdict.agg(
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.lit(n_bits).cast("long").alias("n_bits_set"),
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("bloom_pos") & F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_pos"),
+        fp.cast("long").alias("n_false_pos"),
+        F.sum(F.when(~F.col("bloom_pos") & F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+        roundn(fp * F.lit(1.0) / F.nullif(non_member, F.lit(0)), 6).alias("fpr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup accuracy eval (MinHash recall vs the exact similarity join)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_eval_oracle() -> str:
+    from gcp_de_data_pipeline_cc_spark.plans.llm import _minhash_oracle
+
+    exact_pairs = f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+            WHERE len(t) >= 3),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE n_both / (ca.n_sh + cb.n_sh - n_both) >= 0.5"""
+    return f"""
+    WITH ex AS (SELECT doc_a, doc_b FROM ({exact_pairs})),
+    mh AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM ex JOIN mh USING (doc_a, doc_b)),
+    s AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_minhash,
+                 (SELECT n_common FROM c) AS n_common)
+    SELECT n_exact, n_minhash, n_common,
+           {sql_roundn("n_common * 1.0e0 / NULLIF(n_minhash, 0)", 6)}
+               AS precision,
+           {sql_roundn("n_common * 1.0e0 / NULLIF(n_exact, 0)", 6)}
+               AS recall,
+           {sql_roundn(
+               "2.0e0 * n_common / NULLIF(n_minhash + n_exact, 0)", 6
+           )} AS f1
+    FROM s
+    """
+
+
+@query("dedup_accuracy_eval", oracle=_dedup_eval_oracle())
+def dedup_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 meta-evaluation, driver-visible: MinHash+LSH's pair set scored
+    against the exact 3-gram-Jaccard similarity join (threshold 0.5) as
+    precision / recall / F1 in one scalar row. Because the LSH pipeline
+    VERIFIES candidates with the exact Jaccard, precision is provably
+    1.0 — the row demonstrates it — and recall isolates banding misses
+    (the S-curve's knee), the one true approximation in the scale path.
+
+    100 TB: this is an audit query — run on a sampled corpus slice; both
+    operand pipelines are the already-measured shingle-join and
+    banded-LSH plans."""
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE materialized shingle relation feeds all three consumers (the
+    # exact join, the LSH signature build, and the LSH verify pass) —
+    # without the injection each operator re-runs tokenize+explode
+    # (measured 9.1 s → shared relation at sf0.1)
+    sh = dd._doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    ex = dd.ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh).select(
+        "doc_a", "doc_b"
+    )
+    mh = dd.minhash_lsh_pairs(docs, threshold=0.5, shingles=sh).select(
+        "doc_a", "doc_b"
+    )
+    ex = ex.localCheckpoint(eager=False)
+    mh = mh.localCheckpoint(eager=False)
+    n_exact = ex.count()
+    n_minhash = mh.count()
+    n_common = ex.join(mh, ["doc_a", "doc_b"]).count()
+    row = spark.createDataFrame(
+        [(n_exact, n_minhash, n_common)],
+        "n_exact BIGINT, n_minhash BIGINT, n_common BIGINT",
+    )
+    return row.select(
+        "n_exact",
+        "n_minhash",
+        "n_common",
+        roundn(
+            F.col("n_common") * F.lit(1.0) / F.nullif(F.col("n_minhash"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        roundn(
+            F.col("n_common") * F.lit(1.0) / F.nullif(F.col("n_exact"), F.lit(0)),
+            6,
+        ).alias("recall"),
+        roundn(
+            F.lit(2.0) * F.col("n_common")
+            / F.nullif(F.col("n_minhash") + F.col("n_exact"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
