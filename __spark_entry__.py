@@ -180,6 +180,8 @@ _COMPONENT_FIRST = (
     "recsys_item_knn", "sketch_minhash_union",
     # round-3 wave r3g: Count-Min + portable Bloom + dedup accuracy eval
     "sketch_countmin", "sketch_bloom", "dedup_accuracy_eval",
+    # round-3 wave r3h: Holt forecasting + Airflow backfill planner
+    "ts_holt", "ops_backfill_plan",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -27,6 +27,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     layout,
     lifecycle,
     llm,
+    ops,
     pipeline_ops,
     privacy,
     recsys,

@@ -969,3 +969,122 @@ def sli_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(rate7 / F.lit(_SLO_ERR_RATE), 4).alias("budget_burn_7d"),
         (rate7 > F.lit(_SLO_ERR_RATE)).alias("slo_violated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (r3h wave)
+# ---------------------------------------------------------------------------
+
+#: Holt smoothing constants — both EXACT binary fractions (2^-1, 2^-2)
+#: so the state recursion multiplies by exactly-representable doubles
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.25
+
+
+@query(
+    "ts_holt",
+    oracle=f"""
+    /* state rides a LIST accumulator [l, b, started], NOT a STRUCT:
+       DuckDB's list_reduce evaluates struct_pack fields sequentially
+       INTO the accumulator, so a later field expression reading acc.l
+       silently sees the already-updated level (verified on this build:
+       struct form yields b=0.453125 where the recursion gives 0.71875);
+       list_value builds the new state atomically. NO -- comments in
+       oracles: downstream tools flatten whitespace. */
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+    x AS (SELECT day, cents, CAST(cents AS DOUBLE) AS xv FROM d),
+    st AS (
+        SELECT day, cents,
+            list_reduce(
+                list_prepend(
+                    list_value(0.0e0, 0.0e0, 0.0e0),
+                    (SELECT list(list_value(x2.xv, 0.0e0, 0.0e0)
+                                 ORDER BY x2.day)
+                     FROM x x2 WHERE x2.day <= x.day)),
+                (acc, e) -> CASE WHEN acc[3] = 0.0e0
+                    THEN list_value(e[1], 0.0e0, 1.0e0)
+                    ELSE list_value(
+                        {_HOLT_ALPHA}e0 * e[1]
+                             + {1 - _HOLT_ALPHA}e0 * (acc[1] + acc[2]),
+                        {_HOLT_BETA}e0
+                             * (({_HOLT_ALPHA}e0 * e[1]
+                                 + {1 - _HOLT_ALPHA}e0 * (acc[1] + acc[2]))
+                                - acc[1])
+                             + {1 - _HOLT_BETA}e0 * acc[2],
+                        1.0e0)
+                    END) AS s
+        FROM x)
+    SELECT day, cents AS x_cents,
+           {sql_roundn("s[1]", 4)} AS level,
+           {sql_roundn("s[2]", 4)} AS trend,
+           {sql_roundn("s[1] + s[2]", 4)} AS forecast_next
+    FROM st ORDER BY day
+    """,
+)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — Holt double exponential smoothing of the daily
+    revenue series (level + trend state, α=1/2, β=1/4), with the
+    one-step-ahead forecast l+b per day. Completes the forecasting
+    ladder: ts_ewma (level only) → ts_holt (level+trend) →
+    ts_seasonal_baseline (seasonal form).
+
+    The state recursion is inherently sequential, so it runs as a LEFT
+    FOLD over the ascending daily array (the survival_kaplan_meier
+    discipline): both engines execute the identical IEEE sequence —
+    the smoothing constants are exact binary fractions and the daily
+    inputs exact integer cents, so the only rounding is the shared
+    float multiply/add chain, bit-identical on both sides.
+
+    100 TB: the feed collapses to |days| aggregated rows before any
+    window; the O(|days|²) prefix folds are over the DAY DOMAIN
+    (30 rows here; a decade is ~3.7k), invariant to row count. A
+    per-series variant partitions the same windows by series key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn("xv", F.col("cents").cast("double"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    arr = F.collect_list("xv").over(w)
+    init = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+        F.lit(False).alias("started"),
+    )
+    a, b1 = F.lit(_HOLT_ALPHA), F.lit(1 - _HOLT_ALPHA)
+    g, g1 = F.lit(_HOLT_BETA), F.lit(1 - _HOLT_BETA)
+
+    def _step(acc, x):
+        lv = acc.getField("l")
+        tr = acc.getField("b")
+        new_l = a * x + b1 * (lv + tr)
+        return F.when(
+            ~acc.getField("started"),
+            F.struct(
+                x.alias("l"), F.lit(0.0).alias("b"),
+                F.lit(True).alias("started"),
+            ),
+        ).otherwise(
+            F.struct(
+                new_l.alias("l"),
+                (g * (new_l - lv) + g1 * tr).alias("b"),
+                F.lit(True).alias("started"),
+            )
+        )
+
+    st = F.aggregate(arr, init, _step)
+    return d.select(
+        "day",
+        F.col("cents").alias("x_cents"),
+        roundn(st.getField("l"), 4).alias("level"),
+        roundn(st.getField("b"), 4).alias("trend"),
+        roundn(st.getField("l") + st.getField("b"), 4).alias(
+            "forecast_next"
+        ),
+    ).orderBy("day")
