@@ -182,6 +182,7 @@ _COMPONENT_FIRST = (
     "sketch_countmin", "sketch_bloom", "dedup_accuracy_eval",
     # round-3 wave r3h: Holt forecasting + Airflow backfill planner
     "ts_holt", "ops_backfill_plan",
+    "sketch_hll_portable",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

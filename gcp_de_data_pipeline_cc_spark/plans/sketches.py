@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
-from gcp_de_data_pipeline_cc_spark.operators.dedup import _doc_shingles
 from gcp_de_data_pipeline_cc_spark.plans.llm import (
     _MINHASH_CHARFOLD,
     _SHINGLES_SQL,
@@ -117,8 +116,25 @@ def sketch_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches, estimate every pairwise source Jaccard from component
     agreement, and audit against the exact shingle Jaccard."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, num_perms=_PERMS, k=3)
-    src_map = docs.select("doc_id", "source")
+    # ONE (doc, source, shingle) relation feeds the signature build AND
+    # the exact-audit self-join (census: 4 documents scans → 1)
+    from gcp_de_data_pipeline_cc_spark.operators.text import shingles_col, tokens_col
+
+    sh3 = (
+        docs.withColumn("toks", tokens_col(F.col("text")))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles_col(F.col("toks"), 3)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sigs = dd.minhash_signatures(
+        docs, num_perms=_PERMS, k=3, shingles=sh3.select("doc_id", "shingle")
+    )
+    src_map = sh3.select("doc_id", "source").distinct()
     # the mergeability step: per-source sketch = elementwise MIN of the
     # per-doc sketches (associative — partials combine map-side)
     per_source = (
@@ -153,9 +169,8 @@ def sketch_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_jaccard")
         )
     )
-    ssh = _doc_shingles(docs, "source", "text", 3).localCheckpoint(
-        eager=False
-    )
+    # two self-join sides + the size rollup consume it — materialize
+    ssh = sh3.select("source", "shingle").distinct().localCheckpoint(eager=False)
     cnt = ssh.groupBy("source").agg(F.count("*").alias("n"))
     sa, sb = ssh.alias("sa"), ssh.alias("sb")
     inter = (
@@ -536,4 +551,168 @@ def dedup_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("n_minhash") + F.col("n_exact"), F.lit(0)),
             6,
         ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable HyperLogLog (oracle-paired cardinality sketch)
+# ---------------------------------------------------------------------------
+
+#: HLL geometry: m = 2^_HLL_P registers
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+
+#: alpha_256 — the same literal expression evaluates on both engines
+_HLL_ALPHA_EXPR = "0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)"
+
+
+def hll_mix(df: DataFrame, key_col: str) -> DataFrame:
+    """Portable integer key mixer → column ``h`` in [0, 2^31-1).
+
+    Two LCG steps with an xorshift between — 31-bit lanes so every
+    product stays under 2^62 (DuckDB BIGINT errors on overflow rather
+    than wrapping). The xorshift is the load-bearing part: a lone
+    affine hash maps sequential keys to an arithmetic progression whose
+    three-distance gap structure breaks HLL's geometric-tail assumption
+    (measured +40-90% estimate bias on the TPC-H key space).
+    """
+    return (
+        df.withColumn(
+            "h1",
+            F.pmod(F.lit(1103515245) * F.col(key_col) + F.lit(12345),
+                   F.lit(2147483647)),
+        )
+        .withColumn("h1x", F.expr("h1 ^ shiftright(h1, 16)"))
+        .withColumn(
+            "h2",
+            F.pmod(F.lit(69069) * F.col("h1x") + F.lit(362437),
+                   F.lit(2147483647)),
+        )
+        .withColumn(
+            "h",
+            F.pmod(F.expr("h2 ^ shiftright(h2, 10)"), F.lit(2147483647)),
+        )
+        .drop("h1", "h1x", "h2")
+    )
+
+
+def _hll_oracle() -> str:
+    return f"""
+    /* hash = two LCG steps with xorshift mixing between (31-bit lanes,
+       products < 2^62 so DuckDB BIGINT never overflows). A single
+       affine hash is only 2-universal: on SEQUENTIAL keys it emits an
+       arithmetic progression mod P whose three-distance-theorem gap
+       structure plants tiny w values in many buckets and inflated the
+       raw estimate ~40-90% (measured); the xorshift breaks the
+       linearity and restores the geometric rho tail. */
+    WITH k AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    m1 AS (SELECT key, (1103515245 * key + 12345) % 2147483647 AS h1
+           FROM k),
+    m2 AS (SELECT key, xor(h1, h1 // 65536) AS h1x FROM m1),
+    m3 AS (SELECT key, (69069 * h1x + 362437) % 2147483647 AS h2
+           FROM m2),
+    h AS (SELECT key, xor(h2, h2 // 1024) % 2147483647 AS h FROM m3),
+    bw AS (SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h),
+    rho AS (
+        SELECT bucket,
+               CASE WHEN w = 0 THEN 24
+                    ELSE 24 - length(bin(w)) END AS r
+        FROM bw),
+    reg AS (SELECT bucket, MAX(r) AS m_j FROM rho GROUP BY bucket),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+               SUM(1.0e0 / CAST(1 << m_j AS DOUBLE)) AS sum_nonempty
+        FROM reg),
+    est AS (
+        SELECT n_nonempty,
+               CAST({_HLL_M} - n_nonempty AS BIGINT) AS v_zero,
+               ({_HLL_M} - n_nonempty) * 1.0e0 + sum_nonempty AS sum_inv
+        FROM s),
+    x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM k)
+    SELECT CAST({_HLL_M} AS BIGINT) AS m, n_nonempty, v_zero, sum_inv,
+           {sql_roundn(
+               f"{_HLL_ALPHA_EXPR} * {_HLL_M}.0e0 * {_HLL_M}.0e0 / sum_inv",
+               4,
+           )} AS raw_est,
+           exact_distinct,
+           {sql_roundn(
+               f"ABS({_HLL_ALPHA_EXPR} * {_HLL_M}.0e0 * {_HLL_M}.0e0"
+               " / sum_inv - exact_distinct) / exact_distinct",
+               6,
+           )} AS rel_err
+    FROM est, x
+    """
+
+
+@query("sketch_hll_portable", oracle=_hll_oracle())
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-PORTABLE HyperLogLog (p=8, 256 registers) over the active
+    customer key set, with the exact distinct count and relative error
+    in the same row — the cardinality sketch made oracle-paired, the
+    same upgrade the portable hash gave MinHash/SimHash in round 3
+    (`sketch_hll_rollup` keeps Spark's built-in HLL++ as the
+    production-native path; its register format isn't reproducible
+    outside the JVM, this one is reproducible anywhere).
+
+    Every step is exact: LCG+xorshift key mixer (a lone affine hash is
+    2-universal only — on sequential keys its arithmetic-progression
+    gap structure inflated the estimate ~40-90%, measured; see the
+    oracle comment) → bucket/w split by integer div/mod; rho from the
+    BINARY-STRING length of w (floor(log2)+1 as string arithmetic — no
+    float log); register harmonic sum is a sum
+    of dyadic rationals whose partial sums fit 32 bits of precision, so
+    the double addition is EXACT in any order; the single inexact step
+    (alpha·m²/Σ) is the identical literal expression on both engines,
+    rounded at projection. The raw estimator is emitted WITHOUT the
+    small-range linear-counting branch — that correction needs ln(),
+    which is libm-dependent and would break cross-engine determinism;
+    the law test bounds accuracy instead (1.04/√m ≈ 6.5% σ).
+
+    100 TB: registers max-merge associatively (the law test merges
+    odd/even key partitions) — the sketch IS a 256-row partial
+    aggregate; the shuffle carries (bucket, rho) pairs."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    keys = keys.localCheckpoint(eager=False)  # registers + exact count
+    h = hll_mix(keys, "key")
+    bw = h.select(
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        (F.col("h") / F.lit(_HLL_M)).cast("long").alias("w"),
+    )
+    rho = bw.select(
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(24))
+        .otherwise(F.lit(24) - F.length(F.bin(F.col("w"))))
+        .alias("r"),
+    )
+    reg = rho.groupBy("bucket").agg(F.max("r").alias("m_j"))
+    s = reg.agg(
+        F.count("*").alias("n_nonempty"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("cast(shiftleft(1L, cast(m_j as int)) as double)")
+        ).alias("sum_nonempty"),
+    )
+    exact = keys.count()
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    sum_inv = (
+        (F.lit(_HLL_M) - F.col("n_nonempty")) * F.lit(1.0)
+        + F.col("sum_nonempty")
+    )
+    raw = alpha * F.lit(float(_HLL_M)) * F.lit(float(_HLL_M)) / F.col("sum_inv")
+    return (
+        s.select(
+            F.lit(_HLL_M).cast("long").alias("m"),
+            F.col("n_nonempty").cast("long").alias("n_nonempty"),
+            (F.lit(_HLL_M) - F.col("n_nonempty")).cast("long").alias("v_zero"),
+            sum_inv.alias("sum_inv"),
+        )
+        .withColumn("raw_est", roundn(raw, 4))
+        .withColumn("exact_distinct", F.lit(exact).cast("long"))
+        .withColumn(
+            "rel_err",
+            roundn(
+                F.abs(raw - F.lit(exact)) / F.lit(float(exact)), 6
+            ),
+        )
     )

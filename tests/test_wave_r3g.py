@@ -87,3 +87,58 @@ def test_dedup_eval_clone_corpus_perfect_scores(spark, tmp_path):
     # signature, so LSH recovers all 5 pairs
     assert r.n_exact == 5 and r.n_minhash == 5 and r.n_common == 5
     assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
+
+
+# ------------------------------------------------------------ portable HLL
+
+def test_hll_portable_accuracy_and_conservation(spark):
+    # accuracy asserted at sf0.01 (n=1500 > 2.5m=640): the portable key
+    # omits the small-range linear-counting branch (needs libm ln), so
+    # below 2.5m the raw estimator is legitimately biased high
+    sf = "/root/testdata/sf0.01"
+    r = REGISTRY["sketch_hll_portable"].spark(spark, sf).collect()[0]
+    assert r.m == 256
+    assert r.n_nonempty + r.v_zero == 256
+    # 1.04/sqrt(256) = 6.5% standard error; 3 sigma bound
+    assert r.rel_err <= 0.2
+    assert r.raw_est > 0
+    n_cust_active = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert r.exact_distinct == n_cust_active
+
+
+def test_hll_portable_registers_max_merge(spark):
+    """Mergeability: registers built from odd/even key halves, combined
+    with elementwise MAX, equal the registers built over all keys."""
+    from pyspark.sql import functions as F
+    from gcp_de_data_pipeline_cc_spark.plans.sketches import hll_mix
+
+    keys = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(F.col("o_custkey").alias("key")).distinct()
+    )
+
+    def registers(df):
+        h = hll_mix(df, "key").select("h")
+        rho = h.select(
+            F.pmod(F.col("h"), F.lit(256)).alias("bucket"),
+            F.when((F.col("h") / 256).cast("long") == 0, F.lit(24))
+            .otherwise(
+                F.lit(24) - F.length(F.bin((F.col("h") / 256).cast("long")))
+            )
+            .alias("r"),
+        )
+        return {
+            row.bucket: row.m_j
+            for row in rho.groupBy("bucket").agg(F.max("r").alias("m_j")).collect()
+        }
+
+    whole = registers(keys)
+    odd = registers(keys.filter(F.col("key") % 2 == 1))
+    even = registers(keys.filter(F.col("key") % 2 == 0))
+    merged = dict(odd)
+    for bkt, m_j in even.items():
+        merged[bkt] = max(merged.get(bkt, 0), m_j)
+    assert merged == whole
