@@ -183,6 +183,8 @@ _COMPONENT_FIRST = (
     # round-3 wave r3h: Holt forecasting + Airflow backfill planner
     "ts_holt", "ops_backfill_plan",
     "sketch_hll_portable",
+    # round-3 wave r3i: seasonal decomposition + distributed Gram
+    "ts_stl_decompose", "embedding_gram_matrix",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

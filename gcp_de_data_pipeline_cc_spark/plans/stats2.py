@@ -258,3 +258,77 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_events"),
         roundn(s_km, 6).alias("s_km"),
     ).orderBy("t_hours")
+
+
+# ---------------------------------------------------------------------------
+# distributed Gram matrix over the embedding column (r3i wave)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0e0 + 0.5e0)
+                             AS BIGINT)) AS ql
+        FROM embeddings),
+    pairs AS (
+        SELECT UNNEST(flatten(list_transform(range(1, 65),
+                   i -> list_transform(range(i, 65),
+                       j -> struct_pack(i := i, j := j,
+                                        p := ql[i] * ql[j]))))) AS u
+        FROM q)
+    SELECT CAST(u.i AS INT) AS i, CAST(u.j AS INT) AS j,
+           CAST(SUM(u.p) AS BIGINT) AS gram_q,
+           CAST(SUM(u.p) AS DOUBLE) / 1000000.0e0 AS gram
+    FROM pairs GROUP BY u.i, u.j
+    ORDER BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX over the 64-dim embedding column
+    (upper triangle, 2080 cells) — the one-pass building block behind
+    PCA, covariance, linear probes, and whitening at corpus scale.
+
+    Embeddings are QUANTIZED to milli-units first (float32→double is
+    exact, the 1e-3 grid is the fixture's resolution), so every cell is
+    an exact int64 sum — order-independent, engine-portable — and the
+    double view divides that exact integer once at projection. This is
+    the same exact-grid discipline the money pipeline uses for cents.
+
+    100 TB: NO self-join — each row LATERALLY emits its own 2080
+    products (flatten of a triangular transform), so the only exchange
+    is the final 2080-cell hash aggregate with map-side partials;
+    the classic outer-product-partial-sum pattern (each partition
+    computes a partial Gram, partials add). The numpy/`mapInPandas`
+    BLAS formulation is the constant-factor upgrade at frontier scale;
+    this relational form is the oracle-pairable reference."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ql = F.expr(
+        "transform(embedding,"
+        " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))"
+    )
+    pairs = emb.select(ql.alias("ql")).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 64),"
+                " i -> transform(sequence(i, 64),"
+                " j -> named_struct('i', i, 'j', j,"
+                " 'p', element_at(ql, i) * element_at(ql, j)))))"
+            )
+        ).alias("u")
+    )
+    return (
+        pairs.groupBy(
+            F.col("u.i").cast("int").alias("i"),
+            F.col("u.j").cast("int").alias("j"),
+        )
+        .agg(F.sum("u.p").alias("gram_q"))
+        .select(
+            "i",
+            "j",
+            F.col("gram_q").cast("long").alias("gram_q"),
+            (F.col("gram_q").cast("double") / F.lit(1000000.0)).alias("gram"),
+        )
+        .orderBy("i", "j")
+    )

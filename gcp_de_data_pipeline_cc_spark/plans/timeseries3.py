@@ -1088,3 +1088,109 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition (r3i wave)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_stl_decompose",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+    ma AS (
+        SELECT day, cents,
+               SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+               COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+               CAST(EXTRACT(isodow FROM day) AS INT) AS wd
+        FROM d),
+    core AS (
+        SELECT day, cents, wd, sum7,
+               7 * cents - sum7 AS det7
+        FROM ma WHERE n7 = 7),
+    seas AS (
+        SELECT wd,
+               SUM(det7) * 1.0e0 / (7.0e0 * COUNT(*)) AS s_wd
+        FROM core GROUP BY wd),
+    norm AS (
+        SELECT AVG(s_wd) AS s_mean FROM seas),
+    fin AS (
+        SELECT c.day, c.cents, c.sum7, c.det7,
+               s.s_wd - n.s_mean AS seasonal_raw
+        FROM core c JOIN seas s ON s.wd = c.wd, norm n)
+    SELECT day, cents AS x_cents,
+           {sql_roundn("sum7 / 7.0e0", 4)} AS trend,
+           {sql_roundn("seasonal_raw", 4)} AS seasonal,
+           {sql_roundn("det7 / 7.0e0 - seasonal_raw", 4)} AS residual
+    FROM fin ORDER BY day
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — classical additive decomposition of the daily
+    revenue series: trend = centered 7-day moving average (full windows
+    only), weekly seasonal = per-ISO-weekday mean of the detrended
+    series (normalized to mean 0 across weekdays, the standard
+    identifiability constraint), residual = remainder. The
+    decomposition behind ts_seasonal_baseline's drift gate, emitted as
+    components.
+
+    Exactness discipline: the detrended series is kept as the INTEGER
+    7·x − Σ₇ (cents are exact, so det7 is exact int64) and every group
+    mean divides an exact integer sum — no order-dependent double
+    summation anywhere; the final /7 divisions and the seasonal
+    centering are the identical expression trees on both engines,
+    rounded at projection. ISO weekday (Spark dayofweek is Sunday=1 —
+    mapped to ISO via ((dow+5) mod 7)+1) so both engines share the
+    seasonal index.
+
+    100 TB: the feed collapses to |days| rows; the MA window and
+    weekday aggregate run over the day domain. A per-series variant
+    adds the series key to every PARTITION BY.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("sum7"),
+        F.count("*").over(w7).alias("n7"),
+        (F.pmod(F.dayofweek("day") + F.lit(5), F.lit(7)) + F.lit(1))
+        .cast("int")
+        .alias("wd"),
+    )
+    core = ma.filter(F.col("n7") == 7).withColumn(
+        "det7", F.lit(7) * F.col("cents") - F.col("sum7")
+    )
+    core = core.localCheckpoint(eager=False)  # seasonal agg + final join
+    seas = core.groupBy("wd").agg(
+        (F.sum("det7") * F.lit(1.0) / (F.lit(7.0) * F.count("*"))).alias(
+            "s_wd"
+        )
+    )
+    # centering via a window normalizer over the ≤7 weekday states — a
+    # scalar-broadcast join here plans a BroadcastNestedLoopJoin (the
+    # 592ba63 rule: windows over bounded state tables, not scalar joins)
+    seas = seas.withColumn(
+        "s_mean", F.avg("s_wd").over(Window.partitionBy())
+    )
+    fin = core.join(F.broadcast(seas), "wd")
+    return fin.select(
+        "day",
+        F.col("cents").alias("x_cents"),
+        roundn(F.col("sum7") / F.lit(7.0), 4).alias("trend"),
+        roundn(F.col("s_wd") - F.col("s_mean"), 4).alias("seasonal"),
+        roundn(
+            F.col("det7") / F.lit(7.0) - (F.col("s_wd") - F.col("s_mean")),
+            4,
+        ).alias("residual"),
+    ).orderBy("day")
