@@ -185,6 +185,8 @@ _COMPONENT_FIRST = (
     "sketch_hll_portable",
     # round-3 wave r3i: seasonal decomposition + distributed Gram
     "ts_stl_decompose", "embedding_gram_matrix",
+    # round-3 wave r3j: Gopher rule battery + spectral step
+    "quality_gopher_rules", "embedding_power_iteration",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -749,3 +749,88 @@ def source_mirror_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("source_a", "source_b", "same_source").agg(
         F.count("*").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style hard rule battery (r3j wave)
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_gopher_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, w -> length(w)))
+                    AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(toks, w -> w IN ('the', 'a')))
+                    AS BIGINT) AS n_stop,
+               CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '^[a-z]+$')))
+                    AS BIGINT) AS n_alpha
+        FROM t)
+    SELECT doc_id, n_words, sum_word_len, n_stop, n_alpha,
+           (n_words BETWEEN 20 AND 100000) AS r1_word_count,
+           (3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words) AS r2_mean_word_len,
+           (n_stop >= 2) AS r3_stopwords,
+           (5 * n_alpha >= 4 * n_words) AS r4_alpha_fraction,
+           ((n_words BETWEEN 20 AND 100000)
+            AND 3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words
+            AND n_stop >= 2
+            AND 5 * n_alpha >= 4 * n_words) AS pass_all
+    FROM m
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — Gopher-style HARD rule battery (Rae et al. 2021
+    §A1.1 adapted to this corpus): word-count bounds, mean-word-length
+    band, minimum stopword evidence, alphabetic-word fraction — the
+    PASS/FAIL filter stage that complements text_quality's continuous
+    scores (filters drop, scores rank).
+
+    Every rule is an exact INTEGER comparison — the mean-word-length
+    band is cross-multiplied (3n ≤ Σlen ≤ 10n) and the alpha fraction
+    is 5·n_alpha ≥ 4·n — so there is not a single float anywhere in
+    the key: no rounding, no engine divergence possible.
+
+    100 TB: one narrow projection, all per-doc array arithmetic inside
+    whole-stage codegen, no shuffle at all (the filter is
+    embarrassingly parallel — exactly why these rule batteries run
+    FIRST in a curation pipeline, before any join-heavy dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("sum_word_len"),
+        F.size(F.filter(toks, lambda w: w.isin("the", "a")))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    r1 = F.col("n_words").between(20, 100000)
+    r2 = (F.lit(3) * F.col("n_words") <= F.col("sum_word_len")) & (
+        F.col("sum_word_len") <= F.lit(10) * F.col("n_words")
+    )
+    r3 = F.col("n_stop") >= 2
+    r4 = F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_stop",
+        "n_alpha",
+        r1.alias("r1_word_count"),
+        r2.alias("r2_mean_word_len"),
+        r3.alias("r3_stopwords"),
+        r4.alias("r4_alpha_fraction"),
+        (r1 & r2 & r3 & r4).alias("pass_all"),
+    )

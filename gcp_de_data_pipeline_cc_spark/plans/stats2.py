@@ -332,3 +332,174 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# power iteration on the Gram matrix (r3j wave)
+# ---------------------------------------------------------------------------
+
+_GRAM_SQL = """
+    q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0e0 + 0.5e0)
+                             AS BIGINT)) AS ql
+        FROM embeddings),
+    pairs AS (
+        SELECT UNNEST(flatten(list_transform(range(1, 65),
+                   i -> list_transform(range(i, 65),
+                       j -> struct_pack(i := i, j := j,
+                                        p := ql[i] * ql[j]))))) AS u
+        FROM q),
+    gup AS (
+        SELECT CAST(u.i AS INT) AS i, CAST(u.j AS INT) AS j,
+               CAST(SUM(u.p) AS DOUBLE) / 1000000.0e0 AS g
+        FROM pairs GROUP BY u.i, u.j),
+    gfull AS (
+        SELECT i, j, g FROM gup
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM gup WHERE i <> j)
+"""
+
+
+@query(
+    "embedding_power_iteration",
+    oracle=f"""
+    WITH {_GRAM_SQL},
+    w1 AS (
+        SELECT gi.i,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   (SELECT list(g.g * 0.125e0 ORDER BY g.j)
+                    FROM gfull g WHERE g.i = gi.i)),
+                   (a, b) -> a + b) AS w
+        FROM (SELECT DISTINCT i FROM gfull) gi),
+    n1 AS (
+        SELECT SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   (SELECT list(w ORDER BY i) FROM w1)),
+                   (a, b) -> a + b * b)) AS nrm),
+    v1 AS (SELECT i, w / (SELECT nrm FROM n1) AS v FROM w1),
+    w2 AS (
+        SELECT gi.i,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   (SELECT list(g.g * v1.v ORDER BY g.j)
+                    FROM gfull g JOIN v1 ON v1.i = g.j
+                    WHERE g.i = gi.i)),
+                   (a, b) -> a + b) AS w
+        FROM (SELECT DISTINCT i FROM gfull) gi),
+    fin AS (
+        SELECT w2.i, w2.w, v1.v AS v1v FROM w2 JOIN v1 ON v1.i = w2.i),
+    s AS (
+        SELECT SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   (SELECT list(w ORDER BY i) FROM fin)),
+                   (a, b) -> a + b * b)) AS nrm2,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   (SELECT list(v1v * w ORDER BY i) FROM fin)),
+                   (a, b) -> a + b) AS lam)
+    SELECT fin.i,
+           {sql_roundn("fin.w / s.nrm2", 6)} AS eigvec,
+           {sql_roundn("s.lam", 4)} AS lambda_est
+    FROM fin, s ORDER BY fin.i
+    """,
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled power-method iterations on the embedding Gram
+    matrix: v₀ = uniform (1/8 each — exact dyadic, unit norm),
+    w = G·v via per-component folds, normalize, repeat; emits the
+    64-component eigenvector estimate and the Rayleigh quotient
+    v₁·(G·v₁) — the top principal direction, the PCA/spectral step
+    `embedding_gram_matrix` exists to feed (and kmeans_iterate's
+    unrolled-iteration discipline applied to linear algebra).
+
+    Determinism: matrix-vector products and norms are ORDERED LEFT
+    FOLDS (sort_array / list(ORDER BY)) — never a float SUM whose
+    addend order the engine chooses — so both engines execute the
+    identical IEEE sequence; the Gram input is exact quantized int64
+    scaled once. Scalar normalizers ride unpartitioned WINDOWS over
+    the 64-row state (the 592ba63 rule), not scalar cross joins.
+
+    100 TB: G is the 4096-cell broadcast-sized aggregate of one corpus
+    pass; every iteration is component-domain work (64 rows), free at
+    any data scale. More iterations = more unrolled stages, exactly
+    like kmeans_iterate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ql = F.expr(
+        "transform(embedding,"
+        " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))"
+    )
+    pairs = emb.select(ql.alias("ql")).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 64),"
+                " i -> transform(sequence(i, 64),"
+                " j -> named_struct('i', i, 'j', j,"
+                " 'p', element_at(ql, i) * element_at(ql, j)))))"
+            )
+        ).alias("u")
+    )
+    gup = (
+        pairs.groupBy(
+            F.col("u.i").cast("int").alias("i"),
+            F.col("u.j").cast("int").alias("j"),
+        )
+        .agg((F.sum("u.p").cast("double") / F.lit(1000000.0)).alias("g"))
+    )
+    gup = gup.localCheckpoint(eager=False)  # both triangle copies + 2 matvecs
+    gfull = gup.unionAll(
+        gup.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    gfull = gfull.localCheckpoint(eager=False)
+
+    def matvec_fold(term_col):
+        """Σ over j in ascending order of the per-cell term column."""
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("j"), term_col.alias("t")))),
+            F.lit(0.0),
+            lambda a, x: a + x.getField("t"),
+        )
+
+    w1 = gfull.groupBy("i").agg(
+        matvec_fold(F.col("g") * F.lit(0.125)).alias("w")
+    )
+    wfull = Window.partitionBy()
+    nrm1 = F.sqrt(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("i"), F.col("w"))).over(wfull)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x.getField("w") * x.getField("w"),
+        )
+    )
+    v1 = w1.select("i", (F.col("w") / nrm1).alias("v"))
+    w2 = (
+        gfull.join(
+            F.broadcast(v1.select(F.col("i").alias("j"), "v")), "j"
+        )
+        .groupBy("i")
+        .agg(matvec_fold(F.col("g") * F.col("v")).alias("w"))
+    )
+    fin = w2.join(F.broadcast(v1.withColumnRenamed("v", "v1v")), "i")
+    nrm2 = F.sqrt(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("i"), F.col("w"))).over(wfull)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x.getField("w") * x.getField("w"),
+        )
+    )
+    lam = F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("i"), (F.col("v1v") * F.col("w")).alias("t"))
+            ).over(wfull)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x.getField("t"),
+    )
+    return fin.select(
+        "i",
+        roundn(F.col("w") / nrm2, 6).alias("eigvec"),
+        roundn(lam, 4).alias("lambda_est"),
+    ).orderBy("i")
