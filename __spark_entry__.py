@@ -187,6 +187,8 @@ _COMPONENT_FIRST = (
     "ts_stl_decompose", "embedding_gram_matrix",
     # round-3 wave r3j: Gopher rule battery + spectral step
     "quality_gopher_rules", "embedding_power_iteration",
+    # round-3 wave r3k: CPM scheduling + distribution drift
+    "ops_dag_critical_path", "qc_histogram_drift",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -1190,3 +1190,123 @@ def qc_order_total_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p50_abs_diff"),
         F.max("abs_diff").alias("max_abs_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift gate (r3k wave)
+# ---------------------------------------------------------------------------
+
+@query(
+    "qc_histogram_drift",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               LEAST(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) // 5000,
+                     9) AS bucket
+        FROM events),
+    split AS (
+        SELECT bucket,
+               day < MIN(day) OVER () + INTERVAL 15 DAY AS is_first
+        FROM d),
+    byb AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_first,
+               CAST(SUM(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_second
+        FROM split GROUP BY bucket),
+    wtot AS (
+        SELECT bucket, n_first, n_second,
+               SUM(n_first) OVER () AS nf,
+               SUM(n_second) OVER () AS ns
+        FROM byb),
+    tot AS (
+        SELECT bucket, n_first, n_second, nf, ns,
+               SUM(ABS(n_first * ns - n_second * nf)) OVER () AS tv_scaled
+        FROM wtot)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_first, n_second,
+           {sql_roundn("n_first * 1.0e0 / nf", 6)} AS share_first,
+           {sql_roundn("n_second * 1.0e0 / ns", 6)} AS share_second,
+           {sql_roundn("tv_scaled * 1.0e0 / (2.0e0 * nf * ns)", 6)}
+               AS tv_distance,
+           10 * tv_scaled > 2 * nf * ns AS is_drifted
+    FROM tot ORDER BY bucket
+    """,
+)
+def qc_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — DISTRIBUTION drift gate: the value histogram
+    (10 fixed $50 buckets) of the feed's first 15 days vs the rest,
+    scored by total-variation distance — the shape-change monitor
+    beside qc_volume_drift's row-count envelope and ts_seasonal_
+    baseline's level gate. TV instead of the usual PSI/KL: those need
+    ln(), which is libm-dependent — TV = ½Σ|p−q| carries the same
+    alert semantics with EXACT integer arithmetic.
+
+    Exactness: the summed statistic is Σ|n_f·N_s − n_s·N_f| (int64) and
+    the 0.1 drift threshold is the cross-multiplied integer comparison
+    10·Σ > 2·N_f·N_s — shares and TV are divided/rounded only at
+    projection, so the verdict can never flip between engines.
+
+    100 TB: collapses to (bucket, half) counts map-side (bucket domain
+    = 10 rows); every window runs over the bucket table. At counts
+    beyond ~3·10⁹ rows per half the int64 cross-products lift into
+    DECIMAL(38,0) — the ts_twap discipline — with the same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = ev.select(
+        F.to_date("ts").alias("day"),
+        F.least(F.floor(cents / F.lit(5000)).cast("long"), F.lit(9).cast("long")).alias(
+            "bucket"
+        ),
+    )
+    wfull = Window.partitionBy()
+    split = d.select(
+        "bucket",
+        (
+            F.col("day")
+            < F.date_add(F.min("day").over(wfull), 15)
+        ).alias("is_first"),
+    )
+    byb = split.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(F.col("is_first"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_second"),
+    )
+    tot = (
+        byb.withColumn("nf", F.sum("n_first").over(wfull))
+        .withColumn("ns", F.sum("n_second").over(wfull))
+        .withColumn(
+            "tv_scaled",
+            F.sum(
+                F.abs(
+                    F.col("n_first") * F.col("ns")
+                    - F.col("n_second") * F.col("nf")
+                )
+            ).over(wfull),
+        )
+    )
+
+    return tot.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_first",
+        "n_second",
+        roundn(F.col("n_first") * F.lit(1.0) / F.col("nf"), 6).alias(
+            "share_first"
+        ),
+        roundn(F.col("n_second") * F.lit(1.0) / F.col("ns"), 6).alias(
+            "share_second"
+        ),
+        roundn(
+            F.col("tv_scaled")
+            * F.lit(1.0)
+            / (F.lit(2.0) * F.col("nf") * F.col("ns")),
+            6,
+        ).alias("tv_distance"),
+        (
+            F.lit(10) * F.col("tv_scaled")
+            > F.lit(2) * F.col("nf") * F.col("ns")
+        ).alias("is_drifted"),
+    ).orderBy("bucket")

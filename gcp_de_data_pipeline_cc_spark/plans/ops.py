@@ -117,3 +117,93 @@ def ops_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp_key")
         .orderBy("range_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# CPM critical path over the pipeline DAG (r3k wave)
+# ---------------------------------------------------------------------------
+
+#: the reference pipeline's task graph (dags/pipeline_orchestration_dag
+#: .py: sensor :79-95 → ingest → staging :101-143 → QC gates :149-167 →
+#: curation/SCD2 → archive :188-206, with the trigger_dataflow.sh and
+#: dbt branches) as (task, duration_minutes) + edges literals shared by
+#: both engines (the sql_values_inline pattern)
+_TASKS = [
+    ("file_sensor", 5), ("gcs_to_raw", 15), ("raw_to_staging", 20),
+    ("trigger_dataflow", 25), ("qc_gates", 10), ("dbt_run", 20),
+    ("staging_to_curation", 25), ("scd2_merge", 15), ("archive", 5),
+]
+_EDGES = [
+    ("file_sensor", "gcs_to_raw"),
+    ("gcs_to_raw", "raw_to_staging"),
+    ("gcs_to_raw", "trigger_dataflow"),
+    ("raw_to_staging", "qc_gates"),
+    ("trigger_dataflow", "staging_to_curation"),
+    ("qc_gates", "staging_to_curation"),
+    ("qc_gates", "dbt_run"),
+    ("staging_to_curation", "scd2_merge"),
+    ("dbt_run", "scd2_merge"),
+    ("scd2_merge", "archive"),
+]
+
+
+def _cpm_sql(dialect_max_over: str = "MAX(through) OVER ()") -> str:
+    tasks_values = ", ".join(f"('{t}', {d})" for t, d in _TASKS)
+    edges_values = ", ".join(f"('{s}', '{d}')" for s, d in _EDGES)
+    return f"""
+    WITH RECURSIVE tasks(task, dur) AS (VALUES {tasks_values}),
+    edges(src, dst) AS (VALUES {edges_values}),
+    fwd(task, ef) AS (
+        SELECT t.task, t.dur FROM tasks t
+        WHERE t.task NOT IN (SELECT dst FROM edges)
+        UNION ALL
+        SELECT e.dst, f.ef + t.dur
+        FROM fwd f JOIN edges e ON e.src = f.task
+        JOIN tasks t ON t.task = e.dst),
+    ef_tab(task, ef) AS (SELECT task, MAX(ef) FROM fwd GROUP BY task),
+    bwd(task, tail) AS (
+        SELECT t.task, t.dur FROM tasks t
+        WHERE t.task NOT IN (SELECT src FROM edges)
+        UNION ALL
+        SELECT e.src, b.tail + t.dur
+        FROM bwd b JOIN edges e ON e.dst = b.task
+        JOIN tasks t ON t.task = e.src),
+    tail_tab(task, tail) AS (SELECT task, MAX(tail) FROM bwd GROUP BY task),
+    cpm AS (
+        SELECT t.task, CAST(t.dur AS BIGINT) AS dur_min,
+               CAST(e.ef - t.dur AS BIGINT) AS es,
+               CAST(e.ef AS BIGINT) AS ef,
+               CAST(e.ef - t.dur + b.tail AS BIGINT) AS through
+        FROM tasks t
+        JOIN ef_tab e ON e.task = t.task
+        JOIN tail_tab b ON b.task = t.task)
+    SELECT task, dur_min, es, ef,
+           CAST({dialect_max_over} - through AS BIGINT) AS slack,
+           through = {dialect_max_over} AS is_critical
+    FROM cpm
+    ORDER BY es, task
+    """
+
+
+@query("ops_dag_critical_path", oracle=_cpm_sql())
+def ops_dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path method over the reference pipeline's task DAG:
+    forward pass (earliest start/finish) and backward pass (longest
+    tail to completion) as two RECURSIVE CTE path enumerations, slack =
+    makespan − (ES + tail), critical ⇔ slack 0. The scheduling analysis
+    an orchestration owner runs to know which task delays the daily
+    load — the reference's own domain, expressed as a query.
+
+    Identical SQL text runs on both engines (Spark 4 recursive CTE,
+    SPARK-24497); every quantity is integer minutes, so the path argmax
+    can never flip. The makespan normalizer is a window MAX over the
+    task table, not a scalar join.
+
+    100 TB: the DAG is orchestration metadata (dozens of rows) — the
+    recursion depth is the graph depth; path enumeration is exponential
+    only in pathological dense DAGs, where the iterative relaxation
+    form (dedup_clusters' loop shape, one MAX-groupBy per depth level)
+    is the swap. The ~4 s local wall time is Spark's per-recursion-step
+    job scheduling (2 recursions × depth jobs), a fixed overhead
+    INVARIANT to data scale — not a data-dependent cost."""
+    return spark.sql(_cpm_sql())
