@@ -189,6 +189,8 @@ _COMPONENT_FIRST = (
     "quality_gopher_rules", "embedding_power_iteration",
     # round-3 wave r3k: CPM scheduling + distribution drift
     "ops_dag_critical_path", "qc_histogram_drift",
+    # round-3 wave r3l: subword tokenizer training
+    "tokenizer_bpe_train",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

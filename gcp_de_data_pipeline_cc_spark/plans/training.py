@@ -519,3 +519,162 @@ def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         plain.alias("decrypted"),
         (plain == F.col("c_name")).alias("roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (r3l wave)
+# ---------------------------------------------------------------------------
+
+#: reported pairs per iteration (rank 1 is the learned merge)
+_BPE_TOPK = 3
+
+
+def _bpe_oracle() -> str:
+    pair_list = (
+        "list_transform(range(1, len(s)), "
+        "i -> s[i] || '+' || s[i+1])"
+    )
+    return f"""
+    WITH w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY 1),
+    s1 AS (
+        SELECT word, n,
+               ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+                   AS seq
+        FROM w),
+    p1 AS (
+        SELECT n, UNNEST({pair_list}) AS pair
+        FROM (SELECT n, string_split(trim(seq), ' ') AS s FROM s1)
+        WHERE len(s) >= 2),
+    pc1 AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS c FROM p1 GROUP BY 1),
+    top1 AS (
+        SELECT pair, c,
+               CAST(row_number() OVER (ORDER BY c DESC, pair) AS BIGINT)
+                   AS rnk
+        FROM pc1 QUALIFY rnk <= {_BPE_TOPK}),
+    best1 AS (SELECT pair, c FROM top1 WHERE rnk = 1),
+    s2 AS (
+        SELECT s1.word, s1.n,
+               regexp_replace(regexp_replace(s1.seq,
+                   ' ' || replace(b.pair, '+', ' ') || ' ',
+                   ' ' || replace(b.pair, '+', '') || ' ', 'g'),
+                   ' ' || replace(b.pair, '+', ' ') || ' ',
+                   ' ' || replace(b.pair, '+', '') || ' ', 'g') AS seq
+        FROM s1, best1 b),
+    p2 AS (
+        SELECT n, UNNEST({pair_list}) AS pair
+        FROM (SELECT n, string_split(trim(seq), ' ') AS s FROM s2)
+        WHERE len(s) >= 2),
+    pc2 AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS c FROM p2 GROUP BY 1),
+    top2 AS (
+        SELECT pair, c,
+               CAST(row_number() OVER (ORDER BY c DESC, pair) AS BIGINT)
+                   AS rnk
+        FROM pc2 QUALIFY rnk <= {_BPE_TOPK})
+    SELECT CAST(1 AS INT) AS iteration, rnk, pair, c AS pair_count
+    FROM top1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS iteration, rnk, pair, c AS pair_count
+    FROM top2
+    ORDER BY iteration, rnk
+    """
+
+
+@query("tokenizer_bpe_train", oracle=_bpe_oracle())
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-extension — two unrolled BPE training iterations (Sennrich et
+    al. 2016) over the corpus: word-type table with counts → per-word
+    character-symbol sequences → weighted adjacent-pair counts → the
+    argmax pair becomes merge #1, is applied corpus-wide, and the pair
+    census repeats for merge #2. Emits the top-3 pairs per iteration
+    (rank 1 = the learned merge) — `vocab_build`/`text_pretokenize`'s
+    missing middle: the subword-vocabulary TRAINING step itself.
+
+    Determinism: pair counts are exact integer sums over the word-TYPE
+    table; the argmax tie-breaks lexicographically. Merge application
+    is TWO passes of non-overlapping left-to-right regexp_replace on
+    the space-delimited symbol string — one pass can skip every other
+    occurrence in an adjacent run because the match consumes the
+    trailing separator, and RE2 (DuckDB) has no lookahead to avoid
+    that; both engines run the identical two-pass rule, so results
+    agree by construction (documented deviation from strict
+    single-pass BPE only on 3+ adjacent identical pairs, which the
+    whitespace-tokenized corpus cannot produce).
+
+    100 TB: everything after the first groupBy runs on the word-TYPE
+    table (vocabulary-sized, not corpus-sized) — exactly why
+    production BPE trainers operate on type counts; the best-pair
+    scalar rides a constant-key equi-join (broadcast hash, no nested
+    loop). Each additional merge is one more unrolled stage
+    (kmeans_iterate's discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    seq = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("word"), ""), " "), F.lit(" ")
+    )
+    s1 = w.select("word", "n", seq.alias("seq"))
+    s1 = s1.localCheckpoint(eager=False)  # pair census + merge application
+
+    pair_expr = (
+        "transform(sequence(1, size(s) - 1),"
+        " i -> concat(element_at(s, i), '+', element_at(s, i + 1)))"
+    )
+
+    def pair_counts(sdf):
+        syms = sdf.select(
+            "n", F.split(F.trim(F.col("seq")), " ").alias("s")
+        ).filter(F.size("s") >= 2)
+        return (
+            syms.select("n", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+        )
+
+    def topk(pc):
+        wr = Window.orderBy(F.desc("c"), F.asc("pair"))
+        return (
+            pc.orderBy(F.desc("c"), F.asc("pair"))
+            .limit(_BPE_TOPK)
+            .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        )
+
+    top1 = topk(pair_counts(s1)).localCheckpoint(eager=False)
+    best1 = top1.filter(F.col("rnk") == 1).select(
+        F.lit(1).alias("k"), F.col("pair").alias("bp")
+    )
+    merged = (
+        s1.withColumn("k", F.lit(1))
+        .join(F.broadcast(best1), "k")
+        .select(
+            "word",
+            "n",
+            F.expr(
+                "regexp_replace(regexp_replace(seq,"
+                " concat(' ', replace(bp, '+', ' '), ' '),"
+                " concat(' ', replace(bp, '+', ''), ' ')),"
+                " concat(' ', replace(bp, '+', ' '), ' '),"
+                " concat(' ', replace(bp, '+', ''), ' '))"
+            ).alias("seq"),
+        )
+    )
+    top2 = topk(pair_counts(merged))
+    out1 = top1.select(
+        F.lit(1).cast("int").alias("iteration"),
+        "rnk",
+        "pair",
+        F.col("c").cast("long").alias("pair_count"),
+    )
+    out2 = top2.select(
+        F.lit(2).cast("int").alias("iteration"),
+        "rnk",
+        "pair",
+        F.col("c").cast("long").alias("pair_count"),
+    )
+    return out1.unionAll(out2).orderBy("iteration", "rnk")
