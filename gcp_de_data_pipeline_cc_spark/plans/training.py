@@ -646,23 +646,20 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     top1 = topk(pair_counts(s1)).localCheckpoint(eager=False)
-    best1 = top1.filter(F.col("rnk") == 1).select(
-        F.lit(1).alias("k"), F.col("pair").alias("bp")
-    )
-    merged = (
-        s1.withColumn("k", F.lit(1))
-        .join(F.broadcast(best1), "k")
-        .select(
-            "word",
-            "n",
-            F.expr(
-                "regexp_replace(regexp_replace(seq,"
-                " concat(' ', replace(bp, '+', ' '), ' '),"
-                " concat(' ', replace(bp, '+', ''), ' ')),"
-                " concat(' ', replace(bp, '+', ' '), ' '),"
-                " concat(' ', replace(bp, '+', ''), ' '))"
-            ).alias("seq"),
-        )
+    # the learned merge is ONE row of vocabulary metadata — fetch it and
+    # apply as literal patterns (the ops_backfill_plan bounds-scalar
+    # class; a constant-key join here constant-folds into a
+    # BroadcastNestedLoopJoin). Symbols are whitespace-tokenized word
+    # characters — no regex metacharacters by construction.
+    bp = top1.filter(F.col("rnk") == 1).first()["pair"]
+    pat = " " + bp.replace("+", " ") + " "
+    rep = " " + bp.replace("+", "") + " "
+    merged = s1.select(
+        "word",
+        "n",
+        F.regexp_replace(
+            F.regexp_replace(F.col("seq"), pat, rep), pat, rep
+        ).alias("seq"),
     )
     top2 = topk(pair_counts(merged))
     out1 = top1.select(
