@@ -191,6 +191,8 @@ _COMPONENT_FIRST = (
     "ops_dag_critical_path", "qc_histogram_drift",
     # round-3 wave r3l: subword tokenizer training
     "tokenizer_bpe_train",
+    # round-3 wave r3m: forensic QC + phonetic blocking
+    "qc_benford_digits", "fn_soundex_portable",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

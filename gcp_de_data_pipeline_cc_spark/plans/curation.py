@@ -1310,3 +1310,115 @@ def qc_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(2) * F.col("nf") * F.col("ns")
         ).alias("is_drifted"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensic gate (r3m wave)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) to 6 dp — shared literals, NOT computed (log10 is
+#: libm; identical literals are engine-exact)
+_BENFORD_P = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def _benford_oracle() -> str:
+    p_values = ", ".join(f"({d}, {p}e0)" for d, p in _BENFORD_P.items())
+    return f"""
+    WITH exp_p(digit, p_benford) AS (VALUES {p_values}),
+    d AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders),
+    byd AS (
+        SELECT CAST(e.digit AS BIGINT) AS digit, e.p_benford,
+               CAST(COUNT(o.digit) AS BIGINT) AS n
+        FROM exp_p e LEFT JOIN d o ON o.digit = e.digit
+        GROUP BY e.digit, e.p_benford),
+    tot AS (
+        SELECT digit, p_benford, n, SUM(n) OVER () AS total FROM byd),
+    term AS (
+        SELECT digit, p_benford, n, total,
+               (n - total * p_benford) * (n - total * p_benford)
+                   / (total * p_benford) AS chi_term
+        FROM tot),
+    chi AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   (SELECT list(chi_term ORDER BY digit) FROM term)),
+                   (a, b) -> a + b) AS chi2
+        FROM (SELECT 1))
+    SELECT t.digit, t.n,
+           {sql_roundn("t.n * 1.0e0 / t.total", 6)} AS share,
+           t.p_benford,
+           {sql_roundn("c.chi2", 4)} AS chi2,
+           c.chi2 <= 20.09e0 AS is_benford
+    FROM term t, chi c
+    ORDER BY t.digit
+    """
+
+
+@query("qc_benford_digits", oracle=_benford_oracle())
+def qc_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — Benford first-digit audit of order totals: the
+    forensic-accounting gate (fabricated or grid-generated amounts
+    betray themselves in the leading-digit distribution). Emits the
+    per-digit census against the Benford expectation and the χ² fit
+    (8 df, α=0.01 critical value 20.09). The SYNTHETIC fixture fails
+    the gate by construction — its totals are range-uniform, not
+    scale-invariant — which is exactly the finding the gate exists to
+    report.
+
+    Portability: Benford probabilities are shared 6-dp LITERALS (log10
+    is libm — never computed at runtime); the leading digit comes from
+    the integer-cents STRING head (no float log10/pow); the χ² sum is
+    an ORDERED fold over the 9 digit terms (the engine-chosen addend
+    order of a plain SUM is the one nondeterminism left, and the fold
+    removes it).
+
+    100 TB: collapses to 9 digit counts map-side; everything after is
+    constant-size."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    d = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    exp_rows = [(d_, p) for d_, p in _BENFORD_P.items()]
+    exp_p = F.broadcast(
+        d.sparkSession.createDataFrame(
+            exp_rows, "digit BIGINT, p_benford DOUBLE"
+        )
+    )
+    byd = (
+        exp_p.join(d.groupBy("digit").agg(F.count("*").alias("n")), "digit", "left")
+        .select("digit", "p_benford", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    wfull = Window.partitionBy()
+    tot = byd.withColumn("total", F.sum("n").over(wfull))
+    term = tot.withColumn(
+        "chi_term",
+        (F.col("n") - F.col("total") * F.col("p_benford"))
+        * (F.col("n") - F.col("total") * F.col("p_benford"))
+        / (F.col("total") * F.col("p_benford")),
+    )
+    chi2 = F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("digit"), F.col("chi_term"))
+            ).over(wfull)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x.getField("chi_term"),
+    )
+    return term.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        roundn(F.col("n") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        "p_benford",
+        roundn(chi2, 4).alias("chi2"),
+        (chi2 <= F.lit(20.09)).alias("is_benford"),
+    ).orderBy("digit")

@@ -404,3 +404,127 @@ def sla_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(F.percentile("lag_days", F.lit(0.99)), 4).alias("p99_days"),
         F.max("lag_days").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable Soundex phonetic blocking (r3m wave)
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_CASE = (
+    "CASE WHEN c IN ('b','f','p','v') THEN '1' "
+    "WHEN c IN ('c','g','j','k','q','s','x','z') THEN '2' "
+    "WHEN c IN ('d','t') THEN '3' "
+    "WHEN c = 'l' THEN '4' "
+    "WHEN c IN ('m','n') THEN '5' "
+    "WHEN c = 'r' THEN '6' ELSE '0' END"
+)
+
+
+@query(
+    "fn_soundex_portable",
+    oracle=f"""
+    WITH w AS (
+        SELECT string_split(p_name, ' ')[1] AS word,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1),
+    codes AS (
+        SELECT word, n_parts,
+               list_transform(string_split(word, ''),
+                              c -> {_SOUNDEX_CASE}) AS cl
+        FROM w),
+    dedup AS (
+        SELECT word, n_parts,
+               list_reduce(
+                   list_prepend([cl[1]], list_transform(
+                       list_slice(cl, 2, len(cl)), x -> [x])),
+                   (acc, e) -> CASE WHEN e[1] = acc[len(acc)]
+                                    THEN acc
+                                    ELSE list_append(acc, e[1]) END) AS dl
+        FROM codes),
+    coded AS (
+        SELECT word, n_parts,
+               upper(substr(word, 1, 1)) ||
+               rpad(substr(replace(
+                   array_to_string(list_slice(dl, 2, len(dl)), ''),
+                   '0', ''), 1, 3), 3, '0') AS soundex
+        FROM dedup)
+    SELECT soundex,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+           string_agg(word, ',' ORDER BY word) AS words
+    FROM coded GROUP BY soundex
+    ORDER BY soundex
+    """,
+)
+def fn_soundex_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-extension — Soundex phonetic codes implemented PORTABLY (digit
+    map → adjacent-duplicate collapse via a list-accumulator fold →
+    drop zeros → pad to 3), grouped into blocking buckets over the part
+    vocabulary — the phonetic half of the fuzzy-matching pair with
+    fn_levenshtein (block on sound, verify on edit distance).
+
+    Hand-rolled on BOTH engines rather than calling Spark's builtin:
+    the builtin lives only in the JVM, and the classic h/w adjacency
+    exception varies between implementations — this definition codes
+    h/w as separators (like vowels), the common simplified variant; a
+    test asserts agreement with Spark's builtin across this vocabulary.
+    The fold uses a LIST accumulator — the DuckDB struct-accumulator
+    mutation hazard (ts_holt) applies to any sequential state.
+
+    100 TB: per-row array arithmetic in codegen, one grouped
+    aggregate on the code; vocabulary-sized output. Blocking quality:
+    candidate pairs are Σ|bucket|² like every blocking scheme."""
+    part = load_table(spark, sf_dir, "part")
+    w = (
+        part.select(
+            F.element_at(F.split("p_name", " "), 1).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    cl = F.expr("transform(split(word, ''), c -> " + _SOUNDEX_CASE + ")")
+    codes = w.select("word", "n_parts", cl.alias("cl"))
+    dedup = codes.select(
+        "word",
+        "n_parts",
+        F.aggregate(
+            F.slice(F.col("cl"), 2, F.size("cl") - 1),
+            F.slice(F.col("cl"), 1, 1),
+            lambda acc, x: F.when(
+                F.element_at(acc, -1) == x, acc
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).alias("dl"),
+    )
+    digits = F.rpad(
+        F.substring(
+            F.regexp_replace(
+                F.array_join(
+                    F.slice(F.col("dl"), 2, F.size("dl") - 1), ""
+                ),
+                "0",
+                "",
+            ),
+            1,
+            3,
+        ),
+        3,
+        "0",
+    )
+    coded = dedup.select(
+        "word",
+        "n_parts",
+        F.concat(
+            F.upper(F.substring(F.col("word"), 1, 1)), digits
+        ).alias("soundex"),
+    )
+    return (
+        coded.groupBy("soundex")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_parts").cast("long").alias("n_parts"),
+            F.array_join(F.array_sort(F.collect_list("word")), ",").alias(
+                "words"
+            ),
+        )
+        .orderBy("soundex")
+    )
