@@ -193,6 +193,8 @@ _COMPONENT_FIRST = (
     "tokenizer_bpe_train",
     # round-3 wave r3m: forensic QC + phonetic blocking
     "qc_benford_digits", "fn_soundex_portable",
+    # round-3 wave r3n: community detection + KMV set algebra
+    "graph_label_propagation", "sketch_kmv_setops",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

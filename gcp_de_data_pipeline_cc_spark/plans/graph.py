@@ -12,7 +12,7 @@ the number of lineitems shipped between them (the TPC-H Q7 join shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -262,4 +262,124 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.groupBy("suppkey")
         .agg(F.count("*").alias("n_triangles"))
         .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (r3n wave)
+# ---------------------------------------------------------------------------
+
+def _lpa_oracle() -> str:
+    return """
+    WITH tx AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    eup AS (
+        SELECT a.p_brand AS v, b.p_brand AS u, CAST(COUNT(*) AS BIGINT) AS w
+        FROM tx a JOIN tx b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2),
+    e AS (
+        SELECT v, u, w FROM eup
+        UNION ALL
+        SELECT u AS v, v AS u, w FROM eup),
+    l0 AS (SELECT DISTINCT v, v AS label FROM e),
+    s1 AS (
+        SELECT e.v, l0.label, SUM(e.w) AS tw
+        FROM e JOIN l0 ON l0.v = e.u
+        GROUP BY 1, 2),
+    l1 AS (
+        SELECT v, label FROM (
+            SELECT v, label,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY tw DESC, label) AS rn
+            FROM s1) WHERE rn = 1),
+    s2 AS (
+        SELECT e.v, l1.label, SUM(e.w) AS tw
+        FROM e JOIN l1 ON l1.v = e.u
+        GROUP BY 1, 2),
+    l2 AS (
+        SELECT v, label FROM (
+            SELECT v, label,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY tw DESC, label) AS rn
+            FROM s2) WHERE rn = 1)
+    SELECT l1.v AS brand, l1.label AS label_1, l2.label AS label_2
+    FROM l1 JOIN l2 ON l2.v = l1.v
+    ORDER BY brand
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-extension — two unrolled label-propagation iterations over
+    the brand co-purchase graph (Raghavan et al.): every node starts as
+    its own community, then repeatedly adopts the label with the
+    largest incident edge-weight sum (deterministic tie-break: smallest
+    label). The community-detection rung beside pagerank (influence),
+    graph_triangles (cohesion), and dedup_clusters (reachability —
+    LPA's labels respect edge WEIGHT, which connected components
+    ignore).
+
+    Exactness: weights are integer co-occurrence counts, the argmax is
+    a row_number over (SUM(w) DESC, label) — all integer/lexicographic,
+    engine-exact. Fixed iteration count = fully unrolled = SQL-
+    expressible (graph_pagerank's discipline; convergence-loop LPA
+    follows dedup_clusters' checkpointed-loop shape instead).
+
+    100 TB: the edge build is the measured market-basket Σ|basket|²
+    relation; each iteration is one (edges ⋈ labels) hash join +
+    argmax — labels table is node-sized and broadcastable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    tx = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tx = tx.localCheckpoint(eager=False)  # both self-join sides
+    a, b = tx.alias("a"), tx.alias("b")
+    eup = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("v"), F.col("b.p_brand").alias("u")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    eup = eup.localCheckpoint(eager=False)  # two orientations + 2 iters
+    e = eup.unionAll(
+        eup.select(F.col("u").alias("v"), F.col("v").alias("u"), "w")
+    )
+    e = e.localCheckpoint(eager=False)
+
+    def step(labels):
+        s = (
+            e.join(
+                F.broadcast(labels.select(F.col("v").alias("u"), "label")),
+                "u",
+            )
+            .groupBy("v", "label")
+            .agg(F.sum("w").alias("tw"))
+        )
+        wv = Window.partitionBy("v").orderBy(F.desc("tw"), F.asc("label"))
+        return (
+            s.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+
+    l0 = e.select("v").distinct().withColumn("label", F.col("v"))
+    l1 = step(l0).localCheckpoint(eager=False)  # feeds step 2 AND output
+    l2 = step(l1)
+    return (
+        l1.select(F.col("v").alias("brand"), F.col("label").alias("label_1"))
+        .join(
+            l2.select(F.col("v").alias("brand"), F.col("label").alias("label_2")),
+            "brand",
+        )
+        .orderBy("brand")
     )

@@ -716,3 +716,133 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch with set algebra (r3n wave)
+# ---------------------------------------------------------------------------
+
+#: KMV size — estimate kicks in above K distinct; below it KMV IS exact
+_KMV_K = 64
+
+#: the mixer's modulus (hash domain upper bound)
+_KMV_P = 2147483647
+
+
+def _kmv_oracle() -> str:
+    mix = (
+        "xor((69069 * xor((1103515245 * user_id + 12345) % 2147483647, "
+        "((1103515245 * user_id + 12345) % 2147483647) // 65536) "
+        "+ 362437) % 2147483647, "
+        "((69069 * xor((1103515245 * user_id + 12345) % 2147483647, "
+        "((1103515245 * user_id + 12345) % 2147483647) // 65536) "
+        "+ 362437) % 2147483647) // 1024) % 2147483647"
+    )
+
+    def set_cte(name, pred):
+        return f"""
+    {name}_u AS (
+        SELECT DISTINCT user_id FROM events WHERE {pred}),
+    {name}_h AS (SELECT {mix} AS h FROM {name}_u),
+    {name}_m AS (
+        SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS nmin
+        FROM (SELECT h FROM {name}_h ORDER BY h LIMIT {_KMV_K})),
+    {name}_s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {name}_u) AS n_exact,
+               CASE WHEN nmin < {_KMV_K}
+                    THEN nmin * 1.0e0
+                    ELSE ({_KMV_K} - 1.0e0) * {_KMV_P}.0e0 / hk END AS est
+        FROM {name}_m)"""
+
+    return f"""
+    WITH {set_cte("a", "event_type = 'click'")},
+    {set_cte("b", "event_type = 'purchase'")},
+    {set_cte("u", "event_type IN ('click', 'purchase')")},
+    x AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_intersect_exact
+        FROM (SELECT user_id FROM a_u INTERSECT SELECT user_id FROM b_u))
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           a_s.n_exact AS n_a_exact, b_s.n_exact AS n_b_exact,
+           u_s.n_exact AS n_union_exact, x.n_intersect_exact,
+           {sql_roundn("a_s.est", 4)} AS est_a,
+           {sql_roundn("b_s.est", 4)} AS est_b,
+           {sql_roundn("u_s.est", 4)} AS est_union,
+           {sql_roundn("a_s.est + b_s.est - u_s.est", 4)} AS est_intersect,
+           {sql_roundn(
+               "ABS(u_s.est - u_s.n_exact) / u_s.n_exact", 6
+           )} AS rel_err_union
+    FROM a_s, b_s, u_s, x
+    """
+
+
+@query("sketch_kmv_setops", oracle=_kmv_oracle())
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with SET
+    ALGEBRA: cardinality estimates for the click set, the purchase set,
+    their union (min-k of the merged hashes — the mergeability law),
+    and the intersection via inclusion–exclusion, all beside the exact
+    counts and the union's relative error. The sketch family's
+    set-operation rung: HLL (X174) answers "how many", KMV also
+    answers "how many in common" — the theta-sketch idea in portable
+    arithmetic.
+
+    Portability: the LCG+xorshift mixer (hll_mix), bottom-k via
+    ORDER BY + LIMIT (plans as per-partition heaps + driver merge —
+    TakeOrderedAndProject — which IS the KMV merge), and the
+    (k−1)·P/h_(k) estimator as one identical double expression. Below
+    k distinct the sketch is the exact set — the CASE keeps the
+    estimate exact there (no libm anywhere).
+
+    100 TB: bottom-k is the textbook distributed order statistic (heap
+    per partition, k-merge at the driver — never a global sort); the
+    distinct pre-step is the only shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def sketch(pred_col, name):
+        users = ev.filter(pred_col).select("user_id").distinct()
+        users = users.localCheckpoint(eager=False)  # mins + exact count
+        h = hll_mix(users, "user_id").select("h")
+        mins = h.orderBy("h").limit(_KMV_K).agg(
+            F.max("h").alias("hk"), F.count("*").alias("nmin")
+        )
+        n_exact = users.count()
+        return mins.select(
+            F.lit(name).alias("set_name"),
+            F.lit(n_exact).cast("long").alias("n_exact"),
+            F.when(F.col("nmin") < _KMV_K, F.col("nmin") * F.lit(1.0))
+            .otherwise(
+                (F.lit(_KMV_K) - F.lit(1.0))
+                * F.lit(float(_KMV_P))
+                / F.col("hk")
+            )
+            .alias("est"),
+        )
+
+    a = sketch(F.col("event_type") == "click", "a")
+    b = sketch(F.col("event_type") == "purchase", "b")
+    u = sketch(F.col("event_type").isin("click", "purchase"), "u")
+    tall = a.unionAll(b).unionAll(u)
+    ua = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    ub = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    n_inter = ua.join(ub, "user_id").count()
+
+    def pick(col, s):
+        return F.max(F.when(F.col("set_name") == s, F.col(col)))
+
+    est_i = pick("est", "a") + pick("est", "b") - pick("est", "u")
+    return tall.agg(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        pick("n_exact", "a").alias("n_a_exact"),
+        pick("n_exact", "b").alias("n_b_exact"),
+        pick("n_exact", "u").alias("n_union_exact"),
+        F.lit(n_inter).cast("long").alias("n_intersect_exact"),
+        roundn(pick("est", "a"), 4).alias("est_a"),
+        roundn(pick("est", "b"), 4).alias("est_b"),
+        roundn(pick("est", "u"), 4).alias("est_union"),
+        roundn(est_i, 4).alias("est_intersect"),
+        roundn(
+            F.abs(pick("est", "u") - pick("n_exact", "u"))
+            / pick("n_exact", "u"),
+            6,
+        ).alias("rel_err_union"),
+    )
