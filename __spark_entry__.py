@@ -195,6 +195,8 @@ _COMPONENT_FIRST = (
     "qc_benford_digits", "fn_soundex_portable",
     # round-3 wave r3n: community detection + KMV set algebra
     "graph_label_propagation", "sketch_kmv_setops",
+    # round-3 wave r3o: Pareto skyline + BFS hop distances
+    "skyline_pareto_front", "graph_bfs_khop",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -365,3 +365,88 @@ def cohort_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_revenue_cents"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# 2D skyline / Pareto front (r3o wave)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = f"""
+WITH p AS (
+    SELECT p_brand, p_partkey,
+           CAST(FLOOR(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT)
+               AS price_cents,
+           CAST(p_size AS BIGINT) AS size
+    FROM part),
+w AS (
+    SELECT p_brand, p_partkey, price_cents, size,
+           MAX(size) OVER (
+               PARTITION BY p_brand ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m_strict,
+           MAX(size) OVER (
+               PARTITION BY p_brand ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS m_all
+    FROM p)
+SELECT p_brand, p_partkey, price_cents, size
+FROM w
+WHERE COALESCE(m_strict, -1) < size AND m_all <= size
+ORDER BY p_brand, price_cents, p_partkey
+"""
+
+
+@query("skyline_pareto_front", oracle=_SKYLINE_ORACLE)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2D skyline (Pareto front) over parts: keep every part
+    for which no same-brand part is both cheaper-or-equal AND
+    larger-or-equal with at least one strict — the classic
+    multi-criteria "best tradeoffs" operator (cheapest price vs
+    largest size). The assortment/value-engineering primitive next to
+    rfm_segments and market_basket.
+
+    Spark-first: NOT the textbook O(n²) dominance self-join — after
+    sorting by price, a part is dominated iff a strictly-cheaper row
+    reaches its size (RANGE-frame running max through 1 PRECEDING) or
+    a tied-price row strictly exceeds it (running max through CURRENT
+    ROW, which in RANGE frames spans the full tie group). Two
+    value-RANGE windows over one sort = O(n log n), and RANGE frames
+    make the result independent of intra-tie row order —
+    engine-exact. All arithmetic is integer (floor-form cents, BIGINT
+    size); equal (price, size) pairs do not dominate each other, so
+    both survive — the window form preserves that law.
+
+    100 TB: the windows are PARTITIONED by brand, so the sort is a
+    hash-distributed partial sort, never a single-partition global
+    window. For an unpartitioned skyline at scale, run this same
+    window per hash partition (local skyline), then once over the
+    ≤front-sized survivors — the standard two-phase merge; the
+    per-group form here IS that building block."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_strict = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        p.withColumn("m_strict", F.max("size").over(w_strict))
+        .withColumn("m_all", F.max("size").over(w_all))
+        .filter(
+            (F.coalesce(F.col("m_strict"), F.lit(-1)) < F.col("size"))
+            & (F.col("m_all") <= F.col("size"))
+        )
+        .select("p_brand", "p_partkey", "price_cents", "size")
+        .orderBy("p_brand", "price_cents", "p_partkey")
+    )

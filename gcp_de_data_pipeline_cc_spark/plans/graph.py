@@ -383,3 +383,144 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+# ---------------------------------------------------------------------------
+# BFS k-hop shortest distances (r3o wave)
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+_BFS_K = 8  # same kNN backbone cut as graph_triangles
+
+
+def _bfs_oracle() -> str:
+    prelude = f"""
+    WITH pl AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pl a JOIN pl b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2),
+    d AS (
+        SELECT sa AS u, sb AS v, w FROM e
+        UNION ALL SELECT sb, sa, w FROM e),
+    r AS (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v ASC)
+                   AS rn
+        FROM d),
+    bb AS (
+        SELECT DISTINCT LEAST(u, v) AS sa, GREATEST(u, v) AS sb
+        FROM r WHERE rn <= {_BFS_K}),
+    g AS (
+        SELECT sa AS u, sb AS v FROM bb
+        UNION ALL SELECT sb, sa FROM bb),
+    d0 AS (SELECT (SELECT MIN(sa) FROM bb) AS node, 0 AS dist)"""
+    steps = []
+    for i in range(1, _BFS_HOPS + 1):
+        steps.append(f"""
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{i-1}
+            UNION ALL
+            SELECT g.v AS node, d{i-1}.dist + 1 AS dist
+            FROM g JOIN d{i-1} ON d{i-1}.node = g.u)
+        GROUP BY node)""")
+    final = f"""
+    SELECT node AS suppkey, CAST(dist AS BIGINT) AS dist
+    FROM d{_BFS_HOPS} ORDER BY dist, suppkey"""
+    return prelude + "," + ",".join(steps) + final
+
+
+@query("graph_bfs_khop", oracle=_bfs_oracle())
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrolled breadth-first shortest hop distances from a fixed
+    source (the smallest backbone supplier) over the same K=8 kNN
+    co-shipment backbone as graph_triangles: dist_{t+1}(v) =
+    min(dist_t(v), min_{(u,v)∈E} dist_t(u)+1), four unrolled relaxation
+    steps. The reachability-with-DEPTH rung of the graph tier —
+    dedup_clusters answers "same component?", BFS answers "how far?"
+    (degrees-of-separation, blast-radius and lineage-impact queries).
+
+    Exactness: distances are small integers, the min-merge is
+    associative/commutative — engine-exact with no float anywhere.
+    Fixed hop count keeps it SQL-expressible (graph_pagerank's
+    discipline); the run-to-convergence variant follows
+    dedup_clusters' checkpointed loop instead.
+
+    100 TB: the frontier/labels table is node-sized and broadcast into
+    the ≤K·n backbone each step (the edge table is the probe side,
+    never shuffled); each relaxation is one broadcast join + one
+    node-sized groupBy — per-step cost proportional to |edges|, and
+    the expensive pair build runs ONCE (same single-scan collect_set
+    shape as graph_triangles, checkpointed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
+        .filter(F.size("bs") >= 2)
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("bs") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
+                lambda x: F.struct(
+                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
+                ),
+            ),
+        )
+    )
+    e = (
+        sets.select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .agg(F.count("*").alias("w"))
+    )
+    d = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
+                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
+            )
+        ).alias("o"),
+        "w",
+    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
+    rn = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    )
+    bb = (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= _BFS_K)
+        .select(
+            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # ≤K·n rows; reused every step
+    )
+    g = bb.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
+                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
+            )
+        ).alias("o")
+    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+
+    src = bb.agg(F.min("sa").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    dist = src
+    for _ in range(_BFS_HOPS):
+        relaxed = g.join(
+            F.broadcast(dist.select(F.col("node").alias("u"), "dist")), "u"
+        ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").alias("suppkey"), F.col("dist").cast("long").alias("dist")
+    ).orderBy("dist", "suppkey")
