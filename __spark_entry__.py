@@ -197,6 +197,8 @@ _COMPONENT_FIRST = (
     "graph_label_propagation", "sketch_kmv_setops",
     # round-3 wave r3o: Pareto skyline + BFS hop distances
     "skyline_pareto_front", "graph_bfs_khop",
+    # round-3 wave r3p: rank-based hypothesis tests
+    "hypothesis_spearman", "hypothesis_ks2",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -503,3 +503,242 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(F.col("w") / nrm2, 6).alias("eigvec"),
         roundn(lam, 4).alias("lambda_est"),
     ).orderBy("i")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (r3p wave)
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                         AS BIGINT)) AS BIGINT) AS y
+    FROM orders GROUP BY 1),
+vx AS (
+    SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM per_cust GROUP BY 1),
+rx AS (
+    SELECT x,
+           2 * (SUM(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+               + cnt + 1 AS sx,
+           cnt AS cnt_x
+    FROM vx),
+vy AS (
+    SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM per_cust GROUP BY 1),
+ry AS (
+    SELECT y,
+           2 * (SUM(cnt) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+               + cnt + 1 AS sy
+    FROM vy),
+pairs AS (
+    SELECT rx.sx, ry.sy
+    FROM per_cust p JOIN rx ON rx.x = p.x JOIN ry ON ry.y = p.y),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(sx) AS BIGINT) AS s_x,
+           CAST(SUM(sy) AS BIGINT) AS s_y,
+           CAST(SUM(sx * sx) AS BIGINT) AS s_xx,
+           CAST(SUM(sy * sy) AS BIGINT) AS s_yy,
+           CAST(SUM(sx * sy) AS BIGINT) AS s_xy
+    FROM pairs),
+ties AS (
+    SELECT CAST(SUM(CASE WHEN cnt_x > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tied_x
+    FROM rx)
+SELECT sums.n, ties.n_tied_x,
+       {sql_roundn(
+           "(1.0e0 * n * s_xy - 1.0e0 * s_x * s_y)"
+           " / (SQRT(1.0e0 * n * s_xx - 1.0e0 * s_x * s_x)"
+           "    * SQRT(1.0e0 * n * s_yy - 1.0e0 * s_y * s_y))", 6
+       )} AS rho
+FROM sums, ties
+"""
+
+
+@query("hypothesis_spearman", oracle=_SPEARMAN_ORACLE)
+def hypothesis_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-extension — tie-corrected Spearman rank correlation
+    between per-customer order FREQUENCY and lifetime SPEND (exact
+    cents): Pearson over average ranks, the correct form under ties
+    (frequency is massively tied). The monotone-association readout
+    beside hypothesis_mannwhitney's two-sample comparison.
+
+    Exactness: average ranks are multiples of 0.5, so DOUBLED ranks
+    s = 2·rank_min + (t−1) + 1 = 2·cum_before + t + 1 are exact
+    BIGINTs straight out of the cumulative count over the per-VALUE
+    table — no float ranks anywhere; doubling cancels in the Pearson
+    ratio. All five sums are exact int64 (bounded by 4n³ — safe
+    through n ≈ 10⁶ customers); only the final ratio runs in doubles,
+    as ONE identical expression tree on both engines.
+
+    100 TB: rank windows run over the two distinct-VALUE tables
+    (domain-bounded — hypothesis_mannwhitney's argument), which then
+    broadcast back onto the pair table; the sums are one map-side
+    combined aggregate. Nothing global-sorts the raw rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("x"), F.sum(cents).alias("y")
+    )
+    per_cust = per_cust.localCheckpoint(eager=False)  # 3 consumers
+
+    def doubled_ranks(col):
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            per_cust.groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                col,
+                (
+                    2 * (F.sum("cnt").over(w) - F.col("cnt"))
+                    + F.col("cnt")
+                    + 1
+                ).alias(f"s_{col}"),
+                F.col("cnt").alias(f"cnt_{col}"),
+            )
+        )
+
+    rx = doubled_ranks("x").localCheckpoint(eager=False)  # ranks + ties
+    ry = doubled_ranks("y")
+    pairs = per_cust.join(F.broadcast(rx.select("x", "s_x")), "x").join(
+        F.broadcast(ry.select("y", "s_y")), "y"
+    )
+    sums = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("s_x").alias("sum_x"),
+        F.sum("s_y").alias("sum_y"),
+        F.sum(F.col("s_x") * F.col("s_x")).alias("s_xx"),
+        F.sum(F.col("s_y") * F.col("s_y")).alias("s_yy"),
+        F.sum(F.col("s_x") * F.col("s_y")).alias("s_xy"),
+    )
+    ties = rx.agg(
+        F.sum(F.when(F.col("cnt_x") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tied_x")
+    )
+    one = F.lit(1.0)
+    rho = (
+        one * F.col("n") * F.col("s_xy") - one * F.col("sum_x") * F.col("sum_y")
+    ) / (
+        F.sqrt(one * F.col("n") * F.col("s_xx")
+               - one * F.col("sum_x") * F.col("sum_x"))
+        * F.sqrt(one * F.col("n") * F.col("s_yy")
+                 - one * F.col("sum_y") * F.col("sum_y"))
+    )
+    return sums.crossJoin(F.broadcast(ties)).select(
+        "n", "n_tied_x", roundn(rho, 6).alias("rho")
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov (r3p wave)
+# ---------------------------------------------------------------------------
+
+#: KS critical coefficient c(α) at α=0.05 (two-sided asymptotic)
+_KS_C05 = 1.358
+
+
+def _ks_oracle() -> str:
+    return f"""
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT) AS v,
+               (event_type = 'click') AS g1
+        FROM events WHERE event_type IN ('click', 'view')),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        FROM s GROUP BY v),
+    cum AS (
+        SELECT SUM(c1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+               SUM(c2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2
+        FROM per_v),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM per_v),
+    dm AS (
+        SELECT MAX(ABS(k1 * tot.n2 - k2 * tot.n1)) AS d_num
+        FROM cum, tot)
+    SELECT tot.n1, tot.n2, dm.d_num,
+           {sql_roundn("1.0e0 * d_num / (1.0e0 * n1 * n2)", 6)} AS ks_d,
+           {sql_roundn(
+               "1.0e0 * d_num / (1.0e0 * n1 * n2)"
+               " * SQRT(1.0e0 * n1 * n2 / (1.0e0 * n1 + n2))", 4
+           )} AS ks_scaled,
+           (1.0e0 * d_num / (1.0e0 * n1 * n2)
+            * SQRT(1.0e0 * n1 * n2 / (1.0e0 * n1 + n2))
+            > {_KS_C05}e0) AS reject_05
+    FROM dm, tot
+    """
+
+
+@query("hypothesis_ks2", oracle=_ks_oracle())
+def hypothesis_ks2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-extension — two-sample Kolmogorov–Smirnov test ('click'
+    vs 'view' value distributions, exact cents grid): D = max pointwise
+    ECDF gap over the pooled distinct values, the distribution-SHAPE
+    test beside hypothesis_mannwhitney's location shift (KS also sees
+    variance/shape changes a rank-sum misses — the A/B guardrail for
+    "same conversion value distribution?").
+
+    Exactness: the gap is carried as the exact INTEGER cross-product
+    |k1·n2 − k2·n1| (D's numerator over the common denominator n1·n2)
+    — the max is decided in integer space, no float comparisons. Only
+    the final D, the √(n1n2/(n1+n2)) scaling, and the α=0.05 verdict
+    against the asymptotic critical value {_KS_C05} run in doubles, as
+    identical expression trees on both engines (the MW z-stat
+    discipline).
+
+    100 TB: one filtered scan → per-VALUE aggregate; the cumulative
+    window runs over the value DOMAIN (cents grid — bounded, the
+    histogram_values argument), totals ride a one-row broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        (F.col("event_type") == "click").alias("g1"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("long").alias("c2"),
+    )
+    per_v = per_v.localCheckpoint(eager=False)  # cum + totals consumers
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    tot = per_v.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    dm = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1"))
+        ).alias("d_num")
+    )
+    one = F.lit(1.0)
+    d = one * F.col("d_num") / (one * F.col("n1") * F.col("n2"))
+    scaled = d * F.sqrt(
+        one * F.col("n1") * F.col("n2") / (one * F.col("n1") + F.col("n2"))
+    )
+    return dm.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "d_num",
+        roundn(d, 6).alias("ks_d"),
+        roundn(scaled, 4).alias("ks_scaled"),
+        (scaled > F.lit(_KS_C05)).alias("reject_05"),
+    )

@@ -310,6 +310,9 @@ _BNLJ_REVIEWED = frozenset({
     # were REMOVED after their window-normalizer rewrites eliminated
     # the scalar crossJoin entirely
     "fn_surrogate_key", "qc_freshness", "rfm_segments",
+    # r3p wave: one-row stat-total broadcasts (sums x ties, ECDF-max x
+    # totals) — category (a) scalar broadcasts
+    "hypothesis_spearman", "hypothesis_ks2",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
