@@ -199,6 +199,8 @@ _COMPONENT_FIRST = (
     "skyline_pareto_front", "graph_bfs_khop",
     # round-3 wave r3p: rank-based hypothesis tests
     "hypothesis_spearman", "hypothesis_ks2",
+    # round-3 wave r3q: frequency moments + exact distributed quantiles
+    "sketch_ams_f2", "quantile_exact_twopass",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

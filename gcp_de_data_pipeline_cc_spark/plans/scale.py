@@ -316,3 +316,100 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("event_type").agg(
         F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles, two-pass (r3q wave)
+# ---------------------------------------------------------------------------
+
+#: pass-1 histogram bucket width (cents) — ~$1000 buckets over o_totalprice
+_Q2P_WIDTH = 100000
+
+#: quantiles as exact rationals (numerator, denominator)
+_Q2P_PS = ((1, 2), (9, 10), (99, 100))
+
+
+def _q2p_oracle() -> str:
+    arms = []
+    for num, den in _Q2P_PS:
+        arms.append(f"""
+    SELECT CAST({num}.0e0 / {den} AS DOUBLE) AS p, n.n,
+           ({num} * n.n + {den} - 1) // {den} AS target_rank,
+           (SELECT v FROM r
+            WHERE rn = ({num} * n.n + {den} - 1) // {den}) AS exact_cents
+    FROM n""")
+    return f"""
+    WITH c AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS v
+        FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c)
+    {" UNION ALL ".join(arms)}
+    ORDER BY p
+    """
+
+
+@query("quantile_exact_twopass", oracle=_q2p_oracle())
+def quantile_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles (p50/p90/p99 of order totals, type-1
+    / percentile_disc semantics) without ever globally sorting the
+    data: pass 1 builds a fixed-width histogram and locates the bucket
+    holding each target rank (bucket table is domain-bounded — a few
+    hundred rows — and collected as a bounds lookup, the sanctioned
+    driver-scalar class); pass 2 reads ONLY the boundary bucket and
+    takes its r-th smallest via orderBy+limit (TakeOrderedAndProject —
+    per-partition heaps, never a global sort). The exact complement to
+    agg_percentile_approx: this is how you get the real p99 out of
+    100 TB when the SLA number must be exact, at the cost of a second
+    (heavily filtered) scan.
+
+    Exactness: values are integer cents; target ranks use the integer
+    form ceil(p·n) = (num·n + den − 1) // den so no float ever touches
+    a rank; the returned value is a row value, not an interpolation.
+
+    100 TB: pass 1 is one map-side-combined groupBy over ~10²-10³
+    buckets; each pass-2 arm filters to ~n/buckets rows before the
+    limit-r heap. The histogram collect is O(buckets), independent of
+    n."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    )
+    c = c.localCheckpoint(eager=False)  # histogram + 3 pass-2 consumers
+    hist = (
+        c.groupBy((F.col("v") - F.pmod(F.col("v"), _Q2P_WIDTH)).alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("b")
+        .collect()
+    )
+    n = sum(r.cnt for r in hist)
+    arms = []
+    for num, den in _Q2P_PS:
+        k = (num * n + den - 1) // den
+        cum = 0
+        for row in hist:
+            if cum + row.cnt >= k:
+                bucket, rank_in_bucket = row.b, k - cum
+                break
+            cum += row.cnt
+        arm = (
+            c.filter(
+                (F.col("v") >= bucket) & (F.col("v") < bucket + _Q2P_WIDTH)
+            )
+            .orderBy("v")
+            .limit(rank_in_bucket)
+            .agg(F.max("v").alias("exact_cents"))
+            .select(
+                F.lit(num / den).alias("p"),
+                F.lit(n).cast("long").alias("n"),
+                F.lit(k).cast("long").alias("target_rank"),
+                "exact_cents",
+            )
+        )
+        arms.append(arm)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("p")

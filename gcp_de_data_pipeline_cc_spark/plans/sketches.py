@@ -846,3 +846,135 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err_union"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch — self-join size estimation (r3q wave)
+# ---------------------------------------------------------------------------
+
+#: number of independent ±1 estimators (4 groups of 4 for median-of-means)
+_AMS_R = 16
+
+#: per-estimator key offset — keeps 1103515245·(key + i·C) < 2^62
+_AMS_C = 10000019
+
+
+def _ams_oracle() -> str:
+    return f"""
+    WITH pv AS (
+        SELECT l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1),
+    ex AS (
+        SELECT pv.v + t.i * {_AMS_C} AS key, pv.c, t.i
+        FROM pv, range({_AMS_R}) t(i)),
+    m1 AS (SELECT i, c, (1103515245 * key + 12345) % 2147483647 AS h1
+           FROM ex),
+    m2 AS (SELECT i, c, xor(h1, h1 // 65536) AS h1x FROM m1),
+    m3 AS (SELECT i, c, (69069 * h1x + 362437) % 2147483647 AS h2 FROM m2),
+    mh AS (SELECT i, c,
+                  xor(h2, h2 // 1024) % 2147483647 AS h FROM m3),
+    si AS (
+        SELECT i,
+               CAST(SUM(CASE WHEN h % 2 = 1 THEN c ELSE -c END)
+                    AS BIGINT) AS s
+        FROM mh GROUP BY i),
+    xi AS (SELECT i, s * s AS x, i // 4 AS g FROM si),
+    gm AS (SELECT g, SUM(x) / 4.0e0 AS gmean FROM xi GROUP BY g),
+    med AS (
+        SELECT AVG(gmean) AS momed FROM (
+            SELECT gmean,
+                   ROW_NUMBER() OVER (ORDER BY gmean, g) AS rn
+            FROM gm) WHERE rn IN (2, 3)),
+    ag AS (SELECT CAST(SUM(x) AS BIGINT) AS sx FROM xi),
+    f2 AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c * c) AS BIGINT) AS f2_exact
+        FROM pv)
+    SELECT f2.n_rows, f2.n_keys, f2.f2_exact,
+           {sql_roundn(f"ag.sx / {_AMS_R}.0e0", 2)} AS est_mean,
+           {sql_roundn("med.momed", 2)} AS est_momed,
+           {sql_roundn(
+               f"ABS(ag.sx / {_AMS_R}.0e0 - f2.f2_exact)"
+               " / (1.0e0 * f2.f2_exact)", 6
+           )} AS rel_err_mean
+    FROM f2, ag, med
+    """
+
+
+@query("sketch_ams_f2", oracle=_ams_oracle())
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F₂ sketch over the lineitem partkey
+    stream: {r} independent ±1-sign estimators Xᵢ = (Σ_v sᵢ(v)·c_v)²,
+    E[Xᵢ] = F₂ = Σc² — the SELF-JOIN SIZE of lineitem on partkey, the
+    quantity a cost-based optimizer needs to size a join before running
+    it. Reported as the plain mean AND the 4×4 median-of-means (the
+    variance-robust form), beside the exact F₂ and the mean's relative
+    error. The frequency-MOMENT rung of the sketch tier: HLL/KMV
+    estimate F₀, Count-Min point counts, AMS estimates F₂.
+
+    Portability/exactness: signs come from the low bit of the shared
+    LCG+xorshift mixer applied to key + i·{c} (31-bit lanes, products
+    < 2^62); every per-estimator sum, square, and the exact F₂ are
+    int64; the only doubles are the final /16, /4, and the even-median
+    average of two dyadic means — all exact or identical-tree.
+
+    100 TB: the sign-sums are ADDITIVE across partitions (map-side
+    combine does the work — this is why AMS is the streaming/mergeable
+    F₂ estimator); the ×{r} estimator fan-out happens on the per-VALUE
+    table (domain-bounded), never on raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    pv = pv.localCheckpoint(eager=False)  # estimators + exact-F2 consumers
+    ex = pv.select(
+        "v", "c", F.explode(F.sequence(F.lit(0), F.lit(_AMS_R - 1))).alias("i")
+    ).withColumn("key", F.col("v") + F.col("i") * F.lit(_AMS_C))
+    mh = hll_mix(ex, "key")
+    si = mh.groupBy("i").agg(
+        F.sum(
+            F.when(F.pmod(F.col("h"), F.lit(2)) == 1, F.col("c")).otherwise(
+                -F.col("c")
+            )
+        ).alias("s")
+    )
+    xi = si.select(
+        "i", (F.col("s") * F.col("s")).alias("x"), (F.col("i") / 4).cast("long").alias("g")
+    )
+    xi = xi.localCheckpoint(eager=False)  # mean + median-of-means consumers
+    gm = xi.groupBy("g").agg((F.sum("x") / F.lit(4.0)).alias("gmean"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy("gmean", "g"))
+    med = (
+        gm.withColumn("rn", rn)
+        .filter(F.col("rn").isin(2, 3))
+        .agg(F.avg("gmean").alias("momed"))
+    )
+    ag = xi.agg(F.sum("x").alias("sx"))
+    f2 = pv.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("f2_exact"),
+    )
+    est_mean = F.col("sx") / F.lit(float(_AMS_R))
+    return (
+        f2.crossJoin(F.broadcast(ag))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_rows",
+            "n_keys",
+            "f2_exact",
+            roundn(est_mean, 2).alias("est_mean"),
+            roundn(F.col("momed"), 2).alias("est_momed"),
+            roundn(
+                F.abs(est_mean - F.col("f2_exact"))
+                / (F.lit(1.0) * F.col("f2_exact")),
+                6,
+            ).alias("rel_err_mean"),
+        )
+    )
+
+
+sketch_ams_f2.__doc__ = sketch_ams_f2.__doc__.format(r=_AMS_R, c=_AMS_C)

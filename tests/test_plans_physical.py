@@ -313,6 +313,9 @@ _BNLJ_REVIEWED = frozenset({
     # r3p wave: one-row stat-total broadcasts (sums x ties, ECDF-max x
     # totals) — category (a) scalar broadcasts
     "hypothesis_spearman", "hypothesis_ks2",
+    # r3q wave: exact-F2 x estimator-mean x median one-row broadcasts
+    # — category (a) scalar broadcasts
+    "sketch_ams_f2",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
