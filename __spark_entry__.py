@@ -201,6 +201,8 @@ _COMPONENT_FIRST = (
     "hypothesis_spearman", "hypothesis_ks2",
     # round-3 wave r3q: frequency moments + exact distributed quantiles
     "sketch_ams_f2", "quantile_exact_twopass",
+    # round-3 wave r3r: incremental MV maintenance + link prediction
+    "mv_delta_maintain", "graph_link_prediction",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 
