@@ -203,6 +203,8 @@ _COMPONENT_FIRST = (
     "sketch_ams_f2", "quantile_exact_twopass",
     # round-3 wave r3r: incremental MV maintenance + link prediction
     "mv_delta_maintain", "graph_link_prediction",
+    # round-3 wave r3s: range-partition planning + leakage-safe split
+    "range_partition_plan", "split_leakage_safe",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

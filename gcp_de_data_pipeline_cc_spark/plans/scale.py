@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
-from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators.scale import (
     bucketed_join,
     ensure_bucketed,
@@ -413,3 +413,130 @@ def quantile_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionAll(a)
     return out.orderBy("p")
+
+
+# ---------------------------------------------------------------------------
+# balanced range-partition planning (r3s wave)
+# ---------------------------------------------------------------------------
+
+#: planned partition count
+_RPP_B = 8
+
+
+def _rpp_oracle() -> str:
+    b = _RPP_B
+    return f"""
+    WITH c AS (
+        SELECT CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS v
+        FROM orders),
+    pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY v),
+    cum AS (
+        SELECT v, cnt,
+               SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM pv),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pv),
+    ks AS (
+        SELECT t.i, (t.i * tot.n + {b} - 1) // {b} AS k
+        FROM range(1, {b}) t(i), tot),
+    bnd AS (
+        SELECT ks.i, MIN(cum.v) AS bv
+        FROM ks JOIN cum ON cum.cc >= ks.k
+        GROUP BY ks.i),
+    asg AS (
+        SELECT pv.v, pv.cnt,
+               1 + (SELECT COUNT(*) FROM bnd WHERE bnd.bv < pv.v) AS p
+        FROM pv)
+    SELECT CAST(p AS BIGINT) AS partition_id,
+           MIN(v) AS lo_cents, MAX(v) AS hi_cents,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           {sql_roundn(f"SUM(cnt) * {b}.0e0 / (SELECT n FROM tot)", 6)}
+               AS balance_ratio
+    FROM asg GROUP BY p ORDER BY partition_id
+    """
+
+
+@query("range_partition_plan", oracle=_rpp_oracle())
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced RANGE-PARTITIONER planning (what RangePartitioner /
+    Iceberg sort-order writers do before a write): boundary values for
+    {b} partitions of orders by total price are the exact type-1
+    quantiles at rank ceil(i·n/{b}), every row with b_(i−1) < v ≤ b_i
+    lands in partition i (VALUE-based, so equal keys can never split —
+    the correctness property row-ntile lacks), and each planned
+    partition reports its bounds, row count, and balance ratio
+    (n_rows·{b}/n; 1.0 = perfectly level, >1 = the skew a heavy tie
+    group forces). The write-side planning complement to skew_profile's
+    read-side diagnosis.
+
+    Exactness: ranks use integer ceil arithmetic ((i·n+{b}−1)//{b});
+    boundaries come from an integer cumulative over the distinct-VALUE
+    table; only the balance ratio divides, identical-tree.
+
+    100 TB: this is Spark's own reservoir-sample boundary estimation
+    done EXACTLY — the cumulative window runs over the value DOMAIN
+    (bounded — the histogram_values argument), the {bm1}-row boundary
+    table broadcasts into the assignment, and nothing sorts raw rows.
+    For continuous (tie-free) keys sampled boundaries suffice; the
+    exact form matters exactly when ties are heavy and a sampled
+    splitter would silently split a tie group."""
+    b = _RPP_B
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    pv = (
+        orders.select(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pv = pv.localCheckpoint(eager=False)  # cum + totals + assignment
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pv.select("v", "cnt", F.sum("cnt").over(w).alias("cc"))
+    tot = pv.agg(F.sum("cnt").alias("n"))
+    ks = (
+        tot.select(
+            F.explode(F.sequence(F.lit(1), F.lit(b - 1))).alias("i"), "n"
+        )
+        .select("i", ((F.col("i") * F.col("n") + (b - 1)) / b)
+                .cast("long").alias("k"))
+    )
+    bnd = (
+        cum.join(F.broadcast(ks), cum["cc"] >= ks["k"])
+        .groupBy("i")
+        .agg(F.min("v").alias("bv"))
+    )
+    asg = (
+        pv.join(F.broadcast(bnd), pv["v"] > bnd["bv"], "left")
+        .groupBy("v", "cnt")
+        .agg((1 + F.count("bv")).alias("p"))
+    )
+    return (
+        asg.groupBy(F.col("p").cast("long").alias("partition_id"))
+        .agg(
+            F.min("v").alias("lo_cents"),
+            F.max("v").alias("hi_cents"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partition_id",
+            "lo_cents",
+            "hi_cents",
+            "n_rows",
+            roundn(
+                F.col("n_rows") * F.lit(float(b)) / F.col("n"), 6
+            ).alias("balance_ratio"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+range_partition_plan.__doc__ = range_partition_plan.__doc__.format(
+    b=_RPP_B, bm1=_RPP_B - 1
+)

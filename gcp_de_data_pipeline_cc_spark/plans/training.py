@@ -675,3 +675,97 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("pair_count"),
     )
     return out1.unionAll(out2).orderBy("iteration", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe grouped split (r3s wave)
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(source, ''), "
+    "c -> CAST(unicode(c) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 2147483647)"
+)
+
+_SPLIT_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source, n_chars,
+           {_SPLIT_SQL_HASH} % 10 AS bucket
+    FROM documents),
+s AS (
+    SELECT CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           source, n_chars
+    FROM d),
+spans AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS groups_spanning
+    FROM (SELECT source FROM s GROUP BY source
+          HAVING COUNT(DISTINCT split) > 1))
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT s.source) AS BIGINT) AS n_groups,
+       CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+       spans.groups_spanning
+FROM s, spans
+GROUP BY s.split, spans.groups_spanning
+ORDER BY s.split
+"""
+
+
+@query("split_leakage_safe", oracle=_SPLIT_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — GROUP-aware train/val/test split: every document
+    is routed by the hash of its GROUP key (source here; url-domain or
+    author at production scale), not its own id, so all documents of a
+    group land in the same split — the standard defense against
+    train/test CONTAMINATION through near-duplicates that share a
+    provenance (split_train_test routes by row and is exactly the
+    variant this guards against). 80/10/10 via bucket = h(source) mod
+    10; the output carries per-split counts plus `groups_spanning`,
+    the audited number of groups appearing in more than one split —
+    structurally zero, and driver-visible so the guarantee is checked,
+    not assumed.
+
+    Portability: the group hash is the per-char polynomial fold
+    (operators/text.portable_token_hash — (131·h + cp) mod 2³¹−1),
+    reproduced in DuckDB by list_reduce over unicode(); swap
+    xxhash64(source) at production scale, same routing semantics.
+
+    100 TB: one narrow per-row hash (no shuffle to decide routing —
+    the property that lets the split run inside the ingest write);
+    the audit and rollup group by split/source with map-side combine."""
+    from gcp_de_data_pipeline_cc_spark.operators.text import (
+        portable_token_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_token_hash(F.col("source")), F.lit(10))
+    s = docs.select(
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+        "source",
+        "n_chars",
+    )
+    s = s.localCheckpoint(eager=False)  # rollup + spanning audit
+    spans = (
+        s.groupBy("source")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("groups_spanning")
+        )
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(spans))
+        .orderBy("split")
+    )

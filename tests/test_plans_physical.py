@@ -316,6 +316,9 @@ _BNLJ_REVIEWED = frozenset({
     # r3q wave: exact-F2 x estimator-mean x median one-row broadcasts
     # — category (a) scalar broadcasts
     "sketch_ams_f2",
+    # r3s wave: 7-row boundary-table band joins + one-row totals —
+    # categories (b)/(a)
+    "range_partition_plan", "split_leakage_safe",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
