@@ -205,6 +205,8 @@ _COMPONENT_FIRST = (
     "mv_delta_maintain", "graph_link_prediction",
     # round-3 wave r3s: range-partition planning + leakage-safe split
     "range_partition_plan", "split_leakage_safe",
+    # round-3 wave r3t: hard-negative mining + adaptive sessionization
+    "train_hard_negatives", "sessionize_adaptive",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -1194,3 +1194,115 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("residual"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# adaptive-gap sessionization (r3t wave)
+# ---------------------------------------------------------------------------
+
+#: session breaks when the gap exceeds max(_ADAPT_MULT x median gap, floor)
+_ADAPT_MULT = 3
+_ADAPT_FLOOR_US = 60_000_000  # 60 s
+
+
+def _adapt_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t
+        FROM events),
+    d AS (
+        SELECT user_id, t,
+               t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, user_id)
+                   AS delta
+        FROM e),
+    dd AS (
+        SELECT user_id, delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY delta, t) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM d WHERE delta IS NOT NULL),
+    med AS (
+        SELECT user_id, delta AS med_us
+        FROM dd WHERE rn = (cnt + 1) // 2),
+    th AS (
+        SELECT user_id,
+               GREATEST({_ADAPT_MULT} * med_us, {_ADAPT_FLOOR_US})
+                   AS thresh_us
+        FROM med),
+    marked AS (
+        SELECT d.user_id, d.t,
+               CASE WHEN d.delta IS NULL
+                         OR d.delta > th.thresh_us THEN 1 ELSE 0 END
+                   AS brk
+        FROM d JOIN th ON th.user_id = d.user_id)
+    SELECT m.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(brk) AS BIGINT) AS n_sessions,
+           CAST(MAX(th.thresh_us) AS BIGINT) AS thresh_us
+    FROM marked m JOIN th ON th.user_id = m.user_id
+    GROUP BY m.user_id
+    ORDER BY m.user_id
+    """
+
+
+@query("sessionize_adaptive", oracle=_adapt_oracle())
+def sessionize_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE-gap sessionization: each user's session timeout is
+    3 × their own median inter-event gap (floored at 60 s) instead of a
+    global 30-minute constant — a power user's rapid-fire bursts split
+    correctly while a daily-check-in user's visits don't merge; the
+    per-entity-threshold pattern every fixed-gap sessionizer
+    (sessionize_path) eventually grows into. Users with a single event
+    (no gaps) are excluded — no median exists, the documented boundary.
+
+    Exactness: gaps are integer epoch-microsecond differences; the
+    per-user median is the exact lower median (value at rank
+    ⌈n/2⌉ via row_number over the user's gap multiset — deterministic
+    under ties); the threshold is integer GREATEST; session counting
+    sums integer break flags. No floats anywhere.
+
+    100 TB: both windows partition by user_id (hash-distributed; one
+    shuffle shared by lag + median since the keys match); the per-user
+    threshold table is entity-sized and joins back on the same key —
+    co-partitioned, no extra exchange at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_micros("ts").alias("t"))
+    wl = Window.partitionBy("user_id").orderBy("t", "user_id")
+    d = e.withColumn("delta", F.col("t") - F.lag("t").over(wl))
+    d = d.localCheckpoint(eager=False)  # median + marking consumers
+    dd = d.filter(F.col("delta").isNotNull()).select(
+        "user_id",
+        "delta",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("delta", "t"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("cnt"),
+    )
+    med = dd.filter(
+        F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long")
+    ).select("user_id", F.col("delta").alias("med_us"))
+    th = med.select(
+        "user_id",
+        F.greatest(
+            F.lit(_ADAPT_MULT) * F.col("med_us"), F.lit(_ADAPT_FLOOR_US)
+        ).alias("thresh_us"),
+    )
+    marked = d.join(th, "user_id").select(
+        "user_id",
+        "thresh_us",
+        F.when(
+            F.col("delta").isNull() | (F.col("delta") > F.col("thresh_us")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("brk").alias("n_sessions"),
+            F.max("thresh_us").alias("thresh_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -769,3 +769,147 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(spans))
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard-negative mining (r3t wave)
+# ---------------------------------------------------------------------------
+
+#: anchors: one in 25 vectors; negatives reported per anchor
+_HN_NEGS = 3
+
+
+def _hn_oracle() -> str:
+    return f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, label AS a_label,
+               embedding::DOUBLE[] AS av
+        FROM embeddings WHERE vec_id % 25 = 0),
+    c AS (
+        SELECT vec_id AS cand_id, label AS c_label,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings),
+    scored AS (
+        SELECT anchor_id, a_label, cand_id, c_label,
+               list_dot_product(av, cv)
+                   / sqrt(list_dot_product(av, av))
+                   / sqrt(list_dot_product(cv, cv)) AS cos_raw
+        FROM a CROSS JOIN c
+        WHERE anchor_id <> cand_id),
+    pos AS (
+        SELECT anchor_id, cand_id AS pos_id, cos_raw AS pos_raw
+        FROM (
+            SELECT anchor_id, cand_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                       ORDER BY cos_raw DESC, cand_id) AS rn
+            FROM scored WHERE c_label = a_label)
+        WHERE rn = 1),
+    neg AS (
+        SELECT anchor_id, cand_id AS neg_id, cos_raw AS neg_raw,
+               CAST(rn AS INT) AS neg_rank
+        FROM (
+            SELECT anchor_id, cand_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                       ORDER BY cos_raw DESC, cand_id) AS rn
+            FROM scored WHERE c_label <> a_label)
+        WHERE rn <= {_HN_NEGS})
+    SELECT pos.anchor_id, pos.pos_id,
+           FLOOR(pos.pos_raw * 10000.0 + 0.5) / 10000.0 AS pos_cos,
+           neg.neg_rank, neg.neg_id,
+           FLOOR(neg.neg_raw * 10000.0 + 0.5) / 10000.0 AS neg_cos,
+           FLOOR((pos.pos_raw - neg.neg_raw) * 10000.0 + 0.5) / 10000.0
+               AS margin
+    FROM pos JOIN neg ON neg.anchor_id = pos.anchor_id
+    ORDER BY pos.anchor_id, neg_rank
+    """
+
+
+@query("train_hard_negatives", oracle=_hn_oracle())
+def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — contrastive HARD-NEGATIVE mining over the
+    embedding table: for each anchor (vec_id % 25 = 0), the positive is
+    its nearest SAME-label vector and the negatives are the top-{n}
+    nearest DIFFERENT-label vectors — the highest-loss negatives, which
+    is what makes contrastive/triplet training converge (mining from
+    the batch's easy negatives does not). Emits the triplet rows with
+    the margin pos_cos − neg_cos: margins near or below zero are the
+    label noise / boundary cases a curriculum would surface first.
+
+    Exactness: cosines fold in fixed array order (zip_with/aggregate ↔
+    list_dot_product — identical IEEE sequences, the sim_topk
+    discipline); ranks break ties on candidate id; margins subtract
+    RAW cosines before the shared 4-dp floor-round.
+
+    100 TB: anchors broadcast over the candidate scan (the brute-force
+    oracle shape — swap the candidate set for the LSH/IVF-pruned one at
+    scale, same downstream contract); both argmax windows are
+    WindowGroupLimit-pruned per anchor; no candidate-side shuffle."""
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double_vectors,
+    )
+
+    emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
+    a = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(a), F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "cand_id",
+            "c_label",
+            (
+                _dot(F.col("av"), F.col("cv"))
+                / _norm(F.col("av"))
+                / _norm(F.col("cv"))
+            ).alias("cos_raw"),
+        )
+    )
+    scored = scored.localCheckpoint(eager=False)  # pos + neg consumers
+    wa = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), F.col("cand_id")
+    )
+    pos = (
+        scored.filter(F.col("c_label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cos_raw").alias("pos_raw"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _HN_NEGS)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos_raw").alias("neg_raw"),
+            F.col("rn").cast("int").alias("neg_rank"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            roundn(F.col("pos_raw"), 4).alias("pos_cos"),
+            "neg_rank",
+            "neg_id",
+            roundn(F.col("neg_raw"), 4).alias("neg_cos"),
+            roundn(F.col("pos_raw") - F.col("neg_raw"), 4).alias("margin"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
