@@ -207,6 +207,8 @@ _COMPONENT_FIRST = (
     "range_partition_plan", "split_leakage_safe",
     # round-3 wave r3t: hard-negative mining + adaptive sessionization
     "train_hard_negatives", "sessionize_adaptive",
+    # round-3 wave r3u: interval union + sequence pattern mining
+    "interval_union_coverage", "seq_pattern_regex",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -1306,3 +1306,198 @@ def sessionize_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# interval union / coverage (r3u wave)
+# ---------------------------------------------------------------------------
+
+#: view/click/error events open a 5-minute interval; the heavy events
+#: (signup, purchase) open a 30-minute one — variable spans are what
+#: make the running-max sweep load-bearing (see docstring)
+_IUC_SPAN_US = 300_000_000
+_IUC_HEAVY_US = 1_800_000_000
+
+
+def _iuc_oracle() -> str:
+    return f"""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + CASE WHEN event_type IN ('signup', 'purchase')
+                                   THEN {_IUC_HEAVY_US}
+                                   ELSE {_IUC_SPAN_US} END AS e
+        FROM events),
+    m AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_e
+        FROM iv),
+    f AS (
+        SELECT user_id, s, e,
+               CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                    THEN 1 ELSE 0 END AS new_island
+        FROM m),
+    g AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM f),
+    isl AS (
+        SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e
+        FROM g GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us,
+           CAST(MAX(is_e - is_s) AS BIGINT) AS longest_us
+    FROM isl GROUP BY user_id ORDER BY user_id
+    """
+
+
+@query("interval_union_coverage", oracle=_iuc_oracle())
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (coverage) per user: every event opens an
+    activity interval (5 min; 30 min for the heavy signup/purchase
+    types); overlapping/touching intervals merge and the
+    user's total covered time, merged-interval count, and longest
+    stretch are reported. The measure-theoretic union that naive
+    SUM(duration) double-counts whenever intervals overlap — the
+    uptime/billable-time/sensor-coverage primitive, and the interval
+    cousin of win_islands' integer runs.
+
+    The classic running-max sweep: an interval starts a new island iff
+    its start exceeds the max end among ALL earlier intervals (not just
+    the previous row — an early long interval can swallow several later
+    short ones; prev-row formulations get exactly that case wrong, and
+    the test plants it). Exactness: pure integer epoch-µs; a touching
+    boundary (s == prev_max_e) merges — pinned by test.
+
+    100 TB: one window shuffle partitioned by user (the sweep is the
+    per-key O(n log n) interval-union lower bound); island reduction
+    and the final rollup reuse the same user partitioning — no second
+    exchange at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    span = F.when(
+        F.col("event_type").isin("signup", "purchase"),
+        F.lit(_IUC_HEAVY_US),
+    ).otherwise(F.lit(_IUC_SPAN_US))
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + span).alias("e"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = (
+        iv.withColumn("prev_max_e", F.max("e").over(wp))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(wc))
+    )
+    isl = g.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    return (
+        isl.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("is_e") - F.col("is_s")).alias("covered_us"),
+            F.max(F.col("is_e") - F.col("is_s")).alias("longest_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern detection, MATCH_RECOGNIZE-lite (r3u wave)
+# ---------------------------------------------------------------------------
+
+#: assisted-conversion pattern over the per-user event-initial string
+_SEQ_ASSIST = "V[^P]*C[^P]*P"
+
+
+def _seq_oracle() -> str:
+    return f"""
+    WITH s AS (
+        SELECT user_id,
+               string_agg(UPPER(SUBSTRING(event_type, 1, 1)), ''
+                          ORDER BY ts) AS seq
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(LENGTH(seq) AS BIGINT) AS seq_len,
+           CAST((LENGTH(seq) - LENGTH(REPLACE(seq, 'VCP', ''))) // 3
+                AS BIGINT) AS n_direct_vcp,
+           regexp_matches(seq, '{_SEQ_ASSIST}') AS has_assisted_path,
+           regexp_matches(seq, 'V[^P]*$') AS ends_abandoned
+    FROM s ORDER BY user_id
+    """
+
+
+@query("seq_pattern_regex", oracle=_seq_oracle())
+def seq_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence-pattern detection: each user's
+    event history collapses to an ordered initial string (V=view,
+    C=click, P=purchase, S=signup, E=error — the five types have
+    distinct initials) and patterns run AS REGEXES over it —
+    `VCP` exact direct conversions (counted by replace-arithmetic, no
+    regex ambiguity), the noise-tolerant assisted path V→C→P with no
+    intervening purchase, and sessions that end on an unconverted view.
+    The sequence-MINING complement to funnel_conversion (which is
+    time-window based) and markov_transitions (which is memoryless —
+    regexes see arbitrary-length context).
+
+    Portability: the sequence is built by the sort-struct-array idiom
+    (Spark has no ordered string_agg — sessionize_path's documented
+    pattern) vs DuckDB's ORDER BY aggregate; tie-free timestamps make
+    both total orders identical. Counting uses pure string arithmetic
+    ((len − len(replace))/3); the two regexes are anchored/character-
+    class-only patterns on which Java regex and RE2 agree (no
+    backtracking-semantics divergence — documented constraint: keep
+    alternation-free patterns).
+
+    100 TB: one groupBy shuffle carrying (ts, 1-char initial) pairs —
+    the sequence string materializes per user AFTER the shuffle; all
+    pattern work is per-row codegen on entity-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.upper(F.substring("event_type", 1, 1)).alias("c"),
+                    )
+                )
+            ),
+            lambda x: x.getField("c"),
+        ),
+    )
+    s = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        (
+            (F.length("seq") - F.length(F.regexp_replace("seq", "VCP", "")))
+            / 3
+        )
+        .cast("long")
+        .alias("n_direct_vcp"),
+        F.col("seq").rlike(_SEQ_ASSIST).alias("has_assisted_path"),
+        F.col("seq").rlike("V[^P]*$").alias("ends_abandoned"),
+    ).orderBy("user_id")
