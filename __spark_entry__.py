@@ -209,6 +209,8 @@ _COMPONENT_FIRST = (
     "train_hard_negatives", "sessionize_adaptive",
     # round-3 wave r3u: interval union + sequence pattern mining
     "interval_union_coverage", "seq_pattern_regex",
+    # round-3 wave r3v: k-core peeling + two-phase global skyline
+    "graph_kcore", "skyline_global_twophase",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -450,3 +450,84 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "price_cents", "size")
         .orderBy("p_brand", "price_cents", "p_partkey")
     )
+
+# ---------------------------------------------------------------------------
+# global skyline, two-phase (r3v wave)
+# ---------------------------------------------------------------------------
+
+_SKY2_ORACLE = f"""
+WITH p AS (
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT)
+               AS price_cents,
+           CAST(p_size AS BIGINT) AS size
+    FROM part),
+w AS (
+    SELECT p_partkey, price_cents, size,
+           MAX(size) OVER (ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m_strict,
+           MAX(size) OVER (ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS m_all
+    FROM p)
+SELECT p_partkey, price_cents, size
+FROM w
+WHERE COALESCE(m_strict, -1) < size AND m_all <= size
+ORDER BY price_cents, p_partkey
+"""
+
+
+@query("skyline_global_twophase", oracle=_SKY2_ORACLE)
+def skyline_global_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL 2D skyline computed the way a 1000-executor cluster must:
+    phase 1 runs the value-RANGE skyline window PARTITIONED by brand
+    (hash-distributed — skyline_pareto_front's plan), phase 2 re-runs
+    the same window UNPARTITIONED over only the per-group survivors.
+    Correct because a globally non-dominated point is necessarily
+    non-dominated within its group, so global-front ⊆ union of local
+    fronts — the standard divide-and-conquer skyline law. The oracle
+    computes the DIRECT global skyline in one pass, so the differential
+    check proves two-phase == direct, not just engine parity.
+
+    The phase-2 window is single-partition BY DESIGN: its input is
+    front-sized (Σ per-group fronts — hundreds of rows when the raw
+    table has billions), which is the entire point of the pattern; the
+    raw data only ever sees the distributed phase-1 window.
+
+    Exactness: same all-integer dominance arithmetic as
+    skyline_pareto_front; equal (price, size) pairs co-survive."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+    def front(df, partition_cols):
+        base = Window.partitionBy(*partition_cols) if partition_cols \
+            else Window.partitionBy()
+        ws = base.orderBy("price_cents").rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+        wa = base.orderBy("price_cents").rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            df.withColumn("m_strict", F.max("size").over(ws))
+            .withColumn("m_all", F.max("size").over(wa))
+            .filter(
+                (F.coalesce(F.col("m_strict"), F.lit(-1)) < F.col("size"))
+                & (F.col("m_all") <= F.col("size"))
+            )
+            .drop("m_strict", "m_all")
+        )
+
+    local = front(p, ["p_brand"])     # distributed phase over raw rows
+    global_front = front(local, [])   # front-sized single-partition pass
+    return global_front.select(
+        "p_partkey", "price_cents", "size"
+    ).orderBy("price_cents", "p_partkey")

@@ -697,3 +697,176 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_link_prediction.__doc__ = graph_link_prediction.__doc__.format(
     top=_LP_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (r3v wave)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3      # core threshold
+_KCORE_ROUNDS = 4  # unrolled peeling rounds
+_KCORE_BK = 8      # same backbone cut as the rest of the graph tier
+
+
+def _kcore_oracle() -> str:
+    prelude = f"""
+    WITH pl AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pl a JOIN pl b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2),
+    d AS (
+        SELECT sa AS u, sb AS v, w FROM e
+        UNION ALL SELECT sb, sa, w FROM e),
+    r AS (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v ASC)
+                   AS rn
+        FROM d),
+    bb AS (
+        SELECT DISTINCT LEAST(u, v) AS sa, GREATEST(u, v) AS sb
+        FROM r WHERE rn <= {_KCORE_BK}),
+    g AS (
+        SELECT sa AS u, sb AS v FROM bb
+        UNION ALL SELECT sb, sa FROM bb),
+    n0 AS (SELECT DISTINCT u AS node FROM g)"""
+    steps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""
+    n{i} AS (
+        SELECT g.u AS node
+        FROM g
+        JOIN n{i-1} a ON a.node = g.u
+        JOIN n{i-1} b ON b.node = g.v
+        GROUP BY g.u
+        HAVING COUNT(*) >= {_KCORE_K})""")
+    last = f"n{_KCORE_ROUNDS}"
+    final = f""",
+    dg AS (
+        SELECT g.u AS suppkey, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM g
+        JOIN {last} a ON a.node = g.u
+        JOIN {last} b ON b.node = g.v
+        GROUP BY g.u),
+    fx AS (
+        SELECT CAST(SUM(CASE WHEN core_deg < {_KCORE_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below_k
+        FROM dg)
+    SELECT dg.suppkey, dg.core_deg, fx.n_below_k
+    FROM dg, fx ORDER BY dg.suppkey"""
+    return prelude + "," + ",".join(steps) + final
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-CORE decomposition by iterative peeling on the K={bk}
+    co-shipment backbone: repeatedly delete nodes with degree < {k}
+    (deleting a node lowers its neighbors' degrees — why one pass is
+    NOT enough; the test plants a tail chain that only falls in later
+    rounds). The surviving subgraph is the {k}-core — the dense
+    engagement backbone used for community seeding and influence floors
+    beside graph_triangles (local density) and graph_label_propagation
+    (partition). {r} unrolled rounds keep it SQL-expressible; the
+    emitted `n_below_k` column is the driver-visible FIXPOINT AUDIT —
+    0 proves convergence on this data, nonzero says more rounds were
+    needed (the honest bound of the unrolled form).
+
+    Exactness: degrees are integer counts over semi-join-restricted
+    edges; no floats anywhere.
+
+    100 TB: each round is the edge table semi-joined against the
+    node-sized survivor set (broadcast) + one degree aggregate — cost
+    per round ∝ surviving edges, monotonically shrinking; the backbone
+    is checkpointed once. Run-to-convergence uses the dedup_clusters
+    checkpointed-loop shape with the same per-round plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
+        .filter(F.size("bs") >= 2)
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("bs") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
+                lambda x: F.struct(
+                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
+                ),
+            ),
+        )
+    )
+    e = (
+        sets.select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .agg(F.count("*").alias("w"))
+    )
+    d = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
+                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
+            )
+        ).alias("o"),
+        "w",
+    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
+    rn = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    )
+    bb = (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KCORE_BK)
+        .select(
+            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
+        )
+        .distinct()
+    )
+    g = bb.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
+                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
+            )
+        ).alias("o")
+    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+    g = g.localCheckpoint(eager=False)  # every peeling round reuses it
+
+    def survivors(nodes):
+        return (
+            g.join(F.broadcast(nodes.select(F.col("node").alias("u"))), "u")
+            .join(F.broadcast(nodes.select(F.col("node").alias("v"))), "v")
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+
+    nodes = g.select(F.col("u").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        nodes = survivors(nodes)
+    nodes = nodes.localCheckpoint(eager=False)  # degree + both semi sides
+    dg = (
+        g.join(F.broadcast(nodes.select(F.col("node").alias("u"))), "u")
+        .join(F.broadcast(nodes.select(F.col("node").alias("v"))), "v")
+        .groupBy(F.col("u").alias("suppkey"))
+        .agg(F.count("*").alias("core_deg"))
+    )
+    dg = dg.localCheckpoint(eager=False)  # rows + fixpoint audit
+    fx = dg.agg(
+        F.sum(F.when(F.col("core_deg") < _KCORE_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_k")
+    )
+    return (
+        dg.crossJoin(F.broadcast(fx))
+        .select("suppkey", "core_deg", "n_below_k")
+        .orderBy("suppkey")
+    )
+
+
+graph_kcore.__doc__ = graph_kcore.__doc__.format(
+    k=_KCORE_K, bk=_KCORE_BK, r=_KCORE_ROUNDS
+)

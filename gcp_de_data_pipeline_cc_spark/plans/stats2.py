@@ -666,7 +666,7 @@ def _ks_oracle() -> str:
         SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
         FROM per_v),
     dm AS (
-        SELECT MAX(ABS(k1 * tot.n2 - k2 * tot.n1)) AS d_num
+        SELECT CAST(MAX(ABS(k1 * tot.n2 - k2 * tot.n1)) AS BIGINT) AS d_num
         FROM cum, tot)
     SELECT tot.n1, tot.n2, dm.d_num,
            {sql_roundn("1.0e0 * d_num / (1.0e0 * n1 * n2)", 6)} AS ks_d,

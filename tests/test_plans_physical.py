@@ -319,6 +319,8 @@ _BNLJ_REVIEWED = frozenset({
     # r3s wave: 7-row boundary-table band joins + one-row totals —
     # categories (b)/(a)
     "range_partition_plan", "split_leakage_safe",
+    # r3v wave: one-row fixpoint-audit broadcast — category (a)
+    "graph_kcore",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
