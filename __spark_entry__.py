@@ -211,6 +211,8 @@ _COMPONENT_FIRST = (
     "interval_union_coverage", "seq_pattern_regex",
     # round-3 wave r3v: k-core peeling + two-phase global skyline
     "graph_kcore", "skyline_global_twophase",
+    # round-3 wave r3w: interval-overlap join + mergeable moments
+    "join_interval_overlap", "stats_moments_merge",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -742,3 +742,159 @@ def hypothesis_ks2(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(scaled, 4).alias("ks_scaled"),
         (scaled > F.lit(_KS_C05)).alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable moments — Chan partial-aggregate combine (r3w wave)
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = f"""
+WITH s AS (
+    SELECT c_nationkey AS shard,
+           CAST(FLOOR(c_acctbal * 100.0e0 + 0.5e0) AS BIGINT) AS v
+    FROM customer),
+p AS (
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sx,
+           CAST(SUM(v * v) AS BIGINT) AS sx2
+    FROM s GROUP BY shard),
+pm AS (
+    SELECT shard, n,
+           1.0e0 * sx / n AS mean,
+           1.0e0 * sx2 - (1.0e0 * sx) * sx / n AS m2
+    FROM p),
+fold AS (
+    SELECT list_reduce(
+        list_prepend(
+            list_value(0.0e0, 0.0e0, 0.0e0),
+            (SELECT list(list_value(1.0e0 * n, mean, m2) ORDER BY shard)
+             FROM pm)),
+        (acc, e) -> CASE WHEN acc[1] = 0.0e0 THEN e
+            ELSE list_value(
+                acc[1] + e[1],
+                acc[2] + (e[2] - acc[2]) * e[1] / (acc[1] + e[1]),
+                acc[3] + e[3]
+                    + (e[2] - acc[2]) * (e[2] - acc[2]) * acc[1] * e[1]
+                      / (acc[1] + e[1]))
+            END) AS st
+    FROM (SELECT 1)),
+direct AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           1.0e0 * SUM(sx) / SUM(n) AS mean_d,
+           (1.0e0 * SUM(sx2) - (1.0e0 * SUM(sx)) * SUM(sx) / SUM(n))
+               / SUM(n) AS var_d
+    FROM p)
+SELECT d.n_total, d.n_shards,
+       {sql_roundn("f.st[2]", 6)} AS mean_merged,
+       {sql_roundn("f.st[3] / d.n_total", 4)} AS var_merged,
+       {sql_roundn("d.var_d", 4)} AS var_direct,
+       {sql_roundn("ABS(f.st[3] / d.n_total - d.var_d)", 6)} AS abs_drift
+FROM direct d, fold f
+"""
+
+
+@query("stats_moments_merge", oracle=_MOM_ORACLE)
+def stats_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE MOMENTS — the distributed-aggregation law itself:
+    per-nation partials (n, mean, M2) over customer balances combine
+    pairwise with Chan's parallel update (mean += δ·n_B/n_AB;
+    M2_AB = M2_A + M2_B + δ²·n_A·n_B/n_AB) in an ordered fold over the
+    25 shards, and the merged variance is reported BESIDE the direct
+    exact-integer-sums variance with their |drift| — the algebraic
+    equality every map-side combine / sketch rollup / multi-datacenter
+    rollup silently relies on, here made driver-visible (drift ≈ 0 at
+    this scale; Chan's form exists because the naive Σx²−(Σx)²/n
+    cancels catastrophically when mean ≫ std).
+
+    Exactness discipline: per-shard n/Σx/Σx² are exact int64 (cents
+    bounded so Σx² < 2⁶³ through sf 1); mean/M2 and the fold run in
+    doubles as IDENTICAL expression trees with list-state accumulators
+    on both engines (the ts_holt discipline — DuckDB struct_pack
+    accumulators mutate mid-expression, so state rides a LIST), folded
+    in shard-key order for a bit-identical IEEE sequence.
+
+    100 TB: partials are one map-side-combined groupBy; the fold input
+    is shard-count-sized (25 rows). This IS how var/std distribute —
+    the key documents and verifies the mechanism rather than hiding it
+    inside agg_moments' built-ins."""
+    c = load_table(spark, sf_dir, "customer")
+    s = c.select(
+        F.col("c_nationkey").alias("shard"),
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    p = s.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sx2"),
+    )
+    p = p.localCheckpoint(eager=False)  # fold + direct consumers
+    one = F.lit(1.0)
+    pm = p.select(
+        "shard",
+        (one * F.col("n")).alias("n_d"),
+        (one * F.col("sx") / F.col("n")).alias("mean"),
+        (
+            one * F.col("sx2")
+            - (one * F.col("sx")) * F.col("sx") / F.col("n")
+        ).alias("m2"),
+    )
+    parr = pm.agg(
+        F.array_sort(
+            F.collect_list(F.struct("shard", "n_d", "mean", "m2"))
+        ).alias("arr")
+    )
+    st = F.aggregate(
+        F.transform(
+            F.col("arr"),
+            lambda x: F.array(
+                x.getField("n_d"), x.getField("mean"), x.getField("m2")
+            ),
+        ),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        lambda acc, e: F.when(acc.getItem(0) == 0.0, e).otherwise(
+            F.array(
+                acc.getItem(0) + e.getItem(0),
+                acc.getItem(1)
+                + (e.getItem(1) - acc.getItem(1))
+                * e.getItem(0)
+                / (acc.getItem(0) + e.getItem(0)),
+                acc.getItem(2)
+                + e.getItem(2)
+                + (e.getItem(1) - acc.getItem(1))
+                * (e.getItem(1) - acc.getItem(1))
+                * acc.getItem(0)
+                * e.getItem(0)
+                / (acc.getItem(0) + e.getItem(0)),
+            )
+        ),
+    )
+    fold = parr.select(st.alias("st"))
+    direct = p.agg(
+        F.sum("n").alias("n_total"),
+        F.count("*").alias("n_shards"),
+        (one * F.sum("sx") / F.sum("n")).alias("mean_d"),
+        (
+            (
+                one * F.sum("sx2")
+                - (one * F.sum("sx")) * F.sum("sx") / F.sum("n")
+            )
+            / F.sum("n")
+        ).alias("var_d"),
+    )
+    return direct.crossJoin(F.broadcast(fold)).select(
+        "n_total",
+        "n_shards",
+        roundn(F.col("st").getItem(1), 6).alias("mean_merged"),
+        roundn(F.col("st").getItem(2) / F.col("n_total"), 4).alias(
+            "var_merged"
+        ),
+        roundn(F.col("var_d"), 4).alias("var_direct"),
+        roundn(
+            F.abs(F.col("st").getItem(2) / F.col("n_total") - F.col("var_d")),
+            6,
+        ).alias("abs_drift"),
+    )

@@ -1501,3 +1501,123 @@ def seq_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").rlike(_SEQ_ASSIST).alias("has_assisted_path"),
         F.col("seq").rlike("V[^P]*$").alias("ends_abandoned"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join (r3w wave)
+# ---------------------------------------------------------------------------
+
+#: activity interval per event; error-burst incident threshold per hour
+_IOJ_SPAN_US = 300_000_000
+_IOJ_BURST_MIN = 5
+_HOUR_US = 3_600_000_000
+
+
+def _ioj_oracle() -> str:
+    return f"""
+    WITH act AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {_IOJ_SPAN_US} AS e
+        FROM events WHERE event_type <> 'error'),
+    inc AS (
+        SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS is_,
+               (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} + {_HOUR_US} AS ie
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_IOJ_BURST_MIN}),
+    touched AS (
+        SELECT user_id, s, e, h.hb
+        FROM act, LATERAL (
+            SELECT UNNEST(ARRAY[s // {_HOUR_US},
+                                e // {_HOUR_US}]) AS hb) h
+        GROUP BY 1, 2, 3, 4),
+    ov AS (
+        SELECT t.user_id,
+               GREATEST(t.s, i.is_) AS os,
+               LEAST(t.e, i.ie) AS oe
+        FROM touched t
+        JOIN inc i ON i.is_ = t.hb * {_HOUR_US}
+        WHERE LEAST(t.e, i.ie) > GREATEST(t.s, i.is_))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(oe - os) AS BIGINT) AS overlap_us
+    FROM ov GROUP BY user_id ORDER BY user_id
+    """
+
+
+@query("join_interval_overlap", oracle=_ioj_oracle())
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join (the Flink interval-join shape): each
+    user's 5-minute activity intervals against global incident windows
+    (hours containing ≥{b} error events), reporting per user how many
+    activity intervals overlapped an incident and the exact overlapped
+    microseconds — the "who was exposed to the outage, for how long"
+    query. Distinct from join_interval_events (point-in-interval) and
+    interval_union_coverage (single-set union): this is set×set with
+    overlap DURATION.
+
+    The scale trick: never a raw inequality join. Each activity
+    interval EXPLODES to the ≤2 hour buckets it touches (span < 1 h ⇒
+    at most 2), incidents are hour-aligned, and the join is an
+    EQUI-join on the bucket — band-join via bucketing, with the exact
+    overlap computed as LEAST(ends) − GREATEST(starts) after the
+    equi-match. The bucket dedup before the join prevents the
+    double-count when an interval and an incident share both buckets.
+
+    Exactness: all epoch-µs integers; overlap arithmetic is
+    GREATEST/LEAST on integers; strict > keeps zero-length touches out
+    (pinned by test).
+
+    100 TB: the bucket explode is ×2 map-side; the join is hash on
+    (bucket) with the incident side naturally small (burst hours) and
+    broadcastable; per-user rollup reuses the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_IOJ_SPAN_US)).alias("e"),
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.unix_micros("ts").alias("t"))
+        .select(
+            (F.expr(f"t DIV {_HOUR_US}") * _HOUR_US).alias("is_")
+        )
+        .groupBy("is_")
+        .agg(F.count("*").alias("n_err"))
+        .filter(F.col("n_err") >= _IOJ_BURST_MIN)
+        .select("is_", (F.col("is_") + _HOUR_US).alias("ie"))
+    )
+    touched = (
+        act.select(
+            "user_id",
+            "s",
+            "e",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"s DIV {_HOUR_US}"),
+                        F.expr(f"e DIV {_HOUR_US}"),
+                    )
+                )
+            ).alias("hb"),
+        )
+    )
+    ov = (
+        touched.join(
+            F.broadcast(inc), touched["hb"] * _HOUR_US == inc["is_"]
+        )
+        .select(
+            "user_id",
+            F.greatest("s", "is_").alias("os"),
+            F.least("e", "ie").alias("oe"),
+        )
+        .filter(F.col("oe") > F.col("os"))
+    )
+    return (
+        ov.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum(F.col("oe") - F.col("os")).alias("overlap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -321,6 +321,8 @@ _BNLJ_REVIEWED = frozenset({
     "range_partition_plan", "split_leakage_safe",
     # r3v wave: one-row fixpoint-audit broadcast — category (a)
     "graph_kcore",
+    # r3w wave: one-row direct-vs-fold broadcast — category (a)
+    "stats_moments_merge",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
