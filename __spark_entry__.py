@@ -213,6 +213,8 @@ _COMPONENT_FIRST = (
     "graph_kcore", "skyline_global_twophase",
     # round-3 wave r3w: interval-overlap join + mergeable moments
     "join_interval_overlap", "stats_moments_merge",
+    # round-3 wave r3x: LSH S-curve calibration
+    "dedup_lsh_calibration",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -164,9 +164,8 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_candidates(
     docs: DataFrame,
-    threshold: float = 0.5,
     num_perms: int = 32,
     bands: int = 8,
     k: int = 3,
@@ -174,14 +173,10 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """C4 — MinHash+LSH near-dup join: band the signatures, bucket-join
-    candidates, then *verify* candidates with exact Jaccard.
-
-    With r = num_perms/bands rows per band, a pair with true Jaccard s is
-    a candidate with probability 1-(1-s^r)^bands — the standard S-curve;
-    the exact-verify pass removes false positives, so the only
-    approximation is missed pairs below the curve's knee.
-    """
+    """UNVERIFIED LSH candidate pairs (doc_a < doc_b) from banded
+    MinHash signatures — the raw S-curve sample, before exact-Jaccard
+    verification. Exposed separately so calibration queries can measure
+    the curve itself; :func:`minhash_lsh_pairs` is this + verify."""
     rows_per_band = num_perms // bands
     sigs = minhash_signatures(docs, num_perms, k, id_col, text_col, shingles=shingles)
 
@@ -207,7 +202,7 @@ def minhash_lsh_pairs(
     banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -219,6 +214,29 @@ def minhash_lsh_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perms: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """C4 — MinHash+LSH near-dup join: band the signatures, bucket-join
+    candidates, then *verify* candidates with exact Jaccard.
+
+    With r = num_perms/bands rows per band, a pair with true Jaccard s is
+    a candidate with probability 1-(1-s^r)^bands — the standard S-curve;
+    the exact-verify pass removes false positives, so the only
+    approximation is missed pairs below the curve's knee.
+    """
+    candidates = minhash_band_candidates(
+        docs, num_perms, bands, k, id_col, text_col, shingles=shingles
     )
 
     # verification: exact jaccard on the candidate pairs only.

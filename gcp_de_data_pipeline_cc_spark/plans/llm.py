@@ -1519,3 +1519,139 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         roundn(F.sum("d2"), 2).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve calibration (r3x wave)
+# ---------------------------------------------------------------------------
+
+def _lsh_calibration_oracle() -> str:
+    perms = dd._hash_params(32)
+    sig_cols = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % 2147483647) AS sig_{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band_id, "
+        "CAST(sig_{r0} AS VARCHAR) || '_' || CAST(sig_{r1} AS VARCHAR) "
+        "|| '_' || CAST(sig_{r2} AS VARCHAR) || '_' "
+        "|| CAST(sig_{r3} AS VARCHAR) AS bucket FROM sig".format(
+            b=b, r0=4 * b, r1=4 * b + 1, r2=4 * b + 2, r3=4 * b + 3
+        )
+        for b in range(8)
+    )
+    jr = "j * j * j * j"
+    q8 = "q * q * q * q * q * q * q * q"
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+    h AS (
+        SELECT doc_id, {_MINHASH_CHARFOLD} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM h GROUP BY doc_id),
+    banded AS (
+        {band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    univ AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM sh sa JOIN sh sb
+          ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT u.doc_a, u.doc_b,
+               u.n_both / (ca.n_sh + cb.n_sh - u.n_both) AS j,
+               CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS collided
+        FROM univ u
+        JOIN cnt ca ON ca.doc_id = u.doc_a
+        JOIN cnt cb ON cb.doc_id = u.doc_b
+        LEFT JOIN cand c ON c.doc_a = u.doc_a AND c.doc_b = u.doc_b),
+    pq AS (
+        SELECT CAST(FLOOR(j * 10.0e0) AS BIGINT) AS j_bucket, collided,
+               CAST(FLOOR((1.0e0 - ({q8})) * 1000000.0e0 + 0.5e0)
+                    AS BIGINT) AS p_micro
+        FROM (SELECT doc_a, doc_b, j, collided, 1.0e0 - ({jr}) AS q
+              FROM scored))
+    SELECT j_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(collided) AS BIGINT) AS n_collided,
+           {sql_roundn("SUM(collided) * 1.0e0 / COUNT(*)", 4)}
+               AS measured_rate,
+           {sql_roundn("SUM(p_micro) / (COUNT(*) * 1000000.0e0)", 4)}
+               AS predicted_rate
+    FROM pq GROUP BY j_bucket ORDER BY j_bucket
+    """
+
+
+@query("dedup_lsh_calibration", oracle=_lsh_calibration_oracle())
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-evidence — MinHash-LSH S-CURVE CALIBRATION: over every
+    co-shingled pair (the exact-Jaccard universe), the measured
+    banding-collision rate per Jaccard decile NEXT TO the theoretical
+    curve P(candidate | J) = 1 − (1 − J⁴)⁸ for the registered 8×4
+    config — the table an engineer reads before picking bands/rows for
+    a 100 TB dedup run, produced from the pipeline's own signatures
+    rather than trusted from the textbook. Low-J deciles should show
+    ≈0 collision (shuffle waste if not), the knee (J≈0.5 → p≈0.4)
+    should match, high-J deciles should approach 1 (recall).
+
+    Exactness: J is exact integer set arithmetic; the prediction's
+    powers are literal multiplication chains (no pow/libm); per-decile
+    prediction averages are μ-quantized to int64 BEFORE summation
+    (order-free — the embedding_gram_matrix discipline), so no
+    float-sum order dependence anywhere.
+
+    100 TB: the universe is the Σ|bucket|² shingle join (measured,
+    never all-pairs), candidates the banded bucket join — both already
+    the scale shapes; the decile rollup is map-side combined. The
+    signature/shingle relations feed multiple consumers and are
+    checkpointed inside the operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd._doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    univ = dd.ngram_jaccard_pairs(docs, threshold=0.0, shingles=sh)
+    cand = dd.minhash_band_candidates(docs, 32, 8, 3, shingles=sh).select(
+        "doc_a", "doc_b", F.lit(1).alias("collided")
+    )
+    scored = (
+        univ.join(F.broadcast(cand), ["doc_a", "doc_b"], "left")
+        .select(
+            F.col("jaccard").alias("j"),
+            F.coalesce("collided", F.lit(0)).alias("collided"),
+        )
+    )
+    j = F.col("j")
+    jr = j * j * j * j
+    q = F.lit(1.0) - jr
+    q8 = q * q * q * q * q * q * q * q
+    pq = scored.select(
+        F.floor(j * F.lit(10.0)).cast("long").alias("j_bucket"),
+        "collided",
+        F.floor((F.lit(1.0) - q8) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("p_micro"),
+    )
+    return (
+        pq.groupBy("j_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("collided").cast("long").alias("n_collided"),
+            roundn(
+                F.sum("collided") * F.lit(1.0) / F.count("*"), 4
+            ).alias("measured_rate"),
+            roundn(
+                F.sum("p_micro") / (F.count("*") * F.lit(1000000.0)), 4
+            ).alias("predicted_rate"),
+        )
+        .orderBy("j_bucket")
+    )
