@@ -226,6 +226,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    jaccard_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """C4 — MinHash+LSH near-dup join: band the signatures, bucket-join
     candidates, then *verify* candidates with exact Jaccard.
@@ -234,10 +235,22 @@ def minhash_lsh_pairs(
     a candidate with probability 1-(1-s^r)^bands — the standard S-curve;
     the exact-verify pass removes false positives, so the only
     approximation is missed pairs below the curve's knee.
+
+    ``jaccard_pairs`` — an optional precomputed (doc_a, doc_b, jaccard)
+    relation over doc_a < doc_b (e.g. ngram_jaccard_pairs at threshold
+    0). When a caller already has it, verification becomes a pair-key
+    join against it instead of a second candidate-restricted shingle
+    join — sound because every candidate with J ≥ threshold > 0 shares
+    a shingle and is therefore in the universe. Equivalence is pinned
+    by tests.
     """
     candidates = minhash_band_candidates(
         docs, num_perms, bands, k, id_col, text_col, shingles=shingles
     )
+    if jaccard_pairs is not None:
+        return candidates.join(jaccard_pairs, ["doc_a", "doc_b"]).filter(
+            F.col("jaccard") >= threshold
+        ).select("doc_a", "doc_b", "jaccard")
 
     # verification: exact jaccard on the candidate pairs only.
     # The shingle relation feeds both join sides AND both size lookups —

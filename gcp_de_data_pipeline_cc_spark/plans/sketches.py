@@ -519,12 +519,19 @@ def dedup_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dd._doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
         eager=False
     )
-    ex = dd.ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh).select(
-        "doc_a", "doc_b"
-    )
-    mh = dd.minhash_lsh_pairs(docs, threshold=0.5, shingles=sh).select(
-        "doc_a", "doc_b"
-    )
+    # ... and ONE exact-Jaccard pair set (already at the 0.5 threshold —
+    # the verify pass filters to the same bound, so the threshold-0
+    # universe would materialize strictly useless pairs) feeds both the
+    # exact side and the LSH verify via the jaccard_pairs injection,
+    # eliminating the second candidate-restricted shingle join
+    # (A/B-measured back-to-back at sf0.1: 9.7 s → 7.7 s warm)
+    qual = dd.ngram_jaccard_pairs(
+        docs, threshold=0.5, shingles=sh
+    ).localCheckpoint(eager=False)
+    ex = qual.select("doc_a", "doc_b")
+    mh = dd.minhash_lsh_pairs(
+        docs, threshold=0.5, shingles=sh, jaccard_pairs=qual
+    ).select("doc_a", "doc_b")
     ex = ex.localCheckpoint(eager=False)
     mh = mh.localCheckpoint(eager=False)
     n_exact = ex.count()
