@@ -215,6 +215,8 @@ _COMPONENT_FIRST = (
     "join_interval_overlap", "stats_moments_merge",
     # round-3 wave r3x: LSH S-curve calibration
     "dedup_lsh_calibration",
+    # round-3 wave r3y: mergeable quantile samples + share-of-parent
+    "sketch_quantile_samples", "rollup_share_of_parent",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -531,3 +531,113 @@ def skyline_global_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_front.select(
         "p_partkey", "price_cents", "size"
     ).orderBy("price_cents", "p_partkey")
+
+# ---------------------------------------------------------------------------
+# share-of-parent rollup (r3y wave)
+# ---------------------------------------------------------------------------
+
+_SOP_ORACLE = f"""
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0e0 + 0.5e0)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2),
+reg AS (
+    SELECT region, CAST(SUM(cents) AS BIGINT) AS cents
+    FROM rev GROUP BY 1),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS cents FROM reg)
+SELECT CAST(0 AS BIGINT) AS lvl, 'TOTAL' AS region, 'ALL' AS nation,
+       tot.cents AS rev_cents,
+       {sql_roundn("1.0e0", 6)} AS share_of_parent
+FROM tot
+UNION ALL
+SELECT 1, reg.region, 'ALL', reg.cents,
+       {sql_roundn("reg.cents * 1.0e0 / tot.cents", 6)}
+FROM reg, tot
+UNION ALL
+SELECT 2, rev.region, rev.nation, rev.cents,
+       {sql_roundn("rev.cents * 1.0e0 / reg.cents", 6)}
+FROM rev JOIN reg ON reg.region = rev.region
+ORDER BY lvl, region, nation
+"""
+
+
+@query("rollup_share_of_parent", oracle=_SOP_ORACLE)
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARE-OF-PARENT rollup — the BI hierarchy readout agg_rollup's
+    raw subtotals stop short of: revenue at each level of the
+    region → nation hierarchy with every row's share of its PARENT
+    level (nation/region, region/total, total/itself ≡ 1). What a
+    drill-down dashboard renders as "% of parent" per row — the
+    contribution question the flat rollup makes the reader compute.
+
+    Exactness: revenue aggregates in exact integer cents; shares are
+    single identical-tree divisions of exact ints; per-level
+    conservation (children sum to 1 within every parent) is the tested
+    law.
+
+    100 TB: one fact scan with broadcast dims builds the finest level
+    (map-side combined); the two coarser levels REUSE it (25-row and
+    5-row aggregates — never a second fact scan); parent joins are
+    broadcast. The tall union-of-levels shape is a deliberate
+    alternative to GROUPING SETS (agg_grouping_sets): it lets each
+    level carry the parent-ratio column, which grouping-set rows
+    cannot see without a second window pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    rev = rev.localCheckpoint(eager=False)  # finest level feeds all three
+    reg = rev.groupBy("region").agg(F.sum("cents").alias("cents"))
+    reg = reg.localCheckpoint(eager=False)  # level rows + parent join
+    tot = reg.agg(F.sum("cents").alias("cents"))
+    one = F.lit(1.0)
+    l0 = tot.select(
+        F.lit(0).cast("long").alias("lvl"),
+        F.lit("TOTAL").alias("region"),
+        F.lit("ALL").alias("nation"),
+        F.col("cents").alias("rev_cents"),
+        roundn(one, 6).alias("share_of_parent"),
+    )
+    l1 = reg.crossJoin(
+        F.broadcast(tot.select(F.col("cents").alias("tot_cents")))
+    ).select(
+        F.lit(1).cast("long").alias("lvl"),
+        "region",
+        F.lit("ALL").alias("nation"),
+        F.col("cents").alias("rev_cents"),
+        roundn(F.col("cents") * one / F.col("tot_cents"), 6).alias(
+            "share_of_parent"
+        ),
+    )
+    l2 = rev.join(
+        F.broadcast(
+            reg.select("region", F.col("cents").alias("reg_cents"))
+        ),
+        "region",
+    ).select(
+        F.lit(2).cast("long").alias("lvl"),
+        "region",
+        "nation",
+        F.col("cents").alias("rev_cents"),
+        roundn(F.col("cents") * one / F.col("reg_cents"), 6).alias(
+            "share_of_parent"
+        ),
+    )
+    return l0.unionAll(l1).unionAll(l2).orderBy("lvl", "region", "nation")

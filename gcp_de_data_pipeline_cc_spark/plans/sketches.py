@@ -36,7 +36,7 @@ scale; its shingle self-join is the Σ|bucket|² profile shared with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -985,3 +985,145 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sketch_ams_f2.__doc__ = sketch_ams_f2.__doc__.format(r=_AMS_R, c=_AMS_C)
+
+
+# ---------------------------------------------------------------------------
+# mergeable systematic quantile samples (r3y wave)
+# ---------------------------------------------------------------------------
+
+_QS_SHARDS = 8
+_QS_PER_SHARD = 32
+_QS_PS = ((1, 2), (9, 10), (99, 100))
+
+
+def _qs_oracle() -> str:
+    arms = []
+    for num, den in _QS_PS:
+        arms.append(f"""
+    SELECT CAST({num}.0e0 / {den} AS DOUBLE) AS p, t.n,
+           (SELECT MIN(v) FROM mc
+            WHERE cw >= ({num} * t.n + {den} - 1) // {den}) AS est_cents,
+           (SELECT v FROM ranked
+            WHERE rn = ({num} * t.n + {den} - 1) // {den}) AS exact_cents
+    FROM t""")
+    return f"""
+    WITH c AS (
+        SELECT o_orderkey % {_QS_SHARDS} AS shard,
+               CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS v
+        FROM orders),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    sr AS (
+        SELECT shard, v,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v) AS r,
+               COUNT(*) OVER (PARTITION BY shard) AS ns
+        FROM c),
+    st AS (SELECT shard, ns, (ns + {_QS_PER_SHARD} - 1) // {_QS_PER_SHARD}
+                   AS step
+           FROM (SELECT DISTINCT shard, ns FROM sr)),
+    samp AS (
+        SELECT sr.shard, sr.v, sr.r,
+               LEAST(st.step, sr.ns - sr.r + 1) AS w
+        FROM sr JOIN st ON st.shard = sr.shard
+        WHERE (sr.r - 1) % st.step = 0 OR sr.r = sr.ns),
+    mc AS (
+        SELECT v,
+               SUM(w) OVER (ORDER BY v, shard, r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM samp),
+    ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c)
+    {" UNION ALL ".join(arms)}
+    ORDER BY p
+    """
+
+
+@query("sketch_quantile_samples", oracle=_qs_oracle())
+def sketch_quantile_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH — systematic per-shard samples: each of
+    {s} hash shards keeps every step-th order statistic (step =
+    ⌈n_s/{k}⌉, the shard max always included) with the weight of the
+    run it represents; the merged ≤{s}·({k}+1)-row sample answers any
+    quantile by weighted cumulative rank. The MERGE rung of the
+    quantile tier: quantile_exact_twopass re-reads data per query,
+    agg_percentile_approx is a black box — this one's state is
+    mergeable, inspectable, and its rank error is BOUNDED by
+    Σ(step_i − 1) < n/{k} + {s} (each shard's sample rank is exact
+    within the shard; merging loses at most one step per shard). The
+    estimate is reported beside the exact order statistic so the bound
+    is driver-visible; the test asserts it.
+
+    Exactness: integer cents, integer ceil-ranks ((p·n+den−1)//den),
+    integer weights; the cumulative-weight window orders by
+    (v, shard, r) — a total order, engine-identical.
+
+    100 TB: the per-shard rank windows are hash-partitioned (the
+    distributed phase); the merged sample is constant-sized and its
+    window trivially small. The exact comparator column is the
+    domain-bounded ROW_NUMBER path — drop it in production and only
+    the sample machinery remains."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        (F.col("o_orderkey") % _QS_SHARDS).alias("shard"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    c = c.localCheckpoint(eager=False)  # samples + exact + totals
+    ws = Window.partitionBy("shard").orderBy("v")
+    sr = c.select(
+        "shard",
+        "v",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(Window.partitionBy("shard")).alias("ns"),
+    )
+    step = ((F.col("ns") + (_QS_PER_SHARD - 1)) / _QS_PER_SHARD).cast("long")
+    samp = (
+        sr.withColumn("step", step)
+        .filter(
+            ((F.col("r") - 1) % F.col("step") == 0)
+            | (F.col("r") == F.col("ns"))
+        )
+        .select(
+            "shard",
+            "v",
+            "r",
+            F.least(
+                F.col("step"), F.col("ns") - F.col("r") + 1
+            ).alias("w"),
+        )
+    )
+    wm = Window.orderBy("v", "shard", "r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mc = samp.select("v", F.sum("w").over(wm).alias("cw"))
+    mc = mc.localCheckpoint(eager=False)  # three quantile arms
+    wr = Window.orderBy("v")
+    ranked = c.select("v", F.row_number().over(wr).alias("rn"))
+    ranked = ranked.localCheckpoint(eager=False)
+    n = c.count()
+    arms = []
+    for num, den in _QS_PS:
+        k = (num * n + den - 1) // den
+        est = mc.filter(F.col("cw") >= k).agg(
+            F.min("v").alias("est_cents")
+        )
+        exact = ranked.filter(F.col("rn") == k).select(
+            F.col("v").alias("exact_cents")
+        )
+        arms.append(
+            est.crossJoin(F.broadcast(exact)).select(
+                F.lit(num / den).alias("p"),
+                F.lit(n).cast("long").alias("n"),
+                "est_cents",
+                "exact_cents",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("p")
+
+
+sketch_quantile_samples.__doc__ = sketch_quantile_samples.__doc__.format(
+    s=_QS_SHARDS, k=_QS_PER_SHARD
+)

@@ -323,6 +323,9 @@ _BNLJ_REVIEWED = frozenset({
     "graph_kcore",
     # r3w wave: one-row direct-vs-fold broadcast — category (a)
     "stats_moments_merge",
+    # r3y wave: one-row est x exact quantile-arm broadcasts and the
+    # one-row grand-total share join — category (a)
+    "sketch_quantile_samples", "rollup_share_of_parent",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
