@@ -217,6 +217,8 @@ _COMPONENT_FIRST = (
     "dedup_lsh_calibration",
     # round-3 wave r3y: mergeable quantile samples + share-of-parent
     "sketch_quantile_samples", "rollup_share_of_parent",
+    # round-3 wave r3z: community quality + frequent triples
+    "graph_modularity", "market_basket_triples",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

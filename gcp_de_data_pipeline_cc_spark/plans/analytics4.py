@@ -641,3 +641,157 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return l0.unionAll(l1).unionAll(l2).orderBy("lvl", "region", "nation")
+
+# ---------------------------------------------------------------------------
+# frequent triple itemsets (r3z wave)
+# ---------------------------------------------------------------------------
+
+_MB3_MIN_SUPPORT = 5
+_MB3_TOP = 15
+
+_MB3_ORACLE = f"""
+WITH tx AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM tx),
+sup AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS c FROM tx GROUP BY 1),
+tri AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, c.p_brand AS brand_c,
+           CAST(COUNT(*) AS BIGINT) AS n_abc
+    FROM tx a
+    JOIN tx b ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+    JOIN tx c ON c.l_orderkey = a.l_orderkey AND b.p_brand < c.p_brand
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {_MB3_MIN_SUPPORT}),
+scored AS (
+    SELECT tri.brand_a, tri.brand_b, tri.brand_c, tri.n_abc,
+           nb.n,
+           tri.n_abc * 1.0e0 * nb.n * nb.n
+               / (sa.c * 1.0e0 * sb.c * sc.c) AS lift3
+    FROM tri
+    JOIN sup sa ON sa.p_brand = tri.brand_a
+    JOIN sup sb ON sb.p_brand = tri.brand_b
+    JOIN sup sc ON sc.p_brand = tri.brand_c, nb)
+SELECT brand_a, brand_b, brand_c, n_abc,
+       FLOOR(n_abc * 1.0e0 / n * 1000000.0e0 + 0.5e0) / 1000000.0e0
+           AS support,
+       FLOOR(lift3 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS lift3
+FROM scored
+ORDER BY lift3 DESC, brand_a, brand_b, brand_c
+LIMIT {_MB3_TOP}
+"""
+
+
+@query("market_basket_triples", oracle=_MB3_ORACLE)
+def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — frequent 3-ITEMSETS: the a-priori level above
+    market_basket's pairs. Candidate triples are generated INSIDE each
+    sorted basket array (ΣC(|basket|,3), bounded by basket width ≤
+    brand count — never the |brands|³ cross space), floored at support
+    ≥{m}, and scored with the 3-way lift n_abc·N²/(c_a·c_b·c_c) —
+    lift > 1 = the triple co-occurs beyond independence, the
+    bundle-recommendation signal a pair analysis can't see (three
+    pairwise-lifted brands can still be a random triple).
+
+    The oracle deliberately takes the OTHER algorithm — a three-way
+    distinct-transaction self-join — so the differential proves the
+    in-array generation enumerates exactly the canonical a<b<c triples,
+    not merely that two copies of one plan agree.
+
+    Exactness: counts are ints, support/lift are identical-tree
+    divisions (N² and c-products lifted to doubles before multiplying
+    — c_a·c_b·c_c overflows int64 at warehouse scale), 6-dp
+    floor-rounded; ordering ties break lexicographically.
+
+    100 TB: one shuffle builds baskets (map-side combined collect_set);
+    the triple explode is narrow; item supports ride the SAME basket
+    relation (no second fact scan); the final heap is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    tx = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tx = tx.localCheckpoint(eager=False)  # baskets + supports + total
+    baskets = tx.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    )
+    n = F.size("bs")
+    triples = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.flatten(
+                F.transform(
+                    F.sequence(i + 1, n - 1),
+                    lambda j: F.transform(
+                        F.sequence(j + 1, n),
+                        lambda k: F.struct(
+                            F.col("bs")[i - 1].alias("brand_a"),
+                            F.col("bs")[j - 1].alias("brand_b"),
+                            F.col("bs")[k - 1].alias("brand_c"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    tri = (
+        baskets.filter(n >= 3)
+        .select(F.explode(triples).alias("t"))
+        .groupBy("t.brand_a", "t.brand_b", "t.brand_c")
+        .agg(F.count("*").alias("n_abc"))
+        .filter(F.col("n_abc") >= _MB3_MIN_SUPPORT)
+    )
+    sup = tx.groupBy("p_brand").agg(F.count("*").alias("c"))
+    nb = tx.agg(F.countDistinct("l_orderkey").alias("n"))
+    one = F.lit(1.0)
+    scored = (
+        tri.join(
+            F.broadcast(sup.select(F.col("p_brand").alias("brand_a"),
+                                   F.col("c").alias("ca"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(sup.select(F.col("p_brand").alias("brand_b"),
+                                   F.col("c").alias("cb"))),
+            "brand_b",
+        )
+        .join(
+            F.broadcast(sup.select(F.col("p_brand").alias("brand_c"),
+                                   F.col("c").alias("cc"))),
+            "brand_c",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            "n_abc",
+            "n",
+            (
+                F.col("n_abc") * one * F.col("n") * F.col("n")
+                / (F.col("ca") * one * F.col("cb") * F.col("cc"))
+            ).alias("lift_raw"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("lift_raw"), "brand_a", "brand_b", "brand_c"
+        )
+        .limit(_MB3_TOP)
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            "n_abc",
+            roundn(F.col("n_abc") * one / F.col("n"), 6).alias("support"),
+            roundn(F.col("lift_raw"), 6).alias("lift3"),
+        )
+    )
+
+
+market_basket_triples.__doc__ = market_basket_triples.__doc__.format(
+    m=_MB3_MIN_SUPPORT
+)

@@ -326,6 +326,9 @@ _BNLJ_REVIEWED = frozenset({
     # r3y wave: one-row est x exact quantile-arm broadcasts and the
     # one-row grand-total share join — category (a)
     "sketch_quantile_samples", "rollup_share_of_parent",
+    # r3z wave: one-row m2 / basket-total / Q-total broadcasts —
+    # category (a)
+    "graph_modularity", "market_basket_triples",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
