@@ -219,6 +219,8 @@ _COMPONENT_FIRST = (
     "sketch_quantile_samples", "rollup_share_of_parent",
     # round-3 wave r3z: community quality + frequent triples
     "graph_modularity", "market_basket_triples",
+    # round-3 wave r4a: rolling OLS + position-based attribution
+    "ts_rolling_ols", "attribution_position_based",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

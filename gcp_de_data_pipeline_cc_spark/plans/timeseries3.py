@@ -1621,3 +1621,261 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling OLS trend (r4a wave)
+# ---------------------------------------------------------------------------
+
+#: rolling regression window, in observations (days)
+_OLS_WIN = 14
+
+
+def _ols_oracle() -> str:
+    w = _OLS_WIN
+    return f"""
+    WITH d AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+    s AS (
+        SELECT day, cents,
+               CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+               CAST(SUM(day) OVER fr AS BIGINT) AS sx,
+               CAST(SUM(cents) OVER fr AS BIGINT) AS sy,
+               CAST(SUM(day * cents) OVER fr AS BIGINT) AS sxy,
+               CAST(SUM(day * day) OVER fr AS BIGINT) AS sxx
+        FROM d
+        WINDOW fr AS (ORDER BY day
+            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW))
+    SELECT day, cents, n,
+           {sql_roundn(
+               "(n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx)", 6
+           )} AS slope,
+           {sql_roundn(
+               "(sy - (n * sxy - sx * sy) * 1.0e0"
+               " / (n * sxx - sx * sx) * sx) / n", 2
+           )} AS intercept,
+           {sql_roundn(
+               "(sy - (n * sxy - sx * sy) * 1.0e0"
+               " / (n * sxx - sx * sx) * sx) / n"
+               " + (n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx)"
+               "   * (day + 1)", 2
+           )} AS forecast_next
+    FROM s WHERE n >= 2
+    ORDER BY day
+    """
+
+
+@query("ts_rolling_ols", oracle=_ols_oracle())
+def ts_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING ordinary-least-squares trend of daily revenue: over each
+    trailing {w}-observation frame, the OLS slope (cents/day),
+    intercept, and one-day-ahead forecast — the local linear trend
+    readout beside ts_theilsen (global, robust) and ts_wma (smoothing
+    without a slope). The rolling-sums formulation is the textbook
+    streaming regression: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from
+    FIVE window sums, no per-window refit.
+
+    Exactness: x is the integer epoch day, y integer cents; all five
+    frame sums AND both slope numerator/denominator are exact int64
+    (day·cents ≈ 2×10¹³; n·Σxy ≈ 10¹⁵ — bounded; the near-cancelling
+    n·Σxx − Σx² is exact integer subtraction, precisely where a
+    float formulation loses digits); only the final divisions run as
+    identical trees.
+
+    100 TB: one day-grain aggregate (map-side combined), then windows
+    over the DAY table (domain-bounded — the histogram_values
+    argument). Per-entity variants partition the same frame by the
+    entity key."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)").alias(
+                "day"
+            ),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("cents"))
+    )
+    fr = Window.orderBy("day").rowsBetween(-(_OLS_WIN - 1), 0)
+    s = d.select(
+        "day",
+        "cents",
+        F.count("*").over(fr).alias("n"),
+        F.sum("day").over(fr).alias("sx"),
+        F.sum("cents").over(fr).alias("sy"),
+        F.sum(F.col("day") * F.col("cents")).over(fr).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(fr).alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    one = F.lit(1.0)
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * one
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "day",
+        "cents",
+        "n",
+        roundn(slope, 6).alias("slope"),
+        roundn(intercept, 2).alias("intercept"),
+        roundn(intercept + slope * (F.col("day") + 1), 2).alias(
+            "forecast_next"
+        ),
+    ).orderBy("day")
+
+
+ts_rolling_ols.__doc__ = ts_rolling_ols.__doc__.format(w=_OLS_WIN)
+
+
+# ---------------------------------------------------------------------------
+# position-based (U-shape) attribution (r4a wave)
+# ---------------------------------------------------------------------------
+
+#: credit split in exact micro-units: 40/20/40 with documented edge rules
+_ATTR_FIRST = 400_000
+_ATTR_MID_POOL = 200_000
+_ATTR_FULL = 1_000_000
+
+
+def _attr_oracle() -> str:
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY user_id),
+    t AS (
+        SELECT e.user_id, e.ts, e.event_type
+        FROM events e JOIN u ON u.user_id = e.user_id
+        WHERE u.fp IS NOT NULL AND e.ts < u.fp
+          AND e.event_type IN ('view', 'click', 'signup')),
+    j AS (
+        SELECT user_id, list(event_type ORDER BY ts) AS chs
+        FROM t GROUP BY user_id),
+    x AS (SELECT user_id, chs, CAST(len(chs) AS BIGINT) AS n FROM j),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conv FROM x),
+    cr AS (
+        SELECT user_id,
+               UNNEST(list_transform(range(1, CAST(n AS INTEGER) + 1),
+                   i -> struct_pack(
+                       ch := chs[i],
+                       micro := CASE
+                           WHEN n = 1 THEN {_ATTR_FULL}
+                           WHEN n = 2 THEN {_ATTR_FULL} // 2
+                           WHEN i = 1 OR i = n THEN {_ATTR_FIRST}
+                           WHEN i = 2 THEN {_ATTR_MID_POOL} // (n - 2)
+                                          + {_ATTR_MID_POOL} % (n - 2)
+                           ELSE {_ATTR_MID_POOL} // (n - 2)
+                       END)),
+                   recursive := true)
+        FROM x)
+    SELECT cr.ch AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(cr.micro) AS BIGINT) AS credit_micro,
+           {sql_roundn(
+               f"SUM(cr.micro) * 1.0e0 / ({_ATTR_FULL}.0e0 * nc.n_conv)", 6
+           )} AS credit_share,
+           nc.n_conv AS n_conversions
+    FROM cr, nc
+    GROUP BY cr.ch, nc.n_conv
+    ORDER BY channel
+    """
+
+
+@query("attribution_position_based", oracle=_attr_oracle())
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shape) multi-touch attribution: each user's
+    pre-first-purchase touch path (view/click/signup, time-ordered)
+    splits one conversion's credit 40% first / 40% last / 20% shared by
+    the middles — the marketing-standard middle ground between
+    attribution_last_touch (all-to-last) and linear. Edge rules pinned
+    by tests: 1 touch → 100%; 2 touches → 50/50; the middle pool's
+    integer remainder goes to the FIRST middle (deterministic — no
+    fractional credit ever exists).
+
+    Exactness: credit is integer MICRO-UNITS (conservation: every
+    journey sums to exactly 1,000,000 — the tested law), so channel
+    totals are exact integer sums; only the final share divides.
+
+    100 TB: one groupBy builds per-user journeys (the shuffle carries
+    (ts, channel) pairs); credit assignment is a narrow in-array
+    transform; channel rollup is map-side combined. The first-purchase
+    anchor reuses the per-user aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp")
+    )
+    t = (
+        ev.join(u, "user_id")
+        .filter(
+            F.col("fp").isNotNull()
+            & (F.col("ts") < F.col("fp"))
+            & F.col("event_type").isin("view", "click", "signup")
+        )
+        .select("user_id", "ts", "event_type")
+    )
+    j = t.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", F.col("event_type").alias("ch")))
+            ),
+            lambda s: s.getField("ch"),
+        ).alias("chs")
+    )
+    x = j.select("user_id", "chs", F.size("chs").cast("long").alias("n"))
+    x = x.localCheckpoint(eager=False)  # credits + conversion count
+    nc = x.agg(F.count("*").alias("n_conv"))
+    n = F.col("n")
+    cr = x.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n").cast("int")),
+                lambda i: F.struct(
+                    F.col("chs")[i - 1].alias("ch"),
+                    F.when(n == 1, F.lit(_ATTR_FULL))
+                    .when(n == 2, F.lit(_ATTR_FULL) / 2)
+                    .when((i == 1) | (i == n), F.lit(_ATTR_FIRST))
+                    .when(
+                        i == 2,
+                        F.floor(F.lit(_ATTR_MID_POOL) / (n - 2))
+                        + F.lit(_ATTR_MID_POOL) % (n - 2),
+                    )
+                    .otherwise(F.floor(F.lit(_ATTR_MID_POOL) / (n - 2)))
+                    .cast("long")
+                    .alias("micro"),
+                ),
+            )
+        ).alias("c"),
+    )
+    one = F.lit(1.0)
+    return (
+        cr.select(F.col("c.ch").alias("channel"), F.col("c.micro").alias("micro"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("micro").alias("credit_micro"),
+        )
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "channel",
+            "n_touches",
+            "credit_micro",
+            roundn(
+                F.col("credit_micro")
+                * one
+                / (F.lit(float(_ATTR_FULL)) * F.col("n_conv")),
+                6,
+            ).alias("credit_share"),
+            F.col("n_conv").alias("n_conversions"),
+        )
+        .orderBy("channel")
+    )

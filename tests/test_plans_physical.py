@@ -329,6 +329,8 @@ _BNLJ_REVIEWED = frozenset({
     # r3z wave: one-row m2 / basket-total / Q-total broadcasts —
     # category (a)
     "graph_modularity", "market_basket_triples",
+    # r4a wave: one-row conversion-count broadcast — category (a)
+    "attribution_position_based",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
