@@ -221,6 +221,8 @@ _COMPONENT_FIRST = (
     "graph_modularity", "market_basket_triples",
     # round-3 wave r4a: rolling OLS + position-based attribution
     "ts_rolling_ols", "attribution_position_based",
+    # round-3 wave r4b: DAG impact sets + collocation lift
+    "ops_dag_impact_set", "text_collocations",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -207,3 +207,71 @@ def ops_dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     job scheduling (2 recursions × depth jobs), a fixed overhead
     INVARIANT to data scale — not a data-dependent cost."""
     return spark.sql(_cpm_sql())
+
+
+# ---------------------------------------------------------------------------
+# DAG impact sets (r4b wave)
+# ---------------------------------------------------------------------------
+
+def _impact_sql(
+    dialect_listagg: str = "STRING_AGG(DISTINCT node, ',' ORDER BY node)",
+) -> str:
+    tasks_values = ", ".join(f"('{t}', {d})" for t, d in _TASKS)
+    edges_values = ", ".join(f"('{s}', '{d}')" for s, d in _EDGES)
+    return f"""
+    WITH RECURSIVE tasks(task, dur) AS (VALUES {tasks_values}),
+    edges(src, dst) AS (VALUES {edges_values}),
+    reach(root, node) AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT r.root, e.dst
+        FROM reach r JOIN edges e ON e.src = r.node),
+    down AS (
+        SELECT root AS task,
+               CAST(COUNT(DISTINCT node) AS BIGINT) AS n_downstream
+        FROM reach GROUP BY root),
+    up AS (
+        SELECT node AS task,
+               CAST(COUNT(DISTINCT root) AS BIGINT) AS n_upstream
+        FROM reach GROUP BY node),
+    dlist AS (
+        SELECT root AS task, {dialect_listagg} AS downstream
+        FROM reach GROUP BY root)
+    SELECT t.task,
+           COALESCE(up.n_upstream, 0) AS n_upstream,
+           COALESCE(down.n_downstream, 0) AS n_downstream,
+           COALESCE(dlist.downstream, '') AS downstream
+    FROM tasks t
+    LEFT JOIN down ON down.task = t.task
+    LEFT JOIN up ON up.task = t.task
+    LEFT JOIN dlist ON dlist.task = t.task
+    ORDER BY t.task
+    """
+
+
+@query("ops_dag_impact_set", oracle=_impact_sql())
+def ops_dag_impact_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive IMPACT analysis over the reference pipeline's task
+    DAG (dags/pipeline_orchestration_dag.py — the same shared literals
+    as ops_dag_critical_path): for every task, how many tasks sit
+    upstream of it (its blast-radius as a DEPENDENT) and the full
+    downstream closure it would take out on failure (count + sorted
+    list). The "what breaks if this task fails" query every on-call
+    runbook needs, beside CPM's "what delays the deadline".
+
+    The closure is path enumeration via recursive CTE with UNION ALL —
+    termination is guaranteed on a DAG (finitely many paths), diamonds
+    produce duplicate rows that the COUNT(DISTINCT)/ordered-listagg
+    rollups collapse; the SQL text is shared except the one
+    dialect-divergent aggregate (Spark: sorted collect_set; DuckDB:
+    ordered STRING_AGG DISTINCT — same sorted string), the
+    ops_dag_critical_path parameterization. All counts integer.
+
+    100 TB: orchestration metadata is dozens of rows; for data-scale
+    graphs the iterative-relaxation form (dedup_clusters' checkpointed
+    loop) replaces path enumeration, same output contract."""
+    return spark.sql(
+        _impact_sql(
+            dialect_listagg="concat_ws(',', sort_array(collect_set(node)))"
+        )
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
 
@@ -281,3 +282,128 @@ def sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", "event_id", rn.alias("rn"))
         .filter(F.col("rn") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation lift (r4b wave)
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_N = 5
+_COLL_TOP = 20
+
+_COLL_ORACLE = f"""
+WITH t AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 2),
+uni AS (
+    SELECT UNNEST(t) AS tok FROM t),
+u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+ut AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM u),
+bg AS (
+    SELECT UNNEST(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM t),
+b AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg
+      GROUP BY bigram HAVING COUNT(*) >= {_COLL_MIN_N}),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM bg),
+scored AS (
+    SELECT b.bigram, b.n_xy,
+           ux.c AS n_x, uy.c AS n_y,
+           b.n_xy * 1.0e0 / bt.n_bigrams
+               / (ux.c * 1.0e0 / ut.total)
+               / (uy.c * 1.0e0 / ut.total) AS lift
+    FROM b
+    JOIN u ux ON ux.tok = string_split(b.bigram, ' ')[1]
+    JOIN u uy ON uy.tok = string_split(b.bigram, ' ')[2], bt, ut)
+SELECT bigram, n_xy, n_x, n_y,
+       FLOOR(lift * 10000.0e0 + 0.5e0) / 10000.0e0 AS lift
+FROM scored
+ORDER BY lift DESC, bigram
+LIMIT {_COLL_TOP}
+"""
+
+
+@query("text_collocations", oracle=_COLL_ORACLE)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6-extension — COLLOCATION mining: bigrams at support ≥{m}
+    scored by LIFT P(xy)/(P(x)·P(y)) — the PMI family with the exact
+    rational ratio instead of its logarithm (same ranking, zero libm),
+    top-{t}. Lift ≫ 1 = words that co-occur far beyond their unigram
+    frequencies predict — the multiword-expression signal
+    (text_bigrams counts; this one NORMALIZES, which is what separates
+    "of the" from a genuine collocation).
+
+    Exactness: all counts exact ints; the lift is one identical
+    expression tree over them, 4-dp floor-rounded; ties break on the
+    bigram string.
+
+    100 TB: unigram and bigram censuses are two explode+groupBy passes
+    over the same token arrays (map-side combined); the unigram table
+    joined back is vocabulary-sized and broadcast; the final heap is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    t = t.localCheckpoint(eager=False)  # unigram + bigram censuses
+    uni = t.select(F.explode("t").alias("tok"))
+    u = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    u = u.localCheckpoint(eager=False)  # both sides + total
+    ut = u.agg(F.sum("c").alias("total"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    bg = bg.localCheckpoint(eager=False)  # census + total
+    b = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= _COLL_MIN_N)
+    )
+    bt = bg.agg(F.count("*").alias("n_bigrams"))
+    one = F.lit(1.0)
+    scored = (
+        b.withColumn("x", F.split("bigram", " ")[0])
+        .withColumn("y", F.split("bigram", " ")[1])
+        .join(
+            F.broadcast(u.select(F.col("tok").alias("x"), F.col("c").alias("n_x"))),
+            "x",
+        )
+        .join(
+            F.broadcast(u.select(F.col("tok").alias("y"), F.col("c").alias("n_y"))),
+            "y",
+        )
+        .crossJoin(F.broadcast(bt))
+        .crossJoin(F.broadcast(ut))
+        .select(
+            "bigram",
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                F.col("n_xy") * one / F.col("n_bigrams")
+                / (F.col("n_x") * one / F.col("total"))
+                / (F.col("n_y") * one / F.col("total"))
+            ).alias("lift_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_raw"), "bigram")
+        .limit(_COLL_TOP)
+        .select(
+            "bigram",
+            "n_xy",
+            "n_x",
+            "n_y",
+            roundn(F.col("lift_raw"), 4).alias("lift"),
+        )
+    )
+
+
+text_collocations.__doc__ = text_collocations.__doc__.format(
+    m=_COLL_MIN_N, t=_COLL_TOP
+)

@@ -331,6 +331,8 @@ _BNLJ_REVIEWED = frozenset({
     "graph_modularity", "market_basket_triples",
     # r4a wave: one-row conversion-count broadcast — category (a)
     "attribution_position_based",
+    # r4b wave: one-row bigram/unigram-total broadcasts — category (a)
+    "text_collocations",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
