@@ -223,6 +223,8 @@ _COMPONENT_FIRST = (
     "ts_rolling_ols", "attribution_position_based",
     # round-3 wave r4b: DAG impact sets + collocation lift
     "ops_dag_impact_set", "text_collocations",
+    # round-3 wave r4c: no-straddle packing eval + anomaly ensemble
+    "train_pack_greedy_eval", "anomaly_ensemble",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -913,3 +913,138 @@ def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy no-straddle packing with waste accounting (r4c wave)
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(FLOOR(doc_id / {SHARD_SIZE}) AS BIGINT) AS shard,
+           CAST(LEAST(len(string_split(text, ' ')), {PACK_TOKENS})
+                AS BIGINT) AS n_tok
+    FROM documents),
+arr AS (
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           list(n_tok ORDER BY doc_id) AS lens
+    FROM d GROUP BY shard),
+folded AS (
+    SELECT shard, n_docs, total_tokens,
+        list_reduce(
+            list_prepend(list_value(CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                                    CAST(0 AS BIGINT)),
+                list_transform(lens,
+                    x -> list_value(x, CAST(0 AS BIGINT), CAST(0 AS BIGINT)))),
+            (acc, e) -> CASE
+                WHEN acc[2] = 0 THEN list_value(e[1], CAST(1 AS BIGINT),
+                                                CAST(0 AS BIGINT))
+                WHEN acc[1] + e[1] <= {PACK_TOKENS}
+                    THEN list_value(acc[1] + e[1], acc[2], acc[3])
+                ELSE list_value(e[1], acc[2] + 1,
+                                acc[3] + {PACK_TOKENS} - acc[1])
+                END) AS st
+    FROM arr)
+SELECT shard, n_docs, total_tokens,
+       st[2] AS n_packs,
+       st[3] + {PACK_TOKENS} - st[1] AS waste_tokens,
+       (total_tokens + {PACK_TOKENS} - 1) // {PACK_TOKENS}
+           AS lower_bound_packs,
+       {sql_roundn(
+           f"total_tokens * 1.0e0 / (st[2] * {PACK_TOKENS}.0e0)", 6
+       )} AS utilization
+FROM folded ORDER BY shard
+"""
+
+
+@query("train_pack_greedy_eval", oracle=_PACK_ORACLE)
+def train_pack_greedy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — NO-STRADDLE greedy packing with waste
+    accounting: documents (doc_id order per shard, lengths clipped at
+    the {p}-token capacity) go into the current pack if they fit, else
+    the remainder is PADDING and a new pack opens — the packing regime
+    for models that forbid cross-document attention, where
+    pack_sequences' concat-and-chunk (zero waste, documents straddle)
+    is not allowed. Per shard: packs used, padding wasted (including
+    the final pack's tail), the ⌈Σlen/cap⌉ lower bound, and
+    utilization — the table that tells you what no-straddle costs and
+    whether a smarter (FFD) packer is worth its shuffle.
+
+    The running state (current fill, packs, waste) is inherently
+    sequential, so it rides an ORDERED FOLD over the shard's length
+    list (list-state accumulator — the ts_holt discipline) — exact
+    integers throughout; only utilization divides.
+
+    100 TB: shards are bounded ({s} docs), so each fold is a bounded
+    in-array loop; shards themselves parallelize perfectly (one
+    groupBy). This is exactly how a multi-worker loader packs —
+    per-shard sequential, cross-shard parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / SHARD_SIZE).cast("long").alias("shard"),
+        F.least(
+            F.size(F.split("text", " ")).cast("long"), F.lit(PACK_TOKENS)
+        ).alias("n_tok"),
+    )
+    arr = d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", F.col("n_tok").alias("x")))
+            ),
+            lambda s: s.getField("x"),
+        ).alias("lens"),
+    )
+    zero = F.lit(0).cast("long")
+    st = F.aggregate(
+        F.col("lens"),
+        F.array(zero, zero, zero),
+        lambda acc, e: F.when(
+            acc.getItem(1) == 0,
+            F.array(e, F.lit(1).cast("long"), zero),
+        )
+        .when(
+            acc.getItem(0) + e <= PACK_TOKENS,
+            F.array(acc.getItem(0) + e, acc.getItem(1), acc.getItem(2)),
+        )
+        .otherwise(
+            F.array(
+                e,
+                acc.getItem(1) + 1,
+                acc.getItem(2) + F.lit(PACK_TOKENS).cast("long") - acc.getItem(0),
+            )
+        ),
+    )
+    one = F.lit(1.0)
+    folded = arr.select(
+        "shard", "n_docs", "total_tokens", st.alias("st")
+    )
+    return folded.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.col("st").getItem(1).alias("n_packs"),
+        (
+            F.col("st").getItem(2)
+            + F.lit(PACK_TOKENS).cast("long")
+            - F.col("st").getItem(0)
+        ).alias("waste_tokens"),
+        (
+            (F.col("total_tokens") + (PACK_TOKENS - 1)) / PACK_TOKENS
+        ).cast("long").alias("lower_bound_packs"),
+        roundn(
+            F.col("total_tokens")
+            * one
+            / (F.col("st").getItem(1) * F.lit(float(PACK_TOKENS))),
+            6,
+        ).alias("utilization"),
+    ).orderBy("shard")
+
+
+train_pack_greedy_eval.__doc__ = train_pack_greedy_eval.__doc__.format(
+    p=PACK_TOKENS, s=SHARD_SIZE
+)

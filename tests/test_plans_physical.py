@@ -333,6 +333,8 @@ _BNLJ_REVIEWED = frozenset({
     "attribution_position_based",
     # r4b wave: one-row bigram/unigram-total broadcasts — category (a)
     "text_collocations",
+    # r4c wave: one-row stat/median/quartile broadcasts — category (a)
+    "anomaly_ensemble",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
