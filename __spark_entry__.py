@@ -225,6 +225,8 @@ _COMPONENT_FIRST = (
     "ops_dag_impact_set", "text_collocations",
     # round-3 wave r4c: no-straddle packing eval + anomaly ensemble
     "train_pack_greedy_eval", "anomaly_ensemble",
+    # round-3 wave r4d: MMR diversity rerank + ORDER BY ALL
+    "recsys_mmr_rerank", "sql_order_by_all",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -1655,3 +1655,215 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity rerank (r4d wave)
+# ---------------------------------------------------------------------------
+
+#: MMR trade-off λ (exact binary fraction) and selection depth
+_MMR_LAMBDA = 0.5
+_MMR_K = 3
+_MMR_POOL = 10
+
+
+def _mmr_oracle() -> str:
+    topk = f"""
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, nid,
+               list_dot_product(qv, cv)
+                   / sqrt(list_dot_product(qv, qv))
+                   / sqrt(list_dot_product(cv, cv)) AS cos_raw
+        FROM q CROSS JOIN c WHERE query_id <> nid),
+    top10 AS (
+        SELECT query_id, nid,
+               FLOOR(cos_raw * 10000.0e0 + 0.5e0) / 10000.0e0 AS rel
+        FROM (
+            SELECT query_id, nid, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, nid) AS rnk
+            FROM scored) WHERE rnk <= {_MMR_POOL}),
+    psim AS (
+        SELECT a.query_id, a.nid AS ia, b.nid AS ib,
+               FLOOR(list_dot_product(ea.cv, eb.cv)
+                     / sqrt(list_dot_product(ea.cv, ea.cv))
+                     / sqrt(list_dot_product(eb.cv, eb.cv))
+                     * 10000.0e0 + 0.5e0) / 10000.0e0 AS sim
+        FROM top10 a
+        JOIN top10 b ON b.query_id = a.query_id AND b.nid <> a.nid
+        JOIN c ea ON ea.nid = a.nid
+        JOIN c eb ON eb.nid = b.nid)"""
+    return f"""
+    WITH {topk},
+    s1 AS (
+        SELECT query_id, nid, rel, {_MMR_LAMBDA}e0 * rel AS mmr
+        FROM (
+            SELECT query_id, nid, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, nid) AS rn
+            FROM top10) WHERE rn = 1),
+    c2 AS (
+        SELECT t.query_id, t.nid, t.rel,
+               {_MMR_LAMBDA}e0 * t.rel
+                   - {1 - _MMR_LAMBDA}e0 * p.sim AS mmr
+        FROM top10 t
+        JOIN s1 ON s1.query_id = t.query_id AND t.nid <> s1.nid
+        JOIN psim p ON p.query_id = t.query_id
+                   AND p.ia = t.nid AND p.ib = s1.nid),
+    s2 AS (
+        SELECT query_id, nid, rel, mmr FROM (
+            SELECT query_id, nid, rel, mmr,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY mmr DESC, nid) AS rn
+            FROM c2) WHERE rn = 1),
+    c3 AS (
+        SELECT t.query_id, t.nid, t.rel,
+               {_MMR_LAMBDA}e0 * t.rel - {1 - _MMR_LAMBDA}e0 * mx.ms AS mmr
+        FROM top10 t
+        JOIN s1 ON s1.query_id = t.query_id
+        JOIN s2 ON s2.query_id = t.query_id
+        JOIN LATERAL (
+            SELECT MAX(p.sim) AS ms FROM psim p
+            WHERE p.query_id = t.query_id AND p.ia = t.nid
+              AND p.ib IN (s1.nid, s2.nid)) mx ON TRUE
+        WHERE t.nid <> s1.nid AND t.nid <> s2.nid),
+    s3 AS (
+        SELECT query_id, nid, rel, mmr FROM (
+            SELECT query_id, nid, rel, mmr,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY mmr DESC, nid) AS rn
+            FROM c3) WHERE rn = 1)
+    SELECT query_id, CAST(1 AS BIGINT) AS pick, nid AS item_id, rel,
+           FLOOR(mmr * 10000.0e0 + 0.5e0) / 10000.0e0 AS mmr
+    FROM s1
+    UNION ALL
+    SELECT query_id, 2, nid, rel,
+           FLOOR(mmr * 10000.0e0 + 0.5e0) / 10000.0e0 FROM s2
+    UNION ALL
+    SELECT query_id, 3, nid, rel,
+           FLOOR(mmr * 10000.0e0 + 0.5e0) / 10000.0e0 FROM s3
+    ORDER BY query_id, pick
+    """
+
+
+@query("recsys_mmr_rerank", oracle=_mmr_oracle())
+def recsys_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) DIVERSITY RERANK: each query's
+    brute-force top-{p} pool is greedily re-selected down to {k} picks
+    by mmr = λ·rel − (1−λ)·max-sim-to-already-picked (λ={lam}, an
+    exact binary fraction) — relevance alone returns near-duplicates;
+    MMR is the standard fix, and the same greedy selects DIVERSE
+    training samples from a candidate pool. Fixed {k} unrolled
+    selection steps (the graph_pagerank discipline) keep it
+    SQL-expressible; tie-breaks on item id.
+
+    Exactness: rel and all candidate-candidate sims are 4-dp
+    floor-rounded ordered-fold cosines (the sim_topk discipline)
+    BEFORE any comparison, so every argmax compares identical
+    4-dp-quantized doubles on both engines; λ and 1−λ are powers of
+    two.
+
+    100 TB: the pool is top-{p} per query (WindowGroupLimit), so the
+    rerank works on {p}·|queries| rows regardless of corpus size —
+    candidate-candidate sims are {p}² per query, computed once and
+    reused by every step; each step is one join + per-query argmax."""
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double_vectors,
+    )
+
+    emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    top10 = sim.cosine_topk(queries, emb, k=_MMR_POOL).select(
+        "query_id", F.col("neighbor_id").alias("nid"), F.col("cosine").alias("rel")
+    )
+    top10 = top10.localCheckpoint(eager=False)  # psim + 3 steps
+    vecs = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+    ta, tb = top10.alias("ta"), top10.alias("tb")
+    psim = (
+        ta.join(
+            tb,
+            (F.col("tb.query_id") == F.col("ta.query_id"))
+            & (F.col("tb.nid") != F.col("ta.nid")),
+        )
+        .select(
+            F.col("ta.query_id").alias("query_id"),
+            F.col("ta.nid").alias("ia"),
+            F.col("tb.nid").alias("ib"),
+        )
+        .join(F.broadcast(vecs.select(F.col("nid").alias("ia"), F.col("cv").alias("va"))), "ia")
+        .join(F.broadcast(vecs.select(F.col("nid").alias("ib"), F.col("cv").alias("vb"))), "ib")
+        .select(
+            "query_id",
+            "ia",
+            "ib",
+            roundn(
+                _dot(F.col("va"), F.col("vb"))
+                / _norm(F.col("va"))
+                / _norm(F.col("vb")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    psim = psim.localCheckpoint(eager=False)  # steps 2 and 3
+    lam, mu = F.lit(_MMR_LAMBDA), F.lit(1 - _MMR_LAMBDA)
+    wq = Window.partitionBy("query_id")
+
+    def argmax(df):
+        rn = F.row_number().over(wq.orderBy(F.desc("mmr"), F.asc("nid")))
+        return df.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+    s1 = argmax(top10.withColumn("mmr", lam * F.col("rel")))
+    s1 = s1.localCheckpoint(eager=False)
+    c2 = (
+        top10.join(
+            s1.select("query_id", F.col("nid").alias("p1")), "query_id"
+        )
+        .filter(F.col("nid") != F.col("p1"))
+        .join(
+            psim.select(
+                "query_id", F.col("ia").alias("nid"), F.col("ib").alias("p1"), "sim"
+            ),
+            ["query_id", "nid", "p1"],
+        )
+        .withColumn("mmr", lam * F.col("rel") - mu * F.col("sim"))
+    )
+    s2 = argmax(c2.select("query_id", "nid", "rel", "mmr"))
+    s2 = s2.localCheckpoint(eager=False)
+    sel12 = s1.select("query_id", F.col("nid").alias("pid")).unionAll(
+        s2.select("query_id", F.col("nid").alias("pid"))
+    )
+    c3 = (
+        top10.join(sel12, "query_id")
+        .filter(F.col("nid") != F.col("pid"))
+        .join(
+            psim.select(
+                "query_id", F.col("ia").alias("nid"), F.col("ib").alias("pid"), "sim"
+            ),
+            ["query_id", "nid", "pid"],
+        )
+        .groupBy("query_id", "nid", "rel")
+        .agg(F.count("*").alias("n_sel"), F.max("sim").alias("ms"))
+        .filter(F.col("n_sel") == 2)  # exclude the two already picked
+        .withColumn("mmr", lam * F.col("rel") - mu * F.col("ms"))
+    )
+    s3 = argmax(c3.select("query_id", "nid", "rel", "mmr"))
+    out = (
+        s1.select("query_id", F.lit(1).cast("long").alias("pick"),
+                  F.col("nid").alias("item_id"), "rel",
+                  roundn(F.col("mmr"), 4).alias("mmr"))
+        .unionAll(
+            s2.select("query_id", F.lit(2).cast("long"), F.col("nid"),
+                      "rel", roundn(F.col("mmr"), 4))
+        )
+        .unionAll(
+            s3.select("query_id", F.lit(3).cast("long"), F.col("nid"),
+                      "rel", roundn(F.col("mmr"), 4))
+        )
+    )
+    return out.orderBy("query_id", "pick")

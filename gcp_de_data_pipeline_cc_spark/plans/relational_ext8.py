@@ -528,3 +528,36 @@ def fn_soundex_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("soundex")
     )
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ALL (r4d wave)
+# ---------------------------------------------------------------------------
+
+_OBA_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("sql_order_by_all", oracle=_OBA_SQL)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect — ORDER BY ALL (+ GROUP BY ALL together): the
+    DuckDB-originated shorthand Spark 4 adopted — sort by every select
+    column left to right, which makes aggregate readouts deterministic
+    without enumerating columns (exactly the property the driver's
+    hash compare needs). Completes the ALL-shorthand pair begun by
+    sql_group_by_all. The IDENTICAL SQL text runs on both engines.
+
+    100 TB: a grouped aggregate plus a total sort of the (tiny) result
+    — ordering semantics, not a scale pattern."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW orders AS "
+        f"SELECT * FROM parquet.`{sf_dir}/orders.parquet`"
+    )
+    return spark.sql(_OBA_SQL)
