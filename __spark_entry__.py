@@ -227,6 +227,8 @@ _COMPONENT_FIRST = (
     "train_pack_greedy_eval", "anomaly_ensemble",
     # round-3 wave r4d: MMR diversity rerank + ORDER BY ALL
     "recsys_mmr_rerank", "sql_order_by_all",
+    # round-3 wave r4e: quantization ranking eval + Lorenz curve
+    "embedding_quantize_eval", "agg_lorenz_curve",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -795,3 +795,103 @@ def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 market_basket_triples.__doc__ = market_basket_triples.__doc__.format(
     m=_MB3_MIN_SUPPORT
 )
+
+# ---------------------------------------------------------------------------
+# Lorenz concentration curve (r4e wave)
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = f"""
+WITH pc AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS tot FROM pc),
+r AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn,
+           SUM(cents) OVER (ORDER BY cents, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM pc),
+b AS (
+    SELECT (10 * rn + t.n - 1) // t.n AS decile, rn, cum
+    FROM r, t),
+agg AS (
+    SELECT decile, MAX(rn) AS cum_cust, MAX(cum) AS cum_cents
+    FROM b GROUP BY decile)
+SELECT CAST(agg.decile AS BIGINT) AS decile,
+       CAST(agg.cum_cust AS BIGINT) AS cum_customers,
+       CAST(agg.cum_cents AS BIGINT) AS cum_cents,
+       {sql_roundn("agg.cum_cust * 1.0e0 / t.n", 6)} AS pop_share,
+       {sql_roundn("agg.cum_cents * 1.0e0 / t.tot", 6)} AS revenue_share
+FROM agg, t
+ORDER BY decile
+"""
+
+
+@query("agg_lorenz_curve", oracle=_LORENZ_ORACLE)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ concentration curve of customer lifetime spend — the
+    drill-down behind agg_gini's single coefficient and
+    pareto_concentration's one 80/20 point: customers sorted poorest
+    to richest, cumulative revenue share at each population decile.
+    Reading row 9 says "the bottom 90% of customers carry X% of
+    revenue"; the gap to the diagonal is the inequality a dashboard
+    actually shows.
+
+    Exactness: spend in integer cents; the decile of rank rn is the
+    exact integer ceil(10·rn/n) = (10·rn + n − 1)//n; cumulative sums
+    ride a total-order window (cents, custkey); shares are final
+    identical-tree divisions. Monotonicity and the Lorenz-below-
+    diagonal law are tested.
+
+    100 TB: per-customer rollup is map-side combined; the sort-window
+    runs over the CUSTOMER table (entity-sized, not fact-sized); for
+    entity tables beyond a sort, the boundary-join form of
+    range_partition_plan substitutes."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    pc = pc.localCheckpoint(eager=False)  # totals + ranked consumers
+    t = pc.agg(F.count("*").alias("n"), F.sum("cents").alias("tot"))
+    w = Window.orderBy("cents", "o_custkey")
+    r = pc.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    one = F.lit(1.0)
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            ((10 * F.col("rn") + F.col("n") - 1) / F.col("n"))
+            .cast("long")
+            .alias("decile"),
+            "rn",
+            "cum",
+            "n",
+            "tot",
+        )
+        .groupBy("decile", "n", "tot")
+        .agg(F.max("rn").alias("cum_customers"), F.max("cum").alias("cum_cents"))
+        .select(
+            "decile",
+            "cum_customers",
+            "cum_cents",
+            roundn(F.col("cum_customers") * one / F.col("n"), 6).alias(
+                "pop_share"
+            ),
+            roundn(F.col("cum_cents") * one / F.col("tot"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )

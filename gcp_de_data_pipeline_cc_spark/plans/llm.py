@@ -1867,3 +1867,169 @@ def recsys_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("query_id", "pick")
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization ranking-impact eval (r4e wave)
+# ---------------------------------------------------------------------------
+
+def _qeval_oracle() -> str:
+    quant = """
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x,
+               list_max(list_transform(embedding::DOUBLE[], v -> ABS(v)))
+                   / 127.0e0 AS s
+        FROM embeddings),
+    qv AS (
+        SELECT vec_id, x, s,
+               list_transform(x, v -> CAST(FLOOR(v / s + 0.5e0) AS BIGINT))
+                   AS q
+        FROM e WHERE s > 0)"""
+    return f"""
+    WITH {quant},
+    qq AS (SELECT vec_id AS query_id, x AS qx, s AS qs, q AS qqv
+           FROM qv WHERE vec_id % 50 = 0),
+    ex AS (
+        SELECT query_id, vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   list_dot_product(qx, x)
+                       / sqrt(list_dot_product(qx, qx))
+                       / sqrt(list_dot_product(x, x)) DESC, vec_id) AS rnk
+        FROM qq JOIN qv ON vec_id <> query_id),
+    aq AS (
+        SELECT query_id, vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   (qs * s * list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(1, len(q) + 1),
+                                           i -> qqv[i] * q[i])),
+                        (a, b) -> a + b))
+                   / (qs * sqrt(list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                            list_transform(qqv, v -> v * v)),
+                        (a, b) -> a + b) * 1.0e0))
+                   / (s * sqrt(list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                            list_transform(q, v -> v * v)),
+                        (a, b) -> a + b) * 1.0e0)) DESC, vec_id) AS rnk
+        FROM qq JOIN qv ON vec_id <> query_id)
+    SELECT ex.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(COUNT(aq.nid) AS BIGINT) AS n_hit,
+           FLOOR(COUNT(aq.nid) / 10.0e0 * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS recall
+    FROM ex
+    LEFT JOIN aq ON aq.query_id = ex.query_id AND aq.nid = ex.nid
+                AND aq.rnk <= 10
+    WHERE ex.rnk <= 10
+    GROUP BY ex.query_id
+    ORDER BY ex.query_id
+    """
+
+
+@query("embedding_quantize_eval", oracle=_qeval_oracle())
+def embedding_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-evidence — RANKING impact of int8 quantization: per query,
+    recall@10 of the top-10 computed from symmetric-int8 vectors
+    (embedding_quantize's scheme — the serving index's arithmetic:
+    exact INTEGER dot products rescaled by the two per-vector scales)
+    against the exact float top-10. embedding_quantize reports
+    reconstruction error per vector; this reports what actually
+    matters — whether the NEIGHBORS change — completing the
+    quantization decision table (4× smaller index at recall X).
+
+    Exactness: quantized codes are identical integers on both engines
+    (half-up floor of doubles-identical ratios); the integer dot and
+    norm sums are exact int64 folds; only the two scale
+    multiplications and the norm sqrts run as identical trees — and
+    ranks, not raw scores, are compared.
+
+    100 TB: the quantized ranking is the production ANN path (int8
+    GEMM); the float ranking is the oracle — run this eval on a query
+    sample before switching the index over."""
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double_vectors,
+    )
+
+    emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
+    s = F.array_max(F.transform(F.col("embedding"), F.abs)) / F.lit(127.0)
+    qv = emb.select(
+        "vec_id",
+        F.col("embedding").alias("x"),
+        s.alias("s"),
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v / s + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    ).filter(F.col("s") > 0)
+    qv = qv.localCheckpoint(eager=False)  # both rankings, both sides
+    qq = qv.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("s").alias("qs"),
+        F.col("q").alias("qqv"),
+    )
+    pairs = qv.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id"))
+    wq = Window.partitionBy("query_id")
+    ex = (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            (
+                _dot(F.col("qx"), F.col("x"))
+                / _norm(F.col("qx"))
+                / _norm(F.col("x"))
+            ).alias("sc"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(wq.orderBy(F.desc("sc"), F.asc("nid"))),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "nid")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    inorm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+        * F.lit(1.0)
+    )
+    aq = (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            (
+                (F.col("qs") * F.col("s") * idot)
+                / (F.col("qs") * inorm(F.col("qqv")))
+                / (F.col("s") * inorm(F.col("q")))
+            ).alias("sc"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(wq.orderBy(F.desc("sc"), F.asc("nid"))),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", F.col("nid").alias("anid"))
+    )
+    return (
+        ex.join(
+            aq,
+            (ex["query_id"] == aq["query_id"]) & (ex["nid"] == aq["anid"]),
+            "left",
+        )
+        .groupBy(ex["query_id"].alias("query_id"))
+        .agg(
+            F.lit(10).cast("long").alias("k"),
+            F.count("anid").alias("n_hit"),
+            roundn(F.count("anid") / F.lit(10.0), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

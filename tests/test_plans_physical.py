@@ -335,6 +335,9 @@ _BNLJ_REVIEWED = frozenset({
     "text_collocations",
     # r4c wave: one-row stat/median/quartile broadcasts — category (a)
     "anomaly_ensemble",
+    # r4e wave: query-subset broadcast (the sim_topk class) and the
+    # one-row totals broadcast — categories (b)/(a)
+    "embedding_quantize_eval", "agg_lorenz_curve",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
