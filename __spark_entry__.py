@@ -229,6 +229,8 @@ _COMPONENT_FIRST = (
     "recsys_mmr_rerank", "sql_order_by_all",
     # round-3 wave r4e: quantization ranking eval + Lorenz curve
     "embedding_quantize_eval", "agg_lorenz_curve",
+    # round-3 wave r4f: degree assortativity + feature-hashing audit
+    "graph_assortativity", "text_feature_hashing",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

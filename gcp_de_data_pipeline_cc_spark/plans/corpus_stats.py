@@ -224,3 +224,88 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(F.col("n_tokens") / w_tok, 6).alias("token_share"),
         roundn(F.pow("n_tokens", F.lit(0.5)) / w_pow, 6).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing collision audit (r4f wave)
+# ---------------------------------------------------------------------------
+
+#: hashing-trick table size (buckets)
+_FH_B = 256
+
+_FH_CHARFOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(tok, ''), "
+    "c -> CAST(unicode(c) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 2147483647)"
+)
+
+_FH_ORACLE = f"""
+WITH toks AS (
+    SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+    FROM documents),
+h AS (
+    SELECT tok, {_FH_CHARFOLD} % {_FH_B} AS bucket
+    FROM toks WHERE tok <> ''),
+per_b AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS load
+    FROM h GROUP BY bucket)
+SELECT CAST({_FH_B} AS BIGINT) AS n_buckets,
+       CAST(SUM(load) AS BIGINT) AS n_distinct_tokens,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       CAST(SUM(load - 1) AS BIGINT) AS n_collided_tokens,
+       {sql_roundn("SUM(load - 1) * 1.0e0 / SUM(load)", 6)}
+           AS collision_rate
+FROM per_b
+"""
+
+
+@query("text_feature_hashing", oracle=_FH_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — FEATURE-HASHING (hashing-trick) collision audit:
+    the corpus vocabulary routed into a {b}-bucket feature table by the
+    portable hash, reporting buckets used, the maximum bucket load, and
+    the collision rate (tokens sharing a bucket with an earlier token —
+    the features the model cannot tell apart). The table every
+    Vowpal-style / hashed-embedding pipeline needs before choosing its
+    table size: collision_rate ≈ 1 − B·(1−(1−1/B)^V)/V for vocabulary
+    V, and the audit measures the actual value for the actual hash —
+    the dedup_lsh_calibration idea applied to feature hashing.
+
+    Exactness: all counts exact ints over the DISTINCT vocabulary; the
+    rate is one identical-tree division. The structural law
+    n_distinct − buckets_used = n_collided is tested, as is the
+    pigeonhole bound.
+
+    100 TB: vocabulary-sized after one distinct (the shuffle);
+    bucketing is a narrow per-row fold; the audit is one aggregate."""
+    from gcp_de_data_pipeline_cc_spark.operators.text import (
+        portable_token_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    h = toks.select(
+        F.pmod(portable_token_hash(F.col("tok")), F.lit(_FH_B)).alias(
+            "bucket"
+        )
+    )
+    per_b = h.groupBy("bucket").agg(F.count("*").alias("load"))
+    return per_b.agg(
+        F.lit(_FH_B).cast("long").alias("n_buckets"),
+        F.sum("load").alias("n_distinct_tokens"),
+        F.count("*").alias("buckets_used"),
+        F.max("load").alias("max_load"),
+        F.sum(F.col("load") - 1).alias("n_collided_tokens"),
+        roundn(
+            F.sum(F.col("load") - 1) * F.lit(1.0) / F.sum("load"), 6
+        ).alias("collision_rate"),
+    )
+
+
+text_feature_hashing.__doc__ = text_feature_hashing.__doc__.format(b=_FH_B)

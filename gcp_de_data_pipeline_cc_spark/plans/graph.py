@@ -1055,3 +1055,154 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (r4f wave)
+# ---------------------------------------------------------------------------
+
+_ASSORT_BK = 8  # same backbone cut as the rest of the graph tier
+
+
+def _assort_oracle() -> str:
+    return f"""
+    WITH pl AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pl a JOIN pl b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2),
+    d AS (
+        SELECT sa AS u, sb AS v, w FROM e
+        UNION ALL SELECT sb, sa, w FROM e),
+    r AS (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v ASC)
+                   AS rn
+        FROM d),
+    bb AS (
+        SELECT DISTINCT LEAST(u, v) AS sa, GREATEST(u, v) AS sb
+        FROM r WHERE rn <= {_ASSORT_BK}),
+    g AS (
+        SELECT sa AS u, sb AS v FROM bb
+        UNION ALL SELECT sb, sa FROM bb),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM g GROUP BY u),
+    ed AS (
+        SELECT da.deg AS du, db.deg AS dv
+        FROM bb
+        JOIN deg da ON da.u = bb.sa
+        JOIN deg db ON db.u = bb.sb),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(du * dv) AS BIGINT) AS s1,
+               CAST(SUM(du + dv) AS BIGINT) AS s2,
+               CAST(SUM(du * du + dv * dv) AS BIGINT) AS s3
+        FROM ed)
+    SELECT m, s1, s2, s3,
+           {sql_roundn(
+               "(4 * m * s1 - s2 * s2) * 1.0e0"
+               " / NULLIF(2 * m * s3 - s2 * s2, 0)", 6
+           )} AS assortativity
+    FROM s
+    """
+
+
+@query("graph_assortativity", oracle=_assort_oracle())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the supplier backbone — Newman's r: the
+    Pearson correlation of endpoint degrees across edges, reduced to
+    the EXACT INTEGER form r = (4M·Σdudv − (Σ(du+dv))²) /
+    (2M·Σ(du²+dv²) − (Σ(du+dv))²) — positive: hubs link to hubs
+    (social/resilient), negative: hub-and-spoke (star topologies,
+    fragile to hub loss). Completes the graph metrology beside
+    modularity (partition quality) and triangles (local density); a
+    star graph scores exactly −1 (tested), a regular graph has zero
+    degree variance and returns NULL (pinned).
+
+    Exactness: degrees, M, and all three sums are exact int64 (bounded
+    by K·n backbone degrees), so numerator and denominator are exact
+    integers — ONE division total, NULLIF-guarded.
+
+    100 TB: degrees are one aggregate over the ≤K·n backbone; the
+    edge-degree join broadcasts the node-sized degree table; the
+    moment sums are a single map-side-combined pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
+        .filter(F.size("bs") >= 2)
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("bs") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
+                lambda x: F.struct(
+                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
+                ),
+            ),
+        )
+    )
+    e = (
+        sets.select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .agg(F.count("*").alias("w"))
+    )
+    d = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
+                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
+            )
+        ).alias("o"),
+        "w",
+    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
+    rn = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    )
+    bb = (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= _ASSORT_BK)
+        .select(
+            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + edge-degree join
+    )
+    g = bb.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sa").alias("u")),
+                F.struct(F.col("sb").alias("u")),
+            )
+        ).alias("o")
+    ).select(F.col("o.u").alias("u"))
+    deg = g.groupBy("u").agg(F.count("*").alias("deg"))
+    ed = bb.join(
+        F.broadcast(deg.select(F.col("u").alias("sa"), F.col("deg").alias("du"))),
+        "sa",
+    ).join(
+        F.broadcast(deg.select(F.col("u").alias("sb"), F.col("deg").alias("dv"))),
+        "sb",
+    )
+    s = ed.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("du") * F.col("dv")).alias("s1"),
+        F.sum(F.col("du") + F.col("dv")).alias("s2"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias(
+            "s3"
+        ),
+    )
+    num = 4 * F.col("m") * F.col("s1") - F.col("s2") * F.col("s2")
+    den = 2 * F.col("m") * F.col("s3") - F.col("s2") * F.col("s2")
+    return s.select(
+        "m",
+        "s1",
+        "s2",
+        "s3",
+        roundn(
+            num * F.lit(1.0) / F.nullif(den, F.lit(0)), 6
+        ).alias("assortativity"),
+    )
