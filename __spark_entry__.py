@@ -231,6 +231,8 @@ _COMPONENT_FIRST = (
     "embedding_quantize_eval", "agg_lorenz_curve",
     # round-3 wave r4f: degree assortativity + feature-hashing audit
     "graph_assortativity", "text_feature_hashing",
+    # round-3 wave r4g: forecast backtest + Wilson intervals
+    "ts_forecast_backtest", "stats_wilson_interval",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

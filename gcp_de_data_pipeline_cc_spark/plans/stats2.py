@@ -898,3 +898,81 @@ def stats_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("abs_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals (r4g wave)
+# ---------------------------------------------------------------------------
+
+#: z for the 95% two-sided interval, shared 6-dp literal (qnorm is libm)
+_WILSON_Z = 1.959964
+
+
+def _wilson_oracle() -> str:
+    z = _WILSON_Z
+    return f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM orders GROUP BY 1)
+    SELECT o_orderpriority, n, k,
+           {sql_roundn("k * 1.0e0 / n", 6)} AS rate,
+           {sql_roundn(
+               f"(k * 1.0e0 / n + {z}e0 * {z}e0 / (2.0e0 * n)"
+               f" - {z}e0 * SQRT((k * 1.0e0 / n) * (1.0e0 - k * 1.0e0 / n)"
+               f"   / n + {z}e0 * {z}e0 / (4.0e0 * n * n)))"
+               f" / (1.0e0 + {z}e0 * {z}e0 / n)", 6
+           )} AS ci_lo,
+           {sql_roundn(
+               f"(k * 1.0e0 / n + {z}e0 * {z}e0 / (2.0e0 * n)"
+               f" + {z}e0 * SQRT((k * 1.0e0 / n) * (1.0e0 - k * 1.0e0 / n)"
+               f"   / n + {z}e0 * {z}e0 / (4.0e0 * n * n)))"
+               f" / (1.0e0 + {z}e0 * {z}e0 / n)", 6
+           )} AS ci_hi
+    FROM g ORDER BY o_orderpriority
+    """
+
+
+@query("stats_wilson_interval", oracle=_wilson_oracle())
+def stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON score 95% confidence interval for the fulfilled-order
+    rate per priority class — the proportion CI that stays inside
+    [0, 1] and behaves at k = 0 or k = n, where the naive Wald
+    interval p ± z√(p(1−p)/n) collapses (pinned by test: k=0 still
+    yields ci_hi > 0). The dashboard-rate companion to
+    hypothesis_chisq's homogeneity test: chisq says WHETHER classes
+    differ, the intervals say by how much with what certainty.
+
+    Exactness: n and k are exact ints; z is a shared 6-dp literal
+    (the Benford log-literal discipline — qnorm is libm); the interval
+    is one identical expression tree per bound, 6-dp floor-rounded.
+
+    100 TB: one map-side-combined aggregate; the interval math is
+    per-group scalar arithmetic on a class-cardinality-sized table."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    one = F.lit(1.0)
+    z = F.lit(_WILSON_Z)
+    p = F.col("k") * one / F.col("n")
+    z2n = z * z / F.col("n")
+    center = p + z * z / (F.lit(2.0) * F.col("n"))
+    halfw = z * F.sqrt(
+        p * (one - p) / F.col("n")
+        + z * z / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    denom = one + z2n
+    return g.select(
+        "o_orderpriority",
+        "n",
+        "k",
+        roundn(p, 6).alias("rate"),
+        roundn((center - halfw) / denom, 6).alias("ci_lo"),
+        roundn((center + halfw) / denom, 6).alias("ci_hi"),
+    ).orderBy("o_orderpriority")

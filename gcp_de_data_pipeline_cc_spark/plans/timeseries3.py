@@ -1879,3 +1879,118 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# forecast backtest (r4g wave)
+# ---------------------------------------------------------------------------
+
+def _bt_oracle() -> str:
+    w = _OLS_WIN
+    return f"""
+    WITH d AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+    s AS (
+        SELECT day, cents,
+               LAG(cents) OVER (ORDER BY day) AS prev,
+               CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+               CAST(SUM(day) OVER fr AS BIGINT) AS sx,
+               CAST(SUM(cents) OVER fr AS BIGINT) AS sy,
+               CAST(SUM(day * cents) OVER fr AS BIGINT) AS sxy,
+               CAST(SUM(day * day) OVER fr AS BIGINT) AS sxx
+        FROM d
+        WINDOW fr AS (ORDER BY day
+            ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)),
+    f AS (
+        SELECT day, cents, prev,
+               (sy - (n * sxy - sx * sy) * 1.0e0
+                / (n * sxx - sx * sx) * sx) / n
+               + (n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx) * day
+                   AS ols_fc
+        FROM s WHERE n >= 2 AND prev IS NOT NULL),
+    e AS (
+        SELECT CAST(ABS(cents - prev) AS BIGINT) AS naive_err,
+               CAST(FLOOR(ABS(cents - ols_fc) + 0.5e0) AS BIGINT)
+                   AS ols_err
+        FROM f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           {sql_roundn("SUM(naive_err) * 1.0e0 / COUNT(*)", 2)}
+               AS mae_naive,
+           {sql_roundn("SUM(ols_err) * 1.0e0 / COUNT(*)", 2)} AS mae_ols,
+           {sql_roundn(
+               "1.0e0 - (SUM(ols_err) * 1.0e0 / COUNT(*))"
+               " / (SUM(naive_err) * 1.0e0 / COUNT(*))", 4
+           )} AS skill_vs_naive
+    FROM e
+    """
+
+
+@query("ts_forecast_backtest", oracle=_bt_oracle())
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST — the evidence key for the forecasting tier:
+    every day is predicted twice using only PRIOR days (the frame ends
+    at 1 PRECEDING — no leakage), by the naive carry-forward y_{t−1}
+    and by the rolling-OLS line (ts_rolling_ols's machinery shifted one
+    step), and the two MAEs meet in the Theil-style skill score
+    1 − MAE_model/MAE_naive. Positive skill = the model earns its
+    keep; forecasters that never beat naive are the industry's
+    best-hidden secret, and this makes the comparison driver-visible.
+
+    Exactness: naive errors are exact integer cents; OLS forecasts are
+    identical-tree doubles whose absolute errors are half-up-rounded
+    to integer cents BEFORE summation, so both MAE numerators are
+    order-free integer sums (the μ-quantization discipline).
+
+    100 TB: one day-grain aggregate; lag + the five OLS sums share one
+    domain-bounded window pass; the scorecard is a single aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)").alias(
+                "day"
+            ),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("cents"))
+    )
+    wl = Window.orderBy("day")
+    fr = Window.orderBy("day").rowsBetween(-_OLS_WIN, -1)
+    s = d.select(
+        "day",
+        "cents",
+        F.lag("cents").over(wl).alias("prev"),
+        F.count("*").over(fr).alias("n"),
+        F.sum("day").over(fr).alias("sx"),
+        F.sum("cents").over(fr).alias("sy"),
+        F.sum(F.col("day") * F.col("cents")).over(fr).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(fr).alias("sxx"),
+    ).filter((F.col("n") >= 2) & F.col("prev").isNotNull())
+    one = F.lit(1.0)
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * one
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    ols_fc = (F.col("sy") - slope * F.col("sx")) / F.col("n") + slope * F.col(
+        "day"
+    )
+    e = s.select(
+        F.abs(F.col("cents") - F.col("prev")).alias("naive_err"),
+        F.floor(F.abs(F.col("cents") - ols_fc) + F.lit(0.5))
+        .cast("long")
+        .alias("ols_err"),
+    )
+    mae_n = F.sum("naive_err") * one / F.count("*")
+    mae_o = F.sum("ols_err") * one / F.count("*")
+    return e.agg(
+        F.count("*").alias("n_days"),
+        roundn(mae_n, 2).alias("mae_naive"),
+        roundn(mae_o, 2).alias("mae_ols"),
+        roundn(one - mae_o / mae_n, 4).alias("skill_vs_naive"),
+    )
