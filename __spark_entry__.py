@@ -233,6 +233,8 @@ _COMPONENT_FIRST = (
     "graph_assortativity", "text_feature_hashing",
     # round-3 wave r4g: forecast backtest + Wilson intervals
     "ts_forecast_backtest", "stats_wilson_interval",
+    # round-3 wave r4h: top-N + OTHER rollup
+    "agg_topn_other",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -881,7 +881,10 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tot",
         )
         .groupBy("decile", "n", "tot")
-        .agg(F.max("rn").alias("cum_customers"), F.max("cum").alias("cum_cents"))
+        .agg(
+            F.max("rn").cast("long").alias("cum_customers"),
+            F.max("cum").alias("cum_cents"),
+        )
         .select(
             "decile",
             "cum_customers",
@@ -895,3 +898,101 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+# ---------------------------------------------------------------------------
+# top-N + OTHER rollup (r4h wave)
+# ---------------------------------------------------------------------------
+
+_TNO_N = 5
+
+_TNO_ORACLE = f"""
+WITH rev AS (
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0e0 + 0.5e0)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev),
+r AS (
+    SELECT brand, cents,
+           ROW_NUMBER() OVER (ORDER BY cents DESC, brand) AS rnk
+    FROM rev),
+top_ AS (
+    SELECT CAST(rnk AS BIGINT) AS rnk, brand, cents FROM r
+    WHERE rnk <= {_TNO_N}),
+oth AS (
+    SELECT CAST({_TNO_N + 1} AS BIGINT) AS rnk, 'OTHER' AS brand,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents
+    FROM r WHERE rnk > {_TNO_N}),
+u AS (SELECT * FROM top_ UNION ALL SELECT * FROM oth)
+SELECT u.rnk, u.brand, u.cents,
+       {sql_roundn("u.cents * 1.0e0 / t.tot", 6)} AS revenue_share
+FROM u, t
+ORDER BY u.rnk
+"""
+
+
+@query("agg_topn_other", oracle=_TNO_ORACLE)
+def agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-N + OTHER rollup — the chart-ready readout every BI surface
+    wants and plain top-k silently gets wrong: the top {n} brands by
+    revenue PLUS an 'OTHER' row absorbing the remainder, so the rows
+    CONSERVE the total (Σ shares = 1 exactly — the tested law) instead
+    of dropping the long tail. topk_global truncates; this one
+    accounts.
+
+    Exactness: revenue in integer cents; ranks break ties on brand;
+    the OTHER row is an exact integer complement (COALESCE'd to 0 when
+    N covers everything); shares divide once, identical-tree.
+
+    100 TB: one fact scan with a broadcast dim; the rank window runs
+    over the brand-cardinality table (group-sized, not fact-sized);
+    OTHER is one filtered aggregate of the same tiny table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    rev = rev.localCheckpoint(eager=False)  # rank + total consumers
+    t = rev.agg(F.sum("cents").alias("tot"))
+    r = rev.select(
+        "brand",
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("brand")))
+        .alias("rnk"),
+    )
+    r = r.localCheckpoint(eager=False)  # top + other consumers
+    top = r.filter(F.col("rnk") <= _TNO_N).select(
+        F.col("rnk").cast("long").alias("rnk"), "brand", "cents"
+    )
+    oth = r.filter(F.col("rnk") > _TNO_N).agg(
+        F.lit(_TNO_N + 1).cast("long").alias("rnk"),
+        F.lit("OTHER").alias("brand"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+    )
+    one = F.lit(1.0)
+    return (
+        top.unionAll(oth)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "rnk",
+            "brand",
+            "cents",
+            roundn(F.col("cents") * one / F.col("tot"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("rnk")
+    )
+
+
+agg_topn_other.__doc__ = agg_topn_other.__doc__.format(n=_TNO_N)

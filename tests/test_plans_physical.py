@@ -338,6 +338,8 @@ _BNLJ_REVIEWED = frozenset({
     # r4e wave: query-subset broadcast (the sim_topk class) and the
     # one-row totals broadcast — categories (b)/(a)
     "embedding_quantize_eval", "agg_lorenz_curve",
+    # r4h wave: one-row grand-total share broadcast — category (a)
+    "agg_topn_other",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
