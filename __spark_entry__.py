@@ -235,6 +235,8 @@ _COMPONENT_FIRST = (
     "ts_forecast_backtest", "stats_wilson_interval",
     # round-3 wave r4h: top-N + OTHER rollup
     "agg_topn_other",
+    # round-3 wave r4i: t-closeness + Hamilton apportionment
+    "privacy_t_closeness", "corpus_apportion_budget",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

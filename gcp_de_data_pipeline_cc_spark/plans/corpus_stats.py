@@ -309,3 +309,106 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_feature_hashing.__doc__ = text_feature_hashing.__doc__.format(b=_FH_B)
+
+
+# ---------------------------------------------------------------------------
+# Hamilton token-budget apportionment (r4i wave)
+# ---------------------------------------------------------------------------
+
+#: training-mix token budget to apportion across sources
+_APPORTION_B = 1_000_000
+
+_APPORTION_ORACLE = f"""
+WITH s AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot FROM s),
+q AS (
+    SELECT s.source, s.tokens,
+           ({_APPORTION_B} * s.tokens) // t.tot AS base,
+           ({_APPORTION_B} * s.tokens) % t.tot AS rem
+    FROM s, t),
+r AS (
+    SELECT CAST({_APPORTION_B} AS BIGINT) - SUM(base) AS n_extra FROM q),
+rk AS (
+    SELECT source, tokens, base, rem,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
+    FROM q)
+SELECT rk.source, rk.tokens, CAST(rk.base AS BIGINT) AS base_alloc,
+       CAST(CASE WHEN rk.rnk <= r.n_extra THEN 1 ELSE 0 END AS BIGINT)
+           AS extra,
+       CAST(rk.base + CASE WHEN rk.rnk <= r.n_extra THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens,
+       {sql_roundn(
+           f"(rk.base + CASE WHEN rk.rnk <= r.n_extra THEN 1 ELSE 0 END)"
+           f" * 1.0e0 / {_APPORTION_B}", 6
+       )} AS alloc_share
+FROM rk, r
+ORDER BY rk.source
+"""
+
+
+@query("corpus_apportion_budget", oracle=_APPORTION_ORACLE)
+def corpus_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — HAMILTON (largest-remainder) apportionment of an
+    integer token budget ({b:,}) across corpus sources proportionally
+    to their token mass: base_i = ⌊B·T_i/ΣT⌋, then the leftover seats
+    go to the largest remainders (B·T_i mod ΣT, ties on source name).
+    This is what turns corpus_mix_weights' REAL-valued mix into the
+    integer per-source sample counts a data loader can actually
+    execute — naive independent rounding over- or under-shoots the
+    budget; Hamilton conserves it EXACTLY (Σ alloc = B, the tested
+    law) and each source is within 1 token of its exact quota (tested:
+    |alloc·ΣT − B·T_i| < ΣT).
+
+    Exactness: all quotas, remainders, and the seat count are exact
+    int64 (B·T_i ≤ 10⁶·10⁹ — bounded); ranking is integer/lexicographic.
+
+    100 TB: the census is one map-side groupBy; apportionment runs on
+    the source-cardinality table (dozens of rows) with one-row
+    broadcasts for the total and the seat count."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("tokens")
+    )
+    s = s.localCheckpoint(eager=False)  # quotas + total consumers
+    t = s.agg(F.sum("tokens").alias("tot"))
+    b = F.lit(_APPORTION_B).cast("long")
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        F.expr(f"CAST(({_APPORTION_B} * tokens) DIV tot AS LONG)").alias(
+            "base"
+        ),
+        F.pmod(b * F.col("tokens"), F.col("tot")).alias("rem"),
+    )
+    q = q.localCheckpoint(eager=False)  # seats + ranking consumers
+    r = q.agg((b - F.sum("base")).alias("n_extra"))
+    rk = q.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source"))),
+    )
+    extra = F.when(F.col("rnk") <= F.col("n_extra"), 1).otherwise(0)
+    return (
+        rk.crossJoin(F.broadcast(r))
+        .select(
+            "source",
+            "tokens",
+            F.col("base").alias("base_alloc"),
+            extra.cast("long").alias("extra"),
+            (F.col("base") + extra).cast("long").alias("alloc_tokens"),
+            roundn(
+                (F.col("base") + extra) * F.lit(1.0) / F.lit(float(_APPORTION_B)),
+                6,
+            ).alias("alloc_share"),
+        )
+        .orderBy("source")
+    )
+
+
+corpus_apportion_budget.__doc__ = corpus_apportion_budget.__doc__.format(
+    b=_APPORTION_B
+)

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
 #: k-anonymity threshold — every released QI class must hold ≥ K people
@@ -198,3 +199,189 @@ def privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("cell_n"),
     ).orderBy("nation", "segment")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (r4i wave)
+# ---------------------------------------------------------------------------
+
+#: EMD threshold t = 1/5 — kept as an exact rational for integer verdicts
+_T_NUM, _T_DEN = 1, 5
+
+_TCLOSE_ORACLE = f"""
+WITH f AS (
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           o.o_orderpriority AS p
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey),
+dom AS (SELECT DISTINCT p FROM f),
+cls AS (SELECT DISTINCT nation, segment FROM f),
+grid AS (
+    SELECT cls.nation, cls.segment, dom.p,
+           CAST(COALESCE(k.k, 0) AS BIGINT) AS k
+    FROM cls CROSS JOIN dom
+    LEFT JOIN (SELECT nation, segment, p, COUNT(*) AS k
+               FROM f GROUP BY 1, 2, 3) k
+      ON k.nation = cls.nation AND k.segment = cls.segment
+     AND k.p = dom.p),
+gtot AS (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS kg FROM f GROUP BY p),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+              CAST(COUNT(DISTINCT p) AS BIGINT) AS m FROM f),
+cum AS (
+    SELECT g.nation, g.segment, g.p,
+           SUM(g.k) OVER (PARTITION BY g.nation, g.segment ORDER BY g.p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+           SUM(gt.kg) OVER (PARTITION BY g.nation, g.segment ORDER BY g.p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+    FROM grid g JOIN gtot gt ON gt.p = g.p),
+per_cls AS (
+    SELECT nation, segment,
+           CAST(SUM(CASE WHEN rn < m THEN d ELSE 0 END) AS BIGINT) AS emd_num,
+           MAX(nc) AS n_class
+    FROM (
+        SELECT c.nation, c.segment,
+               ROW_NUMBER() OVER (PARTITION BY c.nation, c.segment
+                                  ORDER BY c.p) AS rn,
+               nn.m,
+               ABS(c.ck * nn.n_total
+                   - c.cg * (SELECT SUM(k) FROM grid g2
+                             WHERE g2.nation = c.nation
+                               AND g2.segment = c.segment)) AS d,
+               (SELECT SUM(k) FROM grid g2
+                WHERE g2.nation = c.nation
+                  AND g2.segment = c.segment) AS nc
+        FROM cum c, nn)
+    GROUP BY nation, segment)
+SELECT p.nation, p.segment, CAST(p.n_class AS BIGINT) AS n_orders,
+       FLOOR(p.emd_num * 1.0e0
+             / (p.n_class * 1.0e0 * nn.n_total * (nn.m - 1))
+             * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS emd,
+       {_T_DEN} * p.emd_num
+           <= {_T_NUM} * p.n_class * nn.n_total * (nn.m - 1)
+           AS is_t_close
+FROM per_cls p, nn
+ORDER BY p.nation, p.segment
+"""
+
+
+@query("privacy_t_closeness", oracle=_TCLOSE_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit — the third rung of the privacy triad
+    (k-anonymity: classes big enough; l-diversity: enough distinct
+    sensitive values; t-closeness: the class's sensitive DISTRIBUTION
+    must stay within EMD t of the global one — l-diversity passes a
+    class that is 99% one priority, t-closeness does not). The
+    sensitive attribute (order priority) is ordinal, so EMD is the
+    normalized sum of cumulative gaps: Σᵢ|F_c(i) − F_g(i)| / (m−1).
+
+    Exactness: every cumulative gap is carried as the exact integer
+    cross-product |ck·N − cg·n_c| (the hypothesis_ks2 discipline); the
+    t = {tn}/{td} verdict is a cross-multiplied INTEGER comparison —
+    no float ever decides it; the reported emd is the one
+    identical-tree division, 6-dp rounded. Missing (class, priority)
+    cells are zero-filled via the domain grid so cumulative distances
+    are computed over the full ordinal support.
+
+    100 TB: the fact takes two broadcast dim joins; the grid, the
+    cumulative windows, and the per-class sums are all bounded by
+    |QI classes| × |sensitive domain| — census-sized, never
+    fact-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    f = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("p"),
+        )
+    )
+    f = f.localCheckpoint(eager=False)  # grid/global/total consumers
+    k = f.groupBy("nation", "segment", "p").agg(F.count("*").alias("k"))
+    dom = f.select("p").distinct()
+    cls = f.select("nation", "segment").distinct()
+    grid = (
+        cls.crossJoin(F.broadcast(dom))
+        .join(k, ["nation", "segment", "p"], "left")
+        .select(
+            "nation", "segment", "p", F.coalesce("k", F.lit(0)).alias("k")
+        )
+    )
+    gtot = f.groupBy("p").agg(F.count("*").alias("kg"))
+    nn = f.agg(
+        F.count("*").alias("n_total"), F.countDistinct("p").alias("m")
+    )
+    wc = (
+        Window.partitionBy("nation", "segment")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(F.broadcast(gtot), "p")
+        .select(
+            "nation",
+            "segment",
+            "p",
+            "k",
+            F.sum("k").over(wc).alias("ck"),
+            F.sum("kg").over(wc).alias("cg"),
+        )
+    )
+    nc = grid.groupBy("nation", "segment").agg(F.sum("k").alias("n_class"))
+    per = (
+        cum.join(F.broadcast(nc), ["nation", "segment"])
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nation", "segment").orderBy("p")
+            ),
+        )
+        .groupBy("nation", "segment", "n_class", "n_total", "m")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rn") < F.col("m"),
+                    F.abs(
+                        F.col("ck") * F.col("n_total")
+                        - F.col("cg") * F.col("n_class")
+                    ),
+                ).otherwise(0)
+            ).alias("emd_num")
+        )
+    )
+    one = F.lit(1.0)
+    return per.select(
+        "nation",
+        "segment",
+        F.col("n_class").cast("long").alias("n_orders"),
+        roundn(
+            F.col("emd_num")
+            * one
+            / (
+                F.col("n_class")
+                * one
+                * F.col("n_total")
+                * (F.col("m") - 1)
+            ),
+            6,
+        ).alias("emd"),
+        (
+            F.lit(_T_DEN) * F.col("emd_num")
+            <= F.lit(_T_NUM)
+            * F.col("n_class")
+            * F.col("n_total")
+            * (F.col("m") - 1)
+        ).alias("is_t_close"),
+    ).orderBy("nation", "segment")
+
+
+privacy_t_closeness.__doc__ = privacy_t_closeness.__doc__.format(
+    tn=_T_NUM, td=_T_DEN
+)

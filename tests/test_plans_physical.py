@@ -340,6 +340,9 @@ _BNLJ_REVIEWED = frozenset({
     "embedding_quantize_eval", "agg_lorenz_curve",
     # r4h wave: one-row grand-total share broadcast — category (a)
     "agg_topn_other",
+    # r4i wave: 5-row sensitive-domain grid + one-row total/seat
+    # broadcasts — categories (b)/(a)
+    "privacy_t_closeness", "corpus_apportion_budget",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
