@@ -237,6 +237,8 @@ _COMPONENT_FIRST = (
     "agg_topn_other",
     # round-3 wave r4i: t-closeness + Hamilton apportionment
     "privacy_t_closeness", "corpus_apportion_budget",
+    # round-3 wave r4j: one-way ANOVA
+    "hypothesis_anova",
 )
 _COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
 

@@ -976,3 +976,119 @@ def stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn((center - halfw) / denom, 6).alias("ci_lo"),
         roundn((center + halfw) / denom, 6).alias("ci_hi"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA (r4j wave)
+# ---------------------------------------------------------------------------
+
+#: F critical value at alpha=0.05 for df1=6, df2=inf — shared literal
+#: (the quantile function is libm; day counts make df2 effectively large)
+_ANOVA_FCRIT = 2.099070
+
+
+def _anova_oracle() -> str:
+    return f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+    g AS (
+        SELECT CAST(dayofweek(day) AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2
+        FROM d GROUP BY 1),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s) AS BIGINT) AS st,
+               CAST(SUM(s2) AS BIGINT) AS s2t,
+               SUM(CAST(FLOOR(s * 1.0e0 * s / n / 10000.0e0 + 0.5e0)
+                        AS BIGINT)) * 10000.0e0 AS sq
+        FROM g)
+    SELECT nn AS n_days, k AS n_groups,
+           {sql_roundn(
+               "((sq - st * 1.0e0 * st / nn) / (k - 1))"
+               " / NULLIF((s2t - sq) / (nn - k), 0.0e0)", 4
+           )} AS f_stat,
+           COALESCE(((sq - st * 1.0e0 * st / nn) / (k - 1))
+               / NULLIF((s2t - sq) / (nn - k), 0.0e0) > {_ANOVA_FCRIT}e0,
+               (sq - st * 1.0e0 * st / nn) / (k - 1) > 0.0e0) AS reject_05
+    FROM t
+    """
+
+
+@query("hypothesis_anova", oracle=_anova_oracle())
+def hypothesis_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA across the seven weekday groups of daily revenue —
+    the k-group mean comparison that completes the hypothesis tier
+    (chisq: categorical; t/MW: two groups; KS: shape; Spearman:
+    association; ANOVA: do ANY of k group means differ). F =
+    (SSB/(k−1)) / (SSW/(N−k)) with both sums of squares assembled from
+    per-group exact-int (n, Σx, Σx²): SSB = Σ S_g²/n_g − S²/N, SSW =
+    ΣΣx² − Σ S_g²/n_g — the one-pass textbook decomposition, no
+    per-row mean subtraction.
+
+    Exactness: all per-group sums exact int64 (day-grain cents); the
+    S_g²/n_g terms and the final F run as identical trees (the MW
+    z-stat discipline), and the cross-group Σ S_g²/n_g is QUANTIZED to
+    integer 10⁴-cent² units per group BEFORE summation so the 7-term
+    sum is order-free (the μ-quantization discipline — a raw float sum
+    over groups would be partition-order-dependent); the α=0.05
+    verdict compares against a shared F-crit
+    literal (quantiles are libm; df2 ≈ N−7 is effectively ∞ at any
+    realistic day count, noted).
+
+    100 TB: one day-grain aggregate, one 7-row group table, one scalar
+    readout — nothing scales with row count past the first combine."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("cents"))
+    )
+    g = d.groupBy(F.dayofweek("day").cast("long").alias("dow")).agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    one = F.lit(1.0)
+    t = g.agg(
+        F.sum("n").alias("nn"),
+        F.count("*").alias("k"),
+        F.sum("s").alias("st"),
+        F.sum("s2").alias("s2t"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("s") * one * F.col("s") / F.col("n")
+                    / F.lit(10000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            * F.lit(10000.0)
+        ).alias("sq"),
+    )
+    ssb = (F.col("sq") - F.col("st") * one * F.col("st") / F.col("nn")) / (
+        F.col("k") - 1
+    )
+    ssw = (F.col("s2t") - F.col("sq")) / (F.col("nn") - F.col("k"))
+    # a zero within-group variance is the degenerate boundary: F is
+    # undefined (NULL); the verdict then falls back to "any between-
+    # group variance at all" — identical COALESCE on both engines
+    fstat = ssb / F.nullif(ssw, F.lit(0.0))
+    return t.select(
+        F.col("nn").alias("n_days"),
+        F.col("k").alias("n_groups"),
+        roundn(fstat, 4).alias("f_stat"),
+        F.coalesce(
+            fstat > F.lit(_ANOVA_FCRIT), ssb > F.lit(0.0)
+        ).alias("reject_05"),
+    )
