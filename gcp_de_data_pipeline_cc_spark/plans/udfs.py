@@ -228,13 +228,14 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH l AS (
         SELECT l_orderkey,
                CAST(COUNT(*) AS INT) AS n_lines,
-               SUM(l_extendedprice * (1 - l_discount)) AS s
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                        AS BIGINT)) AS micro
         FROM lineitem GROUP BY 1
     )
     SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
            o.o_orderkey IS NOT NULL AS has_order,
            COALESCE(l.n_lines, 0) AS n_lines,
-           FLOOR(COALESCE(l.s, 0) * 100.0 + 0.5) / 100.0 AS net_sum
+           CAST((COALESCE(l.micro, 0) + 50) // 100 AS DOUBLE) / 100.0 AS net_sum
     FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
     """,
 )
@@ -254,29 +255,40 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity lesson as Arrow batch sizing). Inside a bucket the
     reconcile is a vectorized pandas groupby+merge; bucket count scales
     with cluster cores, bucket size with corpus/buckets — both
-    parameters, never corpus-sized."""
+    parameters, never corpus-sized.
+
+    Determinism: each line's net is quantized to an int64 count of 1e-4
+    currency units BEFORE summation (floor(net*10000+0.5) — the same
+    per-line IEEE product on both engines), so the per-order sum is an
+    exact integer no matter what order shuffle delivers the rows in; the
+    final cents rounding is pure integer arithmetic ((micro+50)//100).
+    A float sum here flips half-cent boundaries run-to-run."""
     N_BUCKETS = 256
 
     def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         if len(ldf):
-            ldf = ldf.assign(net=ldf["l_extendedprice"] * (1 - ldf["l_discount"]))
+            net = ldf["l_extendedprice"] * (1 - ldf["l_discount"])
+            ldf = ldf.assign(
+                micro=np.floor(net * 10000.0 + 0.5).astype("int64")
+            )
             roll = ldf.groupby("l_orderkey", as_index=False).agg(
-                n_lines=("net", "size"), s=("net", "sum")
+                n_lines=("micro", "size"), micro=("micro", "sum")
             )
         else:
-            roll = pd.DataFrame({"l_orderkey": [], "n_lines": [], "s": []})
+            roll = pd.DataFrame({"l_orderkey": [], "n_lines": [], "micro": []})
         m = odf[["o_orderkey"]].assign(has_order=True).merge(
             roll, left_on="o_orderkey", right_on="l_orderkey", how="outer"
         )
         key = m["o_orderkey"].fillna(m["l_orderkey"])
+        micro = m["micro"].fillna(0.0).astype("int64")
         return pd.DataFrame(
             {
                 "o_orderkey": key.astype("int64"),
                 "has_order": m["has_order"].fillna(False).astype(bool),
                 "n_lines": m["n_lines"].fillna(0).astype("int32"),
-                "net_sum": np.floor(m["s"].fillna(0.0) * 100.0 + 0.5) / 100.0,
+                "net_sum": ((micro + 50) // 100).astype("float64") / 100.0,
             }
         )
 
