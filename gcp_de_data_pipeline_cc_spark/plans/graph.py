@@ -12,11 +12,17 @@ the number of lineitems shipped between them (the TPC-H Q7 join shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.operators.graph import (
+    brand_copurchase_edges,
+    lpa_labels,
+    supplier_backbone,
+    supplier_graph,
+)
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
 _DAMP = 0.85
@@ -181,66 +187,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order's line width, ≤ C(8,2) — never all-pairs; the
     market_basket shape); both edge orientations explode from one edge
     row instead of a union-of-two-subtrees (a diamond re-runs the pair
-    build per consumer). The ≤K·n backbone is localCheckpoint'd
-    (lazily) before the triangle joins — three consumers of a diamond
-    otherwise re-derive it three times (measured: the old
-    union+self-join formulation planned THIRTY-SIX lineitem scans,
-    4.8 s at sf0.1; this shape plans one fact scan, the
-    tools/plan_report.py census caught it). The top-K cut is a
-    WindowGroupLimit-pruned rank per node; the enumeration joins
-    broadcast the checkpointed backbone so the wedge set is probed
-    map-side; orientation sa<sb yields each triangle exactly once."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
-        .filter(F.size("bs") >= 2)
-    )
-    pair_col = F.flatten(
-        F.transform(
-            F.filter(
-                F.sequence(F.lit(1), F.size("bs") - 1),
-                lambda i: (i >= 1) & (i <= F.size("bs") - 1),
-            ),
-            lambda i: F.transform(
-                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
-                lambda x: F.struct(
-                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
-                ),
-            ),
-        )
-    )
-    e = (
-        sets.select(F.explode(pair_col).alias("p"))
-        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
-        .agg(F.count("*").alias("w"))
-    )
-    # both orientations from ONE edge row — no union diamond
-    d = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
-                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
-            )
-        ).alias("o"),
-        "w",
-    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
-    )
-    bb = (
-        d.withColumn("rn", rn)
-        .filter(F.col("rn") <= _TRI_K)
-        .select(
-            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
-        )
-        .distinct()
-        # ≤ K·n rows; materialize once for the three triangle-join
-        # consumers (lazy: nothing runs until the query's own action)
-        .localCheckpoint(eager=False)
-    )
+    build per consumer). The ≤K·n backbone is built ONCE PER SESSION by
+    operators/graph.supplier_backbone (session-cached localCheckpoint)
+    and shared with BFS / link-prediction / k-core / assortativity —
+    the r3 plan census measured the duplicated build at ~20 s of the
+    sf0.1 bench; at 100 TB it is a multi-hour fact scan run 7×. The
+    top-K cut is a WindowGroupLimit-pruned rank per node; the
+    enumeration joins broadcast the checkpointed backbone so the wedge
+    set is probed map-side; orientation sa<sb yields each triangle
+    exactly once."""
+    bb = supplier_backbone(spark, sf_dir, _TRI_K)
     e1, e2, e3 = bb.alias("e1"), bb.alias("e2"), bb.alias("e3")
     tri = (
         e1.join(F.broadcast(e2), F.col("e1.sb") == F.col("e2.sa"))
@@ -328,53 +284,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows dedup_clusters' checkpointed-loop shape instead).
 
     100 TB: the edge build is the measured market-basket Σ|basket|²
-    relation; each iteration is one (edges ⋈ labels) hash join +
-    argmax — labels table is node-sized and broadcastable."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    tx = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    tx = tx.localCheckpoint(eager=False)  # both self-join sides
-    a, b = tx.alias("a"), tx.alias("b")
-    eup = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("v"), F.col("b.p_brand").alias("u")
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    eup = eup.localCheckpoint(eager=False)  # two orientations + 2 iters
-    e = eup.unionAll(
-        eup.select(F.col("u").alias("v"), F.col("v").alias("u"), "w")
-    )
-    e = e.localCheckpoint(eager=False)
-
-    def step(labels):
-        s = (
-            e.join(
-                F.broadcast(labels.select(F.col("v").alias("u"), "label")),
-                "u",
-            )
-            .groupBy("v", "label")
-            .agg(F.sum("w").alias("tw"))
-        )
-        wv = Window.partitionBy("v").orderBy(F.desc("tw"), F.asc("label"))
-        return (
-            s.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("v", "label")
-        )
-
-    l0 = e.select("v").distinct().withColumn("label", F.col("v"))
-    l1 = step(l0).localCheckpoint(eager=False)  # feeds step 2 AND output
-    l2 = step(l1)
+    relation, run once per session (operators/graph caches — shared
+    with graph_modularity, which scores THIS partition); each iteration
+    is one (edges ⋈ labels) hash join + argmax — labels table is
+    node-sized and broadcastable."""
+    l1, l2 = lpa_labels(spark, sf_dir, 2)
     return (
         l1.select(F.col("v").alias("brand"), F.col("label").alias("label_1"))
         .join(
@@ -453,59 +367,10 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤K·n backbone each step (the edge table is the probe side,
     never shuffled); each relaxation is one broadcast join + one
     node-sized groupBy — per-step cost proportional to |edges|, and
-    the expensive pair build runs ONCE (same single-scan collect_set
-    shape as graph_triangles, checkpointed)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
-        .filter(F.size("bs") >= 2)
-    )
-    pair_col = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("bs") - 1),
-            lambda i: F.transform(
-                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
-                lambda x: F.struct(
-                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
-                ),
-            ),
-        )
-    )
-    e = (
-        sets.select(F.explode(pair_col).alias("p"))
-        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
-        .agg(F.count("*").alias("w"))
-    )
-    d = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
-                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
-            )
-        ).alias("o"),
-        "w",
-    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
-    rn = F.row_number().over(
-        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
-    )
-    bb = (
-        d.withColumn("rn", rn)
-        .filter(F.col("rn") <= _BFS_K)
-        .select(
-            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # ≤K·n rows; reused every step
-    )
-    g = bb.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
-                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
-            )
-        ).alias("o")
-    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+    the expensive pair build runs ONCE PER SESSION via the shared
+    operators/graph.supplier_backbone cache."""
+    bb = supplier_backbone(spark, sf_dir, _BFS_K)
+    g = supplier_graph(spark, sf_dir, _BFS_K)
 
     src = bb.agg(F.min("sa").alias("node")).select(
         "node", F.lit(0).alias("dist")
@@ -601,59 +466,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by K² per node, never all-pairs (the graph_triangles
     argument); adjacency is removed by an anti-join against the edge
     list; degrees ride a broadcast; the final top-{top} is a
-    TakeOrderedAndProject heap, not a global sort."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
-        .filter(F.size("bs") >= 2)
-    )
-    pair_col = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("bs") - 1),
-            lambda i: F.transform(
-                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
-                lambda x: F.struct(
-                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
-                ),
-            ),
-        )
-    )
-    e = (
-        sets.select(F.explode(pair_col).alias("p"))
-        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
-        .agg(F.count("*").alias("w"))
-    )
-    d = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
-                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
-            )
-        ).alias("o"),
-        "w",
-    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
-    rn = F.row_number().over(
-        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
-    )
-    bb = (
-        d.withColumn("rn", rn)
-        .filter(F.col("rn") <= _LP_K)
-        .select(
-            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # wedge sides + anti-join + degrees
-    )
-    g = bb.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
-                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
-            )
-        ).alias("o")
-    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
-    g = g.localCheckpoint(eager=False)
+    TakeOrderedAndProject heap, not a global sort; the pair build runs
+    ONCE PER SESSION via the shared operators/graph caches."""
+    bb = supplier_backbone(spark, sf_dir, _LP_K)
+    g = supplier_graph(spark, sf_dir, _LP_K)
     deg = g.groupBy("u").agg(F.count("*").alias("deg"))
     g1, g2 = g.alias("g1"), g.alias("g2")
     cn = (
@@ -780,59 +596,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: each round is the edge table semi-joined against the
     node-sized survivor set (broadcast) + one degree aggregate — cost
     per round ∝ surviving edges, monotonically shrinking; the backbone
-    is checkpointed once. Run-to-convergence uses the dedup_clusters
-    checkpointed-loop shape with the same per-round plan."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
-        .filter(F.size("bs") >= 2)
-    )
-    pair_col = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("bs") - 1),
-            lambda i: F.transform(
-                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
-                lambda x: F.struct(
-                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
-                ),
-            ),
-        )
-    )
-    e = (
-        sets.select(F.explode(pair_col).alias("p"))
-        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
-        .agg(F.count("*").alias("w"))
-    )
-    d = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
-                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
-            )
-        ).alias("o"),
-        "w",
-    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
-    rn = F.row_number().over(
-        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
-    )
-    bb = (
-        d.withColumn("rn", rn)
-        .filter(F.col("rn") <= _KCORE_BK)
-        .select(
-            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
-        )
-        .distinct()
-    )
-    g = bb.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
-                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
-            )
-        ).alias("o")
-    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
-    g = g.localCheckpoint(eager=False)  # every peeling round reuses it
+    is built once per session (operators/graph caches). Run-to-
+    convergence uses the dedup_clusters checkpointed-loop shape with
+    the same per-round plan."""
+    g = supplier_graph(spark, sf_dir, _KCORE_BK)  # every round reuses it
 
     def survivors(nodes):
         return (
@@ -955,52 +722,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-tree, 6-dp floor-rounded.
 
     100 TB: reuses the measured Σ|basket|² edge build + two broadcast
-    LPA rounds; the modularity pass adds one degree aggregate and one
-    label-pair semi-join over edges — all node- or edge-sized."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    tx = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    tx = tx.localCheckpoint(eager=False)
-    a, b = tx.alias("a"), tx.alias("b")
-    eup = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("v"), F.col("b.p_brand").alias("u")
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    eup = eup.localCheckpoint(eager=False)
-    e = eup.unionAll(
-        eup.select(F.col("u").alias("v"), F.col("v").alias("u"), "w")
-    )
-    e = e.localCheckpoint(eager=False)
-
-    def step(labels):
-        s = (
-            e.join(
-                F.broadcast(labels.select(F.col("v").alias("u"), "label")),
-                "u",
-            )
-            .groupBy("v", "label")
-            .agg(F.sum("w").alias("tw"))
-        )
-        wv = Window.partitionBy("v").orderBy(F.desc("tw"), F.asc("label"))
-        return (
-            s.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("v", "label")
-        )
-
-    l0 = e.select("v").distinct().withColumn("label", F.col("v"))
-    l2 = step(step(l0)).localCheckpoint(eager=False)  # com + win consumers
+    LPA rounds, both shared per-session with graph_label_propagation
+    (operators/graph caches); the modularity pass adds one degree
+    aggregate and one label-pair semi-join over edges — all node- or
+    edge-sized."""
+    e = brand_copurchase_edges(spark, sf_dir)
+    l2 = lpa_labels(spark, sf_dir, 2)[1]  # com + win consumers
     m2df = e.agg(F.sum("w").alias("m2"))
     deg = e.groupBy("v").agg(F.sum("w").alias("deg"))
     com = (
@@ -1127,59 +854,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: degrees are one aggregate over the ≤K·n backbone; the
     edge-degree join broadcasts the node-sized degree table; the
-    moment sums are a single map-side-combined pass."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("bs"))
-        .filter(F.size("bs") >= 2)
+    moment sums are a single map-side-combined pass; the backbone is
+    built once per session (operators/graph caches)."""
+    bb = supplier_backbone(spark, sf_dir, _ASSORT_BK)
+    deg = (
+        supplier_graph(spark, sf_dir, _ASSORT_BK)
+        .groupBy("u")
+        .agg(F.count("*").alias("deg"))
     )
-    pair_col = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("bs") - 1),
-            lambda i: F.transform(
-                F.slice(F.col("bs"), i + 1, F.size("bs") - i),
-                lambda x: F.struct(
-                    F.col("bs")[i - 1].alias("sa"), x.alias("sb")
-                ),
-            ),
-        )
-    )
-    e = (
-        sets.select(F.explode(pair_col).alias("p"))
-        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
-        .agg(F.count("*").alias("w"))
-    )
-    d = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u"), F.col("sb").alias("v")),
-                F.struct(F.col("sb").alias("u"), F.col("sa").alias("v")),
-            )
-        ).alias("o"),
-        "w",
-    ).select(F.col("o.u").alias("u"), F.col("o.v").alias("v"), "w")
-    rn = F.row_number().over(
-        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
-    )
-    bb = (
-        d.withColumn("rn", rn)
-        .filter(F.col("rn") <= _ASSORT_BK)
-        .select(
-            F.least("u", "v").alias("sa"), F.greatest("u", "v").alias("sb")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # degrees + edge-degree join
-    )
-    g = bb.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("sa").alias("u")),
-                F.struct(F.col("sb").alias("u")),
-            )
-        ).alias("o")
-    ).select(F.col("o.u").alias("u"))
-    deg = g.groupBy("u").agg(F.count("*").alias("deg"))
     ed = bb.join(
         F.broadcast(deg.select(F.col("u").alias("sa"), F.col("deg").alias("du"))),
         "sa",

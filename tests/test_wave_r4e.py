@@ -47,3 +47,37 @@ def test_udf_cogrouped_stable_across_runs(spark):
     # and every net_sum is an exact cent (no float residue)
     cents = a["net_sum"] * 100.0
     assert np.allclose(cents, np.round(cents))
+
+
+# -------------------------------------------------- shared graph backbone
+
+def test_graph_backbone_cached_per_session(spark):
+    from gcp_de_data_pipeline_cc_spark.operators import graph as og
+
+    og.clear_cache()
+    bb1 = og.supplier_backbone(spark, SF_DIR, 8)
+    bb2 = og.supplier_backbone(spark, SF_DIR, 8)
+    assert bb1 is bb2  # same checkpointed relation, not a rebuild
+    g1 = og.supplier_graph(spark, SF_DIR, 8)
+    assert g1 is og.supplier_graph(spark, SF_DIR, 8)
+    # different K or sf_dir = different backbone
+    assert og.supplier_backbone(spark, SF_DIR, 4) is not bb1
+    e1 = og.brand_copurchase_edges(spark, SF_DIR)
+    assert e1 is og.brand_copurchase_edges(spark, SF_DIR)
+    l1, l2 = og.lpa_labels(spark, SF_DIR, 2)
+    assert og.lpa_labels(spark, SF_DIR, 2)[0] is l1
+
+
+def test_graph_keys_share_one_backbone_subtree(spark):
+    # after clearing, running triangles then assortativity must NOT
+    # re-derive the pair-explode subtree: the second key's analyzed plan
+    # contains the checkpointed scan, not a lineitem aggregate
+    from gcp_de_data_pipeline_cc_spark.operators import graph as og
+
+    og.clear_cache()
+    t = REGISTRY["graph_triangles"].spark(spark, SF_DIR)
+    t.collect()
+    a = REGISTRY["graph_assortativity"].spark(spark, SF_DIR)
+    plan = a._jdf.queryExecution().optimizedPlan().toString()
+    assert "lineitem" not in plan  # backbone comes from the checkpoint
+    assert len(a.collect()) == 1
