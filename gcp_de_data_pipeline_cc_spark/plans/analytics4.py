@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
@@ -231,12 +232,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     when a value sits on a boundary.
 
     100 TB: the per-customer rollup reduces orders to customer
-    cardinality first (map-side combined); the scoring windows sort the
-    CUSTOMER relation, which the catalog classes dimension-sized
-    (DIM_TABLES) — for entity tables that genuinely outgrow a sort,
-    swap the rank windows for broadcast quantile-boundary joins and
-    accept boundary-tie coarseness. The anchor is a one-row broadcast.
-    """
+    cardinality first (map-side combined); each scoring rank uses
+    operators/scale.global_rank — two-phase distributed ranking (range
+    exchange + per-partition window + broadcast offsets), so the
+    customer-cardinality relation is never sorted in one reducer. The
+    anchor is a one-row broadcast."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(
         F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
@@ -260,29 +260,41 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def quintile(order_cols) -> F.Column:
-        w = Window.orderBy(*order_cols)
-        n = F.count("*").over(
-            Window.partitionBy()
-        )
-        return (
-            1 + F.floor((F.row_number().over(w) - 1) * F.lit(5.0) / n)
-        ).cast("long")
+    per_cust = per_cust.localCheckpoint(eager=False)  # 3 rank passes + n
+    n_total = per_cust.agg(F.count("*").alias("n"))
 
-    scored = per_cust.select(
+    def quintile_ranked(df, order_cols, score_name):
+        ranked = global_rank(df, order_cols, rank_col="__grn")
+        return ranked.withColumn(
+            score_name,
+            (
+                1
+                + F.floor(
+                    (F.col("__grn") - 1) * F.lit(5.0) / F.col("__n")
+                )
+            ).cast("long"),
+        ).drop("__grn")
+
+    scored = per_cust.crossJoin(
+        F.broadcast(n_total.select(F.col("n").alias("__n")))
+    )
+    scored = quintile_ranked(
+        scored, [F.asc("recency_days"), F.asc("c_custkey")], "r_score"
+    )
+    scored = quintile_ranked(
+        scored, [F.desc("frequency"), F.asc("c_custkey")], "f_score"
+    )
+    scored = quintile_ranked(
+        scored, [F.desc("monetary_cents"), F.asc("c_custkey")], "m_score"
+    )
+    scored = scored.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        quintile([F.asc("recency_days"), F.asc("c_custkey")]).alias(
-            "r_score"
-        ),
-        quintile([F.desc("frequency"), F.asc("c_custkey")]).alias(
-            "f_score"
-        ),
-        quintile([F.desc("monetary_cents"), F.asc("c_custkey")]).alias(
-            "m_score"
-        ),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.withColumn(
         "rfm_code",
@@ -846,10 +858,11 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-tree divisions. Monotonicity and the Lorenz-below-
     diagonal law are tested.
 
-    100 TB: per-customer rollup is map-side combined; the sort-window
-    runs over the CUSTOMER table (entity-sized, not fact-sized); for
-    entity tables beyond a sort, the boundary-join form of
-    range_partition_plan substitutes."""
+    100 TB: per-customer rollup is map-side combined; the global rank
+    and running sum use operators/scale.global_rank — two-phase
+    distributed ranking (range exchange + per-partition window +
+    broadcast offsets), so NO single-reducer sort touches the
+    entity-sized relation at any scale."""
     orders = load_table(spark, sf_dir, "orders")
     pc = orders.groupBy("o_custkey").agg(
         F.sum(
@@ -860,14 +873,13 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc = pc.localCheckpoint(eager=False)  # totals + ranked consumers
     t = pc.agg(F.count("*").alias("n"), F.sum("cents").alias("tot"))
-    w = Window.orderBy("cents", "o_custkey")
-    r = pc.select(
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.sum("cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-    )
+    r = global_rank(
+        pc,
+        [F.asc("cents"), F.asc("o_custkey")],
+        rank_col="rn",
+        cumsum_col="cum",
+        value_col="cents",
+    ).select("cents", "rn", "cum")
     one = F.lit(1.0)
     return (
         r.crossJoin(F.broadcast(t))

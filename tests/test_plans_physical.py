@@ -444,3 +444,32 @@ def test_star_except_prunes_excluded_columns(spark):
     assert "l_orderkey" in read_schema
     for gone in ("l_tax", "l_suppkey", "l_linestatus"):
         assert gone not in read_schema, gone
+
+
+def _unpartitioned_window_subtrees(plan: str) -> list[str]:
+    """Chunks of a formatted plan rooted at each SinglePartition window
+    exchange (the 'WindowExec: No Partition Defined' shape)."""
+    out = []
+    lines = plan.split("\n")
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ahead = "\n".join(lines[max(0, i - 2) : i + 12])
+            if "Window" in ahead:  # scalar-agg exchanges are fine
+                out.append(ahead)
+    return out
+
+
+@pytest.mark.parametrize("name", ["rfm_segments", "agg_lorenz_curve"])
+def test_entity_ranks_never_single_partition_sort(spark, name):
+    # global_rank's two-phase form: any single-partition exchange left
+    # in the plan must feed the CONFIG-bounded offsets relation (rows =
+    # shuffle partitions, keyed __pid), never the entity-sized input.
+    plan = plan_of(spark, name)
+    chunks = _unpartitioned_window_subtrees(plan)
+    assert chunks, f"{name}: expected the bounded offsets exchange"
+    for chunk in chunks:
+        assert "__pid" in chunk, (
+            f"{name}: single-partition exchange over entity rows\n{chunk}"
+        )
+    # and the entity relation itself goes through a range exchange
+    assert "rangepartitioning" in plan.lower(), name
