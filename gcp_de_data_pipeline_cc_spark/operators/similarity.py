@@ -357,3 +357,96 @@ def topk_recall(
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# portable (engine-exact) integer LSH
+# ---------------------------------------------------------------------------
+
+#: 2^13 — float32→double widening, ×2^13, +0.5, floor are ALL exact IEEE
+#: steps, so quantization is bit-identical on any engine
+PORTABLE_Q_SCALE = 8192
+
+#: integer hyperplane component range: |dot| ≤ dim·8192·(8192·|x|max) stays
+#: far below 2^53, so the dot product is exact in BOTH int64 and double
+_PORTABLE_PLANE_MAX = 8192
+
+
+def portable_int_planes(
+    n_planes: int, dim: int, seed: int = 424242
+) -> np.ndarray:
+    """Deterministic integer hyperplanes, shared verbatim by the Spark
+    UDF (int64 matmul) and the DuckDB oracle (literal lists) — the
+    float-hyperplane portability problem is that GEMM vs sequential-fold
+    summation order flips signs near zero; integer dots are order-free
+    and exact on both engines (the dedup_minhash portable-hash
+    discipline applied to vectors)."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(
+        -_PORTABLE_PLANE_MAX, _PORTABLE_PLANE_MAX + 1, size=(n_planes, dim)
+    ).astype(np.int64)
+
+
+def portable_lsh_buckets(
+    df: DataFrame,
+    out_id: str,
+    n_tables: int,
+    bits: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One (table_id, bucket) row per vector per hash table, with
+    ENGINE-EXACT bucket ids: quantize each component to
+    floor(x·2^13 + 0.5) (exact), then bit j of table t = sign of the
+    int64 dot with plane t·bits+j.  Vectors narrower than ``dim`` use
+    the leading plane columns (planes are seeded per (n_tables·bits,
+    dim), truncation keeps determinism)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = portable_int_planes(n_tables * bits, dim)  # (T·b, dim)
+    weights = 2 ** np.arange(bits - 1, -1, -1, dtype=np.int64)  # MSB-first
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.vstack(vecs.to_numpy()).astype(np.float64)  # exact widen
+        q = np.floor(v * PORTABLE_Q_SCALE + 0.5).astype(np.int64)
+        p = planes[:, : q.shape[1]]
+        signs = (q @ p.T) > 0  # exact int64 matmul
+        grouped = signs.reshape(len(q), -1, len(weights))  # (n, T, b)
+        return pd.Series(list(grouped @ weights))
+
+    return df.select(
+        F.col(id_col).alias(out_id), _codes(F.col(vec_col)).alias("_codes")
+    ).select(out_id, F.posexplode("_codes").alias("table_id", "bucket"))
+
+
+def sql_portable_lsh_buckets(
+    vec_expr: str, n_tables: int, bits: int, dim: int
+) -> list[str]:
+    """DuckDB expressions (one per table) reproducing
+    :func:`portable_lsh_buckets` bit-for-bit: the quantized components
+    and integer plane literals keep every dot product below 2^53, so
+    ``list_dot_product``'s double arithmetic is exact."""
+    planes = portable_int_planes(n_tables * bits, dim)
+    q = (
+        f"list_transform({vec_expr}, "
+        f"x -> FLOOR(CAST(x AS DOUBLE) * {PORTABLE_Q_SCALE}.0 + 0.5))"
+    )
+    exprs = []
+    for t in range(n_tables):
+        terms = []
+        for j in range(bits):
+            plane = planes[t * bits + j]
+            lits = "[" + ", ".join(f"{int(x)}.0" for x in plane) + "]"
+            w = 2 ** (bits - 1 - j)  # MSB-first, matching the UDF
+            terms.append(
+                f"CASE WHEN list_dot_product(__q, {lits}) > 0 "
+                f"THEN {w} ELSE 0 END"
+            )
+        exprs.append(
+            "(SELECT " + " + ".join(terms) + f" FROM (SELECT {q} AS __q))"
+        )
+    return exprs

@@ -778,24 +778,41 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: anchors: one in 25 vectors; negatives reported per anchor
 _HN_NEGS = 3
 
+#: portable-LSH candidate pruning: tables × bits (buckets = 2^bits each)
+_HN_TABLES = 8
+_HN_BITS = 4
+_HN_DIM = 64
+
+
+def _hn_bucket_cols() -> str:
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        sql_portable_lsh_buckets,
+    )
+
+    exprs = sql_portable_lsh_buckets("embedding", _HN_TABLES, _HN_BITS, _HN_DIM)
+    return ", ".join(f"{e} AS b{t}" for t, e in enumerate(exprs))
+
 
 def _hn_oracle() -> str:
+    collide = " OR ".join(
+        f"a.b{t} = c.b{t}" for t in range(_HN_TABLES)
+    )
     return f"""
     WITH a AS (
         SELECT vec_id AS anchor_id, label AS a_label,
-               embedding::DOUBLE[] AS av
+               embedding::DOUBLE[] AS av, {_hn_bucket_cols()}
         FROM embeddings WHERE vec_id % 25 = 0),
     c AS (
         SELECT vec_id AS cand_id, label AS c_label,
-               embedding::DOUBLE[] AS cv
+               embedding::DOUBLE[] AS cv, {_hn_bucket_cols()}
         FROM embeddings),
     scored AS (
         SELECT anchor_id, a_label, cand_id, c_label,
                list_dot_product(av, cv)
                    / sqrt(list_dot_product(av, av))
                    / sqrt(list_dot_product(cv, cv)) AS cos_raw
-        FROM a CROSS JOIN c
-        WHERE anchor_id <> cand_id),
+        FROM a JOIN c
+          ON anchor_id <> cand_id AND ({collide})),
     pos AS (
         SELECT anchor_id, cand_id AS pos_id, cos_raw AS pos_raw
         FROM (
@@ -827,54 +844,33 @@ def _hn_oracle() -> str:
 @query("train_hard_negatives", oracle=_hn_oracle())
 def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-prep — contrastive HARD-NEGATIVE mining over the
-    embedding table: for each anchor (vec_id % 25 = 0), the positive is
-    its nearest SAME-label vector and the negatives are the top-{n}
-    nearest DIFFERENT-label vectors — the highest-loss negatives, which
-    is what makes contrastive/triplet training converge (mining from
-    the batch's easy negatives does not). Emits the triplet rows with
-    the margin pos_cos − neg_cos: margins near or below zero are the
-    label noise / boundary cases a curriculum would surface first.
+    embedding table: for each anchor (vec_id % 25 = 0), candidates are
+    the vectors sharing ≥1 portable-LSH bucket with the anchor (8
+    tables × 4 bits, integer-exact signatures); the positive is the
+    nearest SAME-label candidate and the negatives are the top-{n}
+    nearest DIFFERENT-label candidates — the highest-loss negatives,
+    which is what makes contrastive/triplet training converge (mining
+    from the batch's easy negatives does not). Emits the triplet rows
+    with the margin pos_cos − neg_cos: margins near or below zero are
+    the label noise / boundary cases a curriculum would surface first.
 
-    Exactness: cosines fold in fixed array order (zip_with/aggregate ↔
-    list_dot_product — identical IEEE sequences, the sim_topk
-    discipline); ranks break ties on candidate id; margins subtract
-    RAW cosines before the shared 4-dp floor-round.
+    Exactness: bucket ids come from INTEGER hyperplane dots (quantized
+    components × integer planes — order-free, bit-identical on any
+    engine: operators/similarity.portable_lsh_buckets, the
+    dedup_minhash portable-hash discipline), so the pruned candidate
+    set is deterministic and the DuckDB oracle reproduces it exactly;
+    cosines fold in fixed array order (zip_with/aggregate ↔
+    list_dot_product); ranks break ties on candidate id; margins
+    subtract RAW cosines before the shared 4-dp floor-round.
 
-    100 TB: anchors broadcast over the candidate scan (the brute-force
-    oracle shape — swap the candidate set for the LSH/IVF-pruned one at
-    scale, same downstream contract); both argmax windows are
-    WindowGroupLimit-pruned per anchor; no candidate-side shuffle."""
-    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
-        _dot,
-        _norm,
-        as_double_vectors,
-    )
-
-    emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
-    a = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("a_label"),
-        F.col("embedding").alias("av"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("c_label"),
-        F.col("embedding").alias("cv"),
-    )
-    scored = (
-        c.join(F.broadcast(a), F.col("anchor_id") != F.col("cand_id"))
-        .select(
-            "anchor_id",
-            "a_label",
-            "cand_id",
-            "c_label",
-            (
-                _dot(F.col("av"), F.col("cv"))
-                / _norm(F.col("av"))
-                / _norm(F.col("cv"))
-            ).alias("cos_raw"),
-        )
-    )
+    100 TB: NOTHING broadcasts unbounded — anchors and candidates both
+    SHUFFLE on (table_id, bucket) (the r3 verdict's anchor-broadcast
+    flaw: |corpus|/25 anchors outgrow any broadcast), expected pairs ≈
+    tables·|A|·n/2^bits per table with the bits/tables recall dial
+    (dedup_lsh_calibration's measured S-curve); vector attachment is
+    two id-keyed shuffle joins; both argmax windows are
+    WindowGroupLimit-pruned per anchor."""
+    scored = _hn_scored(spark, sf_dir)
     scored = scored.localCheckpoint(eager=False)  # pos + neg consumers
     wa = Window.partitionBy("anchor_id").orderBy(
         F.col("cos_raw").desc(), F.col("cand_id")
@@ -912,6 +908,56 @@ def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.col("pos_raw") - F.col("neg_raw"), 4).alias("margin"),
         )
         .orderBy("anchor_id", "neg_rank")
+    )
+
+
+def _hn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned anchor×candidate cosine scores (pre-checkpoint —
+    exposed so the physical-plan sweep can inspect the bucket join)."""
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double_vectors,
+        portable_lsh_buckets,
+    )
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = as_double_vectors(raw)
+    anchors_raw = raw.filter(F.col("vec_id") % 25 == 0)
+    ab = portable_lsh_buckets(
+        anchors_raw, "anchor_id", _HN_TABLES, _HN_BITS, _HN_DIM
+    )
+    cb = portable_lsh_buckets(raw, "cand_id", _HN_TABLES, _HN_BITS, _HN_DIM)
+    pairs = (
+        cb.join(ab, ["table_id", "bucket"])
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select("anchor_id", "cand_id")
+        .distinct()
+    )
+    a = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("cv"),
+    )
+    return (
+        pairs.join(a, "anchor_id")
+        .join(c, "cand_id")
+        .select(
+            "anchor_id",
+            "a_label",
+            "cand_id",
+            "c_label",
+            (
+                _dot(F.col("av"), F.col("cv"))
+                / _norm(F.col("av"))
+                / _norm(F.col("cv"))
+            ).alias("cos_raw"),
+        )
     )
 
 

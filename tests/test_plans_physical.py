@@ -473,3 +473,17 @@ def test_entity_ranks_never_single_partition_sort(spark, name):
         )
     # and the entity relation itself goes through a range exchange
     assert "rangepartitioning" in plan.lower(), name
+
+
+def test_hard_negatives_no_unbounded_broadcast(spark):
+    # the r3 scale flaw: anchors (|corpus|/25) rode an explicit
+    # broadcast hint.  Size-based AQE broadcasts of genuinely tiny
+    # relations are fine; an unconditional HINT is not.  Inspect the
+    # pre-checkpoint scored relation (the checkpoint truncates plans).
+    from gcp_de_data_pipeline_cc_spark.plans.training import _hn_scored
+
+    df = _hn_scored(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # candidate generation is an equi-join on (table_id, bucket)
+    assert "table_id" in analyzed and "bucket" in analyzed

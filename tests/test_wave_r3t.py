@@ -22,20 +22,49 @@ def _write_embeddings(spark, tmp_path, rows):
 
 
 def test_hard_negatives_known_geometry(spark, tmp_path):
-    _write_embeddings(spark, tmp_path, [
-        (0, [1.0, 0.0, 0.0, 0.0], 0),   # anchor (0 % 25 == 0)
-        (1, [1.0, 0.1, 0.0, 0.0], 0),   # positive
-        (2, [1.0, 0.2, 0.0, 0.0], 1),   # hardest negative
-        (3, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal, ties with 4
-        (4, [0.0, 0.0, 1.0, 0.0], 1),
-    ])
+    # bucket-scoped contract: candidates must share a portable-LSH
+    # bucket with the anchor.  Near-duplicates (the HARD negatives the
+    # miner exists to find) collide; orthogonal EASY negatives are
+    # pruned by design.  Verify the collision structure through the
+    # same public bucket function instead of assuming it.
+    import numpy as np
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        PORTABLE_Q_SCALE,
+        portable_int_planes,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],   # anchor (0 % 25 == 0)
+        1: [1.0, 0.1, 0.0, 0.0],   # positive
+        2: [1.0, 0.2, 0.0, 0.0],   # hardest negative
+        3: [0.0, 1.0, 0.0, 0.0],   # orthogonal easy negatives
+        4: [0.0, 0.0, 1.0, 0.0],
+    }
+    planes = portable_int_planes(32, 64)[:, :4]
+    w = 2 ** np.arange(3, -1, -1, dtype=np.int64)
+    codes = {
+        k: tuple(
+            ((planes @ np.floor(np.asarray(v) * PORTABLE_Q_SCALE + 0.5)
+              .astype(np.int64)) > 0).reshape(8, 4) @ w
+        )
+        for k, v in vecs.items()
+    }
+    collides = {
+        k: any(a == b for a, b in zip(codes[0], codes[k]))
+        for k in (1, 2, 3, 4)
+    }
+    assert collides[1] and collides[2]          # hard pair survives
+    assert not collides[3] and not collides[4]  # easy pair pruned
+
+    _write_embeddings(
+        spark, tmp_path, [(k, v, 0 if k <= 1 else 1) for k, v in vecs.items()]
+    )
     out = REGISTRY["train_hard_negatives"].spark(spark, str(tmp_path)).collect()
-    assert [(r.anchor_id, r.pos_id, r.neg_rank, r.neg_id) for r in out] == \
-        [(0, 1, 1, 2), (0, 1, 2, 3), (0, 1, 3, 4)]
+    assert [(r.anchor_id, r.pos_id, r.neg_rank, r.neg_id) for r in out] == [
+        (0, 1, 1, 2)
+    ]
     r1 = out[0]
     assert r1.pos_cos > r1.neg_cos and r1.margin > 0
-    assert out[1].neg_cos == 0.0 and out[2].neg_cos == 0.0
-    assert out[1].margin == out[0].pos_cos  # pos_cos - 0
 
 
 def test_hard_negatives_fixture_laws(spark):
