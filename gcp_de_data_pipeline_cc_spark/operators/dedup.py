@@ -227,6 +227,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     shingles: DataFrame | None = None,
     jaccard_pairs: DataFrame | None = None,
+    jaccard_pairs_threshold: float = 0.0,
 ) -> DataFrame:
     """C4 — MinHash+LSH near-dup join: band the signatures, bucket-join
     candidates, then *verify* candidates with exact Jaccard.
@@ -242,8 +243,18 @@ def minhash_lsh_pairs(
     join against it instead of a second candidate-restricted shingle
     join — sound because every candidate with J ≥ threshold > 0 shares
     a shingle and is therefore in the universe. Equivalence is pinned
-    by tests.
+    by tests.  ``jaccard_pairs_threshold`` declares the threshold the
+    injected relation was computed at; it must not exceed ``threshold``
+    or candidates in [threshold, pairs_threshold) would be silently
+    dropped — validated here, not just documented.
     """
+    if jaccard_pairs is not None and jaccard_pairs_threshold > threshold:
+        raise ValueError(
+            f"injected jaccard_pairs computed at threshold "
+            f"{jaccard_pairs_threshold} cannot serve a request at "
+            f"{threshold}: pairs in [{threshold}, "
+            f"{jaccard_pairs_threshold}) are missing from the universe"
+        )
     candidates = minhash_band_candidates(
         docs, num_perms, bands, k, id_col, text_col, shingles=shingles
     )
@@ -255,9 +266,11 @@ def minhash_lsh_pairs(
     # verification: exact jaccard on the candidate pairs only.
     # The shingle relation feeds both join sides AND both size lookups —
     # four consumers; checkpoint it (and the tiny per-doc size rollup)
-    # so tokenize+explode runs once.
+    # so tokenize+explode runs once.  localCheckpoint is idempotent-safe
+    # on an INJECTED relation too — without it a caller passing a
+    # non-materialized frame silently re-runs tokenize+explode 4×.
     sh = (
-        shingles
+        shingles.localCheckpoint(eager=False)
         if shingles is not None
         else _doc_shingles(docs, id_col, text_col, k).localCheckpoint(eager=False)
     )

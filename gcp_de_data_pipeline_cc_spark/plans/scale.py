@@ -503,8 +503,9 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.select(
             F.explode(F.sequence(F.lit(1), F.lit(b - 1))).alias("i"), "n"
         )
-        .select("i", ((F.col("i") * F.col("n") + (b - 1)) / b)
-                .cast("long").alias("k"))
+        # integer DIV, not double division: (i·n+b−1)/b through a double
+        # loses exactness past 2^53 (the corpus_apportion_budget rule)
+        .select("i", F.expr(f"(i * n + {b - 1}) DIV {b}").alias("k"))
     )
     bnd = (
         cum.join(F.broadcast(ks), cum["cc"] >= ks["k"])

@@ -530,7 +530,11 @@ def dedup_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     ex = qual.select("doc_a", "doc_b")
     mh = dd.minhash_lsh_pairs(
-        docs, threshold=0.5, shingles=sh, jaccard_pairs=qual
+        docs,
+        threshold=0.5,
+        shingles=sh,
+        jaccard_pairs=qual,
+        jaccard_pairs_threshold=0.5,
     ).select("doc_a", "doc_b")
     ex = ex.localCheckpoint(eager=False)
     mh = mh.localCheckpoint(eager=False)

@@ -1011,10 +1011,11 @@ def _anova_oracle() -> str:
     SELECT nn AS n_days, k AS n_groups,
            {sql_roundn(
                "((sq - st * 1.0e0 * st / nn) / (k - 1))"
-               " / NULLIF((s2t - sq) / (nn - k), 0.0e0)", 4
+               " / NULLIF(GREATEST(s2t - sq, 0.0e0) / (nn - k), 0.0e0)", 4
            )} AS f_stat,
            COALESCE(((sq - st * 1.0e0 * st / nn) / (k - 1))
-               / NULLIF((s2t - sq) / (nn - k), 0.0e0) > {_ANOVA_FCRIT}e0,
+               / NULLIF(GREATEST(s2t - sq, 0.0e0) / (nn - k), 0.0e0)
+                   > {_ANOVA_FCRIT}e0,
                (sq - st * 1.0e0 * st / nn) / (k - 1) > 0.0e0) AS reject_05
     FROM t
     """
@@ -1079,7 +1080,12 @@ def hypothesis_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssb = (F.col("sq") - F.col("st") * one * F.col("st") / F.col("nn")) / (
         F.col("k") - 1
     )
-    ssw = (F.col("s2t") - F.col("sq")) / (F.col("nn") - F.col("k"))
+    # GREATEST clamp: sq is quantized per group, so in a near-zero-SSW
+    # dataset s2t − sq can land a hair NEGATIVE — without the clamp that
+    # slips past NULLIF(·, 0) and yields a negative F / false verdict
+    ssw = F.greatest(F.col("s2t") - F.col("sq"), F.lit(0.0)) / (
+        F.col("nn") - F.col("k")
+    )
     # a zero within-group variance is the degenerate boundary: F is
     # undefined (NULL); the verdict then falls back to "any between-
     # group variance at all" — identical COALESCE on both engines

@@ -81,3 +81,23 @@ def test_graph_keys_share_one_backbone_subtree(spark):
     plan = a._jdf.queryExecution().optimizedPlan().toString()
     assert "lineitem" not in plan  # backbone comes from the checkpoint
     assert len(a.collect()) == 1
+
+
+# ------------------------------------------------- injected-pairs contract
+
+def test_minhash_rejects_narrower_injected_universe(spark):
+    import pytest as _pytest
+    from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fake_pairs = spark.createDataFrame(
+        [], "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE"
+    )
+    with _pytest.raises(ValueError, match="missing from the universe"):
+        dd.minhash_lsh_pairs(
+            docs,
+            threshold=0.5,
+            jaccard_pairs=fake_pairs,
+            jaccard_pairs_threshold=0.7,
+        )
