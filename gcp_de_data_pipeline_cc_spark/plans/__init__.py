@@ -28,6 +28,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     lifecycle,
     llm,
     ops,
+    pipeline_e2e,
     pipeline_ops,
     privacy,
     recsys,

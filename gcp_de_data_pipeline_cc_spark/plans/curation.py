@@ -1531,3 +1531,108 @@ def mv_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# alert routing across the QC tier (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: severity ladder: rank → (severity, channel). The reference routes every
+#: failure to ONE email (email_on_failure: True + notifications.email,
+#: dags/pipeline_orchestration_dag.py:31-33, pipeline_config.yaml:93-94);
+#: a warehouse needs the failures ROUTED by blast radius instead.
+_ALERT_ROUTES = {
+    1: ("critical", "pagerduty"),
+    2: ("high", "dataeng-alerts"),
+    3: ("medium", "dataeng-alerts"),
+    4: ("low", "dataeng-digest"),
+}
+
+
+def _alert_oracle() -> str:
+    """Composed from the underlying keys' OWN oracles (nested derived
+    tables) so the alert view can never drift from the checks it
+    routes."""
+    from gcp_de_data_pipeline_cc_spark.plans.registry import REGISTRY as _R
+
+    def src(key: str) -> str:
+        return f"({_R[key].oracle})"
+
+    rows = []
+    for rank, cond, check, key_expr, metric, table in (
+        (1, "NOT passed", "gate_suite", "gate", "CAST(observed AS DOUBLE)",
+         src("qc_gate_suite")),
+        (2, "NOT passed", "uniqueness", "test",
+         "CAST(n_duplicate_rows AS DOUBLE)", src("qc_uniqueness")),
+        (2, "NOT passed", "accepted_values", "test",
+         "CAST(n_violations AS DOUBLE)", src("qc_accepted_values")),
+        (3, "status <> 'ok'", "freshness", "event_type",
+         "CAST(lag_seconds AS DOUBLE)", src("qc_freshness")),
+        (4, "drift_flag", "volume_drift",
+         "event_type || '@' || strftime(day, '%Y-%m-%d')",
+         "CAST(pct_change AS DOUBLE)", src("qc_volume_drift")),
+    ):
+        sev, chan = _ALERT_ROUTES[rank]
+        rows.append(
+            f"SELECT CAST({rank} AS INT) AS severity_rank,"
+            f" '{sev}' AS severity, '{chan}' AS channel,"
+            f" '{check}' AS source_check, {key_expr} AS alert_key,"
+            f" {metric} AS metric FROM {table} WHERE {cond}"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    SELECT * FROM ({union})
+    ORDER BY severity_rank, source_check, alert_key
+    """
+
+
+@query("qc_alert_routing", oracle=_alert_oracle())
+def qc_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALERT ROUTING over the whole QC tier — the reference's
+    ``email_on_failure`` analog done warehouse-side: every failing row
+    from the gate suite, dbt-style uniqueness / accepted-values tests,
+    source freshness, and volume drift lands in ONE severity-ranked
+    alert table with a routing channel per blast radius
+    (pipeline-blocking gate → pagerduty; contract break → alerts
+    channel; staleness → alerts; drift → digest). The QC keys return
+    verdict rows; this is the "who gets paged" rollup a run actually
+    notifies from.
+
+    The Spark side calls the underlying registered plan builders and
+    the oracle NESTS the same keys' own oracle SQL — the routing can
+    never drift from the checks it routes (the shared-relation
+    injection discipline, applied to SQL composition).
+
+    100 TB: each source check is already dim-sized output; the rollup
+    is a union of filtered projections — no new scan of any fact
+    table, no shuffle beyond the sources' own."""
+    parts = []
+    for rank, cond, check, key_col, metric, df in (
+        (1, ~F.col("passed"), "gate_suite", F.col("gate"),
+         F.col("observed"), qc_gate_suite(spark, sf_dir)),
+        (2, ~F.col("passed"), "uniqueness", F.col("test"),
+         F.col("n_duplicate_rows"), qc_uniqueness(spark, sf_dir)),
+        (2, ~F.col("passed"), "accepted_values", F.col("test"),
+         F.col("n_violations"), qc_accepted_values(spark, sf_dir)),
+        (3, F.col("status") != "ok", "freshness", F.col("event_type"),
+         F.col("lag_seconds"), qc_freshness(spark, sf_dir)),
+        (4, F.col("drift_flag"), "volume_drift",
+         F.concat(F.col("event_type"), F.lit("@"),
+                  F.date_format("day", "yyyy-MM-dd")),
+         F.col("pct_change"), qc_volume_drift(spark, sf_dir)),
+    ):
+        sev, chan = _ALERT_ROUTES[rank]
+        parts.append(
+            df.filter(cond).select(
+                F.lit(rank).cast("int").alias("severity_rank"),
+                F.lit(sev).alias("severity"),
+                F.lit(chan).alias("channel"),
+                F.lit(check).alias("source_check"),
+                key_col.cast("string").alias("alert_key"),
+                metric.cast("double").alias("metric"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("severity_rank", "source_check", "alert_key")

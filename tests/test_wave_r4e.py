@@ -101,3 +101,49 @@ def test_minhash_rejects_narrower_injected_universe(spark):
             jaccard_pairs=fake_pairs,
             jaccard_pairs_threshold=0.7,
         )
+
+
+# ------------------------------------------------------- alert routing
+
+def _clone_tables(spark, tmp_path):
+    for t in ("lineitem", "orders", "customer", "supplier", "events",
+              "nation", "region", "part", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/{t}.parquet")
+
+
+def test_alert_routing_fires_on_injected_staleness(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    _clone_tables(spark, tmp_path)
+    # stall one feed: drop every 'error' event newer than its first 6
+    # days so its lag blows past the 48 h error band
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = ev.agg(F.min("ts")).collect()[0][0]
+    stalled = ev.filter(
+        (F.col("event_type") != "error")
+        | (F.col("ts") < F.lit(t0) + F.expr("INTERVAL 6 DAYS"))
+    )
+    stalled.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = REGISTRY["qc_alert_routing"].spark(spark, str(tmp_path)).collect()
+    fresh = [r for r in out if r.source_check == "freshness"]
+    assert any(r.alert_key == "error" for r in fresh)
+    err = next(r for r in fresh if r.alert_key == "error")
+    assert err.severity == "medium" and err.channel == "dataeng-alerts"
+    assert err.severity_rank == 3 and err.metric > 48 * 3600
+    # ranked output: severity_rank is non-decreasing
+    ranks = [r.severity_rank for r in out]
+    assert ranks == sorted(ranks)
+
+
+def test_alert_routing_routes_known_duplicate_contract_break(spark):
+    # the sf fixture's lineitem (l_orderkey, l_linenumber) duplicates are
+    # a standing uniqueness failure — it must route as high severity
+    out = REGISTRY["qc_alert_routing"].spark(spark, SF_DIR).collect()
+    uq = [r for r in out if r.source_check == "uniqueness"]
+    assert any("lineitem" in r.alert_key for r in uq)
+    assert all(
+        r.severity == "high" and r.channel == "dataeng-alerts" for r in uq
+    )
