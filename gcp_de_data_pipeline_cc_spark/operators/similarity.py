@@ -450,3 +450,162 @@ def sql_portable_lsh_buckets(
             "(SELECT " + " + ".join(terms) + f" FROM (SELECT {q} AS __q))"
         )
     return exprs
+
+
+def quantized_int_vectors(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Exact integer quantization floor(x·2^13 + 0.5) per component —
+    the portable-LSH quantizer exposed for centroid building (every
+    step exact IEEE, bit-identical on any engine)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(PORTABLE_Q_SCALE)) + F.lit(0.5)
+            ),
+        ),
+    )
+
+
+def cosine_topk_lsh_portable(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`cosine_topk_lsh` with ENGINE-EXACT bucketing
+    (:func:`portable_lsh_buckets`): the candidate set — and therefore
+    the whole result — is deterministic and SQL-reproducible, so the
+    approximate search can be ORACLE-PAIRED instead of rows-only.
+    Same output schema as :func:`cosine_topk`."""
+    qb = portable_lsh_buckets(
+        queries, "query_id", n_tables, bits, dim, id_col, vec_col
+    )
+    cb = portable_lsh_buckets(
+        candidates, "neighbor_id", n_tables, bits, dim, id_col, vec_col
+    )
+    pairs = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = as_double_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = as_double_vectors(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cos = (
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / _norm(F.col("q_vec"))
+        / _norm(F.col("c_vec"))
+    )
+    scored = (
+        pairs.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            roundn(F.col("cos_raw"), 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def ivf_centroids_portable(
+    vectors: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer with ENGINE-EXACT centroids: the per-cell
+    per-position SUM of integer-quantized components (int64 — exact
+    and summation-order-free, unlike a float mean).  Cosine is
+    scale-invariant, so the un-normalized sum vector ranks cells
+    identically to the mean — no division, no float accumulation."""
+    per_pos = (
+        quantized_int_vectors(vectors, vec_col, "qvec")
+        .select(cell_col, F.posexplode("qvec").alias("pos", "x"))
+        .groupBy(cell_col, "pos")
+        .agg(F.sum("x").alias("s"))
+    )
+    return per_pos.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st.getField("s").cast("double"),
+        ).alias("centroid")
+    )
+
+
+def ivf_topk_portable(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` with engine-exact centroids
+    (:func:`ivf_centroids_portable`) — probing is deterministic and
+    SQL-reproducible, so the IVF search can be oracle-paired."""
+    cents = ivf_centroids_portable(candidates, cell_col, vec_col)
+    q = as_double_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cents))
+    cent_cos = (
+        _dot(F.col("q_vec"), F.col("centroid"))
+        / _norm(F.col("q_vec"))
+        / _norm(F.col("centroid"))
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col(cell_col)
+    )
+    probed = (
+        qc.select("query_id", "q_vec", cell_col, cent_cos.alias("cell_cos"))
+        .withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "q_vec", cell_col)
+    )
+    c = as_double_vectors(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        cell_col,
+    )
+    pairs = c.join(F.broadcast(probed), on=cell_col).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = (
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / _norm(F.col("q_vec"))
+        / _norm(F.col("c_vec"))
+    )
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            roundn(F.col("cos_raw"), 4).alias("cosine"),
+            "rank",
+        )
+    )

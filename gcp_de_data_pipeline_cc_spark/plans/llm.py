@@ -610,34 +610,161 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(queries, emb, k=10)
 
 
-@query("sim_topk_lsh", oracle=None)
+def _sim_lsh_oracle() -> str:
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        sql_portable_lsh_buckets,
+    )
+
+    bucket_cols = ", ".join(
+        f"{e} AS b{t}"
+        for t, e in enumerate(sql_portable_lsh_buckets("embedding", 8, 4, 64))
+    )
+    collide = " OR ".join(f"q.b{t} = c.b{t}" for t in range(8))
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {bucket_cols}
+        FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               {bucket_cols}
+        FROM embeddings),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       list_dot_product(qv, cv)
+                           / sqrt(list_dot_product(qv, qv))
+                           / sqrt(list_dot_product(cv, cv)) DESC,
+                       neighbor_id) AS rank
+            FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        WHERE rank <= 10),
+    lsh_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       list_dot_product(qv, cv)
+                           / sqrt(list_dot_product(qv, qv))
+                           / sqrt(list_dot_product(cv, cv)) DESC,
+                       neighbor_id) AS rank
+            FROM q JOIN c
+              ON query_id <> neighbor_id AND ({collide}))
+        WHERE rank <= 10),
+    hits AS (
+        SELECT e.query_id, CAST(COUNT(*) AS INT) AS n_hit
+        FROM exact_top e JOIN lsh_top a
+          USING (query_id, neighbor_id)
+        GROUP BY 1),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS INT) AS n_exact
+        FROM exact_top GROUP BY 1)
+    SELECT t.query_id, CAST(10 AS INT) AS k, t.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+           FLOOR(COALESCE(h.n_hit, 0) / t.n_exact * 10000.0 + 0.5)
+               / 10000.0 AS recall
+    FROM tot t LEFT JOIN hits h USING (query_id)
+    ORDER BY t.query_id
+    """
+
+
+@query("sim_topk_lsh", oracle=_sim_lsh_oracle())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5 — approximate top-k via multi-table random-hyperplane LSH
-    (scores only candidates sharing a bucket in any table).
+    """C5 — approximate top-k via multi-table hyperplane LSH (scores
+    only candidates sharing a bucket in any of 8 tables), upgraded to
+    PORTABLE integer signatures (operators/similarity
+    .portable_lsh_buckets: quantized components × integer planes —
+    exact int64 dot signs, bit-identical in DuckDB), so the formerly
+    rows-only key is now fully ORACLE-PAIRED: the oracle reruns the
+    banding, the pruned search AND the exact baseline.
 
     Driver-visible output is the quantitative evidence, not the raw
-    neighbor list: per-query recall@10 vs the exact brute-force baseline
-    as scalar rows (query_id, k, n_exact, n_hit, recall), so a rows-only
-    check still carries accuracy information; tests bound mean recall."""
+    neighbor list: per-query recall@10 vs the exact brute-force
+    baseline as scalar rows (query_id, k, n_exact, n_hit, recall);
+    tests bound mean recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    approx = sim.cosine_topk_lsh(queries, emb, k=10, n_tables=8, bits=4)
+    approx = sim.cosine_topk_lsh_portable(
+        queries, emb, k=10, n_tables=8, bits=4, dim=64
+    )
     exact = sim.cosine_topk(queries, emb, k=10)
     return sim.topk_recall(approx, exact, k=10).orderBy("query_id")
 
 
-@query("sim_topk_ivf", oracle=None)
+def _sim_ivf_oracle() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}))"
+        " / sqrt(list_dot_product({b}, {b}))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE) * 8192.0 + 0.5)) AS qi
+        FROM embeddings),
+    pp AS (
+        SELECT label, i AS pos, SUM(qi[i]) AS s
+        FROM e, UNNEST(range(1, len(qi) + 1)) AS t(i)
+        GROUP BY 1, 2),
+    cents AS (SELECT label, list(s ORDER BY pos) AS cvec FROM pp GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % 50 = 0),
+    probed AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       {cos.format(a="qv", b="cvec")} DESC, c.label) AS rn
+            FROM q CROSS JOIN cents c)
+        WHERE rn <= 3),
+    ivf_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                       {cos.format(a="q.qv", b="e.v")} DESC,
+                       e.vec_id) AS rank
+            FROM probed p
+            JOIN e ON e.label = p.label
+            JOIN q ON q.query_id = p.query_id
+            WHERE e.vec_id <> p.query_id)
+        WHERE rank <= 10),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       {cos.format(a="qv", b="v")} DESC, vec_id) AS rank
+            FROM q CROSS JOIN e WHERE query_id <> vec_id)
+        WHERE rank <= 10),
+    hits AS (
+        SELECT x.query_id, CAST(COUNT(*) AS INT) AS n_hit
+        FROM exact_top x JOIN ivf_top a USING (query_id, neighbor_id)
+        GROUP BY 1),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS INT) AS n_exact
+        FROM exact_top GROUP BY 1)
+    SELECT t.query_id, CAST(10 AS INT) AS k, t.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+           FLOOR(COALESCE(h.n_hit, 0) / t.n_exact * 10000.0 + 0.5)
+               / 10000.0 AS recall
+    FROM tot t LEFT JOIN hits h USING (query_id)
+    ORDER BY t.query_id
+    """
+
+
+@query("sim_topk_ivf", oracle=_sim_ivf_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — IVF-style approximate top-k: per-cell centroids (cells from
-    the label column; a trained quantizer plugs in the same way), queries
-    probe their 3 nearest cells only.
+    the label column; a trained quantizer plugs in the same way),
+    queries probe their 3 nearest cells only.  Upgraded to PORTABLE
+    centroids (operators/similarity.ivf_centroids_portable): the
+    centroid is the un-normalized SUM of integer-quantized components —
+    exact int64, summation-order-free, and cosine is scale-invariant so
+    cell ranking is unchanged in spirit — which makes the probe set
+    deterministic and the formerly rows-only key fully ORACLE-PAIRED.
 
     Driver-visible output is per-query recall@10 vs brute force as
     scalar rows (query_id, k, n_exact, n_hit, recall) — same evidence
     contract as sim_topk_lsh; tests bound recall on clustered data."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    approx = sim.ivf_topk(queries, emb, k=10, nprobe=3)
+    approx = sim.ivf_topk_portable(queries, emb, k=10, nprobe=3)
     exact = sim.cosine_topk(queries, emb, k=10)
     return sim.topk_recall(approx, exact, k=10).orderBy("query_id")
 
