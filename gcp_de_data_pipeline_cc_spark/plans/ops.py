@@ -275,3 +275,70 @@ def ops_dag_impact_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             dialect_listagg="concat_ws(',', sort_array(collect_set(node)))"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# retry/timeout budget (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: the reference's default_args retry policy
+#: (dags/pipeline_orchestration_dag.py:34-37): retries, retry_delay=5 min,
+#: execution_timeout=2 h — shared literals on both engines.  The reference
+#: ships retries=0; the budget query answers "what retry policy FITS".
+_RETRIES = 2
+_RETRY_DELAY_MIN = 5
+_EXEC_TIMEOUT_MIN = 120
+
+
+def _retry_budget_sql(dialect_intdiv: str = "//") -> str:
+    tasks_values = ", ".join(f"('{t}', {d})" for t, d in _TASKS)
+    edges_values = ", ".join(f"('{s}', '{d}')" for s, d in _EDGES)
+    r, dl, to = _RETRIES, _RETRY_DELAY_MIN, _EXEC_TIMEOUT_MIN
+    wc = f"(({r} + 1) * t.dur + {r} * {dl})"
+    return f"""
+    WITH RECURSIVE tasks(task, dur) AS (VALUES {tasks_values}),
+    edges(src, dst) AS (VALUES {edges_values}),
+    fwd(task, ef) AS (
+        SELECT t.task, {wc} FROM tasks t
+        WHERE t.task NOT IN (SELECT dst FROM edges)
+        UNION ALL
+        SELECT e.dst, f.ef + {wc}
+        FROM fwd f JOIN edges e ON e.src = f.task
+        JOIN tasks t ON t.task = e.dst),
+    mk AS (SELECT CAST(MAX(ef) AS BIGINT) AS worst_makespan_min FROM fwd)
+    SELECT t.task,
+           CAST(t.dur AS BIGINT) AS dur_min,
+           CAST({r} AS INT) AS retries,
+           CAST({dl} AS BIGINT) AS retry_delay_min,
+           CAST({to} AS BIGINT) AS execution_timeout_min,
+           CAST({wc} AS BIGINT) AS worst_case_min,
+           {wc} <= {to} AS fits_timeout,
+           CAST(GREATEST(({to} - t.dur) {dialect_intdiv} (t.dur + {dl}), 0)
+                AS BIGINT) AS max_retries_within_timeout,
+           mk.worst_makespan_min
+    FROM tasks t, mk
+    ORDER BY t.task
+    """
+
+
+@query("ops_retry_budget", oracle=_retry_budget_sql("//"))
+def ops_retry_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRY/TIMEOUT budget over the reference pipeline's task DAG —
+    the ops semantics of ``default_args`` (retries, retry_delay,
+    execution_timeout; dags/pipeline_orchestration_dag.py:34-37) that
+    had no engine analog: per task, the worst-case wall clock under the
+    policy ((retries+1)·dur + retries·delay), whether that fits the 2 h
+    execution timeout, and the LARGEST retry count that would fit —
+    the number an on-call actually tunes.  The DAG-level readout is the
+    worst-case makespan: the critical-path forward pass re-run with
+    worst-case task durations (every task exhausts its retries), i.e.
+    "if tonight goes maximally badly, when does the load land".
+
+    Identical SQL text on both engines (recursive CTE, the
+    ops_dag_critical_path discipline) except the integer-division
+    token (Spark ``DIV`` ↔ DuckDB ``//``); every quantity is integer
+    minutes — nothing can flip.
+
+    100 TB: orchestration metadata — invariant to data scale; the
+    recursion is bounded by DAG depth."""
+    return spark.sql(_retry_budget_sql("DIV"))

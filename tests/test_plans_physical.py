@@ -343,6 +343,10 @@ _BNLJ_REVIEWED = frozenset({
     # r4i wave: 5-row sensitive-domain grid + one-row total/seat
     # broadcasts — categories (b)/(a)
     "privacy_t_closeness", "corpus_apportion_budget",
+    # round-4 wave: ops_retry_budget crosses the 9-row task table with
+    # the one-row worst-makespan scalar — category (a); qc_alert_routing
+    # inherits qc_freshness' one-row anchor broadcast — category (a)
+    "ops_retry_budget", "qc_alert_routing",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
