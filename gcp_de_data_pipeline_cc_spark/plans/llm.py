@@ -492,23 +492,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding", oracle=None)
+def _dedup_emb_oracle() -> str:
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        sql_portable_lsh_buckets,
+    )
+
+    b0 = sql_portable_lsh_buckets("embedding", 1, 8, 64)[0]
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec, {b0} AS bucket
+        FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               FLOOR(list_dot_product(a.vec, b.vec)
+                     / sqrt(list_dot_product(a.vec, a.vec))
+                     / sqrt(list_dot_product(b.vec, b.vec))
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM v a JOIN v b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine,
+           CAST(cosine >= 0.95 AS INT) AS is_near_dup
+    FROM pairs
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 100
+    """
+
+
+@query("dedup_embedding", oracle=_dedup_emb_oracle())
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 — embedding-cosine near-dup: random-hyperplane bucket
-    prefilter, then exact cosine within buckets (rows-only).
+    """C4 — embedding-cosine near-dup: hyperplane bucket prefilter,
+    then exact cosine within buckets.  Upgraded from rows-only to
+    ORACLE-PAIRED via the portable integer 8-bit code
+    (operators/similarity.portable_lsh_buckets — exact int64 dot signs,
+    bit-identical in DuckDB).
 
     The synthetic corpus contains no true near-dups (max in-bucket
     cosine ≈0.51 at sf0.01), so a ≥0.95-threshold-only result would be
     deterministically empty — zero observable evidence for the driver's
-    rows-only check. The registered output is therefore the top-100
-    candidate pairs by cosine with an ``is_near_dup`` flag at the 0.95
-    production threshold: same plan shape (bucket join never goes
-    all-pairs), deterministic nonzero rows, and planted-duplicate recall
-    is asserted separately in tests."""
+    check. The registered output is therefore the top-100 candidate
+    pairs by cosine with an ``is_near_dup`` flag at the 0.95 production
+    threshold: same plan shape (bucket join never goes all-pairs),
+    deterministic nonzero rows, and planted-duplicate recall is
+    asserted separately in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = sim.with_lsh_code(
-        sim.as_double_vectors(emb), bits=8, dim=64
-    ).select("vec_id", F.col("embedding").alias("vec"), "bucket")
+    codes = sim.portable_lsh_buckets(
+        emb, "vec_id", n_tables=1, bits=8, dim=64
+    ).select("vec_id", "bucket")
+    v = (
+        sim.as_double_vectors(emb)
+        .select("vec_id", F.col("embedding").alias("vec"))
+        .join(codes, "vec_id")
+    )
     a, b = v.alias("a"), v.alias("b")
     cos = (
         sim._dot(F.col("a.vec"), F.col("b.vec"))

@@ -147,3 +147,29 @@ def test_alert_routing_routes_known_duplicate_contract_break(spark):
     assert all(
         r.severity == "high" and r.channel == "dataeng-alerts" for r in uq
     )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def test_dedup_embedding_finds_planted_duplicate(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=64)
+        rows.append((i, [float(x) for x in v], int(i % 4)))
+    # plant a near-duplicate of vector 7 (tiny perturbation: same
+    # hyperplane signs with overwhelming probability, cosine ~1)
+    v7 = np.array(rows[7][1])
+    rows.append((100, [float(x) for x in v7 + 0.001], 3))
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = REGISTRY["dedup_embedding"].spark(spark, str(tmp_path)).collect()
+    top = out[0]
+    assert (top.vec_a, top.vec_b) == (7, 100)
+    assert top.cosine > 0.999 and top.is_near_dup == 1
+    # nothing else in this random corpus is a near-dup
+    assert all(r.is_near_dup == 0 for r in out[1:])
