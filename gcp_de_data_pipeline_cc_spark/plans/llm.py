@@ -2194,3 +2194,103 @@ def embedding_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# survivorship manifest: which copy of each dup cluster ships (r4 wave)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE n_both / (ca.n_sh + cb.n_sh - n_both) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS node, a AS m FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    cc AS (SELECT node, MIN(m) AS cluster_id FROM reach GROUP BY node),
+    manifest AS (
+        SELECT d.doc_id,
+               COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+               CAST(len(d.text) AS BIGINT) AS score
+        FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id, score,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY score DESC, doc_id) = 1 AS keep
+    FROM manifest
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 completion — SURVIVORSHIP manifest: near-dup clusters from the
+    exact-Jaccard edge set (dedup_clusters' components), each cluster
+    keeping its highest-QUALITY member (score = character length here;
+    any quality_logistic/gopher score plugs into the same argmax) with
+    doc_id tie-break; singletons keep themselves.  This is the artifact
+    a training pipeline actually materializes — detect (pairs) →
+    group (clusters) → DECIDE WHICH COPY SHIPS — where min-id "keep
+    the representative" silently discards the best copy.
+
+    Exactness: scores are integer lengths; the per-cluster argmax is a
+    row_number over (score DESC, doc_id) — total order, engine-exact.
+
+    100 TB: the cluster build is the measured bucketed shingle join +
+    checkpointed CC loop; the manifest adds one entity-sized left join
+    and one cluster-keyed window (WindowGroupLimit-prunable argmax,
+    partition size = cluster size — bounded by dedup cluster width,
+    not corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cc = dd.connected_components(pairs, src="doc_a", dst="doc_b")
+    manifest = (
+        docs.select(
+            "doc_id", F.length("text").cast("long").alias("score")
+        )
+        .join(
+            cc.select(F.col("node").alias("doc_id"), "cluster_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "score",
+        )
+    )
+    wc = Window.partitionBy("cluster_id")
+    wr = wc.orderBy(F.desc("score"), F.asc("doc_id"))
+    return manifest.select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        F.count("*").over(wc).cast("long").alias("n_members"),
+        (F.row_number().over(wr) == 1).alias("keep"),
+    ).orderBy("cluster_id", "doc_id")

@@ -561,3 +561,124 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT * FROM parquet.`{sf_dir}/orders.parquet`"
     )
     return spark.sql(_OBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# IPv4 / CIDR network analytics (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: synthetic-but-deterministic client IPs: Knuth multiplicative hash of
+#: the event id into 32 bits — identical integer expression both engines
+_IP_HASH = "(event_id * 2654435761) % 4294967296"
+
+#: the monitored CIDR blocks (an inline VALUES dim — sql_values_inline):
+#: (name, network octets as int, prefix length)
+_CIDRS = [
+    ("corp-10/8", 10 * 16777216, 8),
+    ("lan-192.168/16", 192 * 16777216 + 168 * 65536, 16),
+    ("cgnat-100.64/10", 100 * 16777216 + 64 * 65536, 10),
+    ("test-198.51.100/24", 198 * 16777216 + 51 * 65536 + 100 * 256, 24),
+]
+
+
+def _ip_oracle() -> str:
+    cidr_values = ", ".join(
+        f"('{n}', CAST({net} AS BIGINT), {p})" for n, net, p in _CIDRS
+    )
+    return f"""
+    WITH ev AS (
+        SELECT event_id, user_id, CAST({_IP_HASH} AS BIGINT) AS ip_int
+        FROM events),
+    ips AS (
+        SELECT event_id, user_id, ip_int,
+               CAST(ip_int // 16777216 AS VARCHAR) || '.' ||
+               CAST((ip_int // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((ip_int // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(ip_int % 256 AS VARCHAR) AS ip_str
+        FROM ev),
+    parsed AS (
+        SELECT *,
+               CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216 +
+               CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536 +
+               CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
+               CAST(string_split(ip_str, '.')[4] AS BIGINT) AS reparsed
+        FROM ips),
+    cidrs(net_name, net_int, prefix) AS (VALUES {cidr_values})
+    SELECT c.net_name,
+           CAST(c.prefix AS INT) AS prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           CAST(MIN(p.ip_int) AS BIGINT) AS min_ip,
+           CAST(MAX(p.ip_int) AS BIGINT) AS max_ip,
+           CAST(SUM(CASE WHEN p.reparsed <> p.ip_int THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parse_errors
+    FROM parsed p
+    JOIN cidrs c
+      ON p.ip_int // CAST(POW(2, 32 - c.prefix) AS BIGINT)
+         = c.net_int // CAST(POW(2, 32 - c.prefix) AS BIGINT)
+    GROUP BY 1, 2
+    ORDER BY 1
+    """
+
+
+@query("fn_ip_network", oracle=_ip_oracle())
+def fn_ip_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-extension — IPv4 / CIDR network analytics, the log-warehouse
+    staple Spark has no builtin for: render dotted-quad strings from a
+    32-bit int, PARSE them back (with a reparse-mismatch audit column —
+    0 proves the roundtrip), and aggregate events per monitored CIDR
+    block via prefix-mask equality against an inline VALUES dim.
+
+    Exactness: everything is integer arithmetic — the ip hash, octet
+    extraction (DIV/%), the reparse, and the prefix mask (divide by
+    2^(32−p), exact for p ≤ 32) — engine-identical by construction.
+
+    100 TB: the CIDR dim broadcasts (bounded block list); the mask
+    match is a projection-side equality, so each event lands in at most
+    |cidrs| groups with no fact-side shuffle before the map-side
+    combined aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(_IP_HASH).cast("long").alias("ip_int"),
+    )
+    ip_str = F.concat_ws(
+        ".",
+        (F.col("ip_int") / 16777216).cast("long").cast("string"),
+        ((F.col("ip_int") / 65536).cast("long") % 256).cast("string"),
+        ((F.col("ip_int") / 256).cast("long") % 256).cast("string"),
+        (F.col("ip_int") % 256).cast("string"),
+    )
+    ips = ev.withColumn("ip_str", ip_str)
+    parts = F.split("ip_str", "\\.")
+    parsed = ips.withColumn(
+        "reparsed",
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long"),
+    )
+    cidrs = F.broadcast(
+        spark.createDataFrame(
+            _CIDRS, "net_name STRING, net_int BIGINT, prefix INT"
+        )
+    )
+    mask = lambda col: (
+        col / F.pow(F.lit(2.0), 32 - F.col("prefix")).cast("long")
+    ).cast("long")
+    return (
+        parsed.join(cidrs, mask(F.col("ip_int")) == mask(F.col("net_int")))
+        .groupBy("net_name", "prefix")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ip_int").alias("min_ip"),
+            F.max("ip_int").alias("max_ip"),
+            F.sum(
+                F.when(F.col("reparsed") != F.col("ip_int"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_parse_errors"),
+        )
+        .orderBy("net_name")
+    )

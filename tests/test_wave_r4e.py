@@ -173,3 +173,52 @@ def test_dedup_embedding_finds_planted_duplicate(spark, tmp_path):
     assert top.cosine > 0.999 and top.is_near_dup == 1
     # nothing else in this random corpus is a near-dup
     assert all(r.is_near_dup == 0 for r in out[1:])
+
+
+# ------------------------------------------------ survivorship manifest
+
+def test_keep_canonical_keeps_best_copy(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " longer tail makes this the best copy", "web"),
+        (2, base, "web"),                       # same cluster, shorter
+        (3, "completely unrelated text with no shared shingles at all x y z", "web"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_keep_canonical"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].cluster_id == out[2].cluster_id == 1
+    assert out[1].keep and not out[2].keep      # longest wins, not min-id
+    assert out[3].cluster_id == 3 and out[3].keep and out[3].n_members == 1
+
+
+def test_keep_canonical_one_survivor_per_cluster(spark):
+    rows = REGISTRY["dedup_keep_canonical"].spark(spark, SF_DIR).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.cluster_id, []).append(r)
+    for cid, members in per.items():
+        assert sum(1 for m in members if m.keep) == 1
+        best = max(members, key=lambda m: (m.score, -m.doc_id))
+        kept = next(m for m in members if m.keep)
+        assert kept.score == best.score
+        assert all(m.n_members == len(members) for m in members)
+
+
+# ------------------------------------------------------- ip networks
+
+def test_ip_network_roundtrip_and_masks(spark):
+    rows = REGISTRY["fn_ip_network"].spark(spark, SF_DIR).collect()
+    assert rows  # the 10/8 block alone covers 1/256 of the hash space
+    for r in rows:
+        assert r.n_parse_errors == 0          # dotted-quad roundtrip exact
+        assert 0 <= r.min_ip <= r.max_ip < 2**32
+        # every counted ip really sits inside the block's prefix range
+        width = 2 ** (32 - r.prefix)
+        assert r.max_ip - r.min_ip < width
