@@ -2294,3 +2294,63 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wc).cast("long").alias("n_members"),
         (F.row_number().over(wr) == 1).alias("keep"),
     ).orderBy("cluster_id", "doc_id")
+
+
+def _dedup_rate_oracle() -> str:
+    from gcp_de_data_pipeline_cc_spark.plans.registry import REGISTRY as _R
+
+    manifest = _R["dedup_keep_canonical"].oracle
+    return f"""
+    WITH m AS ({manifest})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN m.keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(m.score) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN m.keep THEN m.score ELSE 0 END) AS BIGINT)
+               AS chars_kept,
+           FLOOR(SUM(CASE WHEN m.keep THEN 0 ELSE 1 END) * 1.0e0
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS drop_rate
+    FROM m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@query("corpus_dedup_rate", oracle=_dedup_rate_oracle())
+def corpus_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 evidence rung — PER-SOURCE dedup-loss report over the
+    survivorship manifest: docs and characters kept vs dropped per
+    source feed, with the drop rate.  The number a corpus owner
+    actually reviews before a training run — a source whose drop rate
+    spikes is either a mirror of another feed or a scraper gone wrong
+    (the source_mirror_matrix drill-down starts from this readout).
+
+    The Spark side consumes the registered dedup_keep_canonical plan
+    and the oracle NESTS its oracle SQL — report and manifest cannot
+    drift (the qc_alert_routing composition discipline).
+
+    100 TB: one entity-sized join (manifest ⋈ documents.source) and a
+    source-cardinality aggregate on top of the manifest's own cost."""
+    m = dedup_keep_canonical(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    keep1 = F.when(F.col("keep"), 1).otherwise(0)
+    return (
+        m.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep1).cast("long").alias("n_kept"),
+            F.sum(1 - keep1).cast("long").alias("n_dropped"),
+            F.sum("score").alias("chars_total"),
+            F.sum(F.when(F.col("keep"), F.col("score")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+            roundn(
+                F.sum(1 - keep1) * F.lit(1.0) / F.count("*"), 6
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )

@@ -411,3 +411,66 @@ def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, event_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + grouping_id (r4 wave)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CASE CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                     AS BIGINT)
+                WHEN 0 THEN 'flag+status'
+                WHEN 2 THEN 'status only'
+                WHEN 3 THEN 'grand total'
+           END AS grain,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 completion — explicit GROUPING SETS with ``grouping_id``
+    labeling: three NON-hierarchical grains in one pass ((flag,status),
+    (status), ()) — the mixed-grain report ROLLUP/CUBE can't express
+    (rollup is strictly hierarchical; cube is every subset), plus the
+    GROUPING-derived gid that downstream consumers key on to tell a
+    real NULL from a superaggregate row.  Identical SQL text runs on
+    both engines; money in exact integer cents.
+
+    100 TB: Spark expands grouping sets in ONE Expand+aggregate pass
+    (rows × |sets| before the map-side combine) — one shuffle, not one
+    scan per grain (the materialized-view alternative)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW lineitem AS "
+        f"SELECT * FROM parquet.`{sf_dir}/lineitem.parquet`"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               CASE CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                         AS BIGINT)
+                    WHEN 0 THEN 'flag+status'
+                    WHEN 2 THEN 'status only'
+                    WHEN 3 THEN 'grand total'
+               END AS grain,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )

@@ -222,3 +222,19 @@ def test_ip_network_roundtrip_and_masks(spark):
         # every counted ip really sits inside the block's prefix range
         width = 2 ** (32 - r.prefix)
         assert r.max_ip - r.min_ip < width
+
+
+def test_dedup_rate_conserves_docs_and_chars(spark):
+    rows = REGISTRY["corpus_dedup_rate"].spark(spark, SF_DIR).collect()
+    import pyspark.sql.functions as F
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = docs.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
+    ).collect()
+    want = {r.source: (r.n, r.chars) for r in totals}
+    assert {r.source for r in rows} == set(want)
+    for r in rows:
+        n, chars = want[r.source]
+        assert r.n_docs == n and r.n_kept + r.n_dropped == n
+        assert r.chars_total == chars and r.chars_kept <= chars
+        assert 0.0 <= r.drop_rate <= 1.0
