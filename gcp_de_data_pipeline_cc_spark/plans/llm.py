@@ -242,7 +242,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — exact 3-gram Jaccard similarity join via the shingle-join
     plan (cost Σ|bucket|², never the O(n²) cross join). Integer
     arithmetic → engine-portable without rounding."""
-    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return corpus_dup_pairs(spark, sf_dir)
+
+
+# session-scoped caches for the shared dedup relations (the
+# operators/graph backbone discipline).  Memory bound: the
+# threshold-filtered PAIR set is sparse (near-dups, not all-pairs) and
+# the cluster assignment is ≤ entity-sized — both orders of magnitude
+# below the shingle relation, which stays per-plan-checkpointed only
+# (a session-pinned shingle cache would hold corpus-scale blocks).
+_DUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DUP_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def corpus_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard near-dup pairs at the 0.5 production threshold,
+    built once per (session, sf_dir) and shared by the pair consumer,
+    the cluster build, and everything downstream of clusters."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _DUP_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = dd.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.5
+        ).localCheckpoint(eager=False)
+        _DUP_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def corpus_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over :func:`corpus_dup_pairs` — the
+    iterative label-min loop runs once per session; dedup_clusters,
+    the survivorship manifest, and the per-source rate report all
+    consume the same (node, cluster_id) relation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cc = _DUP_CC_CACHE.get(key)
+    if cc is None:
+        pairs = corpus_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        cc = dd.connected_components(
+            pairs, src="doc_a", dst="doc_b"
+        ).localCheckpoint(eager=False)
+        _DUP_CC_CACHE[key] = cc
+    return cc
 
 
 @query(
@@ -334,11 +374,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component, so "keep the representative" is
     ``filter(doc_id == cluster_id)``. The oracle computes the same
     components with a recursive transitive-closure CTE — same answer by
-    a method that cannot scale, which is the point of the Spark one."""
-    pairs = dd.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
-    ).select("doc_a", "doc_b")
-    cc = dd.connected_components(pairs, src="doc_a", dst="doc_b")
+    a method that cannot scale, which is the point of the Spark one.
+    The pair build and the CC loop run once per session
+    (corpus_dup_pairs / corpus_dup_clusters caches)."""
+    cc = corpus_dup_clusters(spark, sf_dir)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
@@ -2261,15 +2300,13 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number over (score DESC, doc_id) — total order, engine-exact.
 
     100 TB: the cluster build is the measured bucketed shingle join +
-    checkpointed CC loop; the manifest adds one entity-sized left join
-    and one cluster-keyed window (WindowGroupLimit-prunable argmax,
-    partition size = cluster size — bounded by dedup cluster width,
-    not corpus size)."""
+    checkpointed CC loop, run ONCE PER SESSION (corpus_dup_clusters
+    cache, shared with dedup_clusters / corpus_dedup_rate); the
+    manifest adds one entity-sized left join and one cluster-keyed
+    window (WindowGroupLimit-prunable argmax, partition size = cluster
+    size — bounded by dedup cluster width, not corpus size)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
-    cc = dd.connected_components(pairs, src="doc_a", dst="doc_b")
+    cc = corpus_dup_clusters(spark, sf_dir)
     manifest = (
         docs.select(
             "doc_id", F.length("text").cast("long").alias("score")
