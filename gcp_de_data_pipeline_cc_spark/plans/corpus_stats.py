@@ -14,7 +14,7 @@ non-empty filter before counting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -412,3 +412,211 @@ def corpus_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_apportion_budget.__doc__ = corpus_apportion_budget.__doc__.format(
     b=_APPORTION_B
 )
+
+
+# ---------------------------------------------------------------------------
+# mixture epochs / repetition risk (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: training budget in tokens for the epoch readout — deliberately LARGER
+#: than the corpus so repetition is visible (the data-constrained regime)
+_EPOCH_BUDGET = 5_000_000
+
+#: past this many epochs over a source, returns diminish sharply
+#: (public data-constrained-scaling rule of thumb)
+_EPOCH_RISK = 4
+
+
+@query(
+    "train_mixture_epochs",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot FROM s),
+    alloc AS (
+        SELECT s.source, s.tokens,
+               ({_EPOCH_BUDGET} * s.tokens) // t.tot AS planned_tokens
+        FROM s, t)
+    SELECT source, tokens, CAST(planned_tokens AS BIGINT) AS planned_tokens,
+           CAST(planned_tokens // tokens AS BIGINT) AS full_epochs,
+           FLOOR(planned_tokens * 1.0e0 / tokens * 10000.0 + 0.5) / 10000.0
+               AS epochs,
+           planned_tokens > {_EPOCH_RISK} * tokens AS repetition_risk
+    FROM alloc
+    ORDER BY source
+    """,
+)
+def train_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — EPOCH/repetition readout of a token budget
+    ({b:,}) spread proportionally over the corpus sources: how many
+    times each source would be repeated to meet its allocation, with a
+    risk flag past {r} epochs (the public data-constrained-scaling rule
+    of thumb: repeating data beyond a few epochs yields rapidly
+    diminishing returns, so a flagged source needs MORE DATA, not more
+    budget).  The planning twin of corpus_apportion_budget: that key
+    says how many tokens each source GETS, this one says what that
+    allocation COSTS in repetition.
+
+    Exactness: token counts and the proportional allocation are exact
+    int64 (integer ``DIV``); only the fractional epoch count divides,
+    identical-tree, 4-dp floor-rounded; the risk verdict is an integer
+    cross-multiplication (planned > 4·tokens), never a float compare.
+
+    100 TB: one map-side token census; everything downstream is
+    source-cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    t = s.agg(F.sum("tokens").alias("tot"))
+    alloc = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        F.expr(f"({_EPOCH_BUDGET} * tokens) DIV tot").alias("planned_tokens"),
+    )
+    return alloc.select(
+        "source",
+        "tokens",
+        "planned_tokens",
+        F.expr("planned_tokens DIV tokens").alias("full_epochs"),
+        roundn(F.col("planned_tokens") * F.lit(1.0) / F.col("tokens"), 4)
+        .alias("epochs"),
+        (F.col("planned_tokens") > _EPOCH_RISK * F.col("tokens")).alias(
+            "repetition_risk"
+        ),
+    ).orderBy("source")
+
+
+train_mixture_epochs.__doc__ = train_mixture_epochs.__doc__.format(
+    b=_EPOCH_BUDGET, r=_EPOCH_RISK
+)
+
+
+# ---------------------------------------------------------------------------
+# pass@k eval estimator (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: samples drawn per task and the k values reported
+_PASSK_N = 10
+_PASSK_KS = (1, 5)
+
+
+def _passk_oracle() -> str:
+    # unbiased pass@k = 1 − C(n−c, k)/C(n, k), computed as the exact
+    # integer-product form 1 − Π_{i=0..k−1} (n−c−i)/(n−i): numerator and
+    # denominator are exact int64 products (n ≤ 10), ONE division each
+    ks_rows = []
+    for k in _PASSK_KS:
+        num = " * ".join(f"GREATEST(n - c - {i}, 0)" for i in range(k))
+        den = " * ".join(f"(n - {i})" for i in range(k))
+        ks_rows.append(
+            f"SELECT task_id, n, c, CAST({k} AS INT) AS k,"
+            f" FLOOR((1.0e0 - ({num}) * 1.0e0 / ({den})) * 1000000.0 + 0.5)"
+            f" / 1000000.0 AS pass_at_k FROM per_task"
+        )
+    union = " UNION ALL ".join(ks_rows)
+    return f"""
+    WITH attempts AS (
+        SELECT o_orderkey % 200 AS task_id,
+               SUBSTR(md5('attempt:' || CAST(o_orderkey AS VARCHAR)), 1, 2)
+                   < '40' AS success
+        FROM orders),
+    per_task AS (
+        SELECT task_id,
+               CAST(LEAST(COUNT(*), {_PASSK_N}) AS BIGINT) AS n,
+               CAST(LEAST(SUM(CASE WHEN success THEN 1 ELSE 0 END),
+                          LEAST(COUNT(*), {_PASSK_N})) AS BIGINT) AS c
+        FROM (
+            SELECT task_id, success,
+                   ROW_NUMBER() OVER (PARTITION BY task_id
+                                      ORDER BY md5('ord:' ||
+                                          CAST(task_id AS VARCHAR) || ':' ||
+                                          CAST(success AS VARCHAR)),
+                                          success) AS rn
+            FROM attempts) a
+        WHERE rn <= {_PASSK_N}
+        GROUP BY task_id)
+    SELECT task_id, n, c, k, pass_at_k FROM ({union})
+    ORDER BY task_id, k
+    """
+
+
+@query("eval_pass_at_k", oracle=_passk_oracle())
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-harness staple — the UNBIASED pass@k estimator (Chen et al.,
+    public HumanEval methodology): per task with n sampled attempts and
+    c successes, pass@k = 1 − C(n−c,k)/C(n,k), computed in the
+    numerically-stable integer-product form 1 − Π(n−c−i)/(n−i).  The
+    attempts relation is derived deterministically from orders (task =
+    orderkey mod 200, success = an md5-prefix coin) — the same shape a
+    real eval log lands as: (task_id, attempt, success).
+
+    Exactness: n and c are exact int64; for k ≤ n ≤ {n} the numerator /
+    denominator products are exact integers, ONE division each,
+    identical-tree, 6-dp floor-rounded; GREATEST(n−c−i, 0) zeroes the
+    product exactly when fewer than k failures exist (pass@k = 1).
+
+    100 TB: one map-side per-task aggregate over the eval log; the
+    estimator is per-row scalar math on a task-cardinality table."""
+    orders = load_table(spark, sf_dir, "orders")
+    attempts = orders.select(
+        (F.col("o_orderkey") % 200).alias("task_id"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("attempt:"), F.col("o_orderkey").cast("string"))),
+                1,
+                2,
+            )
+            < "40"
+        ).alias("success"),
+    )
+    w = Window.partitionBy("task_id").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("ord:"),
+                F.col("task_id").cast("string"),
+                F.lit(":"),
+                F.col("success").cast("string"),
+            )
+        ),
+        "success",
+    )
+    per_task = (
+        attempts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PASSK_N)
+        .groupBy("task_id")
+        .agg(
+            F.least(F.count("*"), F.lit(_PASSK_N)).alias("n"),
+            F.least(
+                F.sum(F.when(F.col("success"), 1).otherwise(0)),
+                F.least(F.count("*"), F.lit(_PASSK_N)),
+            ).alias("c"),
+        )
+    )
+    per_task = per_task.localCheckpoint(eager=False)  # one branch per k
+    outs = []
+    for k in _PASSK_KS:
+        num = None
+        den = None
+        for i in range(k):
+            t_num = F.greatest(F.col("n") - F.col("c") - i, F.lit(0))
+            t_den = F.col("n") - i
+            num = t_num if num is None else num * t_num
+            den = t_den if den is None else den * t_den
+        outs.append(
+            per_task.select(
+                "task_id",
+                "n",
+                "c",
+                F.lit(k).cast("int").alias("k"),
+                roundn(
+                    F.lit(1.0) - num * F.lit(1.0) / den, 6
+                ).alias("pass_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("task_id", "k")

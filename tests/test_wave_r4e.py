@@ -238,3 +238,37 @@ def test_dedup_rate_conserves_docs_and_chars(spark):
         assert r.n_docs == n and r.n_kept + r.n_dropped == n
         assert r.chars_total == chars and r.chars_kept <= chars
         assert 0.0 <= r.drop_rate <= 1.0
+
+
+# ------------------------------------------------------ pass@k laws
+
+def test_pass_at_k_laws(spark):
+    from math import comb
+
+    rows = REGISTRY["eval_pass_at_k"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_task = {}
+    for r in rows:
+        by_task.setdefault(r.task_id, {})[r.k] = r
+    for task, per_k in by_task.items():
+        assert set(per_k) == {1, 5}
+        r1, r5 = per_k[1], per_k[5]
+        assert 0 <= r1.c <= r1.n <= 10
+        # textbook combinatorial identity, independently recomputed
+        for r in (r1, r5):
+            want = 1.0 - comb(r.n - r.c, r.k) / comb(r.n, r.k) if r.k <= r.n - r.c else 1.0
+            assert abs(r.pass_at_k - want) < 1e-5
+        # monotone in k; pass@1 = c/n exactly
+        assert r5.pass_at_k >= r1.pass_at_k - 1e-9
+        assert abs(r1.pass_at_k - r1.c / r1.n) < 1e-5
+
+
+def test_mixture_epochs_conservation(spark):
+    rows = REGISTRY["train_mixture_epochs"].spark(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.full_epochs == r.planned_tokens // r.tokens
+        assert r.repetition_risk == (r.planned_tokens > 4 * r.tokens)
+    # allocation is proportional: planned/budget ~ tokens/total
+    tot = sum(r.tokens for r in rows)
+    for r in rows:
+        assert abs(r.planned_tokens - 5_000_000 * r.tokens / tot) <= 1
