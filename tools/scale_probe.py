@@ -39,6 +39,7 @@ _OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
 }
 
 
@@ -179,12 +180,55 @@ def probe_basket(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def probe_global_rank(spark, mult: int) -> float:
+    """agg_lorenz_curve, REGISTERED: the r4 two-phase distributed rank
+    (range exchange + local window + broadcast offsets) over a customer
+    cardinality that grows with mult — the single-reducer form this
+    replaced would show the one-partition sort here."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("orders",))
+    t0 = time.time()
+    REGISTRY["agg_lorenz_curve"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_hard_negatives(spark, mult: int) -> float:
+    """train_hard_negatives, REGISTERED: anchors grow with the corpus
+    (vec_id offsets), so this measures the r4 bucket SHUFFLE join —
+    the replaced anchor broadcast would grow its build side linearly
+    with mult here."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("embeddings",))
+    t0 = time.time()
+    REGISTRY["train_hard_negatives"].spark(spark, d).count()
+    return time.time() - t0
+
+
+def probe_graph_backbone(spark, mult: int) -> float:
+    """Supplier backbone build (operators/graph), fresh cache: the one
+    fact scan + pair explode + top-K cut the whole graph family now
+    shares. Supplier count is dim-fixed, so cost is the lineitem scan
+    + Σ per-order pair fan-out — linear in mult."""
+    from gcp_de_data_pipeline_cc_spark.operators import graph as og
+
+    d = materialize_dir(spark, mult, ("lineitem",))
+    og.clear_cache()
+    t0 = time.time()
+    og.supplier_backbone(spark, d, 8).count()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
           "skew_distinct_salted": probe_skew_salted,
           "lines_rewrite": probe_lines_rewrite,
-          "market_basket": probe_basket}
+          "market_basket": probe_basket,
+          "global_rank_lorenz": probe_global_rank,
+          "hard_negatives_bucketed": probe_hard_negatives,
+          "graph_backbone_build": probe_graph_backbone}
 
 
 def main() -> None:
