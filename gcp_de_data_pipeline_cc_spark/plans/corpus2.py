@@ -24,7 +24,7 @@ final projection (functions/rounding.py discipline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -340,3 +340,115 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_freq").between(2, 40))
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-substring spans (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: token width of the duplicated-substring detector
+_SPAN_K = 5
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, i - 1 AS start,
+               array_to_string(t[i:i+{_SPAN_K}-1], ' ') AS gram
+        FROM d, UNNEST(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
+        WHERE len(t) >= {_SPAN_K}),
+    dup AS (
+        SELECT gram FROM grams
+        GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    marked AS (
+        SELECT DISTINCT g.doc_id, g.start
+        FROM grams g JOIN dup USING (gram)),
+    covered AS (
+        SELECT DISTINCT doc_id, start + o AS p
+        FROM marked, UNNEST(range(0, {_SPAN_K})) AS v(o)),
+    isl AS (
+        SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS grp
+        FROM covered)
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS span_len
+    FROM isl
+    GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — EXACT-SUBSTRING duplication spans (the public
+    deduplicating-training-data methodology: repeated ≥{k}-token
+    sequences ACROSS documents are memorization fuel even when whole
+    docs aren't duplicates): every {k}-token window occurring in ≥2
+    distinct documents marks its positions, and per document the
+    covered positions merge into maximal spans (gaps-and-islands) —
+    the span table a surgical dedup pass would cut, where whole-doc
+    dedup (minhash/exact tiers) would either keep the overlap or drop
+    the whole document.
+
+    Exactness: grouping is on the raw {k}-gram STRING — collision-free
+    and engine-identical; positions/spans are pure integer windows.
+
+    100 TB: the gram build is a narrow in-array transform (no
+    self-join); the duplicate filter is one groupBy (map-side combined;
+    switch the group key to xxhash64(gram) to shuffle 8-byte keys —
+    the dedup_ngram_hashjoin profile); coverage fan-out is bounded by
+    {k}; the islands window partitions per doc_id (position-bounded
+    state, never corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SPAN_K
+    d = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= k
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i + 1, k)
+                ),
+            )
+        ).alias("start", "gram"),
+    )
+    grams = grams.localCheckpoint(eager=False)  # dup filter + mark join
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    marked = grams.join(dup, "gram", "left_semi").select(
+        "doc_id", "start"
+    ).distinct()
+    covered = marked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (k - 1))
+        ).alias("p"),
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = covered.withColumn("grp", F.col("p") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            F.max("p").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+dedup_substring_spans.__doc__ = dedup_substring_spans.__doc__.format(
+    k=_SPAN_K
+)

@@ -702,7 +702,10 @@ def exact_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _sim_lsh_oracle() -> str:
+def _sim_lsh_cte() -> str:
+    """Shared oracle CTE prefix: exact_top / lsh_top as
+    (query_id, neighbor_id, rank) — consumed by the recall oracle AND
+    the MRR/NDCG ranking-metrics oracle."""
     from gcp_de_data_pipeline_cc_spark.operators.similarity import (
         sql_portable_lsh_buckets,
     )
@@ -713,7 +716,7 @@ def _sim_lsh_oracle() -> str:
     )
     collide = " OR ".join(f"q.b{t} = c.b{t}" for t in range(8))
     return f"""
-    WITH q AS (
+    q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {bucket_cols}
         FROM embeddings WHERE vec_id % 50 = 0),
     c AS (
@@ -721,7 +724,7 @@ def _sim_lsh_oracle() -> str:
                {bucket_cols}
         FROM embeddings),
     exact_top AS (
-        SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, rank FROM (
             SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
                        list_dot_product(qv, cv)
@@ -731,7 +734,7 @@ def _sim_lsh_oracle() -> str:
             FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
         WHERE rank <= 10),
     lsh_top AS (
-        SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, rank FROM (
             SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
                        list_dot_product(qv, cv)
@@ -740,7 +743,12 @@ def _sim_lsh_oracle() -> str:
                        neighbor_id) AS rank
             FROM q JOIN c
               ON query_id <> neighbor_id AND ({collide}))
-        WHERE rank <= 10),
+        WHERE rank <= 10)"""
+
+
+def _sim_lsh_oracle() -> str:
+    return f"""
+    WITH {_sim_lsh_cte()},
     hits AS (
         SELECT e.query_id, CAST(COUNT(*) AS INT) AS n_hit
         FROM exact_top e JOIN lsh_top a
@@ -2409,4 +2417,122 @@ def corpus_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_rate"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking-quality metrics for the approximate search (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: 1/log2(pos+1) discount weights in integer NANOS, positions 1..10 —
+#: shared 9-dp literals on both engines (the _ANOVA_FCRIT discipline:
+#: libm transcendentals never cross the engine boundary), so every DCG
+#: term is an exact int64 product and the sums are order-free
+import math as _math
+
+_NDCG_W = tuple(
+    int(round(1e9 / _math.log2(i + 1))) for i in range(1, 11)
+)
+
+
+def _mrr_ndcg_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    return f"""
+    WITH {_sim_lsh_cte()},
+    joined AS (
+        SELECT a.query_id, a.rank AS apos,
+               COALESCE(11 - e.rank, 0) AS rel
+        FROM lsh_top a
+        LEFT JOIN exact_top e
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+    dcg AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS INT)
+                   AS n_hits,
+               MIN(CASE WHEN rel > 0 THEN apos END) AS first_hit,
+               CAST(SUM(rel * (CASE apos {w_case} END)) AS BIGINT)
+                   AS dcg_nanos
+        FROM joined GROUP BY query_id),
+    idcg AS (
+        SELECT query_id,
+               CAST(SUM((11 - rank) * (CASE rank {w_case} END)) AS BIGINT)
+                   AS idcg_nanos
+        FROM exact_top GROUP BY query_id)
+    SELECT i.query_id,
+           COALESCE(d.n_hits, 0) AS n_hits,
+           FLOOR(COALESCE(1.0e0 / d.first_hit, 0.0e0) * 1000000.0 + 0.5)
+               / 1000000.0 AS mrr,
+           FLOOR(COALESCE(d.dcg_nanos, 0) * 1.0e0 / i.idcg_nanos
+                 * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+    FROM idcg i LEFT JOIN dcg d USING (query_id)
+    ORDER BY i.query_id
+    """
+
+
+@query("eval_mrr_ndcg", oracle=_mrr_ndcg_oracle())
+def eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for the approximate search — recall@10
+    (sim_topk_lsh) says WHETHER the right neighbors surface; MRR and
+    NDCG@10 say WHERE: reciprocal rank of the first true neighbor and
+    the graded, position-discounted agreement with the exact ranking
+    (relevance of an approx result = 11 − its exact rank, 0 if outside
+    the exact top-10).  The eval-harness pair every retrieval system
+    reports beside recall.
+
+    Exactness: discount weights 1/log2(pos+1) are PRECOMPUTED integer
+    nano literals shared by both engines (libm never crosses the engine
+    boundary — the F-crit discipline), so every DCG/IDCG term is an
+    exact int64 product, the sums are order-free, and only the final
+    NDCG/MRR divisions are float, identical-tree, 6-dp floor-rounded.
+
+    100 TB: both rankings are the session-cached relations; the
+    metrics add two query-keyed joins over ≤10-row groups."""
+    exact = exact_topk10(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("erank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = sim.cosine_topk_lsh_portable(
+        queries, emb, k=10, n_tables=8, bits=4, dim=64
+    ).select("query_id", "neighbor_id", F.col("rank").alias("apos"))
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _NDCG_W])
+    joined = approx.join(
+        exact, ["query_id", "neighbor_id"], "left"
+    ).select(
+        "query_id",
+        "apos",
+        F.coalesce(11 - F.col("erank"), F.lit(0)).alias("rel"),
+    )
+    dcg = joined.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_hits"),
+        F.min(F.when(F.col("rel") > 0, F.col("apos"))).alias("first_hit"),
+        F.sum(F.col("rel") * F.element_at(w_arr, F.col("apos")))
+        .cast("long")
+        .alias("dcg_nanos"),
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum((11 - F.col("erank")) * F.element_at(w_arr, F.col("erank")))
+        .cast("long")
+        .alias("idcg_nanos")
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            roundn(
+                F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            roundn(
+                F.coalesce(F.col("dcg_nanos"), F.lit(0))
+                * F.lit(1.0)
+                / F.col("idcg_nanos"),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
     )

@@ -272,3 +272,63 @@ def test_mixture_epochs_conservation(spark):
     tot = sum(r.tokens for r in rows)
     for r in rows:
         assert abs(r.planned_tokens - 5_000_000 * r.tokens / tot) <= 1
+
+
+# ---------------------------------------------- repeated-substring spans
+
+def test_substring_spans_planted_overlap(spark, tmp_path):
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 shared tokens
+    rows = [
+        (1, "one two three " + shared + " four five", "a"),
+        (2, shared + " six seven eight nine ten", "b"),
+        (3, "no duplicated window here at all really truly", "c"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = REGISTRY["dedup_substring_spans"].spark(spark, str(tmp_path)).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end, r.span_len) for r in out}
+    # doc 1: shared tokens occupy positions 3..8; doc 2: 0..5
+    assert spans[1] == (3, 8, 6)
+    assert spans[2] == (0, 5, 6)
+    assert 3 not in spans                      # clean doc has no spans
+    assert len(out) == 2
+
+
+def test_substring_spans_islands_merge(spark, tmp_path):
+    # two overlapping duplicated windows in one doc merge to ONE span
+    a = "p q r s t u v"                # 7 tokens: two 5-windows overlap
+    rows = [
+        (1, a + " filler xx yy", "a"),
+        (2, "zz " + a + " other tail", "b"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = REGISTRY["dedup_substring_spans"].spark(spark, str(tmp_path)).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[1]) == 1 and per_doc[1][0].span_len == 7
+    assert len(per_doc[2]) == 1 and per_doc[2][0].span_len == 7
+
+
+# --------------------------------------------------- mrr / ndcg laws
+
+def test_mrr_ndcg_laws(spark):
+    rows = REGISTRY["eval_mrr_ndcg"].spark(spark, SF_DIR).collect()
+    recall = {
+        r.query_id: r
+        for r in REGISTRY["sim_topk_lsh"].spark(spark, SF_DIR).collect()
+    }
+    assert rows and set(recall) == {r.query_id for r in rows}
+    for r in rows:
+        assert 0.0 <= r.mrr <= 1.0 and 0.0 <= r.ndcg <= 1.0
+        assert r.n_hits == recall[r.query_id].n_hit  # same hit universe
+        # perfect agreement iff every exact neighbor found in order
+        if r.ndcg == 1.0:
+            assert r.n_hits == recall[r.query_id].n_exact
+        if r.n_hits == 0:
+            assert r.mrr == 0.0 and r.ndcg == 0.0
+        if r.n_hits > 0:
+            assert r.mrr > 0.0
