@@ -725,11 +725,10 @@ def source_mirror_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable) and collapses to ≤|sources|² cells.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from gcp_de_data_pipeline_cc_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
+    from gcp_de_data_pipeline_cc_spark.plans.llm import corpus_dup_pairs
 
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # session-cached pair relation (shared with the whole dedup family)
+    pairs = corpus_dup_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     da = src.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
