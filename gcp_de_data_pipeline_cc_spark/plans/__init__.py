@@ -52,4 +52,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     udfs,
 )
 
+# imported after the signal modules: its oracle nests theirs
+from gcp_de_data_pipeline_cc_spark.plans import quality_composite  # noqa: E402,F401
+
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -833,3 +833,4 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4.alias("r4_alpha_fraction"),
         (r1 & r2 & r3 & r4).alias("pass_all"),
     )
+

@@ -332,3 +332,22 @@ def test_mrr_ndcg_laws(spark):
             assert r.mrr == 0.0 and r.ndcg == 0.0
         if r.n_hits > 0:
             assert r.mrr > 0.0
+
+
+# ------------------------------------------------ composite quality
+
+def test_quality_composite_laws(spark):
+    rows = REGISTRY["quality_composite_score"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.q_entropy <= 5 and 1 <= r.q_repetition <= 5
+        assert 1 <= r.q_fluency <= 5
+        assert r.composite == r.q_entropy + r.q_repetition + r.q_fluency
+        assert r.keep == (r.composite >= 9)
+    # quintiles are balanced: each bucket holds n/5 +- 1 docs
+    n = len(rows)
+    for col in ("q_entropy", "q_repetition", "q_fluency"):
+        from collections import Counter
+        c = Counter(getattr(r, col) for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1
