@@ -385,3 +385,91 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 privacy_t_closeness.__doc__ = privacy_t_closeness.__doc__.format(
     tn=_T_NUM, td=_T_DEN
 )
+
+
+# ---------------------------------------------------------------------------
+# differential privacy: seeded Laplace counts (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: privacy budget per released count (sensitivity 1 → Laplace scale 1/ε)
+_DP_EPS_NUM, _DP_EPS_DEN = 1, 1  # ε = 1
+
+#: uniform draw from the md5 of the group key: first 12 hex nibbles /
+#: 16^12 — deterministic (auditable/replayable release), identical
+#: string→int path on both engines.  A production release swaps in a
+#: CSPRNG; the QUERY SHAPE (per-group noise, inverse-CDF transform,
+#: budget column) is what this key pins.
+_DP_U_SQL = (
+    "(CAST(CAST('0x' || SUBSTR(md5('dp:' || {key}), 1, 12) AS BIGINT)"
+    " AS DOUBLE) + 0.5) / 281474976710656.0"
+)
+
+
+def _dp_oracle() -> str:
+    u = _DP_U_SQL.format(key="o_orderpriority")
+    b = f"({_DP_EPS_DEN}.0 / {_DP_EPS_NUM}.0)"
+    noise = (
+        f"-{b} * CASE WHEN {u} >= 0.5 THEN 1.0 ELSE -1.0 END"
+        f" * LN(1.0 - 2.0 * ABS({u} - 0.5))"
+    )
+    return f"""
+    WITH g AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM orders GROUP BY 1)
+    SELECT o_orderpriority, true_count,
+           FLOOR(({noise}) * 10000.0 + 0.5) / 10000.0 AS noise,
+           FLOOR((true_count + ({noise})) * 10000.0 + 0.5) / 10000.0
+               AS noisy_count,
+           {_DP_EPS_NUM}.0 / {_DP_EPS_DEN}.0 AS epsilon
+    FROM g
+    ORDER BY o_orderpriority
+    """
+
+
+@query("privacy_dp_count", oracle=_dp_oracle())
+def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth rung of the privacy tier — ε-DIFFERENTIALLY-PRIVATE
+    released counts (k-anonymity/l-diversity/t-closeness audit the
+    DATA; DP protects the QUERY OUTPUT): per-priority order counts
+    with Laplace(1/ε) noise at ε=1, sensitivity 1, via the inverse-CDF
+    transform noise = −b·sign(u−½)·ln(1−2|u−½|).  The uniform draw is
+    a SEEDED md5 of the group key, so the release is deterministic —
+    auditable and exactly replayable, the property a DP accounting
+    review needs (swap a CSPRNG for production draws; the shape — one
+    noise term per released statistic, the ε budget column — is what
+    carries).
+
+    Exactness: true counts exact int64; u is an exact 48-bit dyadic
+    rational identically derived on both engines; the ln/abs chain is
+    an identical expression tree rounded at 4 dp (the text_entropy
+    libm discipline).
+
+    100 TB: one map-side-combined aggregate; noise is per-GROUP scalar
+    math (class-cardinality), never row-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("o_orderpriority"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    b = F.lit(float(_DP_EPS_DEN) / float(_DP_EPS_NUM))
+    noise = (
+        -b
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return g.select(
+        "o_orderpriority",
+        "true_count",
+        roundn(noise, 4).alias("noise"),
+        roundn(F.col("true_count") + noise, 4).alias("noisy_count"),
+        F.lit(float(_DP_EPS_NUM) / float(_DP_EPS_DEN)).alias("epsilon"),
+    ).orderBy("o_orderpriority")

@@ -351,3 +351,32 @@ def test_quality_composite_laws(spark):
         c = Counter(getattr(r, col) for r in rows)
         assert set(c) == {1, 2, 3, 4, 5}
         assert max(c.values()) - min(c.values()) <= 1
+
+
+# ----------------------------------------------------- DP counts
+
+def test_dp_count_noise_is_seeded_laplace(spark):
+    import hashlib, math
+
+    rows = REGISTRY["privacy_dp_count"].spark(spark, SF_DIR).collect()
+    assert rows
+    truth = {
+        r.o_orderpriority: r.true_count for r in
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderpriority").count()
+        .withColumnRenamed("count", "true_count").collect()
+    }
+    for r in rows:
+        assert r.true_count == truth[r.o_orderpriority]
+        assert r.epsilon == 1.0
+        # recompute the seeded inverse-CDF draw independently
+        h = hashlib.md5(f"dp:{r.o_orderpriority}".encode()).hexdigest()
+        u = (int(h[:12], 16) + 0.5) / 16**12
+        want = -(1.0) * (1 if u >= 0.5 else -1) * math.log(1 - 2 * abs(u - 0.5))
+        assert abs(r.noise - round(want, 4)) <= 1e-4
+        assert abs(r.noisy_count - (r.true_count + r.noise)) <= 2e-4
+    # determinism: a second run releases the identical counts
+    again = REGISTRY["privacy_dp_count"].spark(spark, SF_DIR).collect()
+    assert [(r.o_orderpriority, r.noisy_count) for r in rows] == [
+        (r.o_orderpriority, r.noisy_count) for r in again
+    ]
