@@ -682,3 +682,133 @@ def fn_ip_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("net_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# geospatial: haversine nearest-site assignment (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: fulfillment sites (name, lat, lon) — inline VALUES dim
+_GEO_SITES = [
+    ("ams", 52.37, 4.90),
+    ("iad", 38.95, -77.45),
+    ("sin", 1.35, 103.99),
+    ("gru", -23.43, -46.47),
+    ("syd", -33.95, 151.18),
+]
+
+_GEO_R_KM = 6371.0
+_GEO_PI = 3.141592653589793
+
+
+def _geo_oracle() -> str:
+    sites = ", ".join(
+        f"('{n}', {la}e0, {lo}e0)" for n, la, lo in _GEO_SITES
+    )
+    hav = f"""
+        2.0e0 * {_GEO_R_KM}e0 * ASIN(SQRT(
+            POW(SIN((s.slat - c.lat) * {_GEO_PI}e0 / 360.0), 2)
+            + COS(c.lat * {_GEO_PI}e0 / 180.0)
+              * COS(s.slat * {_GEO_PI}e0 / 180.0)
+              * POW(SIN((s.slon - c.lon) * {_GEO_PI}e0 / 360.0), 2)))"""
+    return f"""
+    WITH c AS (
+        SELECT c_custkey,
+               -60.0e0 + (c_custkey * 7919 % 12000) / 100.0e0 AS lat,
+               -180.0e0 + (c_custkey * 104729 % 36000) / 100.0e0 AS lon
+        FROM customer),
+    s(site, slat, slon) AS (VALUES {sites}),
+    d AS (
+        SELECT c.c_custkey, s.site,
+               CAST(FLOOR(({hav}) * 10000.0 + 0.5) AS BIGINT) AS dist_q
+        FROM c CROSS JOIN s),
+    nearest AS (
+        SELECT c_custkey, site, dist_q FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                          ORDER BY dist_q, site) AS rn
+            FROM d)
+        WHERE rn = 1)
+    SELECT site,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           FLOOR(SUM(dist_q) * 1.0e0 / COUNT(*) / 10000.0 * 10.0 + 0.5)
+               / 10.0 AS avg_km,
+           FLOOR(MAX(dist_q) / 10000.0 * 10.0 + 0.5) / 10.0 AS max_km
+    FROM nearest
+    GROUP BY site
+    ORDER BY site
+    """
+
+
+@query("geo_nearest_site", oracle=_geo_oracle())
+def geo_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO family — haversine nearest-site assignment: customers (at
+    deterministic synthetic coordinates derived from the key — exact
+    integer arithmetic into exact dyadic/percent grids) assigned to
+    the closest of 5 fulfillment sites on the great-circle metric,
+    rolled up to per-site counts and distance stats.  The
+    logistics/latency-zone workload every warehouse with coordinates
+    runs; the site dim is an inline-VALUES broadcast.
+
+    Exactness: the haversine chain (sin/cos/asin/sqrt over a shared
+    π literal) is an identical expression tree on both engines;
+    per-pair distances are QUANTIZED to integer 10⁻⁴ km units BEFORE
+    the argmin and the mean (order-free sums, exact ties); ties break
+    on site name.
+
+    100 TB: |sites| is a constant — the cross join is a broadcast
+    fan-out of 5 per customer, the argmin a WindowGroupLimit-pruned
+    rank per customer, the rollup map-side combined.  Beyond a
+    constant site list, the scale path is a geohash-bucket join
+    (bucket by coarse cell, compare within cell ± neighbors — the LSH
+    band discipline on the sphere)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(-60.0) + (F.col("c_custkey") * 7919 % 12000) / 100.0).alias(
+            "lat"
+        ),
+        (
+            F.lit(-180.0) + (F.col("c_custkey") * 104729 % 36000) / 100.0
+        ).alias("lon"),
+    )
+    sites = F.broadcast(
+        spark.createDataFrame(
+            _GEO_SITES, "site STRING, slat DOUBLE, slon DOUBLE"
+        )
+    )
+    pi = F.lit(_GEO_PI)
+    hav = (
+        F.lit(2.0)
+        * F.lit(_GEO_R_KM)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((F.col("slat") - F.col("lat")) * pi / 360.0), 2)
+                + F.cos(F.col("lat") * pi / 180.0)
+                * F.cos(F.col("slat") * pi / 180.0)
+                * F.pow(
+                    F.sin((F.col("slon") - F.col("lon")) * pi / 360.0), 2
+                )
+            )
+        )
+    )
+    d = cust.crossJoin(sites).select(
+        "c_custkey",
+        "site",
+        F.floor(hav * 10000.0 + F.lit(0.5)).cast("long").alias("dist_q"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_q", "site")
+    nearest = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        nearest.groupBy("site")
+        .agg(
+            F.count("*").alias("n_customers"),
+            roundn(
+                F.sum("dist_q") * F.lit(1.0) / F.count("*") / 10000.0, 1
+            ).alias("avg_km"),
+            roundn(F.max("dist_q") / F.lit(10000.0), 1).alias("max_km"),
+        )
+        .orderBy("site")
+    )

@@ -380,3 +380,35 @@ def test_dp_count_noise_is_seeded_laplace(spark):
     assert [(r.o_orderpriority, r.noisy_count) for r in rows] == [
         (r.o_orderpriority, r.noisy_count) for r in again
     ]
+
+
+# -------------------------------------------------------- geo family
+
+def test_geo_nearest_site_laws(spark):
+    import math
+
+    rows = REGISTRY["geo_nearest_site"].spark(spark, SF_DIR).collect()
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(r.n_customers for r in rows) == n_cust  # total conserved
+    for r in rows:
+        # max great-circle distance on Earth ~ 20015 km; avg <= max
+        assert 0 < r.avg_km <= r.max_km <= 20016.0
+    # independently verify one customer's assignment in pure python
+    sites = {"ams": (52.37, 4.90), "iad": (38.95, -77.45),
+             "sin": (1.35, 103.99), "gru": (-23.43, -46.47),
+             "syd": (-33.95, 151.18)}
+
+    def hav(lat1, lon1, lat2, lon2):
+        p = math.pi / 180
+        a = (math.sin((lat2 - lat1) * p / 2) ** 2
+             + math.cos(lat1 * p) * math.cos(lat2 * p)
+             * math.sin((lon2 - lon1) * p / 2) ** 2)
+        return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+    k = 7
+    lat = -60.0 + (k * 7919 % 12000) / 100.0
+    lon = -180.0 + (k * 104729 % 36000) / 100.0
+    best = min(sites, key=lambda s: (hav(lat, lon, *sites[s]), s))
+    # the winning site must be among those reported (and the full
+    # assignment is pinned by the oracle hash; this is the sanity law)
+    assert best in {r.site for r in rows}
