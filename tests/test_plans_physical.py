@@ -80,8 +80,19 @@ def test_semi_anti_join_types(spark):
 
 
 def test_similarity_queries_are_broadcast(spark):
-    # the big candidate side must never shuffle for the join
-    plan = plan_of(spark, "sim_topk")
+    # the big candidate side must never shuffle for the join.  The
+    # registered sim_topk now returns the session-cached checkpoint
+    # (plan truncates to an RDD scan), so inspect the underlying
+    # operator plan the cache materializes.
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
+    from gcp_de_data_pipeline_cc_spark.operators import similarity as sim
+    import pyspark.sql.functions as _F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = sim.cosine_topk(emb.filter(_F.col("vec_id") % 50 == 0), emb, k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -347,6 +358,12 @@ _BNLJ_REVIEWED = frozenset({
     # the one-row worst-makespan scalar — category (a); qc_alert_routing
     # inherits qc_freshness' one-row anchor broadcast — category (a)
     "ops_retry_budget", "qc_alert_routing",
+    # round-4 second wave: fn_ip_network's prefix-mask expression join
+    # against the 4-row CIDR dim and geo_nearest_site's 5-row site
+    # cross join — category (b) bounded dims; quality_composite_score
+    # and train_mixture_epochs broadcast one-row totals — category (a)
+    "fn_ip_network", "geo_nearest_site", "quality_composite_score",
+    "train_mixture_epochs",
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
