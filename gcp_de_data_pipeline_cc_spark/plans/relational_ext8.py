@@ -812,3 +812,84 @@ def geo_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("site")
     )
+
+
+#: grid resolution per axis for the cell-density rollup
+_GEO_GRID = 64
+
+
+@query(
+    "geo_cell_density",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               -6000 + (c_custkey * 7919 % 12000) AS lat_c,
+               -18000 + (c_custkey * 104729 % 36000) AS lon_c,
+               CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer),
+    binned AS (
+        SELECT c_custkey, cents,
+               (lat_c + 9000) * {_GEO_GRID} // 18000 AS latq,
+               (lon_c + 18000) * {_GEO_GRID} // 36000 AS lonq
+        FROM c),
+    cells AS (
+        SELECT CAST(latq AS BIGINT) AS latq, CAST(lonq AS BIGINT) AS lonq,
+               CAST(latq * {_GEO_GRID} + lonq AS BIGINT) AS cell_id,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS acct_cents
+        FROM binned GROUP BY 1, 2, 3)
+    SELECT * FROM cells
+    ORDER BY n_customers DESC, cell_id
+    LIMIT 15
+    """,
+)
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO family — GRID-CELL density rollup, the bucketed scale path
+    geo_nearest_site's docstring promises: coordinates (held as exact
+    integer centi-degrees — no float touches the binning) quantize
+    into a {g}×{g} global grid by pure integer arithmetic, and the
+    top-15 densest cells report customer count and account mass.  The
+    heat-map / coverage-planning readout, and the cell key is exactly
+    what a geohash-bucket spatial JOIN would co-partition on (compare
+    within cell ± neighbors — the LSH band discipline on the sphere).
+
+    Exactness: everything is int64 — the synthetic coordinates, the
+    DIV binning, counts and cents; the top-15 breaks ties on cell_id.
+
+    100 TB: one map-side-combined aggregate on an 8-byte derived key;
+    the top-15 is a TakeOrderedAndProject heap."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(-6000) + (F.col("c_custkey") * 7919 % 12000)).alias("lat_c"),
+        (F.lit(-18000) + (F.col("c_custkey") * 104729 % 36000)).alias(
+            "lon_c"
+        ),
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    g = _GEO_GRID
+    binned = cust.select(
+        "cents",
+        F.expr(f"(lat_c + 9000) * {g} DIV 18000").alias("latq"),
+        F.expr(f"(lon_c + 18000) * {g} DIV 36000").alias("lonq"),
+    )
+    return (
+        binned.groupBy("latq", "lonq")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("acct_cents"),
+        )
+        .select(
+            "latq",
+            "lonq",
+            (F.col("latq") * g + F.col("lonq")).cast("long").alias("cell_id"),
+            "n_customers",
+            "acct_cents",
+        )
+        .orderBy(F.desc("n_customers"), "cell_id")
+        .limit(15)
+    )
+
+
+geo_cell_density.__doc__ = geo_cell_density.__doc__.format(g=_GEO_GRID)

@@ -412,3 +412,18 @@ def test_geo_nearest_site_laws(spark):
     # the winning site must be among those reported (and the full
     # assignment is pinned by the oracle hash; this is the sanity law)
     assert best in {r.site for r in rows}
+
+
+def test_geo_cell_density_exact_binning(spark):
+    rows = REGISTRY["geo_cell_density"].spark(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 15
+    counts = [r.n_customers for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0 <= r.latq < 64 and 0 <= r.lonq < 64
+        assert r.cell_id == r.latq * 64 + r.lonq
+    # independently re-bin one customer
+    k = 13
+    latq = (-6000 + (k * 7919 % 12000) + 9000) * 64 // 18000
+    lonq = (-18000 + (k * 104729 % 36000) + 18000) * 64 // 36000
+    assert 0 <= latq < 64 and 0 <= lonq < 64
