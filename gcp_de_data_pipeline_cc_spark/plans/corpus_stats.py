@@ -620,3 +620,166 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("task_id", "k")
+
+
+# ---------------------------------------------------------------------------
+# bootstrap confidence interval (r4 wave)
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicates and the CI band
+_BOOT_B = 200
+_BOOT_LO, _BOOT_HI = 5, 195  # exact order-stat indices for a 95% band
+
+
+@query(
+    "eval_bootstrap_ci",
+    oracle=f"""
+    WITH tasks AS (
+        SELECT o_orderkey % 200 AS task_id,
+               CAST(MAX(CASE WHEN SUBSTR(md5('attempt:' ||
+                        CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS solved
+        FROM orders GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tasks),
+    draws AS (
+        SELECT b.b, t.solved
+        FROM (SELECT UNNEST(range(1, {_BOOT_B} + 1)) AS b) b
+        CROSS JOIN (SELECT UNNEST(range(0, (SELECT n FROM n))) AS i) i
+        JOIN tasks t
+          ON t.task_id = CAST(CAST('0x' || SUBSTR(md5('boot:' ||
+                 CAST(b.b AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)),
+                 1, 12) AS BIGINT) AS BIGINT) % (SELECT n FROM n)),
+    reps AS (
+        SELECT b, CAST(SUM(solved) AS BIGINT) AS n_solved,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM draws GROUP BY b),
+    ranked AS (
+        SELECT n_solved, n,
+               ROW_NUMBER() OVER (ORDER BY n_solved, b) AS rk
+        FROM reps),
+    point AS (
+        SELECT CAST(SUM(solved) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM tasks)
+    SELECT point.n AS n_tasks,
+           FLOOR(point.s * 1.0e0 / point.n * 10000.0 + 0.5) / 10000.0
+               AS solve_rate,
+           CAST({_BOOT_B} AS INT) AS n_replicates,
+           FLOOR((SELECT n_solved * 1.0e0 / n FROM ranked
+                  WHERE rk = {_BOOT_LO}) * 10000.0 + 0.5) / 10000.0
+               AS ci_lo,
+           FLOOR((SELECT n_solved * 1.0e0 / n FROM ranked
+                  WHERE rk = {_BOOT_HI}) * 10000.0 + 0.5) / 10000.0
+               AS ci_hi
+    FROM point
+    """,
+)
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-harness staple #3 — BOOTSTRAP 95% CI on the task solve
+    rate (beside eval_pass_at_k's point estimate and eval_mrr_ndcg's
+    ranking quality): {b} resamples of the task set with replacement,
+    replicate solve rates, and the exact order-statistic band
+    (replicates #{lo} and #{hi}).  The error bar every eval report
+    needs before claiming one model beats another.
+
+    Resampling is SEEDED (md5(b:i) → task index), so the CI is
+    deterministic and bit-reproducible on both engines — the
+    privacy_dp_count draw discipline; a production harness swaps a
+    PRNG, the query SHAPE (replicate explode → per-replicate
+    aggregate → order-stat band) is what carries.
+
+    Exactness: solved flags, draw indices, and replicate sums are
+    exact int64; the two band endpoints are exact order statistics
+    (rank ties broken by replicate id), with ONE division each at 4 dp.
+
+    100 TB: the eval log collapses to task-cardinality first; the
+    explode is B×n_tasks (bounded by the EVAL SET, not the corpus);
+    everything after is a {b}-row relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    tasks = (
+        orders.groupBy((F.col("o_orderkey") % 200).alias("task_id"))
+        .agg(
+            F.max(
+                F.when(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("attempt:"),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    )
+                    < "40",
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("solved")
+        )
+    )
+    tasks = tasks.localCheckpoint(eager=False)  # draws + point estimate
+    n_df = tasks.agg(F.count("*").alias("n"))
+    grid = (
+        spark.range(1, _BOOT_B + 1)
+        .select(F.col("id").alias("b"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "b", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+            "n",
+        )
+    )
+    idx = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n")
+    )
+    draws = grid.select("b", idx.alias("task_id")).join(tasks, "task_id")
+    reps = draws.groupBy("b").agg(
+        F.sum("solved").alias("n_solved"), F.count("*").alias("n")
+    )
+    w = Window.orderBy("n_solved", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(w))
+    lo = ranked.filter(F.col("rk") == _BOOT_LO).select(
+        roundn(F.col("n_solved") * F.lit(1.0) / F.col("n"), 4).alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == _BOOT_HI).select(
+        roundn(F.col("n_solved") * F.lit(1.0) / F.col("n"), 4).alias("ci_hi")
+    )
+    point = tasks.agg(
+        F.count("*").alias("n_tasks"),
+        roundn(F.sum("solved") * F.lit(1.0) / F.count("*"), 4).alias(
+            "solve_rate"
+        ),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_tasks",
+            "solve_rate",
+            F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+eval_bootstrap_ci.__doc__ = eval_bootstrap_ci.__doc__.format(
+    b=_BOOT_B, lo=_BOOT_LO, hi=_BOOT_HI
+)

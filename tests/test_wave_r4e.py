@@ -427,3 +427,14 @@ def test_geo_cell_density_exact_binning(spark):
     latq = (-6000 + (k * 7919 % 12000) + 9000) * 64 // 18000
     lonq = (-18000 + (k * 104729 % 36000) + 18000) * 64 // 36000
     assert 0 <= latq < 64 and 0 <= lonq < 64
+
+
+def test_bootstrap_ci_laws(spark):
+    r = REGISTRY["eval_bootstrap_ci"].spark(spark, SF_DIR).collect()[0]
+    assert r.n_replicates == 200
+    assert 0.0 <= r.ci_lo <= r.ci_hi <= 1.0
+    # the point estimate sits inside (or at the edge of) the band
+    assert r.ci_lo - 0.05 <= r.solve_rate <= r.ci_hi + 0.05
+    # deterministic release
+    r2 = REGISTRY["eval_bootstrap_ci"].spark(spark, SF_DIR).collect()[0]
+    assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)
