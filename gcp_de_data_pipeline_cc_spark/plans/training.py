@@ -1094,3 +1094,139 @@ def train_pack_greedy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_pack_greedy_eval.__doc__ = train_pack_greedy_eval.__doc__.format(
     p=PACK_TOKENS, s=SHARD_SIZE
 )
+
+
+# ---------------------------------------------------------------------------
+# first-fit-decreasing packing eval (r4 wave)
+# ---------------------------------------------------------------------------
+
+_FFD_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(FLOOR(doc_id / {SHARD_SIZE}) AS BIGINT) AS shard,
+           CAST(LEAST(len(string_split(text, ' ')), {PACK_TOKENS})
+                AS BIGINT) AS n_tok
+    FROM documents),
+arr AS (
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           list(n_tok ORDER BY n_tok DESC, doc_id) AS lens
+    FROM d GROUP BY shard),
+folded AS (
+    SELECT shard, n_docs, total_tokens,
+        list_reduce(
+            list_prepend(CAST([] AS BIGINT[]),
+                         list_transform(lens, x -> [x])),
+            (acc, e) -> CASE
+                WHEN list_min(list_filter(range(1, len(acc) + 1),
+                        i -> acc[i] + e[1] <= {PACK_TOKENS})) IS NULL
+                THEN list_append(acc, e[1])
+                ELSE list_transform(range(1, len(acc) + 1),
+                        i -> CASE WHEN i = list_min(list_filter(
+                                 range(1, len(acc) + 1),
+                                 j -> acc[j] + e[1] <= {PACK_TOKENS}))
+                             THEN acc[i] + e[1] ELSE acc[i] END)
+                END) AS bins
+    FROM arr)
+SELECT shard, n_docs, total_tokens,
+       CAST(len(bins) AS BIGINT) AS n_packs_ffd,
+       CAST(len(bins) * {PACK_TOKENS} - total_tokens AS BIGINT)
+           AS waste_tokens,
+       (total_tokens + {PACK_TOKENS} - 1) // {PACK_TOKENS}
+           AS lower_bound_packs,
+       {sql_roundn(
+           f"total_tokens * 1.0e0 / (len(bins) * {PACK_TOKENS}.0e0)", 6
+       )} AS utilization
+FROM folded ORDER BY shard
+"""
+
+
+@query("train_pack_ffd_eval", oracle=_FFD_ORACLE)
+def train_pack_ffd_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — FIRST-FIT-DECREASING no-straddle packing eval,
+    the OFFLINE twin of train_pack_greedy_eval: when document order
+    need not be preserved, sort each shard's (capacity-clipped) lengths
+    descending and first-fit each into the earliest bin with room.
+    FFD carries the classic 11/9·OPT+6/9 guarantee, so comparing its
+    pack count against the order-preserving greedy run (and the exact
+    Σ/cap lower bound, emitted) is the measured cost of the streaming
+    constraint — the number that decides whether an offline re-sort
+    pass is worth the shuffle.
+
+    Exactness: a pure integer LEFT FOLD over the sorted length array
+    (the train_pack_greedy_eval discipline) — bin loads, counts, and
+    waste are exact int64; ties in the sort break on doc_id.
+
+    100 TB: per-shard fold, shard width bounded ({s} docs) — the fold
+    is O(docs·bins) INSIDE one row's array, never cross-row state;
+    shards parallelize embarrassingly."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / SHARD_SIZE).cast("long").alias("shard"),
+        F.least(
+            F.size(F.split("text", " ")), F.lit(PACK_TOKENS)
+        ).cast("long").alias("n_tok"),
+    )
+    arr = d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("n_tok")).alias("neg"),
+                                        F.col("doc_id").alias("doc_id")))
+            ),
+            lambda s: -s.getField("neg"),
+        ).alias("lens"),
+    )
+    cap = F.lit(PACK_TOKENS).cast("long")
+
+    def first_fit(acc, x):
+        # sequence(1, 0) DESCENDS on an empty accumulator (the
+        # market_basket pitfall) — the empty case short-circuits via a
+        # lazy If branch before any sequence/element_at is evaluated
+        fits = F.filter(
+            F.sequence(F.lit(1), F.size(acc)),
+            lambda i: F.element_at(acc, i) + x <= cap,
+        )
+        idx = F.array_min(fits)
+        placed = F.transform(
+            F.sequence(F.lit(1), F.size(acc)),
+            lambda i: F.when(
+                i == idx, F.element_at(acc, i) + x
+            ).otherwise(F.element_at(acc, i)),
+        )
+        return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(idx.isNull(), F.concat(acc, F.array(x))).otherwise(placed)
+        )
+
+    bins = F.aggregate(
+        F.col("lens"),
+        F.array().cast("array<bigint>"),
+        first_fit,
+    )
+    folded = arr.select(
+        "shard", "n_docs", "total_tokens", bins.alias("bins")
+    )
+    return folded.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.size("bins").cast("long").alias("n_packs_ffd"),
+        (F.size("bins").cast("long") * PACK_TOKENS - F.col("total_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.expr(f"(total_tokens + {PACK_TOKENS} - 1) DIV {PACK_TOKENS}")
+        .alias("lower_bound_packs"),
+        roundn(
+            F.col("total_tokens")
+            * F.lit(1.0)
+            / (F.size("bins") * F.lit(float(PACK_TOKENS))),
+            6,
+        ).alias("utilization"),
+    ).orderBy("shard")
+
+
+train_pack_ffd_eval.__doc__ = train_pack_ffd_eval.__doc__.format(
+    s=SHARD_SIZE
+)

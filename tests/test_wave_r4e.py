@@ -438,3 +438,18 @@ def test_bootstrap_ci_laws(spark):
     # deterministic release
     r2 = REGISTRY["eval_bootstrap_ci"].spark(spark, SF_DIR).collect()[0]
     assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)
+
+
+def test_ffd_beats_or_ties_greedy_and_bounds(spark):
+    ffd = {r.shard: r for r in
+           REGISTRY["train_pack_ffd_eval"].spark(spark, SF_DIR).collect()}
+    greedy = {r.shard: r for r in
+              REGISTRY["train_pack_greedy_eval"].spark(spark, SF_DIR).collect()}
+    assert set(ffd) == set(greedy)
+    for s, f in ffd.items():
+        g = greedy[s]
+        assert f.lower_bound_packs <= f.n_packs_ffd <= g.n_packs
+        # FFD guarantee: <= 11/9 OPT + 1 (OPT >= lower bound)
+        assert f.n_packs_ffd <= (11 * f.lower_bound_packs) // 9 + 1
+        assert f.waste_tokens == f.n_packs_ffd * 512 - f.total_tokens
+        assert 0 < f.utilization <= 1.0
