@@ -73,6 +73,8 @@ _COMPONENT_FIRST = (
     # round-4 wave: composite DAG run + QC alert routing (the r3
     # verdict's "What's missing" #1-#3) — sample them while fresh
     "end_to_end_pipeline", "qc_alert_routing",
+    # round-4 session waves: sample fresh keys while fresh
+    "eval_auc_roc", "eval_calibration_ece",
     "sim_topk", "sim_topk_lsh", "sim_topk_ivf",          # C5 flagship similarity
     "dedup_simhash", "dedup_embedding",                   # C4 near-dup variants
     "project_rename", "cast_types", "filter_pred", "null_handling",  # P1-P4

@@ -167,6 +167,7 @@ def global_rank(
     cumsum_col: str | None = None,
     value_col: str | None = None,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact global ROW_NUMBER (and optional running SUM) over a total
     order WITHOUT a single-partition sort — the scale-safe replacement
@@ -198,9 +199,23 @@ def global_rank(
         )
     from pyspark.sql import Window
 
+    # The local-window branch and the per-partition-sizes branch BOTH
+    # consume the range exchange.  Exchange reuse is an optimization,
+    # not a guarantee: when the optimizer plans the exchange subtree
+    # TWICE, each instance is a distinct RDD whose RangePartitioner
+    # draws its boundary reservoir sample with a DIFFERENT seed (the
+    # seed mixes in the RDD id) — so the two branches can disagree on
+    # partition boundaries even over byte-identical input, silently
+    # mis-aligning offsets with local ranks.  Materializing the
+    # partitioned relation once (lazy local checkpoint) pins ONE set
+    # of boundaries and one __pid assignment for every consumer.
+    # ``materialize=False`` exists solely so plan tests can inspect the
+    # two-phase shape beneath the checkpoint truncation.
     part = df.repartitionByRange(num_partitions, *sort_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
+    if materialize:
+        part = part.localCheckpoint(eager=False)
     wl = Window.partitionBy("__pid").orderBy(*sort_cols)
     local = part.withColumn("__lrn", F.row_number().over(wl))
     aggs = [F.count("*").alias("__cnt")]

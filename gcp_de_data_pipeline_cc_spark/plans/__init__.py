@@ -22,6 +22,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     corpus4,
     corpus_stats,
     curation,
+    evals,
     events,
     graph,
     layout,

@@ -1,0 +1,362 @@
+"""Eval-harness metrics over deterministic classifier logs.
+
+Round-4 continuation of the eval tier (pass@k, MRR/NDCG, bootstrap CI):
+threshold-free ranking quality (ROC-AUC via the tie-corrected rank-sum
+form) and probability calibration (reliability bins + expected
+calibration error).  Both operate on an eval log derived
+deterministically from ``orders`` — the same (example_id, score/conf,
+label) shape a real model-eval export lands as — so the keys are
+oracle-paired and bit-reproducible.
+
+Reference parity: the reference repo's pipeline has no model-eval tier
+(it is an Airflow orchestration shell); these keys extend the
+training-data-pipeline surface the build brief names as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# shared deterministic eval-log derivation
+# --------------------------------------------------------------------------
+
+#: 48-bit dyadic-rational uniform from a salted md5 of the example key —
+#: the privacy_dp_count derivation (identical string->int path on both
+#: engines); (hex48 + 0.5) / 2^48
+_U48_SQL = (
+    "(CAST(CAST('0x' || SUBSTR(md5('{salt}:' || CAST(o_orderkey AS VARCHAR)),"
+    " 1, 12) AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0"
+)
+
+
+def _u48(salt: str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("o_orderkey").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+
+
+#: positive-label md5-prefix coin: first hex byte < 0x4d (~30% positives)
+_POS_SQL = "SUBSTR(md5('y:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '4d'"
+
+
+def _pos() -> F.Column:
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit("y:"), F.col("o_orderkey").cast("string"))), 1, 2
+        )
+        < "4d"
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_auc_roc — tie-corrected rank-sum ROC-AUC + threshold table
+# --------------------------------------------------------------------------
+
+
+def _auc_oracle() -> str:
+    u = _U48_SQL.format(salt="s")
+    return f"""
+    WITH scored AS (
+        SELECT FLOOR((0.6e0 * ({u}) +
+                      CASE WHEN {_POS_SQL} THEN 0.4e0 ELSE 0.0e0 END)
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS score,
+               CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+        FROM orders),
+    g AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(pos) AS BIGINT) AS p_s
+        FROM scored GROUP BY score),
+    rk AS (
+        SELECT score, n_s, p_s,
+               SUM(n_s) OVER (ORDER BY score) AS cum
+        FROM g),
+    tot AS (
+        SELECT CAST(SUM(p_s * (2 * (cum - n_s + 1) + n_s - 1)) AS BIGINT)
+                   AS s2,
+               CAST(SUM(p_s) AS BIGINT) AS p,
+               CAST(SUM(n_s - p_s) AS BIGINT) AS n
+        FROM rk),
+    auc AS (
+        SELECT p AS n_pos, n AS n_neg,
+               FLOOR(CAST(s2 - p * (p + 1) AS DOUBLE)
+                     / CAST(2 * p * n AS DOUBLE) * 1000000.0e0 + 0.5e0)
+                   / 1000000.0e0 AS auc
+        FROM tot),
+    bins AS (
+        SELECT LEAST(CAST(FLOOR(score * 10.0e0) AS INT), 9) AS bin,
+               CAST(SUM(pos) AS BIGINT) AS bp, CAST(COUNT(*) AS BIGINT) AS bn
+        FROM scored GROUP BY 1),
+    cells AS (
+        SELECT i.i AS bin, COALESCE(b.bp, 0) AS bp, COALESCE(b.bn, 0) AS bn
+        FROM generate_series(0, 9) i(i) LEFT JOIN bins b ON b.bin = i.i),
+    cum AS (
+        SELECT bin,
+               CAST(SUM(bp) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+               CAST(SUM(bn) OVER (ORDER BY bin DESC) AS BIGINT) AS above
+        FROM cells)
+    SELECT CAST(cum.bin AS DOUBLE) / 10.0e0 AS threshold,
+           cum.tp AS tp,
+           cum.above - cum.tp AS fp,
+           auc.n_pos - cum.tp AS fn,
+           auc.n_neg - (cum.above - cum.tp) AS tn,
+           FLOOR(CAST(cum.tp AS DOUBLE) / CAST(auc.n_pos AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS tpr,
+           FLOOR(CAST(cum.above - cum.tp AS DOUBLE)
+                 / CAST(auc.n_neg AS DOUBLE) * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS fpr,
+           FLOOR(CAST(cum.tp AS DOUBLE)
+                 / CAST(NULLIF(cum.above, 0) AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS prec,
+           auc.auc AS auc,
+           FLOOR((2.0e0 * auc.auc - 1.0e0) * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS gini,
+           auc.n_pos AS n_pos, auc.n_neg AS n_neg
+    FROM cum CROSS JOIN auc
+    ORDER BY threshold
+    """
+
+
+@query("eval_auc_roc", oracle=_auc_oracle())
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — threshold-free ranking quality of a scored binary
+    classifier: exact tie-corrected ROC-AUC via the Mann-Whitney
+    rank-sum identity AUC = (S - P(P+1)/2)/(P*N) with S the sum of
+    positives' AVERAGE ranks, plus the 10-row fixed-threshold ROC/
+    confusion table (tp/fp/fn/tn, TPR/FPR/precision) an eval report
+    prints beside it.  The eval log is derived deterministically from
+    orders (label = md5-prefix coin at ~30% prevalence, score =
+    0.6*u48 + 0.4*label quantized to 6 dp — an informative-but-noisy
+    classifier with AUC ~= 0.89).
+
+    Exactness: scores are 6-dp-quantized BEFORE ranking so tie groups
+    are identical on both engines; S enters as the integer
+    2S = sum over score groups of p_s*(2*min_rank + n_s - 1) (average
+    ranks doubled -> exact int64), so AUC = (2S - P(P+1)) / (2PN) is
+    ONE division, floor-rounded at 6 dp; the confusion counts are
+    exact int64 cumulative sums over a dense 10-bin grid.
+
+    100 TB: no single-reducer sort — the rank phase runs on the
+    score-GROUPED relation through the two-phase global_rank
+    (operators/scale.py): range-exchange + per-partition cumsum +
+    broadcast offsets.  The threshold table is a 10-row grid window;
+    everything else is map-side-combined aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    pos = _pos()
+    score = roundn(
+        F.lit(0.6) * _u48("s") + F.when(pos, F.lit(0.4)).otherwise(F.lit(0.0)), 6
+    )
+    scored = orders.select(
+        score.alias("score"), pos.cast("int").alias("pos")
+    )
+    g = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.sum("pos").cast("long").alias("p_s"),
+    )
+    rk = global_rank(
+        g, [F.col("score")], rank_col="__rn", cumsum_col="__cum", value_col="n_s"
+    )
+    tot = rk.agg(
+        F.sum(
+            F.col("p_s")
+            * (2 * (F.col("__cum") - F.col("n_s") + 1) + F.col("n_s") - 1)
+        )
+        .cast("long")
+        .alias("s2"),
+        F.sum("p_s").cast("long").alias("p"),
+        F.sum(F.col("n_s") - F.col("p_s")).cast("long").alias("n"),
+    )
+    auc = tot.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        roundn(
+            (F.col("s2") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (2 * F.col("p") * F.col("n")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.sum("pos").cast("long").alias("bp"),
+        F.count("*").cast("long").alias("bn"),
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    cells = (
+        F.broadcast(grid)
+        .join(bins, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("bp", F.lit(0)).alias("bp"),
+            F.coalesce("bn", F.lit(0)).alias("bn"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # 10-row grid: the descending cumulative window is bounded by the
+    # grid size (config constant), never by data
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "bin",
+        F.sum("bp").over(w).cast("long").alias("tp"),
+        F.sum("bn").over(w).cast("long").alias("above"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(auc))
+        .select(
+            (F.col("bin").cast("double") / F.lit(10.0)).alias("threshold"),
+            "tp",
+            (F.col("above") - F.col("tp")).alias("fp"),
+            (F.col("n_pos") - F.col("tp")).alias("fn"),
+            (F.col("n_neg") - (F.col("above") - F.col("tp"))).alias("tn"),
+            roundn(
+                F.col("tp").cast("double") / F.col("n_pos").cast("double"), 6
+            ).alias("tpr"),
+            roundn(
+                (F.col("above") - F.col("tp")).cast("double")
+                / F.col("n_neg").cast("double"),
+                6,
+            ).alias("fpr"),
+            roundn(
+                F.col("tp").cast("double")
+                / F.nullif(F.col("above"), F.lit(0)).cast("double"),
+                6,
+            ).alias("prec"),
+            "auc",
+            roundn(F.lit(2.0) * F.col("auc") - F.lit(1.0), 6).alias("gini"),
+            "n_pos",
+            "n_neg",
+        )
+        .orderBy("threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_calibration_ece — reliability bins + expected calibration error
+# --------------------------------------------------------------------------
+
+
+def _ece_oracle() -> str:
+    u1 = _U48_SQL.format(salt="c")
+    u2 = _U48_SQL.format(salt="z")
+    return f"""
+    WITH log AS (
+        SELECT CAST(FLOOR((0.05e0 + 0.9e0 * ({u1})) * 10000.0e0 + 0.5e0)
+                    AS BIGINT) AS c_int,
+               CASE WHEN ({u2}) < GREATEST(
+                        (0.05e0 + 0.9e0 * ({u1})) - 0.08e0, 0.0e0)
+                    THEN 1 ELSE 0 END AS correct
+        FROM orders),
+    b AS (
+        SELECT LEAST(c_int // 1000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(correct) AS BIGINT) AS k,
+               CAST(SUM(c_int) AS BIGINT) AS c_sum
+        FROM log GROUP BY 1),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(ABS(c_sum - 10000 * k)) AS BIGINT) AS gap_num
+        FROM b)
+    SELECT CAST(b.bin AS INT) AS bin, b.n AS n,
+           FLOOR(CAST(b.c_sum AS DOUBLE) / (10000.0e0 * b.n)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS avg_conf,
+           FLOOR(CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS accuracy,
+           FLOOR(CAST(ABS(b.c_sum - 10000 * b.k) AS DOUBLE)
+                 / (10000.0e0 * b.n) * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS gap,
+           FLOOR(CAST(t.gap_num AS DOUBLE) / (10000.0e0 * t.n_total)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS ece,
+           t.n_total AS n_total
+    FROM b CROSS JOIN t
+    ORDER BY bin
+    """
+
+
+@query("eval_calibration_ece", oracle=_ece_oracle())
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — probability CALIBRATION of a classifier's reported
+    confidences: the 10-bin reliability table (per-bin count, average
+    confidence, empirical accuracy, |gap|) and the expected calibration
+    error ECE = sum over bins of (n_b/N)*|avg_conf_b - acc_b|.  The
+    eval log is derived deterministically from orders with a PLANTED
+    ~8-point overconfidence (confidence = 0.05 + 0.9*u48, outcome coin
+    succeeds at confidence - 0.08), so the readout shows the
+    overconfident-model signature a calibration review looks for:
+    avg_conf > accuracy in every populated bin, ECE ~= 0.08.
+
+    Exactness: confidences live as exact integer 1e-4 units from the
+    md5 draw (c_int), so per-bin sums are exact int64 and the per-bin
+    weighted-gap numerator |c_sum - 10000*k| is exact; ECE is
+    sum(|...|) / (10000*N) — integer numerator summed in any order,
+    ONE division, floor-rounded 6 dp.  The outcome coin compares two
+    identically-derived doubles (u2 < conf - 0.08), deterministic on
+    both engines.
+
+    100 TB: one map-side-combined 10-group aggregate plus a one-row
+    broadcast of the totals — no windows, no shuffle beyond the
+    10-key exchange; the eval-log derivation is projection-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    u1 = _u48("c")
+    u2 = _u48("z")
+    conf = F.lit(0.05) + F.lit(0.9) * u1
+    c_int = F.floor(conf * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    correct = (
+        u2 < F.greatest(conf - F.lit(0.08), F.lit(0.0))
+    ).cast("int")
+    log = orders.select(c_int.alias("c_int"), correct.alias("correct"))
+    b = log.groupBy(
+        F.least(F.expr("c_int DIV 1000"), F.lit(9)).cast("int").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("correct").cast("long").alias("k"),
+        F.sum("c_int").cast("long").alias("c_sum"),
+    )
+    t = b.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.abs(F.col("c_sum") - 10000 * F.col("k")))
+        .cast("long")
+        .alias("gap_num"),
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n",
+            roundn(
+                F.col("c_sum").cast("double") / (F.lit(10000.0) * F.col("n")), 6
+            ).alias("avg_conf"),
+            roundn(F.col("k").cast("double") / F.col("n").cast("double"), 6).alias(
+                "accuracy"
+            ),
+            roundn(
+                F.abs(F.col("c_sum") - 10000 * F.col("k")).cast("double")
+                / (F.lit(10000.0) * F.col("n")),
+                6,
+            ).alias("gap"),
+            roundn(
+                F.col("gap_num").cast("double")
+                / (F.lit(10000.0) * F.col("n_total")),
+                6,
+            ).alias("ece"),
+            "n_total",
+        )
+        .orderBy("bin")
+    )

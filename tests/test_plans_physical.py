@@ -367,6 +367,14 @@ _BNLJ_REVIEWED = frozenset({
     # trailing-window distinct actives: 28-day band join against the
     # broadcast day spine — category (c) calendar spine
     "ts_active_users",
+    # r4k wave: eval_auc_roc crosses the 10-row threshold grid with the
+    # one-row AUC summary; eval_calibration_ece crosses the 10-row bin
+    # table with the one-row ECE totals — category (a) scalar/bounded
+    "eval_auc_roc", "eval_calibration_ece",
+    # round-3 tail (added after the last sweep run): the bootstrap CI
+    # crosses the one-row point estimate with the one-row #5/#195
+    # order-statistic bounds — category (a) scalar broadcasts
+    "eval_bootstrap_ci",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
@@ -485,6 +493,8 @@ def test_entity_ranks_never_single_partition_sort(spark, name):
     # global_rank's two-phase form: any single-partition exchange left
     # in the plan must feed the CONFIG-bounded offsets relation (rows =
     # shuffle partitions, keyed __pid), never the entity-sized input.
+    # (The range exchange itself sits beneath global_rank's boundary-
+    # pinning checkpoint and is proven by the unit test below.)
     plan = plan_of(spark, name)
     chunks = _unpartitioned_window_subtrees(plan)
     assert chunks, f"{name}: expected the bounded offsets exchange"
@@ -492,8 +502,28 @@ def test_entity_ranks_never_single_partition_sort(spark, name):
         assert "__pid" in chunk, (
             f"{name}: single-partition exchange over entity rows\n{chunk}"
         )
-    # and the entity relation itself goes through a range exchange
-    assert "rangepartitioning" in plan.lower(), name
+
+
+def test_global_rank_is_two_phase_range_exchange(spark):
+    """The helper behind every entity-sized rank: the un-truncated plan
+    (materialize=False) must range-exchange the data and window ONLY on
+    __pid — never a global single-partition sort of the input."""
+    from pyspark.sql import functions as F
+
+    from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
+
+    df = spark.range(100000).select(
+        F.col("id"), (F.col("id") * 37 % 9973).alias("v")
+    )
+    ranked = global_rank(
+        df, [F.col("v"), F.col("id")], rank_col="rn", materialize=False
+    )
+    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in plan.lower()
+    for chunk in _unpartitioned_window_subtrees(plan):
+        assert "__pid" in chunk, chunk
 
 
 def test_hard_negatives_no_unbounded_broadcast(spark):
