@@ -75,6 +75,7 @@ _COMPONENT_FIRST = (
     "end_to_end_pipeline", "qc_alert_routing",
     # round-4 session waves: sample fresh keys while fresh
     "eval_auc_roc", "eval_calibration_ece",
+    "stats_fdr_bh", "graph_hits",
     "sim_topk", "sim_topk_lsh", "sim_topk_ivf",          # C5 flagship similarity
     "dedup_simhash", "dedup_embedding",                   # C4 near-dup variants
     "project_rename", "cast_types", "filter_pred", "null_handling",  # P1-P4

@@ -46,6 +46,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     sketches,
     stats,
     stats2,
+    stats3,
     timeseries,
     timeseries2,
     timeseries3,

@@ -888,3 +888,149 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             num * F.lit(1.0) / F.nullif(den, F.lit(0)), 6
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities on the nation trade-flow digraph (r4l wave)
+# ---------------------------------------------------------------------------
+
+#: L1 normalization unit for the integer-score iterations (micro-units)
+_HITS_U = 1_000_000
+
+
+def _hits_oracle() -> str:
+    u = _HITS_U
+
+    def norm(name: str, raw: str, keycol: str) -> str:
+        return f"""
+    {name}t AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM {raw}),
+    {name} AS (
+        SELECT n.n_nationkey AS k,
+               CAST(COALESCE((r * {u}) // NULLIF(t, 0), 0) AS BIGINT) AS v
+        FROM nation n
+        LEFT JOIN {raw} ON {raw}.{keycol} = n.n_nationkey
+        CROSS JOIN {name}t)"""
+
+    return f"""
+    WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+    a1r AS (SELECT dst, CAST(SUM({u} * w) AS BIGINT) AS r FROM e GROUP BY dst),
+    {norm("a1", "a1r", "dst")},
+    h1r AS (SELECT e.src, CAST(SUM(a1.v * e.w) AS BIGINT) AS r
+            FROM e JOIN a1 ON a1.k = e.dst GROUP BY e.src),
+    {norm("h1", "h1r", "src")},
+    a2r AS (SELECT e.dst, CAST(SUM(h1.v * e.w) AS BIGINT) AS r
+            FROM e JOIN h1 ON h1.k = e.src GROUP BY e.dst),
+    {norm("a2", "a2r", "dst")},
+    h2r AS (SELECT e.src, CAST(SUM(a2.v * e.w) AS BIGINT) AS r
+            FROM e JOIN a2 ON a2.k = e.dst GROUP BY e.src),
+    {norm("h2", "h2r", "src")}
+    SELECT n.n_name,
+           a2.v AS auth_micro, h2.v AS hub_micro,
+           CAST(a2.v AS DOUBLE) / {u}.0e0 AS authority,
+           CAST(h2.v AS DOUBLE) / {u}.0e0 AS hub
+    FROM nation n
+    JOIN a2 ON a2.k = n.n_nationkey
+    JOIN h2 ON h2.k = n.n_nationkey
+    ORDER BY n.n_name
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family, directed rung — Kleinberg's HITS on the nation
+    TRADE-FLOW digraph (edge customer-nation -> supplier-nation,
+    weight = lineitems shipped along that flow; the other graph keys
+    ride the UNDIRECTED co-shipment backbone, so hub/authority
+    asymmetry is invisible to them).  Two full mutual-reinforcement
+    iterations: authority <- sum of in-neighbor hub scores, hub <- sum
+    of out-neighbor authority scores, L1-normalized each half-step —
+    good hubs POINT AT good authorities (big importers vs big
+    exporters here).
+
+    Exactness: scores live as integer MICRO-UNITS end to end — each
+    half-step is an exact int64 weighted sum over edges followed by
+    one integer renormalization (r * 1e6) DIV total, so summation
+    order can never move a result; the readout divides once to
+    doubles (identical op both engines) and ships the raw micro
+    integers beside it.  Bound check: v <= 1e6, sum(w) = |lineitem|,
+    so r*1e6 <= |lineitem|*1e18/|lineitem| ... max numerator
+    1e6 * |lineitem| * 1e6 = |lineitem|*1e12 < 2^63 up to ~7e6-row
+    fact tables; beyond that swap the unit ladder to DECIMAL(38,0) —
+    same shape.
+
+    100 TB: ONE pass over the fact join (lineitem x orders x dims,
+    the tpch_q7 shape) collapses everything to a <= 625-row edge
+    relation (nation x nation), checkpointed once; all four
+    half-steps and both normalizations act on that bounded relation
+    with one-row total broadcasts.  Score state is O(|nations|)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    ).localCheckpoint(eager=False)  # 4 half-steps consume the edges
+    nodes = nation.select(F.col("n_nationkey").alias("k"), "n_name")
+
+    def half_step(score: DataFrame, inbound: bool) -> DataFrame:
+        """One HITS half-step: weighted sum along edges + integer L1
+        renormalization. ``score`` is (k, v) in micro-units."""
+        if inbound:  # authority: sum hub scores of in-neighbors
+            j = e.join(F.broadcast(score), e.src == score.k)
+            grouped = j.groupBy(F.col("dst").alias("gk"))
+        else:  # hub: sum authority scores of out-neighbors
+            j = e.join(F.broadcast(score), e.dst == score.k)
+            grouped = j.groupBy(F.col("src").alias("gk"))
+        raw = grouped.agg(
+            F.sum(F.col("v") * F.col("w")).cast("long").alias("r")
+        )
+        t = raw.agg(F.sum("r").cast("long").alias("t"))
+        return (
+            nodes.join(raw, nodes.k == raw.gk, "left")
+            .crossJoin(F.broadcast(t))
+            .select(
+                nodes.k.alias("k"),
+                F.coalesce(
+                    F.expr(f"(r * {_HITS_U}) DIV nullif(t, 0)"), F.lit(0)
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+
+    h0 = nodes.select("k", F.lit(_HITS_U).cast("long").alias("v"))
+    a1 = half_step(h0, inbound=True)
+    h1 = half_step(a1, inbound=False)
+    a2 = half_step(h1, inbound=True)
+    h2 = half_step(a2, inbound=False)
+    return (
+        nodes.join(a2.withColumnRenamed("v", "auth_micro"), "k")
+        .join(h2.withColumnRenamed("v", "hub_micro"), "k")
+        .select(
+            "n_name",
+            "auth_micro",
+            "hub_micro",
+            (F.col("auth_micro").cast("double") / F.lit(float(_HITS_U)))
+            .alias("authority"),
+            (F.col("hub_micro").cast("double") / F.lit(float(_HITS_U)))
+            .alias("hub"),
+        )
+        .orderBy("n_name")
+    )

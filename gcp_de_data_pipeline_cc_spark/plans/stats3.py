@@ -1,0 +1,219 @@
+"""Multiple-testing and battery-level statistics.
+
+Round-4 continuation of the hypothesis tier (chisq / t / Mann-Whitney /
+KS / Spearman / ANOVA test ONE hypothesis each): what a real pipeline
+runs is a BATTERY — one test per segment — and then needs a
+multiple-comparisons discipline so 25 tests at alpha=0.05 don't hand
+back ~1.25 false discoveries by construction.  Benjamini-Hochberg is
+the public standard (FDR control at q).
+
+Reference parity: the reference's QC tier gates per-table checks
+(`dags/pipeline_orchestration_dag.py:121-141` runs row-count gates per
+table); a per-segment test battery with FDR control is that pattern
+done statistically.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# stats_fdr_bh — Benjamini-Hochberg over a 25-nation chi-square battery
+# --------------------------------------------------------------------------
+
+#: FDR level and battery size (m = |nation| — a FIXED dim, so the
+#: critical-value ladder is a compile-time literal table)
+_BH_Q_NUM, _BH_Q_DEN = 1, 20  # q = 0.05
+_BH_M = 25
+
+
+def _chi2_1_isf(p: float) -> float:
+    """Inverse survival of chi-square(1 df) by bisection on
+    sf(x) = erfc(sqrt(x/2)) — pure stdlib, evaluated once at import;
+    the RESULTS are embedded as double literals in both engines."""
+    lo, hi = 0.0, 200.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if math.erfc(math.sqrt(mid / 2.0)) > p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+#: BH step-up ladder: rank i (1 = largest statistic = smallest p) may
+#: reject when p_(i) <= i*q/m, i.e. when chi2_(i) >= isf(i*q/m)
+_BH_CRIT = tuple(
+    round(_chi2_1_isf(_BH_Q_NUM * i / (_BH_Q_DEN * _BH_M)), 6)
+    for i in range(1, _BH_M + 1)
+)
+
+
+def _fdr_oracle() -> str:
+    crit_values = ", ".join(
+        f"({i + 1}, {c!r})" for i, c in enumerate(_BH_CRIT)
+    )
+    return f"""
+    WITH seg AS (
+        SELECT n.n_name,
+               CAST(COUNT(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 END) AS BIGINT) AS n_urgent,
+               CAST(COUNT(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                           THEN 1 END) AS BIGINT) AS n_other
+        FROM nation n
+        LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name),
+    tot AS (
+        SELECT CAST(SUM(n_urgent) AS BIGINT) AS tu,
+               CAST(SUM(n_other) AS BIGINT) AS to_,
+               CAST(SUM(n_urgent + n_other) AS BIGINT) AS n
+        FROM seg),
+    x AS (
+        SELECT s.n_name, s.n_urgent, s.n_other,
+               FLOOR(CAST(t.n AS DOUBLE)
+                     * CAST(s.n_urgent * (t.to_ - s.n_other)
+                            - s.n_other * (t.tu - s.n_urgent) AS DOUBLE)
+                     * CAST(s.n_urgent * (t.to_ - s.n_other)
+                            - s.n_other * (t.tu - s.n_urgent) AS DOUBLE)
+                     / (CAST(NULLIF(s.n_urgent + s.n_other, 0) AS DOUBLE)
+                        * CAST(NULLIF((t.tu - s.n_urgent)
+                                      + (t.to_ - s.n_other), 0) AS DOUBLE)
+                        * CAST(NULLIF(t.tu, 0) AS DOUBLE)
+                        * CAST(NULLIF(t.to_, 0) AS DOUBLE))
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS chi2
+        FROM seg s CROSS JOIN tot t),
+    rk AS (
+        SELECT n_name, n_urgent, n_other, chi2,
+               CAST(ROW_NUMBER() OVER
+                    (ORDER BY chi2 DESC NULLS LAST, n_name) AS INT) AS rnk
+        FROM x),
+    crit(rnk, crit_bh) AS (VALUES {crit_values}),
+    flagged AS (
+        SELECT rk.*, crit.crit_bh,
+               COALESCE(rk.chi2 >= crit.crit_bh, FALSE) AS passes
+        FROM rk JOIN crit ON crit.rnk = rk.rnk),
+    kmax AS (
+        SELECT CAST(COALESCE(MAX(CASE WHEN passes THEN rnk END), 0)
+                    AS INT) AS k_max
+        FROM flagged)
+    SELECT f.n_name, f.n_urgent, f.n_other, f.chi2, f.rnk, f.crit_bh,
+           f.passes, k.k_max, f.rnk <= k.k_max AS rejected
+    FROM flagged f CROSS JOIN kmax k
+    ORDER BY f.rnk
+    """
+
+
+@query("stats_fdr_bh", oracle=_fdr_oracle())
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis tier, battery rung — BENJAMINI-HOCHBERG false-
+    discovery-rate control (q = 0.05) over a 25-segment test battery:
+    per nation, the 2x2 Pearson chi-square of "is this nation's
+    1-URGENT order share different from the rest of the market".
+    25 naive alpha=0.05 tests expect ~1.25 false positives; BH's
+    step-up ladder (reject ranks 1..k_max where k_max = max{{i :
+    p_(i) <= i*q/m}}) caps the EXPECTED false-discovery fraction at q
+    — the public multiple-comparisons standard for screening reports.
+
+    p-values never materialize: p_(i) <= i*q/m  <=>  chi2_(i) >=
+    isf_chi2_1(i*q/m), and because the battery size m = |nation| = 25
+    is a FIXED dimension, the 25 critical values are compile-time
+    literals (stdlib-erfc bisection at import), identical text in both
+    engines.  The statistic is N*(ad-bc)^2/(r1*r0*c1*c0) from exact
+    int64 cell counts — (ad-bc) stays integer, the wide products are
+    cast to double in an identical tree — floor-quantized at 6 dp
+    BEFORE ranking and comparison, so tie order and threshold
+    decisions are bit-identical.  Nations with no orders get NULL
+    chi2 -> passes FALSE (p = 1), rank at the bottom.
+
+    100 TB: the battery collapses to one map-side fact aggregate over
+    orders x customer (dim-broadcast joins); ranking, the literal
+    ladder join, and the k_max scalar all act on the 25-row dim.  The
+    step-up scan is ONE bounded window + a one-row broadcast."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = (
+        nation.join(
+            customer, customer.c_nationkey == nation.n_nationkey, "left"
+        )
+        .join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+            .cast("long")
+            .alias("n_urgent"),
+            F.count(F.when(F.col("o_orderpriority") != "1-URGENT", 1))
+            .cast("long")
+            .alias("n_other"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n_urgent").cast("long").alias("tu"),
+        F.sum("n_other").cast("long").alias("to_"),
+        F.sum(F.col("n_urgent") + F.col("n_other")).cast("long").alias("n"),
+    )
+    diff = (
+        F.col("n_urgent") * (F.col("to_") - F.col("n_other"))
+        - F.col("n_other") * (F.col("tu") - F.col("n_urgent"))
+    ).cast("double")
+    chi2 = roundn(
+        F.col("n").cast("double")
+        * diff
+        * diff
+        / (
+            F.nullif(
+                F.col("n_urgent") + F.col("n_other"), F.lit(0)
+            ).cast("double")
+            * F.nullif(
+                (F.col("tu") - F.col("n_urgent"))
+                + (F.col("to_") - F.col("n_other")),
+                F.lit(0),
+            ).cast("double")
+            * F.nullif(F.col("tu"), F.lit(0)).cast("double")
+            * F.nullif(F.col("to_"), F.lit(0)).cast("double")
+        ),
+        6,
+    )
+    x = seg.crossJoin(F.broadcast(tot)).select(
+        "n_name", "n_urgent", "n_other", chi2.alias("chi2")
+    )
+    # nation-dim-bounded window (25 rows)
+    w = Window.orderBy(F.desc_nulls_last("chi2"), F.asc("n_name"))
+    rk = x.withColumn("rnk", F.row_number().over(w).cast("int"))
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_BH_CRIT)],
+        "rnk INT, crit_bh DOUBLE",
+    )
+    flagged = rk.join(F.broadcast(crit), "rnk").withColumn(
+        "passes", F.coalesce(F.col("chi2") >= F.col("crit_bh"), F.lit(False))
+    )
+    kmax = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes"), F.col("rnk"))), F.lit(0)
+        )
+        .cast("int")
+        .alias("k_max")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kmax))
+        .select(
+            "n_name",
+            "n_urgent",
+            "n_other",
+            "chi2",
+            "rnk",
+            "crit_bh",
+            "passes",
+            "k_max",
+            (F.col("rnk") <= F.col("k_max")).alias("rejected"),
+        )
+        .orderBy("rnk")
+    )

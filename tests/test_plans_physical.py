@@ -375,6 +375,11 @@ _BNLJ_REVIEWED = frozenset({
     # crosses the one-row point estimate with the one-row #5/#195
     # order-statistic bounds — category (a) scalar broadcasts
     "eval_bootstrap_ci",
+    # r4l wave: stats_fdr_bh crosses the 25-row battery with the
+    # one-row 2x2 margin totals and the one-row k_max scalar;
+    # graph_hits crosses each <=25-row score relation with its one-row
+    # L1 total — category (a) scalar broadcasts
+    "stats_fdr_bh", "graph_hits",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
