@@ -12,6 +12,7 @@ from gcp_de_data_pipeline_cc_spark.plans.registry import REGISTRY, QuerySpec, qu
 
 # registration side effects
 from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
+    abtest,
     analytics,
     analytics2,
     analytics3,

@@ -893,3 +893,163 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 geo_cell_density.__doc__ = geo_cell_density.__doc__.format(g=_GEO_GRID)
+
+
+# ---------------------------------------------------------------------------
+# geospatial: grid-bucketed point-in-rectangle join (r4m wave)
+# ---------------------------------------------------------------------------
+
+#: service zones as integer centi-degree rectangles
+#: (zone, lat_min, lat_max, lon_min, lon_max) — half-open on max edges
+_GEO_ZONES = [
+    ("apac", -4500, 2000, 9500, 15500),
+    ("atlantic_mid", 1000, 4000, -4500, 500),
+    ("emea", 3500, 6000, -1000, 4000),
+    ("equator_band", -1000, 1000, -18000, 18000),
+    ("latam", -5500, 1000, -8500, -3500),
+    ("nam", 2500, 5000, -12500, -7000),
+]
+
+#: bucket size in centi-degrees (10-degree grid cells)
+_GEO_CELL = 1000
+
+
+def _spatial_oracle() -> str:
+    zones = ", ".join(
+        f"('{z}', {a}, {b}, {c}, {d})" for z, a, b, c, d in _GEO_ZONES
+    )
+    cs = _GEO_CELL
+    return f"""
+    WITH z(zone, lat_min, lat_max, lon_min, lon_max) AS (VALUES {zones}),
+    zcells AS (
+        SELECT z.zone, z.lat_min, z.lat_max, z.lon_min, z.lon_max,
+               cl.cl, cg.cg
+        FROM z,
+             generate_series(0, {18000 // _GEO_CELL - 1}) cl(cl),
+             generate_series(0, {36000 // _GEO_CELL - 1}) cg(cg)
+        WHERE cl.cl BETWEEN (z.lat_min + 9000) // {cs}
+                        AND (z.lat_max - 1 + 9000) // {cs}
+          AND cg.cg BETWEEN (z.lon_min + 18000) // {cs}
+                        AND (z.lon_max - 1 + 18000) // {cs}),
+    zsize AS (
+        SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM zcells GROUP BY zone),
+    pts AS (
+        SELECT c_custkey,
+               -6000 + (c_custkey * 7919 % 12000) AS lat_c,
+               -18000 + (c_custkey * 104729 % 36000) AS lon_c,
+               CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer),
+    binned AS (
+        SELECT *,
+               (lat_c + 9000) // {cs} AS cl,
+               (lon_c + 18000) // {cs} AS cg
+        FROM pts),
+    hits AS (
+        SELECT zc.zone, p.c_custkey, p.cents
+        FROM binned p
+        JOIN zcells zc ON zc.cl = p.cl AND zc.cg = p.cg
+        WHERE p.lat_c >= zc.lat_min AND p.lat_c < zc.lat_max
+          AND p.lon_c >= zc.lon_min AND p.lon_c < zc.lon_max),
+    roll AS (
+        SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS acct_cents
+        FROM hits GROUP BY zone)
+    SELECT s.zone, s.n_cells,
+           COALESCE(r.n_customers, 0) AS n_customers,
+           COALESCE(r.acct_cents, 0) AS acct_cents,
+           FLOOR(CAST(COALESCE(r.n_customers, 0) AS DOUBLE)
+                 / CAST(s.n_cells AS DOUBLE) * 100.0e0 + 0.5e0) / 100.0e0
+               AS density
+    FROM zsize s LEFT JOIN roll r ON r.zone = s.zone
+    ORDER BY s.zone
+    """
+
+
+@query("geo_spatial_join", oracle=_spatial_oracle())
+def geo_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO family — the GRID-BUCKETED spatial join geo_cell_density's
+    docstring promises, executed: service-zone rectangles expand to
+    the 10-degree grid cells they cover (a bounded cell x zone dim),
+    points bucket to their cell by the same pure-integer binning, the
+    join runs as an EQUI-join on the cell key, and the exact
+    point-in-rectangle predicate filters inside the hash match — the
+    geohash-bucket discipline that turns an unbounded spatial theta-
+    join into a co-partitioned hash join.  Zones overlap by design
+    (the equator band crosses three regional zones), so a point can
+    land in several zones — the multi-coverage a service-area review
+    needs.
+
+    Exactness: coordinates, rectangle edges, and cell keys are ALL
+    integer centi-degrees (half-open [min, max) edges — boundary
+    membership is an integer comparison, never a float epsilon);
+    counts/cents exact int64; the density divides once, 2 dp.
+
+    100 TB: points never broadcast and never cross-join — the fact
+    side shuffles once on the 8-byte cell key (map-side combinable
+    after the rollup), the zone-cell dim (~150 rows) broadcasts, and
+    per-zone results are dim-sized.  Skewed cells (urban hotspots)
+    ride the same AQE skew-split as any hash join."""
+    cs = _GEO_CELL
+    zones = spark.createDataFrame(
+        _GEO_ZONES,
+        "zone STRING, lat_min INT, lat_max INT, lon_min INT, lon_max INT",
+    )
+    zcells = (
+        zones.withColumn(
+            "cl",
+            F.explode(
+                F.expr(
+                    f"sequence((lat_min + 9000) DIV {cs},"
+                    f" (lat_max - 1 + 9000) DIV {cs})"
+                )
+            ),
+        )
+        .withColumn(
+            "cg",
+            F.explode(
+                F.expr(
+                    f"sequence((lon_min + 18000) DIV {cs},"
+                    f" (lon_max - 1 + 18000) DIV {cs})"
+                )
+            ),
+        )
+    )
+    zsize = zcells.groupBy("zone").agg(F.count("*").cast("long").alias("n_cells"))
+    pts = load_table(spark, sf_dir, "customer").select(
+        (F.lit(-6000) + (F.col("c_custkey") * 7919 % 12000)).alias("lat_c"),
+        (F.lit(-18000) + (F.col("c_custkey") * 104729 % 36000)).alias("lon_c"),
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    binned = pts.select(
+        "*",
+        F.expr(f"(lat_c + 9000) DIV {cs}").alias("cl"),
+        F.expr(f"(lon_c + 18000) DIV {cs}").alias("cg"),
+    )
+    hits = binned.join(F.broadcast(zcells), ["cl", "cg"]).where(
+        (F.col("lat_c") >= F.col("lat_min"))
+        & (F.col("lat_c") < F.col("lat_max"))
+        & (F.col("lon_c") >= F.col("lon_min"))
+        & (F.col("lon_c") < F.col("lon_max"))
+    )
+    roll = hits.groupBy("zone").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("acct_cents"),
+    )
+    return (
+        zsize.join(roll, "zone", "left")
+        .select(
+            "zone",
+            "n_cells",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("acct_cents", F.lit(0)).alias("acct_cents"),
+            roundn(
+                F.coalesce("n_customers", F.lit(0)).cast("double")
+                / F.col("n_cells").cast("double"),
+                2,
+            ).alias("density"),
+        )
+        .orderBy("zone")
+    )

@@ -380,6 +380,10 @@ _BNLJ_REVIEWED = frozenset({
     # graph_hits crosses each <=25-row score relation with its one-row
     # L1 total — category (a) scalar broadcasts
     "stats_fdr_bh", "graph_hits",
+    # r4m wave: ab_cuped crosses the user-grain relation with the
+    # one-row theta/xbar moments and the 2-arm table with one-row
+    # variance/lift scalars — category (a) scalar broadcasts
+    "ab_cuped",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
