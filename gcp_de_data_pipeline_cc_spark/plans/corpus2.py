@@ -452,3 +452,103 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_substring_spans.__doc__ = dedup_substring_spans.__doc__.format(
     k=_SPAN_K
 )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (r4n wave) — the conditional upgrade of the
+# unigram filter above
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)), i -> t[i])) AS ctx,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM base WHERE len(t) >= 2),
+    cbg AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM pos GROUP BY 1),
+    cctx AS (SELECT ctx, CAST(COUNT(*) AS BIGINT) AS c1 FROM pos GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cctx),
+    q AS (
+        SELECT pos.doc_id,
+               CAST(FLOOR(-log2((cbg.c2 + 1.0e0) / (cctx.c1 + v.v))
+                          * 1000000.0e0 + 0.5e0) AS BIGINT) AS bq
+        FROM pos JOIN cbg USING (bg) JOIN cctx USING (ctx) CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(bq) AS DOUBLE) / COUNT(*) / 1000000.0e0
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS bits_per_bigram,
+           POW(2.0e0,
+               FLOOR(CAST(SUM(bq) AS DOUBLE) / COUNT(*) / 1000000.0e0
+                     * 10000.0e0 + 0.5e0) / 10000.0e0) AS perplexity
+    FROM q GROUP BY doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the CONDITIONAL upgrade of
+    text_perplexity's unigram filter: train add-one-smoothed bigram
+    probabilities p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) on the corpus
+    itself (V = context vocabulary), score every document by mean
+    -log2 p and its exponential.  A document of common words in an
+    UNCOMMON order (shuffled boilerplate, stitched spam) sails through
+    the unigram filter and spikes here — exactly the gap the second
+    rung closes; real curation stacks run both.
+
+    Exactness: every bigram position's bit-cost is quantized to
+    integer MICRO-BITS before the per-document sum (the libm log2 is
+    an identical expression tree on both engines; after floor-
+    quantization, summation order cannot move the total), ONE
+    division at readout (4 dp), and the perplexity exponentiates the
+    ALREADY-ROUNDED mean — identical doubles in, identical doubles
+    out.
+
+    100 TB: the position relation is the same explode->shuffle shape
+    as the unigram key; both model tables are corpus-vocabulary-sized
+    hash joins on 8-byte-hashable keys (frequency-floor + broadcast
+    at deployment, documented in text_perplexity); V is a one-row
+    broadcast.  No second corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tx.tokens_col(F.col("text")).alias("t")
+    ).where(F.size("t") >= 2)
+    pos = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("transform(sequence(0, size(t)-2), i -> t[i])"),
+                    F.expr(
+                        "transform(sequence(0, size(t)-2),"
+                        " i -> concat(t[i], ' ', t[i+1]))"
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.`0`").alias("ctx"), F.col("z.`1`").alias("bg"))
+    )
+    cbg = pos.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
+    cctx = pos.groupBy("ctx").agg(F.count("*").cast("long").alias("c1"))
+    v = cctx.agg(F.count("*").cast("long").alias("v"))
+    bq = F.floor(
+        -F.log2((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    q = (
+        pos.join(cbg, "bg")
+        .join(cctx, "ctx")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", bq.alias("bq"))
+    )
+    mean_bits = roundn(
+        F.sum("bq").cast("double") / F.count("*") / F.lit(1000000.0), 4
+    )
+    return q.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        mean_bits.alias("bits_per_bigram"),
+        F.pow(F.lit(2.0), mean_bits).alias("perplexity"),
+    )

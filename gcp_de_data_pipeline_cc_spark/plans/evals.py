@@ -360,3 +360,166 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# eval_agreement_kappa — inter-annotator agreement (Cohen's kappa)
+# --------------------------------------------------------------------------
+
+#: 3-class label space; annotators = latent label + independent md5
+#: flip coins (annotator 1 flips ~12.5% of docs, annotator 2 ~25%)
+_KAPPA_K = 3
+
+
+def _kappa_ann_sql(flip_salt: str, flip_lt: str) -> str:
+    lbl = (
+        "CAST(CAST('0x' || SUBSTR(md5('lbl:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8) AS BIGINT) % 3 AS INT)"
+    )
+    return (
+        f"CASE WHEN SUBSTR(md5('{flip_salt}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 2) < '{flip_lt}' THEN ({lbl} + 1) % 3 ELSE {lbl} END"
+    )
+
+
+def _kappa_oracle() -> str:
+    a1 = _kappa_ann_sql("f1", "20")
+    a2 = _kappa_ann_sql("f2", "40")
+    return f"""
+    WITH lab AS (
+        SELECT doc_id, {a1} AS ann1, {a2} AS ann2 FROM documents),
+    cm AS (
+        SELECT ann1, ann2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab GROUP BY 1, 2),
+    grid AS (
+        SELECT CAST(i.i AS INT) AS ann1, CAST(j.j AS INT) AS ann2,
+               COALESCE(cm.n, 0) AS n
+        FROM generate_series(0, {_KAPPA_K - 1}) i(i)
+        CROSS JOIN generate_series(0, {_KAPPA_K - 1}) j(j)
+        LEFT JOIN cm ON cm.ann1 = i.i AND cm.ann2 = j.j),
+    marg2 AS (
+        SELECT g.nn, g.po_num, g.pe_num FROM (
+            SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM grid) AS nn,
+                   (SELECT CAST(SUM(CASE WHEN ann1 = ann2 THEN n ELSE 0 END)
+                        AS BIGINT) FROM grid) AS po_num,
+                   (SELECT CAST(SUM(r.rn * c.cn) AS BIGINT)
+                    FROM (SELECT ann1 AS k, SUM(n) AS rn FROM grid
+                          GROUP BY 1) r
+                    JOIN (SELECT ann2 AS k, SUM(n) AS cn FROM grid
+                          GROUP BY 1) c USING (k)) AS pe_num) g)
+    SELECT grid.ann1, grid.ann2, grid.n,
+           m.nn AS n_docs,
+           FLOOR(CAST(m.po_num AS DOUBLE) / CAST(m.nn AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS po,
+           FLOOR(CAST(m.pe_num AS DOUBLE) / CAST(m.nn * m.nn AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS pe,
+           FLOOR(CAST(m.po_num * m.nn - m.pe_num AS DOUBLE)
+                 / CAST(m.nn * m.nn - m.pe_num AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS kappa
+    FROM grid CROSS JOIN marg2 m
+    ORDER BY grid.ann1, grid.ann2
+    """
+
+
+@query("eval_agreement_kappa", oracle=_kappa_oracle())
+def eval_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — INTER-ANNOTATOR agreement for a labeling pipeline:
+    the dense 3x3 confusion grid between two annotators plus Cohen's
+    kappa, the chance-corrected agreement statistic a labeling-quality
+    review reads (raw percent agreement rewards majority-class
+    spamming; kappa = (po - pe)/(1 - pe) discounts it).  Annotators
+    are derived deterministically from doc_id as a latent 3-class
+    label with independent md5 flip coins (~12.5% and ~25% error) —
+    the same (item, rater, label) shape a real annotation export
+    lands as.
+
+    Exactness: the whole statistic stays in EXACT integers until one
+    final division — po_num = sum of diagonal counts, pe_num = sum of
+    row_k*col_k products, and kappa = (po_num*N - pe_num) /
+    (N^2 - pe_num); int64 is safe to N ~ 3e9 items.  The grid is
+    dense (zero-filled 3x3) so the shape never depends on which
+    disagreements occur.
+
+    100 TB: one map-side-combined 9-group aggregate; marginals and
+    kappa are scalar math on the class-cardinality grid with a
+    one-row broadcast back onto the 9 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    lbl = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lbl:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    ).cast("int")
+
+    def ann(flip_salt: str, flip_lt: str) -> F.Column:
+        flip = (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{flip_salt}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                2,
+            )
+            < flip_lt
+        )
+        return F.when(flip, (lbl + 1) % 3).otherwise(lbl).cast("int")
+
+    lab = docs.select(ann("f1", "20").alias("ann1"), ann("f2", "40").alias("ann2"))
+    cm = lab.groupBy("ann1", "ann2").agg(F.count("*").cast("long").alias("n"))
+    grid = (
+        spark.range(_KAPPA_K)
+        .select(F.col("id").cast("int").alias("ann1"))
+        .crossJoin(
+            spark.range(_KAPPA_K).select(F.col("id").cast("int").alias("ann2"))
+        )
+        .join(cm, ["ann1", "ann2"], "left")
+        .select("ann1", "ann2", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    grid = grid.localCheckpoint(eager=False)  # marginals + output rows
+    rows = grid.groupBy(F.col("ann1").alias("k")).agg(
+        F.sum("n").cast("long").alias("rn")
+    )
+    cols = grid.groupBy(F.col("ann2").alias("k")).agg(
+        F.sum("n").cast("long").alias("cn")
+    )
+    pe = (
+        rows.join(cols, "k")
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("pe_num"))
+    )
+    po = grid.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.when(F.col("ann1") == F.col("ann2"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("po_num"),
+    )
+    m = po.crossJoin(F.broadcast(pe))
+    return (
+        grid.crossJoin(F.broadcast(m))
+        .select(
+            "ann1",
+            "ann2",
+            "n",
+            F.col("nn").alias("n_docs"),
+            roundn(F.col("po_num").cast("double") / F.col("nn").cast("double"), 6)
+            .alias("po"),
+            roundn(
+                F.col("pe_num").cast("double")
+                / (F.col("nn") * F.col("nn")).cast("double"),
+                6,
+            ).alias("pe"),
+            roundn(
+                (F.col("po_num") * F.col("nn") - F.col("pe_num")).cast("double")
+                / (F.col("nn") * F.col("nn") - F.col("pe_num")).cast("double"),
+                6,
+            ).alias("kappa"),
+        )
+        .orderBy("ann1", "ann2")
+    )

@@ -384,6 +384,10 @@ _BNLJ_REVIEWED = frozenset({
     # one-row theta/xbar moments and the 2-arm table with one-row
     # variance/lift scalars — category (a) scalar broadcasts
     "ab_cuped",
+    # r4n wave: eval_agreement_kappa crosses the 9-row grid with the
+    # one-row marginal products; text_bigram_lm crosses positions with
+    # the one-row context-vocabulary count — category (a)
+    "eval_agreement_kappa", "text_bigram_lm",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
