@@ -258,3 +258,52 @@ def global_rank(
         out = out.withColumn(cumsum_col, F.col("__voff") + F.col("__lcum"))
         drop += ["__lcum", "__voff"]
     return out.drop(*drop)
+
+
+def misra_gries_candidates(df, value_col: str, k: int):
+    """Per-partition Misra-Gries heavy-hitter CANDIDATE generation —
+    the bounded-memory first pass of the two-pass exact heavy-hitters
+    pattern (candidates here, exact recount joined back by the caller).
+
+    Guarantee (pigeonhole over partitions): any value with global
+    frequency > N/k survives in at least one partition's k-counter
+    summary, so the UNION of per-partition candidates is a superset of
+    every global heavy hitter above that threshold.  Each partition
+    holds at most k counters regardless of its cardinality — the
+    property that lets this run over a column with billions of
+    distincts where a plain groupBy would shuffle them all.
+
+    Returns a DataFrame (value_col STRING, est BIGINT) of candidate
+    values with their (under-)estimated counts; ``est`` is only a
+    lower bound (decrements), callers needing truth re-count.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    src = df.select(F.col(value_col).cast("string").alias("v"))
+
+    def part(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step: drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"v": list(counters.keys()),
+             "est": [int(c) for c in counters.values()]}
+        )
+
+    out = src.mapInPandas(part, schema="v STRING, est BIGINT")
+    return out.withColumnRenamed("v", value_col)

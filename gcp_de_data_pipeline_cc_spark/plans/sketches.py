@@ -1131,3 +1131,96 @@ def sketch_quantile_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_quantile_samples.__doc__ = sketch_quantile_samples.__doc__.format(
     s=_QS_SHARDS, k=_QS_PER_SHARD
 )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters with exact recount (r4o wave)
+# ---------------------------------------------------------------------------
+
+#: counters per partition (>> fixture vocab of 31, so the candidate
+#: union is provably complete here; see guarantee note in the docstring)
+_MG_K = 64
+_MG_TOP = 10
+
+
+@query(
+    "heavy_hitters_mg",
+    oracle=f"""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_stream FROM cnt)
+    SELECT cnt.token, cnt.n_exact, tot.n_stream,
+           FLOOR(CAST(cnt.n_exact AS DOUBLE) / CAST(tot.n_stream AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS share
+    FROM cnt CROSS JOIN tot
+    ORDER BY cnt.n_exact DESC, cnt.token
+    LIMIT {_MG_TOP}
+    """,
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier — TWO-PASS exact heavy hitters with Misra-Gries
+    candidate generation (operators/scale.misra_gries_candidates):
+    pass 1 streams each partition through a k={k}-counter MG summary
+    (bounded memory regardless of column cardinality — the reason this
+    beats a raw groupBy on a billions-of-distincts column), the
+    per-partition candidate sets union, and pass 2 EXACTLY recounts
+    only the candidates via a semi-join before taking the top {t}.
+    The oracle is the plain exact top-{t} — so the driver check IS the
+    proof that candidate generation lost nothing (the
+    dedup_accuracy_eval discipline: the approximate path's fidelity is
+    itself a verified query).
+
+    Guarantee: any token with global count > N/k survives MG in at
+    least one partition (pigeonhole); the fixture vocabulary (31) is
+    far below k, so completeness holds with slack — the decrement path
+    is exercised by the synthetic high-cardinality law test instead.
+
+    Exactness: the MG pass only proposes CANDIDATES; every reported
+    number is an exact int64 recount; share divides once, 6 dp; ties
+    break on token.
+
+    100 TB: pass 1 is narrow (no shuffle — per-partition state <= k
+    counters in an Arrow-batched iterator); the recount semi-join
+    shuffles only candidate-key rows (<= k x partitions keys); top-{t}
+    is a TakeOrderedAndProject heap."""
+    from gcp_de_data_pipeline_cc_spark.operators.scale import (
+        misra_gries_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tok = tok.localCheckpoint(eager=False)  # MG pass + recount pass
+    cand = (
+        misra_gries_candidates(tok, "token", _MG_K)
+        .select("token")
+        .distinct()
+    )
+    recount = (
+        tok.join(cand, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    tot = tok.agg(F.count("*").cast("long").alias("n_stream"))
+    return (
+        recount.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "n_exact",
+            "n_stream",
+            roundn(
+                F.col("n_exact").cast("double")
+                / F.col("n_stream").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(_MG_TOP)
+    )
+
+
+heavy_hitters_mg.__doc__ = heavy_hitters_mg.__doc__.format(k=_MG_K, t=_MG_TOP)

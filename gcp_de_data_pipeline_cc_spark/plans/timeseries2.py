@@ -661,3 +661,102 @@ def anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.cast("long").alias("votes"),
         (votes >= 2).alias("is_anomaly"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# prominence-gated peak detection (r4o wave)
+# ---------------------------------------------------------------------------
+
+#: neighbor half-window (days on each side) a peak must dominate
+_PEAK_W = 3
+
+
+@query(
+    "ts_peak_detect",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    w AS (
+        SELECT day, cents,
+               MAX(cents) OVER (ORDER BY day
+                   ROWS BETWEEN {_PEAK_W} PRECEDING AND 1 PRECEDING)
+                   AS lmax,
+               MAX(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND {_PEAK_W} FOLLOWING)
+                   AS rmax,
+               COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN {_PEAK_W} PRECEDING AND 1 PRECEDING)
+                   AS nl,
+               COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND {_PEAK_W} FOLLOWING)
+                   AS nr
+        FROM daily)
+    SELECT day, cents,
+           CAST(GREATEST(lmax, rmax) AS BIGINT) AS neighbor_max,
+           CAST(cents - GREATEST(lmax, rmax) AS BIGINT) AS strength_cents
+    FROM w
+    WHERE nl = {_PEAK_W} AND nr = {_PEAK_W}
+      AND cents > lmax AND cents > rmax
+    ORDER BY day
+    """,
+)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series tier — PEAK detection on the daily revenue series:
+    a day is a peak when it strictly dominates every day within
+    {w} positions on BOTH sides (interior days only — edge days with a
+    truncated neighborhood can't certify a peak and are excluded), and
+    each peak reports its STRENGTH (height above the tallest
+    neighbor — the simplified prominence a capacity/campaign review
+    ranks spikes by).  The complement of the trough-hunting the
+    anomaly keys do: anomaly_zscore/MAD flag outliers against a
+    rolling distribution; this certifies LOCAL MAXIMA against an
+    exact neighborhood.
+
+    Exactness: the series is exact integer cents; domination and
+    strength are pure integer comparisons/differences — no float
+    anywhere.
+
+    100 TB: the series is DAY-grain (calendar-bounded, thousands of
+    rows regardless of fact size) after one map-side-combined
+    aggregate; the neighborhood windows share one bounded sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    wl = Window.orderBy("day").rowsBetween(-_PEAK_W, -1)
+    wr = Window.orderBy("day").rowsBetween(1, _PEAK_W)
+    w = daily.select(
+        "day",
+        "cents",
+        F.max("cents").over(wl).alias("lmax"),
+        F.max("cents").over(wr).alias("rmax"),
+        F.count("*").over(wl).alias("nl"),
+        F.count("*").over(wr).alias("nr"),
+    )
+    return (
+        w.where(
+            (F.col("nl") == _PEAK_W)
+            & (F.col("nr") == _PEAK_W)
+            & (F.col("cents") > F.col("lmax"))
+            & (F.col("cents") > F.col("rmax"))
+        )
+        .select(
+            "day",
+            "cents",
+            F.greatest("lmax", "rmax").cast("long").alias("neighbor_max"),
+            (F.col("cents") - F.greatest("lmax", "rmax"))
+            .cast("long")
+            .alias("strength_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+ts_peak_detect.__doc__ = ts_peak_detect.__doc__.format(w=_PEAK_W)

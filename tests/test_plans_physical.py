@@ -388,6 +388,9 @@ _BNLJ_REVIEWED = frozenset({
     # one-row marginal products; text_bigram_lm crosses positions with
     # the one-row context-vocabulary count — category (a)
     "eval_agreement_kappa", "text_bigram_lm",
+    # r4o wave: heavy_hitters_mg crosses candidate recounts with the
+    # one-row stream total — category (a)
+    "heavy_hitters_mg",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
