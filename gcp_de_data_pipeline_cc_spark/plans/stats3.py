@@ -217,3 +217,183 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# stats_jackknife — leave-one-group-out SE of a ratio metric
+# --------------------------------------------------------------------------
+
+#: micro-unit quantization for leave-one-out ratio estimates
+_JK_U = 1_000_000
+
+
+def _jk_oracle() -> str:
+    u = _JK_U
+    return f"""
+    WITH g AS (
+        SELECT s.s_nationkey AS grp,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0e0 - l.l_discount)
+                                   * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS num_c,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS den_q
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+               CAST(SUM(num_c) AS BIGINT) AS sn,
+               CAST(SUM(den_q) AS BIGINT) AS sd
+        FROM g),
+    loo AS (
+        SELECT g.grp, t.gn, t.sn, t.sd,
+               CAST(FLOOR(CAST(t.sn - g.num_c AS DOUBLE)
+                          / CAST(t.sd - g.den_q AS DOUBLE) / 100.0e0
+                          * {u}.0e0 + 0.5e0) AS BIGINT) AS r_loo_u
+        FROM g CROSS JOIN tot t),
+    s AS (
+        SELECT gn, sn, sd,
+               CAST(SUM(r_loo_u) AS BIGINT) AS sru,
+               CAST(COUNT(*) AS BIGINT) AS n_chk
+        FROM loo GROUP BY gn, sn, sd),
+    dev AS (
+        SELECT l.grp, l.r_loo_u, s.gn, s.sn, s.sd, s.sru,
+               CAST(FLOOR(CAST(s.gn * l.r_loo_u - s.sru AS DOUBLE)
+                          * CAST(s.gn * l.r_loo_u - s.sru AS DOUBLE)
+                          + 0.5e0) AS BIGINT) AS c2
+        FROM loo l CROSS JOIN s)
+    SELECT d.grp AS nationkey,
+           FLOOR(CAST(d.r_loo_u AS DOUBLE) / {u}.0e0 * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS r_loo,
+           d.gn AS n_groups,
+           FLOOR(CAST(d.sn AS DOUBLE) / CAST(d.sd AS DOUBLE) / 100.0e0
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS r_full,
+           FLOOR(CAST(d.sru AS DOUBLE) / CAST(d.gn AS DOUBLE) / {u}.0e0
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS r_bar,
+           FLOOR(SQRT(CAST(d.gn - 1 AS DOUBLE)
+                      * CAST((SELECT SUM(c2) FROM dev) AS DOUBLE)
+                      / (CAST(d.gn AS DOUBLE) * CAST(d.gn AS DOUBLE)
+                         * CAST(d.gn AS DOUBLE) * {u}.0e0 * {u}.0e0))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS se_jack
+    FROM dev d
+    ORDER BY d.grp
+    """
+
+
+@query("stats_jackknife", oracle=_jk_oracle())
+def stats_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics tier — LEAVE-ONE-GROUP-OUT jackknife standard error
+    of a ratio metric (net revenue per unit shipped), deleting one
+    supplier NATION at a time: ratios have no closed-form SE, and the
+    delete-a-group jackknife is the classic design-respecting answer
+    when rows within a group are correlated (delete-one-ROW would
+    understate the error).  Per-nation leave-one-out estimates ship
+    beside the full-sample ratio, the jackknife mean, and
+    SE = sqrt((G-1)/G * sum (R_(g) - R_bar)^2) — the error bar a
+    metrics review quotes.
+
+    Exactness: group numerators are exact cents, denominators exact
+    unit counts; each leave-one-out ratio is ONE division immediately
+    quantized to integer micro-units, so the cross-group moment sums
+    are order-free int64 (deviation via the G*R_g - sum(R) identity —
+    no float mean subtraction); the squared deviation is one identical
+    double tree floor-quantized per group before summation; one final
+    sqrt.
+
+    100 TB: one fact pass collapses to the 25-row group table;
+    everything after is dim-sized with one-row broadcasts."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    u = _JK_U
+    g = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("grp"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100.0
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("num_c"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("den_q"),
+        )
+    )
+    g = g.localCheckpoint(eager=False)  # totals + loo consumers
+    tot = g.agg(
+        F.count("*").cast("long").alias("gn"),
+        F.sum("num_c").cast("long").alias("sn"),
+        F.sum("den_q").cast("long").alias("sd"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "gn",
+        "sn",
+        "sd",
+        F.floor(
+            (F.col("sn") - F.col("num_c")).cast("double")
+            / (F.col("sd") - F.col("den_q")).cast("double")
+            / F.lit(100.0)
+            * F.lit(float(u))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("r_loo_u"),
+    )
+    loo = loo.localCheckpoint(eager=False)  # sum + dev consumers
+    s = loo.agg(F.sum("r_loo_u").cast("long").alias("sru"))
+    dev = loo.crossJoin(F.broadcast(s)).select(
+        "grp",
+        "r_loo_u",
+        "gn",
+        "sn",
+        "sd",
+        "sru",
+        F.floor(
+            (F.col("gn") * F.col("r_loo_u") - F.col("sru")).cast("double")
+            * (F.col("gn") * F.col("r_loo_u") - F.col("sru")).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("c2"),
+    )
+    sc2 = dev.agg(F.sum("c2").cast("long").alias("sc2"))
+    return (
+        dev.crossJoin(F.broadcast(sc2))
+        .select(
+            F.col("grp").alias("nationkey"),
+            roundn(F.col("r_loo_u").cast("double") / F.lit(float(u)), 6).alias(
+                "r_loo"
+            ),
+            F.col("gn").alias("n_groups"),
+            roundn(
+                F.col("sn").cast("double") / F.col("sd").cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("r_full"),
+            roundn(
+                F.col("sru").cast("double") / F.col("gn").cast("double")
+                / F.lit(float(u)),
+                6,
+            ).alias("r_bar"),
+            roundn(
+                F.sqrt(
+                    (F.col("gn") - 1).cast("double")
+                    * F.col("sc2").cast("double")
+                    / (
+                        F.col("gn").cast("double")
+                        * F.col("gn").cast("double")
+                        * F.col("gn").cast("double")
+                        * F.lit(float(u))
+                        * F.lit(float(u))
+                    )
+                ),
+                6,
+            ).alias("se_jack"),
+        )
+        .orderBy("nationkey")
+    )

@@ -391,6 +391,9 @@ _BNLJ_REVIEWED = frozenset({
     # r4o wave: heavy_hitters_mg crosses candidate recounts with the
     # one-row stream total — category (a)
     "heavy_hitters_mg",
+    # r4p wave: stats_jackknife crosses the 25-row group table with
+    # one-row totals/moments — category (a)
+    "stats_jackknife",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
