@@ -1994,3 +1994,276 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(mae_o, 2).alias("mae_ols"),
         roundn(one - mae_o / mae_n, 4).alias("skill_vs_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (r4q wave)
+# ---------------------------------------------------------------------------
+
+#: smoothing constant (exact binary fraction) and the part-series subset
+_CROSTON_A = 0.25
+_CROSTON_MAX_PART = 5
+
+
+def _croston_oracle() -> str:
+    a, a1 = _CROSTON_A, 1 - _CROSTON_A
+    return f"""
+    /* list accumulator [z, p, started] — the ts_holt discipline
+       (struct_pack fields evaluate sequentially into the accumulator;
+       list_value builds the new state atomically). */
+    WITH d AS (
+        SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+        FROM lineitem
+        WHERE l_partkey <= {_CROSTON_MAX_PART}
+        GROUP BY 1, 2),
+    x AS (
+        SELECT part, day, demand,
+               CAST(COALESCE(date_diff('day',
+                        LAG(day) OVER (PARTITION BY part ORDER BY day),
+                        day), 1) AS BIGINT) AS gap
+        FROM d),
+    st AS (
+        SELECT part, day, demand, gap,
+            list_reduce(
+                list_prepend(
+                    list_value(0.0e0, 0.0e0, 0.0e0),
+                    (SELECT list(list_value(CAST(x2.demand AS DOUBLE),
+                                            CAST(x2.gap AS DOUBLE), 0.0e0)
+                                 ORDER BY x2.day)
+                     FROM x x2
+                     WHERE x2.part = x.part AND x2.day <= x.day)),
+                (acc, e) -> CASE WHEN acc[3] = 0.0e0
+                    THEN list_value(e[1], 1.0e0, 1.0e0)
+                    ELSE list_value(
+                        acc[1] + {a}e0 * (e[1] - acc[1]),
+                        acc[2] + {a}e0 * (e[2] - acc[2]),
+                        1.0e0)
+                    END) AS s
+        FROM x)
+    SELECT part, day, demand, gap,
+           FLOOR(s[1] * 10000.0e0 + 0.5e0) / 10000.0e0 AS z_size,
+           FLOOR(s[2] * 10000.0e0 + 0.5e0) / 10000.0e0 AS p_interval,
+           FLOOR(s[1] / s[2] * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS demand_rate
+    FROM st ORDER BY part, day
+    """
+
+
+@query("ts_croston", oracle=_croston_oracle())
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting ladder, INTERMITTENT rung — Croston's method for
+    sparse demand (ewma -> holt -> seasonal handle dense series; a
+    part ordered ~30 times across 2,400 days breaks them all): on
+    each DEMAND day, separately smooth the demand SIZE z and the
+    inter-demand INTERVAL p (alpha = 1/4), forecast rate = z/p per
+    day — the inventory-planning standard for slow movers, per part.
+
+    Exactness: demand sizes and day gaps are exact integers; the
+    recursion is a per-part LEFT FOLD over the ascending demand-day
+    array (the ts_holt discipline) with an exact-binary-fraction
+    alpha, so both engines execute the identical IEEE chain;
+    first-demand state initializes to (d1, 1); readouts quantize at
+    4 dp; p >= 1 always, so z/p never divides by zero.
+
+    100 TB: the fold is per PART over that part's demand days —
+    series are independent (embarrassingly parallel by part key);
+    each prefix fold is bounded by the part's demand-day count, not
+    the fact table.  The {m}-part subset keeps the showcase bounded;
+    the per-part shape is identical at any part count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (
+        li.where(F.col("l_partkey") <= _CROSTON_MAX_PART)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("demand"))
+    )
+    wlag = Window.partitionBy("part").orderBy("day")
+    x = d.withColumn(
+        "gap",
+        F.coalesce(
+            F.datediff(F.col("day"), F.lag("day").over(wlag)), F.lit(1)
+        ).cast("long"),
+    )
+    wpre = Window.partitionBy("part").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = F.arrays_zip(
+        F.collect_list(F.col("demand").cast("double")).over(wpre),
+        F.collect_list(F.col("gap").cast("double")).over(wpre),
+    )
+    init = F.struct(
+        F.lit(0.0).alias("z"), F.lit(0.0).alias("p"),
+        F.lit(False).alias("started"),
+    )
+    a = F.lit(_CROSTON_A)
+
+    def _step(acc, e):
+        dv = e.getField("0")
+        gv = e.getField("1")
+        return F.when(
+            ~acc.getField("started"),
+            F.struct(
+                dv.alias("z"), F.lit(1.0).alias("p"),
+                F.lit(True).alias("started"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc.getField("z") + a * (dv - acc.getField("z"))).alias("z"),
+                (acc.getField("p") + a * (gv - acc.getField("p"))).alias("p"),
+                F.lit(True).alias("started"),
+            )
+        )
+
+    st = F.aggregate(arr, init, _step)
+    return x.select(
+        "part",
+        "day",
+        "demand",
+        "gap",
+        roundn(st.getField("z"), 4).alias("z_size"),
+        roundn(st.getField("p"), 4).alias("p_interval"),
+        roundn(st.getField("z") / st.getField("p"), 4).alias("demand_rate"),
+    ).orderBy("part", "day")
+
+
+ts_croston.__doc__ = ts_croston.__doc__.format(m=_CROSTON_MAX_PART)
+
+
+# ---------------------------------------------------------------------------
+# binary-segmentation changepoint (r4q wave)
+# ---------------------------------------------------------------------------
+
+#: minimum segment length (days) on each side of a candidate split
+_BSEG_MIN = 7
+_BSEG_TOP = 3
+
+
+def _bseg_oracle() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    pre AS (
+        SELECT day, cents,
+               CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS ps,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+        FROM daily),
+    tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily),
+    gain AS (
+        SELECT p.day, p.i, p.ps, t.s, t.n,
+               CAST(FLOOR(
+                   CAST(p.ps AS DOUBLE) * CAST(p.ps AS DOUBLE)
+                       / CAST(p.i AS DOUBLE)
+                   + CAST(t.s - p.ps AS DOUBLE) * CAST(t.s - p.ps AS DOUBLE)
+                       / CAST(t.n - p.i AS DOUBLE)
+                   - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                       / CAST(t.n AS DOUBLE)
+                   + 0.5e0) AS BIGINT) AS gain_q
+        FROM pre p CROSS JOIN tot t
+        WHERE p.i >= {_BSEG_MIN} AND p.i <= t.n - {_BSEG_MIN})
+    SELECT day AS split_day, i AS n_left, n - i AS n_right,
+           FLOOR(CAST(ps AS DOUBLE) / CAST(i AS DOUBLE) / 100.0e0
+                 * 100.0e0 + 0.5e0) / 100.0e0 AS mean_left,
+           FLOOR(CAST(s - ps AS DOUBLE) / CAST(n - i AS DOUBLE) / 100.0e0
+                 * 100.0e0 + 0.5e0) / 100.0e0 AS mean_right,
+           gain_q
+    FROM gain
+    ORDER BY gain_q DESC, day
+    LIMIT {_BSEG_TOP}
+    """
+
+
+@query("ts_changepoint_binseg", oracle=_bseg_oracle())
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series tier — EXACT single-changepoint detection by binary
+    segmentation on the daily revenue series: for every admissible
+    split (>= {m} days on each side), the squared-error REDUCTION of
+    fitting two means instead of one, gain(k) = S_L^2/n_L + S_R^2/n_R
+    - S^2/n; the top-{t} splits ship with both segment means.  The
+    OFFLINE complement of ts_cusum's sequential detector (CUSUM
+    monitors a stream against a known baseline; binseg finds the
+    globally best split in a finished history — rerun on each side
+    for the full segmentation).
+
+    Exactness: prefix sums are exact int64 cents; each candidate's
+    gain is one identical double tree over those integers, floor-
+    quantized to integer units BEFORE ranking, ties broken by day —
+    the argmax is bit-deterministic on both engines.
+
+    100 TB: the series is day-grain (calendar-bounded) after one
+    map-side aggregate; ONE bounded prefix-sum window + a one-row
+    total broadcast scores all candidates in a single projection;
+    top-{t} is a heap."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("ps"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    g = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("i") >= _BSEG_MIN) & (F.col("i") <= F.col("n") - _BSEG_MIN)
+        )
+        .select(
+            "day",
+            "i",
+            "ps",
+            "s",
+            "n",
+            F.floor(
+                d("ps") * d("ps") / d("i")
+                + (F.col("s") - F.col("ps")).cast("double")
+                * (F.col("s") - F.col("ps")).cast("double")
+                / (F.col("n") - F.col("i")).cast("double")
+                - d("s") * d("s") / d("n")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("gain_q"),
+        )
+    )
+    return (
+        g.select(
+            F.col("day").alias("split_day"),
+            F.col("i").alias("n_left"),
+            (F.col("n") - F.col("i")).alias("n_right"),
+            roundn(d("ps") / d("i") / F.lit(100.0), 2).alias("mean_left"),
+            roundn(
+                (F.col("s") - F.col("ps")).cast("double")
+                / (F.col("n") - F.col("i")).cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("mean_right"),
+            "gain_q",
+        )
+        .orderBy(F.desc("gain_q"), "split_day")
+        .limit(_BSEG_TOP)
+    )
+
+
+ts_changepoint_binseg.__doc__ = ts_changepoint_binseg.__doc__.format(
+    m=_BSEG_MIN, t=_BSEG_TOP
+)

@@ -394,6 +394,9 @@ _BNLJ_REVIEWED = frozenset({
     # r4p wave: stats_jackknife crosses the 25-row group table with
     # one-row totals/moments — category (a)
     "stats_jackknife",
+    # r4q wave: ts_changepoint_binseg crosses the day-grain prefix
+    # table with the one-row series total — category (a)
+    "ts_changepoint_binseg",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
