@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
-from gcp_de_data_pipeline_cc_spark.plans.registry import query
+from gcp_de_data_pipeline_cc_spark.plans.registry import REGISTRY, query
 
 #: neighbors reported per item
 _TOP_N = 5
@@ -137,4 +137,131 @@ def recsys_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
         .orderBy("item", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# recommendation-list quality metrics (r4r wave)
+# ---------------------------------------------------------------------------
+
+
+def _coverage_oracle() -> str:
+    knn = REGISTRY["recsys_item_knn"].oracle
+    return f"""
+    WITH knn AS ({knn}),
+    pop AS (
+        SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1),
+    pt AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS total_lines FROM pop),
+    slots AS (
+        SELECT k.neighbor, pop.n_lines, pt.total_lines,
+               CAST(FLOOR(-log2(CAST(pop.n_lines AS DOUBLE)
+                                / CAST(pt.total_lines AS DOUBLE))
+                          * 1000000.0e0 + 0.5e0) AS BIGINT) AS nov_u
+        FROM knn k JOIN pop ON pop.brand = k.neighbor CROSS JOIN pt),
+    occ AS (
+        SELECT neighbor, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM slots GROUP BY 1),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_slots,
+               CAST(SUM(nov_u) AS BIGINT) AS nov_sum
+        FROM slots),
+    base AS (
+        SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items FROM knn),
+    distinct_rec AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rec FROM occ),
+    top1 AS (
+        SELECT CAST(MAX(n_occ) AS BIGINT) AS max_occ FROM occ)
+    SELECT b.n_items, a.n_slots, d.n_rec AS distinct_recommended,
+           FLOOR(CAST(d.n_rec AS DOUBLE) / CAST(b.n_items AS DOUBLE)
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS coverage,
+           FLOOR(CAST(a.nov_sum AS DOUBLE) / CAST(a.n_slots AS DOUBLE)
+                 / 1000000.0e0 * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS mean_novelty_bits,
+           FLOOR(CAST(t.max_occ AS DOUBLE) / CAST(a.n_slots AS DOUBLE)
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS top_neighbor_share
+    FROM base b CROSS JOIN agg a CROSS JOIN distinct_rec d CROSS JOIN top1 t
+    """
+
+
+@query("recsys_coverage", oracle=_coverage_oracle())
+def recsys_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender tier — LIST-QUALITY metrics over the item-CF top-5
+    lists (recsys_item_knn's output, rebuilt through the same plan
+    and nested verbatim in the oracle so the two keys can never
+    drift): catalog COVERAGE (share of items that appear as anyone's
+    neighbor — popularity bias shrinks it), mean NOVELTY (self-
+    information -log2 of each recommended brand's purchase share — a
+    system that only recommends bestsellers scores near the minimum),
+    and the top neighbor's slot share (concentration).  The
+    accuracy-independent half of a recommender review: MMR/kNN keys
+    measure relevance, this measures what the lists DO to the
+    catalog.
+
+    Exactness: coverage/concentration are exact integer ratios with
+    one division each; per-slot novelty bits are floor-quantized to
+    integer micro-bits before the mean (libm log2 as one identical
+    tree), so summation order is free.
+
+    100 TB: one extra map-side brand-popularity pass; every metric
+    then aggregates the brand-cardinality list relation with one-row
+    broadcasts."""
+    knn = recsys_item_knn(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pop = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").cast("long").alias("n_lines"))
+    )
+    pt = pop.agg(F.sum("n_lines").cast("long").alias("total_lines"))
+    slots = (
+        knn.join(pop, knn.neighbor == pop.brand)
+        .crossJoin(F.broadcast(pt))
+        .select(
+            "neighbor",
+            F.floor(
+                -F.log2(
+                    F.col("n_lines").cast("double")
+                    / F.col("total_lines").cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nov_u"),
+        )
+    )
+    slots = slots.localCheckpoint(eager=False)  # occ + agg consumers
+    occ = slots.groupBy("neighbor").agg(F.count("*").cast("long").alias("n_occ"))
+    agg = slots.agg(
+        F.count("*").cast("long").alias("n_slots"),
+        F.sum("nov_u").cast("long").alias("nov_sum"),
+    )
+    base = knn.agg(F.countDistinct("item").cast("long").alias("n_items"))
+    dr = occ.agg(F.count("*").cast("long").alias("n_rec"))
+    t1 = occ.agg(F.max("n_occ").cast("long").alias("max_occ"))
+    return (
+        base.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(dr))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            "n_items",
+            "n_slots",
+            F.col("n_rec").alias("distinct_recommended"),
+            roundn(
+                F.col("n_rec").cast("double") / F.col("n_items").cast("double"),
+                4,
+            ).alias("coverage"),
+            roundn(
+                F.col("nov_sum").cast("double") / F.col("n_slots").cast("double")
+                / F.lit(1000000.0),
+                4,
+            ).alias("mean_novelty_bits"),
+            roundn(
+                F.col("max_occ").cast("double") / F.col("n_slots").cast("double"),
+                4,
+            ).alias("top_neighbor_share"),
+        )
     )

@@ -397,6 +397,9 @@ _BNLJ_REVIEWED = frozenset({
     # r4q wave: ts_changepoint_binseg crosses the day-grain prefix
     # table with the one-row series total — category (a)
     "ts_changepoint_binseg",
+    # r4r wave: recsys_coverage crosses brand-cardinality metrics with
+    # one-row totals — category (a)
+    "recsys_coverage",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
