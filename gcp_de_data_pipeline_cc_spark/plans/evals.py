@@ -15,7 +15,7 @@ training-data-pipeline surface the build brief names as first-class.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -522,4 +522,243 @@ def eval_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
         .orderBy("ann1", "ann2")
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_elo_bt — Bradley-Terry strength ratings from pairwise wins
+# --------------------------------------------------------------------------
+
+#: number of models in the arena and MM iterations
+_BT_M = 8
+_BT_ITERS = 3
+#: per-iteration rating quantization (nano-units)
+_BT_Q = 1_000_000_000
+
+
+def _bt_oracle() -> str:
+    m, q = _BT_M, _BT_Q
+    u = _U48_SQL.format(salt="m")
+
+    def it(cur: str, nxt: str) -> str:
+        # MM step: pi'_i = W_i / sum_j n_ij/(pi_i + pi_j), renormalized
+        # to sum 1 and requantized to nano-units each iteration
+        return f"""
+    {nxt}raw AS (
+        SELECT w.i,
+               CAST(FLOOR(
+                   CAST(w.wins AS DOUBLE) * 1000000.0e0
+                   / CAST(SUM(CAST(FLOOR(
+                         CAST(p.n AS DOUBLE) * 1000000.0e0 * {q}.0e0
+                         / (CAST(ca.v AS DOUBLE) + CAST(cb.v AS DOUBLE))
+                         + 0.5e0) AS BIGINT)) AS DOUBLE)
+                   * 1000000000.0e0 + 0.5e0) AS BIGINT) AS r
+        FROM wins w
+        JOIN pairs p ON p.i = w.i OR p.j = w.i
+        JOIN {cur} ca ON ca.k = w.i
+        JOIN {cur} cb ON cb.k = CASE WHEN p.i = w.i THEN p.j ELSE p.i END
+        GROUP BY w.i, w.wins),
+    {nxt}t AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM {nxt}raw),
+    {nxt} AS (
+        SELECT g.i AS k,
+               CAST(FLOOR(CAST(rr.r AS DOUBLE) / CAST(t.t AS DOUBLE)
+                          * {q}.0e0 + 0.5e0) AS BIGINT) AS v
+        FROM models g
+        JOIN {nxt}raw rr ON rr.i = g.i
+        CROSS JOIN {nxt}t t)"""
+
+    return f"""
+    WITH match AS (
+        SELECT o_orderkey % {m} AS a,
+               (o_orderkey // {m}) % {m} AS b,
+               ({u}) < (CAST(o_orderkey % {m} AS DOUBLE) + 1.0e0)
+                       / (CAST(o_orderkey % {m} AS DOUBLE)
+                          + CAST((o_orderkey // {m}) % {m} AS DOUBLE) + 2.0e0)
+                   AS a_wins
+        FROM orders
+        WHERE o_orderkey % {m} <> (o_orderkey // {m}) % {m}),
+    models AS (SELECT CAST(i.i AS BIGINT) AS i
+               FROM generate_series(0, {m - 1}) i(i)),
+    pairs AS (
+        SELECT LEAST(a, b) AS i, GREATEST(a, b) AS j,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM match GROUP BY 1, 2),
+    wins AS (
+        SELECT mo.i,
+               CAST(COALESCE(SUM(CASE WHEN (mt.a = mo.i AND mt.a_wins)
+                                        OR (mt.b = mo.i AND NOT mt.a_wins)
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS wins,
+               CAST(COUNT(mt.a) AS BIGINT) AS games
+        FROM models mo
+        LEFT JOIN match mt ON mt.a = mo.i OR mt.b = mo.i
+        GROUP BY mo.i),
+    p0 AS (SELECT i AS k, CAST({q} // {m} AS BIGINT) AS v FROM models),
+    {it("p0", "p1")},
+    {it("p1", "p2")},
+    {it("p2", "p3")}
+    SELECT w.i AS model_id, w.games, w.wins,
+           FLOOR(CAST(p3.v AS DOUBLE) / {q}.0e0 * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS bt_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY p3.v DESC, w.i) AS BIGINT)
+               AS rnk
+    FROM wins w JOIN p3 ON p3.k = w.i
+    ORDER BY rnk
+    """
+
+
+@query("eval_elo_bt", oracle=_bt_oracle())
+def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — BRADLEY-TERRY strength ratings from pairwise
+    preference data (the public LLM-arena methodology: humans pick a
+    winner between two anonymous models; BT recovers a global
+    leaderboard from the win matrix).  Matches derive
+    deterministically from orders (model pair = two digits of the
+    orderkey base {m}, winner = a u48 coin at the latent-strength odds
+    s_i = i+1), and three minorization-maximization iterations
+    pi'_i = W_i / sum_j n_ij/(pi_i + pi_j) recover the planted
+    ordering — the law test pins rank agreement with the latent
+    strengths.
+
+    Exactness: win/game counts exact int64; each MM iteration's
+    ratings are renormalized to sum 1 and REQUANTIZED to integer
+    nano-units before the next iteration reads them, so the
+    fixed-point trajectory is bit-identical on both engines; the
+    per-opponent sum runs over the <= {m}({m}-1)/2-row pair table
+    (order-free after quantization: each term is a function of
+    quantized state).
+
+    100 TB: the match log collapses to the pair matrix in one
+    map-side aggregate; iterations are joins over model-cardinality
+    relations — rating state is O(models), never match-sized."""
+    m, q = _BT_M, _BT_Q
+    orders = load_table(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % m).cast("long")
+    b = (F.expr(f"o_orderkey DIV {m}") % m).cast("long")
+    u = _u48("m")
+    match = (
+        orders.where(a != b)
+        .select(
+            a.alias("a"),
+            b.alias("b"),
+            (
+                u
+                < (a.cast("double") + F.lit(1.0))
+                / (a.cast("double") + b.cast("double") + F.lit(2.0))
+            ).alias("a_wins"),
+        )
+    )
+    match = match.localCheckpoint(eager=False)  # pairs + wins consumers
+    models = spark.range(m).select(F.col("id").cast("long").alias("i"))
+    pairs = (
+        match.groupBy(
+            F.least("a", "b").alias("i"), F.greatest("a", "b").alias("j")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wins = (
+        models.join(
+            match,
+            (match.a == models.i) | (match.b == models.i),
+            "left",
+        )
+        .groupBy("i")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ((F.col("a") == F.col("i")) & F.col("a_wins"))
+                        | ((F.col("b") == F.col("i")) & ~F.col("a_wins")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("wins"),
+            F.count(F.col("a")).cast("long").alias("games"),
+        )
+    )
+    wins = wins.localCheckpoint(eager=False)  # per-iteration + output
+    pairs = pairs.localCheckpoint(eager=False)
+    p = models.select(
+        F.col("i").alias("k"), F.lit(q // m).cast("long").alias("v")
+    )
+    for _ in range(_BT_ITERS):
+        opp = pairs.select("i", "j", "n").unionAll(
+            pairs.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "n"
+            )
+        )
+        raw = (
+            wins.join(opp, wins.i == opp.i)
+            .join(
+                p.select(F.col("k").alias("ka"), F.col("v").alias("va")),
+                F.col("ka") == wins.i,
+            )
+            .join(
+                p.select(F.col("k").alias("kb"), F.col("v").alias("vb")),
+                F.col("kb") == opp.j,
+            )
+            .groupBy(wins.i.alias("gi"), "wins")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("n").cast("double")
+                        * F.lit(1000000.0)
+                        * F.lit(float(q))
+                        / (
+                            F.col("va").cast("double")
+                            + F.col("vb").cast("double")
+                        )
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("denom")
+            )
+            .select(
+                F.col("gi").alias("i"),
+                F.floor(
+                    F.col("wins").cast("double")
+                    * F.lit(1000000.0)
+                    / F.col("denom").cast("double")
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+        t = raw.agg(F.sum("r").cast("long").alias("t"))
+        p = (
+            raw.crossJoin(F.broadcast(t))
+            .select(
+                F.col("i").alias("k"),
+                F.floor(
+                    F.col("r").cast("double") / F.col("t").cast("double")
+                    * F.lit(float(q))
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    return (
+        wins.join(p, wins.i == p.k)
+        .select(
+            wins.i.alias("model_id"),
+            "games",
+            "wins",
+            roundn(F.col("v").cast("double") / F.lit(float(q)), 6).alias(
+                "bt_score"
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bt_score"), F.asc("model_id")))
+            .cast("long"),
+        )
+        .orderBy("rnk")
     )

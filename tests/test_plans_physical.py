@@ -400,6 +400,10 @@ _BNLJ_REVIEWED = frozenset({
     # r4r wave: recsys_coverage crosses brand-cardinality metrics with
     # one-row totals — category (a)
     "recsys_coverage",
+    # r4s wave: eval_elo_bt crosses the 8-model rating relation with
+    # the one-row normalization total each iteration; stats_eb_shrinkage
+    # crosses the 25-row segment table with the one-row prior — (a)
+    "eval_elo_bt", "stats_eb_shrinkage",
     "agg_approx_distinct", "corpus_zipf", "fn_levenshtein",
     "funnel_conversion", "graph_triangles", "hypothesis_chisq",
     "join_range_band", "kmeans_assign", "qc_foreign_keys",
