@@ -744,6 +744,9 @@ def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("v"),
             )
         )
+        # shallow plan per iteration: without this the rating relation's
+        # subtree doubles every loop (raw feeds both t and p)
+        p = p.localCheckpoint(eager=False)
     return (
         wins.join(p, wins.i == p.k)
         .select(

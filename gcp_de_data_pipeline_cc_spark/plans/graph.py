@@ -1016,9 +1016,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     h0 = nodes.select("k", F.lit(_HITS_U).cast("long").alias("v"))
-    a1 = half_step(h0, inbound=True)
-    h1 = half_step(a1, inbound=False)
-    a2 = half_step(h1, inbound=True)
+    a1 = half_step(h0, inbound=True).localCheckpoint(eager=False)
+    h1 = half_step(a1, inbound=False).localCheckpoint(eager=False)
+    a2 = half_step(h1, inbound=True).localCheckpoint(eager=False)
     h2 = half_step(a2, inbound=False)
     return (
         nodes.join(a2.withColumnRenamed("v", "auth_micro"), "k")
@@ -1174,6 +1174,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("v"),
             )
         )
+        p = p.localCheckpoint(eager=False)  # shallow plan per iteration
     return (
         nodes.join(p, "k")
         .select(
