@@ -83,6 +83,7 @@ _COMPONENT_FIRST = (
     "ts_croston", "ts_changepoint_binseg",
     "recsys_coverage", "fn_trigram_sim",
     "eval_elo_bt", "stats_eb_shrinkage",
+    "multimodal_image_phash", "multimodal_audio_fingerprint",
     "sim_topk", "sim_topk_lsh", "sim_topk_ivf",          # C5 flagship similarity
     "dedup_simhash", "dedup_embedding",                   # C4 near-dup variants
     "project_rename", "cast_types", "filter_pred", "null_handling",  # P1-P4

@@ -2536,3 +2536,144 @@ def eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal near-dup fingerprints (r4t wave)
+# ---------------------------------------------------------------------------
+
+#: hamming radius for image near-duplicates; candidates come from
+#: 8 x 8-bit bands — radius < band count, so pigeonhole makes the
+#: band join a COMPLETE candidate generator (exact radius filter runs
+#: inside the match)
+_PHASH_RADIUS = 6
+
+
+@query("multimodal_image_phash", oracle=None)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal tier — IMAGE near-duplicate detection by perceptual
+    hash: every image payload (even doc_ids; real 24-bit BMPs) gets a
+    64-bit average-hash (operators/multimodal.ahash64_bmp — grayscale
+    8x8 block means, one bit per cell), candidates come from a
+    8-bit-BAND equi-join (the SimHash banding discipline: with 8
+    bands and radius {r} < 8, a qualifying pair's differing bits
+    cannot touch all 8 bands — pigeonhole guarantees >= one agreeing
+    band, so candidate generation is COMPLETE and bucketed), and the exact
+    hamming <= {r} filter (bit_count(xor)) decides inside the match.
+    Output: per image, its hash and the count of near-duplicate
+    partners — the image-dedup rung of the dedup family (text keys
+    cover exact/shingle/MinHash/SimHash; this is the same discipline
+    on PIXELS).
+
+    Rows-only by design (binary payload decode — the sanctioned
+    mapInPandas rung); the banding-completeness and planted-duplicate
+    laws live in tests/test_wave_r4t.py.
+
+    100 TB: fingerprinting is a narrow Arrow-batched pass; the
+    candidate join shuffles 16-bit band keys (4 rows per image), and
+    the hamming filter is JVM bit arithmetic inside the hash match —
+    the LSH cost model, Σ|bucket|², never |images|²."""
+    from gcp_de_data_pipeline_cc_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    fps = mm.perceptual_hashes(mm.attach_media_payload(docs)).select(
+        "doc_id", "fp64"
+    )
+    fps = fps.localCheckpoint(eager=False)  # bands + join + output
+    bands = fps.select(
+        "doc_id",
+        "fp64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(fp64 >> {8 * i}) & 255").alias("bval"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp64", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.fp64").bitwiseXOR(F.col("b.fp64"))
+            ).alias("ham"),
+        )
+        .where(F.col("ham") <= _PHASH_RADIUS)
+        .distinct()
+    )
+    npart = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("d2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_near_dups"))
+    )
+    return (
+        fps.join(npart, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lower(F.hex(F.col("fp64"))).alias("ahash_hex"),
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+multimodal_image_phash.__doc__ = multimodal_image_phash.__doc__.format(
+    r=_PHASH_RADIUS
+)
+
+
+@query("multimodal_audio_fingerprint", oracle=None)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal tier — AUDIO duplicate detection by energy-envelope
+    fingerprint: every audio payload (odd doc_ids; real 16-bit PCM
+    WAVs) gets a 64-bit contour of 16 frames x 4 bits peak-normalized
+    mean amplitude (operators/multimodal.audio_fp64_wav), and clips
+    collapse into exact-fingerprint groups — the audio rung of the
+    dedup family (coarse enough to survive re-encoding, sharp enough
+    to separate different clips; the image rung above handles the
+    near-match radius).
+
+    Rows-only by design (binary payload decode); determinism and
+    planted-duplicate laws in tests/test_wave_r4t.py.
+
+    100 TB: narrow Arrow-batched fingerprint pass + ONE map-side-
+    combinable groupBy on an 8-byte key; group sizes are the dedup
+    review readout."""
+    from gcp_de_data_pipeline_cc_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1
+    )
+    fps = mm.perceptual_hashes(mm.attach_media_payload(docs)).select(
+        "doc_id", "fp64"
+    )
+    fps = fps.localCheckpoint(eager=False)  # group sizes + output
+    grp = fps.groupBy("fp64").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    return (
+        fps.join(grp, "fp64")
+        .select(
+            "doc_id",
+            F.lower(F.hex(F.col("fp64"))).alias("audio_fp_hex"),
+            "group_size",
+            (F.col("group_size") > 1).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
