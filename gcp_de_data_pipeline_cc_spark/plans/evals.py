@@ -765,3 +765,341 @@ def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# eval_f1_multiclass — per-class precision/recall/F1 + macro/micro
+# --------------------------------------------------------------------------
+
+_ACTUAL_SQL = (
+    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 2 "
+    "WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END"
+)
+_PREDICTED_SQL = (
+    "CASE WHEN SUBSTR(md5('m:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '33' "
+    f"THEN ({_ACTUAL_SQL} + 1) % 3 "
+    "WHEN SUBSTR(md5('m:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '4d' "
+    f"THEN ({_ACTUAL_SQL} + 2) % 3 "
+    f"ELSE {_ACTUAL_SQL} END"
+)
+
+
+def _f1_oracle() -> str:
+    return f"""
+    WITH log AS (
+        SELECT {_ACTUAL_SQL} AS actual, {_PREDICTED_SQL} AS predicted
+        FROM orders),
+    conf AS (
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM log GROUP BY 1, 2),
+    by_actual AS (
+        SELECT actual AS class_id,
+               CAST(SUM(n) AS BIGINT) AS support,
+               CAST(SUM(CASE WHEN predicted = actual THEN n ELSE 0 END)
+                    AS BIGINT) AS tp
+        FROM conf GROUP BY 1),
+    by_pred AS (
+        SELECT predicted AS class_id, CAST(SUM(n) AS BIGINT) AS n_pred
+        FROM conf GROUP BY 1),
+    per_class AS (
+        SELECT a.class_id, a.support, a.tp,
+               COALESCE(p.n_pred, 0) - a.tp AS fp,
+               a.support - a.tp AS fn,
+               CAST(FLOOR(CAST(2 * a.tp AS DOUBLE)
+                          / CAST(2 * a.tp + (COALESCE(p.n_pred, 0) - a.tp)
+                                 + (a.support - a.tp) AS DOUBLE)
+                          * 1000000.0e0 + 0.5e0) AS BIGINT) AS f1_micro_units
+        FROM by_actual a LEFT JOIN by_pred p ON a.class_id = p.class_id),
+    totals AS (
+        SELECT CAST(SUM(support) AS BIGINT) AS n_total,
+               CAST(SUM(tp) AS BIGINT) AS n_correct,
+               CAST(SUM(f1_micro_units) AS BIGINT) AS f1_sum,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per_class)
+    SELECT c.class_id, c.support, c.tp, c.fp, c.fn,
+           FLOOR(CAST(c.tp AS DOUBLE) / CAST(NULLIF(c.tp + c.fp, 0) AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS precision,
+           FLOOR(CAST(c.tp AS DOUBLE) / CAST(NULLIF(c.tp + c.fn, 0) AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS recall,
+           CAST(c.f1_micro_units AS DOUBLE) / 1000000.0e0 AS f1,
+           CAST(t.f1_sum / t.k AS DOUBLE) / 1000000.0e0 AS macro_f1,
+           FLOOR(CAST(t.n_correct AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS micro_f1
+    FROM per_class c CROSS JOIN totals t
+    ORDER BY c.class_id
+    """
+
+
+@query("eval_f1_multiclass", oracle=_f1_oracle())
+def eval_f1_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — the multi-class classification report: per-class
+    tp/fp/fn with precision, recall, F1, plus the macro-F1 (unweighted
+    class mean — the imbalance-robust headline) and micro-F1 (= accuracy
+    for single-label tasks).  The eval log derives deterministically
+    from ``orders``: actual = priority bucket (urgent/high -> 2,
+    medium -> 1, else 0), predicted = actual corrupted by an md5-prefix
+    two-sided noise channel (~20% shift +1, ~10% shift +2) — a
+    plausible ~70%-accurate classifier with class imbalance.
+
+    Exactness: every count is exact int64 off one 9-cell confusion
+    aggregate; F1 enters as 2tp/(2tp+fp+fn) — ONE division per class —
+    floor-quantized to integer 1e-6 units, so the macro mean is an
+    integer sum with ONE division (no float crosses classes);
+    precision/recall/micro are each one final division.
+
+    100 TB: the fact scan collapses map-side to <= |classes|^2 cells;
+    everything after runs on class-cardinality relations.  Adding
+    classes grows the grid quadratically but it stays metadata-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    actual = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+    )
+    coin = F.substring(
+        F.md5(F.concat(F.lit("m:"), F.col("o_orderkey").cast("string"))), 1, 2
+    )
+    predicted = (
+        F.when(coin < "33", (actual + 1) % 3)
+        .when(coin < "4d", (actual + 2) % 3)
+        .otherwise(actual)
+    )
+    conf = (
+        orders.select(actual.alias("actual"), predicted.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    by_actual = conf.groupBy(F.col("actual").alias("class_id")).agg(
+        F.sum("n").cast("long").alias("support"),
+        F.sum(F.when(F.col("predicted") == F.col("actual"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    by_pred = conf.groupBy(F.col("predicted").alias("class_id")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    per_class = by_actual.join(by_pred, "class_id", "left").select(
+        "class_id",
+        "support",
+        "tp",
+        (F.coalesce("n_pred", F.lit(0)) - F.col("tp")).alias("fp"),
+        (F.col("support") - F.col("tp")).alias("fn"),
+        F.floor(
+            (2 * F.col("tp")).cast("double")
+            / (
+                2 * F.col("tp")
+                + (F.coalesce("n_pred", F.lit(0)) - F.col("tp"))
+                + (F.col("support") - F.col("tp"))
+            ).cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("f1_micro_units"),
+    )
+    totals = per_class.agg(
+        F.sum("support").cast("long").alias("n_total"),
+        F.sum("tp").cast("long").alias("n_correct"),
+        F.sum("f1_micro_units").cast("long").alias("f1_sum"),
+        F.count("*").cast("long").alias("k"),
+    )
+    return (
+        per_class.crossJoin(F.broadcast(totals))
+        .select(
+            "class_id",
+            "support",
+            "tp",
+            "fp",
+            "fn",
+            roundn(
+                F.col("tp").cast("double")
+                / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)).cast("double"),
+                6,
+            ).alias("precision"),
+            roundn(
+                F.col("tp").cast("double")
+                / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall"),
+            (F.col("f1_micro_units").cast("double") / F.lit(1000000.0)).alias("f1"),
+            (
+                (F.col("f1_sum") / F.col("k")).cast("double") / F.lit(1000000.0)
+            ).alias("macro_f1"),
+            roundn(
+                F.col("n_correct").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("micro_f1"),
+        )
+        .orderBy("class_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_bleu — corpus-level BLEU-2 of a noisy-channel candidate
+# --------------------------------------------------------------------------
+
+#: candidate = reference with every 5th token replaced by the OOV token
+#: 'qz' — a same-length noisy channel, so the brevity penalty is exactly 1
+#: and BLEU-2 = sqrt(p1*p2) stays libm-free (sqrt is IEEE-exact).
+_CAND_SQL = (
+    "list_transform(range(1, len(t) + 1), "
+    "i -> CASE WHEN i % 5 = 0 THEN 'qz' ELSE t[i] END)"
+)
+
+
+def _bleu_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, t, {_CAND_SQL} AS c
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2),
+    ref1 AS (
+        SELECT doc_id, UNNEST(t) AS g FROM toks),
+    cand1 AS (
+        SELECT doc_id, UNNEST(c) AS g FROM toks),
+    ref1c AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS rn
+        FROM ref1 GROUP BY 1, 2),
+    cand1c AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM cand1 GROUP BY 1, 2),
+    clip1 AS (
+        SELECT CAST(SUM(LEAST(c.cn, COALESCE(r.rn, 0))) AS BIGINT) AS hits,
+               CAST(SUM(c.cn) AS BIGINT) AS total
+        FROM cand1c c LEFT JOIN ref1c r
+          ON c.doc_id = r.doc_id AND c.g = r.g),
+    ref2 AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks),
+    cand2 AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(c)),
+                                     i -> c[i] || ' ' || c[i+1])) AS g
+        FROM toks),
+    ref2c AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS rn
+        FROM ref2 GROUP BY 1, 2),
+    cand2c AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM cand2 GROUP BY 1, 2),
+    clip2 AS (
+        SELECT CAST(SUM(LEAST(c.cn, COALESCE(r.rn, 0))) AS BIGINT) AS hits,
+               CAST(SUM(c.cn) AS BIGINT) AS total
+        FROM cand2c c LEFT JOIN ref2c r
+          ON c.doc_id = r.doc_id AND c.g = r.g),
+    lens AS (
+        SELECT CAST(SUM(len(c)) AS BIGINT) AS c_len,
+               CAST(SUM(len(t)) AS BIGINT) AS r_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM toks)
+    SELECT lens.n_docs, lens.c_len, lens.r_len,
+           clip1.hits AS p1_hits, clip1.total AS p1_total,
+           clip2.hits AS p2_hits, clip2.total AS p2_total,
+           FLOOR(CAST(clip1.hits AS DOUBLE) / CAST(clip1.total AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS p1,
+           FLOOR(CAST(clip2.hits AS DOUBLE) / CAST(clip2.total AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS p2,
+           1.0e0 AS brevity_penalty,
+           FLOOR(sqrt((CAST(clip1.hits AS DOUBLE) / CAST(clip1.total AS DOUBLE))
+                      * (CAST(clip2.hits AS DOUBLE)
+                         / CAST(clip2.total AS DOUBLE)))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS bleu2
+    FROM lens CROSS JOIN clip1 CROSS JOIN clip2
+    """
+
+
+@query("eval_bleu", oracle=_bleu_oracle())
+def eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — corpus-level BLEU-2 (Papineni et al. 2002): modified
+    n-gram precision with per-document clipping for n=1,2, geometric
+    mean, brevity penalty.  The candidate derives deterministically
+    from each document as a same-length noisy channel (every 5th token
+    replaced by an OOV token), so reference/candidate pairs exist
+    without a generation step and the brevity penalty is exactly 1 —
+    which keeps the whole metric libm-free: p_n are single exact IEEE
+    divisions of int64 clipped-hit sums, and BLEU-2 = sqrt(p1*p2) uses
+    only the correctly-rounded sqrt.
+
+    Exactness: clipped hits are SUM(LEAST(cand_n, ref_n)) — exact
+    integers; each precision is ONE division; the only compounding is
+    one multiply + sqrt, identical bit-for-bit on both engines, then
+    floor-quantized at 1e-6.
+
+    100 TB: per-(doc, gram) counts come off one explode + map-side-
+    combined groupBy per n; the clip join is keyed (doc_id, gram) —
+    co-partitioned, never cross-doc; at scale the gram string key
+    collapses to xxhash64(gram) 8-byte keys (the dedup-tier discipline)
+    and the final readout is a 3-way one-row broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .withColumn(
+            "c",
+            F.expr(
+                "transform(sequence(1, size(t)), "
+                "i -> if(i % 5 = 0, 'qz', element_at(t, i)))"
+            ),
+        )
+    )
+
+    def _ngram_clip(col: str, other: str, n: int):
+        if n == 1:
+            grams = F.explode(F.col(col)).alias("g")
+            grams_o = F.explode(F.col(other)).alias("g")
+        else:
+            expr = (
+                "transform(sequence(1, size({0}) - 1), "
+                "i -> concat(element_at({0}, i), ' ', element_at({0}, i + 1)))"
+            )
+            grams = F.explode(F.expr(expr.format(col))).alias("g")
+            grams_o = F.explode(F.expr(expr.format(other))).alias("g")
+        cand = (
+            toks.select("doc_id", grams)
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").cast("long").alias("cn"))
+        )
+        ref = (
+            toks.select("doc_id", grams_o)
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").cast("long").alias("rn"))
+        )
+        return cand.join(ref, ["doc_id", "g"], "left").agg(
+            F.sum(F.least(F.col("cn"), F.coalesce(F.col("rn"), F.lit(0))))
+            .cast("long")
+            .alias("hits"),
+            F.sum("cn").cast("long").alias("total"),
+        )
+
+    clip1 = _ngram_clip("c", "t", 1).select(
+        F.col("hits").alias("p1_hits"), F.col("total").alias("p1_total")
+    )
+    clip2 = _ngram_clip("c", "t", 2).select(
+        F.col("hits").alias("p2_hits"), F.col("total").alias("p2_total")
+    )
+    lens = toks.agg(
+        F.sum(F.size("c")).cast("long").alias("c_len"),
+        F.sum(F.size("t")).cast("long").alias("r_len"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    p1 = F.col("p1_hits").cast("double") / F.col("p1_total").cast("double")
+    p2 = F.col("p2_hits").cast("double") / F.col("p2_total").cast("double")
+    return (
+        lens.crossJoin(F.broadcast(clip1))
+        .crossJoin(F.broadcast(clip2))
+        .select(
+            "n_docs",
+            "c_len",
+            "r_len",
+            "p1_hits",
+            "p1_total",
+            "p2_hits",
+            "p2_total",
+            roundn(p1, 6).alias("p1"),
+            roundn(p2, 6).alias("p2"),
+            F.lit(1.0).alias("brevity_penalty"),
+            roundn(F.sqrt(p1 * p2), 6).alias("bleu2"),
+        )
+    )
