@@ -75,6 +75,7 @@ _COMPONENT_FIRST = (
     "end_to_end_pipeline", "qc_alert_routing",
     # round-4 session waves: sample fresh keys while fresh
     "eval_f1_multiclass", "eval_bleu",
+    "train_length_buckets", "corpus_temperature_mix",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

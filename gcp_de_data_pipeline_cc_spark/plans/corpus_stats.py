@@ -783,3 +783,126 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 eval_bootstrap_ci.__doc__ = eval_bootstrap_ci.__doc__.format(
     b=_BOOT_B, lo=_BOOT_LO, hi=_BOOT_HI
 )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixing weights (r4v wave)
+# ---------------------------------------------------------------------------
+
+#: sampling temperature — weights ∝ mass^(1/T); T=2 is the classic
+#: multilingual-balancing setting (sqrt scaling), chosen here because
+#: x^(1/2) is the one power law computable with the IEEE-exact sqrt
+_MIX_T = 2
+
+#: token budget the temperature-scaled mix apportions (Hamilton)
+_MIX_B = 1_000_000
+
+_TEMP_MIX_ORACLE = f"""
+WITH s AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents GROUP BY source),
+w AS (
+    SELECT source, tokens,
+           CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0e0 + 0.5e0)
+                AS BIGINT) AS wq
+    FROM s),
+t AS (
+    SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
+           CAST(SUM(wq) AS BIGINT) AS wtot
+    FROM w),
+q AS (
+    SELECT w.source, w.tokens, w.wq,
+           ({_MIX_B} * w.wq) // t.wtot AS base,
+           ({_MIX_B} * w.wq) % t.wtot AS rem,
+           t.tot, t.wtot
+    FROM w, t),
+r AS (SELECT CAST({_MIX_B} AS BIGINT) - SUM(base) AS n_extra FROM q),
+rk AS (
+    SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
+    FROM q)
+SELECT rk.source, rk.tokens,
+       {sql_roundn("rk.tokens * 1.0e0 / rk.tot", 6)} AS p_raw,
+       {sql_roundn("rk.wq * 1.0e0 / rk.wtot", 6)} AS q_temp,
+       CAST(rk.base + CASE WHEN rk.rnk <= r.n_extra THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens,
+       {sql_roundn(
+           "(rk.wq * 1.0e0 / rk.wtot) / (rk.tokens * 1.0e0 / rk.tot)", 6
+       )} AS boost
+FROM rk, r
+ORDER BY rk.source
+"""
+
+
+@query("corpus_temperature_mix", oracle=_TEMP_MIX_ORACLE)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — temperature-scaled source mixing: sampling
+    weights ∝ mass^(1/T) with T={t} (the multilingual-corpus balancing
+    rule — raw proportional sampling starves small sources, uniform
+    over-trains them; T interpolates), then Hamilton-apportions a
+    {b:,}-token budget over the SCALED weights so the mix is directly
+    executable.  ``boost`` = q_temp/p_raw is the readout: >1 for
+    under-represented sources, <1 for dominant ones.
+
+    Exactness: T=2 keeps the power law inside the correctly-rounded
+    IEEE sqrt; each scaled weight is floor-quantized to an int64 count
+    of 1e-6 units BEFORE any cross-source arithmetic, so totals,
+    quotas, and remainders are exact integers (B·wq ≤ 10⁶·~10⁹ —
+    bounded); p_raw/q_temp/boost are single divisions quantized at
+    1e-6.
+
+    100 TB: the census is one map-side groupBy to source cardinality;
+    everything after runs on the dozens-row source table with one-row
+    broadcasts — invariant to corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("tokens")
+    )
+    w = s.select(
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("wq"),
+    )
+    w = w.localCheckpoint(eager=False)  # totals + quota consumers
+    t = w.agg(
+        F.sum("tokens").cast("long").alias("tot"),
+        F.sum("wq").cast("long").alias("wtot"),
+    )
+    b = F.lit(_MIX_B).cast("long")
+    q = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        "wq",
+        F.expr(f"CAST(({_MIX_B} * wq) DIV wtot AS LONG)").alias("base"),
+        F.pmod(b * F.col("wq"), F.col("wtot")).alias("rem"),
+        "tot",
+        "wtot",
+    )
+    q = q.localCheckpoint(eager=False)  # seats + ranking consumers
+    r = q.agg((b - F.sum("base")).alias("n_extra"))
+    rk = q.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source"))),
+    )
+    extra = F.when(F.col("rnk") <= F.col("n_extra"), 1).otherwise(0)
+    p_raw = F.col("tokens") * F.lit(1.0) / F.col("tot").cast("double")
+    q_temp = F.col("wq") * F.lit(1.0) / F.col("wtot").cast("double")
+    return (
+        rk.crossJoin(F.broadcast(r))
+        .select(
+            "source",
+            "tokens",
+            roundn(p_raw, 6).alias("p_raw"),
+            roundn(q_temp, 6).alias("q_temp"),
+            (F.col("base") + extra).cast("long").alias("alloc_tokens"),
+            roundn(q_temp / p_raw, 6).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+corpus_temperature_mix.__doc__ = corpus_temperature_mix.__doc__.format(
+    t=_MIX_T, b=_MIX_B
+)

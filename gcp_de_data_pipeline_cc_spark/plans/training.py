@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
 from gcp_de_data_pipeline_cc_spark.operators.text import tokens_col
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
@@ -1229,4 +1230,136 @@ def train_pack_ffd_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 train_pack_ffd_eval.__doc__ = train_pack_ffd_eval.__doc__.format(
     s=SHARD_SIZE
+)
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching (r4v wave)
+# ---------------------------------------------------------------------------
+
+#: number of length buckets a bucketed batch sampler would use
+_LB_BUCKETS = 8
+
+_LENGTH_BUCKETS_ORACLE = f"""
+WITH lens AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lens),
+rk AS (
+    SELECT n_tok,
+           ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rn
+    FROM lens),
+b AS (
+    SELECT CAST(((rk.rn - 1) * {_LB_BUCKETS}) // t.n AS INT) AS bucket,
+           rk.n_tok
+    FROM rk, t),
+per AS (
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+    FROM b GROUP BY 1),
+g AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+           CAST(MAX(max_tok) AS BIGINT) AS g_max,
+           CAST(SUM(sum_tok) AS BIGINT) AS g_sum,
+           CAST(SUM(max_tok * n_docs - sum_tok) AS BIGINT) AS bucketed_waste
+    FROM per)
+SELECT per.bucket, per.n_docs, per.min_tok, per.max_tok, per.sum_tok,
+       CAST(per.max_tok * per.n_docs AS BIGINT) AS padded_tok,
+       CAST(per.max_tok * per.n_docs - per.sum_tok AS BIGINT) AS waste_tok,
+       {sql_roundn(
+           "(per.max_tok * per.n_docs - per.sum_tok) * 1.0e0"
+           " / (per.max_tok * per.n_docs)", 6
+       )} AS waste_pct,
+       CAST(g.g_max * g.n_total - g.g_sum AS BIGINT) AS single_bucket_waste,
+       g.bucketed_waste AS bucketed_total_waste,
+       {sql_roundn(
+           "1.0e0 - g.bucketed_waste * 1.0e0"
+           " / NULLIF(g.g_max * g.n_total - g.g_sum, 0)", 6
+       )} AS savings_pct
+FROM per, g
+ORDER BY per.bucket
+"""
+
+
+@query("train_length_buckets", oracle=_LENGTH_BUCKETS_ORACLE)
+def train_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — length-bucketed batching audit: assign documents
+    to {b} equal-population length buckets (the bucketed-batch-sampler
+    layout that keeps same-batch sequences similar in length) and
+    measure the padding waste each bucket still pays
+    (max_len·count − Σlen) against the single-bucket baseline
+    (global_max·N − Σlen).  ``savings_pct`` is the headline: how much
+    padding compute the bucketing recovers.
+
+    Exactness: bucket id is pure integer arithmetic ((rn−1)·B DIV N)
+    off a deterministic total order (n_tok, doc_id); every waste
+    number is exact int64; the two pct columns are single divisions
+    floor-quantized at 1e-6.
+
+    100 TB: the total order comes from the two-phase ``global_rank``
+    (range exchange + per-partition row_number + broadcast offsets) —
+    no single-reducer sort at any width; per-bucket stats are map-side
+    combined; the global baseline is a one-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    rk = global_rank(lens, [F.col("n_tok"), F.col("doc_id")], rank_col="rn")
+    t = rk.agg(F.count("*").cast("long").alias("n"))
+    b = rk.crossJoin(F.broadcast(t)).select(
+        F.expr(f"CAST(((rn - 1) * {_LB_BUCKETS}) DIV n AS INT)").alias(
+            "bucket"
+        ),
+        "n_tok",
+    )
+    per = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+    )
+    per = per.localCheckpoint(eager=False)  # per-bucket + global consumers
+    g = per.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.max("max_tok").cast("long").alias("g_max"),
+        F.sum("sum_tok").cast("long").alias("g_sum"),
+        F.sum(F.col("max_tok") * F.col("n_docs") - F.col("sum_tok"))
+        .cast("long")
+        .alias("bucketed_waste"),
+    )
+    padded = F.col("max_tok") * F.col("n_docs")
+    single = F.col("g_max") * F.col("n_total") - F.col("g_sum")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tok",
+            "max_tok",
+            "sum_tok",
+            padded.cast("long").alias("padded_tok"),
+            (padded - F.col("sum_tok")).cast("long").alias("waste_tok"),
+            roundn(
+                (padded - F.col("sum_tok")) * F.lit(1.0) / padded.cast("double"),
+                6,
+            ).alias("waste_pct"),
+            single.cast("long").alias("single_bucket_waste"),
+            F.col("bucketed_waste").alias("bucketed_total_waste"),
+            roundn(
+                F.lit(1.0)
+                - F.col("bucketed_waste")
+                * F.lit(1.0)
+                / F.nullif(single, F.lit(0)).cast("double"),
+                6,
+            ).alias("savings_pct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+train_length_buckets.__doc__ = train_length_buckets.__doc__.format(
+    b=_LB_BUCKETS
 )
