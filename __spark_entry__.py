@@ -76,6 +76,7 @@ _COMPONENT_FIRST = (
     # round-4 session waves: sample fresh keys while fresh
     "eval_f1_multiclass", "eval_bleu",
     "train_length_buckets", "corpus_temperature_mix",
+    "decontaminate_semantic", "ops_column_lineage",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

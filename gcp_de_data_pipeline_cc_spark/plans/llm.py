@@ -2677,3 +2677,113 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (r4w wave)
+# ---------------------------------------------------------------------------
+
+#: production contamination threshold on cosine similarity
+_DECON_SEM_T = 0.8
+
+
+def _decon_sem_oracle() -> str:
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        sql_portable_lsh_buckets,
+    )
+
+    b0 = sql_portable_lsh_buckets("embedding", 1, 8, 64)[0]
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec, {b0} AS bucket
+        FROM embeddings),
+    pairs AS (
+        SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+               FLOOR(list_dot_product(t.vec, e.vec)
+                     / sqrt(list_dot_product(t.vec, t.vec))
+                     / sqrt(list_dot_product(e.vec, e.vec))
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS cosine
+        FROM v t JOIN v e
+          ON t.bucket = e.bucket
+         AND t.vec_id % 50 <> 0 AND e.vec_id % 50 = 0),
+    nearest AS (
+        SELECT train_id, eval_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY train_id
+                   ORDER BY cosine DESC, eval_id) AS rn
+        FROM pairs)
+    SELECT train_id, eval_id AS nearest_eval_id, cosine,
+           CAST(cosine >= {_DECON_SEM_T} AS INT) AS is_contaminated
+    FROM nearest WHERE rn = 1
+    ORDER BY cosine DESC, train_id
+    LIMIT 100
+    """
+
+
+@query("decontaminate_semantic", oracle=_decon_sem_oracle())
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-curation — EMBEDDING-space benchmark decontamination,
+    the semantic sibling of the n-gram ``decontaminate`` key: surface
+    paraphrased eval contamination that exact shingle overlap cannot
+    see.  Train vectors (vec_id % 50 != 0) meet the held-out eval set
+    (% 50 = 0) only inside shared hyperplane buckets (the portable
+    integer 8-bit LSH code — exact int64 dot signs, bit-identical in
+    DuckDB); within a match the exact cosine is computed and each
+    train item keeps its nearest eval neighbor.  Output = top-100
+    closest train→eval pairs with the ``is_contaminated`` verdict at
+    the {t} production threshold (the synthetic corpus tops out near
+    0.5, so the flag column is deterministically exercised at 0 — the
+    planted-duplicate path is law-tested).
+
+    Exactness: cosine = left-fold dot products (identical fold order
+    both engines) with IEEE-exact sqrt/divides, floor-quantized at
+    1e-6 BEFORE the per-train rank, ties broken on eval_id.
+
+    100 TB: candidate generation is the bucket equi-join — never
+    all-pairs; the per-train argmax is WindowGroupLimit-pruned (each
+    map task keeps 1 row per train id pre-shuffle); the top-100 is
+    TakeOrdered.  A real eval set is bounded (benchmarks, not corpora)
+    so the eval side additionally broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sim.portable_lsh_buckets(
+        emb, "vec_id", n_tables=1, bits=8, dim=64
+    ).select("vec_id", "bucket")
+    v = (
+        sim.as_double_vectors(emb)
+        .select("vec_id", F.col("embedding").alias("vec"))
+        .join(codes, "vec_id")
+    )
+    t = v.filter(F.col("vec_id") % 50 != 0).alias("t")
+    e = v.filter(F.col("vec_id") % 50 == 0).alias("e")
+    cos = (
+        sim._dot(F.col("t.vec"), F.col("e.vec"))
+        / sim._norm(F.col("t.vec"))
+        / sim._norm(F.col("e.vec"))
+    )
+    pairs = t.join(e, F.col("t.bucket") == F.col("e.bucket")).select(
+        F.col("t.vec_id").alias("train_id"),
+        F.col("e.vec_id").alias("eval_id"),
+        roundn(cos, 6).alias("cosine"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("train_id").orderBy(F.desc("cosine"), "eval_id")
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "train_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            "cosine",
+            (F.col("cosine") >= _DECON_SEM_T).cast("int").alias(
+                "is_contaminated"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "train_id")
+        .limit(100)
+    )
+
+
+decontaminate_semantic.__doc__ = decontaminate_semantic.__doc__.format(
+    t=_DECON_SEM_T
+)

@@ -342,3 +342,79 @@ def ops_retry_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: orchestration metadata — invariant to data scale; the
     recursion is bounded by DAG depth."""
     return spark.sql(_retry_budget_sql("DIV"))
+
+
+# ---------------------------------------------------------------------------
+# column-level lineage closure (r4w wave)
+# ---------------------------------------------------------------------------
+
+#: column-level lineage edges (child column <- parent column) for the
+#: reference pipeline's raw -> staging -> curated -> report tiers
+#: (dags/pipeline_orchestration_dag.py task chain, taken to column grain)
+_LINEAGE_EDGES = (
+    ("staging.o_orderkey", "raw.o_orderkey"),
+    ("staging.o_custkey", "raw.o_custkey"),
+    ("staging.o_orderdate", "raw.o_orderdate"),
+    ("staging.o_totalprice", "raw.o_totalprice"),
+    ("curated.order_year", "staging.o_orderdate"),
+    ("curated.gross_price", "staging.o_totalprice"),
+    ("curated.net_price", "staging.o_totalprice"),
+    ("curated.cust_nation", "staging.o_custkey"),
+    ("curated.cust_nation", "dim.nation_name"),
+    ("curated.n_orders", "staging.o_orderkey"),
+    ("report.revenue_by_nation", "curated.net_price"),
+    ("report.revenue_by_nation", "curated.cust_nation"),
+    ("report.orders_per_year", "curated.order_year"),
+    ("report.orders_per_year", "curated.n_orders"),
+    ("report.margin", "curated.net_price"),
+    ("report.margin", "curated.gross_price"),
+)
+
+
+def _lineage_sql() -> str:
+    edges_values = ", ".join(f"('{c}', '{p}')" for c, p in _LINEAGE_EDGES)
+    return f"""
+    WITH RECURSIVE edges(child, parent) AS (VALUES {edges_values}),
+    reach(col, anc, depth) AS (
+        SELECT child, parent, 1 FROM edges
+        UNION ALL
+        SELECT r.col, e.parent, r.depth + 1
+        FROM reach r JOIN edges e ON e.child = r.anc),
+    closure AS (
+        SELECT col, anc,
+               CAST(MIN(depth) AS INT) AS min_depth,
+               CAST(MAX(depth) AS INT) AS max_depth,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY col, anc)
+    SELECT c.col, c.anc, c.min_depth, c.max_depth, c.n_paths,
+           CAST(CASE WHEN EXISTS (
+                    SELECT 1 FROM edges e WHERE e.child = c.anc)
+                THEN 0 ELSE 1 END AS INT) AS is_root_source
+    FROM closure c
+    ORDER BY c.col, c.anc
+    """
+
+
+@query("ops_column_lineage", oracle=_lineage_sql())
+def ops_column_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level lineage closure over the pipeline's tier-to-tier
+    column mappings — the "where does this report number actually come
+    from" query a data-platform catalog answers: for every (column,
+    ancestor) pair in the transitive closure, the shortest and longest
+    derivation depth, the number of DISTINCT derivation paths (the
+    diamond through gross_price/net_price gives report.margin TWO
+    paths to staging.o_totalprice — path-count is what flags
+    double-counted inputs in impact review), and whether the ancestor
+    is a root source (no incoming edge — raw feed or static dim).
+
+    Identical recursive-CTE SQL text runs on both engines (Spark 4,
+    SPARK-24497); all outputs are integers off the path enumeration —
+    nothing to quantize.
+
+    100 TB: lineage is METADATA — dozens-to-thousands of rows
+    regardless of data volume; recursion depth = tier depth.  The same
+    closure shape scales to a real catalog because each step is an
+    equi-join on the child column key; a cyclic accident terminates at
+    Spark's recursion depth guard rather than looping (and cycles are
+    a modeling bug this query surfaces via exploding n_paths)."""
+    return spark.sql(_lineage_sql())
