@@ -77,6 +77,7 @@ _COMPONENT_FIRST = (
     "eval_f1_multiclass", "eval_bleu",
     "train_length_buckets", "corpus_temperature_mix",
     "decontaminate_semantic", "ops_column_lineage",
+    "graph_closeness", "ab_effect_sizes",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

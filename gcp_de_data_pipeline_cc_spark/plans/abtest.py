@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
-from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -301,4 +301,178 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_cuped",
         )
         .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# ab_effect_sizes — standardized effect-size readout
+# --------------------------------------------------------------------------
+
+
+def _effect_oracle() -> str:
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts)
+                                           > {_PRE_DAY_MAX}
+                   THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS y_c,
+               CASE WHEN SUBSTR(md5('arm:' || CAST(user_id AS VARCHAR)),
+                                1, 1) < '8' THEN 'A' ELSE 'B' END AS arm
+        FROM events
+        GROUP BY user_id),
+    m AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN arm = 'A' THEN y_c ELSE 0 END) AS BIGINT)
+                AS sa,
+            CAST(SUM(CASE WHEN arm = 'B' THEN y_c ELSE 0 END) AS BIGINT)
+                AS sb,
+            CAST(SUM(CASE WHEN arm = 'A' THEN y_c * y_c ELSE 0 END)
+                 AS BIGINT) AS ssa,
+            CAST(SUM(CASE WHEN arm = 'B' THEN y_c * y_c ELSE 0 END)
+                 AS BIGINT) AS ssb
+        FROM per_user),
+    v AS (
+        SELECT na, nb, sa, sb,
+               (CAST(ssa AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                  / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS var_a,
+               (CAST(ssb AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                  / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS var_b,
+               CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS diff_c
+        FROM m),
+    d AS (
+        SELECT na, nb, sa, sb, var_a, var_b, diff_c,
+               diff_c / sqrt(((CAST(na AS DOUBLE) - 1.0e0) * var_a
+                              + (CAST(nb AS DOUBLE) - 1.0e0) * var_b)
+                             / CAST(na + nb - 2 AS DOUBLE)) AS cohens_d
+        FROM v)
+    SELECT na AS n_a, nb AS n_b,
+           {sql_roundn("CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0e0", 2)}
+               AS mean_a,
+           {sql_roundn("CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0e0", 2)}
+               AS mean_b,
+           {sql_roundn("cohens_d", 6)} AS cohens_d,
+           {sql_roundn(
+               "(1.0e0 - 3.0e0 / (4.0e0 * CAST(na + nb - 2 AS DOUBLE)"
+               " - 1.0e0)) * cohens_d", 6
+           )} AS hedges_g,
+           {sql_roundn("diff_c / sqrt(var_b)", 6)} AS glass_delta,
+           {sql_roundn("var_a / var_b", 6)} AS var_ratio
+    FROM d
+    """
+
+
+@query("ab_effect_sizes", oracle=_effect_oracle())
+def ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation tier — the standardized EFFECT-SIZE readout that
+    belongs next to every significance test (a p-value says "not
+    noise"; the effect size says "how big"): Cohen's d on the pooled
+    SD, Hedges' g (the small-sample bias correction J = 1 − 3/(4·df−1),
+    rational — no gamma function), Glass's Δ (control-SD denominator —
+    the right scale when treatment also moves variance), and the
+    variance ratio itself as the Glass-vs-d diagnostic.  Same
+    deterministic arms and per-user integer-cent experiment metric as
+    ``ab_cuped``.
+
+    Exactness: per-arm (n, Σy, Σy²) are exact int64 off one user-grain
+    pass; every downstream quantity is a FIXED scalar expression tree
+    over those six integers — identical op-for-op on both engines (IEEE
+    divides/sqrt), floor-quantized at output.
+
+    100 TB: one map-side-combined aggregate to user grain, one
+    conditional-sum collapse to a single row; no joins, no windows —
+    the whole readout is two exchanges regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    y_c = F.coalesce(
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") > _PRE_DAY_MAX,
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+    ).cast("long")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(y_c.alias("y_c")).withColumn(
+        "arm", arm
+    )
+    m = per_user.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y_c")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y_c")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(
+            F.when(F.col("arm") == "A", F.col("y_c") * F.col("y_c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ssa"),
+        F.sum(
+            F.when(F.col("arm") == "B", F.col("y_c") * F.col("y_c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ssb"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    var_a = (
+        F.col("ssa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / na_d
+    ) / (F.col("na") - 1).cast("double")
+    var_b = (
+        F.col("ssb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / nb_d
+    ) / (F.col("nb") - 1).cast("double")
+    diff_c = F.col("sa").cast("double") / na_d - F.col("sb").cast("double") / nb_d
+    v = m.select("na", "nb", "sa", "sb",
+                 var_a.alias("var_a"), var_b.alias("var_b"),
+                 diff_c.alias("diff_c"))
+    pooled = (
+        (na_d - F.lit(1.0)) * F.col("var_a")
+        + (nb_d - F.lit(1.0)) * F.col("var_b")
+    ) / (F.col("na") + F.col("nb") - 2).cast("double")
+    d = v.select(
+        "na", "nb", "sa", "sb", "var_a", "var_b", "diff_c",
+        (F.col("diff_c") / F.sqrt(pooled)).alias("cohens_d"),
+    )
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("na") + F.col("nb") - 2).cast("double") - F.lit(1.0)
+    )
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        roundn(
+            F.col("sa").cast("double") / na_d / F.lit(100.0), 2
+        ).alias("mean_a"),
+        roundn(
+            F.col("sb").cast("double") / nb_d / F.lit(100.0), 2
+        ).alias("mean_b"),
+        roundn(F.col("cohens_d"), 6).alias("cohens_d"),
+        roundn(j * F.col("cohens_d"), 6).alias("hedges_g"),
+        roundn(F.col("diff_c") / F.sqrt(F.col("var_b")), 6).alias(
+            "glass_delta"
+        ),
+        roundn(F.col("var_a") / F.col("var_b"), 6).alias("var_ratio"),
     )

@@ -12,7 +12,7 @@ the number of lineitems shipped between them (the TPC-H Q7 join shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -1185,3 +1185,190 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("ppr_micro"), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# closeness / harmonic centrality on the sparsified trade graph (r4x wave)
+# ---------------------------------------------------------------------------
+
+#: keep each nation's K strongest trade partners (the sparsifying cut —
+#: the raw nation x nation flow matrix is near-complete, distance 1
+#: everywhere; centrality is only informative on the backbone)
+_CLOSE_K = 3
+
+#: hop horizon for the unrolled min-plus distance expansion
+_CLOSE_H = 4
+
+_CLOSE_U = 1_000_000
+
+
+def _closeness_oracle() -> str:
+    steps = []
+    for i in range(2, _CLOSE_H + 1):
+        steps.append(f"""
+    d{i} AS (
+        SELECT u, v, MIN(dist) AS dist FROM (
+            SELECT u, v, dist FROM d{i-1}
+            UNION ALL
+            SELECT d{i-1}.u, g.v, d{i-1}.dist + 1
+            FROM d{i-1} JOIN g ON g.u = d{i-1}.v
+            WHERE g.v <> d{i-1}.u)
+        GROUP BY u, v)""")
+    return f"""
+    WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+    r AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM e),
+    kept AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM r WHERE rn <= {_CLOSE_K}),
+    g AS (
+        SELECT a AS u, b AS v FROM kept
+        UNION ALL SELECT b, a FROM kept),
+    d1 AS (SELECT u, v, 1 AS dist FROM g),{",".join(steps)},
+    agg AS (
+        SELECT u,
+               CAST(COUNT(*) AS BIGINT) AS n_reachable,
+               CAST(SUM(dist) AS BIGINT) AS sum_dist,
+               CAST(SUM({_CLOSE_U} // dist) AS BIGINT) AS harmonic_micro
+        FROM d{_CLOSE_H} GROUP BY u)
+    SELECT n.n_name,
+           COALESCE(a.n_reachable, 0) AS n_reachable,
+           COALESCE(a.sum_dist, 0) AS sum_dist,
+           FLOOR(CAST(a.n_reachable AS DOUBLE)
+                 / CAST(NULLIF(a.sum_dist, 0) AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS closeness,
+           COALESCE(a.harmonic_micro, 0) AS harmonic_micro,
+           CAST(COALESCE(a.harmonic_micro, 0) AS DOUBLE) / 1000000.0e0
+               AS harmonic
+    FROM nation n LEFT JOIN agg a ON a.u = n.n_nationkey
+    ORDER BY n.n_name
+    """
+
+
+@query("graph_closeness", oracle=_closeness_oracle())
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — closeness AND harmonic centrality on the
+    sparsified nation trade graph: keep each nation's {k} strongest
+    partners (the raw flow matrix is near-complete — distance 1
+    everywhere — so centrality is only informative on the backbone),
+    symmetrize, then run {h} unrolled min-plus expansions for exact
+    all-pairs hop distances within the horizon.  Closeness =
+    n_reachable / Σdist (classic, reachable-set form); harmonic =
+    Σ 1/d — the disconnection-robust variant, carried as exact integer
+    micro-units (1e6 DIV d per term, int64 sum — no float ever crosses
+    node pairs).
+
+    Exactness: edge weights, ranks, distances, and harmonic sums are
+    all integer/lexicographic; closeness is ONE division quantized at
+    1e-6.
+
+    100 TB: one tpch_q7-shaped fact pass collapses to the <=625-row
+    nation matrix; the top-{k} cut, symmetrization, and all {h}
+    expansions act on that bounded relation (state <= |nations|^2),
+    checkpointed per step so the plan stays shallow.  For graphs where
+    all-pairs state is too wide, the per-seed BFS form
+    (graph_bfs_khop) is the swap."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    kept = (
+        e.withColumn("rn", rn)
+        .filter(F.col("rn") <= _CLOSE_K)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    g = (
+        kept.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+        .localCheckpoint(eager=False)  # every expansion consumes g
+    )
+    d = g.select("u", "v", F.lit(1).alias("dist"))
+    for _ in range(2, _CLOSE_H + 1):
+        d = d.localCheckpoint(eager=False)  # shallow plan per expansion
+        step = (
+            d.alias("d")
+            .join(g.alias("g"), F.col("g.u") == F.col("d.v"))
+            .filter(F.col("g.v") != F.col("d.u"))
+            .select(
+                F.col("d.u").alias("u"),
+                F.col("g.v").alias("v"),
+                (F.col("d.dist") + 1).alias("dist"),
+            )
+        )
+        d = d.unionByName(step).groupBy("u", "v").agg(
+            F.min("dist").alias("dist")
+        )
+    agg = d.groupBy("u").agg(
+        F.count("*").cast("long").alias("n_reachable"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.sum(F.expr(f"{_CLOSE_U} DIV dist")).cast("long").alias(
+            "harmonic_micro"
+        ),
+    )
+    return (
+        nation.join(agg, nation.n_nationkey == agg.u, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
+            F.coalesce("sum_dist", F.lit(0)).alias("sum_dist"),
+            roundn(
+                F.col("n_reachable").cast("double")
+                / F.nullif(F.col("sum_dist"), F.lit(0)).cast("double"),
+                6,
+            ).alias("closeness"),
+            F.coalesce("harmonic_micro", F.lit(0)).alias("harmonic_micro"),
+            (
+                F.coalesce("harmonic_micro", F.lit(0)).cast("double")
+                / F.lit(float(_CLOSE_U))
+            ).alias("harmonic"),
+        )
+        .orderBy("n_name")
+    )
+
+
+graph_closeness.__doc__ = graph_closeness.__doc__.format(
+    k=_CLOSE_K, h=_CLOSE_H
+)
