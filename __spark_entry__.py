@@ -78,6 +78,7 @@ _COMPONENT_FIRST = (
     "train_length_buckets", "corpus_temperature_mix",
     "decontaminate_semantic", "ops_column_lineage",
     "graph_closeness", "ab_effect_sizes",
+    "ts_holt_winters", "recsys_hit_rate",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -265,3 +265,275 @@ def recsys_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_neighbor_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# leave-last-order-out hit-rate evaluation (r4y wave)
+# ---------------------------------------------------------------------------
+
+#: neighbors per profile item feeding the candidate pool
+_HR_NB = 5
+
+#: recommendation list length evaluated
+_HR_K = 10
+
+
+def _hit_rate_oracle() -> str:
+    return f"""
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS c, p.p_brand AS brand,
+               o.o_orderdate AS d, o.o_orderkey AS k
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey),
+    ords AS (SELECT DISTINCT c, d, k FROM inter),
+    lastord AS (
+        SELECT c, d, k FROM (
+            SELECT c, d, k,
+                   row_number() OVER (PARTITION BY c
+                                      ORDER BY d DESC, k DESC) AS rn
+            FROM ords) WHERE rn = 1),
+    held AS (
+        SELECT i.c, MIN(i.brand) AS held_brand
+        FROM inter i JOIN lastord lo
+          ON i.c = lo.c AND i.d = lo.d AND i.k = lo.k
+        GROUP BY i.c),
+    train AS (
+        SELECT i.c, i.brand FROM inter i JOIN lastord lo ON i.c = lo.c
+        WHERE NOT (i.d = lo.d AND i.k = lo.k)),
+    v AS (SELECT DISTINCT c, brand FROM train),
+    item AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_cust
+             FROM v GROUP BY 1),
+    co AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS co_n
+        FROM v a JOIN v b ON a.c = b.c AND a.brand < b.brand
+        GROUP BY 1, 2),
+    sym AS (
+        SELECT brand_a AS item, brand_b AS neighbor, co_n FROM co
+        UNION ALL
+        SELECT brand_b AS item, brand_a AS neighbor, co_n FROM co),
+    nb AS (
+        SELECT item, neighbor, cos_u FROM (
+            SELECT s.item, s.neighbor,
+                   CAST(FLOOR(s.co_n
+                              / SQRT(ia.n_cust * 1.0e0 * ib.n_cust)
+                              * 1000000.0e0 + 0.5e0) AS BIGINT) AS cos_u,
+                   row_number() OVER (
+                       PARTITION BY s.item
+                       ORDER BY s.co_n / SQRT(ia.n_cust * 1.0e0
+                                              * ib.n_cust) DESC,
+                                s.neighbor) AS rnk
+            FROM sym s
+            JOIN item ia ON ia.brand = s.item
+            JOIN item ib ON ib.brand = s.neighbor)
+        WHERE rnk <= {_HR_NB}),
+    cand AS (
+        SELECT p.c, nb.neighbor, CAST(SUM(nb.cos_u) AS BIGINT) AS score_u
+        FROM v p JOIN nb ON nb.item = p.brand
+        WHERE NOT EXISTS (
+            SELECT 1 FROM v p2
+            WHERE p2.c = p.c AND p2.brand = nb.neighbor)
+        GROUP BY p.c, nb.neighbor),
+    rec AS (
+        SELECT c, neighbor, rnk FROM (
+            SELECT c, neighbor,
+                   row_number() OVER (PARTITION BY c
+                                      ORDER BY score_u DESC, neighbor)
+                       AS rnk
+            FROM cand) WHERE rnk <= {_HR_K}),
+    evalu AS (
+        SELECT h.c, h.held_brand FROM held h
+        WHERE EXISTS (SELECT 1 FROM v WHERE v.c = h.c)),
+    hits AS (
+        SELECT e.c, r.rnk
+        FROM evalu e JOIN rec r
+          ON r.c = e.c AND r.neighbor = e.held_brand),
+    agg AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM evalu) AS n_eval,
+            CAST(COALESCE(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS hits_at_1,
+            CAST(COALESCE(SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS hits_at_5,
+            CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS hits_at_10,
+            CAST(COALESCE(SUM(1000000 // rnk), 0) AS BIGINT) AS mrr_micro
+        FROM hits)
+    SELECT n_eval, hits_at_1, hits_at_5, hits_at_10,
+           {sql_roundn("hits_at_1 * 1.0e0 / n_eval", 6)} AS hit_rate_1,
+           {sql_roundn("hits_at_5 * 1.0e0 / n_eval", 6)} AS hit_rate_5,
+           {sql_roundn("hits_at_10 * 1.0e0 / n_eval", 6)} AS hit_rate_10,
+           {sql_roundn(
+               "CAST(mrr_micro AS DOUBLE) / (1000000.0e0 * n_eval)", 6
+           )} AS mrr_10
+    FROM agg
+    """
+
+
+@query("recsys_hit_rate", oracle=_hit_rate_oracle())
+def recsys_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender EVALUATION — leave-last-order-out hit rate: hold
+    out each customer's latest order (deterministic (date, key) order,
+    min-brand tie-break), retrain the item-CF similarity on the
+    REMAINING interactions (no test leakage into the cosine matrix),
+    score candidates per customer as the sum of top-{n} neighbor
+    similarities to profile brands (own brands excluded), and check
+    whether the held-out brand appears in the top-{k} list —
+    hit-rate@1/5/10 + MRR@10, the offline metrics a recommender ships
+    or dies by.
+
+    Exactness: similarities are floor-quantized to integer 1e-6 units
+    BEFORE the per-customer score sum, so candidate scores are exact
+    int64 no matter the join order; rankings are integer/lexicographic;
+    the four rates are single divisions (MRR reciprocal ranks are
+    integer 1e6 DIV r units).
+
+    100 TB: train/holdout split is one window over per-customer orders
+    (WindowGroupLimit); the similarity build is the item-CF
+    Σ|profile|²-bounded self-join; candidate generation fans out
+    |profile|×{n} per customer and collapses by (customer, brand) —
+    map-side combinable; every ranking is per-group window-limited.
+    Brand cardinality bounds the matrix at dim size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    inter = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("p_brand").alias("brand"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # holdout + train consumers
+    )
+    ords = inter.select("c", "d", "k").distinct()
+    lastord = (
+        ords.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c").orderBy(F.desc("d"), F.desc("k"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    held = (
+        inter.join(lastord, ["c", "d", "k"])
+        .groupBy("c")
+        .agg(F.min("brand").alias("held_brand"))
+    )
+    train = inter.join(
+        lastord.withColumnRenamed("d", "dl").withColumnRenamed("k", "kl"),
+        "c",
+    ).filter(~((F.col("d") == F.col("dl")) & (F.col("k") == F.col("kl"))))
+    v = train.select("c", "brand").distinct().localCheckpoint(eager=False)
+    item = v.groupBy("brand").agg(F.count("*").cast("long").alias("n_cust"))
+    a, b = v.alias("a"), v.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("long").alias("co_n"))
+    )
+    sym = co.select(
+        F.col("brand_a").alias("item"), F.col("brand_b").alias("neighbor"), "co_n"
+    ).unionAll(
+        co.select(
+            F.col("brand_b").alias("item"),
+            F.col("brand_a").alias("neighbor"),
+            "co_n",
+        )
+    )
+    ia = item.select(F.col("brand").alias("item"), F.col("n_cust").alias("na"))
+    ib = item.select(
+        F.col("brand").alias("neighbor"), F.col("n_cust").alias("nb")
+    )
+    cos_raw = F.col("co_n") / F.sqrt(F.col("na") * F.lit(1.0) * F.col("nb"))
+    nb5 = (
+        sym.join(F.broadcast(ia), "item")
+        .join(F.broadcast(ib), "neighbor")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("item").orderBy(
+                    F.desc(cos_raw), F.asc("neighbor")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _HR_NB)
+        .select(
+            "item",
+            "neighbor",
+            F.floor(cos_raw * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_u"),
+        )
+    )
+    cand = (
+        v.join(F.broadcast(nb5), v.brand == nb5.item)
+        .join(
+            v.select(F.col("c").alias("c2"), F.col("brand").alias("brand2")),
+            (F.col("c") == F.col("c2")) & (F.col("neighbor") == F.col("brand2")),
+            "left_anti",
+        )
+        .groupBy("c", "neighbor")
+        .agg(F.sum("cos_u").cast("long").alias("score_u"))
+    )
+    rec = cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("c").orderBy(F.desc("score_u"), F.asc("neighbor"))
+        ),
+    ).filter(F.col("rnk") <= _HR_K)
+    evalu = held.join(v.select("c").distinct(), "c", "left_semi")
+    evalu = evalu.localCheckpoint(eager=False)  # denominator + hits consumers
+    hits = evalu.join(
+        rec,
+        (rec.c == evalu.c) & (rec.neighbor == evalu.held_brand),
+    ).select(rec.rnk)
+    n_eval = evalu.agg(F.count("*").cast("long").alias("n_eval"))
+    agg = hits.agg(
+        F.coalesce(F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("hits_at_1"),
+        F.coalesce(F.sum(F.when(F.col("rnk") <= 5, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("hits_at_5"),
+        F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("hits_at_10"),
+        F.coalesce(F.sum(F.expr("1000000 DIV rnk")), F.lit(0))
+        .cast("long")
+        .alias("mrr_micro"),
+    )
+    return n_eval.crossJoin(F.broadcast(agg)).select(
+        "n_eval",
+        "hits_at_1",
+        "hits_at_5",
+        "hits_at_10",
+        roundn(
+            F.col("hits_at_1") * F.lit(1.0) / F.col("n_eval").cast("double"), 6
+        ).alias("hit_rate_1"),
+        roundn(
+            F.col("hits_at_5") * F.lit(1.0) / F.col("n_eval").cast("double"), 6
+        ).alias("hit_rate_5"),
+        roundn(
+            F.col("hits_at_10") * F.lit(1.0) / F.col("n_eval").cast("double"),
+            6,
+        ).alias("hit_rate_10"),
+        roundn(
+            F.col("mrr_micro").cast("double")
+            / (F.lit(1000000.0) * F.col("n_eval").cast("double")),
+            6,
+        ).alias("mrr_10"),
+    )
+
+
+recsys_hit_rate.__doc__ = recsys_hit_rate.__doc__.format(n=_HR_NB, k=_HR_K)

@@ -2267,3 +2267,148 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_changepoint_binseg.__doc__ = ts_changepoint_binseg.__doc__.format(
     m=_BSEG_MIN, t=_BSEG_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (r4y wave)
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.5
+_HW_BETA = 0.25
+_HW_GAMMA = 0.5
+_HW_M = 7  # weekly season
+
+
+@query(
+    "ts_holt_winters",
+    oracle=f"""
+    /* state rides a 10-slot LIST accumulator [l, b, started,
+       s_(t-6)..s_t] -- the ts_holt list-not-struct discipline (DuckDB
+       struct_pack field expressions see already-updated accumulator
+       fields; list_value builds the new state atomically). */
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+    x AS (SELECT day, cents, CAST(cents AS DOUBLE) AS xv FROM d),
+    st AS (
+        SELECT day, cents,
+            list_reduce(
+                list_prepend(
+                    list_value(0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0,
+                               0.0e0, 0.0e0, 0.0e0, 0.0e0),
+                    (SELECT list(list_value(x2.xv, 0.0e0, 0.0e0, 0.0e0,
+                                            0.0e0, 0.0e0, 0.0e0, 0.0e0,
+                                            0.0e0, 0.0e0)
+                                 ORDER BY x2.day)
+                     FROM x x2 WHERE x2.day <= x.day)),
+                (acc, e) -> CASE WHEN acc[3] = 0.0e0
+                    THEN list_value(e[1], 0.0e0, 1.0e0, 0.0e0, 0.0e0,
+                                    0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0)
+                    ELSE list_value(
+                        {_HW_ALPHA}e0 * (e[1] - acc[4])
+                            + {1 - _HW_ALPHA}e0 * (acc[1] + acc[2]),
+                        {_HW_BETA}e0
+                            * (({_HW_ALPHA}e0 * (e[1] - acc[4])
+                                + {1 - _HW_ALPHA}e0 * (acc[1] + acc[2]))
+                               - acc[1])
+                            + {1 - _HW_BETA}e0 * acc[2],
+                        1.0e0,
+                        acc[5], acc[6], acc[7], acc[8], acc[9], acc[10],
+                        {_HW_GAMMA}e0
+                            * (e[1]
+                               - ({_HW_ALPHA}e0 * (e[1] - acc[4])
+                                  + {1 - _HW_ALPHA}e0 * (acc[1] + acc[2])))
+                            + {1 - _HW_GAMMA}e0 * acc[4])
+                    END) AS s
+        FROM x)
+    SELECT day, cents AS x_cents,
+           {sql_roundn("s[1]", 4)} AS level,
+           {sql_roundn("s[2]", 4)} AS trend,
+           {sql_roundn("s[10]", 4)} AS seasonal,
+           {sql_roundn("s[1] + s[2] + s[4]", 4)} AS forecast_next
+    FROM st ORDER BY day
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — additive Holt-Winters triple exponential
+    smoothing of the daily revenue series (level + trend + weekly
+    seasonal state; α=1/2, β=1/4, γ=1/2), the seasonal completion of
+    the forecasting ladder ts_ewma → ts_holt → ts_holt_winters.  Warm
+    start: seasonal slots begin at 0 and learn from the data (the
+    deterministic fold-friendly convention; the classic two-week batch
+    init needs a lookahead a left fold cannot express).
+    ``forecast_next`` = l + b + s_(t+1−7) — the one-step-ahead readout
+    per day.
+
+    Exactness: the recursion is a LEFT FOLD over the ascending daily
+    array; state is (l, b, s₁..s₇) doubles updated by the identical
+    IEEE op sequence on both engines — smoothing constants are exact
+    binary fractions, inputs exact integer cents, so both folds are
+    bit-identical; outputs quantized at 1e-4.
+
+    100 TB: the feed collapses to |days| rows before any window; the
+    O(|days|²) prefix folds run over the bounded day domain.  A
+    per-series variant partitions the same construction by series
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn("xv", F.col("cents").cast("double"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    arr = F.collect_list("xv").over(w)
+    zeros7 = F.array_repeat(F.lit(0.0), 7)
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(False).alias("started"),
+        zeros7.alias("s"),
+    )
+    a, a1 = F.lit(_HW_ALPHA), F.lit(1 - _HW_ALPHA)
+    g, g1 = F.lit(_HW_BETA), F.lit(1 - _HW_BETA)
+    c, c1 = F.lit(_HW_GAMMA), F.lit(1 - _HW_GAMMA)
+
+    def _step(acc, x):
+        lv = acc.getField("l")
+        tr = acc.getField("b")
+        sarr = acc.getField("s")
+        s_old = F.element_at(sarr, 1)
+        new_l = a * (x - s_old) + a1 * (lv + tr)
+        new_b = g * (new_l - lv) + g1 * tr
+        new_s = c * (x - new_l) + c1 * s_old
+        rot = F.concat(F.slice(sarr, 2, 6), F.array(new_s))
+        return F.when(
+            ~acc.getField("started"),
+            F.struct(
+                x.alias("l"),
+                F.lit(0.0).alias("b"),
+                F.lit(True).alias("started"),
+                zeros7.alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                new_l.alias("l"),
+                new_b.alias("b"),
+                F.lit(True).alias("started"),
+                rot.alias("s"),
+            )
+        )
+
+    st = F.aggregate(arr, init, _step)
+    return d.select(
+        "day",
+        F.col("cents").alias("x_cents"),
+        roundn(st.getField("l"), 4).alias("level"),
+        roundn(st.getField("b"), 4).alias("trend"),
+        roundn(F.element_at(st.getField("s"), 7), 4).alias("seasonal"),
+        roundn(
+            st.getField("l")
+            + st.getField("b")
+            + F.element_at(st.getField("s"), 1),
+            4,
+        ).alias("forecast_next"),
+    ).orderBy("day")
