@@ -79,6 +79,7 @@ _COMPONENT_FIRST = (
     "decontaminate_semantic", "ops_column_lineage",
     "graph_closeness", "ab_effect_sizes",
     "ts_holt_winters", "recsys_hit_rate",
+    "incremental_watermark_ingest", "eval_rouge_l",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -1103,3 +1103,169 @@ def eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.sqrt(p1 * p2), 6).alias("bleu2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# eval_rouge_l — true LCS-based ROUGE-L on an audit sample
+# --------------------------------------------------------------------------
+
+#: token cap per side (the ROUGE context bound; quadratic DP cost is
+#: capped at _RL_CAP^2 cells per document)
+_RL_CAP = 32
+
+#: audit sample: every 20th document (offline ROUGE runs score a sample,
+#: not the corpus)
+_RL_SAMPLE = 20
+
+#: DuckDB twin of operators/text.portable_token_hash, cast to DOUBLE
+#: (range < 2^31 — exact in a double)
+_RL_HASH = (
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({tok}, ''), "
+    "c -> CAST(unicode(c) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 2147483647) AS DOUBLE)"
+)
+
+
+def _rouge_oracle() -> str:
+    h = _RL_HASH
+    return f"""
+    WITH base AS (
+        SELECT doc_id, t[1:{_RL_CAP}] AS r
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE doc_id % {_RL_SAMPLE} = 0 AND len(t) >= 4),
+    chan AS (
+        SELECT doc_id, r, len(r) AS n,
+               list_transform(range(1, len(r) + 1),
+                   i -> CASE WHEN i % 5 = 0 THEN 'qz'
+                             WHEN i % 2 = 1 THEN
+                               r[CASE WHEN i + 1 <= len(r)
+                                      THEN i + 1 ELSE i END]
+                             ELSE r[i - 1] END) AS c
+        FROM base),
+    hashed AS (
+        SELECT doc_id, n,
+               list_transform(r, tok -> {h.format(tok='tok')}) AS rh,
+               list_transform(c, tok -> {h.format(tok='tok')}) AS ch
+        FROM chan),
+    dp AS (
+        SELECT doc_id, n,
+               list_reduce(
+                   list_prepend(
+                       list_transform(range(0, n + 1), x -> 0.0e0),
+                       list_transform(ch, x -> [x])),
+                   (P, e) -> list_reduce(
+                       list_prepend(
+                           [0.0e0],
+                           list_transform(range(1, n + 1),
+                                          j -> [CAST(j AS DOUBLE)])),
+                       (C, f) -> list_append(C,
+                           CASE WHEN rh[CAST(f[1] AS INT)] = e[1]
+                                THEN P[CAST(f[1] AS INT)] + 1.0e0
+                                ELSE greatest(
+                                    P[CAST(f[1] AS INT) + 1],
+                                    C[CAST(f[1] AS INT)])
+                           END))) AS row
+        FROM hashed)
+    SELECT doc_id, CAST(n AS INT) AS n_tok,
+           CAST(row[n + 1] AS BIGINT) AS lcs,
+           FLOOR(row[n + 1] / CAST(n AS DOUBLE) * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS rouge_l
+    FROM dp
+    ORDER BY doc_id
+    """
+
+
+@query("eval_rouge_l", oracle=_rouge_oracle())
+def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — ROUGE-L via the TRUE longest-common-subsequence
+    dynamic program (not an n-gram proxy): per sampled document the
+    candidate is a same-length noisy channel (adjacent-pair swaps +
+    every 5th token replaced by an OOV token), and the full O(n·m) LCS
+    table runs as a NESTED LEFT FOLD — outer over candidate tokens
+    carrying the previous DP row, inner over reference positions
+    building the next row — entirely inside the engines' higher-order
+    array functions, no UDF.  Same-length channel ⇒ precision = recall
+    = F1, reported as ``rouge_l``.  Pair swaps make LCS genuinely
+    non-trivial (a pure substitution channel has LCS = n − #subs by
+    construction; swaps force the DP to choose alignments).
+
+    Exactness: tokens enter the DP as the portable polynomial hash
+    (< 2^31 — exact in a double); every DP cell is an integer count;
+    the single division is floor-quantized at 1e-6.
+
+    100 TB: the DP is per-document (embarrassingly parallel, no
+    shuffle) with cost capped at {cap}² cells/doc; the {s}×
+    sample bound is the knob — corpus-wide ROUGE at full length is a
+    Pandas-UDF swap of the same per-doc kernel, same plan shape."""
+    from gcp_de_data_pipeline_cc_spark.operators.text import (
+        portable_token_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("doc_id") % _RL_SAMPLE == 0)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 4)
+        .select("doc_id", F.slice("t", 1, _RL_CAP).alias("r"))
+    )
+    chan = base.select(
+        "doc_id",
+        "r",
+        F.size("r").alias("n"),
+        F.expr(
+            "transform(sequence(1, size(r)), i -> "
+            "CASE WHEN i % 5 = 0 THEN 'qz' "
+            "WHEN i % 2 = 1 THEN element_at(r, "
+            "IF(i + 1 <= size(r), i + 1, i)) "
+            "ELSE element_at(r, i - 1) END)"
+        ).alias("c"),
+    )
+    hashed = chan.select(
+        "doc_id",
+        "n",
+        F.transform(
+            "r", lambda tok: portable_token_hash(tok).cast("double")
+        ).alias("rh"),
+        F.transform(
+            "c", lambda tok: portable_token_hash(tok).cast("double")
+        ).alias("ch"),
+    )
+    rh = F.col("rh")
+    n = F.col("n")
+
+    def _inner(P, cid):
+        return F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.array(F.lit(0.0)),
+            lambda C, j: F.concat(
+                C,
+                F.array(
+                    F.when(
+                        F.element_at(rh, j) == cid,
+                        F.element_at(P, j) + F.lit(1.0),
+                    ).otherwise(
+                        F.greatest(
+                            F.element_at(P, j + 1), F.element_at(C, j)
+                        )
+                    )
+                ),
+            ),
+        )
+
+    row = F.aggregate(
+        F.col("ch"),
+        F.array_repeat(F.lit(0.0), n + F.lit(1)),
+        _inner,
+    )
+    return hashed.select(
+        "doc_id",
+        n.cast("int").alias("n_tok"),
+        F.element_at(row, n + 1).cast("long").alias("lcs"),
+        roundn(
+            F.element_at(row, n + 1) / n.cast("double"), 6
+        ).alias("rouge_l"),
+    ).orderBy("doc_id")
+
+
+eval_rouge_l.__doc__ = eval_rouge_l.__doc__.format(cap=_RL_CAP, s=_RL_SAMPLE)

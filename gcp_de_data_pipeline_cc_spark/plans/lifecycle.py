@@ -568,3 +568,102 @@ def qc_reconcile_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("src_checksum") == F.col("tgt_checksum"))
         ).alias("reconciled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# high-watermark incremental ingest (r4z wave)
+# ---------------------------------------------------------------------------
+
+#: batch cut offsets (days after the feed's first day): batch 1 loads
+#: days [d0, d0+_WM_CUT1], batch 2 (d0+_WM_CUT1, d0+_WM_CUT2], batch 3
+#: the remainder — the classic three-run high-watermark schedule
+_WM_CUT1 = 9
+_WM_CUT2 = 19
+
+
+@query(
+    "incremental_watermark_ingest",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day FROM events),
+    b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+    tagged AS (
+        SELECT d.day,
+               CASE WHEN d.day <= b.d0 + INTERVAL {_WM_CUT1} DAY THEN 1
+                    WHEN d.day <= b.d0 + INTERVAL {_WM_CUT2} DAY THEN 2
+                    ELSE 3 END AS batch_id
+        FROM d, b)
+    SELECT t.day, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(t.batch_id AS INT) AS batch_id,
+           b.d1 AS watermark_day
+    FROM tagged t, b
+    GROUP BY t.day, t.batch_id, b.d1
+    ORDER BY t.day
+    """,
+)
+def incremental_watermark_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — the HIGH-WATERMARK incremental batch-ingest
+    pattern (the ELT alternative to streaming exactly-once: each run
+    loads only rows past the last persisted watermark, appends them,
+    and advances the watermark): three scheduled runs load the events
+    feed in day ranges [d0, d0+{c1}], (d0+{c1}, d0+{c2}], and the
+    tail, each APPENDING to a real scratch parquet target with its
+    batch id stamped, each overwriting a one-row watermark table.  The
+    registered output reads the TARGET back — per-day row counts, the
+    loading batch, and the final watermark — so parquet append
+    semantics, the predicate-ranged reload, and watermark advancement
+    are all exercised end-to-end, and the oracle's relational
+    recompute cross-checks that the three appends landed every source
+    row exactly once.
+
+    100 TB: each run scans ONLY its watermark range (partition-pruned
+    at the source on the day predicate — the entire point of the
+    pattern); the audit collapses to day grain map-side.  The
+    watermark is a one-row table, read before each run, never joined
+    to data."""
+    import datetime as _dt
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    d0, d1 = ev.agg(F.min("day"), F.max("day")).collect()[0]
+    target = scratch_dir("wm_ingest_target")
+    wm_path = scratch_dir("wm_ingest_watermark")
+    cuts = [
+        d0 + _dt.timedelta(days=_WM_CUT1),
+        d0 + _dt.timedelta(days=_WM_CUT2),
+        d1,
+    ]
+    wm = None  # no watermark yet: first run bootstraps
+    for batch_id, hi in enumerate(cuts, start=1):
+        batch = ev.filter(F.col("day") <= F.lit(hi))
+        if wm is not None:
+            batch = batch.filter(F.col("day") > F.lit(wm))
+        batch.select("day").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append" if batch_id > 1 else "overwrite").parquet(
+            target
+        )
+        spark.createDataFrame(
+            [(hi,)], "watermark_day DATE"
+        ).write.mode("overwrite").parquet(wm_path)
+        wm = hi
+    loaded = spark.read.parquet(target)
+    wm_tbl = spark.read.parquet(wm_path)
+    return (
+        loaded.groupBy("day", "batch_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(wm_tbl))
+        .select(
+            "day",
+            "n_events",
+            F.col("batch_id").cast("int").alias("batch_id"),
+            "watermark_day",
+        )
+        .orderBy("day")
+    )
+
+
+incremental_watermark_ingest.__doc__ = incremental_watermark_ingest.__doc__.format(
+    c1=_WM_CUT1, c2=_WM_CUT2
+)
