@@ -80,6 +80,7 @@ _COMPONENT_FIRST = (
     "graph_closeness", "ab_effect_sizes",
     "ts_holt_winters", "recsys_hit_rate",
     "incremental_watermark_ingest", "eval_rouge_l",
+    "graph_betweenness", "hypothesis_permutation",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -51,6 +51,7 @@ def clear_cache() -> None:
     _SUPPLIER_G.clear()
     _BRAND_E.clear()
     _LPA_LABELS.clear()
+    _TRADE_G.clear()
 
 
 def _pair_col() -> F.Column:
@@ -215,3 +216,72 @@ def lpa_labels(
         ls.append(labels)
     _LPA_LABELS[key] = ls
     return ls
+
+
+# (applicationId, sf_dir, k) -> symmetrized sparsified trade graph
+_TRADE_G: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def trade_sparse_graph(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Sparsified undirected nation trade graph, columns (u, v): keep
+    each nation's ``k`` strongest trade partners (weight = lineitems
+    shipped customer-nation -> supplier-nation, self-flows dropped,
+    rank ties on partner key), symmetrize.  The raw flow matrix is
+    near-complete — distance-1 everywhere — so the centrality keys
+    (closeness, betweenness) are only informative on this backbone.
+    One tpch_q7-shaped fact pass per session; the result is a
+    checkpointed <= 2·k·|nations|-row relation shared by every
+    consumer (the supplier_backbone ownership contract)."""
+    key = (*_cache_key(spark, sf_dir), k)
+    g = _TRADE_G.get(key)
+    if g is not None:
+        return g
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    kept = (
+        e.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    g = (
+        kept.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    _TRADE_G[key] = g
+    return g

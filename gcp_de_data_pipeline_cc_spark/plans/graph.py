@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators.graph import (
+    trade_sparse_graph,
     brand_copurchase_edges,
     lpa_labels,
     supplier_backbone,
@@ -1280,51 +1281,7 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs state is too wide, the per-seed BFS form
     (graph_bfs_khop) is the swap."""
     nation = load_table(spark, sf_dir, "nation")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    e = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
-            orders.o_custkey == F.col("c_custkey"),
-        )
-        .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
-            lineitem.l_suppkey == F.col("s_suppkey"),
-        )
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(F.count("*").cast("long").alias("w"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
-    )
-    kept = (
-        e.withColumn("rn", rn)
-        .filter(F.col("rn") <= _CLOSE_K)
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
-    g = (
-        kept.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
-                )
-            ).alias("o")
-        )
-        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
-        .localCheckpoint(eager=False)  # every expansion consumes g
-    )
+    g = trade_sparse_graph(spark, sf_dir, _CLOSE_K)
     d = g.select("u", "v", F.lit(1).alias("dist"))
     for _ in range(2, _CLOSE_H + 1):
         d = d.localCheckpoint(eager=False)  # shallow plan per expansion
@@ -1372,3 +1329,183 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_closeness.__doc__ = graph_closeness.__doc__.format(
     k=_CLOSE_K, h=_CLOSE_H
 )
+
+
+# ---------------------------------------------------------------------------
+# exact betweenness centrality on the sparsified trade graph (r5a wave)
+# ---------------------------------------------------------------------------
+
+_BTW_K = 3  # same sparsifying cut as graph_closeness
+_BTW_H = 4  # hop horizon
+_BTW_U = 1_000_000
+
+
+def _betweenness_oracle() -> str:
+    steps = []
+    for i in range(1, _BTW_H):
+        steps.append(f"""
+    c{i+1} AS (
+        SELECT s, t, dist, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+            SELECT s, t, dist, cnt FROM m{i}
+            UNION ALL
+            SELECT f.s, g.v AS t, f.dist + 1 AS dist, f.cnt
+            FROM m{i} f JOIN g ON g.u = f.t
+            WHERE f.dist = {i} AND g.v <> f.s)
+        GROUP BY s, t, dist),
+    m{i+1} AS (
+        SELECT s, t, dist, cnt FROM (
+            SELECT s, t, dist, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY s, t
+                                      ORDER BY dist) AS rn
+            FROM c{i+1}) WHERE rn = 1)""")
+    return f"""
+    WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+    r AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM e),
+    kept AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM r WHERE rn <= {_BTW_K}),
+    g AS (
+        SELECT a AS u, b AS v FROM kept
+        UNION ALL SELECT b, a FROM kept),
+    m1 AS (
+        SELECT u AS s, v AS t, 1 AS dist, CAST(1 AS BIGINT) AS cnt
+        FROM g),{",".join(steps)},
+    acc AS (
+        SELECT sv.t AS v,
+               CAST(SUM((sv.cnt * vt.cnt * {_BTW_U}) // st.cnt)
+                    AS BIGINT) AS bc_micro
+        FROM m{_BTW_H} sv
+        JOIN m{_BTW_H} vt ON vt.s = sv.t
+        JOIN m{_BTW_H} st ON st.s = sv.s AND st.t = vt.t
+                         AND st.dist = sv.dist + vt.dist
+        WHERE sv.s < vt.t
+        GROUP BY sv.t),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation)
+    SELECT n.n_name,
+           COALESCE(a.bc_micro, 0) AS bc_micro,
+           CAST(COALESCE(a.bc_micro, 0) AS DOUBLE) / {_BTW_U}.0e0
+               AS betweenness,
+           FLOOR(CAST(COALESCE(a.bc_micro, 0) AS DOUBLE) / {_BTW_U}.0e0
+                 / (CAST((nn.n - 1) * (nn.n - 2) AS DOUBLE) / 2.0e0)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS betweenness_norm
+    FROM nation n
+    LEFT JOIN acc a ON a.v = n.n_nationkey
+    CROSS JOIN nn
+    ORDER BY n.n_name
+    """
+
+
+@query("graph_betweenness", oracle=_betweenness_oracle())
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — EXACT betweenness centrality (Freeman/Brandes
+    semantics) on the sparsified nation trade graph: propagate
+    (distance, shortest-path count σ) by {h} frontier expansions —
+    σ(s,v) = Σ σ(s,u) over predecessors u on shortest paths, the BFS
+    layer recurrence — then accumulate, for every interior node v,
+    Σ_(s<t) σ_sv·σ_vt/σ_st over pairs with d_sv + d_vt = d_st.  The
+    "who brokers the flows" readout beside closeness ("who is near
+    everything") and PageRank ("who is linked from everywhere").
+
+    Exactness: distances and path counts are exact integers off the
+    layered expansion (every frontier entry is final — the BFS
+    invariant); each pair's contribution enters as the integer
+    (σ_sv·σ_vt·1e6) DIV σ_st, so the per-node sum is exact int64 and
+    order-free; normalization is one division quantized at 1e-6.
+
+    100 TB: everything runs on the session-cached <=2k|nations|-row
+    backbone (operators/graph.trade_sparse_graph — shared with
+    graph_closeness, one fact pass per session); state <= |nations|²
+    rows, the accumulation a bounded triple self-join.  For graphs
+    where all-pairs state is too wide, Brandes' per-source dependency
+    accumulation over sampled sources is the swap (same recurrence,
+    source-partitioned)."""
+    nation = load_table(spark, sf_dir, "nation")
+    g = trade_sparse_graph(spark, sf_dir, _BTW_K)
+    m = g.select(
+        F.col("u").alias("s"),
+        F.col("v").alias("t"),
+        F.lit(1).alias("dist"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    for i in range(1, _BTW_H):
+        m = m.localCheckpoint(eager=False)  # frontier + carry consumers
+        frontier = m.filter(F.col("dist") == i)
+        cand = (
+            frontier.alias("f")
+            .join(g.alias("g"), F.col("g.u") == F.col("f.t"))
+            .filter(F.col("g.v") != F.col("f.s"))
+            .select(
+                F.col("f.s").alias("s"),
+                F.col("g.v").alias("t"),
+                (F.col("f.dist") + 1).alias("dist"),
+                F.col("f.cnt").alias("cnt"),
+            )
+        )
+        merged = (
+            m.unionByName(cand)
+            .groupBy("s", "t", "dist")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        m = (
+            merged.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("s", "t").orderBy("dist")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    m = m.localCheckpoint(eager=False)  # three accumulation consumers
+    sv, vt, st = m.alias("sv"), m.alias("vt"), m.alias("st")
+    acc = (
+        sv.join(vt, F.col("vt.s") == F.col("sv.t"))
+        .join(
+            st,
+            (F.col("st.s") == F.col("sv.s"))
+            & (F.col("st.t") == F.col("vt.t"))
+            & (F.col("st.dist") == F.col("sv.dist") + F.col("vt.dist")),
+        )
+        .filter(F.col("sv.s") < F.col("vt.t"))
+        .groupBy(F.col("sv.t").alias("v"))
+        .agg(
+            F.sum(
+                F.expr(f"(sv.cnt * vt.cnt * {_BTW_U}) DIV st.cnt")
+            )
+            .cast("long")
+            .alias("bc_micro")
+        )
+    )
+    nn = nation.agg(F.count("*").cast("long").alias("n"))
+    bc = F.coalesce("bc_micro", F.lit(0))
+    return (
+        nation.join(acc, nation.n_nationkey == acc.v, "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n_name",
+            bc.alias("bc_micro"),
+            (bc.cast("double") / F.lit(float(_BTW_U))).alias("betweenness"),
+            roundn(
+                bc.cast("double")
+                / F.lit(float(_BTW_U))
+                / (((F.col("n") - 1) * (F.col("n") - 2)).cast("double") / F.lit(2.0)),
+                6,
+            ).alias("betweenness_norm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+graph_betweenness.__doc__ = graph_betweenness.__doc__.format(h=_BTW_H)

@@ -499,3 +499,199 @@ def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 stats_eb_shrinkage.__doc__ = stats_eb_shrinkage.__doc__.format(m=_EB_M)
+
+
+# --------------------------------------------------------------------------
+# hypothesis_permutation — seeded permutation test on the A/B metric
+# --------------------------------------------------------------------------
+
+#: permutation replicates (p-value resolution 1/(B+1))
+_PERM_B = 199
+
+
+def _perm_oracle() -> str:
+    b = _PERM_B
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS y_c,
+               CASE WHEN SUBSTR(md5('arm:' || CAST(user_id AS VARCHAR)),
+                                1, 1) < '8' THEN 1 ELSE 0 END AS is_a
+        FROM events GROUP BY user_id),
+    obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(FLOOR(ABS(
+                   SUM(CASE WHEN is_a = 1 THEN y_c ELSE 0 END) * 1.0e0
+                       / NULLIF(SUM(is_a), 0)
+                   - SUM(CASE WHEN is_a = 0 THEN y_c ELSE 0 END) * 1.0e0
+                       / NULLIF(SUM(1 - is_a), 0))
+                   * 10000.0e0 + 0.5e0) AS BIGINT) AS stat_obs,
+               FLOOR(SUM(CASE WHEN is_a = 1 THEN y_c ELSE 0 END) * 1.0e0
+                     / NULLIF(SUM(is_a), 0) + 0.5e0) / 100.0e0 AS mean_a,
+               FLOOR(SUM(CASE WHEN is_a = 0 THEN y_c ELSE 0 END) * 1.0e0
+                     / NULLIF(SUM(1 - is_a), 0) + 0.5e0) / 100.0e0 AS mean_b
+        FROM per_user),
+    perms AS (
+        SELECT bb.b, u.y_c,
+               CASE WHEN SUBSTR(md5('perm:' || CAST(bb.b AS VARCHAR)
+                                    || ':' || CAST(u.user_id AS VARCHAR)),
+                                1, 1) < '8' THEN 1 ELSE 0 END AS is_a
+        FROM per_user u
+        CROSS JOIN (SELECT UNNEST(range(1, {b} + 1)) AS b) bb),
+    stats AS (
+        SELECT b,
+               CAST(FLOOR(ABS(
+                   SUM(CASE WHEN is_a = 1 THEN y_c ELSE 0 END) * 1.0e0
+                       / NULLIF(SUM(is_a), 0)
+                   - SUM(CASE WHEN is_a = 0 THEN y_c ELSE 0 END) * 1.0e0
+                       / NULLIF(SUM(1 - is_a), 0))
+                   * 10000.0e0 + 0.5e0) AS BIGINT) AS stat_b
+        FROM perms GROUP BY b),
+    tail AS (
+        SELECT CAST(SUM(CASE WHEN s.stat_b >= o.stat_obs THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ge
+        FROM stats s CROSS JOIN obs o)
+    SELECT o.n_users, CAST({b} AS BIGINT) AS n_perms, o.mean_a, o.mean_b,
+           CAST(o.stat_obs AS DOUBLE) / 10000.0e0 AS stat_obs,
+           t.n_ge,
+           FLOOR((1.0e0 + t.n_ge) / (1.0e0 + {b})
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS p_value
+    FROM obs o CROSS JOIN tail t
+    """
+
+
+@query("hypothesis_permutation", oracle=_perm_oracle())
+def hypothesis_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis tier — the ASSUMPTION-FREE significance test: a
+    seeded permutation test of the A/B arm difference in per-user
+    spend.  {b} deterministic label permutations (arm_b(user) =
+    md5('perm:b:user') coin — bit-reproducible, no RNG state), test
+    statistic |mean_A − mean_B| per replicate, and the standard
+    add-one p-value (1 + #{{stat_b ≥ stat_obs}})/(B+1) — exact
+    finite-sample validity where the t-test needs normality.
+
+    Exactness: per-user spend is integer cents; each replicate's means
+    are single IEEE divisions of int64 sums and the statistic is
+    floor-quantized to integer 1e-4 units BEFORE any comparison, so
+    the ≥-tail count is an integer comparison both engines resolve
+    identically.
+
+    100 TB: the fact collapses to USER grain first (map-side), then
+    fans out ×{b} replicate labels — the explode is user-grain ×B,
+    collapsing immediately to (replicate, arm) partial sums;
+    replicate-grain state is 2B rows.  B is the resolution/cost knob;
+    fieller-style streaming of replicates through one pass is the
+    same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("y_c")
+    ).withColumn(
+        "is_a",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("arm:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        ).otherwise(0),
+    )
+    per_user = per_user.localCheckpoint(eager=False)  # obs + B replicates
+
+    def _stat(df, grp):
+        means = df.groupBy(*grp).agg(
+            F.sum(F.when(F.col("is_a") == 1, F.col("y_c")).otherwise(0))
+            .cast("long")
+            .alias("sa"),
+            F.sum(F.col("is_a")).cast("long").alias("na"),
+            F.sum(F.when(F.col("is_a") == 0, F.col("y_c")).otherwise(0))
+            .cast("long")
+            .alias("sb"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("nb"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        diff = F.abs(
+            F.col("sa") * F.lit(1.0) / F.nullif(F.col("na"), F.lit(0)).cast("double")
+            - F.col("sb") * F.lit(1.0) / F.nullif(F.col("nb"), F.lit(0)).cast("double")
+        )
+        return means, diff
+
+    obs_m, obs_diff = _stat(per_user, [])
+    obs = obs_m.select(
+        "n_users",
+        F.floor(obs_diff * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("stat_obs"),
+        (
+            F.floor(
+                F.col("sa") * F.lit(1.0) / F.nullif(F.col("na"), F.lit(0)).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("mean_a"),
+        (
+            F.floor(
+                F.col("sb") * F.lit(1.0) / F.nullif(F.col("nb"), F.lit(0)).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("mean_b"),
+    )
+    grid = spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
+    perms = per_user.crossJoin(F.broadcast(grid)).select(
+        "b",
+        "y_c",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    stats_m, stats_diff = _stat(perms, ["b"])
+    stats = stats_m.select(
+        "b",
+        F.floor(stats_diff * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("stat_b"),
+    )
+    tail = stats.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(F.col("stat_b") >= F.col("stat_obs"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ge")
+    )
+    return obs.crossJoin(F.broadcast(tail)).select(
+        "n_users",
+        F.lit(_PERM_B).cast("long").alias("n_perms"),
+        "mean_a",
+        "mean_b",
+        (F.col("stat_obs").cast("double") / F.lit(10000.0)).alias("stat_obs"),
+        "n_ge",
+        roundn(
+            (F.lit(1.0) + F.col("n_ge")) / F.lit(1.0 + _PERM_B), 6
+        ).alias("p_value"),
+    )
+
+
+hypothesis_permutation.__doc__ = hypothesis_permutation.__doc__.format(
+    b=_PERM_B
+)
