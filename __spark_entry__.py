@@ -81,6 +81,7 @@ _COMPONENT_FIRST = (
     "ts_holt_winters", "recsys_hit_rate",
     "incremental_watermark_ingest", "eval_rouge_l",
     "graph_betweenness", "hypothesis_permutation",
+    "privacy_cell_suppression", "embedding_whitening",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -2787,3 +2787,161 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 decontaminate_semantic.__doc__ = decontaminate_semantic.__doc__.format(
     t=_DECON_SEM_T
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding whitening / per-dimension standardization (r5b wave)
+# ---------------------------------------------------------------------------
+
+#: fixed embedding dimensionality (embeddings.parquet contract)
+_WHITEN_DIM = 64
+
+
+@query(
+    "embedding_whitening",
+    oracle=f"""
+    WITH dims AS (SELECT UNNEST(range(1, {_WHITEN_DIM} + 1)) AS dim),
+    comp AS (
+        SELECT d.dim,
+               CAST(FLOOR(e.embedding[d.dim] * 1000000.0e0 + 0.5e0)
+                    AS BIGINT) AS q
+        FROM (SELECT embedding::DOUBLE[] AS embedding FROM embeddings) e
+        CROSS JOIN dims d),
+    stats AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(SUM(q * q) AS BIGINT) AS ss
+        FROM comp GROUP BY dim),
+    params AS (
+        SELECT dim, n, s, ss,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu_q,
+               sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd_q
+        FROM stats),
+    white AS (
+        SELECT c.dim,
+               CAST(FLOOR((CAST(c.q AS DOUBLE) - p.mu_q)
+                          / NULLIF(p.sd_q, 0.0e0)
+                          * 1000000.0e0 + 0.5e0) AS BIGINT) AS wq
+        FROM comp c JOIN params p ON p.dim = c.dim),
+    audit AS (
+        SELECT dim, CAST(SUM(wq) AS BIGINT) AS ws,
+               CAST(SUM(wq * wq) AS BIGINT) AS wss
+        FROM white GROUP BY dim)
+    SELECT p.dim, p.n,
+           FLOOR(p.mu_q + 0.5e0) / 1000000.0e0 AS mean,
+           FLOOR(p.sd_q + 0.5e0) / 1000000.0e0 AS std,
+           FLOOR(CAST(a.ws AS DOUBLE) / CAST(p.n AS DOUBLE)
+                 + 0.5e0) / 1000000.0e0 AS post_mean,
+           FLOOR(sqrt((CAST(a.wss AS DOUBLE)
+                       - CAST(a.ws AS DOUBLE) * CAST(a.ws AS DOUBLE)
+                         / CAST(p.n AS DOUBLE)) / CAST(p.n AS DOUBLE))
+                 + 0.5e0) / 1000000.0e0 AS post_std
+    FROM params p JOIN audit a ON a.dim = p.dim
+    ORDER BY p.dim
+    """,
+)
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene, third rung (normalize audits row norms, quantize
+    audits value ranges; this standardizes the FEATURE AXES) —
+    per-dimension whitening of the embedding table: fit μ_d/σ_d per
+    dimension, re-apply them in-engine, and AUDIT the applied result
+    (post-whitening mean ≈ 0, std ≈ 1 per dimension) — the
+    preprocessing step before PCA/IVF training where anisotropic axes
+    dominate distance.
+
+    Exactness: components are floor-quantized to integer 1e-6 units on
+    ingest, so per-dim (n, Σq, Σq²) are exact int64 no matter the
+    partitioning; μ/σ are fixed scalar trees; the whitened values are
+    RE-quantized to integer units before the audit sums, keeping the
+    second pass order-free too.
+
+    100 TB: two map-side-combined aggregates at dimension grain (the
+    state is |dims| rows); the parameter join back is a broadcast of a
+    {d}-row table; no shuffle ever carries vector-count rows."""
+    emb = sim.as_double_vectors(load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    comp = comp.localCheckpoint(eager=False)  # fit + apply consumers
+    stats = comp.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+    )
+    params = stats.select(
+        "dim",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mu_q"),
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("sd_q"),
+    )
+    white = comp.join(F.broadcast(params), "dim").select(
+        "dim",
+        F.floor(
+            (F.col("q").cast("double") - F.col("mu_q"))
+            / F.nullif(F.col("sd_q"), F.lit(0.0))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    audit = white.groupBy("dim").agg(
+        F.sum("wq").cast("long").alias("ws"),
+        F.sum(F.col("wq") * F.col("wq")).cast("long").alias("wss"),
+    )
+    return (
+        params.join(audit, "dim")
+        .select(
+            "dim",
+            "n",
+            (F.floor(F.col("mu_q") + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "mean"
+            ),
+            (F.floor(F.col("sd_q") + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "std"
+            ),
+            (
+                F.floor(
+                    F.col("ws").cast("double") / F.col("n").cast("double")
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("post_mean"),
+            (
+                F.floor(
+                    F.sqrt(
+                        (
+                            F.col("wss").cast("double")
+                            - F.col("ws").cast("double")
+                            * F.col("ws").cast("double")
+                            / F.col("n").cast("double")
+                        )
+                        / F.col("n").cast("double")
+                    )
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("post_std"),
+        )
+        .orderBy("dim")
+    )
+
+
+embedding_whitening.__doc__ = embedding_whitening.__doc__.format(
+    d=_WHITEN_DIM
+)

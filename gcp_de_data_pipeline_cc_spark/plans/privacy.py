@@ -33,7 +33,7 @@ Float discipline: counts are exact integers; no floats anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -473,3 +473,139 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundn(F.col("true_count") + noise, 4).alias("noisy_count"),
         F.lit(float(_DP_EPS_NUM) / float(_DP_EPS_DEN)).alias("epsilon"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# small-cell suppression (r5b wave)
+# ---------------------------------------------------------------------------
+
+#: publication threshold: cells with fewer than _SUP_K units are withheld
+_SUP_K = 5
+
+
+@query(
+    "privacy_cell_suppression",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    prim AS (
+        SELECT *, (n < {_SUP_K}) AS p_sup FROM cells),
+    rowstat AS (
+        SELECT segment,
+               CAST(SUM(CASE WHEN p_sup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_prim
+        FROM prim GROUP BY segment),
+    compl AS (
+        SELECT p.segment, p.nation,
+               (r.n_prim = 1 AND NOT p.p_sup AND
+                ROW_NUMBER() OVER (
+                    PARTITION BY p.segment, p.p_sup
+                    ORDER BY p.n, p.nation) = 1 AND NOT p.p_sup)
+                   AS c_sup_raw
+        FROM prim p JOIN rowstat r ON r.segment = p.segment),
+    final AS (
+        SELECT p.segment, p.nation, p.n, p.bal_cents, p.p_sup,
+               COALESCE(c.c_sup_raw AND NOT p.p_sup, FALSE) AS c_sup
+        FROM prim p
+        JOIN compl c ON c.segment = p.segment AND c.nation = p.nation),
+    margins AS (
+        SELECT segment, CAST(SUM(n) AS BIGINT) AS seg_total FROM cells
+        GROUP BY segment)
+    SELECT f.segment, f.nation,
+           CASE WHEN f.p_sup OR f.c_sup THEN NULL ELSE f.n END AS n,
+           CASE WHEN f.p_sup OR f.c_sup THEN NULL
+                ELSE f.bal_cents END AS bal_cents,
+           CASE WHEN f.p_sup THEN 'primary'
+                WHEN f.c_sup THEN 'complementary' END AS suppressed,
+           m.seg_total
+    FROM final f JOIN margins m ON m.segment = f.segment
+    ORDER BY f.segment, f.nation
+    """,
+)
+def privacy_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy tier, fifth rung (k-anonymity / l-diversity /
+    t-closeness / ε-DP audit the DATA; this audits the RELEASE) —
+    statistical-disclosure small-cell suppression: any (segment,
+    nation) cell counting fewer than {k} customers is withheld
+    (primary), and a segment with EXACTLY ONE primary suppression
+    additionally withholds its smallest surviving cell (complementary)
+    — because a published row margin plus all-but-one cells recovers
+    the withheld value by subtraction, the classic census-table rule.
+    Margins stay published: the oracle proves the release is
+    consistent.
+
+    Exactness: every decision is an integer comparison; the
+    complementary pick is a (count, nation) lexicographic argmin —
+    no floats anywhere.
+
+    100 TB: cells are QI-cardinality (segments × nations); the fact
+    scan collapses map-side; suppression logic runs on the bounded
+    cell table with one row-group window."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    cells = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("bal_cents"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=False)  # margins + logic consumers
+    prim = cells.withColumn("p_sup", F.col("n") < _SUP_K)
+    rowstat = prim.groupBy("segment").agg(
+        F.sum(F.when(F.col("p_sup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_prim")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("segment", "p_sup").orderBy("n", "nation")
+    )
+    compl = (
+        prim.join(F.broadcast(rowstat), "segment")
+        .withColumn("rn", rn)
+        .withColumn(
+            "c_sup",
+            (F.col("n_prim") == 1)
+            & ~F.col("p_sup")
+            & (F.col("rn") == 1),
+        )
+    )
+    margins = cells.groupBy("segment").agg(
+        F.sum("n").cast("long").alias("seg_total")
+    )
+    sup = F.col("p_sup") | F.col("c_sup")
+    return (
+        compl.join(F.broadcast(margins), "segment")
+        .select(
+            "segment",
+            "nation",
+            F.when(sup, F.lit(None)).otherwise(F.col("n")).alias("n"),
+            F.when(sup, F.lit(None))
+            .otherwise(F.col("bal_cents"))
+            .alias("bal_cents"),
+            F.when(F.col("p_sup"), "primary")
+            .when(F.col("c_sup"), "complementary")
+            .alias("suppressed"),
+            "seg_total",
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+privacy_cell_suppression.__doc__ = privacy_cell_suppression.__doc__.format(
+    k=_SUP_K
+)
