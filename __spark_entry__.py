@@ -82,6 +82,7 @@ _COMPONENT_FIRST = (
     "incremental_watermark_ingest", "eval_rouge_l",
     "graph_betweenness", "hypothesis_permutation",
     "privacy_cell_suppression", "embedding_whitening",
+    "df_transpose", "sql_scripting",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

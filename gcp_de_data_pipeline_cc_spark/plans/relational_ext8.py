@@ -1183,3 +1183,128 @@ def fn_trigram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame.transpose (r5c wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "df_transpose",
+    oracle="""
+    WITH m AS (
+        SELECT r.r_name,
+               CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+               CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        GROUP BY r.r_name)
+    SELECT t.key,
+           MAX(CASE WHEN m.r_name = 'AFRICA' THEN v END) AS "AFRICA",
+           MAX(CASE WHEN m.r_name = 'AMERICA' THEN v END) AS "AMERICA",
+           MAX(CASE WHEN m.r_name = 'ASIA' THEN v END) AS "ASIA",
+           MAX(CASE WHEN m.r_name = 'EUROPE' THEN v END) AS "EUROPE",
+           MAX(CASE WHEN m.r_name = 'MIDDLE EAST' THEN v END)
+               AS "MIDDLE EAST"
+    FROM m, LATERAL (VALUES ('n_nations', m.n_nations),
+                            ('n_customers', m.n_customers),
+                            ('n_suppliers', m.n_suppliers)) t(key, v)
+    GROUP BY t.key
+    ORDER BY t.key
+    """,
+)
+def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-extension — ``DataFrame.transpose()`` (Spark 4.0,
+    SPARK-47884): flip a per-region metrics table so metrics become
+    rows and regions become columns — the report-layout pivot analysts
+    ask for where the row count (metrics) is small and fixed.  The
+    first column's VALUES become the transposed column names; the
+    oracle rebuilds the same shape relationally (unpivot via LATERAL
+    VALUES + conditional re-pivot).
+
+    Exactness: all values are exact distinct-counts; transpose moves
+    cells without arithmetic.
+
+    100 TB: transpose requires the frame to be column-count-bounded
+    after transposition — i.e. the INPUT must be dim-sized (here: 5
+    regions), which the region rollup guarantees regardless of fact
+    volume; the metric collection itself is map-side distinct
+    aggregation."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    m = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey, "left")
+        .join(supplier, supplier.s_nationkey == nation.n_nationkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").cast("long").alias("n_nations"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"),
+        )
+        .orderBy("r_name")
+    )
+    return m.transpose().orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting with session variables (r5c wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+    WITH RECURSIVE n AS (
+        SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events),
+    dbl(cap, iters) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION ALL
+        SELECT cap * 2, iters + 1 FROM dbl, n WHERE cap < n.n_days)
+    SELECT n.n_days,
+           CAST(MAX(cap) AS BIGINT) AS cap,
+           CAST(MAX(iters) AS INT) AS iters
+    FROM dbl, n GROUP BY n.n_days
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — SQL SCRIPTING (Spark 4.0, SPARK-48338): a
+    BEGIN…END block with DECLAREd session variables and a WHILE loop,
+    the procedural control-flow surface stored-procedure workloads
+    migrate through.  The script sizes a power-of-two hash-table
+    capacity for the feed's distinct-day domain (the doubling loop
+    every capacity planner writes), reading its bound from a real
+    aggregate into a variable, looping in pure integer arithmetic, and
+    SELECTing the final state.  The oracle reproduces the loop as a
+    recursive CTE — same integers, declarative form.
+
+    Exactness: all-integer state; loop trip count is the bit-length of
+    the day domain.
+
+    100 TB: ONE fact aggregate feeds the variable; the loop runs on
+    scalars driver-side (procedural control flow never touches data
+    rows — the script's data work stays declarative and distributed)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(F.to_date("ts").alias("day")).createOrReplaceTempView(
+        "script_days"
+    )
+    return spark.sql("""
+        BEGIN
+          DECLARE n_days BIGINT DEFAULT 0;
+          DECLARE cap BIGINT DEFAULT 1;
+          DECLARE iters INT DEFAULT 0;
+          SET n_days = (SELECT COUNT(DISTINCT day) FROM script_days);
+          WHILE cap < n_days DO
+            SET cap = cap * 2;
+            SET iters = iters + 1;
+          END WHILE;
+          SELECT n_days, cap, iters;
+        END
+    """)
