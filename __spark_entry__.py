@@ -83,6 +83,7 @@ _COMPONENT_FIRST = (
     "graph_betweenness", "hypothesis_permutation",
     "privacy_cell_suppression", "embedding_whitening",
     "df_transpose", "sql_scripting",
+    "udf_arrow_scalar", "udtf_arrow_batch",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

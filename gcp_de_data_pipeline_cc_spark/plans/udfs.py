@@ -359,3 +359,108 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.* "
         "FROM docs_poly d, LATERAL split_cols_udtf(d.text, 3) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native UDF rungs (r5d wave, Spark 4.0 arrow_udf / arrow_udtf)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0e0 + 0.5e0)
+                AS BIGINT) AS net_cents
+    FROM lineitem
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF ladder, Arrow-native scalar rung — ``F.arrow_udf`` (Spark
+    4.0, SPARK-48664): the UDF body receives a ``pyarrow.Array`` and
+    returns one, computing entirely in Arrow compute kernels — no
+    pandas materialization at all (one rung below ``pandas_udf``,
+    which converts each batch to Series).  Same per-line net-cents
+    quantization as the rest of the rounding discipline.
+
+    100 TB: Arrow batches stream through the Python worker zero-copy;
+    the kernel (multiply/floor) is C++-vectorized.  Still the Python
+    path — the built-in expression twin (udf-free projection) remains
+    the production form; this rung exists for kernels Spark lacks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    @F.arrow_udf("long")
+    def net_cents(ext, disc):
+        net = pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc))
+        return pc.cast(
+            pc.floor(pc.add(pc.multiply(net, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_cents("l_extendedprice", "l_discount").alias("net_cents"),
+    )
+
+
+@query(
+    "udtf_arrow_batch",
+    oracle="""
+    SELECT doc_id, CAST(pos AS INT) AS pos, tok
+    FROM (
+        SELECT doc_id,
+               UNNEST(string_split(text, ' ')) AS tok,
+               UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents WHERE doc_id % 50 = 0)
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF ladder, Arrow-native TABLE-function rung — ``F.arrow_udtf``
+    (Spark 4.1): the UDTF's ``eval`` receives whole
+    ``pyarrow.RecordBatch``es of a TABLE argument and yields Arrow
+    tables — the zero-copy batch shape for Python table functions
+    (vs the row-at-a-time ``@udtf`` rung ``udtf_lateral``).  Here: a
+    vectorized positional tokenizer over a sampled documents slice,
+    split + flatten computed by Arrow C++ kernels, parent keys
+    repeated via ``value_lengths``.
+
+    100 TB: one Python worker pass per Arrow batch, no per-row Python;
+    the sample predicate is pushed to the parquet scan BEFORE the
+    TABLE argument materializes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    @F.arrow_udtf(returnType="doc_id bigint, pos int, tok string")
+    class TokenizeBatch:
+        def eval(self, batch):
+            tbl = pa.table(batch)
+            toks = pc.split_pattern(tbl.column("text"), " ")
+            lens = pc.list_value_length(toks).to_pylist()
+            doc_ids = tbl.column("doc_id").to_pylist()
+            out_ids, out_pos = [], []
+            for d, ln in zip(doc_ids, lens):
+                out_ids.extend([d] * ln)
+                out_pos.extend(range(1, ln + 1))
+            yield pa.table(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "pos": pa.array(out_pos, pa.int32()),
+                    "tok": pc.list_flatten(toks),
+                }
+            )
+
+    spark.udtf.register("tokenize_batch_udtf", TokenizeBatch)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    docs.select("doc_id", "text").createOrReplaceTempView("docs_arrow_udtf")
+    return spark.sql(
+        "SELECT doc_id, pos, tok "
+        "FROM tokenize_batch_udtf(TABLE(SELECT doc_id, text "
+        "FROM docs_arrow_udtf)) "
+        "ORDER BY doc_id, pos"
+    )
