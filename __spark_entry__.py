@@ -84,6 +84,7 @@ _COMPONENT_FIRST = (
     "privacy_cell_suppression", "embedding_whitening",
     "df_transpose", "sql_scripting",
     "udf_arrow_scalar", "udtf_arrow_batch",
+    "attribution_markov",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -2412,3 +2412,229 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("forecast_next"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (r5e wave)
+# ---------------------------------------------------------------------------
+
+#: non-conversion channels (events.event_type domain minus 'purchase')
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+#: absorbing-chain power iterations (journeys are short; P(conv within
+#: _MK_K hops) has converged well inside the horizon)
+_MK_K = 6
+
+_MK_U = 1_000_000
+
+
+def _markov_attr_oracle() -> str:
+    chans = ", ".join(f"('{c}')" for c in _MK_CHANNELS)
+    chains = ", ".join(["('FULL')"] + [f"('{c}')" for c in _MK_CHANNELS])
+    steps = []
+    for i in range(1, _MK_K + 1):
+        steps.append(f"""
+    p{i} AS (
+        SELECT st.chain, st.state,
+               COALESCE(tc.mu, 0) + COALESCE(pr.w, 0) AS v
+        FROM st
+        LEFT JOIN tconv tc
+          ON tc.chain = st.chain AND tc.src = st.state
+        LEFT JOIN (
+            SELECT t.chain, t.src,
+                   CAST(SUM(t.mu * p.v) AS BIGINT) // {_MK_U} AS w
+            FROM tprop t JOIN p{i-1} p
+              ON p.chain = t.chain AND p.state = t.dst
+            GROUP BY t.chain, t.src) pr
+          ON pr.chain = st.chain AND pr.src = st.state)""")
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    pf AS (
+        SELECT user_id, MIN(rn) AS prn FROM ordered
+        WHERE event_type = 'purchase' GROUP BY 1),
+    path AS (
+        SELECT o.user_id, o.event_type, o.rn
+        FROM ordered o LEFT JOIN pf ON pf.user_id = o.user_id
+        WHERE pf.prn IS NULL OR o.rn <= pf.prn),
+    hops AS (
+        SELECT 'START' AS src,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS dst
+        FROM path WHERE rn = 1
+        UNION ALL
+        SELECT a.event_type AS src,
+               CASE WHEN b.event_type = 'purchase' THEN 'CONV'
+                    ELSE b.event_type END AS dst
+        FROM path a JOIN path b
+          ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        WHERE a.event_type <> 'purchase'
+        UNION ALL
+        SELECT a.event_type AS src, 'DROP' AS dst
+        FROM path a
+        LEFT JOIN path b
+          ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        LEFT JOIN pf ON pf.user_id = a.user_id
+        WHERE b.rn IS NULL AND pf.prn IS NULL
+          AND a.event_type <> 'purchase'),
+    cnt AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM hops GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+    tmu AS (
+        SELECT c.src, c.dst, (c.n * {_MK_U}) // t.t AS mu
+        FROM cnt c JOIN tot t ON t.src = c.src),
+    chainlist(chain) AS (VALUES {chains}),
+    chanlist(ch) AS (VALUES {chans}),
+    st AS (
+        SELECT cl.chain, s.state FROM chainlist cl
+        CROSS JOIN (SELECT 'START' AS state
+                    UNION ALL SELECT ch FROM chanlist) s
+        WHERE cl.chain = 'FULL' OR s.state <> cl.chain
+           OR s.state = 'START'),
+    tprop AS (
+        SELECT cl.chain, t.src, t.dst, t.mu
+        FROM chainlist cl CROSS JOIN tmu t
+        WHERE t.dst NOT IN ('CONV', 'DROP')
+          AND (cl.chain = 'FULL'
+               OR (t.src <> cl.chain AND t.dst <> cl.chain))),
+    tconv AS (
+        SELECT cl.chain, t.src, t.mu
+        FROM chainlist cl CROSS JOIN tmu t
+        WHERE t.dst = 'CONV'
+          AND (cl.chain = 'FULL' OR t.src <> cl.chain)),
+    p0 AS (SELECT chain, state, CAST(0 AS BIGINT) AS v FROM st),{",".join(steps)},
+    starts AS (
+        SELECT chain, v FROM p{_MK_K} WHERE state = 'START'),
+    re AS (
+        SELECT c.ch AS channel,
+               f.v AS p_full_micro,
+               r.v AS p_removed_micro,
+               GREATEST(f.v - r.v, 0) AS removal_effect_micro
+        FROM chanlist c
+        JOIN starts r ON r.chain = c.ch
+        CROSS JOIN (SELECT v FROM starts WHERE chain = 'FULL') f),
+    tot_re AS (SELECT CAST(SUM(removal_effect_micro) AS BIGINT) AS s FROM re)
+    SELECT re.channel,
+           CAST(re.p_full_micro AS DOUBLE) / {_MK_U}.0e0 AS p_conv_full,
+           CAST(re.p_removed_micro AS DOUBLE) / {_MK_U}.0e0 AS p_conv_removed,
+           re.removal_effect_micro,
+           FLOOR(CAST(re.removal_effect_micro AS DOUBLE)
+                 / CAST(NULLIF(t.s, 0) AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS share
+    FROM re CROSS JOIN tot_re t
+    ORDER BY re.channel
+    """
+
+
+@query("attribution_markov", oracle=_markov_attr_oracle())
+def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution tier, model-based rung (last-touch and
+    position-based are RULES; this one is counterfactual) — Markov
+    removal-effect attribution: build the first-order per-user journey
+    chain (START → channels → CONV at first purchase / DROP), compute
+    the absorbing conversion probability by {k} power iterations, then
+    for each channel re-run the chain with that channel REMOVED (its
+    incoming mass becomes loss — no renormalization, the standard
+    removal semantics) and credit the channel its conversion drop.
+
+    Exactness: transition probabilities are integer micro-units
+    ((n·1e6) DIV row-total); each iteration is an exact int64
+    weighted sum with one integer DIV; the share is a single division
+    quantized at 1e-6 — identical arithmetic in the driver loop and
+    the oracle's CTE unrolling.
+
+    100 TB: the ONLY data-sized work is one window pass (journey
+    order + first-purchase mark need no join) and one map-side
+    groupBy to the (src, dst) transition matrix — everything after
+    runs on ≤ (channels+2)² rows of METADATA, so the five chain
+    evaluations execute as exact-integer driver arithmetic (the
+    bounded-state discipline of ops_backfill_plan / dedup_clusters'
+    convergence scalar: collecting channel-cardinality state is
+    invariant to corpus size; adding channels grows a dim table,
+    never the fact cost)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_user).alias("rn"),
+        F.lead("event_type").over(w_user).alias("next_type"),
+    ).withColumn(
+        "prn",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).over(w_all),
+    )
+    path = ordered.filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    to_state = F.when(F.col("event_type") == "purchase", "CONV").otherwise(
+        F.col("event_type")
+    )
+    next_state = (
+        F.when(F.col("next_type") == "purchase", "CONV")
+        .when(F.col("next_type").isNull(), "DROP")
+        .otherwise(F.col("next_type"))
+    )
+    hops = path.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), to_state.alias("dst")
+    ).unionByName(
+        path.filter(F.col("event_type") != "purchase").select(
+            F.col("event_type").alias("src"), next_state.alias("dst")
+        )
+    )
+    cnt = hops.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # (channels+2)^2-bounded metadata: the collect is invariant to scale
+    rows = cnt.collect()
+    tot: dict[str, int] = {}
+    for r in rows:
+        tot[r.src] = tot.get(r.src, 0) + r.n
+    tmu = {(r.src, r.dst): (r.n * _MK_U) // tot[r.src] for r in rows}
+    states = ["START", *_MK_CHANNELS]
+
+    def p_start(removed: str | None) -> int:
+        p = {s: 0 for s in states}
+        for _ in range(_MK_K):
+            new = {}
+            for s in states:
+                if removed is not None and s == removed and s != "START":
+                    continue
+                acc = 0
+                for c in _MK_CHANNELS:
+                    if removed is not None and c == removed:
+                        continue
+                    acc += tmu.get((s, c), 0) * p.get(c, 0)
+                new[s] = tmu.get((s, "CONV"), 0) + acc // _MK_U
+            p = new
+        return p["START"]
+
+    full = p_start(None)
+    res = []
+    for c in _MK_CHANNELS:
+        removed = p_start(c)
+        res.append((c, full, removed, max(full - removed, 0)))
+    s_re = sum(r[3] for r in res)
+    out_rows = []
+    for c, f_, r_, re_ in res:
+        share = (
+            None
+            if s_re == 0
+            else __import__("math").floor(re_ / s_re * 1000000.0 + 0.5)
+            / 1000000.0
+        )
+        out_rows.append((c, f_ / _MK_U, r_ / _MK_U, re_, share))
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, p_conv_full double, p_conv_removed double, "
+        "removal_effect_micro bigint, share double",
+    ).orderBy("channel")
+
+
+attribution_markov.__doc__ = attribution_markov.__doc__.format(k=_MK_K)
