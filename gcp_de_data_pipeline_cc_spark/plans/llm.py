@@ -2864,7 +2864,7 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = emb.select(
         F.posexplode("embedding").alias("dim0", "x")
     ).select(
-        (F.col("dim0") + 1).alias("dim"),
+        (F.col("dim0") + 1).cast("long").alias("dim"),
         F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
         .cast("long")
         .alias("q"),

@@ -58,7 +58,7 @@ _BH_CRIT = tuple(
 
 def _fdr_oracle() -> str:
     crit_values = ", ".join(
-        f"({i + 1}, {c!r})" for i, c in enumerate(_BH_CRIT)
+        f"({i + 1}, CAST({c!r} AS DOUBLE))" for i, c in enumerate(_BH_CRIT)
     )
     return f"""
     WITH seg AS (

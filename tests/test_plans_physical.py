@@ -358,6 +358,17 @@ _BNLJ_REVIEWED = frozenset({
     # the one-row worst-makespan scalar — category (a); qc_alert_routing
     # inherits qc_freshness' one-row anchor broadcast — category (a)
     "ops_retry_budget", "qc_alert_routing",
+    # r4u-r5a session waves: one-row totals/clip/obs broadcasts
+    # (category a) — eval_f1_multiclass (macro/micro totals), eval_bleu
+    # (corpus clip sums x lengths), train_length_buckets (doc count +
+    # global-baseline rows), corpus_temperature_mix (weight totals +
+    # seat count), recsys_hit_rate (n_eval x hit tally),
+    # graph_betweenness (nation-count normalizer); hypothesis_permutation
+    # additionally crosses the user-grain relation with the 199-row
+    # replicate grid — category (b) bounded constant dim
+    "eval_f1_multiclass", "eval_bleu", "train_length_buckets",
+    "corpus_temperature_mix", "recsys_hit_rate", "graph_betweenness",
+    "hypothesis_permutation",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
@@ -446,6 +457,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "custom_datasource_scan", "join_partition_pruned", "scd2_merge",
         "scd1_upsert", "scd3_merge", "join_bloom_pruned", "agg_incremental",
         "corpus_curation", "training_prep", "dedup_clusters",
+        "incremental_watermark_ingest",
         "graph_pagerank", "sessionize_path",
     }
     offenders = {}
