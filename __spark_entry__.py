@@ -85,6 +85,7 @@ _COMPONENT_FIRST = (
     "df_transpose", "sql_scripting",
     "udf_arrow_scalar", "udtf_arrow_batch",
     "attribution_markov",
+    "ts_anomaly_stl_residual", "scd6_merge",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

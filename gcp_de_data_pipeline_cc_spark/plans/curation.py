@@ -1636,3 +1636,106 @@ def qc_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("severity_rank", "source_check", "alert_key")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 6 (hybrid 1+2+3) merge (r5f wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd6_merge",
+    oracle=f"""
+    WITH {{snap}},
+    o AS (SELECT *, 1 AS in_old FROM s1),
+    n AS (SELECT *, 1 AS in_new FROM s2),
+    j AS (
+        SELECT cust_id, o.name AS name_o, o.acct_cents AS acct_o,
+               n.name AS name_n, n.acct_cents AS acct_n,
+               in_old, in_new
+        FROM o FULL JOIN n USING (cust_id)),
+    hist AS (
+        SELECT cust_id, 1 AS version, acct_o AS acct_cents,
+               FALSE AS is_current, acct_n AS current_acct_cents,
+               CAST(NULL AS BIGINT) AS prev_acct_cents
+        FROM j
+        WHERE in_old = 1 AND in_new = 1 AND acct_o <> acct_n),
+    cur AS (
+        SELECT cust_id,
+               CASE WHEN in_old = 1 AND in_new = 1 AND acct_o <> acct_n
+                    THEN 2 ELSE 1 END AS version,
+               COALESCE(acct_n, acct_o) AS acct_cents,
+               (in_new = 1) AS is_current,
+               COALESCE(acct_n, acct_o) AS current_acct_cents,
+               CASE WHEN in_old = 1 AND in_new = 1 AND acct_o <> acct_n
+                    THEN acct_o END AS prev_acct_cents
+        FROM j)
+    SELECT cust_id, CAST(version AS INT) AS version, acct_cents,
+           COALESCE(is_current, FALSE) AS is_current,
+           current_acct_cents, prev_acct_cents
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM cur)
+    ORDER BY cust_id, version
+    """.format(snap=_SNAP_SQL),
+)
+def scd6_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-extension completing the SCD family (1: overwrite, 2: history
+    rows, 3: previous column, 4: mini-dimension → 6 = 1+2+3 hybrid):
+    every key keeps SCD2-style VERSION ROWS, every row carries the
+    SCD1-style ``current_acct_cents`` column (overwritten on history
+    rows too — the "show history at today's value" reporting trick),
+    and the current row carries the SCD3-style ``prev_acct_cents``.
+    Same day-1/day-2 snapshot fixtures as scd2/scd3/scd4, so all four
+    strategies are comparable on identical input.
+
+    Exactness: pure key algebra on integer cents — no floats.
+
+    100 TB: one full-outer shuffle on the key (key-coalesced USING
+    join); the history branch is a filtered projection of the same
+    join, so the fixture scan count stays at two snapshots; the union
+    is write-side only."""
+    s1, s2 = _snapshots(spark, sf_dir)
+    o = s1.select(
+        "cust_id",
+        F.col("acct_cents").alias("acct_o"),
+        F.lit(1).alias("in_old"),
+    )
+    n = s2.select(
+        "cust_id",
+        F.col("acct_cents").alias("acct_n"),
+        F.lit(1).alias("in_new"),
+    )
+    j = o.join(n, "cust_id", "full")
+    j = j.localCheckpoint(eager=False)  # history + current consumers
+    changed = (
+        (F.col("in_old") == 1)
+        & (F.col("in_new") == 1)
+        & (F.col("acct_o") != F.col("acct_n"))
+    )
+    hist = j.filter(changed).select(
+        "cust_id",
+        F.lit(1).alias("version"),
+        F.col("acct_o").alias("acct_cents"),
+        F.lit(False).alias("is_current"),
+        F.col("acct_n").alias("current_acct_cents"),
+        F.lit(None).cast("long").alias("prev_acct_cents"),
+    )
+    cur = j.select(
+        "cust_id",
+        F.when(changed, 2).otherwise(1).alias("version"),
+        F.coalesce("acct_n", "acct_o").alias("acct_cents"),
+        (F.col("in_new") == 1).alias("is_current"),
+        F.coalesce("acct_n", "acct_o").alias("current_acct_cents"),
+        F.when(changed, F.col("acct_o")).alias("prev_acct_cents"),
+    )
+    return (
+        hist.unionByName(cur)
+        .select(
+            "cust_id",
+            F.col("version").cast("int").alias("version"),
+            "acct_cents",
+            F.coalesce("is_current", F.lit(False)).alias("is_current"),
+            "current_acct_cents",
+            "prev_acct_cents",
+        )
+        .orderBy("cust_id", "version")
+    )

@@ -2638,3 +2638,159 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 attribution_markov.__doc__ = attribution_markov.__doc__.format(k=_MK_K)
+
+
+# ---------------------------------------------------------------------------
+# seasonal-aware anomaly gate on the decomposition residual (r5f wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_anomaly_stl_residual",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+    ma AS (
+        SELECT day, cents,
+               SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+               COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+               CAST(EXTRACT(isodow FROM day) AS INT) AS wd
+        FROM d),
+    core AS (
+        SELECT day, cents, wd, 7 * cents - sum7 AS det7
+        FROM ma WHERE n7 = 7),
+    seas AS (
+        SELECT wd, SUM(det7) * 1.0e0 / (7.0e0 * COUNT(*)) AS s_wd
+        FROM core GROUP BY wd),
+    norm AS (SELECT AVG(s_wd) AS s_mean FROM seas),
+    res AS (
+        SELECT c.day, c.cents,
+               {sql_roundn("c.det7 / 7.0e0 - (s.s_wd - n.s_mean)", 4)}
+                   AS residual
+        FROM core c JOIN seas s ON s.wd = c.wd, norm n),
+    med AS (
+        SELECT quantile_cont(residual, 0.5e0) AS med,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM res),
+    mad AS (
+        SELECT ANY_VALUE(med.med) AS med, ANY_VALUE(med.n) AS n,
+               quantile_cont(ABS(r.residual - med.med), 0.5e0) AS mad
+        FROM res r CROSS JOIN med)
+    SELECT r.day, r.cents AS x_cents, r.residual,
+           {sql_roundn("m.med", 4)} AS med,
+           {sql_roundn("m.mad", 4)} AS mad,
+           CAST(CASE WHEN m.mad > 0.0e0
+                     THEN CASE WHEN ABS(0.6745e0 * (r.residual - m.med)
+                                        / m.mad) > 3.5e0
+                               THEN 1 ELSE 0 END
+                     WHEN r.residual <> m.med THEN 1 ELSE 0
+                END AS INT) AS is_anomaly
+    FROM res r CROSS JOIN mad m
+    ORDER BY r.day
+    """,
+)
+def ts_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly tier, seasonal-aware rung — flag days on the
+    DECOMPOSITION RESIDUAL instead of the raw series: trend (centered
+    7-day MA) and weekly seasonal (per-ISO-weekday detrended mean) are
+    removed first, then the robust median/MAD modified-z gate
+    (anomaly_mad's 0.6745·(r−med)/MAD > 3.5) runs on what remains.  A
+    plain z/MAD gate on a seasonal series flags every weekend; the
+    residual gate flags only days that break their OWN weekday's
+    pattern — the composition ts_stl_decompose exists to enable.  A
+    degenerate MAD of 0 (perfectly regular residuals) falls back to
+    flagging any residual off the median — the standard
+    modified-z-score caveat.
+
+    Exactness: the detrended series is the exact integer 7x − Σ₇;
+    residuals are the identical expression tree both engines, quantized
+    at 1e-4 BEFORE the median/MAD pass, so quantile inputs are
+    bit-identical.
+
+    100 TB: the feed collapses to |days| rows map-side; MA window,
+    weekday means, and the two exact medians all run over the bounded
+    day domain; per-series variants add the series key to every
+    PARTITION BY / GROUP BY."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("sum7"),
+        F.count("*").over(w7).alias("n7"),
+        (F.pmod(F.dayofweek("day") + 5, F.lit(7)) + 1)
+        .cast("int")
+        .alias("wd"),
+    )
+    core = ma.filter(F.col("n7") == 7).select(
+        "day", "cents", "wd", (7 * F.col("cents") - F.col("sum7")).alias("det7")
+    )
+    core = core.localCheckpoint(eager=False)  # seasonal + residual consumers
+    seas = core.groupBy("wd").agg(
+        (F.sum("det7") * F.lit(1.0) / (F.lit(7.0) * F.count("*"))).alias(
+            "s_wd"
+        )
+    )
+    seas = seas.localCheckpoint(eager=False)  # norm + join consumers
+    norm = seas.agg(F.avg("s_wd").alias("s_mean"))
+    res = (
+        core.join(F.broadcast(seas), "wd")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "day",
+            "cents",
+            roundn(
+                F.col("det7") / F.lit(7.0)
+                - (F.col("s_wd") - F.col("s_mean")),
+                4,
+            ).alias("residual"),
+        )
+    )
+    res = res.localCheckpoint(eager=False)  # med + mad + gate consumers
+    med = res.agg(
+        F.expr("percentile(residual, 0.5d)").alias("med"),
+        F.count("*").cast("long").alias("n"),
+    )
+    mad = (
+        res.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(ABS(residual - med), 0.5d)").alias("mad"),
+        )
+    )
+    return (
+        res.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("cents").alias("x_cents"),
+            "residual",
+            roundn(F.col("med"), 4).alias("med"),
+            roundn(F.col("mad"), 4).alias("mad"),
+            F.when(
+                F.col("mad") > 0.0,
+                F.when(
+                    F.abs(
+                        F.lit(0.6745)
+                        * (F.col("residual") - F.col("med"))
+                        / F.col("mad")
+                    )
+                    > F.lit(3.5),
+                    1,
+                ).otherwise(0),
+            )
+            .when(F.col("residual") != F.col("med"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
