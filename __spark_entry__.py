@@ -86,6 +86,7 @@ _COMPONENT_FIRST = (
     "udf_arrow_scalar", "udtf_arrow_batch",
     "attribution_markov",
     "ts_anomaly_stl_residual", "scd6_merge",
+    "er_match_ensemble", "inventory_running_balance",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

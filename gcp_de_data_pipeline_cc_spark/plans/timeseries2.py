@@ -760,3 +760,98 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_peak_detect.__doc__ = ts_peak_detect.__doc__.format(w=_PEAK_W)
+
+
+# ---------------------------------------------------------------------------
+# clamped running balance (r5g wave)
+# ---------------------------------------------------------------------------
+
+#: sampled account set: every _BAL_SAMPLEth user keeps the output bounded
+_BAL_SAMPLE = 100
+
+
+@query(
+    "inventory_running_balance",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                             THEN CAST(FLOOR(value * 100.0e0 + 0.5e0)
+                                       AS BIGINT)
+                             ELSE -CAST(FLOOR(value * 100.0e0 + 0.5e0)
+                                        AS BIGINT) END) AS BIGINT)
+                   AS delta_cents
+        FROM events WHERE user_id % {_BAL_SAMPLE} = 0
+        GROUP BY 1, 2),
+    st AS (
+        SELECT user_id, day, delta_cents,
+            list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                    (SELECT list(d2.delta_cents ORDER BY d2.day)
+                     FROM d d2
+                     WHERE d2.user_id = d.user_id AND d2.day <= d.day)),
+                (acc, e) -> GREATEST(CAST(0 AS BIGINT), acc + e))
+                AS balance_cents
+        FROM d)
+    SELECT user_id, day, delta_cents, balance_cents,
+           CAST(COALESCE(LAG(balance_cents) OVER (
+                    PARTITION BY user_id ORDER BY day), 0)
+                + delta_cents < 0 AS INT) AS clamped
+    FROM st
+    ORDER BY user_id, day
+    """,
+)
+def inventory_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — CLAMPED running balance (prepaid-meter /
+    inventory-floor semantics): per account, the daily balance is
+    balance' = max(0, balance + delta) — the floor BREAKS prefix-sum
+    decomposability (a plain cumulative SUM window cannot express it:
+    once clamped, history before the clamp must be forgotten), so the
+    recursion runs as a LEFT FOLD over each account's ascending day
+    deltas (the ts_holt discipline), with a ``clamped`` flag marking
+    days the floor absorbed a deficit.
+
+    Exactness: deltas are exact integer cents (credits: click/view;
+    debits: the rest); the fold is pure int64 max/add — bit-identical
+    on both engines.
+
+    100 TB: the feed collapses to (account, day) grain map-side; folds
+    are per-account over day-domain-bounded arrays, partitioned by
+    account — embarrassingly parallel; the sample predicate bounds the
+    registered output, production runs unsampled with the same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    delta = F.sum(
+        F.when(F.col("event_type").isin("click", "view"), cents).otherwise(
+            -cents
+        )
+    ).cast("long")
+    d = (
+        ev.filter(F.col("user_id") % _BAL_SAMPLE == 0)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(delta.alias("delta_cents"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = F.collect_list("delta_cents").over(w)
+    bal = F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, e: F.greatest(F.lit(0).cast("long"), acc + e),
+    )
+    st = d.select("user_id", "day", "delta_cents", bal.alias("balance_cents"))
+    lag_bal = F.lag("balance_cents").over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    return st.select(
+        "user_id",
+        "day",
+        "delta_cents",
+        "balance_cents",
+        (F.coalesce(lag_bal, F.lit(0)) + F.col("delta_cents") < 0)
+        .cast("int")
+        .alias("clamped"),
+    ).orderBy("user_id", "day")
