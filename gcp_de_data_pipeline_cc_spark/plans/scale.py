@@ -6,12 +6,13 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators.scale import (
+    global_rank,
     bucketed_join,
     ensure_bucketed,
     incremental_rollup_merge,
@@ -541,3 +542,97 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 range_partition_plan.__doc__ = range_partition_plan.__doc__.format(
     b=_RPP_B, bm1=_RPP_B - 1
 )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (r5h wave)
+# ---------------------------------------------------------------------------
+
+#: histogram bins (the ANALYZE TABLE statistics object size)
+_EQD_BINS = 10
+
+
+@query(
+    "histogram_equidepth",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents
+        FROM orders),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    rk AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn
+        FROM v),
+    b AS (
+        SELECT CAST(((rk.rn - 1) * {_EQD_BINS}) // t.n AS INT) AS bin,
+               rk.cents
+        FROM rk, t),
+    per AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(cents) AS BIGINT) AS lo_cents,
+               CAST(MAX(cents) AS BIGINT) AS hi_cents,
+               CAST(COUNT(DISTINCT cents) AS BIGINT) AS ndv
+        FROM b GROUP BY 1)
+    SELECT per.bin, per.n_rows, per.lo_cents, per.hi_cents, per.ndv,
+           FLOOR(SUM(per.n_rows) OVER (ORDER BY per.bin) * 1.0e0 / t.n
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS cum_frac
+    FROM per, t
+    ORDER BY per.bin
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling tier, optimizer-statistics rung — the EQUI-DEPTH
+    histogram (`histogram_values` is equi-WIDTH: fixed buckets,
+    data-dependent counts; this is the dual: fixed counts,
+    data-dependent boundaries — what ANALYZE TABLE builds, because
+    uniform-population bins bound selectivity-estimate error on skewed
+    columns where equi-width piles everything into two buckets):
+    {b} bins over order totals with per-bin boundaries, population,
+    NDV, and cumulative fraction.
+
+    Exactness: bin id is pure integer (rn−1)·B DIV N off a
+    deterministic (cents, key) total order; boundaries/counts/NDV are
+    exact integers; cum_frac is one division quantized at 1e-6.
+
+    100 TB: ranking via the two-phase ``global_rank`` — range exchange
+    + per-partition row_number + broadcast offsets, no single-reducer
+    sort; per-bin stats are map-side combined; the cumulative window
+    runs over {b} rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    rk = global_rank(v, [F.col("cents"), F.col("o_orderkey")], rank_col="rn")
+    t = rk.agg(F.count("*").cast("long").alias("n"))
+    b = rk.crossJoin(F.broadcast(t)).select(
+        F.expr(f"CAST(((rn - 1) * {_EQD_BINS}) DIV n AS INT)").alias("bin"),
+        "cents",
+    )
+    per = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.countDistinct("cents").cast("long").alias("ndv"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_rows",
+            "lo_cents",
+            "hi_cents",
+            "ndv",
+            roundn(
+                F.sum("n_rows").over(w) * F.lit(1.0) / F.col("n").cast("double"),
+                6,
+            ).alias("cum_frac"),
+        )
+        .orderBy("bin")
+    )

@@ -1363,3 +1363,180 @@ def train_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_length_buckets.__doc__ = train_length_buckets.__doc__.format(
     b=_LB_BUCKETS
 )
+
+
+# ---------------------------------------------------------------------------
+# combined contamination report (r5h wave)
+# ---------------------------------------------------------------------------
+
+#: flag thresholds: n-gram overlap share / nearest-eval cosine
+_DCR_NGRAM = 0.5
+_DCR_COS = 0.8
+
+
+def _decon_report_oracle() -> str:
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        sql_portable_lsh_buckets,
+    )
+
+    b0 = sql_portable_lsh_buckets("embedding", 1, 8, 64)[0]
+    return f"""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               UNNEST(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        || ' ' || t[i+3] || ' ' || t[i+4])) AS shingle
+        FROM w WHERE len(t) >= 5),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+    hit AS (
+        SELECT tr.doc_id, COUNT(*) AS n_overlap
+        FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1),
+    ngram AS (
+        SELECT t.doc_id,
+               FLOOR(COALESCE(h.n_overlap, 0) * 1.0e0 / t.n_shingles
+                     * 10000.0e0 + 0.5e0) / 10000.0e0 AS overlap_ratio
+        FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id),
+    v AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, {b0} AS bucket,
+               d.source
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    sem_pairs AS (
+        SELECT t.vec_id AS doc_id,
+               FLOOR(list_dot_product(t.vec, e.vec)
+                     / sqrt(list_dot_product(t.vec, t.vec))
+                     / sqrt(list_dot_product(e.vec, e.vec))
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS cosine
+        FROM v t JOIN v e
+          ON t.bucket = e.bucket
+         AND t.source <> 'src0' AND e.source = 'src0'),
+    sem AS (
+        SELECT doc_id, MAX(cosine) AS nearest_eval_cosine
+        FROM sem_pairs GROUP BY doc_id),
+    rep AS (
+        SELECT n.doc_id, n.overlap_ratio, s.nearest_eval_cosine,
+               CAST(n.overlap_ratio >= {_DCR_NGRAM} AS INT) AS ngram_flag,
+               CAST(COALESCE(s.nearest_eval_cosine >= {_DCR_COS}, FALSE)
+                    AS INT) AS semantic_flag
+        FROM ngram n LEFT JOIN sem s ON s.doc_id = n.doc_id)
+    SELECT doc_id, overlap_ratio, nearest_eval_cosine,
+           ngram_flag, semantic_flag,
+           CASE WHEN ngram_flag = 1 AND semantic_flag = 1 THEN 'both'
+                WHEN ngram_flag = 1 THEN 'ngram'
+                WHEN semantic_flag = 1 THEN 'semantic'
+                ELSE 'clean' END AS verdict
+    FROM rep
+    ORDER BY overlap_ratio DESC, doc_id
+    LIMIT 200
+    """
+
+
+@query("decontaminate_report", oracle=_decon_report_oracle())
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-curation — the COMBINED contamination report: for every
+    training document, both leak detectors side by side — exact 5-gram
+    overlap share against the eval source (``decontaminate``) and the
+    embedding-space nearest-eval cosine (``decontaminate_semantic``),
+    with one eval-set definition (source 'src0', embeddings joined by
+    the doc key) and a four-way verdict (ngram / semantic / both /
+    clean).  The two detectors catch disjoint failure modes — verbatim
+    inclusion vs paraphrase — so the release review wants them in ONE
+    table; top-200 by overlap keeps the report bounded.
+
+    Exactness: shingle counts exact; both similarity scores single
+    divisions quantized before thresholding; flags integer.
+
+    100 TB: the n-gram side is the benchmark-sized shingle equi-join;
+    the semantic side the LSH bucket equi-join with per-doc MAX —
+    neither goes all-pairs; the doc↔vector join is keyed on the shared
+    id.  Same plan shapes as the two parent keys, one extra dim-sized
+    join each."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    sh = (
+        w.filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 4), i -> "
+                    "concat(element_at(t, i), ' ', element_at(t, i+1), ' ', "
+                    "element_at(t, i+2), ' ', element_at(t, i+3), ' ', "
+                    "element_at(t, i+4)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sh = sh.localCheckpoint(eager=False)  # eval + train consumers
+    ev = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    tr = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = tr.join(ev, "shingle").groupBy("doc_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    ngram = tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        roundn(
+            F.coalesce("n_overlap", F.lit(0))
+            * F.lit(1.0)
+            / F.col("n_shingles").cast("double"),
+            4,
+        ).alias("overlap_ratio"),
+    )
+    from gcp_de_data_pipeline_cc_spark.operators import similarity as sim
+
+    codes = sim.portable_lsh_buckets(
+        emb, "vec_id", n_tables=1, bits=8, dim=64
+    ).select("vec_id", "bucket")
+    v = (
+        sim.as_double_vectors(emb)
+        .select("vec_id", F.col("embedding").alias("vec"))
+        .join(codes, "vec_id")
+        .join(
+            docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+        )
+    )
+    v = v.localCheckpoint(eager=False)  # both join sides
+    t_side = v.filter(F.col("source") != "src0").alias("t")
+    e_side = v.filter(F.col("source") == "src0").alias("e")
+    cos = (
+        sim._dot(F.col("t.vec"), F.col("e.vec"))
+        / sim._norm(F.col("t.vec"))
+        / sim._norm(F.col("e.vec"))
+    )
+    sem = (
+        t_side.join(e_side, F.col("t.bucket") == F.col("e.bucket"))
+        .select(
+            F.col("t.vec_id").alias("doc_id"),
+            roundn(cos, 6).alias("cosine"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("cosine").alias("nearest_eval_cosine"))
+    )
+    rep = ngram.join(sem, "doc_id", "left").select(
+        "doc_id",
+        "overlap_ratio",
+        "nearest_eval_cosine",
+        (F.col("overlap_ratio") >= _DCR_NGRAM).cast("int").alias("ngram_flag"),
+        F.coalesce(
+            (F.col("nearest_eval_cosine") >= _DCR_COS).cast("int"), F.lit(0)
+        ).alias("semantic_flag"),
+    )
+    verdict = (
+        F.when((F.col("ngram_flag") == 1) & (F.col("semantic_flag") == 1), "both")
+        .when(F.col("ngram_flag") == 1, "ngram")
+        .when(F.col("semantic_flag") == 1, "semantic")
+        .otherwise("clean")
+    )
+    return (
+        rep.withColumn("verdict", verdict)
+        .orderBy(F.desc("overlap_ratio"), "doc_id")
+        .limit(200)
+    )
