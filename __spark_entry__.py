@@ -88,6 +88,7 @@ _COMPONENT_FIRST = (
     "ts_anomaly_stl_residual", "scd6_merge",
     "er_match_ensemble", "inventory_running_balance",
     "histogram_equidepth", "decontaminate_report",
+    "ops_schema_evolution_compat", "fn_date_multiformat",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -418,3 +418,112 @@ def ops_column_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's recursion depth guard rather than looping (and cycles are
     a modeling bug this query surfaces via exploding n_paths)."""
     return spark.sql(_lineage_sql())
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution compatibility classifier (r5i wave)
+# ---------------------------------------------------------------------------
+
+#: (version, column, type, has_default) — two successive versions of the
+#: staging orders schema (reference pipeline tier), with the classic
+#: change set: widened type, added-with-default, added-required, dropped
+_SCHEMA_V1 = (
+    ("o_orderkey", "int", 0),
+    ("o_custkey", "int", 0),
+    ("o_totalprice", "float", 0),
+    ("o_orderdate", "date", 0),
+    ("o_comment", "string", 0),
+)
+_SCHEMA_V2 = (
+    ("o_orderkey", "long", 0),       # widened — backward-compatible
+    ("o_custkey", "int", 0),         # unchanged
+    ("o_totalprice", "double", 0),   # widened
+    ("o_orderdate", "date", 0),      # unchanged
+    ("o_channel", "string", 1),      # added WITH default — backward ok
+    ("o_region", "string", 0),       # added REQUIRED — breaks backward
+)                                     # o_comment dropped — breaks forward
+
+#: widenings considered safe promotions (reader of old type accepts new)
+_WIDEN = (("int", "long"), ("float", "double"), ("int", "double"))
+
+
+def _schema_compat_sql() -> str:
+    v1 = ", ".join(f"('{c}', '{t}', {d})" for c, t, d in _SCHEMA_V1)
+    v2 = ", ".join(f"('{c}', '{t}', {d})" for c, t, d in _SCHEMA_V2)
+    widen = ", ".join(f"('{a}', '{b}')" for a, b in _WIDEN)
+    return f"""
+    WITH v1(col, typ, has_default) AS (VALUES {v1}),
+    v2(col, typ, has_default) AS (VALUES {v2}),
+    widen(f, t) AS (VALUES {widen}),
+    j AS (
+        SELECT COALESCE(v1.col, v2.col) AS col,
+               v1.typ AS typ_old, v2.typ AS typ_new,
+               v2.has_default AS new_default,
+               v1.col IS NOT NULL AS in_old,
+               v2.col IS NOT NULL AS in_new
+        FROM v1 FULL JOIN v2 ON v1.col = v2.col),
+    cls AS (
+        SELECT col, typ_old, typ_new,
+               CASE
+                 WHEN in_old AND in_new AND typ_old = typ_new
+                   THEN 'unchanged'
+                 WHEN in_old AND in_new AND EXISTS (
+                     SELECT 1 FROM widen w
+                     WHERE w.f = typ_old AND w.t = typ_new)
+                   THEN 'widened'
+                 WHEN in_old AND in_new THEN 'type_changed'
+                 WHEN NOT in_old AND new_default = 1 THEN 'added_default'
+                 WHEN NOT in_old THEN 'added_required'
+                 ELSE 'dropped'
+               END AS change,
+               CASE
+                 WHEN in_old AND in_new AND typ_old = typ_new THEN TRUE
+                 WHEN in_old AND in_new AND EXISTS (
+                     SELECT 1 FROM widen w
+                     WHERE w.f = typ_old AND w.t = typ_new) THEN TRUE
+                 WHEN in_old AND in_new THEN FALSE
+                 WHEN NOT in_old AND new_default = 1 THEN TRUE
+                 WHEN NOT in_old THEN FALSE
+                 ELSE TRUE
+               END AS backward_ok,
+               CASE
+                 WHEN in_old AND in_new AND typ_old = typ_new THEN TRUE
+                 WHEN in_old AND in_new THEN FALSE
+                 WHEN NOT in_old THEN TRUE
+                 ELSE FALSE
+               END AS forward_ok
+        FROM j)
+    SELECT col, typ_old, typ_new, change, backward_ok, forward_ok,
+           (SELECT CASE WHEN bool_and(backward_ok) AND
+                             bool_and(forward_ok) THEN 'FULL'
+                        WHEN bool_and(backward_ok) THEN 'BACKWARD'
+                        WHEN bool_and(forward_ok) THEN 'FORWARD'
+                        ELSE 'NONE' END
+            FROM cls) AS table_compat
+    FROM cls
+    ORDER BY col
+    """
+
+
+@query("ops_schema_evolution_compat", oracle=_schema_compat_sql())
+def ops_schema_evolution_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platform ops — the SCHEMA-REGISTRY compatibility classifier:
+    diff two schema versions column by column (unchanged / widened /
+    type_changed / added_default / added_required / dropped), decide
+    per column whether OLD readers survive NEW data (backward) and NEW
+    readers survive OLD data (forward), and roll the table verdict up
+    to FULL / BACKWARD / FORWARD / NONE — the compatibility-mode gate a
+    schema registry enforces before accepting an evolution
+    (`schema_evolution_read` exercises the mergeSchema READ mechanics;
+    this is the admission DECISION).  Rules: widening promotions are
+    backward-safe; added-with-default is backward-safe; added-required
+    breaks backward; any drop breaks forward; in-place type change
+    breaks both.
+
+    Identical SQL text both engines; all decisions are string/boolean
+    algebra on schema metadata — nothing to quantize.
+
+    100 TB: schemas are metadata — invariant to data volume; the same
+    classifier runs over a thousand-table registry as a dim-sized
+    relation."""
+    return spark.sql(_schema_compat_sql())

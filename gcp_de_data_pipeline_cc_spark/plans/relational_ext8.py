@@ -1439,3 +1439,95 @@ def er_match_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-format date parsing battery (r5i wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_date_multiformat",
+    oracle="""
+    WITH dirty AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 17 = 0 THEN 'not-a-date'
+                    WHEN o_orderkey % 4 = 0
+                      THEN strftime(o_orderdate, '%Y-%m-%d')
+                    WHEN o_orderkey % 4 = 1
+                      THEN strftime(o_orderdate, '%m/%d/%Y')
+                    WHEN o_orderkey % 4 = 2
+                      THEN strftime(o_orderdate, '%d.%m.%Y')
+                    ELSE strftime(o_orderdate, '%Y%m%d') END AS raw
+        FROM orders),
+    parsed AS (
+        SELECT o_orderkey, o_orderdate, raw,
+               COALESCE(
+                   CAST(try_strptime(raw, '%Y-%m-%d') AS DATE),
+                   CAST(try_strptime(raw, '%m/%d/%Y') AS DATE),
+                   CAST(try_strptime(raw, '%d.%m.%Y') AS DATE),
+                   CAST(try_strptime(raw, '%Y%m%d') AS DATE)) AS parsed,
+               CASE
+                 WHEN try_strptime(raw, '%Y-%m-%d') IS NOT NULL THEN 'iso'
+                 WHEN try_strptime(raw, '%m/%d/%Y') IS NOT NULL THEN 'us'
+                 WHEN try_strptime(raw, '%d.%m.%Y') IS NOT NULL THEN 'eu'
+                 WHEN try_strptime(raw, '%Y%m%d') IS NOT NULL
+                   THEN 'compact'
+               END AS matched_fmt
+        FROM dirty)
+    SELECT o_orderkey, raw, parsed, matched_fmt,
+           CAST(parsed IS NULL AS INT) AS is_unparsed,
+           CAST(parsed = CAST(o_orderdate AS DATE) AS INT) AS roundtrip_ok
+    FROM parsed
+    ORDER BY o_orderkey
+    """,
+)
+def fn_date_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-extension — the DIRTY-DATE parse battery every landing-zone
+    cleanse runs: a string date column arriving in four formats (ISO,
+    US slash, EU dot, compact) plus outright garbage is resolved by a
+    try-parse CHAIN (first matching format wins, NULL survives as the
+    quarantine marker — never an exception), with the matched format
+    recorded for feed forensics and a roundtrip check against the
+    source-of-truth date.  ``fn_try_safe`` covers arithmetic TRY
+    semantics; this is the date-ingestion application.
+
+    Determinism: the dirty strings derive from o_orderdate by key
+    modulus; separators make the four formats mutually exclusive, so
+    the chain order never flips a match; both engines parse with their
+    native TRY parser (try_to_date / try_strptime) over equivalent
+    patterns.
+
+    100 TB: pure projection — whole-stage-codegen, no shuffle; the
+    try-chain is four pattern matches per row, and the quarantine
+    filter is sargable on the output NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dirty = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("truth"),
+        F.when(k % 17 == 0, F.lit("not-a-date"))
+        .when(k % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 4 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(k % 4 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("raw"),
+    )
+    t = lambda fmt: F.try_to_timestamp(F.col("raw"), F.lit(fmt)).cast("date")
+    parsed = F.coalesce(
+        t("yyyy-MM-dd"), t("MM/dd/yyyy"), t("dd.MM.yyyy"), t("yyyyMMdd")
+    )
+    matched = (
+        F.when(t("yyyy-MM-dd").isNotNull(), "iso")
+        .when(t("MM/dd/yyyy").isNotNull(), "us")
+        .when(t("dd.MM.yyyy").isNotNull(), "eu")
+        .when(t("yyyyMMdd").isNotNull(), "compact")
+    )
+    return dirty.select(
+        "o_orderkey",
+        "raw",
+        parsed.alias("parsed"),
+        matched.alias("matched_fmt"),
+        parsed.isNull().cast("int").alias("is_unparsed"),
+        (parsed == F.col("truth")).cast("int").alias("roundtrip_ok"),
+    ).orderBy("o_orderkey")

@@ -36,6 +36,7 @@ SCRATCH = "/tmp/spark_graft_scale_probe"
 # key columns whose value-space must grow with the replica factor so
 # group/join cardinalities scale instead of just duplicating rows
 _OFFSETS = {
+    "events": {"event_id": 100_000_000, "user_id": 1_000_000},
     "lineitem": {"l_orderkey": 10_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "documents": {"doc_id": 1_000_000},
@@ -220,6 +221,52 @@ def probe_graph_backbone(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def _sfdir(spark, mult: int, tables: tuple[str, ...]) -> str:
+    """Materialize replicas AS a sf-dir layout so registry keys run
+    unmodified over the scaled tables."""
+    d = f"{SCRATCH}/sfdir_x{mult}"
+    for t in tables:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            src = materialize(spark, t, mult)
+            spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    return d
+
+
+def probe_rouge_dp(spark, mult: int) -> float:
+    """eval_rouge_l: per-doc quadratic LCS DP inside array folds —
+    must scale linearly in sampled docs (DP cost per doc is capped)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("documents",))
+    t0 = time.time()
+    REGISTRY["eval_rouge_l"].spark(spark, d).count()
+    return time.time() - t0
+
+
+def probe_clamped_fold(spark, mult: int) -> float:
+    """inventory_running_balance: per-account prefix folds — linear in
+    accounts (day domain fixed)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("events",))
+    t0 = time.time()
+    REGISTRY["inventory_running_balance"].spark(spark, d).count()
+    return time.time() - t0
+
+
+def probe_hit_rate_retrain(spark, mult: int) -> float:
+    """recsys_hit_rate: leave-last-out split + item-CF retrain + eval —
+    the heaviest session composite; brand dim fixed, so the pair space
+    is bounded and cost should track the interaction volume."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("lineitem", "orders", "part"))
+    t0 = time.time()
+    REGISTRY["recsys_hit_rate"].spark(spark, d).count()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -228,12 +275,16 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "market_basket": probe_basket,
           "global_rank_lorenz": probe_global_rank,
           "hard_negatives_bucketed": probe_hard_negatives,
-          "graph_backbone_build": probe_graph_backbone}
+          "graph_backbone_build": probe_graph_backbone,
+          "rouge_lcs_dp": probe_rouge_dp,
+          "clamped_balance_fold": probe_clamped_fold,
+          "hit_rate_retrain": probe_hit_rate_retrain}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-mult", type=int, default=8)
+    ap.add_argument("--only", nargs="*", help="probe-name filter")
     args = ap.parse_args()
     mults = [m for m in (1, 2, 4, 8) if m <= args.max_mult]
 
@@ -249,7 +300,14 @@ def main() -> None:
         },
     )
     results: dict[str, dict[str, float]] = {}
-    for name, fn in PROBES.items():
+    if os.path.exists("scale_probe.json"):
+        with open("scale_probe.json") as f:
+            results = json.load(f).get("results", {})
+    probes = {
+        k: v for k, v in PROBES.items()
+        if not args.only or k in args.only
+    }
+    for name, fn in probes.items():
         fn(spark, 1)  # warm: JIT, parquet footer caches, shuffle services
         for m in mults:
             sec = fn(spark, m)
