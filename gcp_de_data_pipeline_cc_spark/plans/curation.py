@@ -1739,3 +1739,78 @@ def scd6_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# chunked portable table checksums (r5j wave)
+# ---------------------------------------------------------------------------
+
+#: checksum chunks — diff localization granularity
+_CKS_CHUNKS = 16
+
+
+@query(
+    "qc_checksum_chunks",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_orderkey % {_CKS_CHUNKS} AS chunk,
+               CAST(CAST('0x' || SUBSTR(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|' ||
+                   CAST(l_linenumber AS VARCHAR) || '|' ||
+                   CAST(CAST(FLOOR(l_extendedprice * 100.0e0 + 0.5e0)
+                             AS BIGINT) AS VARCHAR)), 1, 12) AS BIGINT)
+                   AS BIGINT) AS rh
+        FROM lineitem)
+    SELECT CAST(chunk AS INT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_checksum,
+           CAST(SUM(rh % 1000003) AS BIGINT) AS sum_checksum
+    FROM h GROUP BY chunk
+    ORDER BY chunk
+    """,
+)
+def qc_checksum_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC tier — CHUNKED order-insensitive table checksums, the
+    cross-system reconciliation primitive (it is the same idea the
+    verification driver itself uses to compare this repo against
+    DuckDB): every row canonicalizes to a delimited string of its key
+    and quantized measures, hashes portably (md5-prefix → int48), and
+    folds per CHUNK (key mod {c}) under two order-free combiners — XOR
+    (cheap, localizes single-row diffs) and a modular SUM (catches the
+    paired-flip XOR misses).  Two replicas agree iff all chunk rows
+    match; a mismatch names the chunk to re-sync — no row-level data
+    movement until then.
+
+    Exactness: int48 hashes are exact in int64; XOR and mod-sums are
+    associative/commutative — partition-order-free by construction.
+
+    100 TB: one narrow projection + one map-side-combined groupBy to
+    {c} rows; chunk count is the localization/width knob (a real
+    deployment keys chunks on the table's partition scheme so a chunk
+    re-sync is one partition swap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return (
+        li.select(
+            (F.col("l_orderkey") % _CKS_CHUNKS).cast("int").alias("chunk"),
+            rh.alias("rh"),
+        )
+        .groupBy("chunk")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(rh)").cast("long").alias("xor_checksum"),
+            F.sum(F.col("rh") % 1000003).cast("long").alias("sum_checksum"),
+        )
+        .orderBy("chunk")
+    )
+
+
+qc_checksum_chunks.__doc__ = qc_checksum_chunks.__doc__.format(c=_CKS_CHUNKS)

@@ -1540,3 +1540,117 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("overlap_ratio"), "doc_id")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time feature-store join (r5j wave)
+# ---------------------------------------------------------------------------
+
+#: label sample keeps the training set bounded for the driver compare
+_PIT_SAMPLE = 20
+
+#: windowed-feature lookback (days, label-date exclusive)
+_PIT_LOOKBACK = 90
+
+#: label: "large order" threshold in cents
+_PIT_LABEL_CENTS = 15_000_000
+
+
+@query(
+    "featurestore_point_in_time",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents,
+               date_diff('day', DATE '1990-01-01',
+                         CAST(o_orderdate AS DATE)) AS dnum
+        FROM orders),
+    f AS (
+        SELECT o.*,
+               LAG(cents) OVER w AS feat_prev_total_cents,
+               dnum - LAG(dnum) OVER w AS feat_days_since_prev,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY dnum
+                   RANGE BETWEEN {_PIT_LOOKBACK} PRECEDING
+                             AND 1 PRECEDING) AS BIGINT)
+                   AS feat_orders_90d
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey))
+    SELECT o_orderkey, o_custkey, o_orderdate AS label_date,
+           CAST(cents >= {_PIT_LABEL_CENTS} AS INT) AS label,
+           feat_prev_total_cents,
+           CAST(feat_days_since_prev AS BIGINT) AS feat_days_since_prev,
+           feat_orders_90d
+    FROM f
+    WHERE o_orderkey % {_PIT_SAMPLE} = 0
+    ORDER BY o_orderkey
+    """,
+)
+def featurestore_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — the POINT-IN-TIME-correct training-set assembly
+    every feature store exists to guarantee: for each label event
+    (sampled orders; label = large-order flag), attach features
+    computed ONLY from strictly-earlier events of the same entity —
+    the previous order's total and recency (as-of feature) and the
+    {lb}-day trailing order count, label-date EXCLUSIVE (windowed
+    feature).  Computing features at serving time with ≤ instead of <
+    is the classic label-leakage bug; every frame here ends at
+    1 PRECEDING.
+
+    Exactness: features are integer cents / day counts off
+    deterministic (date, key) event ordering — nothing to quantize.
+
+    100 TB: features come from windows over the entity's OWN history —
+    one hash exchange on the entity key serves both the lag and the
+    range frame; labels are a filter of the same relation, so the
+    fact is scanned once; additional feature tables join the same
+    shape (as-of per entity), never a per-label re-scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).alias(
+            "dnum"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("dnum")
+        .rangeBetween(-_PIT_LOOKBACK, -1)
+    )
+    f = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "cents",
+        F.lag("cents").over(w).alias("feat_prev_total_cents"),
+        (F.col("dnum") - F.lag("dnum").over(w)).cast("long").alias(
+            "feat_days_since_prev"
+        ),
+        F.count("*").over(wr).cast("long").alias("feat_orders_90d"),
+    )
+    return (
+        f.filter(F.col("o_orderkey") % _PIT_SAMPLE == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").alias("label_date"),
+            (F.col("cents") >= _PIT_LABEL_CENTS).cast("int").alias("label"),
+            "feat_prev_total_cents",
+            "feat_days_since_prev",
+            "feat_orders_90d",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+featurestore_point_in_time.__doc__ = featurestore_point_in_time.__doc__.format(
+    lb=_PIT_LOOKBACK
+)
