@@ -1814,3 +1814,91 @@ def qc_checksum_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 qc_checksum_chunks.__doc__ = qc_checksum_chunks.__doc__.format(c=_CKS_CHUNKS)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-payment audit (r5k wave)
+# ---------------------------------------------------------------------------
+
+#: near-duplicate bands: amount within _DUP_CENTS, dates within _DUP_DAYS
+_DUP_CENTS = 100
+_DUP_DAYS = 3
+
+
+@query(
+    "qc_duplicate_payments",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents
+        FROM orders)
+    SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           CAST(ABS(date_diff('day', a.d, b.d)) AS BIGINT) AS day_gap,
+           CAST(ABS(a.cents - b.cents) AS BIGINT) AS amount_gap_cents,
+           CAST(a.cents = b.cents AS INT) AS exact_amount
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND ABS(a.cents - b.cents) <= {_DUP_CENTS}
+     AND ABS(date_diff('day', a.d, b.d)) <= {_DUP_DAYS}
+    ORDER BY a.o_custkey, key_a, key_b
+    """,
+)
+def qc_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC tier — the DUPLICATE-PAYMENT audit every AP/finance review
+    runs: pairs of orders by the SAME customer whose amounts sit within
+    ${d}.00 and dates within {dd} days — the double-submit /
+    double-capture signature (exact same-amount pairs flagged
+    separately; near-amounts catch fee-adjusted resubmits).  The fuzzy
+    sibling of ``qc_uniqueness`` (exact key dups) on the MEASURE axis.
+
+    Exactness: amounts are integer cents, gaps integer — the bands are
+    integer comparisons.
+
+    100 TB: the self-join is an EQUI-join on the customer key (the
+    band predicates evaluate inside the match), so candidate fan-out
+    is Σ|orders-per-customer|² — entity-bounded, never all-pairs; AQE
+    skew-split covers whale accounts.  A date-bucket composite key
+    ((cust, epoch_week)) is the swap if per-entity order counts grow
+    unbounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    gap_c = F.abs(F.col("a.cents") - F.col("b.cents"))
+    gap_d = F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (gap_c <= _DUP_CENTS)
+            & (gap_d <= _DUP_DAYS),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.cents").alias("cents_a"),
+            F.col("b.cents").alias("cents_b"),
+            gap_d.cast("long").alias("day_gap"),
+            gap_c.cast("long").alias("amount_gap_cents"),
+            (F.col("a.cents") == F.col("b.cents")).cast("int").alias(
+                "exact_amount"
+            ),
+        )
+        .orderBy("o_custkey", "key_a", "key_b")
+    )
+
+
+qc_duplicate_payments.__doc__ = qc_duplicate_payments.__doc__.format(
+    d=_DUP_CENTS // 100, dd=_DUP_DAYS
+)

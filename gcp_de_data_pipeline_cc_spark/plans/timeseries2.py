@@ -855,3 +855,146 @@ def inventory_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("clamped"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# dominant-period detection (r5k wave)
+# ---------------------------------------------------------------------------
+
+#: candidate periods scanned (days)
+_PD_MIN, _PD_MAX = 2, 14
+
+#: integer down-scaling of daily cents so squared sums stay in int64
+#: (cents ~1e9 at sf0.1 -> kilocents ~1e6; v² ~1e12 × 3650 days OK;
+#: at 100× data raise the divisor — the documented knob)
+_PD_DIV = 1000
+
+
+@query(
+    "ts_period_detect",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_diff('day', DATE '1990-01-01', CAST(ts AS DATE))
+                   AS dnum,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    // {_PD_DIV} AS BIGINT) AS v
+        FROM events GROUP BY 1),
+    grid AS (SELECT UNNEST(range({_PD_MIN}, {_PD_MAX} + 1)) AS k),
+    pairs AS (
+        SELECT g.k, a.v AS x, b.v AS y
+        FROM d a CROSS JOIN grid g
+        JOIN d b ON b.dnum = a.dnum - g.k),
+    mom AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY k),
+    acf AS (
+        SELECT CAST(k AS INT) AS lag_days, m,
+               FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                            * CAST(m * syy - sy * sy AS DOUBLE))
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS acf
+        FROM mom),
+    best AS (
+        SELECT lag_days AS det FROM acf
+        ORDER BY acf DESC, lag_days LIMIT 1)
+    SELECT a.lag_days, a.m AS n_pairs, a.acf,
+           CAST(a.lag_days = b.det AS INT) AS is_dominant,
+           CAST(b.det AS INT) AS detected_period
+    FROM acf a CROSS JOIN best b
+    ORDER BY a.lag_days
+    """,
+)
+def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — DOMINANT-PERIOD detection: the lagged Pearson
+    autocorrelation of the daily revenue series scanned over candidate
+    periods {lo}..{hi} days, argmax = the detected seasonality — the
+    diagnostic that DECIDES the season length ts_holt_winters /
+    ts_seasonal_baseline assume (they hardcode 7; this measures it).
+
+    Exactness: daily cents are integer-downscaled (DIV {dv}) so every
+    co-moment sum (m·Σxy − Σx·Σy form) is EXACT int64 — unlike a
+    corr() aggregate, summation order cannot move the argmax; the one
+    float step (divide by the sqrt of the exact variance product) is a
+    fixed scalar tree per lag, quantized at 1e-6 BEFORE the argmax
+    with a lag tie-break.
+
+    100 TB: the feed collapses to day grain map-side; the lag pairing
+    is |days|×{nl} rows via the dnum equi-join; moments are map-side
+    combined to {nl} rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1990-01-01").cast("date")).alias(
+            "dnum"
+        )
+    ).agg(
+        F.expr(
+            f"CAST(SUM(CAST(FLOOR(value * 100.0D + 0.5D) AS LONG))"
+            f" DIV {_PD_DIV} AS LONG)"
+        ).alias("v")
+    )
+    d = d.localCheckpoint(eager=False)  # both pairing sides
+    grid = spark.range(_PD_MIN, _PD_MAX + 1).select(
+        F.col("id").alias("k")
+    )
+    pairs = (
+        d.alias("a")
+        .crossJoin(F.broadcast(grid))
+        .join(
+            d.alias("b"),
+            F.col("b.dnum") == F.col("a.dnum") - F.col("k"),
+        )
+        .select("k", F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    )
+    mom = pairs.groupBy("k").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    acf = mom.select(
+        F.col("k").cast("int").alias("lag_days"),
+        F.col("m"),
+        roundn(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("acf"),
+    )
+    acf = acf.localCheckpoint(eager=False)  # argmax + rows consumers
+    best = acf.orderBy(F.desc("acf"), "lag_days").limit(1).select(
+        F.col("lag_days").alias("det")
+    )
+    return (
+        acf.crossJoin(F.broadcast(best))
+        .select(
+            "lag_days",
+            F.col("m").alias("n_pairs"),
+            "acf",
+            (F.col("lag_days") == F.col("det")).cast("int").alias(
+                "is_dominant"
+            ),
+            F.col("det").cast("int").alias("detected_period"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+ts_period_detect.__doc__ = ts_period_detect.__doc__.format(
+    lo=_PD_MIN, hi=_PD_MAX, dv=_PD_DIV, nl=_PD_MAX - _PD_MIN + 1
+)
