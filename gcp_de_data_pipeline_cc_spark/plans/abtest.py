@@ -476,3 +476,177 @@ def ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         roundn(F.col("var_a") / F.col("var_b"), 6).alias("var_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# ab_power_mde — required-sample-size / minimum-detectable-effect
+# --------------------------------------------------------------------------
+
+#: z quantiles as 6-dp literals (alpha=5% two-sided, 80% power) — libm
+#: stays out of the engines; the constants are part of the contract
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+
+#: target effect sizes as fractions of the control mean
+_MDE_FRACS = (0.01, 0.02, 0.05, 0.10)
+
+
+def _power_oracle() -> str:
+    fracs = ", ".join(f"({f!r}e0)" for f in _MDE_FRACS)
+    zz = f"({_Z_ALPHA}e0 + {_Z_BETA}e0)"
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts)
+                                           > {_PRE_DAY_MAX}
+                   THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS y_c,
+               CASE WHEN SUBSTR(md5('arm:' || CAST(user_id AS VARCHAR)),
+                                1, 1) < '8' THEN 1 ELSE 0 END AS is_a
+        FROM events GROUP BY user_id),
+    m AS (
+        SELECT
+            CAST(SUM(is_a) AS BIGINT) AS na,
+            CAST(SUM(1 - is_a) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN is_a = 1 THEN y_c ELSE 0 END) AS BIGINT)
+                AS sa,
+            CAST(SUM(CASE WHEN is_a = 0 THEN y_c ELSE 0 END) AS BIGINT)
+                AS sb,
+            CAST(SUM(CASE WHEN is_a = 1 THEN y_c * y_c ELSE 0 END)
+                 AS BIGINT) AS ssa,
+            CAST(SUM(CASE WHEN is_a = 0 THEN y_c * y_c ELSE 0 END)
+                 AS BIGINT) AS ssb
+        FROM per_user),
+    v AS (
+        SELECT na, nb,
+               CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+               ((CAST(ssa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                   / CAST(na AS DOUBLE))
+                + (CAST(ssb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                     / CAST(nb AS DOUBLE)))
+               / CAST(na + nb - 2 AS DOUBLE) AS var_p
+        FROM m),
+    grid(frac) AS (VALUES {fracs})
+    SELECT g.frac,
+           CAST(FLOOR(g.frac * v.mean_b + 0.5e0) AS BIGINT)
+               AS delta_cents,
+           CAST(CEIL(2.0e0 * v.var_p * {zz} * {zz}
+                     / ((g.frac * v.mean_b) * (g.frac * v.mean_b)))
+                AS BIGINT) AS required_n_per_arm,
+           LEAST(v.na, v.nb) AS n_have_per_arm,
+           CAST(CEIL(2.0e0 * v.var_p * {zz} * {zz}
+                     / ((g.frac * v.mean_b) * (g.frac * v.mean_b)))
+                <= LEAST(v.na, v.nb) AS INT) AS is_powered,
+           CAST(FLOOR({zz} * sqrt(v.var_p
+                              * (1.0e0 / CAST(v.na AS DOUBLE)
+                                 + 1.0e0 / CAST(v.nb AS DOUBLE)))
+                      + 0.5e0) AS BIGINT) AS mde_now_cents
+    FROM grid g CROSS JOIN v
+    ORDER BY g.frac
+    """
+
+
+@query("ab_power_mde", oracle=_power_oracle())
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation tier — the POWER / sample-size planner every
+    platform shows before a test launches: from the observed metric
+    variance (pooled, exact int64 moment sums — same per-user
+    integer-cent metric and arms as ``ab_cuped``), the required users
+    per arm to detect a 1/2/5/10% lift at α=5% (two-sided) with 80%
+    power — n = 2σ²(z_α+z_β)²/Δ² — plus the minimum detectable effect
+    at the CURRENT sample (the "what can this test even see" number).
+
+    Exactness: z quantiles are fixed 6-dp literals (libm stays out);
+    everything downstream is a fixed scalar tree over six exact
+    integers, with integer CEIL/FLOOR at the readouts.
+
+    100 TB: one user-grain pass + a one-row collapse; the MDE grid is
+    a 4-row literal dim."""
+    ev = load_table(spark, sf_dir, "events")
+    y_c = F.coalesce(
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") > _PRE_DAY_MAX,
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+    ).cast("long")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        1,
+    ).otherwise(0)
+    per_user = ev.groupBy("user_id").agg(y_c.alias("y_c")).withColumn(
+        "is_a", arm
+    )
+    m = per_user.agg(
+        F.sum("is_a").cast("long").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("nb"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("y_c")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("y_c")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(
+            F.when(F.col("is_a") == 1, F.col("y_c") * F.col("y_c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ssa"),
+        F.sum(
+            F.when(F.col("is_a") == 0, F.col("y_c") * F.col("y_c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ssb"),
+    )
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    mean_b = F.col("sb").cast("double") / nb_d
+    var_p = (
+        (
+            F.col("ssa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa").cast("double") / na_d
+        )
+        + (
+            F.col("ssb").cast("double")
+            - F.col("sb").cast("double") * F.col("sb").cast("double") / nb_d
+        )
+    ) / (F.col("na") + F.col("nb") - 2).cast("double")
+    v = m.select("na", "nb", mean_b.alias("mean_b"), var_p.alias("var_p"))
+    grid = spark.createDataFrame(
+        [(f,) for f in _MDE_FRACS], "frac double"
+    )
+    zz = F.lit(_Z_ALPHA + _Z_BETA)
+    delta = F.col("frac") * F.col("mean_b")
+    req = F.ceil(
+        F.lit(2.0) * F.col("var_p") * zz * zz / (delta * delta)
+    ).cast("long")
+    return (
+        grid.crossJoin(F.broadcast(v))
+        .select(
+            "frac",
+            F.floor(delta + F.lit(0.5)).cast("long").alias("delta_cents"),
+            req.alias("required_n_per_arm"),
+            F.least("na", "nb").alias("n_have_per_arm"),
+            (req <= F.least("na", "nb")).cast("int").alias("is_powered"),
+            F.floor(
+                zz
+                * F.sqrt(
+                    F.col("var_p")
+                    * (F.lit(1.0) / na_d + F.lit(1.0) / nb_d)
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mde_now_cents"),
+        )
+        .orderBy("frac")
+    )

@@ -2945,3 +2945,167 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_whitening.__doc__ = embedding_whitening.__doc__.format(
     d=_WHITEN_DIM
 )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka prefix-dimension retrieval eval (r5l wave)
+# ---------------------------------------------------------------------------
+
+#: prefix widths evaluated against the full 64-dim exact ranking
+_MRL_DIMS = (16, 32)
+
+
+def _prefix_dims_oracle() -> str:
+    per_dim = []
+    for d in _MRL_DIMS:
+        per_dim.append(f"""
+    pre{d} AS (
+        SELECT query_id, nid FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.vec[1:{d}], c.vec[1:{d}])
+                                / sqrt(list_dot_product(q.vec[1:{d}],
+                                                        q.vec[1:{d}]))
+                                / sqrt(list_dot_product(c.vec[1:{d}],
+                                                        c.vec[1:{d}])) DESC,
+                                c.vec_id) AS rnk
+            FROM q JOIN c ON c.vec_id <> q.vec_id)
+        WHERE rnk <= 10),
+    hit{d} AS (
+        SELECT e.query_id,
+               CAST(COUNT(p.nid) AS BIGINT) AS n_hit,
+               CAST(MIN(CASE WHEN p.nid IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS _dummy
+        FROM ex e LEFT JOIN pre{d} p
+          ON p.query_id = e.query_id AND p.nid = e.nid
+        GROUP BY e.query_id),
+    agg{d} AS (
+        SELECT CAST({d} AS INT) AS prefix_dim,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+               CAST(MIN(n_hit) AS BIGINT) AS worst_hits
+        FROM hit{d})""")
+    unions = " UNION ALL ".join(f"SELECT * FROM agg{d}" for d in _MRL_DIMS)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    c AS (SELECT * FROM v),
+    ex AS (
+        SELECT query_id, nid FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.vec, c.vec)
+                                / sqrt(list_dot_product(q.vec, q.vec))
+                                / sqrt(list_dot_product(c.vec, c.vec)) DESC,
+                                c.vec_id) AS rnk
+            FROM q JOIN c ON c.vec_id <> q.vec_id)
+        WHERE rnk <= 10),{",".join(per_dim)}
+    SELECT prefix_dim, n_queries, total_hits,
+           FLOOR(total_hits * 1.0e0 / (10 * n_queries)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS recall_at_10,
+           FLOOR(worst_hits * 1.0e0 / 10.0e0
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS worst_query_recall
+    FROM ({unions})
+    ORDER BY prefix_dim
+    """
+
+
+@query("embedding_prefix_dims_eval", oracle=_prefix_dims_oracle())
+def embedding_prefix_dims_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity tier, ADAPTIVE-DIMENSION rung — the Matryoshka
+    evaluation (Kusupati et al. 2022: prefixes of an embedding are
+    themselves usable embeddings; serving stacks retrieve with a short
+    prefix and rerank with the full vector): recall@10 of the
+    {dims}-dim PREFIX cosine rankings against the exact 64-dim top-10,
+    per-query hits aggregated to mean and worst-query recall — the
+    evidence table for choosing the serving prefix width (the
+    quantization sibling is ``embedding_quantize_eval``: bytes-per-dim
+    there, dims-per-vector here).
+
+    Exactness: all cosines are identical left-fold dot products both
+    engines; rankings tie-break on the neighbor id; recalls are exact
+    integer hit counts with single quantized divisions.
+
+    100 TB: the query side is the sampled bounded set (broadcast); the
+    candidate pass is rank-per-query WindowGroupLimited; at scale the
+    prefix ranking IS the cheap first stage (a d-dim scan costs d/64
+    of the full GEMM) and this eval prices that saving in recall."""
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double_vectors,
+    )
+
+    emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", F.col("embedding").alias("vec"))
+    v = v.localCheckpoint(eager=False)  # all rankings
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    pairs = pairs.localCheckpoint(eager=False)  # one pass per ranking
+    wq = Window.partitionBy("query_id")
+
+    def top10(score_col):
+        return (
+            pairs.select(
+                "query_id", F.col("vec_id").alias("nid"), score_col.alias("sc")
+            )
+            .withColumn(
+                "rnk",
+                F.row_number().over(wq.orderBy(F.desc("sc"), F.asc("nid"))),
+            )
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "nid")
+        )
+
+    full_sc = _dot(F.col("qv"), F.col("vec")) / _norm(F.col("qv")) / _norm(
+        F.col("vec")
+    )
+    ex = top10(full_sc)
+    ex = ex.localCheckpoint(eager=False)  # one join per prefix width
+    out = None
+    for d in _MRL_DIMS:
+        qp, cp = F.slice(F.col("qv"), 1, d), F.slice(F.col("vec"), 1, d)
+        sc = _dot(qp, cp) / _norm(qp) / _norm(cp)
+        pre = top10(sc)
+        hit = (
+            ex.alias("e")
+            .join(
+                pre.alias("p"),
+                (F.col("p.query_id") == F.col("e.query_id"))
+                & (F.col("p.nid") == F.col("e.nid")),
+                "left",
+            )
+            .groupBy(F.col("e.query_id").alias("query_id"))
+            .agg(F.count(F.col("p.nid")).cast("long").alias("n_hit"))
+        )
+        agg = hit.agg(
+            F.lit(d).cast("int").alias("prefix_dim"),
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("n_hit").cast("long").alias("total_hits"),
+            F.min("n_hit").cast("long").alias("worst_hits"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "prefix_dim",
+        "n_queries",
+        "total_hits",
+        roundn(
+            F.col("total_hits")
+            * F.lit(1.0)
+            / (F.lit(10.0) * F.col("n_queries").cast("double")),
+            6,
+        ).alias("recall_at_10"),
+        roundn(F.col("worst_hits") * F.lit(1.0) / F.lit(10.0), 6).alias(
+            "worst_query_recall"
+        ),
+    ).orderBy("prefix_dim")
+
+
+embedding_prefix_dims_eval.__doc__ = embedding_prefix_dims_eval.__doc__.format(
+    dims="/".join(str(d) for d in _MRL_DIMS)
+)
