@@ -92,6 +92,7 @@ _COMPONENT_FIRST = (
     "featurestore_point_in_time", "qc_checksum_chunks",
     "qc_duplicate_payments", "ts_period_detect",
     "ab_power_mde", "embedding_prefix_dims_eval",
+    "qc_config_rules", "sql_hints",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -11,6 +11,9 @@ double→string casts are not portable across engines.
 
 from __future__ import annotations
 
+import json
+import os
+
 import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1902,3 +1905,135 @@ def qc_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
 qc_duplicate_payments.__doc__ = qc_duplicate_payments.__doc__.format(
     d=_DUP_CENTS // 100, dd=_DUP_DAYS
 )
+
+
+# ---------------------------------------------------------------------------
+# config-driven QC rule runner (r5m wave)
+# ---------------------------------------------------------------------------
+
+_QC_RULES_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "configs",
+    "qc_rules.json",
+)
+
+
+def _load_qc_rules(path: str | None = None) -> dict:
+    with open(path or _QC_RULES_PATH) as f:
+        return json.load(f)
+
+
+@query(
+    "qc_config_rules",
+    oracle="""
+    WITH checks AS (
+        SELECT 'r1' AS rule_id, 'orders' AS tbl, 'min_rows' AS rule,
+               CAST(NULL AS VARCHAR) AS col,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM orders) >= 100
+                    THEN 0 ELSE 1 END AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'r2', 'orders', 'not_null', 'o_orderkey',
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+        UNION ALL
+        SELECT 'r3', 'orders', 'unique', 'o_orderkey',
+               (SELECT COALESCE(SUM(c - 1), 0) FROM (
+                   SELECT COUNT(*) AS c FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        UNION ALL
+        SELECT 'r4', 'orders', 'accepted_values', 'o_orderstatus',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderstatus IS NULL
+                   OR o_orderstatus NOT IN ('F', 'O', 'P'))
+        UNION ALL
+        SELECT 'r5', 'orders', 'range', 'o_totalprice',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_totalprice IS NULL
+                   OR o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+        UNION ALL
+        SELECT 'r6', 'customer', 'not_null', 'c_custkey',
+               (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL)
+        UNION ALL
+        SELECT 'r7', 'customer', 'relationship', 'c_nationkey',
+               (SELECT COUNT(*) FROM customer c
+                WHERE c.c_nationkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey)))
+    SELECT rule_id, tbl, rule, col, n_violations,
+           CAST(n_violations = 0 AS INT) AS passed
+    FROM checks ORDER BY rule_id
+    """,
+)
+def qc_config_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC tier — the CONFIG-DRIVEN rule runner (dbt's
+    ``schema.yml``-tests / the reference's ``pipeline_config.yaml`` QC
+    block, executed warehouse-side): checks are DECLARED in the
+    checked-in ``configs/qc_rules.json`` (min_rows / not_null / unique
+    / accepted_values / range / relationship) and a single generic
+    runner compiles each into an aggregate over its table — adding a
+    check is a config edit, not code.  The oracle mirrors the
+    checked-in config literally (the config IS the contract — the
+    same discipline as ``end_to_end_pipeline``).
+
+    Exactness: every verdict is an integer violation count.
+
+    100 TB: each rule is one aggregate with map-side combine (the
+    unique rule one groupBy); rules on the same table can share a scan
+    via ``qc_observe_metrics``' Observation pattern when the suite
+    grows; the runner never collects rows — only counts."""
+    cfg = _load_qc_rules()
+    tables = {
+        name: load_table(spark, sf_dir, name)
+        for name in {r["table"] for r in cfg["rules"]}
+        | {r["to_table"] for r in cfg["rules"] if "to_table" in r}
+    }
+    out = []
+    for r in cfg["rules"]:
+        df = tables[r["table"]]
+        rule = r["rule"]
+        if rule == "min_rows":
+            n = df.count()
+            viol = 0 if n >= r["threshold"] else 1
+        elif rule == "not_null":
+            viol = df.filter(F.col(r["column"]).isNull()).count()
+        elif rule == "unique":
+            viol = (
+                df.groupBy(r["column"])
+                .count()
+                .filter(F.col("count") > 1)
+                .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)))
+                .collect()[0][0]
+            )
+        elif rule == "accepted_values":
+            viol = df.filter(
+                F.col(r["column"]).isNull()
+                | ~F.col(r["column"]).isin(*r["values"])
+            ).count()
+        elif rule == "range":
+            c = F.col(r["column"])
+            viol = df.filter(
+                c.isNull() | (c < r["min"]) | (c > r["max"])
+            ).count()
+        elif rule == "relationship":
+            viol = (
+                df.filter(F.col(r["column"]).isNotNull())
+                .join(
+                    tables[r["to_table"]].select(
+                        F.col(r["to_column"]).alias(r["column"])
+                    ),
+                    r["column"],
+                    "left_anti",
+                )
+                .count()
+            )
+        else:  # config error surfaces loudly, not as a silent pass
+            raise ValueError(f"unknown rule type: {rule}")
+        out.append(
+            (r["id"], r["table"], rule, r.get("column"), int(viol))
+        )
+    return spark.createDataFrame(
+        out,
+        "rule_id string, tbl string, rule string, col string, "
+        "n_violations bigint",
+    ).withColumn(
+        "passed", (F.col("n_violations") == 0).cast("int")
+    ).orderBy("rule_id")

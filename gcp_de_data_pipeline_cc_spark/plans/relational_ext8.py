@@ -1531,3 +1531,52 @@ def fn_date_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.isNull().cast("int").alias("is_unparsed"),
         (parsed == F.col("truth")).cast("int").alias("roundtrip_ok"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# optimizer hints surface (r5m wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0e0 + 0.5e0) AS BIGINT))
+                AS BIGINT) AS bal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension — the OPTIMIZER-HINT surface (`/*+ ... */`): the
+    escape hatch when statistics mislead the planner — here
+    `BROADCAST(n)` pins the dim to a broadcast-hash join and
+    `REPARTITION(8, n_name)` shapes the result's partitioning,
+    inside otherwise-plain SQL.  The RESULT is identical to the
+    unhinted query (the oracle is hint-free — hints must never change
+    semantics, which is exactly what the driver compare certifies);
+    the plan effect is pinned by `tests/test_wave_r5m.py` (a MERGE
+    hint on the same query plans a sort-merge join instead).
+
+    100 TB: hints are the documented LAST resort — AQE's runtime
+    re-plan is the default posture; a pinned BROADCAST of a
+    mis-estimated big side is the classic OOM, so production hints are
+    code-reviewed against table-size budgets."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_h"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_h")
+    return spark.sql("""
+        SELECT /*+ BROADCAST(n), REPARTITION(8, n_name) */
+               n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0D + 0.5D) AS BIGINT))
+                    AS BIGINT) AS bal_cents
+        FROM customer_h c JOIN nation_h n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """)
