@@ -93,6 +93,7 @@ _COMPONENT_FIRST = (
     "qc_duplicate_payments", "ts_period_detect",
     "ab_power_mde", "embedding_prefix_dims_eval",
     "qc_config_rules", "sql_hints",
+    "corpus_data_card", "graph_articulation",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -906,3 +906,181 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_temperature_mix.__doc__ = corpus_temperature_mix.__doc__.format(
     t=_MIX_T, b=_MIX_B
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus data card (r5n wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_data_card",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+        FROM documents),
+    m AS (
+        SELECT doc_id, lang, text,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(list_sum(list_transform(toks, w -> length(w)))
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_filter(toks, w -> w IN ('the', 'a')))
+                    AS BIGINT) AS n_stop,
+               CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '^[a-z]+$')))
+                    AS BIGINT) AS n_alpha
+        FROM t),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(quantile_cont(n_tok, 0.5e0) AS DOUBLE)
+                   AS median_doc_tokens,
+               CAST(SUM(CASE WHEN (n_tok BETWEEN 20 AND 100000)
+                              AND 3 * n_tok <= sum_len
+                              AND sum_len <= 10 * n_tok
+                              AND n_stop >= 2
+                              AND 5 * n_alpha >= 4 * n_tok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+        FROM m),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+        FROM (SELECT UNNEST(toks) AS tok FROM t)),
+    dups AS (
+        SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup_docs
+        FROM (SELECT COUNT(*) AS c FROM t GROUP BY md5(text)
+              HAVING COUNT(*) > 1)),
+    langs AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM t GROUP BY lang
+        ORDER BY n DESC, lang LIMIT 1)
+    SELECT b.n_docs, b.n_tokens,
+           FLOOR(b.n_tokens * 1.0e0 / b.n_docs * 100.0e0 + 0.5e0)
+               / 100.0e0 AS mean_doc_tokens,
+           b.median_doc_tokens,
+           v.vocab_size,
+           FLOOR(v.vocab_size * 1.0e0 / b.n_tokens
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS ttr,
+           d.n_dup_docs,
+           FLOOR(d.n_dup_docs * 1.0e0 / b.n_docs
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS exact_dup_rate,
+           l.lang AS top_lang,
+           FLOOR(l.n * 1.0e0 / b.n_docs * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS top_lang_share,
+           FLOOR(b.n_gopher_pass * 1.0e0 / b.n_docs
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS gopher_pass_rate
+    FROM base b CROSS JOIN vocab v CROSS JOIN dups d CROSS JOIN langs l
+    """,
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data tier CAPSTONE — the DATA CARD (datasheet) a corpus
+    release ships: one row with the census (docs, tokens, mean/median
+    length), the vocabulary size and type-token ratio, the exact-dup
+    count and rate, the dominant language and its share, and the
+    Gopher hard-rule pass rate — every number a reviewer checks before
+    signing off a training-data release, composed from the tier's own
+    signal definitions so the card can never drift from the checks
+    (the gopher expressions here ARE quality_gopher_rules' rules).
+
+    Exactness: all counts exact int64; the five rates/means are single
+    divisions quantized at output; the median is the engines' exact
+    percentile over the doc-length domain; top-lang ties break
+    lexicographically.
+
+    100 TB: two explode passes (token grain) collapse map-side —
+    vocabulary via distinct, everything else pure aggregation; the
+    doc-grain relation is scanned once for census + dup-hash + lang
+    mode.  The card is the cheap pre-flight before the expensive
+    near-dup/decontamination suites run."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda w: w.isin("the", "a")))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    m = m.localCheckpoint(eager=False)  # census + dup + lang consumers
+    gopher = (
+        F.col("n_tok").between(20, 100000)
+        & (F.lit(3) * F.col("n_tok") <= F.col("sum_len"))
+        & (F.col("sum_len") <= F.lit(10) * F.col("n_tok"))
+        & (F.col("n_stop") >= 2)
+        & (F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_tok"))
+    )
+    base = m.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr("percentile(n_tok, 0.5d)").alias("median_doc_tokens"),
+        F.sum(F.when(gopher, 1).otherwise(0)).cast("long").alias(
+            "n_gopher_pass"
+        ),
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("vocab_size"))
+    )
+    dups = (
+        m.groupBy(F.md5("text").alias("h"))
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    langs = (
+        m.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("n").alias("lang_n"))
+    )
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(langs))
+        .select(
+            "n_docs",
+            "n_tokens",
+            roundn(
+                F.col("n_tokens") * F.lit(1.0) / F.col("n_docs").cast("double"),
+                2,
+            ).alias("mean_doc_tokens"),
+            F.col("median_doc_tokens").cast("double").alias(
+                "median_doc_tokens"
+            ),
+            "vocab_size",
+            roundn(
+                F.col("vocab_size")
+                * F.lit(1.0)
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            "n_dup_docs",
+            roundn(
+                F.col("n_dup_docs") * F.lit(1.0) / F.col("n_docs").cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+            "top_lang",
+            roundn(
+                F.col("lang_n") * F.lit(1.0) / F.col("n_docs").cast("double"),
+                6,
+            ).alias("top_lang_share"),
+            roundn(
+                F.col("n_gopher_pass")
+                * F.lit(1.0)
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("gopher_pass_rate"),
+        )
+    )
