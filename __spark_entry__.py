@@ -94,6 +94,7 @@ _COMPONENT_FIRST = (
     "ab_power_mde", "embedding_prefix_dims_eval",
     "qc_config_rules", "sql_hints",
     "corpus_data_card", "graph_articulation",
+    "join_blind_keys", "agg_ratio_of_sums",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -609,3 +609,91 @@ def privacy_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
 privacy_cell_suppression.__doc__ = privacy_cell_suppression.__doc__.format(
     k=_SUP_K
 )
+
+
+# ---------------------------------------------------------------------------
+# blind-key (hashed) join (r5o wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_blind_keys",
+    oracle="""
+    WITH ch AS (
+        SELECT md5('k:' || CAST(c_custkey AS VARCHAR)) AS hk,
+               c_mktsegment
+        FROM customer),
+    oh AS (
+        SELECT md5('k:' || CAST(o_custkey AS VARCHAR)) AS hk,
+               CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents
+        FROM orders),
+    joined AS (
+        SELECT ch.c_mktsegment, oh.cents
+        FROM ch JOIN oh ON oh.hk = ch.hk),
+    audit AS (
+        SELECT CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_hashes,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        FROM customer
+        CROSS JOIN LATERAL (
+            SELECT md5('k:' || CAST(c_custkey AS VARCHAR)) AS hk) t)
+    SELECT j.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(j.cents) AS BIGINT) AS revenue_cents,
+           a.n_keys - a.n_hashes AS n_hash_collisions
+    FROM joined j CROSS JOIN audit a
+    GROUP BY j.c_mktsegment, a.n_keys, a.n_hashes
+    ORDER BY j.c_mktsegment
+    """,
+)
+def join_blind_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy tier — the BLIND-KEY join: two parties link records on a
+    salted HASH of the identifier so the raw key never crosses the
+    trust boundary (the data-clean-room primitive; a production
+    deployment uses keyed HMAC — the salt here stands in for the
+    shared secret).  The revenue-by-segment rollup computes entirely
+    on hashed keys, and the collision audit (distinct keys − distinct
+    hashes) certifies the linkage lost nothing — the check that makes
+    blind joins auditable.
+
+    Exactness: md5 hex is engine-identical; measures are integer
+    cents; the collision audit is exact distinct counts.
+
+    100 TB: the hash is projection-side (whole-stage codegen) so the
+    join is a plain equi-join on a 32-byte key — same shuffle shape as
+    the raw join, 4× the key bytes (xxhash64-of-md5 collapses it back
+    to 8 bytes at scale, collision budget re-audited the same way)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    hk = lambda c: F.md5(F.concat(F.lit("k:"), c.cast("string")))
+    ch = customer.select(
+        hk(F.col("c_custkey")).alias("hk"), "c_mktsegment"
+    )
+    oh = orders.select(
+        hk(F.col("o_custkey")).alias("hk"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    audit = customer.agg(
+        F.countDistinct(hk(F.col("c_custkey"))).cast("long").alias(
+            "n_hashes"
+        ),
+        F.countDistinct("c_custkey").cast("long").alias("n_keys"),
+    )
+    return (
+        ch.join(oh, "hk")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(audit))
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "revenue_cents",
+            (F.col("n_keys") - F.col("n_hashes")).alias("n_hash_collisions"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -828,3 +828,103 @@ def hypothesis_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ratio-of-sums vs mean-of-ratios (r5o wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ratio_of_sums",
+    oracle="""
+    WITH li AS (
+        SELECT s.s_nationkey,
+               CAST(FLOOR(l.l_extendedprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    per AS (
+        SELECT s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(qty) AS BIGINT) AS sum_qty,
+               CAST(SUM((cents * 10000) // qty) AS BIGINT) AS sum_unit_u
+        FROM li GROUP BY 1)
+    SELECT n.n_name, p.n_lines,
+           CAST(FLOOR(CAST(p.sum_cents AS DOUBLE)
+                      / CAST(p.sum_qty AS DOUBLE)
+                      * 10000.0e0 + 0.5e0) AS DOUBLE) / 10000.0e0
+               AS ratio_of_sums,
+           CAST(p.sum_unit_u // p.n_lines AS DOUBLE) / 10000.0e0
+               AS mean_of_ratios,
+           CAST(CAST(FLOOR(CAST(p.sum_cents AS DOUBLE)
+                           / CAST(p.sum_qty AS DOUBLE)
+                           * 10000.0e0 + 0.5e0) AS BIGINT)
+                <> p.sum_unit_u // p.n_lines AS INT) AS metrics_diverge
+    FROM per p JOIN nation n ON n.n_nationkey = p.s_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def agg_ratio_of_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-correctness tier — the RATIO-METRIC definition audit:
+    "unit price per nation" computed BOTH legitimate ways side by side
+    — ratio of sums (Σ revenue / Σ quantity — the volume-weighted
+    business number) and mean of per-line ratios (the per-transaction
+    average) — with a divergence flag.  The two differ whenever price
+    correlates with quantity (they always do), and silently swapping
+    one for the other is among the most common dashboard-regression
+    bugs; this key makes the definition choice an explicit, tested
+    artifact.
+
+    Exactness: per-line unit ratios are integer-quantized ((cents·1e4)
+    DIV qty) BEFORE the cross-line sum, and the mean itself is the
+    integer DIV of that sum (exact end to end); ratio-of-sums divides two exact
+    int64 totals once; the divergence flag compares the two QUANTIZED
+    readouts.
+
+    100 TB: one fact pass with a broadcast dim, map-side combined to
+    nation grain — the cheapest possible shape for both metrics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = li.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+    ).select(
+        "s_nationkey",
+        cents.alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per = base.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.sum(F.expr("(cents * 10000) DIV qty")).cast("long").alias(
+            "sum_unit_u"
+        ),
+    )
+    ros_u = F.floor(
+        F.col("sum_cents").cast("double")
+        / F.col("sum_qty").cast("double")
+        * F.lit(10000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    mor_u = F.expr("sum_unit_u DIV n_lines")
+    return (
+        per.join(
+            F.broadcast(nation), per.s_nationkey == nation.n_nationkey
+        )
+        .select(
+            "n_name",
+            "n_lines",
+            (ros_u.cast("double") / F.lit(10000.0)).alias("ratio_of_sums"),
+            (mor_u.cast("double") / F.lit(10000.0)).alias("mean_of_ratios"),
+            (ros_u != mor_u).cast("int").alias("metrics_diverge"),
+        )
+        .orderBy("n_name")
+    )
