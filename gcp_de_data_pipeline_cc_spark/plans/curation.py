@@ -1933,31 +1933,35 @@ def _load_qc_rules(path: str | None = None) -> dict:
                     THEN 0 ELSE 1 END AS BIGINT) AS n_violations
         UNION ALL
         SELECT 'r2', 'orders', 'not_null', 'o_orderkey',
-               (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_orderkey IS NULL) AS BIGINT)
         UNION ALL
         SELECT 'r3', 'orders', 'unique', 'o_orderkey',
-               (SELECT COALESCE(SUM(c - 1), 0) FROM (
+               CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
                    SELECT COUNT(*) AS c FROM orders
-                   GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
         UNION ALL
         SELECT 'r4', 'orders', 'accepted_values', 'o_orderstatus',
-               (SELECT COUNT(*) FROM orders
+               CAST((SELECT COUNT(*) FROM orders
                 WHERE o_orderstatus IS NULL
-                   OR o_orderstatus NOT IN ('F', 'O', 'P'))
+                   OR o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
         UNION ALL
         SELECT 'r5', 'orders', 'range', 'o_totalprice',
-               (SELECT COUNT(*) FROM orders
+               CAST((SELECT COUNT(*) FROM orders
                 WHERE o_totalprice IS NULL
-                   OR o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+                   OR o_totalprice < 0.0
+                   OR o_totalprice > 10000000.0) AS BIGINT)
         UNION ALL
         SELECT 'r6', 'customer', 'not_null', 'c_custkey',
-               (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL)
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_custkey IS NULL) AS BIGINT)
         UNION ALL
         SELECT 'r7', 'customer', 'relationship', 'c_nationkey',
-               (SELECT COUNT(*) FROM customer c
+               CAST((SELECT COUNT(*) FROM customer c
                 WHERE c.c_nationkey IS NOT NULL
                   AND NOT EXISTS (SELECT 1 FROM nation n
-                                  WHERE n.n_nationkey = c.c_nationkey)))
+                                  WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT))
     SELECT rule_id, tbl, rule, col, n_violations,
            CAST(n_violations = 0 AS INT) AS passed
     FROM checks ORDER BY rule_id

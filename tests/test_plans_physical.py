@@ -369,6 +369,18 @@ _BNLJ_REVIEWED = frozenset({
     "eval_f1_multiclass", "eval_bleu", "train_length_buckets",
     "corpus_temperature_mix", "recsys_hit_rate", "graph_betweenness",
     "hypothesis_permutation",
+    # r5b-r5o session waves: one-row stat/grid/audit broadcasts
+    # (category a) — equidepth totals, STL seasonal/median/MAD rows,
+    # power-planner variance row, period-detect lag grid (13-row
+    # constant dim — category b), data-card vocab/dup/lang rows,
+    # articulation chain grid (|V|+1-row dim — category b), blind-join
+    # collision audit; embedding_prefix_dims_eval broadcasts the
+    # BOUNDED sampled query set into an inequality join (the sim_topk
+    # class — category b)
+    "histogram_equidepth", "ts_anomaly_stl_residual", "ab_power_mde",
+    "ts_period_detect", "corpus_data_card", "graph_articulation",
+    "embedding_prefix_dims_eval", "join_blind_keys",
+    "ops_schema_evolution_compat",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
