@@ -95,6 +95,7 @@ _COMPONENT_FIRST = (
     "qc_config_rules", "sql_hints",
     "corpus_data_card", "graph_articulation",
     "join_blind_keys", "agg_ratio_of_sums",
+    "udaf_arrow_grouped", "dim_calendar_build",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

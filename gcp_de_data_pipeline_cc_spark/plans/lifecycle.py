@@ -667,3 +667,122 @@ def incremental_watermark_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 incremental_watermark_ingest.__doc__ = incremental_watermark_ingest.__doc__.format(
     c1=_WM_CUT1, c2=_WM_CUT2
 )
+
+
+# ---------------------------------------------------------------------------
+# calendar-dimension generator (r5p wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_calendar_build",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders),
+    spine AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM b),
+    base AS (
+        SELECT d,
+               CAST(EXTRACT(year FROM d) AS INT) AS year,
+               CAST((EXTRACT(month FROM d) + 2) // 3 AS INT) AS quarter,
+               CAST(EXTRACT(month FROM d) AS INT) AS month,
+               CAST(EXTRACT(isodow FROM d) AS INT) AS dow_iso,
+               CAST(EXTRACT(isodow FROM d) >= 6 AS INT) AS is_weekend,
+               CAST((EXTRACT(month FROM d) = 1 AND EXTRACT(day FROM d) = 1)
+                 OR (EXTRACT(month FROM d) = 7 AND EXTRACT(day FROM d) = 4)
+                 OR (EXTRACT(month FROM d) = 12
+                     AND EXTRACT(day FROM d) = 25) AS INT)
+                   AS is_fixed_holiday,
+               CAST(CASE WHEN EXTRACT(month FROM d) >= 2
+                    THEN EXTRACT(year FROM d)
+                    ELSE EXTRACT(year FROM d) - 1 END AS INT) AS fiscal_year
+        FROM spine),
+    fis AS (
+        SELECT *,
+               LEAST(CAST(date_diff('day',
+                          make_date(fiscal_year, 2, 1), d) // 7 AS INT),
+                     51) AS fw
+        FROM base)
+    SELECT d, year, quarter, month, dow_iso, is_weekend, is_fixed_holiday,
+           fiscal_year,
+           CAST(fw // 13 + 1 AS INT) AS fiscal_quarter,
+           CAST((fw // 13) * 3
+                + CASE WHEN fw % 13 < 4 THEN 1
+                       WHEN fw % 13 < 8 THEN 2 ELSE 3 END AS INT)
+               AS fiscal_period_445
+    FROM fis
+    ORDER BY d
+    """,
+)
+def dim_calendar_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-build tier — the CALENDAR DIMENSION generator every
+    star schema ships: a dense date spine over the fact's span with
+    civil attributes (year/quarter/month, ISO weekday, weekend),
+    fixed-date holiday flags, and the RETAIL 4-4-5 fiscal mapping
+    (fiscal year starts Feb 1; each 13-week quarter splits 4-4-5, week
+    53 folds into the last period) — the join target that turns every
+    "by fiscal period" report into an equi-join instead of per-query
+    date math.
+
+    Exactness: every attribute is integer calendar arithmetic —
+    EXTRACT fields, integer DIV/MOD week indexing — bit-identical by
+    construction.
+
+    100 TB: the dimension is date-cardinality (a decade ≈ 3.7k rows)
+    — generated in one task from a two-scalar bounds aggregate,
+    broadcastable everywhere; regenerating beats maintaining (it is a
+    pure function of the span)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    m, day = F.month("d"), F.dayofmonth("d")
+    dow = (F.pmod(F.dayofweek("d") + 5, F.lit(7)) + 1).cast("int")
+    fy = F.when(m >= 2, F.year("d")).otherwise(F.year("d") - 1).cast("int")
+    base = spine.select(
+        "d",
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        m.cast("int").alias("month"),
+        dow.alias("dow_iso"),
+        (dow >= 6).cast("int").alias("is_weekend"),
+        (
+            ((m == 1) & (day == 1))
+            | ((m == 7) & (day == 4))
+            | ((m == 12) & (day == 25))
+        )
+        .cast("int")
+        .alias("is_fixed_holiday"),
+        fy.alias("fiscal_year"),
+    )
+    fw = F.least(
+        F.expr("CAST(datediff(d, make_date(fiscal_year, 2, 1)) DIV 7 AS INT)"),
+        F.lit(51),
+    )
+    fis = base.withColumn("fw", fw)
+    return fis.select(
+        "d",
+        "year",
+        "quarter",
+        "month",
+        "dow_iso",
+        "is_weekend",
+        "is_fixed_holiday",
+        "fiscal_year",
+        (F.expr("fw DIV 13") + 1).cast("int").alias("fiscal_quarter"),
+        (
+            F.expr("fw DIV 13") * 3
+            + F.when(F.expr("fw % 13") < 4, 1)
+            .when(F.expr("fw % 13") < 8, 2)
+            .otherwise(3)
+        )
+        .cast("int")
+        .alias("fiscal_period_445"),
+    ).orderBy("d")

@@ -464,3 +464,57 @@ def udtf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM docs_arrow_udtf)) "
         "ORDER BY doc_id, pos"
     )
+
+
+@query(
+    "udaf_arrow_grouped",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF ladder, Arrow-native GROUPED-AGG rung (completing the Arrow
+    trio beside ``udf_arrow_scalar`` and ``udtf_arrow_batch``): the
+    aggregate body receives each group's column as a ``pyarrow.Array``
+    and reduces with Arrow C++ kernels — usable in ``agg`` exactly
+    like the pandas UDAF rung ``udaf_grouped``, minus the pandas
+    materialization.  Values are quantized to integer cents BEFORE the
+    UDF so the Arrow sum is exact int64.
+
+    100 TB: per-group Arrow batches stream through the Python worker;
+    the built-in SUM twin (the oracle) remains the production form —
+    this rung exists for reductions Spark lacks (sketch merges,
+    custom accumulators) where pc kernels beat per-row Python by
+    orders of magnitude."""
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import ArrowUDFType
+
+    @F.arrow_udf("long", ArrowUDFType.GROUPED_AGG)
+    def cents_sum(v):
+        return pc.sum(v)
+
+    # grouped-agg UDFs cannot mix with built-in aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the same rung
+    @F.arrow_udf("long", ArrowUDFType.GROUPED_AGG)
+    def arrow_count(v):
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            arrow_count("cents").alias("n_orders"),
+            cents_sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
