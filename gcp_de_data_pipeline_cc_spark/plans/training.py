@@ -1654,3 +1654,227 @@ def featurestore_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 featurestore_point_in_time.__doc__ = featurestore_point_in_time.__doc__.format(
     lb=_PIT_LOOKBACK
 )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption target generation (r5q wave)
+# ---------------------------------------------------------------------------
+
+#: block length: one candidate span per block keeps spans non-overlapping
+_SC_BLOCK = 20
+
+#: span length in tokens (3/20 = the T5 ~15% corruption rate)
+_SC_SPAN = 3
+
+#: coin: a block is masked when md5(doc:block) first hex < '8' (~50%)
+_SC_RATE_HEX = "8"
+
+#: preview length of the emitted sequences
+_SC_HEAD = 15
+
+#: deterministic output sample
+_SC_SAMPLE = 10
+
+
+@query(
+    "train_span_corruption",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE doc_id % {_SC_SAMPLE} = 0
+          AND len(string_split(text, ' ')) >= {_SC_BLOCK}),
+    pos AS (
+        SELECT doc_id, toks, len(toks) AS n_tok,
+               UNNEST(range(1, len(toks) + 1)) AS i
+        FROM t),
+    marked AS (
+        SELECT doc_id, n_tok, i, toks[i] AS tok,
+               (i - 1) // {_SC_BLOCK} AS blk,
+               (i - 1) % {_SC_BLOCK} AS off,
+               SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST((i - 1) // {_SC_BLOCK} AS VARCHAR)),
+                      1, 1) < '{_SC_RATE_HEX}' AS blk_on
+        FROM pos),
+    lab AS (
+        SELECT *,
+               blk_on AND off BETWEEN 0 AND {_SC_SPAN - 1} AS masked,
+               blk_on AND off = 0 AS span_start
+        FROM marked),
+    corrupted AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN span_start
+                               THEN '<X_' || CAST(blk AS VARCHAR) || '>'
+                               ELSE tok END, ' ' ORDER BY i) AS body
+        FROM lab WHERE NOT masked OR span_start
+        GROUP BY doc_id),
+    target AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN span_start
+                               THEN '<X_' || CAST(blk AS VARCHAR) || '> '
+                                    || tok
+                               ELSE tok END, ' ' ORDER BY i) AS body
+        FROM lab WHERE masked
+        GROUP BY doc_id),
+    stats AS (
+        SELECT doc_id, ANY_VALUE(n_tok) AS n_tok,
+               CAST(SUM(CASE WHEN span_start THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_spans,
+               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked
+        FROM lab GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.n_tok AS BIGINT) AS n_tok, s.n_spans,
+           s.n_masked,
+           FLOOR(s.n_masked * 1.0e0 / s.n_tok * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS masked_frac,
+           array_to_string(string_split(c.body, ' ')[1:{_SC_HEAD}], ' ')
+               AS corrupted_head,
+           array_to_string(string_split(tg.body, ' ')[1:{_SC_HEAD}], ' ')
+               AS target_head
+    FROM stats s
+    LEFT JOIN corrupted c ON c.doc_id = s.doc_id
+    LEFT JOIN target tg ON tg.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def train_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — T5-STYLE SPAN CORRUPTION (Raffel et al. 2020):
+    turn raw documents into denoising (input, target) pairs by masking
+    token spans with sentinel markers — input keeps the unmasked text
+    with one sentinel per span, target lists each sentinel followed by
+    the tokens it hides.  Spans are chosen DETERMINISTICALLY: one
+    candidate {sp}-token span per {bl}-token block, switched on by an
+    md5 coin per (doc, block) — ~50% of blocks → a {sp}/{bl}·0.5 ≈
+    7.5% realized corruption rate, spans never overlap by
+    construction (the replayable alternative to RNG masking: the same
+    corpus always yields the same pairs, so training is resumable and
+    the pairs are oracle-checkable).
+
+    Exactness: masking decisions are md5-prefix comparisons; counts
+    exact; the fraction one quantized division; sequence assembly is
+    order-pinned by token position.
+
+    100 TB: one positional explode per sampled doc, map-side labeled,
+    reassembled by two ordered per-doc aggregations — no shuffle
+    wider than (doc, token); the block coin needs no cross-row state,
+    so the whole generation is embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") % _SC_SAMPLE == 0).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= _SC_BLOCK)
+    pos = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.posexplode("toks").alias("i0", "tok"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        (F.col("i0") + 1).alias("i"),
+        "tok",
+        (F.col("i0") / _SC_BLOCK).cast("int").alias("blk"),
+        F.pmod(F.col("i0"), F.lit(_SC_BLOCK)).alias("off"),
+    )
+    blk_on = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("blk").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < _SC_RATE_HEX
+    )
+    lab = pos.select(
+        "doc_id",
+        "n_tok",
+        "i",
+        "tok",
+        "blk",
+        (blk_on & F.col("off").between(0, _SC_SPAN - 1)).alias("masked"),
+        (blk_on & (F.col("off") == 0)).alias("span_start"),
+    )
+    lab = lab.localCheckpoint(eager=False)  # three per-doc consumers
+    sentinel = F.concat(
+        F.lit("<X_"), F.col("blk").cast("string"), F.lit(">")
+    )
+    corrupted = (
+        lab.filter(~F.col("masked") | F.col("span_start"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "i",
+                                F.when(F.col("span_start"), sentinel)
+                                .otherwise(F.col("tok"))
+                                .alias("w"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            ).alias("c_body")
+        )
+    )
+    target = (
+        lab.filter(F.col("masked"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "i",
+                                F.when(
+                                    F.col("span_start"),
+                                    F.concat(sentinel, F.lit(" "), F.col("tok")),
+                                )
+                                .otherwise(F.col("tok"))
+                                .alias("w"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            ).alias("t_body")
+        )
+    )
+    stats = lab.groupBy("doc_id").agg(
+        F.first("n_tok").cast("long").alias("n_tok"),
+        F.sum(F.col("span_start").cast("int")).cast("long").alias("n_spans"),
+        F.sum(F.col("masked").cast("int")).cast("long").alias("n_masked"),
+    )
+    head = lambda c: F.array_join(
+        F.slice(F.split(c, " "), 1, _SC_HEAD), " "
+    )
+    return (
+        stats.join(corrupted, "doc_id", "left")
+        .join(target, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_spans",
+            "n_masked",
+            roundn(
+                F.col("n_masked") * F.lit(1.0) / F.col("n_tok").cast("double"),
+                6,
+            ).alias("masked_frac"),
+            head(F.col("c_body")).alias("corrupted_head"),
+            head(F.col("t_body")).alias("target_head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+train_span_corruption.__doc__ = train_span_corruption.__doc__.format(
+    sp=_SC_SPAN, bl=_SC_BLOCK
+)
