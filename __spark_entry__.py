@@ -96,7 +96,7 @@ _COMPONENT_FIRST = (
     "corpus_data_card", "graph_articulation",
     "join_blind_keys", "agg_ratio_of_sums",
     "udaf_arrow_grouped", "dim_calendar_build",
-    "train_span_corruption",
+    "train_span_corruption", "sample_neyman_allocation",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -407,3 +407,142 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_collocations.__doc__ = text_collocations.__doc__.format(
     m=_COLL_MIN_N, t=_COLL_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal stratified) sample allocation (r5r wave)
+# ---------------------------------------------------------------------------
+
+#: audit-sample budget to allocate across strata
+_NEY_B = 10_000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)
+                        * CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                               AS BIGINT)) AS BIGINT) AS sxx
+        FROM orders GROUP BY 1),
+    w AS (
+        SELECT stratum, n_h,
+               CAST(FLOOR(CAST(n_h AS DOUBLE)
+                    * sqrt((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              / CAST(n_h AS DOUBLE))
+                           / CAST(n_h - 1 AS DOUBLE))
+                    + 0.5e0) AS BIGINT) AS wq
+        FROM s),
+    t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot,
+                 CAST(SUM(n_h) AS BIGINT) AS ntot FROM w),
+    q AS (
+        SELECT w.stratum, w.n_h, w.wq,
+               ({_NEY_B} * w.wq) // t.wtot AS base,
+               ({_NEY_B} * w.wq) % t.wtot AS rem,
+               t.wtot, t.ntot
+        FROM w, t),
+    r AS (SELECT CAST({_NEY_B} AS BIGINT) - SUM(base) AS n_extra FROM q),
+    rk AS (
+        SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rnk
+        FROM q)
+    SELECT rk.stratum, rk.n_h,
+           CAST(rk.base + CASE WHEN rk.rnk <= r.n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_neyman,
+           CAST(({_NEY_B} * rk.n_h) // rk.ntot AS BIGINT)
+               AS alloc_proportional,
+           FLOOR(rk.wq * 1.0e0 / rk.wtot * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS neyman_share
+    FROM rk, r
+    ORDER BY rk.stratum
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling tier — NEYMAN (optimal) stratified allocation: split an
+    audit-sample budget of {b:,} rows across strata proportionally to
+    N_h·σ_h (population × spread) instead of N_h alone — the
+    survey-statistics result that minimizes the estimator variance for
+    a fixed budget, shown BESIDE the naive proportional allocation so
+    the variance-driven reallocation is visible (high-variance strata
+    gain, uniform strata shrink).  Hamilton largest-remainder conserves
+    the budget exactly (`corpus_apportion_budget`'s discipline).
+
+    Exactness: per-stratum (n, Σx, Σx²) are exact int64 cents; the
+    weight N_h·σ_h is computed by a fixed scalar tree and
+    floor-quantized to an integer BEFORE any cross-stratum
+    arithmetic; quotas/remainders/seat ranks are exact integers.
+
+    100 TB: one map-side pass to stratum grain; allocation on the
+    strata-cardinality table with one-row broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    s = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum(cents).cast("long").alias("sx"),
+        F.sum(cents * cents).cast("long").alias("sxx"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("n_h").cast("double")
+        )
+        / (F.col("n_h") - 1).cast("double")
+    )
+    w = s.select(
+        "stratum",
+        "n_h",
+        F.floor(F.col("n_h").cast("double") * sd + F.lit(0.5))
+        .cast("long")
+        .alias("wq"),
+    )
+    w = w.localCheckpoint(eager=False)  # totals + quota consumers
+    t = w.agg(
+        F.sum("wq").cast("long").alias("wtot"),
+        F.sum("n_h").cast("long").alias("ntot"),
+    )
+    b = F.lit(_NEY_B).cast("long")
+    q = w.crossJoin(F.broadcast(t)).select(
+        "stratum",
+        "n_h",
+        "wq",
+        F.expr(f"CAST(({_NEY_B} * wq) DIV wtot AS LONG)").alias("base"),
+        F.pmod(b * F.col("wq"), F.col("wtot")).alias("rem"),
+        "wtot",
+        "ntot",
+    )
+    q = q.localCheckpoint(eager=False)  # seats + ranking consumers
+    r = q.agg((b - F.sum("base")).alias("n_extra"))
+    rk = q.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("stratum"))),
+    )
+    extra = F.when(F.col("rnk") <= F.col("n_extra"), 1).otherwise(0)
+    return (
+        rk.crossJoin(F.broadcast(r))
+        .select(
+            "stratum",
+            "n_h",
+            (F.col("base") + extra).cast("long").alias("alloc_neyman"),
+            F.expr(f"CAST(({_NEY_B} * n_h) DIV ntot AS LONG)").alias(
+                "alloc_proportional"
+            ),
+            roundn(
+                F.col("wq") * F.lit(1.0) / F.col("wtot").cast("double"), 6
+            ).alias("neyman_share"),
+        )
+        .orderBy("stratum")
+    )
+
+
+sample_neyman_allocation.__doc__ = sample_neyman_allocation.__doc__.format(
+    b=_NEY_B
+)
