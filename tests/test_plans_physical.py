@@ -381,6 +381,9 @@ _BNLJ_REVIEWED = frozenset({
     "ts_period_detect", "corpus_data_card", "graph_articulation",
     "embedding_prefix_dims_eval", "join_blind_keys",
     "ops_schema_evolution_compat",
+    # r5r wave: one-row weight-total / seat-count broadcasts —
+    # category (a)
+    "sample_neyman_allocation",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
