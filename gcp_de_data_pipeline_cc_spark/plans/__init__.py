@@ -21,6 +21,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     corpus2,
     corpus3,
     corpus4,
+    corpus5,
     corpus_stats,
     curation,
     evals,

@@ -1,0 +1,172 @@
+"""Web-extraction tier: HTML → main-text extraction.
+
+The single most common first stage of a web-scale LLM corpus pipeline
+(WET extraction): strip markup, drop script/style payloads, separate
+main content from nav/footer boilerplate, unescape entities, normalize
+whitespace.  The channel is DETERMINISTIC — each document is wrapped in
+a fixed page template (nav + h1 + paragraphs + script + style + entity
+footer) so the extractor's recovery is exactly auditable per row, the
+same discipline `fn_date_multiformat` uses for dirty dates.
+
+Scale notes (100 TB): every step is a whole-stage-codegen
+regexp_replace / regexp_extract_all projection — no shuffle, no Python;
+the per-doc audit columns aggregate map-side if a rollup is stacked on
+top.  Real crawl HTML varies in template, but the operator form (regex
+cascade + tag-aware main-content selection) is exactly what runs at
+scale; template diversity changes the patterns, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+
+@query(
+    "text_html_extract",
+    oracle="""
+    WITH built AS (
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS clean_src,
+               '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</title><style>p{margin:0} .nav{color:red}</style>'
+               || '<script type="text/javascript">var id='
+               || CAST(doc_id AS VARCHAR) || ';</script></head><body>'
+               || '<nav><a href="/">Home</a> &middot; '
+               || '<a href="/about">About</a></nav><h1>Doc '
+               || CAST(doc_id AS VARCHAR) || '</h1><p>'
+               || REPLACE(REPLACE(REPLACE(REPLACE(text,
+                      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                      ' table ', ' table</p><p>')
+               || '</p><footer>&copy; 2024 Example &amp; Co.</footer>'
+               || '</body></html>' AS html
+        FROM documents),
+    naive AS (
+        SELECT doc_id, clean_src, html,
+               TRIM(REGEXP_REPLACE(
+                   REPLACE(REPLACE(REPLACE(
+                       REGEXP_REPLACE(html, '<[^>]+>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS naive_text
+        FROM built),
+    main AS (
+        SELECT doc_id, clean_src, html, naive_text,
+               TRIM(REGEXP_REPLACE(
+                   REPLACE(REPLACE(REPLACE(
+                       ARRAY_TO_STRING(
+                           REGEXP_EXTRACT_ALL(html, '<p>(.*?)</p>', 1),
+                           ' '),
+                       '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS main_text
+        FROM naive)
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(html, '<[^>]+>')) AS BIGINT)
+               AS tag_count,
+           CAST(LENGTH(naive_text) AS BIGINT) AS n_naive,
+           CAST(LENGTH(main_text) AS BIGINT) AS n_main,
+           INSTR(naive_text, 'var id=') > 0 AS naive_script_leak,
+           INSTR(main_text, 'var id=') > 0 AS main_script_leak,
+           main_text = clean_src AS roundtrip_ok
+    FROM main
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus tier — HTML MAIN-TEXT EXTRACTION: wrap each document
+    in a deterministic page template (title/style/script head, nav
+    boilerplate, <p>-structured body with entity-escaped content,
+    entity-bearing footer), then run the two extractors every crawl
+    pipeline compares:
+
+    * ``naive`` — strip all tags (``<[^>]+>``), unescape, collapse
+      whitespace.  Keeps script bodies, CSS rules, nav text and footer
+      — the classic leaky extraction (``naive_script_leak`` is TRUE by
+      construction: ``var id=N;`` survives).
+    * ``main`` — extract only ``<p>…</p>`` content regions
+      (regexp_extract_all group 1), join, unescape, collapse.  Recovers
+      the embedded document byte-for-byte: ``roundtrip_ok`` audits
+      ``main_text = collapse(source)`` per row, exploiting that the
+      paragraph splitter inserts ``</p><p>`` AT a word boundary whose
+      separating space the join re-supplies.
+
+    Escape/unescape are exact inverses by ordering (escape ``&`` first,
+    unescape it last), so entity-bearing source text survives the
+    channel — the law tests plant ``&``/``<``/``>`` to prove it.
+
+    Portability: every pattern is shared Java-regex/RE2 ground —
+    non-greedy ``.*?``, class ``[^>]``, ``\\s`` — no backreferences or
+    lookaround; literal entity rewrites use plain REPLACE.
+
+    100 TB: pure projection (whole-stage codegen), zero shuffles, zero
+    Python; columns prune to (doc_id, text) at the scan.
+
+    Reference parity: the reference's ingest stage moves raw files to a
+    cleansed tier (gcs_sensor → transform tasks,
+    dags/pipeline_orchestration_dag.py:64-120); markup-to-text is that
+    cleanse step for web corpora.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    escaped = F.expr(
+        "replace(replace(replace(replace(text,"
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),"
+        " ' table ', ' table</p><p>')"
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit("</title><style>p{margin:0} .nav{color:red}</style>"),
+        F.lit('<script type="text/javascript">var id='),
+        did,
+        F.lit(";</script></head><body>"),
+        F.lit('<nav><a href="/">Home</a> &middot; '),
+        F.lit('<a href="/about">About</a></nav><h1>Doc '),
+        did,
+        F.lit("</h1><p>"),
+        escaped,
+        F.lit("</p><footer>&copy; 2024 Example &amp; Co.</footer>"),
+        F.lit("</body></html>"),
+    )
+
+    # unescape (&lt; &gt; first, &amp; last — inverse of escape order),
+    # collapse whitespace, trim: one shared SQL fragment per extractor.
+    naive_sql = (
+        "trim(regexp_replace("
+        "replace(replace(replace("
+        "regexp_replace(html, '<[^>]+>', ' '),"
+        " '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),"
+        " '\\\\s+', ' '))"
+    )
+    main_sql = (
+        "trim(regexp_replace("
+        "replace(replace(replace("
+        "array_join(regexp_extract_all(html, '<p>(.*?)</p>', 1), ' '),"
+        " '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),"
+        " '\\\\s+', ' '))"
+    )
+    built = docs.select(
+        "doc_id",
+        F.expr("trim(regexp_replace(text, '\\\\s+', ' '))").alias(
+            "clean_src"
+        ),
+        html.alias("html"),
+    ).select(
+        "doc_id",
+        "clean_src",
+        "html",
+        F.expr(naive_sql).alias("naive_text"),
+        F.expr(main_sql).alias("main_text"),
+    )
+    return built.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(html, '<[^>]+>', 0)"))
+        .cast("long")
+        .alias("tag_count"),
+        F.length("naive_text").cast("long").alias("n_naive"),
+        F.length("main_text").cast("long").alias("n_main"),
+        (F.instr("naive_text", "var id=") > 0).alias("naive_script_leak"),
+        (F.instr("main_text", "var id=") > 0).alias("main_script_leak"),
+        (F.col("main_text") == F.col("clean_src")).alias("roundtrip_ok"),
+    )

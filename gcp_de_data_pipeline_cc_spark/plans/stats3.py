@@ -695,3 +695,205 @@ def hypothesis_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
 hypothesis_permutation.__doc__ = hypothesis_permutation.__doc__.format(
     b=_PERM_B
 )
+
+
+# --------------------------------------------------------------------------
+# stats_cramers_v — categorical association matrix (Cramér's V)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'status_priority' AS pair,
+               o_orderstatus AS a, o_orderpriority AS b FROM orders
+        UNION ALL
+        SELECT 'status_month', o_orderstatus,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'priority_month', o_orderpriority,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR) FROM orders),
+    cells AS (
+        SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pairs GROUP BY 1, 2, 3),
+    dense AS (
+        SELECT g.pair, g.a, g.b, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+        FROM (SELECT DISTINCT r.pair, r.a, s.b
+              FROM (SELECT DISTINCT pair, a FROM cells) r
+              JOIN (SELECT DISTINCT pair, b FROM cells) s USING (pair)) g
+        LEFT JOIN cells c
+          ON c.pair = g.pair AND c.a = g.a AND c.b = g.b),
+    tot AS (
+        SELECT pair, a, b, o,
+               CAST(SUM(o) OVER (PARTITION BY pair, a) AS BIGINT) AS rt,
+               CAST(SUM(o) OVER (PARTITION BY pair, b) AS BIGINT) AS ct,
+               CAST(SUM(o) OVER (PARTITION BY pair) AS BIGINT) AS n
+        FROM dense),
+    terms AS (
+        SELECT pair, a, b, n,
+               FLOOR((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                      - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                     * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+                        * CAST(ct AS DOUBLE))
+                     * 1000000.0e0 + 0.5e0) AS term_q
+        FROM tot),
+    agg AS (
+        SELECT pair,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+               CAST(SUM(term_q) AS BIGINT) AS chi2_q
+        FROM terms GROUP BY pair)
+    SELECT pair, n, r, c,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           chi2_q / 1000000.0e0 AS chi2,
+           FLOOR(SQRT(chi2_q / 1000000.0e0
+                      / (CAST(n AS DOUBLE)
+                         * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS v,
+           FLOOR(SQRT(GREATEST(0.0e0,
+                               chi2_q / 1000000.0e0 / CAST(n AS DOUBLE)
+                               - CAST((r - 1) * (c - 1) AS DOUBLE)
+                                 / CAST(n - 1 AS DOUBLE))
+                      / LEAST(CAST(r AS DOUBLE)
+                              - CAST((r - 1) * (r - 1) AS DOUBLE)
+                                / CAST(n - 1 AS DOUBLE) - 1.0e0,
+                              CAST(c AS DOUBLE)
+                              - CAST((c - 1) * (c - 1) AS DOUBLE)
+                                / CAST(n - 1 AS DOUBLE) - 1.0e0))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS v_corrected
+    FROM agg
+    ORDER BY pair
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical ASSOCIATION MATRIX — Cramér's V (plus the
+    Bergsma bias-corrected variant) for every pair of the orders
+    table's categorical axes (status × priority × order-month): the
+    "corr matrix for categoricals" beside `agg_corr_matrix`'s numeric
+    one, and the effect-size companion to `hypothesis_chisq` (which
+    answers "is there association?" — V answers "how much?", on the
+    comparable 0..1 scale that survives n growing 100×, where raw chi²
+    just inflates).
+
+    Exactness: cell/row/column counts are exact int64; each cell's chi²
+    term (O·n − rt·ct)²/(n·rt·ct) is one fixed IEEE-double scalar tree
+    over those integers, floor-quantized to 1e-6 BEFORE the cross-cell
+    sum — so no float sum ever crosses rows un-quantized and summation
+    order cannot drift the result.  V = √(χ²/(n·min(r−1,c−1))) and the
+    bias-corrected V (φ² debiased by (r−1)(c−1)/(n−1), dims shrunk the
+    same way — Bergsma 2013) are scalar trees on the 3-row aggregate,
+    quantized at final projection.
+
+    100 TB: ONE fact scan fans each row to the 3 pairs via an inline
+    explode; partial aggregation collapses map-side to ≤ |pair|·r·c
+    cells (≤ 180 rows here) before the only shuffle, so the reduce side
+    is dimension-bounded regardless of fact volume; the window sums and
+    the V algebra run on that tiny cell relation.
+
+    Reference parity: the QC tier's per-table gates
+    (dags/pipeline_orchestration_dag.py:121-141) check volumes; an
+    association audit between pipeline dimensions is the statistical
+    extension of that contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.month("o_orderdate").cast("string")
+    pairs = orders.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("status_priority").alias("pair"),
+                    F.col("o_orderstatus").alias("a"),
+                    F.col("o_orderpriority").alias("b"),
+                ),
+                F.struct(
+                    F.lit("status_month").alias("pair"),
+                    F.col("o_orderstatus").alias("a"),
+                    month.alias("b"),
+                ),
+                F.struct(
+                    F.lit("priority_month").alias("pair"),
+                    F.col("o_orderpriority").alias("a"),
+                    month.alias("b"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    cells = pairs.groupBy("pair", "a", "b").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    # densify: unobserved (a, b) combinations are REAL chi-square cells
+    # (each contributes (0-E)^2/E = E); the grid is dimension-bounded so
+    # the distinct x distinct join stays tiny at any fact volume.
+    grid = (
+        cells.select("pair", "a")
+        .distinct()
+        .join(cells.select("pair", "b").distinct(), "pair")
+    )
+    dense = grid.join(cells, ["pair", "a", "b"], "left").select(
+        "pair",
+        "a",
+        "b",
+        F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+    )
+    tot = (
+        dense.withColumn(
+            "rt", F.sum("o").over(Window.partitionBy("pair", "a")).cast("long")
+        )
+        .withColumn(
+            "ct", F.sum("o").over(Window.partitionBy("pair", "b")).cast("long")
+        )
+        .withColumn(
+            "n", F.sum("o").over(Window.partitionBy("pair")).cast("long")
+        )
+    )
+    d = (
+        F.col("o").cast("double") * F.col("n").cast("double")
+        - F.col("rt").cast("double") * F.col("ct").cast("double")
+    )
+    term_q = F.floor(
+        d
+        * d
+        / (
+            F.col("n").cast("double")
+            * F.col("rt").cast("double")
+            * F.col("ct").cast("double")
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    agg = tot.select("pair", "a", "b", "n", term_q.alias("term_q")).groupBy(
+        "pair"
+    ).agg(
+        F.max("n").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+        F.sum("term_q").cast("long").alias("chi2_q"),
+    )
+    chi2 = F.col("chi2_q") / F.lit(1000000.0)
+    nd = F.col("n").cast("double")
+    rd, cd = F.col("r").cast("double"), F.col("c").cast("double")
+    phi2corr = F.greatest(
+        F.lit(0.0),
+        chi2 / nd
+        - ((rd - 1) * (cd - 1)) / (nd - 1),
+    )
+    rcorr = rd - (rd - 1) * (rd - 1) / (nd - 1) - F.lit(1.0)
+    ccorr = cd - (cd - 1) * (cd - 1) / (nd - 1) - F.lit(1.0)
+    return agg.select(
+        "pair",
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        roundn(
+            F.sqrt(chi2 / (nd * F.least(rd - 1, cd - 1))), 6
+        ).alias("v"),
+        roundn(F.sqrt(phi2corr / F.least(rcorr, ccorr)), 6).alias(
+            "v_corrected"
+        ),
+    ).orderBy("pair")
