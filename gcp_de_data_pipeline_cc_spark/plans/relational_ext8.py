@@ -1580,3 +1580,167 @@ def sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         ORDER BY n.n_name
     """)
+
+
+# --------------------------------------------------------------------------
+# fn_currency_parse — messy multi-locale currency parsing
+# --------------------------------------------------------------------------
+
+#: shared channel + parser fragments (Spark SQL and DuckDB dialects agree
+#: on every function used: length/substr/replace/regexp_extract/CASE).
+_CUR_CENTS = "CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)"
+# digit-group the dollar part without lookahead (RE2 has none): TPC-H
+# totals are <= 7 digits of dollars; the CASE tree covers 1..9.
+_CUR_GROUP = """
+    CASE WHEN LENGTH(d) <= 3 THEN d
+         WHEN LENGTH(d) <= 6 THEN
+              SUBSTR(d, 1, LENGTH(d) - 3) || ',' ||
+              SUBSTR(d, LENGTH(d) - 2, 3)
+         ELSE SUBSTR(d, 1, LENGTH(d) - 6) || ',' ||
+              SUBSTR(d, LENGTH(d) - 5, 3) || ',' ||
+              SUBSTR(d, LENGTH(d) - 2, 3)
+    END
+"""
+
+
+@query(
+    "fn_currency_parse",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey % 4 AS fmt_id,
+               {_CUR_CENTS} AS cents,
+               CAST({_CUR_CENTS} // 100 AS VARCHAR) AS d,
+               LPAD(CAST({_CUR_CENTS} % 100 AS VARCHAR), 2, '0') AS f
+        FROM orders),
+    raw AS (
+        SELECT fmt_id, cents,
+               CASE fmt_id
+                    WHEN 0 THEN '$' || ({_CUR_GROUP}) || '.' || f
+                    WHEN 1 THEN REPLACE(({_CUR_GROUP}), ',', '.')
+                                || ',' || f || ' EUR'
+                    WHEN 2 THEN d || '.' || f
+                    ELSE '($' || ({_CUR_GROUP}) || '.' || f || ')'
+               END AS raw_str,
+               CASE WHEN fmt_id = 3 THEN -cents ELSE cents END
+                   AS expected_cents
+        FROM base),
+    parsed AS (
+        SELECT fmt_id, raw_str, expected_cents,
+               CASE WHEN raw_str LIKE '(%' THEN -1 ELSE 1 END AS sign,
+               CASE
+                    WHEN raw_str LIKE '% EUR' THEN
+                         REPLACE(REPLACE(REPLACE(raw_str, ' EUR', ''),
+                                         '.', ''), ',', '.')
+                    ELSE REPLACE(REPLACE(REPLACE(REPLACE(raw_str,
+                         '(', ''), ')', ''), '$', ''), ',', '')
+               END AS clean
+        FROM raw),
+    ints AS (
+        SELECT fmt_id, expected_cents,
+               sign * (CAST(REGEXP_EXTRACT(clean,
+                            '^([0-9]+)\\.([0-9]{{2}})$', 1) AS BIGINT)
+                       * 100
+                       + CAST(REGEXP_EXTRACT(clean,
+                              '^([0-9]+)\\.([0-9]{{2}})$', 2) AS BIGINT))
+                   AS parsed_cents
+        FROM parsed)
+    SELECT CASE fmt_id WHEN 0 THEN 'us_symbol' WHEN 1 THEN 'eu_locale'
+                       WHEN 2 THEN 'plain' ELSE 'accounting_neg' END
+               AS fmt,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(parsed_cents) AS BIGINT) AS sum_parsed_cents,
+           CAST(SUM(CASE WHEN parsed_cents <> expected_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM ints
+    GROUP BY fmt_id
+    ORDER BY fmt
+    """,
+)
+def fn_currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-money tier — MULTI-LOCALE CURRENCY PARSING: each order total
+    is rendered in one of four real-world wire formats cycled by key
+    (US ``$1,234.56``; EU ``1.234,56 EUR`` — separators swapped;
+    bare ``1234.56``; accounting-negative ``($1,234.56)``), then parsed
+    back by format forensics (suffix/prefix detection → separator
+    normalization → INTEGER dollar/fraction extraction).  The sibling of
+    `fn_date_multiformat` on the money axis: same deterministic-channel
+    discipline, same per-format mismatch audit (``n_mismatch`` = 0 is
+    the roundtrip law, including the sign flip on accounting format).
+
+    Exactness: no float ever parses — dollars and cents extract as
+    regex groups and recombine as int64 (dollars·100 + frac), so the
+    audit is exact equality on integers.  Digit grouping is a CASE tree
+    on length (RE2 has no lookahead; the tree is the portable form).
+
+    100 TB: whole-stage-codegen projection + map-side 4-group
+    aggregate; no shuffle wider than 4 rows.
+
+    Reference parity: the reference ingests raw CSVs with string-typed
+    money columns (`dags/config/pipeline_config.yaml` table schemas);
+    locale-robust parsing is the cleanse that stage needs first.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_orderkey % 4 AS fmt_id",
+        f"{_CUR_CENTS} AS cents",
+        f"CAST({_CUR_CENTS} DIV 100 AS STRING) AS d",
+        f"LPAD(CAST({_CUR_CENTS} % 100 AS STRING), 2, '0') AS f",
+    )
+    grouped = _CUR_GROUP
+    raw = base.selectExpr(
+        "fmt_id",
+        "cents",
+        f"""CASE fmt_id
+                WHEN 0 THEN '$' || ({grouped}) || '.' || f
+                WHEN 1 THEN REPLACE(({grouped}), ',', '.')
+                            || ',' || f || ' EUR'
+                WHEN 2 THEN d || '.' || f
+                ELSE '($' || ({grouped}) || '.' || f || ')'
+            END AS raw_str""",
+        "CASE WHEN fmt_id = 3 THEN -cents ELSE cents END AS expected_cents",
+    )
+    parsed = raw.selectExpr(
+        "fmt_id",
+        "expected_cents",
+        "CASE WHEN raw_str LIKE '(%' THEN -1 ELSE 1 END AS sign",
+        """CASE
+               WHEN raw_str LIKE '% EUR' THEN
+                    REPLACE(REPLACE(REPLACE(raw_str, ' EUR', ''),
+                            '.', ''), ',', '.')
+               ELSE REPLACE(REPLACE(REPLACE(REPLACE(raw_str,
+                    '(', ''), ')', ''), '$', ''), ',', '')
+           END AS clean""",
+    ).selectExpr(
+        "fmt_id",
+        "expected_cents",
+        r"""sign * (CAST(REGEXP_EXTRACT(clean,
+                         '^([0-9]+)\\.([0-9]{2})$', 1) AS BIGINT) * 100
+                    + CAST(REGEXP_EXTRACT(clean,
+                           '^([0-9]+)\\.([0-9]{2})$', 2) AS BIGINT))
+                AS parsed_cents""",
+    )
+    return (
+        parsed.groupBy("fmt_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("parsed_cents").cast("long").alias("sum_parsed_cents"),
+            F.sum(
+                F.when(
+                    F.col("parsed_cents") != F.col("expected_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        .select(
+            F.when(F.col("fmt_id") == 0, "us_symbol")
+            .when(F.col("fmt_id") == 1, "eu_locale")
+            .when(F.col("fmt_id") == 2, "plain")
+            .otherwise("accounting_neg")
+            .alias("fmt"),
+            "n",
+            "sum_parsed_cents",
+            "n_mismatch",
+        )
+        .orderBy("fmt")
+    )
