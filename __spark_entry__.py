@@ -99,6 +99,7 @@ _COMPONENT_FIRST = (
     "train_span_corruption", "sample_neyman_allocation",
     "text_html_extract", "stats_cramers_v",
     "fn_currency_parse", "ops_incident_mttr",
+    "ts_downsample_lttb", "train_shard_stratified",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

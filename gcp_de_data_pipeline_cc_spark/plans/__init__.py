@@ -52,6 +52,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     timeseries,
     timeseries2,
     timeseries3,
+    timeseries4,
     training,
     udfs,
 )

@@ -1,0 +1,281 @@
+"""Visualization-grade downsampling: Largest-Triangle-Three-Buckets.
+
+The dashboard-serving primitive: reduce a long time series to K points
+that preserve its SHAPE (peaks, troughs, trend breaks) far better than
+uniform sampling or per-bucket averages — Steinarsson 2013, the public
+standard behind Grafana/Influx downsampling.
+
+The selection in bucket i depends on the point selected in bucket i−1
+(the triangle anchor), so the recursion is a LEFT FOLD over the bucket
+array — the `ts_holt_winters` fold discipline applied to a selection
+problem, with a nested argmax fold per bucket.
+
+Scale notes (100 TB): the fact feed collapses to |days| rows before
+anything sequential happens; the fold runs over the bounded bucket
+array on one row.  A per-series variant partitions the identical
+construction by series key (each series' fold is independent — the
+embarrassingly-parallel shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+#: output size (first + last + K-2 bucket picks)
+_LTTB_K = 60
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle=f"""
+    /* state is the FLAT selected list [x1,y1,...,xk,yk]; the anchor is
+       its last pair — appending the pick once both advances the anchor
+       and records the selection (list_reduce's init-is-first-element
+       convention via list_prepend, the ts_holt_winters discipline). */
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    x AS (
+        SELECT datediff('day', (SELECT MIN(day) FROM d), day) AS xd, y,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM d),
+    f AS (SELECT CAST(xd AS DOUBLE) AS fx, CAST(y AS DOUBLE) AS fy
+          FROM x WHERE rn = 1),
+    l AS (SELECT CAST(xd AS DOUBLE) AS lx, CAST(y AS DOUBLE) AS ly
+          FROM x WHERE rn = n),
+    mid AS (
+        SELECT xd, y,
+               CAST(((rn - 2) * ({_LTTB_K} - 2)) // (n - 2) AS BIGINT)
+                   AS b
+        FROM x WHERE rn > 1 AND rn < n),
+    bk AS (
+        SELECT b,
+               flatten(list(list_value(CAST(xd AS DOUBLE),
+                                       CAST(y AS DOUBLE))
+                            ORDER BY xd)) AS cands,
+               CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS ax,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ay
+        FROM mid GROUP BY b),
+    el AS (
+        SELECT b,
+               list_concat(
+                   list_value(
+                       COALESCE(LEAD(ax) OVER (ORDER BY b),
+                                (SELECT lx FROM l)),
+                       COALESCE(LEAD(ay) OVER (ORDER BY b),
+                                (SELECT ly FROM l))),
+                   cands) AS e
+        FROM bk),
+    folded AS (
+        SELECT list_concat(
+            list_reduce(
+                list_prepend(
+                    (SELECT list_value(fx, fy) FROM f),
+                    (SELECT list(e ORDER BY b) FROM el)),
+                (acc, e) -> list_concat(acc,
+                    list_slice(
+                        list_reduce(
+                            list_prepend(
+                                list_value(-1.0e0, 0.0e0, 0.0e0),
+                                list_transform(
+                                    range(1, (len(e) - 2) // 2 + 1),
+                                    i -> list_value(
+                                        abs((acc[len(acc) - 1] - e[1])
+                                            * (e[2 * i + 2]
+                                               - acc[len(acc)])
+                                            - (acc[len(acc) - 1]
+                                               - e[2 * i + 1])
+                                            * (e[2] - acc[len(acc)])),
+                                        e[2 * i + 1],
+                                        e[2 * i + 2]))),
+                            (a, c) -> CASE WHEN c[1] > a[1]
+                                           THEN c ELSE a END),
+                        2, 3))),
+            (SELECT list_value(lx, ly) FROM l)) AS s),
+    idx AS (
+        SELECT s, UNNEST(range(1, len(s) // 2 + 1)) AS i FROM folded)
+    SELECT CAST(i AS BIGINT) AS sel_idx,
+           CAST(s[2 * i - 1] AS INT) AS x_day,
+           CAST((SELECT MIN(day) FROM d)
+                + CAST(CAST(s[2 * i - 1] AS INT) AS BIGINT)
+                  * INTERVAL 1 DAY AS DATE) AS day,
+           CAST(s[2 * i] AS BIGINT) AS y_cents
+    FROM idx
+    ORDER BY sel_idx
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-serving tier — LTTB DOWNSAMPLING: reduce the {n}-point daily
+    revenue series to {k} shape-preserving points.  First and last
+    points always survive; each of the {k}−2 equal-population middle
+    buckets contributes the point forming the LARGEEST triangle with
+    (a) the previously SELECTED point and (b) the next bucket's
+    centroid — the sequential anchor dependency that makes naive
+    per-bucket argmax lose peaks at bucket boundaries.
+
+    Exactness: x (day offset) and y (cents) enter the fold as
+    integer-valued doubles; the triangle area 2A =
+    |(pₓ−nₓ)(cy−py) − (pₓ−cₓ)(ny−py)| is one fixed IEEE scalar tree
+    on both engines; the argmax keeps the FIRST maximum (strict ``>``
+    over the x-ordered candidate list), so ties cannot drift; no
+    rounding is needed anywhere — selected points are EXACT originals.
+
+    100 TB: the fact scan collapses map-side to |days| rows; bucket
+    centroids are one day-grain aggregate; the fold runs over the
+    K-bounded bucket array on a single row.  Per-series downsampling
+    partitions the identical fold by series key.
+
+    Reference parity: the reference's curated tier feeds BI dashboards
+    (`dags/pipeline_orchestration_dag.py:178-208` curation writes);
+    LTTB is the serving-side reducer those dashboards run.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    d = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(cents).alias("y"))
+    w_all = Window.orderBy("day")
+    x = d.select(
+        F.datediff(
+            "day", F.min("day").over(w_all.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            ))
+        ).alias("xd"),
+        "y",
+        F.row_number().over(w_all).alias("rn"),
+        F.count("*")
+        .over(
+            w_all.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+        "day",
+    ).localCheckpoint(eager=False)  # first/last/mid/min-day consumers
+    first = x.where(F.col("rn") == 1).select(
+        F.col("xd").cast("double").alias("fx"),
+        F.col("y").cast("double").alias("fy"),
+        F.col("day").alias("day0"),
+    )
+    last = x.where(F.col("rn") == F.col("n")).select(
+        F.col("xd").cast("double").alias("lx"),
+        F.col("y").cast("double").alias("ly"),
+    )
+    mid = x.where((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).select(
+        "xd",
+        "y",
+        F.expr(f"CAST(((rn - 2) * ({_LTTB_K} - 2)) DIV (n - 2) AS BIGINT)")
+        .alias("b"),
+    )
+    bk = mid.groupBy("b").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("xd").cast("double").alias("x"),
+                    F.col("y").cast("double").alias("y"),
+                )
+            )
+        ).alias("cands"),
+        (F.sum("xd").cast("double") / F.count("*")).alias("ax"),
+        (F.sum("y").cast("double") / F.count("*")).alias("ay"),
+    )
+    wb = Window.orderBy("b")
+    el = bk.crossJoin(F.broadcast(last)).select(
+        "b",
+        "cands",
+        F.coalesce(F.lead("ax").over(wb), F.col("lx")).alias("nax"),
+        F.coalesce(F.lead("ay").over(wb), F.col("ly")).alias("nay"),
+    )
+    buckets = el.agg(
+        F.sort_array(
+            F.collect_list(F.struct("b", "cands", "nax", "nay"))
+        ).alias("bks")
+    )
+
+    def _step(acc, e):
+        px = F.element_at(acc, -1).getField("x")
+        py = F.element_at(acc, -1).getField("y")
+        nax = e.getField("nax")
+        nay = e.getField("nay")
+
+        def _area(c):
+            return F.abs(
+                (px - nax) * (c.getField("y") - py)
+                - (px - c.getField("x")) * (nay - py)
+            )
+
+        best = F.aggregate(
+            e.getField("cands"),
+            F.struct(
+                F.lit(-1.0).alias("area"),
+                F.lit(0.0).alias("x"),
+                F.lit(0.0).alias("y"),
+            ),
+            lambda ba, c: F.when(
+                _area(c) > ba.getField("area"),
+                F.struct(
+                    _area(c).alias("area"),
+                    c.getField("x").alias("x"),
+                    c.getField("y").alias("y"),
+                ),
+            ).otherwise(ba),
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    best.getField("x").alias("x"),
+                    best.getField("y").alias("y"),
+                )
+            ),
+        )
+
+    sel = (
+        buckets.crossJoin(F.broadcast(first))
+        .crossJoin(F.broadcast(last))
+        .select(
+            "day0",
+            F.concat(
+                F.aggregate(
+                    F.col("bks"),
+                    F.array(
+                        F.struct(
+                            F.col("fx").alias("x"), F.col("fy").alias("y")
+                        )
+                    ),
+                    _step,
+                ),
+                F.array(
+                    F.struct(
+                        F.col("lx").alias("x"), F.col("ly").alias("y")
+                    )
+                ),
+            ).alias("s"),
+        )
+    )
+    return (
+        sel.select(
+            "day0", F.posexplode("s").alias("pos", "p")
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("sel_idx"),
+            F.col("p.x").cast("int").alias("x_day"),
+            F.date_add("day0", F.col("p.x").cast("int")).alias("day"),
+            F.col("p.y").cast("long").alias("y_cents"),
+        )
+        .orderBy("sel_idx")
+    )
+
+
+ts_downsample_lttb.__doc__ = ts_downsample_lttb.__doc__.format(
+    n="~2400", k=_LTTB_K
+)

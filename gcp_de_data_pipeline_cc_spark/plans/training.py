@@ -1878,3 +1878,120 @@ def train_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_span_corruption.__doc__ = train_span_corruption.__doc__.format(
     sp=_SC_SPAN, bl=_SC_BLOCK
 )
+
+
+# --------------------------------------------------------------------------
+# train_shard_stratified — source-stratified shard assignment
+# --------------------------------------------------------------------------
+
+#: shard fan-out (the distributed-training file count knob)
+_SHARD_N = 16
+
+
+@query(
+    "train_shard_stratified",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk,
+               n_chars
+        FROM documents),
+    assigned AS (
+        SELECT source, (rk - 1) % {_SHARD_N} AS shard, n_chars
+        FROM ranked),
+    per AS (
+        SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM assigned GROUP BY 1, 2),
+    spread AS (
+        SELECT source, MAX(n) - MIN(n) AS dev
+        FROM per GROUP BY source)
+    SELECT p.shard,
+           CAST(SUM(p.n) AS BIGINT) AS n_docs,
+           CAST(SUM(p.chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(MIN(p.n) AS BIGINT) AS min_source_docs,
+           CAST(MAX(p.n) AS BIGINT) AS max_source_docs,
+           (SELECT MAX(dev) FROM spread) <= 1 AS stratified_ok
+    FROM per p
+    GROUP BY p.shard
+    ORDER BY p.shard
+    """,
+)
+def train_shard_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep tier — STRATIFIED SHARDING: deal each source's
+    documents round-robin (in deterministic md5-of-id order) across
+    {n} shards, so EVERY shard is a representative mini-corpus — the
+    property distributed training needs when each worker reads one
+    shard (a worker seeing only one source learns its mix, not the
+    corpus's).  `shuffle_epoch` orders rows; `corpus_sample_by_weights`
+    reweights them; this key PLACES them: the three are the
+    write-side trio of a training-data release.
+
+    The audit is in-band: per-shard per-source counts can differ by at
+    most 1 under round-robin (``stratified_ok`` asserts the global
+    max deviation), and min/max per-source counts per shard expose the
+    balance directly.
+
+    Exactness: assignment is pure integer arithmetic on a
+    deterministic rank (md5 hex ordering with doc_id tiebreak — stable
+    under re-runs, the `split_train_test` discipline); all outputs are
+    exact int64 counts.
+
+    100 TB: one hash exchange on source for the rank, one on shard for
+    the rollup; the shard table is {n} rows.  The write path is
+    ``df.repartition(shard).write`` — the assignment column IS the
+    file layout.
+
+    Reference parity: the reference stages loads per-table into GCS
+    buckets (`dags/config/pipeline_config.yaml` bucket layout);
+    stratified sharding is that placement decision for training files.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    assigned = docs.select(
+        "source",
+        "n_chars",
+        ((rk - 1) % _SHARD_N).cast("long").alias("shard"),
+    )
+    per = assigned.groupBy("shard", "source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    per = per.localCheckpoint(eager=False)  # rollup + spread consumers
+    spread = per.groupBy("source").agg(
+        (F.max("n") - F.min("n")).alias("dev")
+    ).agg(F.max("dev").alias("max_dev"))
+    return (
+        per.groupBy("shard")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("n_sources"),
+            F.min("n").cast("long").alias("min_source_docs"),
+            F.max("n").cast("long").alias("max_source_docs"),
+        )
+        .crossJoin(F.broadcast(spread))
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars",
+            "n_sources",
+            "min_source_docs",
+            "max_source_docs",
+            (F.col("max_dev") <= 1).alias("stratified_ok"),
+        )
+        .orderBy("shard")
+    )
+
+
+train_shard_stratified.__doc__ = train_shard_stratified.__doc__.format(
+    n=_SHARD_N
+)

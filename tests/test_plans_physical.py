@@ -384,6 +384,10 @@ _BNLJ_REVIEWED = frozenset({
     # r5r wave: one-row weight-total / seat-count broadcasts —
     # category (a)
     "sample_neyman_allocation",
+    # r5u wave: ts_downsample_lttb broadcasts the one-row first/last
+    # points and the single-row bucket array; train_shard_stratified
+    # the one-row max-deviation audit — category (a) scalar broadcasts
+    "ts_downsample_lttb", "train_shard_stratified",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
