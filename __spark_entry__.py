@@ -100,6 +100,7 @@ _COMPONENT_FIRST = (
     "text_html_extract", "stats_cramers_v",
     "fn_currency_parse", "ops_incident_mttr",
     "ts_downsample_lttb", "train_shard_stratified",
+    "agg_hhi", "train_preference_pairs",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

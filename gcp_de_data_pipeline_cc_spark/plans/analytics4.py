@@ -1008,3 +1008,120 @@ def agg_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_topn_other.__doc__ = agg_topn_other.__doc__.format(n=_TNO_N)
+
+
+# --------------------------------------------------------------------------
+# agg_hhi — Herfindahl-Hirschman market concentration
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    shares AS (
+        SELECT nationkey, o_custkey,
+               (cents * 1000000)
+                   // CAST(SUM(cents) OVER (PARTITION BY nationkey)
+                           AS BIGINT) AS s_ppm
+        FROM rev),
+    h AS (
+        SELECT nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_firms,
+               CAST(SUM(s_ppm * s_ppm) AS BIGINT) AS hhi_q
+        FROM shares GROUP BY 1)
+    SELECT n.n_name AS nation, h.n_firms,
+           CAST(h.hhi_q AS DOUBLE) / 1000000000000.0e0 AS hhi,
+           CASE WHEN h.n_firms = 1 THEN 1.0e0
+                ELSE FLOOR((CAST(h.hhi_q AS DOUBLE) / 1000000000000.0e0
+                            - 1.0e0 / CAST(h.n_firms AS DOUBLE))
+                           / (1.0e0 - 1.0e0 / CAST(h.n_firms AS DOUBLE))
+                           * 1000000.0e0 + 0.5e0) / 1000000.0e0
+           END AS hhi_normalized,
+           FLOOR(1000000000000.0e0 / CAST(h.hhi_q AS DOUBLE)
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS effective_n,
+           CASE WHEN CAST(h.hhi_q AS DOUBLE) / 1000000000000.0e0
+                     < 0.15e0 THEN 'competitive'
+                WHEN CAST(h.hhi_q AS DOUBLE) / 1000000000000.0e0
+                     < 0.25e0 THEN 'moderate'
+                ELSE 'concentrated' END AS doj_band
+    FROM h JOIN nation n ON n.n_nationkey = h.nationkey
+    ORDER BY nation
+    """,
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration tier — HERFINDAHL-HIRSCHMAN INDEX of order revenue
+    per nation (how concentrated is each market across its customers),
+    with the DOJ merger-guideline bands, the normalized HHI
+    ((H − 1/N)/(1 − 1/N) — comparable across different firm counts),
+    and the effective competitor count 1/H.  Completes the inequality
+    suite: `agg_gini`/`agg_lorenz_curve` measure the DISTRIBUTION'S
+    skew, `pareto_concentration` its top-heavy mass; HHI is the
+    antitrust-standard sum-of-squared-shares.
+
+    Exactness: per-customer shares floor-quantize to integer ppm
+    BEFORE squaring (s·s ≤ 1e12 and Σs_ppm ≤ 1e6 bound the squared sum
+    by 1e12 — no overflow at ANY firm count); HHI_q is an exact int64
+    sum; the normalized/effective readouts are fixed scalar trees on
+    it, quantized at final projection.
+
+    100 TB: one (nation, customer) rollup off the fact join, one
+    nation-partitioned window for totals, then nation-grain algebra
+    with the broadcast nation dim.
+
+    Reference parity: the reference's curated tier aggregates revenue
+    per dimension (`dags/pipeline_orchestration_dag.py:178-208`);
+    concentration is the follow-on question every market rollup gets.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), F.col("o_custkey")
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    shares = rev.select(
+        "nationkey",
+        F.expr(
+            "CAST((cents * 1000000) DIV SUM(cents)"
+            " OVER (PARTITION BY nationkey) AS BIGINT)"
+        ).alias("s_ppm"),
+    )
+    h = shares.groupBy("nationkey").agg(
+        F.count("*").cast("long").alias("n_firms"),
+        F.sum(F.col("s_ppm") * F.col("s_ppm")).cast("long").alias("hhi_q"),
+    )
+    hd = F.col("hhi_q").cast("double") / F.lit(1.0e12)
+    nf = F.col("n_firms").cast("double")
+    return (
+        h.join(F.broadcast(nation), h.nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_firms",
+            hd.alias("hhi"),
+            F.when(F.col("n_firms") == 1, F.lit(1.0))
+            .otherwise(
+                roundn((hd - 1 / nf) / (F.lit(1.0) - 1 / nf), 6)
+            )
+            .alias("hhi_normalized"),
+            roundn(F.lit(1.0e12) / F.col("hhi_q").cast("double"), 4).alias(
+                "effective_n"
+            ),
+            F.when(hd < 0.15, "competitive")
+            .when(hd < 0.25, "moderate")
+            .otherwise("concentrated")
+            .alias("doj_band"),
+        )
+        .orderBy("nation")
+    )

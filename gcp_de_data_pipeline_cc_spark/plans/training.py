@@ -1995,3 +1995,140 @@ def train_shard_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_shard_stratified.__doc__ = train_shard_stratified.__doc__.format(
     n=_SHARD_N
 )
+
+
+# --------------------------------------------------------------------------
+# train_preference_pairs — DPO/RLHF preference-pair construction
+# --------------------------------------------------------------------------
+
+#: minimum reward margin for a pair to count as a confident preference
+#: (rewards are 24-bit: 0..16777215; ~6% of the range)
+_PREF_MARGIN = 1_000_000
+
+#: per-doc deterministic "reward-model score" (24-bit salted md5 — the
+#: replayable stand-in for a scored inference pass)
+_PREF_R_SQL = (
+    "CAST(CAST('0x' || SUBSTR(md5('rm:' || CAST(doc_id AS VARCHAR)), 1, 6)"
+    " AS BIGINT) AS BIGINT)"
+)
+
+
+@query(
+    "train_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_PREF_R_SQL} AS r FROM documents),
+    ranked AS (
+        SELECT doc_id, source, r,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY r DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM scored),
+    chosen AS (
+        SELECT source, rk AS pair_idx, doc_id AS chosen_id, r AS r_chosen
+        FROM ranked WHERE rk <= n // 2),
+    rejected AS (
+        SELECT source, n - rk + 1 AS pair_idx, doc_id AS rejected_id,
+               r AS r_rejected
+        FROM ranked WHERE rk > n - n // 2)
+    SELECT c.source, CAST(c.pair_idx AS BIGINT) AS pair_idx,
+           c.chosen_id, j.rejected_id,
+           CAST(c.r_chosen - j.r_rejected AS BIGINT) AS margin
+    FROM chosen c
+    JOIN rejected j
+      ON c.source = j.source AND c.pair_idx = j.pair_idx
+    WHERE c.r_chosen - j.r_rejected >= {_PREF_MARGIN}
+    ORDER BY c.source, pair_idx
+    """,
+)
+def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep tier — PREFERENCE-PAIR construction for DPO/RLHF:
+    within each source, rank documents by reward-model score and pair
+    rank i (chosen) with rank n−i+1 (rejected) — the max-spread greedy
+    pairing that maximizes the summed margin under a perfect matching
+    on disjoint docs — keeping only pairs whose margin clears the
+    confidence threshold ({m:,} of the 2²⁴ reward range).  Every doc
+    lands in at most one pair (ranks partition), and
+    ``margin > 0`` holds by construction (strict (r, doc_id)
+    ordering); the margin filter drops low-signal pairs the DPO loss
+    would waste gradient on.
+
+    The reward is a salted-md5 24-bit channel — the replayable
+    stand-in for a scored inference pass (`eval_auc_roc`'s score
+    discipline); swap the scored relation for real rewards and
+    nothing else changes.
+
+    Exactness: rewards, ranks, and margins are exact int64; no floats
+    exist in the key.
+
+    100 TB: one hash exchange on source serves both rank windows; the
+    pairing join is equi on (source, pair_idx) — same exchange, AQE
+    co-partitions; output is ≤ |docs|/2 rows.
+
+    Reference parity: the reference's curation tier builds
+    target-shaped tables from staged data
+    (dags/pipeline_orchestration_dag.py:178-208); preference pairs are
+    that shaping step for alignment datasets.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    r = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rm:"), F.col("doc_id").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id", "source", r.alias("r")
+    ).select(
+        "doc_id",
+        "source",
+        "r",
+        F.row_number()
+        .over(w.orderBy(F.desc("r"), F.asc("doc_id")))
+        .alias("rk"),
+        F.count("*")
+        .over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    ranked = ranked.localCheckpoint(eager=False)  # both pair sides
+    chosen = ranked.where(F.col("rk") <= F.expr("n DIV 2")).select(
+        "source",
+        F.col("rk").cast("long").alias("pair_idx"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("r").alias("r_chosen"),
+    )
+    rejected = ranked.where(F.col("rk") > F.expr("n - n DIV 2")).select(
+        "source",
+        (F.col("n") - F.col("rk") + 1).cast("long").alias("pair_idx"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("r").alias("r_rejected"),
+    )
+    return (
+        chosen.join(rejected, ["source", "pair_idx"])
+        .where(
+            F.col("r_chosen") - F.col("r_rejected") >= _PREF_MARGIN
+        )
+        .select(
+            "source",
+            "pair_idx",
+            "chosen_id",
+            "rejected_id",
+            (F.col("r_chosen") - F.col("r_rejected"))
+            .cast("long")
+            .alias("margin"),
+        )
+        .orderBy("source", "pair_idx")
+    )
+
+
+train_preference_pairs.__doc__ = train_preference_pairs.__doc__.format(
+    m=_PREF_MARGIN
+)
