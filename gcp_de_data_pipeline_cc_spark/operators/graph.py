@@ -285,3 +285,56 @@ def trade_sparse_graph(
     )
     _TRADE_G[key] = g
     return g
+
+
+# (applicationId, sf_dir, k) -> DIRECTED sparsified trade digraph
+_TRADE_DG: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def trade_sparse_digraph(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Directed sparsified nation trade digraph, columns (src, dst):
+    keep each source nation's ``k`` strongest outgoing trade flows
+    (weight = lineitems shipped customer-nation -> supplier-nation,
+    self-flows dropped, rank ties on partner key), WITHOUT the
+    symmetrization :func:`trade_sparse_graph` applies — direction is
+    the point for SCC/condensation analyses (u sells to v is not v
+    sells to u).  Same one-fact-pass, checkpointed, session-cached
+    ownership contract."""
+    key = (*_cache_key(spark, sf_dir), k)
+    g = _TRADE_DG.get(key)
+    if g is not None:
+        return g
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    g = (
+        e.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    _TRADE_DG[key] = g
+    return g

@@ -1656,3 +1656,140 @@ def graph_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components on the directed trade digraph (r5w wave)
+# ---------------------------------------------------------------------------
+
+_SCC_K = 3   # same sparsifying cut as closeness / betweenness / articulation
+
+#: closure-by-squaring rounds: paths up to 2^5 = 32 > |nations| cover
+#: every simple path in the 25-node digraph
+_SCC_ROUNDS = 5
+
+
+def _scc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM (
+                SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2))
+        WHERE rn <= {_SCC_K}),
+    reach(u, v) AS (
+        SELECT n_nationkey, n_nationkey FROM nation
+        UNION
+        SELECT r.u, e.dst FROM reach r JOIN e ON e.src = r.v),
+    pair AS (
+        SELECT r1.u, r1.v
+        FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u),
+    scc AS (SELECT u, CAST(MIN(v) AS BIGINT) AS scc_id
+            FROM pair GROUP BY u),
+    sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+           FROM scc GROUP BY scc_id)
+    SELECT n.n_name AS nation, s.scc_id, z.scc_size,
+           z.scc_size > 1 AS in_cycle
+    FROM scc s
+    JOIN sz z ON z.scc_id = s.scc_id
+    JOIN nation n ON n.n_nationkey = s.u
+    ORDER BY nation
+    """
+
+
+@query("graph_scc", oracle=_scc_oracle())
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — STRONGLY CONNECTED COMPONENTS on the DIRECTED
+    sparsified trade digraph (each nation's {k} strongest OUTGOING
+    flows — direction matters: u selling to v is not v selling to u,
+    and the undirected keys' symmetrization would merge what the
+    condensation keeps apart).  SCC id = min nation reachable in BOTH
+    directions; mutual reachability comes from the transitive closure
+    built by {r} closure-by-squaring rounds (R ← R∘R over R₀ = I ∪ E:
+    paths ≤ 2^{r} = 32 cover the 25-node domain), the parallel-friendly
+    alternative to Tarjan's inherently sequential stack.
+
+    The oracle is a genuinely DIFFERENT algorithm — a recursive-CTE
+    fixpoint closure — so the hash match cross-verifies the squaring
+    construction, not a shared code path.
+
+    Exactness: everything is integer set algebra (keys, distinct
+    unions, MIN labels) — no floats exist.
+
+    100 TB: the one fact pass collapses to the ≤ 625-row flow matrix
+    before ranking (map-side partial agg); closure/squaring runs on
+    the |V|²-bounded dimension table.  For wide graphs the same
+    doubling works on (hash-bucketed) adjacency with the closure
+    replaced by forward-backward reachability from pivots.
+
+    Reference parity: the reference's DAG is itself a digraph whose
+    cycle-freedom Airflow asserts (dags/pipeline_orchestration_dag.py
+    task graph); SCC is that assertion's general form — any SCC of
+    size > 1 IS a cycle.
+    """
+    from gcp_de_data_pipeline_cc_spark.operators.graph import (
+        trade_sparse_digraph,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    g = trade_sparse_digraph(spark, sf_dir, _SCC_K)
+    reach = (
+        nation.select(
+            F.col("n_nationkey").alias("u"),
+            F.col("n_nationkey").alias("v"),
+        )
+        .unionByName(
+            g.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_SCC_ROUNDS):
+        hop = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.v") == F.col("b.u"))
+            .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        )
+        reach = (
+            reach.unionByName(hop).distinct().localCheckpoint(eager=False)
+        )
+    pair = (
+        reach.alias("r1")
+        .join(
+            reach.alias("r2"),
+            (F.col("r1.u") == F.col("r2.v"))
+            & (F.col("r1.v") == F.col("r2.u")),
+        )
+        .select(F.col("r1.u").alias("u"), F.col("r1.v").alias("v"))
+    )
+    scc = pair.groupBy("u").agg(F.min("v").cast("long").alias("scc_id"))
+    scc = scc.localCheckpoint(eager=False)  # member + size consumers
+    sz = scc.groupBy("scc_id").agg(
+        F.count("*").cast("long").alias("scc_size")
+    )
+    return (
+        scc.join(sz, "scc_id")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            scc.u == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "scc_id",
+            "scc_size",
+            (F.col("scc_size") > 1).alias("in_cycle"),
+        )
+        .orderBy("nation")
+    )
+
+
+graph_scc.__doc__ = graph_scc.__doc__.format(k=_SCC_K, r=_SCC_ROUNDS)

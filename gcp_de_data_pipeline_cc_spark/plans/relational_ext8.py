@@ -1744,3 +1744,210 @@ def fn_currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# --------------------------------------------------------------------------
+# fn_json_schema_infer — semi-structured key/type census
+# --------------------------------------------------------------------------
+
+#: the candidate key universe the census scans (schema inference over a
+#: fixed registry of candidate columns — paths must be literals for
+#: Spark's variant_get)
+_JSI_KEYS = ("k", "device", "dur_ms", "price", "tags", "flag")
+
+#: deterministic semi-structured channel: four page shapes cycled by
+#: event_id, with a TYPE CONFLICT planted on "k" (number 3/4, string
+#: 1/4) and an explicit null on "device"
+_JSI_PROPS_SQL = """
+    CASE CAST(event_id % 4 AS BIGINT)
+         WHEN 0 THEN '{{"k": ' || kv || ', "device": "mobile",'
+                     || ' "dur_ms": ' || dur || '}}'
+         WHEN 1 THEN '{{"k": ' || kv || ', "device": null,'
+                     || ' "price": 19.99}}'
+         WHEN 2 THEN '{{"k": "' || kv || '", "tags": [1, 2],'
+                     || ' "flag": true}}'
+         ELSE '{{"k": ' || kv || '}}'
+    END
+"""
+
+
+def _jsi_oracle() -> str:
+    props = _JSI_PROPS_SQL.format()
+    classify = """CASE WHEN {t} IS NULL THEN 'missing'
+               WHEN {t} = 'NULL' THEN 'null'
+               WHEN {t} = 'BOOLEAN' THEN 'bool'
+               WHEN {t} = 'VARCHAR' THEN 'string'
+               WHEN {t} = 'ARRAY' THEN 'array'
+               WHEN {t} = 'OBJECT' THEN 'object'
+               ELSE 'number' END"""
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{k}' AS key,
+               {classify.format(t=f"json_type(props2::JSON, '$.{k}')")}
+                   AS cls
+            FROM built"""
+        for k in _JSI_KEYS
+    )
+    return f"""
+    WITH src AS (
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS kv,
+               CAST(CAST(FLOOR(value * 1000.0e0 + 0.5e0) AS BIGINT)
+                    AS VARCHAR) AS dur
+        FROM events),
+    built AS (SELECT {props} AS props2 FROM src),
+    classed AS ({arms}),
+    agg AS (
+        SELECT key,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN cls = 'missing' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missing,
+               CAST(SUM(CASE WHEN cls = 'null' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(SUM(CASE WHEN cls = 'number' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_number,
+               CAST(SUM(CASE WHEN cls = 'string' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_string,
+               CAST(SUM(CASE WHEN cls = 'array' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_array,
+               CAST(SUM(CASE WHEN cls = 'bool' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bool
+        FROM classed GROUP BY key)
+    SELECT key, n_total, n_missing, n_null, n_number, n_string, n_array,
+           n_bool,
+           FLOOR(CAST(n_total - n_missing AS DOUBLE)
+                 / CAST(n_total AS DOUBLE) * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS presence_pct,
+           CASE WHEN (CASE WHEN n_number > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN n_string > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN n_array > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN n_bool > 0 THEN 1 ELSE 0 END) > 1
+                THEN 'string_widened'
+                WHEN n_number > 0 THEN 'number'
+                WHEN n_string > 0 THEN 'string'
+                WHEN n_array > 0 THEN 'array'
+                WHEN n_bool > 0 THEN 'bool'
+                ELSE 'unknown' END AS inferred_type,
+           (n_null > 0 OR n_missing > 0) AS nullable
+    FROM agg
+    ORDER BY key
+    """
+
+
+@query("fn_json_schema_infer", oracle=_jsi_oracle())
+def fn_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured tier — JSON SCHEMA INFERENCE CENSUS: the
+    landing-zone question "what columns does this feed actually carry,
+    with what types, how often?" answered per candidate key — presence
+    / explicit-null / per-type-kind counts, a presence rate, the
+    widened inferred type (>1 observed kind → string, the CSV-loader
+    rule — the channel PLANTS that conflict: ``k`` arrives as a number
+    in 3 of 4 page shapes and as a string in the 4th), and a
+    nullability verdict.  The channel is deterministic (four page
+    shapes cycled by event_id), so every count is replayable.
+
+    Engine-portability is the point of the key: Spark classifies via
+    VARIANT introspection (``schema_of_variant(variant_get(...))`` —
+    BIGINT/DECIMAL/DOUBLE → number, VOID → null, missing → NULL),
+    DuckDB via ``json_type`` (UBIGINT/DOUBLE → number, 'NULL' → null)
+    — two different type systems normalized to one kind vocabulary,
+    certified equal by the hash compare.
+
+    100 TB: one scan; per-key classification is projection-side; the
+    census collapses map-side to |candidate keys| rows.  Unknown-key
+    discovery swaps the literal paths for ``json_object_keys`` +
+    explode — same plan shape, one extra exchange.
+
+    Reference parity: the reference lands JSON-ish payloads whose
+    schema the staging DDL hardcodes
+    (`dags/config/pipeline_config.yaml` table schemas); this census is
+    how that DDL gets WRITTEN — and how drift gets caught
+    (`ops_schema_evolution_compat` is the downstream judge).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("kv"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("dur"),
+    )
+    built = src.selectExpr(
+        _JSI_PROPS_SQL.format().replace("{{", "{").replace("}}", "}")
+        + " AS props2"
+    ).select(F.parse_json(F.col("props2")).alias("v"))
+
+    def _cls(key: str) -> F.Column:
+        t = F.expr(f"schema_of_variant(variant_get(v, '$.{key}'))")
+        return (
+            F.when(t.isNull(), "missing")
+            .when(t == "VOID", "null")
+            .when(t == "BOOLEAN", "bool")
+            .when(t == "STRING", "string")
+            .when(t.startswith("ARRAY"), "array")
+            .when(
+                t.startswith("STRUCT") | t.startswith("OBJECT"), "object"
+            )
+            .otherwise("number")
+        )
+
+    classed = built.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key"), _cls(k).alias("cls")
+                    )
+                    for k in _JSI_KEYS
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+
+    def _cnt(kind: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col("cls") == kind, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{kind}")
+        )
+
+    agg = classed.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_total"),
+        _cnt("missing"),
+        _cnt("null"),
+        _cnt("number"),
+        _cnt("string"),
+        _cnt("array"),
+        _cnt("bool"),
+    )
+    kinds = (
+        F.when(F.col("n_number") > 0, 1).otherwise(0)
+        + F.when(F.col("n_string") > 0, 1).otherwise(0)
+        + F.when(F.col("n_array") > 0, 1).otherwise(0)
+        + F.when(F.col("n_bool") > 0, 1).otherwise(0)
+    )
+    return agg.select(
+        "key",
+        "n_total",
+        "n_missing",
+        "n_null",
+        "n_number",
+        "n_string",
+        "n_array",
+        "n_bool",
+        roundn(
+            (F.col("n_total") - F.col("n_missing")).cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("presence_pct"),
+        F.when(kinds > 1, "string_widened")
+        .when(F.col("n_number") > 0, "number")
+        .when(F.col("n_string") > 0, "string")
+        .when(F.col("n_array") > 0, "array")
+        .when(F.col("n_bool") > 0, "bool")
+        .otherwise("unknown")
+        .alias("inferred_type"),
+        ((F.col("n_null") > 0) | (F.col("n_missing") > 0)).alias(
+            "nullable"
+        ),
+    ).orderBy("key")
