@@ -102,6 +102,7 @@ _COMPONENT_FIRST = (
     "ts_downsample_lttb", "train_shard_stratified",
     "agg_hhi", "train_preference_pairs",
     "graph_scc", "fn_json_schema_infer",
+    "text_sentence_split", "ops_rtbf_purge",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

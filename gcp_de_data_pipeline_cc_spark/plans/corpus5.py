@@ -170,3 +170,106 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.instr("main_text", "var id=") > 0).alias("main_script_leak"),
         (F.col("main_text") == F.col("clean_src")).alias("roundtrip_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_sentence_split — abbreviation-aware sentence segmentation
+# --------------------------------------------------------------------------
+
+#: the abbreviation lexicon the aware splitter protects (a period after
+#: these tokens is NOT a sentence boundary)
+_SENT_ABBREV = "(Dr|Mr|Mrs|Ms|etc|al|vs|approx)"
+
+#: deterministic punctuation channel: the corpus text is unpunctuated,
+#: so boundaries are planted at known words and a quoted lead-in plants
+#: abbreviation traps for the naive splitter
+_SENT_TXT_SQL = (
+    "'Dr. Smith et al. said: ' || "
+    "REPLACE(REPLACE(text, ' table ', '. '), ' query ', '! ') || '.'"
+)
+
+
+@query(
+    "text_sentence_split",
+    oracle=f"""
+    WITH built AS (
+        SELECT doc_id, {_SENT_TXT_SQL} AS txt FROM documents),
+    counted AS (
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(txt, '[.!?]+( |$)'))
+                    AS BIGINT) AS n_boundaries_naive,
+               CAST(LEN(REGEXP_EXTRACT_ALL(txt,
+                        '{_SENT_ABBREV}\\. ')) AS BIGINT) AS n_abbrev,
+               CAST(LEN(REGEXP_EXTRACT_ALL(txt, '[^ ]+')) AS BIGINT)
+                   AS n_tokens
+        FROM built)
+    SELECT doc_id, n_boundaries_naive, n_abbrev,
+           n_boundaries_naive - n_abbrev AS n_sentences,
+           FLOOR(CAST(n_tokens AS DOUBLE)
+                 / CAST(GREATEST(n_boundaries_naive - n_abbrev, 1)
+                        AS DOUBLE) * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS mean_sentence_tokens
+    FROM counted
+    """,
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tier — ABBREVIATION-AWARE SENTENCE SEGMENTATION: count
+    sentence boundaries as terminal-punctuation runs followed by a
+    space or end-of-text, then SUBTRACT the abbreviation misfires
+    ("Dr.", "et al.", "vs." — the classic over-split every naive
+    `split('[.!?]')` commits; the channel's lead-in plants two traps
+    per document so the correction is always exercised).  Emits both
+    counts so the over-split rate is itself auditable, plus the mean
+    sentence length in tokens — the chunking parameter `doc_chunk`
+    consumes.
+
+    The punctuation channel is deterministic (the corpus is
+    unpunctuated: boundaries are planted at known words), so every
+    count has a closed-form expectation the laws pin.
+
+    Portability: counting is `regexp_extract_all` length on both
+    engines — no lookbehind (RE2 has none); the abbreviation guard is
+    a plain alternation group.
+
+    Exactness: pure integer counts; the ratio quantizes once at final
+    projection with a GREATEST(n,1) floor guard.
+
+    100 TB: whole-stage-codegen projection, zero shuffles, zero
+    Python; a corpus rollup stacks one map-side aggregate on top.
+
+    Reference parity: the reference's staging cleanse
+    (dags/pipeline_orchestration_dag.py:96-120) normalizes raw text
+    fields; segmentation is that normalization for document corpora.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    built = docs.selectExpr("doc_id", f"{_SENT_TXT_SQL} AS txt")
+    counted = built.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(txt, '[.!?]+( |$)', 0)"))
+        .cast("long")
+        .alias("n_boundaries_naive"),
+        F.size(
+            F.expr(f"regexp_extract_all(txt, '{_SENT_ABBREV}\\\\. ', 0)")
+        )
+        .cast("long")
+        .alias("n_abbrev"),
+        F.size(F.expr("regexp_extract_all(txt, '[^ ]+', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    sent = F.col("n_boundaries_naive") - F.col("n_abbrev")
+    return counted.select(
+        "doc_id",
+        "n_boundaries_naive",
+        "n_abbrev",
+        sent.alias("n_sentences"),
+        (
+            F.floor(
+                F.col("n_tokens").cast("double")
+                / F.greatest(sent, F.lit(1)).cast("double")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("mean_sentence_tokens"),
+    )

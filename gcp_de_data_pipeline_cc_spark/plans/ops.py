@@ -653,3 +653,169 @@ def ops_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000.0)
         ).alias("mttr_seconds"),
     )
+
+
+# --------------------------------------------------------------------------
+# ops_rtbf_purge — right-to-be-forgotten cascade audit
+# --------------------------------------------------------------------------
+
+#: deletion-request coin: customers whose salted md5 byte < 0x08
+#: (~3% of the base) have requested erasure
+_RTBF_REQ_SQL = (
+    "SUBSTR(md5('rtbf:' || CAST(c_custkey AS VARCHAR)), 1, 2) < '08'"
+)
+
+
+@query(
+    "ops_rtbf_purge",
+    oracle=f"""
+    WITH req AS (
+        SELECT c_custkey FROM customer WHERE {_RTBF_REQ_SQL}),
+    o_purge AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM req)),
+    l_purge AS (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM o_purge)),
+    stats AS (
+        SELECT 'customer' AS table_name,
+               (SELECT COUNT(*) FROM customer) AS rows_before,
+               (SELECT COUNT(*) FROM req) AS rows_purged,
+               0 AS orphans_if_naive
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM o_purge),
+               (SELECT COUNT(*) FROM o_purge)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM l_purge),
+               (SELECT COUNT(*) FROM l_purge))
+    SELECT table_name,
+           CAST(rows_before AS BIGINT) AS rows_before,
+           CAST(rows_purged AS BIGINT) AS rows_purged,
+           CAST(rows_before - rows_purged AS BIGINT) AS rows_after,
+           CAST(orphans_if_naive AS BIGINT) AS orphans_if_naive,
+           FLOOR(CAST(rows_purged AS DOUBLE)
+                 / CAST(rows_before AS DOUBLE) * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS purge_rate
+    FROM stats
+    ORDER BY table_name
+    """,
+)
+def ops_rtbf_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-ops tier — RIGHT-TO-BE-FORGOTTEN CASCADE AUDIT: given a
+    deletion-request set (a deterministic ~3% md5 coin over customers
+    — the replayable stand-in for a DSAR queue), compute the full
+    referential cascade customer → orders → lineitem and emit the
+    per-table purge ledger: rows before / purged / after, the purge
+    rate, and ``orphans_if_naive`` — the rows that WOULD dangle if the
+    operator deleted only the customer tier (the classic partial-purge
+    bug: every purged order is an orphan of a naive customer-only
+    delete, every purged lineitem an orphan of an orders-stopping
+    one).  The law test breaks the cascade deliberately and watches
+    the orphan column catch it.
+
+    Exactness: pure integer counts off semi-join cardinalities; the
+    rate quantizes once at final projection.
+
+    100 TB: three LEFT SEMI joins on their natural keys (request set →
+    orders on custkey, purged orders → lineitem on orderkey) — each
+    one exchange, with AQE free to broadcast the request side while
+    it is genuinely small; counts collapse map-side.  The physical
+    delete is `partition_overwrite` / `log_compact_retention`'s
+    anti-join write applied per table with these same relations.
+
+    Reference parity: the reference's archive stage moves processed
+    data out of the landing zone (dags/pipeline_orchestration_dag.py
+    :142-177); RTBF is that lifecycle action driven by a legal
+    trigger, with the audit trail compliance requires.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    req = customer.where(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("rtbf:"), F.col("c_custkey").cast("string")
+                )
+            ),
+            1,
+            2,
+        )
+        < "08"
+    ).select("c_custkey")
+    req = req.localCheckpoint(eager=False)  # two consumers
+    o_purge = orders.join(
+        req, orders.o_custkey == req.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    o_purge = o_purge.localCheckpoint(eager=False)  # count + lineitem
+    l_purge = lineitem.join(
+        o_purge, lineitem.l_orderkey == o_purge.o_orderkey, "left_semi"
+    )
+    counts = [
+        customer.agg(
+            F.lit("customer").alias("table_name"),
+            F.count("*").cast("long").alias("rows_before"),
+        ).crossJoin(
+            F.broadcast(
+                req.agg(F.count("*").cast("long").alias("rows_purged"))
+            )
+        ).select(
+            "table_name",
+            "rows_before",
+            "rows_purged",
+            F.lit(0).cast("long").alias("orphans_if_naive"),
+        ),
+        orders.agg(
+            F.lit("orders").alias("table_name"),
+            F.count("*").cast("long").alias("rows_before"),
+        ).crossJoin(
+            F.broadcast(
+                o_purge.agg(
+                    F.count("*").cast("long").alias("rows_purged")
+                )
+            )
+        ).select(
+            "table_name",
+            "rows_before",
+            "rows_purged",
+            F.col("rows_purged").alias("orphans_if_naive"),
+        ),
+        lineitem.agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count("*").cast("long").alias("rows_before"),
+        ).crossJoin(
+            F.broadcast(
+                l_purge.agg(
+                    F.count("*").cast("long").alias("rows_purged")
+                )
+            )
+        ).select(
+            "table_name",
+            "rows_before",
+            "rows_purged",
+            F.col("rows_purged").alias("orphans_if_naive"),
+        ),
+    ]
+    stats = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return stats.select(
+        "table_name",
+        "rows_before",
+        "rows_purged",
+        (F.col("rows_before") - F.col("rows_purged"))
+        .cast("long")
+        .alias("rows_after"),
+        "orphans_if_naive",
+        (
+            F.floor(
+                F.col("rows_purged").cast("double")
+                / F.col("rows_before").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("purge_rate"),
+    ).orderBy("table_name")

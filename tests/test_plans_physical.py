@@ -388,6 +388,9 @@ _BNLJ_REVIEWED = frozenset({
     # points and the single-row bucket array; train_shard_stratified
     # the one-row max-deviation audit — category (a) scalar broadcasts
     "ts_downsample_lttb", "train_shard_stratified",
+    # r5x wave: ops_rtbf_purge crosses each table's one-row count with
+    # its one-row purged-count — category (a) scalar broadcasts
+    "ops_rtbf_purge",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
