@@ -338,3 +338,60 @@ def trade_sparse_digraph(
     )
     _TRADE_DG[key] = g
     return g
+
+
+# (applicationId, sf_dir, k, rounds) -> (u, scc_id) labels
+_SCC_LBL: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def scc_labels(
+    spark: SparkSession, sf_dir: str, k: int = 3, rounds: int = 5
+) -> DataFrame:
+    """Strongly-connected-component labels (u, scc_id) over
+    :func:`trade_sparse_digraph`: transitive closure by ``rounds``
+    squaring steps over R0 = I ∪ E (paths ≤ 2^rounds cover the nation
+    domain), scc_id = min mutually-reachable node.  Session-cached and
+    checkpointed — graph_scc and graph_condensation share ONE closure
+    build (the supplier_backbone ownership contract)."""
+    key = (*_cache_key(spark, sf_dir), k, rounds)
+    lbl = _SCC_LBL.get(key)
+    if lbl is not None:
+        return lbl
+    nation = load_table(spark, sf_dir, "nation")
+    g = trade_sparse_digraph(spark, sf_dir, k)
+    reach = (
+        nation.select(
+            F.col("n_nationkey").alias("u"),
+            F.col("n_nationkey").alias("v"),
+        )
+        .unionByName(
+            g.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        hop = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.v") == F.col("b.u"))
+            .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        )
+        reach = (
+            reach.unionByName(hop).distinct().localCheckpoint(eager=False)
+        )
+    pair = (
+        reach.alias("r1")
+        .join(
+            reach.alias("r2"),
+            (F.col("r1.u") == F.col("r2.v"))
+            & (F.col("r1.v") == F.col("r2.u")),
+        )
+        .select(F.col("r1.u").alias("u"), F.col("r1.v").alias("v"))
+    )
+    lbl = (
+        pair.groupBy("u")
+        .agg(F.min("v").cast("long").alias("scc_id"))
+        .localCheckpoint(eager=False)
+    )
+    _SCC_LBL[key] = lbl
+    return lbl

@@ -1736,43 +1736,10 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     task graph); SCC is that assertion's general form — any SCC of
     size > 1 IS a cycle.
     """
-    from gcp_de_data_pipeline_cc_spark.operators.graph import (
-        trade_sparse_digraph,
-    )
+    from gcp_de_data_pipeline_cc_spark.operators.graph import scc_labels
 
     nation = load_table(spark, sf_dir, "nation")
-    g = trade_sparse_digraph(spark, sf_dir, _SCC_K)
-    reach = (
-        nation.select(
-            F.col("n_nationkey").alias("u"),
-            F.col("n_nationkey").alias("v"),
-        )
-        .unionByName(
-            g.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(_SCC_ROUNDS):
-        hop = (
-            reach.alias("a")
-            .join(reach.alias("b"), F.col("a.v") == F.col("b.u"))
-            .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
-        )
-        reach = (
-            reach.unionByName(hop).distinct().localCheckpoint(eager=False)
-        )
-    pair = (
-        reach.alias("r1")
-        .join(
-            reach.alias("r2"),
-            (F.col("r1.u") == F.col("r2.v"))
-            & (F.col("r1.v") == F.col("r2.u")),
-        )
-        .select(F.col("r1.u").alias("u"), F.col("r1.v").alias("v"))
-    )
-    scc = pair.groupBy("u").agg(F.min("v").cast("long").alias("scc_id"))
-    scc = scc.localCheckpoint(eager=False)  # member + size consumers
+    scc = scc_labels(spark, sf_dir, _SCC_K, _SCC_ROUNDS)
     sz = scc.groupBy("scc_id").agg(
         F.count("*").cast("long").alias("scc_size")
     )
@@ -1793,3 +1760,169 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_scc.__doc__ = graph_scc.__doc__.format(k=_SCC_K, r=_SCC_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# condensation DAG of the trade digraph (r5y wave)
+# ---------------------------------------------------------------------------
+
+
+def _condensation_oracle() -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM (
+                SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2))
+        WHERE rn <= {_SCC_K}),
+    reach(u, v) AS (
+        SELECT n_nationkey, n_nationkey FROM nation
+        UNION
+        SELECT r.u, e.dst FROM reach r JOIN e ON e.src = r.v),
+    scc AS (
+        SELECT r1.u, CAST(MIN(r1.v) AS BIGINT) AS scc_id
+        FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+        GROUP BY r1.u),
+    sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+           FROM scc GROUP BY scc_id),
+    ce AS (
+        SELECT DISTINCT l1.scc_id AS src, l2.scc_id AS dst
+        FROM e
+        JOIN scc l1 ON l1.u = e.src
+        JOIN scc l2 ON l2.u = e.dst
+        WHERE l1.scc_id <> l2.scc_id),
+    lp(dst, len) AS (
+        SELECT dst, 1 FROM ce
+        UNION ALL
+        SELECT ce.dst, lp.len + 1 FROM lp JOIN ce ON ce.src = lp.dst),
+    lvl AS (SELECT dst AS scc_id, CAST(MAX(len) AS BIGINT) AS topo_level
+            FROM lp GROUP BY dst),
+    outd AS (SELECT src AS scc_id, CAST(COUNT(*) AS BIGINT) AS out_degree
+             FROM ce GROUP BY src),
+    ind AS (SELECT dst AS scc_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+            FROM ce GROUP BY dst)
+    SELECT z.scc_id, z.scc_size,
+           COALESCE(i.in_degree, 0) AS in_degree,
+           COALESCE(o.out_degree, 0) AS out_degree,
+           COALESCE(v.topo_level, 0) AS topo_level,
+           COALESCE(i.in_degree, 0) = 0 AS is_source,
+           COALESCE(o.out_degree, 0) = 0 AS is_sink
+    FROM sz z
+    LEFT JOIN ind i ON i.scc_id = z.scc_id
+    LEFT JOIN outd o ON o.scc_id = z.scc_id
+    LEFT JOIN lvl v ON v.scc_id = z.scc_id
+    ORDER BY z.scc_id
+    """
+
+
+@query("graph_condensation", oracle=_condensation_oracle())
+def graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — the CONDENSATION DAG: contract every SCC of the
+    directed trade digraph to one super-node (sharing `graph_scc`'s
+    session-cached labels — ONE closure build serves both keys, the
+    supplier_backbone ownership contract) and study the acyclic
+    quotient: per component its size, in/out degree, longest-path
+    topological LEVEL (the stage at which a cascading shock reaches
+    it), and source/sink flags.  The condensation is the structure
+    that makes cycle-bearing digraphs schedulable — exactly what an
+    orchestrator computes before assigning execution waves
+    (`ops_dag_critical_path`'s general-graph sibling: that key assumes
+    a DAG, this one MAKES one).
+
+    Longest-path levels come from max-plus closure-by-squaring on the
+    component graph (Spark) vs a recursive-CTE path extension
+    (DuckDB) — two different algorithms certified equal by the hash;
+    both terminate because the condensation is provably acyclic.
+
+    Exactness: integer set algebra throughout — no floats exist.
+
+    100 TB: the heavy lifting (fact scan → flow matrix → closure) is
+    the cached SCC build; everything here runs on the ≤ |V| component
+    table and its ≤ |E| quotient edges.
+
+    Reference parity: Airflow renders exactly this view of the
+    reference's task graph (dags/pipeline_orchestration_dag.py) —
+    levels are its execution waves.
+    """
+    from gcp_de_data_pipeline_cc_spark.operators.graph import (
+        scc_labels,
+        trade_sparse_digraph,
+    )
+
+    labels = scc_labels(spark, sf_dir, _SCC_K, _SCC_ROUNDS)
+    g = trade_sparse_digraph(spark, sf_dir, _SCC_K)
+    sz = labels.groupBy("scc_id").agg(
+        F.count("*").cast("long").alias("scc_size")
+    )
+    l1 = labels.select(
+        F.col("u").alias("src_u"), F.col("scc_id").alias("csrc")
+    )
+    l2 = labels.select(
+        F.col("u").alias("dst_u"), F.col("scc_id").alias("cdst")
+    )
+    ce = (
+        g.join(F.broadcast(l1), g.src == F.col("src_u"))
+        .join(F.broadcast(l2), g.dst == F.col("dst_u"))
+        .where(F.col("csrc") != F.col("cdst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + longest-path consumers
+    )
+    # longest path via max-plus squaring: 5 rounds cover 2^5 > |SCCs|
+    lp = ce.select("src", "dst", F.lit(1).cast("long").alias("len"))
+    lp = lp.localCheckpoint(eager=False)
+    for _ in range(_SCC_ROUNDS):
+        ext = (
+            lp.alias("a")
+            .join(lp.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                (F.col("a.len") + F.col("b.len")).alias("len"),
+            )
+        )
+        lp = (
+            lp.unionByName(ext)
+            .groupBy("src", "dst")
+            .agg(F.max("len").cast("long").alias("len"))
+            .localCheckpoint(eager=False)
+        )
+    lvl = lp.groupBy("dst").agg(
+        F.max("len").cast("long").alias("topo_level")
+    ).withColumnRenamed("dst", "scc_id")
+    outd = ce.groupBy("src").agg(
+        F.count("*").cast("long").alias("out_degree")
+    ).withColumnRenamed("src", "scc_id")
+    ind = ce.groupBy("dst").agg(
+        F.count("*").cast("long").alias("in_degree")
+    ).withColumnRenamed("dst", "scc_id")
+    return (
+        sz.join(F.broadcast(ind), "scc_id", "left")
+        .join(F.broadcast(outd), "scc_id", "left")
+        .join(F.broadcast(lvl), "scc_id", "left")
+        .select(
+            "scc_id",
+            "scc_size",
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias(
+                "in_degree"
+            ),
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias(
+                "out_degree"
+            ),
+            F.coalesce("topo_level", F.lit(0)).cast("long").alias(
+                "topo_level"
+            ),
+            (F.coalesce("in_degree", F.lit(0)) == 0).alias("is_source"),
+            (F.coalesce("out_degree", F.lit(0)) == 0).alias("is_sink"),
+        )
+        .orderBy("scc_id")
+    )

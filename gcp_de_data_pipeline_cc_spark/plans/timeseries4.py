@@ -279,3 +279,151 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_downsample_lttb.__doc__ = ts_downsample_lttb.__doc__.format(
     n="~2400", k=_LTTB_K
 )
+
+
+# --------------------------------------------------------------------------
+# sli_burn_rate_alerts — multi-window burn-rate alert policy
+# --------------------------------------------------------------------------
+
+#: error budget: SLO = 75% success, budget = 25% error share (sized to
+#: the synthetic feed's ~20% baseline so both alert states occur);
+#: burn = error_share / budget = 4 * error_share
+_BURN_BUDGET_INV = 4
+
+#: thresholds in ppm of burn rate: page = sustained 2x budget burn on
+#: BOTH the 1h and 6h windows (the fast+confirm pair), ticket = 1.2x
+#: on both the 1d and 3d windows (the slow-leak pair) — the Google SRE
+#: workbook's multiwindow policy SHAPE, thresholds scaled to this SLO
+_BURN_PAGE_PPM = 2_000_000
+_BURN_TICKET_PPM = 1_200_000
+
+
+@query(
+    "sli_burn_rate_alerts",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events GROUP BY 1),
+    win AS (
+        SELECT hour, errors, total,
+               CAST(SUM(errors) OVER w6 AS BIGINT) AS e6,
+               CAST(SUM(total) OVER w6 AS BIGINT) AS t6,
+               CAST(SUM(errors) OVER w24 AS BIGINT) AS e24,
+               CAST(SUM(total) OVER w24 AS BIGINT) AS t24,
+               CAST(SUM(errors) OVER w72 AS BIGINT) AS e72,
+               CAST(SUM(total) OVER w72 AS BIGINT) AS t72
+        FROM hourly
+        WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING
+                      AND CURRENT ROW),
+               w24 AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING
+                       AND CURRENT ROW),
+               w72 AS (ORDER BY hour ROWS BETWEEN 71 PRECEDING
+                       AND CURRENT ROW)),
+    burn AS (
+        SELECT hour, errors, total,
+               ({_BURN_BUDGET_INV} * 1000000 * errors) // total
+                   AS burn_1h_ppm,
+               ({_BURN_BUDGET_INV} * 1000000 * e6) // t6 AS burn_6h_ppm,
+               ({_BURN_BUDGET_INV} * 1000000 * e24) // t24
+                   AS burn_1d_ppm,
+               ({_BURN_BUDGET_INV} * 1000000 * e72) // t72
+                   AS burn_3d_ppm
+        FROM win)
+    SELECT hour, errors, total,
+           CAST(burn_1h_ppm AS BIGINT) AS burn_1h_ppm,
+           CAST(burn_6h_ppm AS BIGINT) AS burn_6h_ppm,
+           CAST(burn_1d_ppm AS BIGINT) AS burn_1d_ppm,
+           CAST(burn_3d_ppm AS BIGINT) AS burn_3d_ppm,
+           (burn_1h_ppm >= {_BURN_PAGE_PPM}
+            AND burn_6h_ppm >= {_BURN_PAGE_PPM}) AS page,
+           (burn_1d_ppm >= {_BURN_TICKET_PPM}
+            AND burn_3d_ppm >= {_BURN_TICKET_PPM}) AS ticket
+    FROM burn
+    ORDER BY hour
+    """,
+)
+def sli_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-ops tier — MULTI-WINDOW BURN-RATE ALERTING (the
+    Google SRE workbook policy `sli_error_budget` budgets and
+    `ops_incident_mttr` measures): per hour, the error-budget burn
+    rate over FOUR trailing windows; PAGE when both the fast (1h) and
+    confirming (6h) windows burn ≥ 2× budget — a single noisy hour
+    cannot page, a real outage pages within the hour; TICKET when both
+    the slow-leak windows (1d, 3d) burn ≥ 1.2× — drains too slow to
+    page but on track to exhaust the budget.  The dual-window AND is
+    the policy's point: it bounds both detection time AND reset time.
+
+    Exactness: hourly error/total counts are exact int64; window sums
+    are integer; burn rates are integer ppm via one DIV — no float
+    exists anywhere, so the alert booleans cannot flicker across
+    engines or runs.
+
+    100 TB: the feed collapses map-side to |hours| rows; all four
+    frames share the single hour-ordered window pass (bounded by the
+    calendar, not the data); alert evaluation is projection-side.
+
+    Reference parity: the reference's `email_on_failure`
+    (dags/pipeline_orchestration_dag.py:31-33) alerts on single task
+    failures; burn-rate alerting is that signal made budget-aware.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errors"),
+        F.count("*").cast("long").alias("total"),
+    )
+    w = Window.orderBy("hour")
+    win = hourly.select(
+        "hour",
+        "errors",
+        "total",
+        F.sum("errors").over(w.rowsBetween(-5, 0)).cast("long").alias("e6"),
+        F.sum("total").over(w.rowsBetween(-5, 0)).cast("long").alias("t6"),
+        F.sum("errors")
+        .over(w.rowsBetween(-23, 0))
+        .cast("long")
+        .alias("e24"),
+        F.sum("total")
+        .over(w.rowsBetween(-23, 0))
+        .cast("long")
+        .alias("t24"),
+        F.sum("errors")
+        .over(w.rowsBetween(-71, 0))
+        .cast("long")
+        .alias("e72"),
+        F.sum("total")
+        .over(w.rowsBetween(-71, 0))
+        .cast("long")
+        .alias("t72"),
+    )
+    b = _BURN_BUDGET_INV
+    burn = win.select(
+        "hour",
+        "errors",
+        "total",
+        F.expr(f"CAST(({b} * 1000000 * errors) DIV total AS BIGINT)")
+        .alias("burn_1h_ppm"),
+        F.expr(f"CAST(({b} * 1000000 * e6) DIV t6 AS BIGINT)")
+        .alias("burn_6h_ppm"),
+        F.expr(f"CAST(({b} * 1000000 * e24) DIV t24 AS BIGINT)")
+        .alias("burn_1d_ppm"),
+        F.expr(f"CAST(({b} * 1000000 * e72) DIV t72 AS BIGINT)")
+        .alias("burn_3d_ppm"),
+    )
+    return burn.select(
+        "*",
+        (
+            (F.col("burn_1h_ppm") >= _BURN_PAGE_PPM)
+            & (F.col("burn_6h_ppm") >= _BURN_PAGE_PPM)
+        ).alias("page"),
+        (
+            (F.col("burn_1d_ppm") >= _BURN_TICKET_PPM)
+            & (F.col("burn_3d_ppm") >= _BURN_TICKET_PPM)
+        ).alias("ticket"),
+    ).orderBy("hour")
