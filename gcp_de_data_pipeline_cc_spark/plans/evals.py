@@ -1269,3 +1269,149 @@ def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 eval_rouge_l.__doc__ = eval_rouge_l.__doc__.format(cap=_RL_CAP, s=_RL_SAMPLE)
+
+
+# --------------------------------------------------------------------------
+# eval_reward_length_bias — verbosity-bias audit of a reward channel
+# --------------------------------------------------------------------------
+
+#: 16-bit reward channel (bounded so Σ len·reward stays far inside
+#: int64 at any corpus size: 1e9 docs x 553 x 65535 ~ 3.6e16)
+_RLB_R_SQL = (
+    "CAST(CAST('0x' || SUBSTR(md5('rlb:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+    " AS BIGINT) AS BIGINT)"
+)
+
+
+@query(
+    "eval_reward_length_bias",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS x, {_RLB_R_SQL} AS y
+        FROM documents),
+    ranked AS (
+        SELECT x, y,
+               ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM scored),
+    dec AS (
+        SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile, x, y
+        FROM ranked),
+    per AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean_len,
+               CAST(SUM(y) // COUNT(*) AS BIGINT) AS mean_reward
+        FROM dec GROUP BY decile),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM scored),
+    stats AS (
+        SELECT FLOOR((CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / SQRT((CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy))
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS corr,
+               FLOOR((CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)
+                     * 1000.0e0 * 10000.0e0 + 0.5e0) / 10000.0e0
+                   AS slope_per_kchar
+        FROM mom)
+    SELECT p.decile, p.n_docs, p.mean_len, p.mean_reward,
+           s.corr, s.slope_per_kchar
+    FROM per p, stats s
+    ORDER BY p.decile
+    """,
+)
+def eval_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — REWARD LENGTH-BIAS AUDIT: the verbosity-bias check
+    every LLM-judge/reward-model pipeline owes its users (judges
+    systematically over-reward longer answers; an unaudited reward
+    channel silently optimizes for length).  Two readouts over the
+    (length, reward) pairs: the per-length-decile mean-reward table
+    (the visual — equal-population deciles via global rank) and the
+    exact Pearson correlation + regression slope per 1k chars (the
+    scalar verdicts).  On the hash-channel reward the corr is ~0 —
+    the law tests plant reward = length and watch corr hit 1 and the
+    decile means turn strictly monotone.
+
+    Exactness: all five co-moment sums are exact int64 (the 16-bit
+    reward bound keeps Σx·y inside int64 at ANY corpus size); corr and
+    slope are fixed scalar trees on the one-row moment relation,
+    quantized at final projection; decile means are integer DIV.
+
+    100 TB: one scan feeds both the moment collapse (map-side to one
+    row) and the decile rank; the rank is the two-phase global_rank
+    shape (range exchange, no single-reducer sort).
+
+    Reference parity: the reference's QC tier cross-checks derived
+    metrics against their drivers (dags/pipeline_orchestration_dag
+    .py:121-141); this is that check for a learned scoring column.
+    """
+    from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rlb:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = docs.select(
+        F.col("doc_id"),
+        F.col("n_chars").cast("long").alias("x"),
+        y.alias("y"),
+    )
+    scored = scored.localCheckpoint(eager=False)  # rank + moment consumers
+    ranked = global_rank(
+        scored, [F.col("x"), F.col("doc_id")], rank_col="rn"
+    )
+    n_all = ranked.count()
+    dec = ranked.select(
+        F.expr(f"CAST(((rn - 1) * 10) DIV {n_all} AS BIGINT)").alias(
+            "decile"
+        ),
+        "x",
+        "y",
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("mean_len"),
+        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("mean_reward"),
+    )
+    mom = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    stats = mom.select(
+        roundn(cov / F.sqrt(vx * vy), 6).alias("corr"),
+        roundn(cov / vx * F.lit(1000.0), 4).alias("slope_per_kchar"),
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            "decile", "n_docs", "mean_len", "mean_reward",
+            "corr", "slope_per_kchar",
+        )
+        .orderBy("decile")
+    )

@@ -1951,3 +1951,130 @@ def fn_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nullable"
         ),
     ).orderBy("key")
+
+
+# --------------------------------------------------------------------------
+# fn_useragent_parse — User-Agent forensics
+# --------------------------------------------------------------------------
+
+#: four UA templates cycled by order key; versions derive from the key
+#: so parsing has real variance to recover
+_UA_SQL = """
+    CASE CAST(o_orderkey % 4 AS BIGINT)
+         WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64)'
+                     || ' AppleWebKit/537.36 (KHTML, like Gecko) Chrome/'
+                     || CAST(100 + o_orderkey % 30 AS {S})
+                     || '.0.0.0 Safari/537.36'
+         WHEN 1 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_'
+                     || CAST(o_orderkey % 6 AS {S})
+                     || ' like Mac OS X) AppleWebKit/605.1.15'
+                     || ' (KHTML, like Gecko) Version/17.'
+                     || CAST(o_orderkey % 6 AS {S})
+                     || ' Mobile/15E148 Safari/604.1'
+         WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:'
+                     || CAST(110 + o_orderkey % 15 AS {S})
+                     || '.0) Gecko/20100101 Firefox/'
+                     || CAST(110 + o_orderkey % 15 AS {S}) || '.0'
+         ELSE 'Mozilla/5.0 (compatible; Googlebot/2.1;'
+              || ' +http://www.google.com/bot.html)'
+    END
+"""
+
+
+@query(
+    "fn_useragent_parse",
+    oracle=f"""
+    WITH built AS (
+        SELECT o_orderkey, {_UA_SQL.format(S="VARCHAR")} AS ua
+        FROM orders),
+    parsed AS (
+        SELECT ua,
+               CASE WHEN ua LIKE '%Googlebot%' THEN 'googlebot'
+                    WHEN ua LIKE '%Firefox/%' THEN 'firefox'
+                    WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+                    WHEN ua LIKE '%Safari/%' THEN 'safari'
+                    ELSE 'other' END AS browser,
+               CASE WHEN ua LIKE '%Windows NT%' THEN 'windows'
+                    WHEN ua LIKE '%iPhone OS%' THEN 'ios'
+                    WHEN ua LIKE '%Linux%' THEN 'linux'
+                    ELSE 'other' END AS os,
+               ua LIKE '%compatible;%bot%' OR ua LIKE '%Googlebot%'
+                   AS is_bot,
+               COALESCE(TRY_CAST(REGEXP_EXTRACT(ua,
+                   '(Chrome|Firefox|Version|Googlebot)/([0-9]+)', 2)
+                   AS BIGINT), 0) AS major
+        FROM built)
+    SELECT browser, os, is_bot,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(major) AS BIGINT) AS min_major,
+           CAST(MAX(major) AS BIGINT) AS max_major,
+           CAST(COUNT(DISTINCT major) AS BIGINT) AS n_versions
+    FROM parsed
+    GROUP BY browser, os, is_bot
+    ORDER BY browser, os
+    """,
+)
+def fn_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data tier — USER-AGENT FORENSICS, completing the
+    multiformat suite (dates, money, now the web-log string every
+    clickstream pipeline must segment): four real UA shapes (Chrome on
+    Windows, Safari on iOS, Firefox on Linux, Googlebot) with
+    key-derived versions, parsed back to browser family / OS family /
+    bot flag / major version by ordered LIKE forensics and one
+    product-version regex — then rolled up per (browser, os, bot)
+    segment with version-range audits.
+
+    Rule-order is load-bearing and tested: every Chrome UA also says
+    "Safari", so the CASE must check Chrome first — the canonical UA
+    gotcha, encoded identically in both engines.
+
+    Exactness: versions extract as regex-group INTEGERS; everything
+    else is counts — no floats exist.
+
+    100 TB: codegen projection + map-side rollup to a handful of
+    segment rows; the bot flag is the row-level filter serving
+    `corpus_curation`-style crawl cleaning.
+
+    Reference parity: the reference ingests raw access-log-shaped CSVs
+    (`dags/config/pipeline_config.yaml` sources); UA segmentation is
+    stage one of any traffic analysis over them.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    built = orders.selectExpr(
+        f"{_UA_SQL.format(S='STRING')} AS ua"
+    )
+    parsed = built.select(
+        F.when(F.col("ua").contains("Googlebot"), "googlebot")
+        .when(F.col("ua").contains("Firefox/"), "firefox")
+        .when(F.col("ua").contains("Chrome/"), "chrome")
+        .when(F.col("ua").contains("Safari/"), "safari")
+        .otherwise("other")
+        .alias("browser"),
+        F.when(F.col("ua").contains("Windows NT"), "windows")
+        .when(F.col("ua").contains("iPhone OS"), "ios")
+        .when(F.col("ua").contains("Linux"), "linux")
+        .otherwise("other")
+        .alias("os"),
+        (
+            (F.col("ua").like("%compatible;%bot%"))
+            | F.col("ua").contains("Googlebot")
+        ).alias("is_bot"),
+        F.coalesce(
+            F.expr(
+                "TRY_CAST(REGEXP_EXTRACT(ua,"
+                " '(Chrome|Firefox|Version|Googlebot)/([0-9]+)', 2)"
+                " AS BIGINT)"
+            ),
+            F.lit(0),
+        ).alias("major"),
+    )
+    return (
+        parsed.groupBy("browser", "os", "is_bot")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("major").cast("long").alias("min_major"),
+            F.max("major").cast("long").alias("max_major"),
+            F.countDistinct("major").cast("long").alias("n_versions"),
+        )
+        .orderBy("browser", "os")
+    )

@@ -391,6 +391,9 @@ _BNLJ_REVIEWED = frozenset({
     # r5x wave: ops_rtbf_purge crosses each table's one-row count with
     # its one-row purged-count — category (a) scalar broadcasts
     "ops_rtbf_purge",
+    # r5z wave: eval_reward_length_bias crosses the 10-row decile table
+    # with the one-row corr/slope stats — category (a)
+    "eval_reward_length_bias",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
