@@ -1125,3 +1125,133 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_decay_weighted — dyadic time-decay weighted revenue
+# --------------------------------------------------------------------------
+
+#: half-life in days: weight halves every week of age (dyadic, so the
+#: weighted terms are exact integer halvings — no libm pow anywhere)
+_DECAY_HALF_DAYS = 7
+
+
+@query(
+    "agg_decay_weighted",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+    aged AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(datediff('day', CAST(o.o_orderdate AS DATE), mx.dmax)
+                    // {_DECAY_HALF_DAYS} AS BIGINT) AS k,
+               CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey, mx),
+    perk AS (
+        SELECT nationkey, k,
+               CAST(SUM(cents) AS BIGINT) AS sub
+        FROM aged GROUP BY 1, 2),
+    terms AS (
+        SELECT nationkey, sub,
+               CASE WHEN k >= 57 THEN CAST(0 AS BIGINT)
+                    ELSE (sub * 100) // (CAST(1 AS BIGINT) << k)
+               END AS term_q
+        FROM perk),
+    agg AS (
+        SELECT nationkey,
+               CAST(SUM(sub) AS BIGINT) AS total_cents,
+               CAST(SUM(term_q) AS BIGINT) AS decayed_q
+        FROM terms GROUP BY nationkey)
+    SELECT n.n_name AS nation,
+           a.total_cents,
+           CAST(a.decayed_q AS DOUBLE) / 100.0e0 AS decayed_cents,
+           FLOOR(CAST(a.decayed_q AS DOUBLE) / 100.0e0
+                 / CAST(a.total_cents AS DOUBLE) * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS recency_share
+    FROM agg a JOIN nation n ON n.n_nationkey = a.nationkey
+    ORDER BY nation
+    """,
+)
+def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring tier — TIME-DECAY WEIGHTED AGGREGATION: revenue per
+    nation where each order's contribution HALVES per {h}-day week of
+    age (exponential decay, the standard recency weighting behind
+    trending/popularity scores and churn features) — beside the
+    undecayed total, plus ``recency_share`` = decayed/total, the
+    "how current is this market's revenue" verdict `rfm_segments`
+    reads per customer.
+
+    Exactness — NO libm pow: the half-life is dyadic, so weight 2^−k
+    is applied as one integer division by a SHIFTED constant
+    ((sub·100) DIV (1<<k)), per (nation, age-bucket) subtotal, floor
+    at centi-cent precision; ages ≥ 57 half-lives zero exactly
+    (2⁵⁷·100 > int64 — the guard is itself the overflow proof).  The
+    cross-bucket sum is an exact int64 sum of quantized terms —
+    summation order cannot drift it.
+
+    100 TB: the decisive move is aggregating to (nation, k) SUBTOTALS
+    map-side BEFORE weighting — the weighted combine runs on
+    |nations|·|age buckets| rows, not the fact table; one broadcast
+    dim join; the max-date scalar is a one-row broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("dmax"))
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    aged = (
+        orders.crossJoin(F.broadcast(mx))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.expr(
+                "CAST(datediff(dmax, to_date(o_orderdate))"
+                f" DIV {_DECAY_HALF_DAYS} AS BIGINT)"
+            ).alias("k"),
+            cents.alias("cents"),
+        )
+    )
+    perk = aged.groupBy("nationkey", "k").agg(
+        F.sum("cents").cast("long").alias("sub")
+    )
+    term = F.when(F.col("k") >= 57, F.lit(0).cast("long")).otherwise(
+        F.expr("(sub * 100) DIV SHIFTLEFT(CAST(1 AS BIGINT), CAST(k AS INT))")
+    )
+    agg = perk.select("nationkey", "sub", term.alias("term_q")).groupBy(
+        "nationkey"
+    ).agg(
+        F.sum("sub").cast("long").alias("total_cents"),
+        F.sum("term_q").cast("long").alias("decayed_q"),
+    )
+    return (
+        agg.join(
+            F.broadcast(nation),
+            agg.nationkey == nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "total_cents",
+            (F.col("decayed_q").cast("double") / F.lit(100.0)).alias(
+                "decayed_cents"
+            ),
+            roundn(
+                F.col("decayed_q").cast("double")
+                / F.lit(100.0)
+                / F.col("total_cents").cast("double"),
+                6,
+            ).alias("recency_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+agg_decay_weighted.__doc__ = agg_decay_weighted.__doc__.format(
+    h=_DECAY_HALF_DAYS
+)

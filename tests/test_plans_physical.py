@@ -394,6 +394,10 @@ _BNLJ_REVIEWED = frozenset({
     # r5z wave: eval_reward_length_bias crosses the 10-row decile table
     # with the one-row corr/slope stats — category (a)
     "eval_reward_length_bias",
+    # r6a wave: ts_seasonality_strength crosses the day-grain core with
+    # the one-row seasonal-mean normalizer; agg_decay_weighted the
+    # one-row max-date scalar — category (a)
+    "ts_seasonality_strength", "agg_decay_weighted",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
