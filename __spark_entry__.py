@@ -106,6 +106,7 @@ _COMPONENT_FIRST = (
     "graph_condensation", "sli_burn_rate_alerts",
     "eval_reward_length_bias", "fn_useragent_parse",
     "ts_seasonality_strength", "agg_decay_weighted",
+    "geo_cluster_grid", "dedup_incremental",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -3109,3 +3109,217 @@ def embedding_prefix_dims_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_prefix_dims_eval.__doc__ = embedding_prefix_dims_eval.__doc__.format(
     dims="/".join(str(d) for d in _MRL_DIMS)
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — incoming-batch dedup against a standing index
+# ---------------------------------------------------------------------------
+
+#: ~70/30 split: docs whose salted md5 byte < 0xb3 are ALREADY INDEXED;
+#: the rest are the incoming batch
+_INC_COIN_SQL = (
+    "SUBSTR(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'b3'"
+)
+
+#: an incoming doc is a near-dup if >= 80% of its shingles appear in
+#: some single indexed doc (containment, the asymmetric measure — the
+#: right one against an index: the INDEX side's size is irrelevant)
+_INC_NEAR_PPM = 800_000
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, text, {_INC_COIN_SQL} AS indexed
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, indexed, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, indexed, string_split(text, ' ') AS t
+              FROM tagged)
+        WHERE len(t) >= 3),
+    cnt_inc AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh
+        WHERE NOT indexed GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS inc_id, b.doc_id AS idx_id,
+               COUNT(*) AS n_both
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND NOT a.indexed AND b.indexed
+        GROUP BY 1, 2),
+    best AS (
+        SELECT i.inc_id,
+               MAX((i.n_both * 1000000) // c.n_sh) AS best_ppm
+        FROM inter i JOIN cnt_inc c ON c.doc_id = i.inc_id
+        GROUP BY i.inc_id),
+    exact AS (
+        SELECT DISTINCT t.doc_id
+        FROM tagged t
+        WHERE NOT t.indexed AND t.text IN
+              (SELECT text FROM tagged WHERE indexed)),
+    verdicts AS (
+        SELECT t.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN COALESCE(b.best_ppm, 0) >= {_INC_NEAR_PPM}
+                    THEN 'near_dup'
+                    ELSE 'new' END AS verdict,
+               CAST(COALESCE(b.best_ppm, 0) AS BIGINT) AS best_ppm
+        FROM tagged t
+        LEFT JOIN exact e ON e.doc_id = t.doc_id
+        LEFT JOIN best b ON b.inc_id = t.doc_id
+        WHERE NOT t.indexed),
+    tot AS (SELECT COUNT(*) AS n_inc FROM verdicts)
+    SELECT v.verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) / t.n_inc * 1000000.0e0
+                 + 0.5e0) / 1000000.0e0 AS share,
+           CAST(SUM(v.best_ppm) // COUNT(*) AS BIGINT)
+               AS mean_best_containment_ppm
+    FROM verdicts v, tot t
+    GROUP BY v.verdict, t.n_inc
+    ORDER BY v.verdict
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-extension — INCREMENTAL dedup, the form a 100 TB pipeline
+    actually runs: every other dedup key deduplicates one static
+    corpus against itself; in production, TODAY'S batch deduplicates
+    against the STANDING INDEX of everything already accepted.  A
+    deterministic 70/30 coin splits the corpus into index vs incoming;
+    each incoming doc gets a three-way verdict — ``exact_dup``
+    (content equality against the index), ``near_dup`` (shingle
+    CONTAINMENT ≥ 80% in some single indexed doc — the asymmetric
+    measure, correct against an index where the indexed side's length
+    must not dilute the score), or ``new`` — rolled up with shares and
+    the mean best-containment evidence.
+
+    Exactness: containment quantizes to integer ppm per (incoming,
+    indexed) pair via one integer DIV before the MAX; shares quantize
+    once at projection; everything else is counts.
+
+    100 TB: the cross join never appears — candidates come from the
+    shingle-hash equi-join (Σ|bucket|² bounded), exact dups from one
+    semi-join on the content hash; at production scale the index side
+    is a pre-materialized (shingle → doc) posting table
+    (`inverted_index`) so only the incoming batch is ever re-shingled
+    — the plan here re-derives it inline because the registry key must
+    be self-contained.
+
+    Reference parity: the reference's ingest sensor admits NEW files
+    into a standing lake (dags/pipeline_orchestration_dag.py:64-95);
+    this is that admission decision at document granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("inc:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                2,
+            )
+            < "b3"
+        ).alias("indexed"),
+    )
+    tagged = tagged.localCheckpoint(eager=False)  # shingle + exact uses
+    toks = tagged.select(
+        "doc_id", "indexed", F.split("text", " ").alias("t")
+    ).where(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        "indexed",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sh = sh.localCheckpoint(eager=False)  # both join sides + counts
+    cnt_inc = sh.where(~F.col("indexed")).groupBy("doc_id").agg(
+        F.count("*").alias("n_sh")
+    )
+    inter = (
+        sh.where(~F.col("indexed"))
+        .select(F.col("doc_id").alias("inc_id"), "shingle")
+        .join(
+            sh.where(F.col("indexed")).select(
+                F.col("doc_id").alias("idx_id"), "shingle"
+            ),
+            "shingle",
+        )
+        .groupBy("inc_id", "idx_id")
+        .agg(F.count("*").alias("n_both"))
+    )
+    best = (
+        inter.join(
+            cnt_inc.withColumnRenamed("doc_id", "inc_id"), "inc_id"
+        )
+        .groupBy("inc_id")
+        .agg(
+            F.max(
+                F.expr("(n_both * 1000000) DIV n_sh")
+            ).alias("best_ppm")
+        )
+    )
+    idx_text = tagged.where(F.col("indexed")).select("text").distinct()
+    exact = (
+        tagged.where(~F.col("indexed"))
+        .join(idx_text, "text", "left_semi")
+        .select("doc_id")
+    )
+    verdicts = (
+        tagged.where(~F.col("indexed"))
+        .select("doc_id")
+        .join(
+            exact.withColumn("is_exact", F.lit(True)), "doc_id", "left"
+        )
+        .join(
+            best.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(
+                F.coalesce("best_ppm", F.lit(0)) >= _INC_NEAR_PPM,
+                "near_dup",
+            )
+            .otherwise("new")
+            .alias("verdict"),
+            F.coalesce("best_ppm", F.lit(0))
+            .cast("long")
+            .alias("best_ppm"),
+        )
+    )
+    verdicts = verdicts.localCheckpoint(eager=False)  # rollup + total
+    tot = verdicts.agg(F.count("*").alias("n_inc"))
+    return (
+        verdicts.groupBy("verdict")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(SUM(best_ppm) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_best_containment_ppm"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "verdict",
+            "n_docs",
+            (
+                F.floor(
+                    F.col("n_docs").cast("double")
+                    / F.col("n_inc").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("share"),
+            "mean_best_containment_ppm",
+        )
+        .orderBy("verdict")
+    )

@@ -2078,3 +2078,149 @@ def fn_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("browser", "os")
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_cluster_grid — grid-density clustering (DBSCAN's scale form)
+# ---------------------------------------------------------------------------
+
+#: cluster grid resolution per axis (coarser than the density rollup:
+#: the closure below is bounded by GRID^2 cells, never by data volume)
+_GCL_GRID = 32
+
+#: a cell is DENSE if it holds at least this many customers
+_GCL_MINPTS = 2
+
+#: closure-by-squaring rounds: 2^6 = 64 >= the 8-connected grid
+#: diameter (2*31), so reachability is exact
+_GCL_ROUNDS = 6
+
+
+def _gcl_oracle() -> str:
+    g, t = _GCL_GRID, _GCL_MINPTS
+    return f"""
+    WITH RECURSIVE pts AS (
+        SELECT c_custkey,
+               (-6000 + (c_custkey * 7919 % 12000) + 9000) * {g}
+                   // 18000 AS latq,
+               (-18000 + (c_custkey * 104729 % 36000) + 18000) * {g}
+                   // 36000 AS lonq
+        FROM customer),
+    dense AS (
+        SELECT CAST(latq AS BIGINT) AS latq,
+               CAST(lonq AS BIGINT) AS lonq,
+               CAST(latq * {g} + lonq AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_pts
+        FROM pts GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= {t}),
+    adj AS (
+        SELECT a.cell AS u, b.cell AS v
+        FROM dense a JOIN dense b
+          ON abs(a.latq - b.latq) <= 1 AND abs(a.lonq - b.lonq) <= 1),
+    reach(u, v) AS (
+        SELECT cell, cell FROM dense
+        UNION
+        SELECT r.u, a.v FROM reach r JOIN adj a ON a.u = r.v),
+    lbl AS (
+        SELECT u AS cell, CAST(MIN(v) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY u)
+    SELECT l.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(d.n_pts) AS BIGINT) AS n_points,
+           CAST(MIN(d.latq) AS BIGINT) AS lat_min,
+           CAST(MAX(d.latq) AS BIGINT) AS lat_max,
+           CAST(MIN(d.lonq) AS BIGINT) AS lon_min,
+           CAST(MAX(d.lonq) AS BIGINT) AS lon_max
+    FROM lbl l JOIN dense d ON d.cell = l.cell
+    GROUP BY l.cluster_id
+    ORDER BY n_points DESC, cluster_id
+    """
+
+
+@query("geo_cluster_grid", oracle=_gcl_oracle())
+def geo_cluster_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO family — GRID-DENSITY CLUSTERING, the scale-shaped DBSCAN:
+    quantize points into the {g}×{g} integer grid, keep cells with ≥
+    {t} points (the minPts density gate), merge 8-connected dense
+    cells into clusters by transitive closure, and report each
+    cluster's cell count, point mass, and bounding box.  This is how
+    density clustering actually runs at 100 TB — the cell grid caps
+    state at GRID² regardless of data volume, where true DBSCAN's
+    ε-neighbor graph grows with the data; `geo_cell_density` ranks
+    the raw cells, this key CONNECTS them.
+
+    Reachability is closure-by-squaring ({r} rounds cover the grid
+    diameter exactly) on Spark vs a recursive-CTE fixpoint in the
+    oracle — different algorithms, one hash.
+
+    Exactness: coordinates are exact integer centi-degrees; binning is
+    integer DIV; everything downstream is integer set algebra.
+
+    100 TB: ONE map-side-combined aggregate collapses the fact table
+    to ≤ {g}² dense cells; the neighbor join and closure run on that
+    grid-bounded relation only.
+    """
+    g, t = _GCL_GRID, _GCL_MINPTS
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.expr(
+            f"(-6000 + (c_custkey * 7919 % 12000) + 9000) * {g}"
+            " DIV 18000"
+        ).alias("latq"),
+        F.expr(
+            f"(-18000 + (c_custkey * 104729 % 36000) + 18000) * {g}"
+            " DIV 36000"
+        ).alias("lonq"),
+    )
+    dense = (
+        pts.groupBy("latq", "lonq")
+        .agg(F.count("*").cast("long").alias("n_pts"))
+        .where(F.col("n_pts") >= t)
+        .select(
+            F.col("latq").cast("long").alias("latq"),
+            F.col("lonq").cast("long").alias("lonq"),
+            (F.col("latq") * g + F.col("lonq")).cast("long").alias("cell"),
+            "n_pts",
+        )
+        .localCheckpoint(eager=False)  # adjacency + rollup consumers
+    )
+    adj = (
+        dense.alias("a")
+        .join(
+            dense.alias("b"),
+            (F.abs(F.col("a.latq") - F.col("b.latq")) <= 1)
+            & (F.abs(F.col("a.lonq") - F.col("b.lonq")) <= 1),
+        )
+        .select(F.col("a.cell").alias("u"), F.col("b.cell").alias("v"))
+    )
+    reach = adj.distinct().localCheckpoint(eager=False)
+    for _ in range(_GCL_ROUNDS):
+        hop = (
+            reach.alias("x")
+            .join(reach.alias("y"), F.col("x.v") == F.col("y.u"))
+            .select(F.col("x.u").alias("u"), F.col("y.v").alias("v"))
+        )
+        reach = (
+            reach.unionByName(hop).distinct().localCheckpoint(eager=False)
+        )
+    lbl = reach.groupBy("u").agg(
+        F.min("v").cast("long").alias("cluster_id")
+    ).withColumnRenamed("u", "cell")
+    return (
+        lbl.join(dense, "cell")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n_pts").cast("long").alias("n_points"),
+            F.min("latq").cast("long").alias("lat_min"),
+            F.max("latq").cast("long").alias("lat_max"),
+            F.min("lonq").cast("long").alias("lon_min"),
+            F.max("lonq").cast("long").alias("lon_max"),
+        )
+        .orderBy(F.desc("n_points"), "cluster_id")
+    )
+
+
+geo_cluster_grid.__doc__ = geo_cluster_grid.__doc__.format(
+    g=_GCL_GRID, t=_GCL_MINPTS, r=_GCL_ROUNDS
+)

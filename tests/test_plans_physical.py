@@ -398,6 +398,9 @@ _BNLJ_REVIEWED = frozenset({
     # the one-row seasonal-mean normalizer; agg_decay_weighted the
     # one-row max-date scalar — category (a)
     "ts_seasonality_strength", "agg_decay_weighted",
+    # r6b wave: dedup_incremental crosses the 3-row verdict rollup with
+    # the one-row incoming total — category (a)
+    "dedup_incremental",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
