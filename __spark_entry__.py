@@ -107,6 +107,7 @@ _COMPONENT_FIRST = (
     "eval_reward_length_bias", "fn_useragent_parse",
     "ts_seasonality_strength", "agg_decay_weighted",
     "geo_cluster_grid", "dedup_incremental",
+    "embedding_pq_codebook",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

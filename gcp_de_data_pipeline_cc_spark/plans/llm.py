@@ -3323,3 +3323,173 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_codebook — product quantization (the ANN compression)
+# ---------------------------------------------------------------------------
+
+#: 64 dims -> 8 subspaces x 8 dims, 4 centroids each (2 bits/subspace:
+#: a 64-float vector compresses to 2 bytes — the PQ value proposition)
+_PQ_M_DIMS = 8
+_PQ_K = 4
+
+
+@query(
+    "embedding_pq_codebook",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               UNNEST(list_transform(range(1, len(embedding) + 1),
+                   i -> struct_pack(d := i,
+                        q := CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                        * 1000000.0e0 + 0.5e0)
+                                  AS BIGINT)))) AS u
+        FROM embeddings),
+    flat AS (
+        SELECT vec_id, CAST(u.d AS BIGINT) AS d, u.q AS q,
+               CAST((u.d - 1) // {_PQ_M_DIMS} AS BIGINT) AS m,
+               CAST(CAST('0x' || SUBSTR(md5(CAST(vec_id AS VARCHAR)
+                         || ':' || CAST((u.d - 1) // {_PQ_M_DIMS}
+                                        AS VARCHAR)), 1, 2) AS BIGINT)
+                    % {_PQ_K} AS BIGINT) AS c0
+        FROM ex),
+    cent AS (
+        SELECT m, c0 AS k, d,
+               CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS cq
+        FROM flat GROUP BY 1, 2, 3),
+    dist AS (
+        SELECT f.vec_id, f.m, c.k, f.c0,
+               CAST(SUM((f.q - c.cq) * (f.q - c.cq)) AS BIGINT) AS dd
+        FROM flat f JOIN cent c ON c.m = f.m AND c.d = f.d
+        GROUP BY 1, 2, 3, 4),
+    dmin AS (
+        SELECT vec_id, m, MIN(dd) AS dmin FROM dist GROUP BY 1, 2),
+    pick AS (
+        SELECT d.vec_id, d.m, g.dmin,
+               CAST(MIN(d.k) AS BIGINT) AS k_assigned
+        FROM dist d JOIN dmin g
+          ON g.vec_id = d.vec_id AND g.m = d.m AND d.dd = g.dmin
+        GROUP BY 1, 2, 3),
+    init AS (
+        SELECT vec_id, m, dd AS d_init FROM dist WHERE k = c0)
+    SELECT p.m AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(i.d_init) AS BIGINT) AS sse_init,
+           CAST(SUM(p.dmin) AS BIGINT) AS sse_assigned,
+           SUM(p.dmin) <= SUM(i.d_init) AS improved,
+           CAST(COUNT(DISTINCT p.k_assigned) AS BIGINT)
+               AS n_used_centroids
+    FROM pick p
+    JOIN init i ON i.vec_id = p.vec_id AND i.m = p.m
+    GROUP BY p.m
+    ORDER BY p.m
+    """,
+)
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity tier — PRODUCT QUANTIZATION (Jégou et al. 2011), the
+    compression behind every billion-scale ANN index: split the 64-dim
+    vectors into {m}-dim subspaces, learn a {k}-centroid codebook per
+    subspace (centroids = means over a deterministic md5 seeding —
+    exactly one Lloyd's refinement: seed → means → nearest
+    reassignment), and report per subspace the init-vs-assigned SSE
+    (``improved`` is a PROVABLE invariant: assigning each vector to
+    its nearest centroid can never raise SSE above the seed
+    assignment — the descent property of the k-means E-step) and the
+    codebook usage.  A 64-float vector compresses to 2 bits/subspace =
+    2 bytes; `embedding_quantize`/`embedding_quantize_eval` cover the
+    scalar-int8 rung, this key the codebook rung of the same ladder.
+
+    Exactness: dims quantize to integer micro-units at the scan;
+    distances are exact int64 sums of squared integer diffs; centroid
+    means floor identically on both engines (double-floor, not DIV —
+    Spark DIV truncates toward zero on negatives while DuckDB //
+    floors, and embeddings are signed); argmin ties break on centroid
+    id via the min-over-equal-dmin form.
+
+    100 TB: the expansion is a narrow positional explode (64 rows per
+    vector, map-side); the codebook is a 256-row broadcast; distances
+    partial-aggregate per (vec, subspace, centroid) before the only
+    wide exchange.  At serving scale the assigned codes join against
+    precomputed query-to-centroid tables — the classic ADC lookup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    md = _PQ_M_DIMS
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("d"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+        (F.col("pos") / md).cast("long").alias("m"),
+    ).select(
+        "*",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit(":"),
+                            F.col("m").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _PQ_K
+        ).alias("c0"),
+    )
+    flat = flat.localCheckpoint(eager=False)  # codebook + distance uses
+    cent = flat.groupBy("m", F.col("c0").alias("k"), "d").agg(
+        F.floor(F.sum("q").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("cq")
+    )
+    dist = (
+        flat.join(F.broadcast(cent), ["m", "d"])
+        .groupBy("vec_id", "m", "k", "c0")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            )
+            .cast("long")
+            .alias("dd")
+        )
+    )
+    dist = dist.localCheckpoint(eager=False)  # min + init + pick uses
+    dmin = dist.groupBy("vec_id", "m").agg(F.min("dd").alias("dmin"))
+    pick = (
+        dist.join(dmin, ["vec_id", "m"])
+        .where(F.col("dd") == F.col("dmin"))
+        .groupBy("vec_id", "m", "dmin")
+        .agg(F.min("k").cast("long").alias("k_assigned"))
+    )
+    init = dist.where(F.col("k") == F.col("c0")).select(
+        "vec_id", "m", F.col("dd").alias("d_init")
+    )
+    return (
+        pick.join(init, ["vec_id", "m"])
+        .groupBy(F.col("m").alias("subspace"))
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("d_init").cast("long").alias("sse_init"),
+            F.sum("dmin").cast("long").alias("sse_assigned"),
+            (F.sum("dmin") <= F.sum("d_init")).alias("improved"),
+            F.countDistinct("k_assigned")
+            .cast("long")
+            .alias("n_used_centroids"),
+        )
+        .orderBy("subspace")
+    )
+
+
+embedding_pq_codebook.__doc__ = embedding_pq_codebook.__doc__.format(
+    m=_PQ_M_DIMS, k=_PQ_K
+)
