@@ -108,6 +108,7 @@ _COMPONENT_FIRST = (
     "ts_seasonality_strength", "agg_decay_weighted",
     "geo_cluster_grid", "dedup_incremental",
     "embedding_pq_codebook",
+    "ts_dtw_distance", "ts_bounce_rate",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -614,3 +614,264 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f_trend"),
         (var_sr > var_tr).alias("seasonal_dominant"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_dtw_distance — dynamic time warping between two daily series
+# --------------------------------------------------------------------------
+
+#: border infinity for the DP lattice: far above any reachable path
+#: cost, far below int64/2 so border+cost never overflows
+_DTW_INF = 1 << 60
+
+
+@query(
+    "ts_dtw_distance",
+    oracle=f"""
+    /* the DP runs as a row fold: outer fold over series A, state =
+       previous padded DP row [D(i,0..n)]; inner fold over j appends
+       D(i,j) = |a_i-b_j| + min(D(i-1,j), D(i,j-1), D(i-1,j-1)).
+       list_reduce's acc type = element type, so scalars ride as
+       one-element lists (the ts_holt_winters list discipline). */
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM events GROUP BY 1),
+    arrs AS (
+        SELECT list(a ORDER BY day) AS av, list(b ORDER BY day) AS bv,
+               COUNT(*) AS n
+        FROM d),
+    folded AS (
+        SELECT n, av, bv,
+            list_reduce(
+                list_prepend(
+                    list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, CAST(n AS INT) + 1),
+                                       x -> CAST({_DTW_INF} AS BIGINT))),
+                    list_transform(av, a -> list_value(a))),
+                (prev, ae) -> list_reduce(
+                    list_prepend(
+                        list_value(CAST({_DTW_INF} AS BIGINT)),
+                        list_transform(range(1, CAST(n AS INT) + 1),
+                                       j -> list_value(CAST(j AS BIGINT)))),
+                    (curr, je) -> list_append(curr,
+                        abs(ae[1] - bv[CAST(je[1] AS INT)])
+                        + least(prev[CAST(je[1] AS INT) + 1],
+                                curr[len(curr)],
+                                prev[CAST(je[1] AS INT)])))) AS row_n
+        FROM arrs),
+    lock AS (
+        SELECT CAST(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
+                    i -> abs(av[CAST(i AS INT)] - bv[CAST(i AS INT)])))
+               AS BIGINT) AS lockstep_l1
+        FROM arrs)
+    SELECT f.n AS n_days,
+           CAST(f.row_n[CAST(f.n AS INT) + 1] AS BIGINT) AS dtw_l1,
+           l.lockstep_l1,
+           CAST(l.lockstep_l1 - f.row_n[CAST(f.n AS INT) + 1] AS BIGINT)
+               AS warp_gain
+    FROM folded f, lock l
+    """,
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — DYNAMIC TIME WARPING between the daily click and
+    view count series: the elastic distance that aligns shifted/
+    stretched patterns where lockstep L1 punishes any phase offset —
+    THE similarity measure for "do these two metrics move alike, even
+    off by a day or two?".  Emitted beside the lockstep L1 with
+    ``warp_gain`` = lockstep − DTW, which is PROVABLY ≥ 0 (the
+    diagonal path is one admissible warping, so the DP minimum can
+    only improve on it — a testable invariant, planted-shift laws
+    drive it positive).
+
+    The full O(n²) DP runs as a LEFT FOLD over series A whose state is
+    the previous padded DP row, with a nested fold over B building
+    each row — `eval_rouge_l`'s DP-as-fold discipline on the warping
+    lattice.  Border cells carry an integer infinity (2⁶⁰: above any
+    path cost, safely below overflow).
+
+    Exactness: costs are |a−b| on exact int64 daily counts; every DP
+    cell is an int64 min/add — no float exists anywhere.
+
+    100 TB: both series collapse map-side to |days| rows; the fold
+    runs on ONE row over calendar-bounded arrays.  Pairwise DTW over
+    many series partitions the identical fold by series pair (each
+    pair independent), with banded (Sakoe-Chiba) pruning as the
+    long-series swap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    arrs = d.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "a", "b"))
+        ).alias("rows"),
+        F.count("*").alias("n"),
+    ).select(
+        F.expr("transform(rows, r -> r.a)").alias("av"),
+        F.expr("transform(rows, r -> r.b)").alias("bv"),
+        "n",
+    )
+    inf = F.lit(_DTW_INF).cast("long")
+
+    def _row(prev, a):
+        def _cell(curr, j):
+            cost = F.abs(a - F.element_at(F.col("bv"), j.cast("int")))
+            best = F.least(
+                F.element_at(prev, (j + 1).cast("int")),
+                F.element_at(curr, -1),
+                F.element_at(prev, j.cast("int")),
+            )
+            return F.concat(curr, F.array(cost + best))
+
+        return F.aggregate(
+            F.expr("sequence(1L, n)"),
+            F.array(inf),
+            _cell,
+        )
+
+    init = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.expr(f"array_repeat({_DTW_INF}L, CAST(n AS INT))"),
+    )
+    folded = arrs.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.element_at(
+            F.aggregate(F.col("av"), init, _row),
+            F.expr("CAST(n AS INT) + 1"),
+        )
+        .cast("long")
+        .alias("dtw_l1"),
+        F.expr(
+            "CAST(aggregate(zip_with(av, bv, (x, y) -> abs(x - y)),"
+            " 0L, (acc, v) -> acc + v) AS BIGINT)"
+        ).alias("lockstep_l1"),
+    )
+    return folded.select(
+        "n_days",
+        "dtw_l1",
+        "lockstep_l1",
+        (F.col("lockstep_l1") - F.col("dtw_l1"))
+        .cast("long")
+        .alias("warp_gain"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_bounce_rate — single-event-session share per day
+# --------------------------------------------------------------------------
+
+#: session gap: a pause longer than this starts a new session
+_BR_GAP_S = 1800
+
+
+@query(
+    "ts_bounce_rate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                            ORDER BY us)
+                         > {_BR_GAP_S} * 1000000
+                         OR LAG(us) OVER (PARTITION BY user_id
+                                          ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev),
+    sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+    per AS (
+        SELECT user_id, sid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(us) AS BIGINT) AS start_us
+        FROM sess GROUP BY 1, 2)
+    SELECT CAST(to_timestamp(start_us // 1000000) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM per
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — daily BOUNCE RATE: sessionize each user's stream
+    with a {g}-minute inactivity gap (lag-flag + running sum, the
+    `win_islands` primitive), call a single-event session a bounce,
+    and roll up per session-start day — the engagement topline next
+    to `ts_active_users`' volume topline (`sessionize_path` walks the
+    session's contents, `sessionize_adaptive` tunes the gap; this key
+    reads the sessions' SHAPE).
+
+    Exactness: timestamps are exact int64 micros; session ids are
+    integer prefix sums; the rate is integer ppm via one DIV — no
+    float anywhere.
+
+    100 TB: one hash exchange on user_id serves the lag and the
+    running sum; the session rollup reuses the same partitioning
+    (user_id ⊂ the session key); the day rollup is map-side.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    lag = F.lag("us").over(w)
+    flagged = ev.select(
+        "user_id",
+        "us",
+        F.when(
+            lag.isNull() | ((F.col("us") - lag) > _BR_GAP_S * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("us").cast("long").alias("start_us"),
+    )
+    return (
+        per.groupBy(
+            F.to_date(
+                F.timestamp_seconds(F.expr("start_us DIV 1000000"))
+            ).alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+            F.expr(
+                "CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+                " * 1000000) DIV COUNT(*) AS BIGINT)"
+            ).alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+ts_bounce_rate.__doc__ = ts_bounce_rate.__doc__.format(
+    g=_BR_GAP_S // 60
+)
