@@ -109,6 +109,7 @@ _COMPONENT_FIRST = (
     "geo_cluster_grid", "dedup_incremental",
     "embedding_pq_codebook",
     "ts_dtw_distance", "ts_bounce_rate",
+    "graph_walk_corpus", "ts_burstiness",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -1926,3 +1926,171 @@ def graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-walk corpus (r6e wave)
+# ---------------------------------------------------------------------------
+
+#: walks per start node and steps per walk
+_WALK_W = 4
+_WALK_L = 8
+
+
+def _walk_oracle() -> str:
+    steps = []
+    for s in range(1, _WALK_L + 1):
+        steps.append(f"""
+    w{s} AS (
+        SELECT w.walk_id, w.start_n, w.path, w.cur,
+               CASE WHEN a.dsts IS NULL THEN NULL
+                    ELSE a.dsts[CAST(CAST('0x' || SUBSTR(md5(
+                             'walk:' || CAST(w.walk_id AS VARCHAR)
+                             || ':' || CAST(w.cur AS VARCHAR)
+                             || ':' || CAST({s} AS VARCHAR)), 1, 4)
+                             AS BIGINT) % len(a.dsts) + 1 AS INT)]
+               END AS nxt
+        FROM s{s-1} w LEFT JOIN adj a ON a.src = w.cur),
+    s{s} AS (
+        SELECT walk_id, start_n,
+               CASE WHEN nxt IS NULL THEN path
+                    ELSE path || '-' || CAST(nxt AS VARCHAR) END AS path,
+               COALESCE(nxt, cur) AS cur
+        FROM w{s})""")
+    return f"""
+    WITH e AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM (
+                SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2))
+        WHERE rn <= {_SCC_K}),
+    adj AS (
+        SELECT src, list(dst ORDER BY dst) AS dsts FROM e GROUP BY src),
+    s0 AS (
+        SELECT n.n_nationkey * {_WALK_W} + g.i AS walk_id,
+               n.n_nationkey AS start_n,
+               CAST(n.n_nationkey AS VARCHAR) AS path,
+               n.n_nationkey AS cur
+        FROM nation n
+        CROSS JOIN (SELECT UNNEST(range(0, {_WALK_W})) AS i) g),{",".join(steps)}
+    SELECT s.walk_id, s.start_n, s.path,
+           CAST(len(string_split(s.path, '-')) - 1 AS BIGINT) AS n_steps,
+           CAST(len(list_distinct(string_split(s.path, '-'))) AS BIGINT)
+               AS n_distinct
+    FROM s{_WALK_L} s
+    ORDER BY s.walk_id
+    """
+
+
+@query("graph_walk_corpus", oracle=_walk_oracle())
+def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — DETERMINISTIC RANDOM-WALK CORPUS (the DeepWalk /
+    node2vec sampling stage): {w} walks of {l} steps from every nation
+    over the sparsified trade digraph, each transition chosen by a
+    salted md5 coin over the node's dst-sorted out-edge list — the
+    replayable substitute for RNG sampling that makes a 100 TB walk
+    corpus reproducible across retries and backfills (the
+    `split_train_test` discipline applied to graph sampling).  Walks
+    stop early at sinks (NULL out-list).  The emitted paths ARE the
+    training sentences a skip-gram embedder consumes; the distinct
+    count per walk is the usual mixing diagnostic.
+
+    Exactness: transitions are pure integer arithmetic on md5 bytes
+    and list indices; paths are deterministic strings.
+
+    100 TB: the adjacency collapses to |V| rows (broadcast); each of
+    the {l} unrolled steps is one narrow join against it — walk state
+    is (walk, cur) sized, never edge-sized.  For wide graphs the same
+    unrolled join runs hash-partitioned on cur with the adjacency
+    bucketed.
+    """
+    from gcp_de_data_pipeline_cc_spark.operators.graph import (
+        trade_sparse_digraph,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    g = trade_sparse_digraph(spark, sf_dir, _SCC_K)
+    adj = g.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("dsts")
+    )
+    walks = nation.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_WALK_W - 1))).alias("i"),
+        F.col("n_nationkey"),
+    ).select(
+        (F.col("n_nationkey") * _WALK_W + F.col("i"))
+        .cast("long")
+        .alias("walk_id"),
+        F.col("n_nationkey").alias("start_n"),
+        F.col("n_nationkey").cast("string").alias("path"),
+        F.col("n_nationkey").alias("cur"),
+    )
+    for s in range(1, _WALK_L + 1):
+        coin = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("walk:"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(":"),
+                        F.col("cur").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(s)),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        walks = (
+            walks.join(F.broadcast(adj), walks.cur == adj.src, "left")
+            .select(
+                "walk_id",
+                "start_n",
+                "path",
+                "cur",
+                F.when(
+                    F.col("dsts").isNull(), F.lit(None).cast("long")
+                )
+                .otherwise(
+                    F.element_at(
+                        F.col("dsts"),
+                        (coin % F.size("dsts") + 1).cast("int"),
+                    )
+                )
+                .alias("nxt"),
+            )
+            .select(
+                "walk_id",
+                "start_n",
+                F.when(F.col("nxt").isNull(), F.col("path"))
+                .otherwise(
+                    F.concat(
+                        F.col("path"),
+                        F.lit("-"),
+                        F.col("nxt").cast("string"),
+                    )
+                )
+                .alias("path"),
+                F.coalesce("nxt", "cur").alias("cur"),
+            )
+        )
+    return walks.select(
+        "walk_id",
+        "start_n",
+        "path",
+        (F.size(F.split("path", "-")) - 1).cast("long").alias("n_steps"),
+        F.size(F.array_distinct(F.split("path", "-")))
+        .cast("long")
+        .alias("n_distinct"),
+    ).orderBy("walk_id")

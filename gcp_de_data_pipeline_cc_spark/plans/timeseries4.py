@@ -875,3 +875,124 @@ def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_bounce_rate.__doc__ = ts_bounce_rate.__doc__.format(
     g=_BR_GAP_S // 60
 )
+
+
+# --------------------------------------------------------------------------
+# ts_burstiness — Goh-Barabási burstiness + daily Fano factor
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_burstiness",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) AS us FROM events),
+    gaps AS (
+        SELECT event_type,
+               (us - LAG(us) OVER (PARTITION BY event_type ORDER BY us))
+                   // 1000 AS gap_ms
+        FROM ev),
+    gm AS (
+        SELECT event_type,
+               CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_ms) AS BIGINT) AS s1,
+               CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS s2
+        FROM gaps WHERE gap_ms IS NOT NULL GROUP BY event_type),
+    daily AS (
+        SELECT event_type, CAST(to_timestamp(us // 1000000) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM ev GROUP BY 1, 2),
+    dm AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS c1,
+               CAST(SUM(c * c) AS BIGINT) AS c2
+        FROM daily GROUP BY event_type)
+    SELECT g.event_type, g.n_gaps,
+           CAST(g.s1 // g.n_gaps AS BIGINT) AS mean_gap_ms,
+           FLOOR((SQRT((CAST(g.n_gaps AS DOUBLE) * g.s2
+                        - CAST(g.s1 AS DOUBLE) * g.s1))
+                  - CAST(g.s1 AS DOUBLE))
+                 / (SQRT((CAST(g.n_gaps AS DOUBLE) * g.s2
+                          - CAST(g.s1 AS DOUBLE) * g.s1))
+                    + CAST(g.s1 AS DOUBLE))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS burstiness,
+           FLOOR((CAST(d.n_days AS DOUBLE) * d.c2
+                  - CAST(d.c1 AS DOUBLE) * d.c1)
+                 / CAST(d.n_days AS DOUBLE)
+                 / CAST(d.c1 AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS fano_daily
+    FROM gm g JOIN dm d ON d.event_type = g.event_type
+    ORDER BY g.event_type
+    """,
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — BURSTINESS per event type: the Goh-Barabási
+    coefficient B = (σ−μ)/(σ+μ) over inter-arrival gaps (−1 = perfect
+    clock, 0 = Poisson, →1 = extreme bursts) plus the daily-count FANO
+    factor (variance/mean; 1 = Poisson) — the two standard "is this
+    stream clocked, random, or bursty?" diagnostics behind capacity
+    planning and anomaly thresholds (`ts_interarrival` reports the
+    cadence percentiles; this key classifies the PROCESS).
+
+    Exactness trick: σ√n cancellation — B = (√(nΣx²−(Σx)²) − Σx·?)…
+    written directly on the co-moment sums: both σ and μ scale by the
+    same factor inside the ratio, so B computes from the RAW sums
+    (√(n·s2−s1²) vs s1) with no per-row float; gaps downscale to
+    exact integer MILLISECONDS so Σgap² stays in int64 at any density
+    (denser stream → smaller gaps → smaller Σgap²).
+
+    100 TB: one hash exchange on event_type for the lag; both moment
+    sets collapse map-side to |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("event_type").orderBy("us")
+    gaps = ev.select(
+        "event_type",
+        F.expr("(us - LAG(us) OVER (PARTITION BY event_type ORDER BY us))"
+               " DIV 1000").alias("gap_ms"),
+    )
+    gm = gaps.where(F.col("gap_ms").isNotNull()).groupBy(
+        "event_type"
+    ).agg(
+        F.count("gap_ms").cast("long").alias("n_gaps"),
+        F.sum("gap_ms").cast("long").alias("s1"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("long").alias("s2"),
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.timestamp_seconds(F.expr("us DIV 1000000"))).alias(
+            "d"
+        ),
+    ).agg(F.count("*").cast("long").alias("c"))
+    dm = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("c1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"),
+    )
+    sig = F.sqrt(
+        F.col("n_gaps").cast("double") * F.col("s2")
+        - F.col("s1").cast("double") * F.col("s1")
+    )
+    s1d = F.col("s1").cast("double")
+    fano = (
+        (
+            F.col("n_days").cast("double") * F.col("c2")
+            - F.col("c1").cast("double") * F.col("c1")
+        )
+        / F.col("n_days").cast("double")
+        / F.col("c1").cast("double")
+    )
+    return (
+        gm.join(dm, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.expr("CAST(s1 DIV n_gaps AS BIGINT)").alias("mean_gap_ms"),
+            roundn((sig - s1d) / (sig + s1d), 6).alias("burstiness"),
+            roundn(fano, 6).alias("fano_daily"),
+        )
+        .orderBy("event_type")
+    )
