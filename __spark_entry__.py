@@ -110,6 +110,7 @@ _COMPONENT_FIRST = (
     "embedding_pq_codebook",
     "ts_dtw_distance", "ts_bounce_rate",
     "graph_walk_corpus", "ts_burstiness",
+    "corpus_filter_ablation", "ops_littles_law",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -273,3 +273,172 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("mean_sentence_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_filter_ablation — per-rule ablation of the Gopher battery
+# --------------------------------------------------------------------------
+
+#: the same exact-integer rules as quality_gopher_rules — the ablation
+#: must audit the battery actually shipped, not a copy that can drift
+_ABL_RULES_SQL = """
+        (n_words BETWEEN 20 AND 100000) AS r1,
+        (3 * n_words <= sum_word_len
+         AND sum_word_len <= 10 * n_words) AS r2,
+        (n_stop >= 2) AS r3,
+        (5 * n_alpha >= 4 * n_words) AS r4
+"""
+
+
+@query(
+    "corpus_filter_ablation",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, w -> length(w)))
+                    AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(toks, w -> w IN ('the', 'a')))
+                    AS BIGINT) AS n_stop,
+               CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '^[a-z]+$')))
+                    AS BIGINT) AS n_alpha
+        FROM t),
+    flags AS (SELECT doc_id, {_ABL_RULES_SQL} FROM m),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM flags),
+    per AS (
+        SELECT 'r1_word_count' AS rule,
+               CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail,
+               CAST(SUM(CASE WHEN NOT r1 AND r2 AND r3 AND r4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_only
+        FROM flags
+        UNION ALL
+        SELECT 'r2_mean_word_len',
+               CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT r2 AND r1 AND r3 AND r4
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'r3_stopwords',
+               CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT r3 AND r1 AND r2 AND r4
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'r4_alpha_fraction',
+               CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT r4 AND r1 AND r2 AND r3
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags)
+    SELECT p.rule, p.n_fail, p.n_fail_only,
+           CAST(p.n_fail - p.n_fail_only AS BIGINT) AS n_fail_shared,
+           CAST((p.n_fail * 1000000) // t.n_docs AS BIGINT)
+               AS fail_ppm,
+           CAST(t.n_pass + p.n_fail_only AS BIGINT)
+               AS n_pass_if_relaxed,
+           t.n_docs, t.n_pass
+    FROM per p, tot t
+    ORDER BY p.rule
+    """,
+)
+def corpus_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-ops tier — FILTER ABLATION of the Gopher battery: for
+    each of `quality_gopher_rules`' four hard rules, how many docs it
+    fails, how many it ALONE removes (``n_fail_only`` — docs passing
+    every other rule), how many failures are shared with other rules,
+    and the corpus size recovered if the rule were relaxed — the table
+    a data-quality owner reads before tightening or dropping a filter
+    (a rule with n_fail_only≈0 is redundant; one with a huge unique
+    share deserves a manual sample).  The rule EXPRESSIONS are the
+    battery's own exact-integer comparisons, restated verbatim so the
+    ablation audits the shipped filter, not a drifted copy.
+
+    Exactness: all counts int64; the ppm rate is one integer DIV.
+
+    100 TB: one token-grain projection (codegen, no shuffle) feeds
+    four conditional aggregates that collapse map-side to 4 rows —
+    the ablation costs one corpus scan regardless of rule count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = docs.select(
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("sum_word_len"),
+        F.size(F.filter(toks, lambda w: w.isin("the", "a")))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    flags = m.selectExpr(_ABL_RULES_SQL.split(",")[0] + " ",
+                         *[c.strip() for c in _ABL_RULES_SQL.split(",")[1:]])
+    flags = flags.localCheckpoint(eager=False)  # totals + 4 rule rows
+    tot = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass"),
+    )
+    names = {
+        "r1": "r1_word_count",
+        "r2": "r2_mean_word_len",
+        "r3": "r3_stopwords",
+        "r4": "r4_alpha_fraction",
+    }
+    rows = []
+    for r, label in names.items():
+        others = [o for o in names if o != r]
+        cond_only = (
+            ~F.col(r)
+            & F.col(others[0])
+            & F.col(others[1])
+            & F.col(others[2])
+        )
+        rows.append(
+            flags.agg(
+                F.lit(label).alias("rule"),
+                F.sum(F.when(~F.col(r), 1).otherwise(0))
+                .cast("long")
+                .alias("n_fail"),
+                F.sum(F.when(cond_only, 1).otherwise(0))
+                .cast("long")
+                .alias("n_fail_only"),
+            )
+        )
+    per = rows[0]
+    for extra in rows[1:]:
+        per = per.unionByName(extra)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "rule",
+            "n_fail",
+            "n_fail_only",
+            (F.col("n_fail") - F.col("n_fail_only"))
+            .cast("long")
+            .alias("n_fail_shared"),
+            F.expr(
+                "CAST((n_fail * 1000000) DIV n_docs AS BIGINT)"
+            ).alias("fail_ppm"),
+            (F.col("n_pass") + F.col("n_fail_only"))
+            .cast("long")
+            .alias("n_pass_if_relaxed"),
+            "n_docs",
+            "n_pass",
+        )
+        .orderBy("rule")
+    )

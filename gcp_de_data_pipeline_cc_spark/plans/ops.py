@@ -819,3 +819,176 @@ def ops_rtbf_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("purge_rate"),
     ).orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# ops_littles_law — L = λW cross-derivation audit
+# --------------------------------------------------------------------------
+
+#: session gap (shares ts_bounce_rate's sessionization contract)
+_LL_GAP_S = 1800
+
+
+@query(
+    "ops_littles_law",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 60000000 AS mn FROM events),
+    flagged AS (
+        SELECT user_id, mn,
+               CASE WHEN mn - LAG(mn) OVER (PARTITION BY user_id
+                                            ORDER BY mn)
+                         > {_LL_GAP_S} // 60
+                         OR LAG(mn) OVER (PARTITION BY user_id
+                                          ORDER BY mn) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev),
+    sess AS (
+        SELECT user_id, mn,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY mn
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+    per AS (
+        SELECT user_id, sid,
+               CAST(MIN(mn) AS BIGINT) AS s_mn,
+               CAST(MAX(mn) AS BIGINT) AS e_mn
+        FROM sess GROUP BY 1, 2),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(e_mn - s_mn) AS BIGINT) AS total_dur_mn,
+               CAST(MAX(e_mn) - MIN(s_mn) AS BIGINT) AS window_mn
+        FROM per),
+    deltas AS (
+        SELECT mn, CAST(SUM(d) AS BIGINT) AS delta FROM (
+            SELECT s_mn AS mn, 1 AS d FROM per
+            UNION ALL
+            SELECT e_mn, -1 FROM per)
+        GROUP BY mn),
+    sweep AS (
+        SELECT mn,
+               SUM(delta) OVER (ORDER BY mn
+                                ROWS UNBOUNDED PRECEDING) AS conc,
+               LEAD(mn) OVER (ORDER BY mn) - mn AS gap
+        FROM deltas),
+    integ AS (
+        SELECT CAST(SUM(conc * gap) AS BIGINT) AS sweep_mn
+        FROM sweep WHERE gap IS NOT NULL)
+    SELECT t.n_sessions, t.total_dur_mn, t.window_mn,
+           FLOOR(CAST(t.n_sessions AS DOUBLE)
+                 / CAST(t.window_mn AS DOUBLE) * 60.0e0
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS lambda_per_hour,
+           CAST(t.total_dur_mn // t.n_sessions AS BIGINT) AS w_mean_mn,
+           FLOOR(CAST(t.total_dur_mn AS DOUBLE)
+                 / CAST(t.window_mn AS DOUBLE)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS l_timeavg,
+           i.sweep_mn,
+           i.sweep_mn = t.total_dur_mn AS identity_exact
+    FROM tot t, integ i
+    """,
+)
+def ops_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-ops tier — LITTLE'S LAW cross-derivation: from the
+    sessionized stream, compute concurrency-in-system two independent
+    ways — (a) Σ session-durations (occupancy integral by definition)
+    and (b) the SWEEP LINE: +1/−1 deltas per minute, running
+    concurrency × gap summed — and assert integer equality
+    (``identity_exact``): L·T = λ·W·T = Σdur is the law, and matching
+    two different computations of the same integral is the audit form
+    (`qc_checksum_chunks`' cross-derivation discipline applied to
+    queueing).  Emits λ (arrivals/hour), W (mean session minutes) and
+    L (time-averaged concurrency) — the capacity-planning triple.
+
+    Exactness: times truncate to integer minutes at the scan; both
+    integrals are exact int64 sums; λ/L quantize once at projection.
+
+    100 TB: the session build is one user exchange; the sweep runs on
+    the minute-grain delta table — bounded by the calendar window
+    (≤ 43k rows/month), never by event volume.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 60000000").alias("mn"),
+    )
+    w = Window.partitionBy("user_id").orderBy("mn")
+    lag = F.lag("mn").over(w)
+    flagged = ev.select(
+        "user_id",
+        "mn",
+        F.when(
+            lag.isNull() | ((F.col("mn") - lag) > _LL_GAP_S // 60), 1
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "mn",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min("mn").cast("long").alias("s_mn"),
+        F.max("mn").cast("long").alias("e_mn"),
+    )
+    per = per.localCheckpoint(eager=False)  # totals + sweep consumers
+    tot = per.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.col("e_mn") - F.col("s_mn"))
+        .cast("long")
+        .alias("total_dur_mn"),
+        (F.max("e_mn") - F.min("s_mn")).cast("long").alias("window_mn"),
+    )
+    deltas = (
+        per.select(F.col("s_mn").alias("mn"), F.lit(1).alias("d"))
+        .unionByName(
+            per.select(F.col("e_mn").alias("mn"), F.lit(-1).alias("d"))
+        )
+        .groupBy("mn")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    ws = Window.orderBy("mn")
+    sweep = deltas.select(
+        "mn",
+        F.sum("delta")
+        .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("conc"),
+        (F.lead("mn").over(ws) - F.col("mn")).alias("gap"),
+    )
+    integ = sweep.where(F.col("gap").isNotNull()).agg(
+        F.sum(F.col("conc") * F.col("gap")).cast("long").alias("sweep_mn")
+    )
+    return (
+        tot.crossJoin(F.broadcast(integ))
+        .select(
+            "n_sessions",
+            "total_dur_mn",
+            "window_mn",
+            (
+                F.floor(
+                    F.col("n_sessions").cast("double")
+                    / F.col("window_mn").cast("double")
+                    * F.lit(60.0)
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("lambda_per_hour"),
+            F.expr("CAST(total_dur_mn DIV n_sessions AS BIGINT)").alias(
+                "w_mean_mn"
+            ),
+            (
+                F.floor(
+                    F.col("total_dur_mn").cast("double")
+                    / F.col("window_mn").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("l_timeavg"),
+            "sweep_mn",
+            (F.col("sweep_mn") == F.col("total_dur_mn")).alias(
+                "identity_exact"
+            ),
+        )
+    )

@@ -401,6 +401,10 @@ _BNLJ_REVIEWED = frozenset({
     # r6b wave: dedup_incremental crosses the 3-row verdict rollup with
     # the one-row incoming total — category (a)
     "dedup_incremental",
+    # r6f wave: corpus_filter_ablation crosses the 4-rule rows with the
+    # one-row totals; ops_littles_law the one-row sweep integral —
+    # category (a)
+    "corpus_filter_ablation", "ops_littles_law",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
