@@ -380,8 +380,13 @@ def corpus_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_alpha"),
     )
-    flags = m.selectExpr(_ABL_RULES_SQL.split(",")[0] + " ",
-                         *[c.strip() for c in _ABL_RULES_SQL.split(",")[1:]])
+    flags = m.selectExpr(
+        "(n_words BETWEEN 20 AND 100000) AS r1",
+        "(3 * n_words <= sum_word_len"
+        " AND sum_word_len <= 10 * n_words) AS r2",
+        "(n_stop >= 2) AS r3",
+        "(5 * n_alpha >= 4 * n_words) AS r4",
+    )
     flags = flags.localCheckpoint(eager=False)  # totals + 4 rule rows
     tot = flags.agg(
         F.count("*").cast("long").alias("n_docs"),

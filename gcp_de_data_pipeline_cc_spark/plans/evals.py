@@ -1415,3 +1415,149 @@ def eval_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# eval_bandit_replay — offline policy evaluation by replay
+# --------------------------------------------------------------------------
+
+#: the action space = the event-type domain
+_BR_ACTIONS = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "eval_bandit_replay",
+    oracle=f"""
+    WITH logged AS (
+        SELECT user_id, event_type AS action,
+               CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS reward_cents
+        FROM events),
+    pols AS (
+        SELECT 'logged' AS policy, user_id, action AS chosen,
+               action, reward_cents
+        FROM logged
+        UNION ALL
+        SELECT 'hash_personalized', user_id,
+               CASE CAST(CAST('0x' || SUBSTR(md5('pi:'
+                         || CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT)
+                    % 5 AS BIGINT)
+                    WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                    WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                    ELSE 'view' END,
+               action, reward_cents
+        FROM logged
+        UNION ALL
+        SELECT 'always_purchase', user_id, 'purchase',
+               action, reward_cents
+        FROM logged),
+    matched AS (
+        SELECT policy,
+               CAST(COUNT(*) AS BIGINT) AS n_logged,
+               CAST(SUM(CASE WHEN chosen = action THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN chosen = action THEN reward_cents
+                             ELSE 0 END) AS BIGINT) AS matched_cents
+        FROM pols GROUP BY policy)
+    SELECT policy, n_logged, n_matched,
+           CAST((n_matched * 1000000) // n_logged AS BIGINT)
+               AS match_ppm,
+           CAST(matched_cents // NULLIF(n_matched, 0) AS BIGINT)
+               AS mean_reward_cents
+    FROM matched
+    ORDER BY policy
+    """,
+)
+def eval_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — OFFLINE BANDIT REPLAY (Li et al. 2011): evaluate a
+    candidate action policy against LOGGED interaction data without
+    deploying it — keep exactly the events where the candidate's
+    chosen action equals the logged action, and read the mean logged
+    reward over the kept subset (unbiased when logging was uniform;
+    the match rate itself audits that assumption — a personalized
+    policy over a 5-action uniform log must match ≈ 1/5).  Three
+    policies ride one scan: ``logged`` (matches everything — the
+    baseline), ``hash_personalized`` (a replayable md5 stand-in for a
+    learned per-user policy), and ``always_purchase`` (the constant
+    arm).
+
+    Exactness: rewards quantize to cents at the scan; the match rate
+    is integer ppm; the mean is integer DIV with a NULLIF guard.
+
+    100 TB: the policy fan-out is an inline projection (3× rows,
+    map-side); the rollup collapses to |policies| rows before the only
+    exchange.  A real model policy swaps the md5 CASE for a scored
+    table join — the replay algebra is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    logged = ev.select(
+        "user_id",
+        F.col("event_type").alias("action"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("reward_cents"),
+    )
+    hash_choice = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("pi:"), F.col("user_id").cast("string"))
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("long") % 5
+    chosen_hash = (
+        F.when(hash_choice == 0, "click")
+        .when(hash_choice == 1, "error")
+        .when(hash_choice == 2, "purchase")
+        .when(hash_choice == 3, "signup")
+        .otherwise("view")
+    )
+    pols = logged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("logged").alias("policy"),
+                    F.col("action").alias("chosen"),
+                ),
+                F.struct(
+                    F.lit("hash_personalized").alias("policy"),
+                    chosen_hash.alias("chosen"),
+                ),
+                F.struct(
+                    F.lit("always_purchase").alias("policy"),
+                    F.lit("purchase").alias("chosen"),
+                ),
+            )
+        ).alias("p"),
+        "action",
+        "reward_cents",
+    ).select("p.*", "action", "reward_cents")
+    matched = pols.groupBy("policy").agg(
+        F.count("*").cast("long").alias("n_logged"),
+        F.sum(
+            F.when(F.col("chosen") == F.col("action"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(
+            F.when(
+                F.col("chosen") == F.col("action"),
+                F.col("reward_cents"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("matched_cents"),
+    )
+    return matched.select(
+        "policy",
+        "n_logged",
+        "n_matched",
+        F.expr("CAST((n_matched * 1000000) DIV n_logged AS BIGINT)")
+        .alias("match_ppm"),
+        F.expr(
+            "CAST(matched_cents DIV NULLIF(n_matched, 0) AS BIGINT)"
+        ).alias("mean_reward_cents"),
+    ).orderBy("policy")

@@ -424,11 +424,11 @@ _NEY_B = 10_000
         SELECT o_orderpriority AS stratum,
                CAST(COUNT(*) AS BIGINT) AS n_h,
                CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
-                             AS BIGINT)) AS BIGINT) AS sx,
-               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
-                             AS BIGINT)
-                        * CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
-                               AS BIGINT)) AS BIGINT) AS sxx
+                             AS BIGINT) // 100) AS BIGINT) AS sx,
+               CAST(SUM((CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                              AS BIGINT) // 100)
+                        * (CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0)
+                                AS BIGINT) // 100)) AS BIGINT) AS sxx
         FROM orders GROUP BY 1),
     w AS (
         SELECT stratum, n_h,
@@ -437,7 +437,7 @@ _NEY_B = 10_000
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                               / CAST(n_h AS DOUBLE))
                            / CAST(n_h - 1 AS DOUBLE))
-                    + 0.5e0) AS BIGINT) AS wq
+                    * 100.0e0 + 0.5e0) AS BIGINT) AS wq
         FROM s),
     t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot,
                  CAST(SUM(n_h) AS BIGINT) AS ntot FROM w),
@@ -472,9 +472,11 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain, uniform strata shrink).  Hamilton largest-remainder conserves
     the budget exactly (`corpus_apportion_budget`'s discipline).
 
-    Exactness: per-stratum (n, Σx, Σx²) are exact int64 cents; the
-    weight N_h·σ_h is computed by a fixed scalar tree and
-    floor-quantized to an integer BEFORE any cross-stratum
+    Exactness: per-stratum (n, Σx, Σx²) are exact int64 DOLLARS (cent
+    grain overflows the second moment at sf0.1 already — dollar grain
+    survives 10⁸ rows/stratum, and σ's ordering precision is
+    unaffected); the weight N_h·σ_h·100 is computed by a fixed scalar
+    tree and floor-quantized to an integer BEFORE any cross-stratum
     arithmetic; quotas/remainders/seat ranks are exact integers.
 
     100 TB: one map-side pass to stratum grain; allocation on the
@@ -483,10 +485,18 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
         "long"
     )
+    # the sigma weight works in DOLLARS (cents DIV 100): the cent-grain
+    # second moment overflows int64 already at sf0.1 (n_h * (5e7)^2 >
+    # 2^63); dollar grain keeps sxx < 2^63 past 10^8 rows/stratum while
+    # the weight's ORDERING precision is unaffected (the x100 below
+    # restores the scale in the quantized weight)
+    dollars = F.expr(
+        "CAST(FLOOR(o_totalprice * 100.0D + 0.5D) AS BIGINT) DIV 100"
+    )
     s = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
         F.count("*").cast("long").alias("n_h"),
-        F.sum(cents).cast("long").alias("sx"),
-        F.sum(cents * cents).cast("long").alias("sxx"),
+        F.sum(dollars).cast("long").alias("sx"),
+        F.sum(dollars * dollars).cast("long").alias("sxx"),
     )
     sd = F.sqrt(
         (
@@ -500,7 +510,9 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = s.select(
         "stratum",
         "n_h",
-        F.floor(F.col("n_h").cast("double") * sd + F.lit(0.5))
+        F.floor(
+            F.col("n_h").cast("double") * sd * F.lit(100.0) + F.lit(0.5)
+        )
         .cast("long")
         .alias("wq"),
     )

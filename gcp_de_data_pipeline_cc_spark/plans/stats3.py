@@ -897,3 +897,168 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_corrected"
         ),
     ).orderBy("pair")
+
+
+# --------------------------------------------------------------------------
+# hypothesis_mcnemar — paired classifier comparison
+# --------------------------------------------------------------------------
+
+#: chi-square(1) critical value at alpha = 0.05 (fixed literal, the
+#: stats_fdr_bh no-libm discipline)
+_MCN_CRIT_Q = 3_841_459  # 3.841459 in 1e-6 units
+
+
+@query(
+    "hypothesis_mcnemar",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT doc_id,
+               SUBSTR(md5('y:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                   AS truth,
+               SUBSTR(md5('ma:' || CAST(doc_id AS VARCHAR)), 1, 2) < '66'
+                   AS pred_a,
+               SUBSTR(md5('mb:' || CAST(doc_id AS VARCHAR)), 1, 2) < '99'
+                   AS pred_b
+        FROM documents),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN (pred_a = truth)
+                              AND (pred_b = truth)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS both_ok,
+               CAST(SUM(CASE WHEN (pred_a = truth)
+                              AND (pred_b <> truth)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+               CAST(SUM(CASE WHEN (pred_a <> truth)
+                              AND (pred_b = truth)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+               CAST(SUM(CASE WHEN (pred_a <> truth)
+                              AND (pred_b <> truth)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS both_bad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM labeled)
+    SELECT n, both_ok, only_a, only_b, both_bad,
+           CASE WHEN only_a + only_b = 0 THEN 0
+                ELSE ((abs(only_a - only_b) - 1)
+                      * (abs(only_a - only_b) - 1) * 1000000)
+                     // (only_a + only_b)
+           END AS chi2_q,
+           FLOOR(CAST(CASE WHEN only_a + only_b = 0 THEN 0
+                ELSE ((abs(only_a - only_b) - 1)
+                      * (abs(only_a - only_b) - 1) * 1000000)
+                     // (only_a + only_b) END AS DOUBLE)
+                 / 1000000.0e0 * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS chi2,
+           (CASE WHEN only_a + only_b = 0 THEN 0
+                 ELSE ((abs(only_a - only_b) - 1)
+                       * (abs(only_a - only_b) - 1) * 1000000)
+                      // (only_a + only_b) END) > {_MCN_CRIT_Q}
+               AS reject_05
+    FROM cells
+    """,
+)
+def hypothesis_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis tier — McNEMAR'S TEST, the PAIRED classifier
+    comparison the unpaired tests get wrong: when two models are
+    evaluated on the SAME examples, only the DISCORDANT pairs carry
+    information (examples one model gets right and the other wrong);
+    the statistic is the continuity-corrected (|b−c|−1)²/(b+c) against
+    χ²(1).  The channel plants two md5 classifiers of different
+    accuracy against an md5 truth — discordant counts are deterministic
+    and the test correctly favors the stronger model.
+
+    Completes the hypothesis battery's missing cell: chisq tests
+    independence, t/MannWhitney compare unpaired samples, kappa
+    measures agreement — McNemar compares paired ACCURACY.
+
+    Exactness: the statistic is exact integer arithmetic end-to-end
+    ((|b−c|−1)²·10⁶ DIV (b+c) in 1e-6 units against a literal critical
+    value — no p-value, no libm); the zero-discordance branch pins 0.
+
+    100 TB: one projection + one single-row conditional aggregate —
+    map-side collapse, no shuffle wider than one row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _coin(salt: str, thresh: str) -> F.Column:
+        return (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                2,
+            )
+            < thresh
+        )
+
+    labeled = docs.select(
+        _coin("y", "80").alias("truth"),
+        _coin("ma", "66").alias("pred_a"),
+        _coin("mb", "99").alias("pred_b"),
+    )
+    cells = labeled.agg(
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("truth"))
+                & (F.col("pred_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_ok"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("truth"))
+                & (F.col("pred_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("only_a"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("truth"))
+                & (F.col("pred_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("only_b"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("truth"))
+                & (F.col("pred_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_bad"),
+        F.count("*").cast("long").alias("n"),
+    )
+    chi2_q = F.when(
+        F.col("only_a") + F.col("only_b") == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.expr(
+            "((abs(only_a - only_b) - 1) * (abs(only_a - only_b) - 1)"
+            " * 1000000) DIV (only_a + only_b)"
+        )
+    )
+    return cells.select(
+        "n",
+        "both_ok",
+        "only_a",
+        "only_b",
+        "both_bad",
+        chi2_q.alias("chi2_q"),
+        (
+            F.floor(
+                chi2_q.cast("double")
+                / F.lit(1000000.0)
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("chi2"),
+        (chi2_q > _MCN_CRIT_Q).alias("reject_05"),
+    )

@@ -2132,3 +2132,149 @@ def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_preference_pairs.__doc__ = train_preference_pairs.__doc__.format(
     m=_PREF_MARGIN
 )
+
+
+# --------------------------------------------------------------------------
+# tokenizer_bpe_apply — encode with a shipped merge list
+# --------------------------------------------------------------------------
+
+#: the shipped tokenizer artifact: merges in rank order (as a trained
+#: BPE vocab ships — a checked-in literal list, the qc_config_rules
+#: config-is-the-contract discipline).  Chosen to chain: t+h -> th,
+#: th+e -> the; s+t -> st; e+r -> er; a+n -> an.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("s", "t"), ("e", "r"),
+    ("a", "n"), ("an", "d"), ("o", "r"), ("l", "e"),
+]
+
+#: report the top-K final tokens
+_BPE_TOP = 15
+
+
+def _bpe_apply_oracle() -> str:
+    merges_values = ", ".join(
+        f"({i + 1}, '{x}', '{y}')" for i, (x, y) in enumerate(_BPE_MERGES)
+    )
+    return f"""
+    WITH words AS (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+    chars AS (
+        SELECT w, list_transform(range(1, length(w) + 1),
+                                 i -> w[i]) AS toks
+        FROM words WHERE length(w) >= 1),
+    merges AS (SELECT * FROM (VALUES {merges_values}) m(rank, mx, my)),
+    encoded AS (
+        SELECT w,
+               CAST(length(w) AS BIGINT) AS n_chars,
+               list_reduce(
+                   list_prepend(
+                       toks,
+                       (SELECT list(list_value(mx, my) ORDER BY rank)
+                        FROM merges)),
+                   (acc, m) -> list_reduce(
+                       list_prepend(
+                           []::VARCHAR[],
+                           list_transform(acc, t -> list_value(t))),
+                       (b, el) -> CASE
+                           WHEN len(b) >= 1 AND b[len(b)] = m[1]
+                                AND el[1] = m[2]
+                           THEN list_concat(
+                                list_slice(b, 1, len(b) - 1),
+                                list_value(m[1] || m[2]))
+                           ELSE list_concat(b, list_value(el[1]))
+                       END)) AS toks2
+        FROM chars),
+    flat AS (SELECT UNNEST(toks2) AS tok FROM encoded)
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(LENGTH(tok) AS BIGINT) AS tok_len,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM encoded)
+               AS corpus_chars,
+           (SELECT CAST(SUM(CAST(len(toks2) AS BIGINT)) AS BIGINT)
+            FROM encoded) AS corpus_tokens
+    FROM flat
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT {_BPE_TOP}
+    """
+
+
+@query("tokenizer_bpe_apply", oracle=_bpe_apply_oracle())
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep tier — BPE ENCODE with a SHIPPED merge list: the
+    inference-side twin of `tokenizer_bpe_train` (that key learns
+    merges; real pipelines APPLY a frozen artifact — the checked-in
+    rank-ordered literal list here, the config-is-the-contract
+    discipline).  Each word explodes to characters and the merge list
+    folds over it in rank order; applying ONE merge is itself a left
+    fold over the token array (append, or fuse when the accumulator's
+    tail equals x and the incoming token equals y — greedy
+    left-to-right, the BPE convention, so chained merges like
+    t+h→th, th+e→the compose within a single word).  Reports the
+    top-{k} tokens of the encoded corpus with the corpus-level
+    chars→tokens compression evidence.
+
+    Exactness: pure string/integer set algebra — no floats exist.
+
+    100 TB: encoding is a per-word projection (embarrassingly
+    parallel, zero shuffles until the final token rollup, which
+    partial-aggregates map-side); the merge artifact is a compile-time
+    literal — at real vocab sizes it broadcasts.
+
+    Cites: Sennrich et al. 2016 (BPE); the fold-per-merge form is the
+    reference implementation's loop, vectorized per word.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") >= 1)
+    chars = words.select(
+        "w",
+        F.length("w").cast("long").alias("n_chars"),
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("toks"),
+    )
+    enc = F.col("toks")
+    for x, y in _BPE_MERGES:
+        merged = F.lit(x + y)
+        enc = F.aggregate(
+            enc,
+            F.array().cast("array<string>"),
+            lambda acc, t, x=x, y=y, merged=merged: F.when(
+                (F.size(acc) >= 1)
+                & (F.element_at(acc, -1) == x)
+                & (t == F.lit(y)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+    encoded = chars.select("w", "n_chars", enc.alias("toks"))
+    encoded = encoded.localCheckpoint(eager=False)  # totals + token rows
+    tot = encoded.agg(
+        F.sum("n_chars").cast("long").alias("corpus_chars"),
+        F.sum(F.size("toks")).cast("long").alias("corpus_tokens"),
+    )
+    flat = encoded.select(F.explode("toks").alias("tok"))
+    return (
+        flat.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .select(
+            "tok",
+            "n_occurrences",
+            F.length("tok").cast("long").alias("tok_len"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok", "n_occurrences", "tok_len",
+            "corpus_chars", "corpus_tokens",
+        )
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(_BPE_TOP)
+    )
+
+
+tokenizer_bpe_apply.__doc__ = tokenizer_bpe_apply.__doc__.format(
+    k=_BPE_TOP
+)

@@ -18,15 +18,16 @@ def test_neyman_budget_conserved_and_recompute(spark):
     assert out.alloc_neyman.sum() == B
     src = duckdb.sql(f"""
         SELECT o_orderpriority s, COUNT(*) n,
-               SUM(CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT)) sx,
-               SUM(CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT)
-                   * CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT)) sxx
+               SUM(CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT) // 100) sx,
+               SUM((CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT) // 100)
+                   * (CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT)
+                      // 100)) sxx
         FROM '{SF_DIR}/orders.parquet' GROUP BY 1
     """).df()
     wq = {}
     for _, r in src.iterrows():
         var = (r.sxx - r.sx * r.sx / r.n) / (r.n - 1)
-        wq[r.s] = math.floor(r.n * math.sqrt(var) + 0.5)
+        wq[r.s] = math.floor(r.n * math.sqrt(var) * 100.0 + 0.5)
     wtot = sum(wq.values())
     for _, r in out.iterrows():
         assert abs(r.neyman_share - round(wq[r.stratum] / wtot, 6)) < 2e-6
