@@ -111,6 +111,8 @@ _COMPONENT_FIRST = (
     "ts_dtw_distance", "ts_bounce_rate",
     "graph_walk_corpus", "ts_burstiness",
     "corpus_filter_ablation", "ops_littles_law",
+    "tokenizer_bpe_apply", "eval_bandit_replay",
+    "hypothesis_mcnemar",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

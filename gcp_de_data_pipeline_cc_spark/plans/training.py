@@ -2235,21 +2235,26 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("toks"),
     )
-    enc = F.col("toks")
-    for x, y in _BPE_MERGES:
+    def _apply_merge(prev, x: str, y: str):
         merged = F.lit(x + y)
-        enc = F.aggregate(
-            enc,
-            F.array().cast("array<string>"),
-            lambda acc, t, x=x, y=y, merged=merged: F.when(
+
+        def _step(acc, t):
+            return F.when(
                 (F.size(acc) >= 1)
                 & (F.element_at(acc, -1) == x)
                 & (t == F.lit(y)),
                 F.concat(
                     F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
                 ),
-            ).otherwise(F.concat(acc, F.array(t))),
+            ).otherwise(F.concat(acc, F.array(t)))
+
+        return F.aggregate(
+            prev, F.array().cast("array<string>"), _step
         )
+
+    enc = F.col("toks")
+    for x, y in _BPE_MERGES:
+        enc = _apply_merge(enc, x, y)
     encoded = chars.select("w", "n_chars", enc.alias("toks"))
     encoded = encoded.localCheckpoint(eager=False)  # totals + token rows
     tot = encoded.agg(

@@ -405,6 +405,9 @@ _BNLJ_REVIEWED = frozenset({
     # one-row totals; ops_littles_law the one-row sweep integral —
     # category (a)
     "corpus_filter_ablation", "ops_littles_law",
+    # r6g wave: tokenizer_bpe_apply crosses the token rollup with the
+    # one-row corpus chars/tokens totals — category (a)
+    "tokenizer_bpe_apply",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score

@@ -155,3 +155,70 @@ def test_bandit_replay_planted_best_arm(spark, tmp_path):
         out.loc["always_purchase", "mean_reward_cents"]
         > out.loc["logged", "mean_reward_cents"]
     )
+
+
+# --------------------------------------------------------------------------
+# hypothesis_mcnemar
+# --------------------------------------------------------------------------
+
+
+def _coin(salt, doc_id, thresh):
+    return (
+        hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:2] < thresh
+    )
+
+
+def test_mcnemar_matches_python(spark):
+    import duckdb
+
+    ids = [
+        i for (i,) in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    b = c = 0
+    for i in ids:
+        truth = _coin("y", i, "80")
+        pa = _coin("ma", i, "66") == truth
+        pb = _coin("mb", i, "99") == truth
+        if pa and not pb:
+            b += 1
+        elif pb and not pa:
+            c += 1
+    out = REGISTRY["hypothesis_mcnemar"].spark(spark, SF_DIR).toPandas()
+    r = out.iloc[0]
+    assert r.only_a == b and r.only_b == c
+    assert r.n == len(ids)
+    assert (
+        r.n == r.both_ok + r.only_a + r.only_b + r.both_bad
+    )
+    expect_q = ((abs(b - c) - 1) ** 2 * 1_000_000) // (b + c)
+    assert r.chi2_q == expect_q
+    assert bool(r.reject_05) == (expect_q > 3_841_459)
+
+
+def test_mcnemar_zero_discordance_branch(spark, tmp_path):
+    # a corpus where both planted models are right/wrong together is
+    # impossible to build through the md5 channel, but ONE document
+    # with pred_a == pred_b guarantees only_a = only_b = 0 if the two
+    # coins agree for that id — pick such an id by search.
+    pick = None
+    for i in range(2000):
+        if _coin("ma", i, "66") == _coin("mb", i, "99"):
+            pick = i
+            break
+    rows = [(pick, "t", "en", "s", 1)]
+    spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        REGISTRY["hypothesis_mcnemar"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .iloc[0]
+    )
+    assert out.only_a == 0 and out.only_b == 0
+    assert out.chi2_q == 0
+    assert not bool(out.reject_05)
