@@ -113,6 +113,7 @@ _COMPONENT_FIRST = (
     "corpus_filter_ablation", "ops_littles_law",
     "tokenizer_bpe_apply", "eval_bandit_replay",
     "hypothesis_mcnemar",
+    "recsys_diversity_ild", "graph_motifs_directed",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -2094,3 +2094,108 @@ def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_distinct"),
     ).orderBy("walk_id")
+
+
+# ---------------------------------------------------------------------------
+# directed 3-node motif census (r6h wave)
+# ---------------------------------------------------------------------------
+
+
+def _motifs_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM (
+                SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2))
+        WHERE rn <= {_SCC_K}),
+    paths AS (
+        SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        FROM e ab JOIN e bc ON bc.src = ab.dst
+        WHERE ab.src <> bc.dst),
+    closed AS (
+        SELECT p.a, p.b, p.c,
+               CASE WHEN f.src IS NOT NULL THEN 1 ELSE 0 END AS ffl,
+               CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS cyc
+        FROM paths p
+        LEFT JOIN e f ON f.src = p.a AND f.dst = p.c
+        LEFT JOIN e r ON r.src = p.c AND r.dst = p.a)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_two_paths,
+           CAST(SUM(ffl) AS BIGINT) AS n_ffl,
+           CAST(SUM(cyc) // 3 AS BIGINT) AS n_cycles,
+           CAST((SUM(ffl) * 1000000) // COUNT(*) AS BIGINT)
+               AS ffl_closure_ppm,
+           CAST((SUM(cyc) * 1000000) // COUNT(*) AS BIGINT)
+               AS cycle_closure_ppm
+    FROM closed
+    """
+
+
+@query("graph_motifs_directed", oracle=_motifs_oracle())
+def graph_motifs_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — DIRECTED 3-NODE MOTIF CENSUS on the trade
+    digraph: count open 2-paths A→B→C and classify their closures —
+    FEED-FORWARD loops (A→C also present: the hierarchy/shortcut motif
+    that dominates regulatory and supply networks) vs 3-CYCLES (C→A:
+    circular flow; each cycle closes all three of its 2-paths, hence
+    the ÷3) — plus the two closure rates, the DIRECTED analogue of
+    `graph_triangles`' undirected clustering coefficient
+    (Milo et al. 2002's motif-census method).
+
+    Exactness: pure integer counts and one ppm DIV each.
+
+    100 TB: the 2-path join and both existence probes are equi-joins
+    on the |V|-bounded sparsified edge list; the fact pass is the
+    shared flow-matrix collapse.
+    """
+    from gcp_de_data_pipeline_cc_spark.operators.graph import (
+        trade_sparse_digraph,
+    )
+
+    e = trade_sparse_digraph(spark, sf_dir, _SCC_K)
+    ab, bc = e.alias("ab"), e.alias("bc")
+    paths = (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .where(F.col("ab.src") != F.col("bc.dst"))
+        .select(
+            F.col("ab.src").alias("a"),
+            F.col("ab.dst").alias("b"),
+            F.col("bc.dst").alias("c"),
+        )
+    )
+    fwd = e.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.lit(1).alias("ffl"),
+    )
+    rev = e.select(
+        F.col("dst").alias("a"), F.col("src").alias("c"),
+        F.lit(1).alias("cyc"),
+    )
+    closed = (
+        paths.join(F.broadcast(fwd), ["a", "c"], "left")
+        .join(F.broadcast(rev), ["a", "c"], "left")
+        .select(
+            F.coalesce("ffl", F.lit(0)).alias("ffl"),
+            F.coalesce("cyc", F.lit(0)).alias("cyc"),
+        )
+    )
+    return closed.agg(
+        F.count("*").cast("long").alias("n_two_paths"),
+        F.sum("ffl").cast("long").alias("n_ffl"),
+        F.expr("CAST(SUM(cyc) DIV 3 AS BIGINT)").alias("n_cycles"),
+        F.expr(
+            "CAST((SUM(ffl) * 1000000) DIV COUNT(*) AS BIGINT)"
+        ).alias("ffl_closure_ppm"),
+        F.expr(
+            "CAST((SUM(cyc) * 1000000) DIV COUNT(*) AS BIGINT)"
+        ).alias("cycle_closure_ppm"),
+    )

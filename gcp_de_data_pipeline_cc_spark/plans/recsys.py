@@ -537,3 +537,206 @@ def recsys_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 recsys_hit_rate.__doc__ = recsys_hit_rate.__doc__.format(n=_HR_NB, k=_HR_K)
+
+
+# ---------------------------------------------------------------------------
+# intra-list diversity of the served lists (r6h wave)
+# ---------------------------------------------------------------------------
+
+
+def _ild_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT DISTINCT o.o_custkey AS c, p.p_brand AS brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey),
+    item AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_cust
+             FROM v GROUP BY 1),
+    co AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS co_n
+        FROM v a JOIN v b ON a.c = b.c AND a.brand < b.brand
+        GROUP BY 1, 2),
+    cosq AS (
+        SELECT brand_a, brand_b,
+               CAST(FLOOR(co.co_n / SQRT(ia.n_cust * 1.0e0 * ib.n_cust)
+                          * 1000000.0e0 + 0.5e0) AS BIGINT) AS cos_ppm
+        FROM co
+        JOIN item ia ON ia.brand = co.brand_a
+        JOIN item ib ON ib.brand = co.brand_b),
+    sym AS (
+        SELECT brand_a AS item, brand_b AS neighbor, co_n FROM co
+        UNION ALL
+        SELECT brand_b, brand_a, co_n FROM co),
+    scored AS (
+        SELECT s.item, s.neighbor,
+               s.co_n / SQRT(ia.n_cust * 1.0e0 * ib.n_cust) AS cos_raw
+        FROM sym s
+        JOIN item ia ON ia.brand = s.item
+        JOIN item ib ON ib.brand = s.neighbor),
+    lists AS (
+        SELECT item, neighbor FROM (
+            SELECT item, neighbor,
+                   row_number() OVER (PARTITION BY item
+                                      ORDER BY cos_raw DESC, neighbor)
+                       AS rnk
+            FROM scored) WHERE rnk <= 5),
+    pairs AS (
+        SELECT a.item,
+               LEAST(a.neighbor, b.neighbor) AS na,
+               GREATEST(a.neighbor, b.neighbor) AS nb
+        FROM lists a JOIN lists b
+          ON a.item = b.item AND a.neighbor < b.neighbor),
+    dis AS (
+        SELECT p.item,
+               1000000 - COALESCE(c.cos_ppm, 0) AS dis_ppm,
+               CASE WHEN c.cos_ppm IS NULL THEN 1 ELSE 0 END AS unseen
+        FROM pairs p
+        LEFT JOIN cosq c ON c.brand_a = p.na AND c.brand_b = p.nb)
+    SELECT item,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dis_ppm) // COUNT(*) AS BIGINT) AS ild_ppm,
+           CAST(SUM(unseen) AS BIGINT) AS n_never_cobought
+    FROM dis
+    GROUP BY item
+    ORDER BY item
+    """
+
+
+@query("recsys_diversity_ild", oracle=_ild_oracle())
+def recsys_diversity_ild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender wave — INTRA-LIST DIVERSITY of the served top-5
+    lists: mean pairwise dissimilarity (1 − cosine) among each list's
+    OWN members — the metric that catches the classic CF failure of
+    five near-identical recommendations (`recsys_mmr_rerank` optimizes
+    this trade-off at serving time; this key MEASURES what the plain
+    kNN lists deliver, and `recsys_coverage` counts catalog reach).
+    Neighbor pairs never co-bought by anyone carry dissimilarity 1
+    and are counted separately (``n_never_cobought`` — the stronger
+    diversity evidence).
+
+    Exactness: pairwise cosines floor-quantize to integer ppm BEFORE
+    the per-list mean (integer sum + DIV) — no float crosses rows.
+
+    100 TB: reuses item-CF's bounded shapes — the per-customer
+    self-join for co-counts, per-item WindowGroupLimit for lists; the
+    within-list pair explode is C(5,2) = 10 rows per item.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    v = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    v = v.localCheckpoint(eager=False)
+    item = v.groupBy("brand").agg(F.count("*").alias("n_cust"))
+    a, b = v.alias("a"), v.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("co_n"))
+    )
+    co = co.localCheckpoint(eager=False)  # cosq + both sym arms
+    ia = item.select(
+        F.col("brand").alias("brand_a"), F.col("n_cust").alias("na")
+    )
+    ib = item.select(
+        F.col("brand").alias("brand_b"), F.col("n_cust").alias("nb")
+    )
+    cosq = (
+        co.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.floor(
+                F.col("co_n")
+                / F.sqrt(F.col("na") * F.lit(1.0) * F.col("nb"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+    )
+    sym = co.select(
+        F.col("brand_a").alias("item"),
+        F.col("brand_b").alias("neighbor"),
+        "co_n",
+    ).unionByName(
+        co.select(
+            F.col("brand_b").alias("item"),
+            F.col("brand_a").alias("neighbor"),
+            "co_n",
+        )
+    )
+    ia2 = item.select(
+        F.col("brand").alias("item"), F.col("n_cust").alias("na")
+    )
+    ib2 = item.select(
+        F.col("brand").alias("neighbor"), F.col("n_cust").alias("nb")
+    )
+    scored = (
+        sym.join(F.broadcast(ia2), "item")
+        .join(F.broadcast(ib2), "neighbor")
+        .withColumn(
+            "cos_raw",
+            F.col("co_n")
+            / F.sqrt(F.col("na") * F.lit(1.0) * F.col("nb")),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor")
+    )
+    lists = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("item", "neighbor")
+    )
+    lists = lists.localCheckpoint(eager=False)  # both pair sides
+    pairs = (
+        lists.alias("x")
+        .join(
+            lists.alias("y"),
+            (F.col("x.item") == F.col("y.item"))
+            & (F.col("x.neighbor") < F.col("y.neighbor")),
+        )
+        .select(
+            F.col("x.item").alias("item"),
+            F.least("x.neighbor", "y.neighbor").alias("brand_a"),
+            F.greatest("x.neighbor", "y.neighbor").alias("brand_b"),
+        )
+    )
+    dis = pairs.join(
+        F.broadcast(cosq), ["brand_a", "brand_b"], "left"
+    ).select(
+        "item",
+        (F.lit(1000000) - F.coalesce("cos_ppm", F.lit(0)))
+        .cast("long")
+        .alias("dis_ppm"),
+        F.when(F.col("cos_ppm").isNull(), 1).otherwise(0).alias("unseen"),
+    )
+    return (
+        dis.groupBy("item")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("CAST(SUM(dis_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "ild_ppm"
+            ),
+            F.sum("unseen").cast("long").alias("n_never_cobought"),
+        )
+        .orderBy("item")
+    )
