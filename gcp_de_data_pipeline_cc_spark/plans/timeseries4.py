@@ -461,12 +461,12 @@ def sli_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm AS (SELECT AVG(s_wd) AS s_mean FROM seas),
     q AS (
         SELECT
-            CAST(FLOOR((c.det7 / 7.0e0
-                        - (s.s_wd - n.s_mean)) * 100.0e0 + 0.5e0)
+            CAST(FLOOR(c.det7 / 7.0e0
+                       - (s.s_wd - n.s_mean) + 0.5e0)
                  AS BIGINT) AS r_q,
-            CAST(FLOOR((c.det7 / 7.0e0) * 100.0e0 + 0.5e0) AS BIGINT)
+            CAST(FLOOR(c.det7 / 7.0e0 + 0.5e0) AS BIGINT)
                 AS sr_q,
-            CAST(FLOOR((c.cents - (s.s_wd - n.s_mean)) * 100.0e0
+            CAST(FLOOR(c.cents - (s.s_wd - n.s_mean)
                        + 0.5e0) AS BIGINT) AS tr_q
         FROM core c JOIN seas s ON s.wd = c.wd, norm n),
     mom AS (
@@ -514,8 +514,9 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the decomposition reuses the exact-integer det7 = 7x−Σ₇
     discipline; the three component series (R, S+R, T+R) quantize to
-    centi-cent int64 via identical scalar trees BEFORE any cross-row
-    sum, so variances are exact co-moment sums (n·Σx²−(Σx)²) and the
+    whole-CENT int64 via identical scalar trees BEFORE any cross-row
+    sum (cent grain keeps Σx² inside int64 with ~100× revenue
+    headroom; the F ratios are insensitive at 1e-6 relative error), so variances are exact co-moment sums (n·Σx²−(Σx)²) and the
     F ratios are fixed one-row scalar trees, quantized at projection.
 
     100 TB: day-grain collapse map-side; windows calendar-bounded;
@@ -554,23 +555,18 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(norm))
         .select(
             F.floor(
-                (
-                    F.col("det7") / F.lit(7.0)
-                    - (F.col("s_wd") - F.col("s_mean"))
-                )
-                * F.lit(100.0)
+                F.col("det7") / F.lit(7.0)
+                - (F.col("s_wd") - F.col("s_mean"))
                 + F.lit(0.5)
             )
             .cast("long")
             .alias("r_q"),
-            F.floor(
-                (F.col("det7") / F.lit(7.0)) * F.lit(100.0) + F.lit(0.5)
-            )
+            F.floor(F.col("det7") / F.lit(7.0) + F.lit(0.5))
             .cast("long")
             .alias("sr_q"),
             F.floor(
-                (F.col("cents") - (F.col("s_wd") - F.col("s_mean")))
-                * F.lit(100.0)
+                F.col("cents")
+                - (F.col("s_wd") - F.col("s_mean"))
                 + F.lit(0.5)
             )
             .cast("long")
