@@ -992,3 +992,123 @@ def ops_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ops_cron_schedule — cron-spec expansion over the feed window
+# --------------------------------------------------------------------------
+
+#: checked-in schedule specs: (name, minute, hour, dom, isodow) with
+#: -1 = '*' — the reference DAG's schedule_interval made queryable
+_CRON_SPECS = (
+    ("daily_0300", 0, 3, -1, -1),
+    ("hourly_15", 15, -1, -1, -1),
+    ("monday_0900", 0, 9, -1, 1),
+    ("month_first_0000", 0, 0, 1, -1),
+)
+
+
+def _cron_oracle() -> str:
+    specs = ", ".join(
+        f"('{n}', {mi}, {h}, {dom}, {dow})"
+        for n, mi, h, dom, dow in _CRON_SPECS
+    )
+    return f"""
+    WITH bounds AS (
+        SELECT date_trunc('minute', MIN(ts)) AS t0,
+               date_trunc('minute', MAX(ts)) AS t1
+        FROM events),
+    spine AS (
+        SELECT UNNEST(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS mn
+        FROM bounds),
+    specs(name, mi, h, dom, dow) AS (VALUES {specs}),
+    fires AS (
+        SELECT s.name, p.mn
+        FROM spine p JOIN specs s
+          ON (s.mi = -1 OR CAST(EXTRACT(minute FROM p.mn) AS INT) = s.mi)
+         AND (s.h = -1 OR CAST(EXTRACT(hour FROM p.mn) AS INT) = s.h)
+         AND (s.dom = -1 OR CAST(EXTRACT(day FROM p.mn) AS INT) = s.dom)
+         AND (s.dow = -1
+              OR CAST(EXTRACT(isodow FROM p.mn) AS INT) = s.dow))
+    SELECT name,
+           CAST(COUNT(*) AS BIGINT) AS n_fires,
+           CAST(MIN(mn) AS TIMESTAMP) AS first_fire,
+           CAST(MAX(mn) AS TIMESTAMP) AS last_fire,
+           CAST((epoch_us(MAX(mn)) - epoch_us(MIN(mn)))
+                // 60000000 // NULLIF(COUNT(*) - 1, 0) AS BIGINT)
+               AS mean_gap_minutes
+    FROM fires
+    GROUP BY name
+    ORDER BY name
+    """
+
+
+@query("ops_cron_schedule", oracle=_cron_oracle())
+def ops_cron_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orchestration-ops tier — CRON-SPEC EXPANSION: evaluate the
+    checked-in schedule specs (minute/hour/day-of-month/ISO-weekday
+    with −1 as '*' — the Airflow ``schedule_interval`` grammar's
+    common core) against the feed's minute-grain calendar window and
+    report per spec the fire count, first/last fire, and mean gap —
+    the query behind "how many runs should exist?", which
+    `ops_backfill_plan` then diffs against reality (missing fires =
+    the backfill list).
+
+    Exactness: matching is integer field comparison on the minute
+    spine; gaps are exact integer minute arithmetic with a NULLIF
+    single-fire guard.
+
+    100 TB: volume-independent by construction — the spine is the
+    CALENDAR (43k rows/month), the spec table a literal; the only
+    data touch is the two-scalar bounds aggregate.
+
+    Reference parity: dags/pipeline_orchestration_dag.py:212 sets
+    ``schedule_interval`` + catchup — this key materializes exactly
+    the run set Airflow's scheduler would create for it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t0, t1 = ev.agg(
+        F.date_trunc("minute", F.min("ts")),
+        F.date_trunc("minute", F.max("ts")),
+    ).first()
+    spine = spark.sql(
+        "SELECT explode(sequence(to_timestamp('{0}'),"
+        " to_timestamp('{1}'), interval 1 minute)) AS mn".format(
+            t0.isoformat(sep=" "), t1.isoformat(sep=" ")
+        )
+    )
+    specs = spark.createDataFrame(
+        list(_CRON_SPECS), "name STRING, mi INT, h INT, dom INT, dow INT"
+    )
+    fires = spine.join(
+        F.broadcast(specs),
+        (
+            (F.col("mi") == -1)
+            | (F.minute("mn").cast("int") == F.col("mi"))
+        )
+        & ((F.col("h") == -1) | (F.hour("mn").cast("int") == F.col("h")))
+        & (
+            (F.col("dom") == -1)
+            | (F.dayofmonth("mn").cast("int") == F.col("dom"))
+        )
+        & (
+            (F.col("dow") == -1)
+            | (
+                (((F.dayofweek("mn") + 5) % 7) + 1).cast("int")
+                == F.col("dow")
+            )
+        ),
+    )
+    return (
+        fires.groupBy("name")
+        .agg(
+            F.count("*").cast("long").alias("n_fires"),
+            F.min("mn").alias("first_fire"),
+            F.max("mn").alias("last_fire"),
+            F.expr(
+                "CAST((unix_micros(MAX(mn)) - unix_micros(MIN(mn)))"
+                " DIV 60000000 DIV NULLIF(COUNT(*) - 1, 0) AS BIGINT)"
+            ).alias("mean_gap_minutes"),
+        )
+        .orderBy("name")
+    )

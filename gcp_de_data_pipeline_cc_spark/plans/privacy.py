@@ -697,3 +697,110 @@ def join_blind_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# privacy_pseudonym_rotation — epoch-rotated pseudonyms with audits
+# --------------------------------------------------------------------------
+
+#: pseudonym width in hex chars (64 bits)
+_ROT_W = 16
+
+
+@query(
+    "privacy_pseudonym_rotation",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    p AS (
+        SELECT k,
+               SUBSTR(md5('epoch1:' || CAST(k AS VARCHAR)), 1, {_ROT_W})
+                   AS p1,
+               SUBSTR(md5('epoch2:' || CAST(k AS VARCHAR)), 1, {_ROT_W})
+                   AS p2
+        FROM keys),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(DISTINCT p1) AS BIGINT) AS n_p1,
+               CAST(COUNT(DISTINCT p2) AS BIGINT) AS n_p2
+        FROM p),
+    leak AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_value_links
+        FROM p a JOIN p b ON a.p1 = b.p2),
+    self_link AS (
+        SELECT CAST(SUM(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_stable
+        FROM p)
+    SELECT s.n_keys,
+           s.n_keys - s.n_p1 AS epoch1_collisions,
+           s.n_keys - s.n_p2 AS epoch2_collisions,
+           l.n_value_links,
+           sl.n_stable,
+           l.n_value_links = 0 AND sl.n_stable = 0 AS rotation_ok
+    FROM stats s, leak l, self_link sl
+    """,
+)
+def privacy_pseudonym_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-ops tier — PSEUDONYM ROTATION AUDIT: per retention
+    epoch, identifiers are replaced by salted one-way pseudonyms
+    (`join_blind_keys`' clean-room primitive); rotating the salt each
+    epoch is what makes long-range tracking impossible — and this key
+    AUDITS that property: zero value-level links between epoch-1 and
+    epoch-2 pseudonym sets (the cross join on pseudonym VALUE must be
+    empty), zero stable pseudonyms, and per-epoch collision counts
+    certifying lossless linkage WITHIN each epoch (the GDPR
+    pseudonymization recital's two requirements, made queries).
+
+    Exactness: pure counts over hash strings.
+
+    100 TB: the value-link probe is an equi-join on the 64-bit
+    pseudonym (hash-shuffled both sides); everything else map-side.
+    The law test plants a NON-rotated salt and watches
+    ``rotation_ok`` catch the full-linkage failure.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.select(F.col("c_custkey").alias("k")).distinct()
+
+    def _pseud(salt: str) -> F.Column:
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("k").cast("string"))),
+            1,
+            _ROT_W,
+        )
+
+    p = keys.select(
+        "k", _pseud("epoch1").alias("p1"), _pseud("epoch2").alias("p2")
+    )
+    p = p.localCheckpoint(eager=False)  # stats + link + stability uses
+    stats = p.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.countDistinct("p1").cast("long").alias("n_p1"),
+        F.countDistinct("p2").cast("long").alias("n_p2"),
+    )
+    leak = (
+        p.select("p1")
+        .join(p.select("p2"), F.col("p1") == F.col("p2"))
+        .agg(F.count("*").cast("long").alias("n_value_links"))
+    )
+    self_link = p.agg(
+        F.sum(F.when(F.col("p1") == F.col("p2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stable")
+    )
+    return (
+        stats.crossJoin(F.broadcast(leak))
+        .crossJoin(F.broadcast(self_link))
+        .select(
+            "n_keys",
+            (F.col("n_keys") - F.col("n_p1"))
+            .cast("long")
+            .alias("epoch1_collisions"),
+            (F.col("n_keys") - F.col("n_p2"))
+            .cast("long")
+            .alias("epoch2_collisions"),
+            "n_value_links",
+            "n_stable",
+            (
+                (F.col("n_value_links") == 0) & (F.col("n_stable") == 0)
+            ).alias("rotation_ok"),
+        )
+    )
