@@ -114,6 +114,7 @@ _COMPONENT_FIRST = (
     "tokenizer_bpe_apply", "eval_bandit_replay",
     "hypothesis_mcnemar",
     "recsys_diversity_ild", "graph_motifs_directed",
+    "ops_cron_schedule", "privacy_pseudonym_rotation",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -1029,17 +1029,22 @@ def _cron_oracle() -> str:
          AND (s.h = -1 OR CAST(EXTRACT(hour FROM p.mn) AS INT) = s.h)
          AND (s.dom = -1 OR CAST(EXTRACT(day FROM p.mn) AS INT) = s.dom)
          AND (s.dow = -1
-              OR CAST(EXTRACT(isodow FROM p.mn) AS INT) = s.dow))
-    SELECT name,
-           CAST(COUNT(*) AS BIGINT) AS n_fires,
-           CAST(MIN(mn) AS TIMESTAMP) AS first_fire,
-           CAST(MAX(mn) AS TIMESTAMP) AS last_fire,
-           CAST((epoch_us(MAX(mn)) - epoch_us(MIN(mn)))
-                // 60000000 // NULLIF(COUNT(*) - 1, 0) AS BIGINT)
-               AS mean_gap_minutes
-    FROM fires
-    GROUP BY name
-    ORDER BY name
+              OR CAST(EXTRACT(isodow FROM p.mn) AS INT) = s.dow)),
+    per AS (
+        SELECT name,
+               CAST(COUNT(*) AS BIGINT) AS n_fires,
+               CAST(MIN(mn) AS TIMESTAMP) AS first_fire,
+               CAST(MAX(mn) AS TIMESTAMP) AS last_fire,
+               CAST((epoch_us(MAX(mn)) - epoch_us(MIN(mn)))
+                    // 60000000 // NULLIF(COUNT(*) - 1, 0) AS BIGINT)
+                   AS mean_gap_minutes
+        FROM fires
+        GROUP BY name)
+    SELECT s.name,
+           COALESCE(p.n_fires, 0) AS n_fires,
+           p.first_fire, p.last_fire, p.mean_gap_minutes
+    FROM specs s LEFT JOIN per p ON p.name = s.name
+    ORDER BY s.name
     """
 
 
@@ -1099,16 +1104,26 @@ def ops_cron_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    per = fires.groupBy("name").agg(
+        F.count("*").cast("long").alias("n_fires"),
+        F.min("mn").alias("first_fire"),
+        F.max("mn").alias("last_fire"),
+        F.expr(
+            "CAST((unix_micros(MAX(mn)) - unix_micros(MIN(mn)))"
+            " DIV 60000000 DIV NULLIF(COUNT(*) - 1, 0) AS BIGINT)"
+        ).alias("mean_gap_minutes"),
+    )
+    # a spec that never fires in the window is itself the finding:
+    # keep it visible as an explicit zero row
     return (
-        fires.groupBy("name")
-        .agg(
-            F.count("*").cast("long").alias("n_fires"),
-            F.min("mn").alias("first_fire"),
-            F.max("mn").alias("last_fire"),
-            F.expr(
-                "CAST((unix_micros(MAX(mn)) - unix_micros(MIN(mn)))"
-                " DIV 60000000 DIV NULLIF(COUNT(*) - 1, 0) AS BIGINT)"
-            ).alias("mean_gap_minutes"),
+        specs.select("name")
+        .join(F.broadcast(per), "name", "left")
+        .select(
+            "name",
+            F.coalesce("n_fires", F.lit(0)).cast("long").alias("n_fires"),
+            "first_fire",
+            "last_fire",
+            "mean_gap_minutes",
         )
         .orderBy("name")
     )

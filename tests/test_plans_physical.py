@@ -408,6 +408,11 @@ _BNLJ_REVIEWED = frozenset({
     # r6g wave: tokenizer_bpe_apply crosses the token rollup with the
     # one-row corpus chars/tokens totals — category (a)
     "tokenizer_bpe_apply",
+    # r6i wave: ops_cron_schedule joins the calendar spine against the
+    # 4-row literal spec dim on spec-match predicates (category b
+    # bounded dim); privacy_pseudonym_rotation crosses one-row
+    # stats/leak/stability scalars (category a)
+    "ops_cron_schedule", "privacy_pseudonym_rotation",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
