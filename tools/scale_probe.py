@@ -41,6 +41,7 @@ _OFFSETS = {
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
     "documents": {"doc_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
+    "customer": {"c_custkey": 10_000_000},
 }
 
 
@@ -267,6 +268,44 @@ def probe_hit_rate_retrain(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def probe_lttb_fold(spark, mult: int) -> float:
+    """ts_downsample_lttb, REGISTERED: the fact scan scales with mult
+    but the fold runs on the |days|-bounded bucket array — expected
+    shape: the map-side day collapse dominates (near-linear), the
+    single-row fold stays constant."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("orders",))
+    t0 = time.time()
+    REGISTRY["ts_downsample_lttb"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_grid_cc(spark, mult: int) -> float:
+    """geo_cluster_grid, REGISTERED: customer volume scales with mult
+    but the cluster merge state is GRID-capped (<= 1024 cells) — the
+    probe certifies the pointer-jumping rework holds its cap (the
+    replaced V^2 closure showed 66 s already at x1)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("customer",))
+    t0 = time.time()
+    REGISTRY["geo_cluster_grid"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_dtw_fold(spark, mult: int) -> float:
+    """ts_dtw_distance, REGISTERED: event volume scales with mult but
+    the DP lattice is |days|^2-bounded — expected flat beyond the
+    map-side day collapse."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("events",))
+    t0 = time.time()
+    REGISTRY["ts_dtw_distance"].spark(spark, d).collect()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -278,7 +317,10 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "graph_backbone_build": probe_graph_backbone,
           "rouge_lcs_dp": probe_rouge_dp,
           "clamped_balance_fold": probe_clamped_fold,
-          "hit_rate_retrain": probe_hit_rate_retrain}
+          "hit_rate_retrain": probe_hit_rate_retrain,
+          "lttb_fold": probe_lttb_fold,
+          "grid_cc_merge": probe_grid_cc,
+          "dtw_fold": probe_dtw_fold}
 
 
 def main() -> None:
