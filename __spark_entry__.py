@@ -115,6 +115,7 @@ _COMPONENT_FIRST = (
     "hypothesis_mcnemar",
     "recsys_diversity_ild", "graph_motifs_directed",
     "ops_cron_schedule", "privacy_pseudonym_rotation",
+    "qc_geo_validity",
     "eval_auc_roc", "eval_calibration_ece",
     "stats_fdr_bh", "graph_hits",
     "geo_spatial_join", "ab_cuped",

@@ -2241,3 +2241,150 @@ def geo_cluster_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 geo_cluster_grid.__doc__ = geo_cluster_grid.__doc__.format(
     g=_GCL_GRID, t=_GCL_MINPTS, r=_GCL_CC_MAX_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# qc_geo_validity — coordinate sanity battery (r6j wave)
+# ---------------------------------------------------------------------------
+
+#: corruption coin: ~6% of rows get one of four planted defects
+_GEOV_MODE_SQL = (
+    "CAST(CAST('0x' || SUBSTR(md5('geov:' || CAST(c_custkey AS VARCHAR)),"
+    " 1, 2) AS BIGINT) AS BIGINT)"
+)
+
+
+@query(
+    "qc_geo_validity",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey,
+               -6000 + (c_custkey * 7919 % 12000) AS lat0,
+               -18000 + (c_custkey * 104729 % 36000) AS lon0,
+               {_GEOV_MODE_SQL} % 64 AS m
+        FROM customer),
+    pts AS (
+        SELECT c_custkey,
+               CASE WHEN m = 0 THEN 9100 + (c_custkey % 500)
+                    WHEN m = 2 THEN 0
+                    WHEN m = 3 THEN lon0
+                    ELSE lat0 END AS lat,
+               CASE WHEN m = 1 THEN -18100 - (c_custkey % 500)
+                    WHEN m = 2 THEN 0
+                    WHEN m = 3 THEN lat0 END AS lon_raw,
+               CASE WHEN m = 1 OR m = 2 OR m = 3 THEN TRUE
+                    ELSE FALSE END AS lon_set,
+               lon0, m
+        FROM base),
+    coords AS (
+        SELECT c_custkey,
+               lat,
+               CASE WHEN lon_set THEN lon_raw ELSE lon0 END AS lon
+        FROM pts),
+    classed AS (
+        SELECT CASE
+            WHEN lat = 0 AND lon = 0 THEN 'null_island'
+            WHEN abs(lat) > 9000 AND abs(lat) <= 18000
+                 AND abs(lon) <= 9000 THEN 'swapped_axes'
+            WHEN abs(lat) > 9000 THEN 'lat_out_of_range'
+            WHEN abs(lon) > 18000 THEN 'lon_out_of_range'
+            ELSE 'valid' END AS verdict
+        FROM coords),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM classed)
+    SELECT c.verdict,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((COUNT(*) * 1000000) // t.n_total AS BIGINT) AS ppm
+    FROM classed c, tot t
+    GROUP BY c.verdict, t.n_total
+    ORDER BY c.verdict
+    """,
+)
+def qc_geo_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO-QC tier — the COORDINATE SANITY BATTERY every location feed
+    needs before the geo keys run: range checks (|lat| ≤ 90°,
+    |lon| ≤ 180°), the NULL-ISLAND trap ((0,0) — where geocoder
+    failures silently land), and the SWAPPED-AXES heuristic
+    (|lat| > 90° but within 180° while |lon| fits a latitude — the
+    classic column-order bug, distinguishable from plain corruption
+    and FIXABLE by un-swapping).  Rule ORDER is load-bearing and
+    mirrors triage priority: null-island, then swapped (recoverable),
+    then plain out-of-range.  The channel plants all four defects at
+    known md5 rates so every class is always exercised.
+
+    Exactness: integer centi-degrees end-to-end; shares are one
+    integer-ppm DIV.
+
+    100 TB: pure projection + map-side rollup to ≤ 5 verdict rows.
+
+    Reference parity: the reference's staging QC gates per-table
+    validity (dags/pipeline_orchestration_dag.py:121-141); this is
+    that gate for coordinate columns.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    m = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("geov:"), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    base = cust.select(
+        "c_custkey",
+        (F.lit(-6000) + (F.col("c_custkey") * 7919 % 12000)).alias("lat0"),
+        (F.lit(-18000) + (F.col("c_custkey") * 104729 % 36000)).alias(
+            "lon0"
+        ),
+        m.alias("m"),
+    )
+    lat = (
+        F.when(F.col("m") == 0, F.lit(9100) + F.col("c_custkey") % 500)
+        .when(F.col("m") == 2, F.lit(0))
+        .when(F.col("m") == 3, F.col("lon0"))
+        .otherwise(F.col("lat0"))
+    )
+    lon = (
+        F.when(
+            F.col("m") == 1, F.lit(-18100) - F.col("c_custkey") % 500
+        )
+        .when(F.col("m") == 2, F.lit(0))
+        .when(F.col("m") == 3, F.col("lat0"))
+        .otherwise(F.col("lon0"))
+    )
+    coords = base.select(lat.alias("lat"), lon.alias("lon"))
+    verdict = (
+        F.when((F.col("lat") == 0) & (F.col("lon") == 0), "null_island")
+        .when(
+            (F.abs("lat") > 9000)
+            & (F.abs("lat") <= 18000)
+            & (F.abs("lon") <= 9000),
+            "swapped_axes",
+        )
+        .when(F.abs("lat") > 9000, "lat_out_of_range")
+        .when(F.abs("lon") > 18000, "lon_out_of_range")
+        .otherwise("valid")
+    )
+    classed = coords.select(verdict.alias("verdict"))
+    classed = classed.localCheckpoint(eager=False)  # rollup + total
+    tot = classed.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        classed.groupBy("verdict")
+        .agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "verdict",
+            "n",
+            F.expr("CAST((n * 1000000) DIV n_total AS BIGINT)").alias(
+                "ppm"
+            ),
+        )
+        .orderBy("verdict")
+    )

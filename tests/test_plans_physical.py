@@ -413,6 +413,9 @@ _BNLJ_REVIEWED = frozenset({
     # bounded dim); privacy_pseudonym_rotation crosses one-row
     # stats/leak/stability scalars (category a)
     "ops_cron_schedule", "privacy_pseudonym_rotation",
+    # r6j wave: qc_geo_validity crosses the <=5 verdict rows with the
+    # one-row total — category (a)
+    "qc_geo_validity",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
