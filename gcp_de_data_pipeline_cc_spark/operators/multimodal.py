@@ -376,7 +376,10 @@ def ahash64_bmp(payload: bytes) -> int:
     cnts = [0] * 64
     for r in range(abs_h):
         row = payload[offset + r * stride : offset + r * stride + row_raw]
-        cr = (r * 8) // abs_h
+        # BMP stores rows bottom-up when h>0; map storage row -> image row
+        # so the hash matches the canonical (top-down) aHash orientation
+        ir = abs_h - 1 - r if h > 0 else r
+        cr = (ir * 8) // abs_h
         for c in range(w):
             p = c * 3
             gray = row[p] + row[p + 1] + row[p + 2]  # 3x gray, monotone
@@ -406,7 +409,7 @@ def audio_fp64_wav(payload: bytes, n_frames: int = 16) -> int:
     peak-normalized mean |amplitude| — a coarse loudness contour that
     survives resampling but distinguishes different audio.
     """
-    d = decode_wav(payload)
+    decode_wav(payload)  # validates RIFF/fmt structure; stats unused here
     # re-extract the samples (decode_wav returns stats only)
     pos, n = 12, len(payload)
     data = b""
@@ -448,8 +451,12 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
                 raw = bytes(payload)
                 if mtype == "image/bmp":
                     fp = ahash64_bmp(raw)
-                else:
+                elif mtype == "audio/wav":
                     fp = audio_fp64_wav(raw)
+                else:
+                    raise NotImplementedError(
+                        f"no perceptual hash for media_type {mtype!r}"
+                    )
                 # store as signed int64 (wraps >= 2^63 deterministically)
                 if fp >= 1 << 63:
                     fp -= 1 << 64

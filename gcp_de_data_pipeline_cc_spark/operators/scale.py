@@ -273,9 +273,18 @@ def misra_gries_candidates(df, value_col: str, k: int):
     property that lets this run over a column with billions of
     distincts where a plain groupBy would shuffle them all.
 
-    Returns a DataFrame (value_col STRING, est BIGINT) of candidate
-    values with their (under-)estimated counts; ``est`` is only a
-    lower bound (decrements), callers needing truth re-count.
+    Returns a DataFrame (value_col STRING, est BIGINT, evicted BOOLEAN)
+    of candidate values with their (under-)estimated counts; ``est`` is
+    only a lower bound (decrements), callers needing truth re-count.
+    ``evicted`` is a per-partition flag (same value on all of that
+    partition's rows): False means the partition never ran a
+    decrement-all step, i.e. its candidate set is EXACTLY its distinct
+    set — when no partition evicted, the candidate union is provably
+    the complete distinct set, a structural completeness certificate
+    callers can check without a second cardinality pass.  A partition
+    that evicted its way down to zero counters emits one NULL-valued
+    sentinel row so the flag is never lost (NULL never equi-joins, so
+    sentinels are invisible to recount semi-joins).
     """
     from pyspark.sql import functions as F  # noqa: F811
 
@@ -285,6 +294,7 @@ def misra_gries_candidates(df, value_col: str, k: int):
         import pandas as pd
 
         counters: dict[str, int] = {}
+        evicted = False
         for pdf in batches:
             for v in pdf["v"]:
                 if v in counters:
@@ -293,6 +303,7 @@ def misra_gries_candidates(df, value_col: str, k: int):
                     counters[v] = 1
                 else:
                     # decrement-all step: drop zeroed counters
+                    evicted = True
                     dead = []
                     for key in counters:
                         counters[key] -= 1
@@ -300,10 +311,14 @@ def misra_gries_candidates(df, value_col: str, k: int):
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame(
-            {"v": list(counters.keys()),
-             "est": [int(c) for c in counters.values()]}
-        )
+        if counters:
+            yield pd.DataFrame(
+                {"v": list(counters.keys()),
+                 "est": [int(c) for c in counters.values()],
+                 "evicted": [evicted] * len(counters)}
+            )
+        elif evicted:
+            yield pd.DataFrame({"v": [None], "est": [0], "evicted": [True]})
 
-    out = src.mapInPandas(part, schema="v STRING, est BIGINT")
+    out = src.mapInPandas(part, schema="v STRING, est BIGINT, evicted BOOLEAN")
     return out.withColumnRenamed("v", value_col)

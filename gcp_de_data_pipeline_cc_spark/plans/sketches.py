@@ -1174,9 +1174,16 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself a verified query).
 
     Guarantee: any token with global count > N/k survives MG in at
-    least one partition (pigeonhole); the fixture vocabulary (31) is
-    far below k, so completeness holds with slack — the decrement path
-    is exercised by the synthetic high-cardinality law test instead.
+    least one partition (pigeonhole).  Completeness of the reported
+    top-{t} is GUARDED STRUCTURALLY, not assumed from the fixture: the
+    plan raises at execution time unless either (a) no partition ever
+    ran a decrement step (then the candidate union IS the exact
+    distinct set — the fixture path, vocab 31 < k), or (b) the weakest
+    reported count strictly clears the N/k survival bound (then any
+    non-candidate token is provably below every reported one).  On a
+    flat distribution where neither holds the query fails loudly
+    instead of silently dropping a true heavy hitter — rerun with a
+    larger k.
 
     Exactness: the MG pass only proposes CANDIDATES; every reported
     number is an exact int64 recount; share divides once, 6 dp; ties
@@ -1195,18 +1202,16 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     tok = tok.localCheckpoint(eager=False)  # MG pass + recount pass
-    cand = (
-        misra_gries_candidates(tok, "token", _MG_K)
-        .select("token")
-        .distinct()
-    )
+    cand_raw = misra_gries_candidates(tok, "token", _MG_K)
+    cand_raw = cand_raw.localCheckpoint(eager=False)  # candidates + flag
+    cand = cand_raw.select("token").distinct()
     recount = (
         tok.join(cand, "token", "left_semi")
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("n_exact"))
     )
     tot = tok.agg(F.count("*").cast("long").alias("n_stream"))
-    return (
+    top = (
         recount.crossJoin(F.broadcast(tot))
         .select(
             "token",
@@ -1220,6 +1225,31 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_exact"), "token")
         .limit(_MG_TOP)
+    )
+    top = top.localCheckpoint(eager=False)  # readout + guard arms
+    # structural completeness certificate (one-row relations, broadcast):
+    # complete <=> no partition evicted (candidates = exact distinct set)
+    #           OR min reported count > N/k (MG survival bound)
+    cert = (
+        top.agg(F.min("n_exact").alias("min_top"))
+        .crossJoin(cand_raw.agg(
+            F.max(F.col("evicted").cast("int")).alias("any_evicted")))
+    )  # n_stream rides on top's own rows
+    return (
+        top.crossJoin(F.broadcast(cert))
+        .filter(
+            F.when(
+                (F.col("any_evicted") == 1)
+                & (F.col("min_top") * F.lit(_MG_K) <= F.col("n_stream")),
+                F.raise_error(F.lit(
+                    "heavy_hitters_mg: top-%d not provably complete at "
+                    "k=%d (decrements fired and the weakest reported "
+                    "count is at or below N/k) — widen k"
+                    % (_MG_TOP, _MG_K))),
+            ).otherwise(F.lit(True))
+        )
+        .select("token", "n_exact", "n_stream", "share")
+        .orderBy(F.desc("n_exact"), "token")
     )
 
 

@@ -51,6 +51,18 @@ def test_minhash_finds_planted_duplicates(spark):
     assert recall >= 0.9, f"planted-dup recall {recall:.2f}"
 
 
+def test_minhash_injected_shingles_equivalence(spark):
+    """Law pin (r3 ADVICE backlog): passing a precomputed — even
+    non-materialized — shingle relation yields bit-identical pairs to
+    the internal tokenize path; the operator checkpoints the injected
+    frame itself so its four consumers don't re-run tokenize+explode."""
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    internal = _pair_set(dd.minhash_lsh_pairs(docs, threshold=0.5))
+    sh = dd._doc_shingles(docs, "doc_id", "text", 3)  # lazy, un-checkpointed
+    injected = _pair_set(dd.minhash_lsh_pairs(docs, threshold=0.5, shingles=sh))
+    assert injected == internal
+
+
 def test_simhash_identical_docs_share_signature(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r t")],

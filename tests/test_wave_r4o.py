@@ -51,6 +51,39 @@ def test_heavy_hitters_top10_is_exact(spark):
         assert abs(r.share - round(r.n_exact / r.n_stream, 6)) < 2e-6
 
 
+def _write_docs_texts(spark, tmp_path, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+
+def test_heavy_hitters_guard_raises_on_flat_distribution(spark, tmp_path):
+    """ADVICE r4: on a flat distribution (every token unique, vocab >> k)
+    the top-10 is NOT provably complete — the structural guard must fail
+    the query loudly instead of silently returning an arbitrary 10."""
+    import pytest
+
+    _write_docs_texts(spark, tmp_path, [f"tok{i:05d}" for i in range(2000)])
+    with pytest.raises(Exception, match="not provably complete"):
+        REGISTRY["heavy_hitters_mg"].spark(spark, str(tmp_path)).collect()
+
+
+def test_heavy_hitters_guard_passes_when_bound_clears(spark, tmp_path):
+    """Vocab >> k (decrements DO fire) but 10 planted heavies each clear
+    N/k — the survival-bound branch certifies completeness and the
+    result is exactly the planted set."""
+    texts = [f"u{i:05d}" for i in range(2000)]
+    for h in range(10):
+        texts.extend([f"HEAVY{h}"] * 500)
+    _write_docs_texts(spark, tmp_path, texts)
+    out = REGISTRY["heavy_hitters_mg"].spark(spark, str(tmp_path)).toPandas()
+    assert sorted(out["token"]) == [f"HEAVY{h}" for h in range(10)]
+    assert (out["n_exact"] == 500).all()
+
+
 def _write_daily_orders(spark, tmp_path, day_cents):
     rows = [
         (i + 1, 1, "O", c / 100.0, dt.date(2024, 1, 1) + dt.timedelta(days=i),
