@@ -47,8 +47,9 @@ from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.operators import quality as q
 from gcp_de_data_pipeline_cc_spark.operators.scd2 import scd2_init
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
-from gcp_de_data_pipeline_cc_spark.scratch import scratch_dir
+from gcp_de_data_pipeline_cc_spark.scratch import scratch_dir, scratch_path
 from gcp_de_data_pipeline_cc_spark.sources.csv_ingest import (
+    quarantine,
     raw_to_staging,
     read_landing_csv,
 )
@@ -68,19 +69,15 @@ def load_pipeline_config(path: str = _CONFIG_PATH) -> dict[str, Any]:
         return json.load(f)
 
 
-def run_configured_pipeline(
+def _stage_land(
     spark: SparkSession, sf_dir: str, config: dict[str, Any]
-) -> DataFrame:
-    """Execute the configured chain with real inter-tier writes and
-    return the curated table + audit columns (see module docstring)."""
-    load_date = dt.date.fromisoformat(config["load_date"])
+) -> str:
+    """Stage 0 — land the source extracts as header CSVs and run the
+    file sensor (reference gcs_to_raw_dag.py's wait_files upstream);
+    returns the landing directory."""
     work = scratch_dir(config["pipeline_id"])
     landing = os.path.join(work, config["landing"]["prefix"])
-    archive = os.path.join(work, config["landing"]["archive_prefix"])
     os.makedirs(landing, exist_ok=True)
-    os.makedirs(archive, exist_ok=True)
-
-    # --- stage 0: land the source extracts as CSV, then sense them ------
     for name, ent in config["entities"].items():
         src = load_table(spark, sf_dir, ent["source"]).select(*ent["columns"])
         src.write.mode("overwrite").option("header", "true").csv(
@@ -94,9 +91,17 @@ def run_configured_pipeline(
         timeout_s=5.0,
         poke_interval_s=0.05,
     )
+    return landing
 
-    # --- stages 1+2: landing → raw parquet → typed staging parquet ------
-    staged: dict[str, DataFrame] = {}
+
+def _stage_gcs_to_raw(
+    spark: SparkSession, config: dict[str, Any], load_date: dt.date
+) -> tuple[dict[str, DataFrame], dict[str, int]]:
+    """Stage 1 — landing CSV → all-string raw parquet per entity
+    (reference gcs_to_raw_dag.py:1-95); returns (raw tables, audit)."""
+    work = scratch_dir_of(config)
+    landing = os.path.join(work, config["landing"]["prefix"])
+    raw_tables: dict[str, DataFrame] = {}
     audit: dict[str, int] = {}
     for name, ent in config["entities"].items():
         raw = read_landing_csv(
@@ -107,18 +112,37 @@ def run_configured_pipeline(
         )
         raw_path = os.path.join(work, "raw", f"{name}_raw")
         write_table(raw, raw_path)
-        raw = read_table(spark, raw_path)
-        audit[f"n_raw_{name}"] = raw.count()
+        raw_tables[name] = read_table(spark, raw_path)
+        audit[f"n_raw_{name}"] = raw_tables[name].count()
+    return raw_tables, audit
 
+
+def _stage_raw_to_staging(
+    spark: SparkSession,
+    config: dict[str, Any],
+    raw_tables: dict[str, DataFrame],
+) -> tuple[dict[str, DataFrame], dict[str, int]]:
+    """Stage 2 — raw → typed/cleansed staging parquet per entity
+    (reference raw_to_staging_dag.py:1-76); returns (staged, audit)."""
+    work = scratch_dir_of(config)
+    staged: dict[str, DataFrame] = {}
+    audit: dict[str, int] = {}
+    for name, ent in config["entities"].items():
         stg = raw_to_staging(
-            raw, ent["casts"], required=ent["required"]
+            raw_tables[name], ent["casts"], required=ent["required"]
         ).drop("ingest_date")
         stg_path = os.path.join(work, "stg", f"{name}_stg")
         write_table(stg, stg_path)
         staged[name] = read_table(spark, stg_path)
         audit[f"n_stg_{name}"] = staged[name].count()
+    return staged, audit
 
-    # --- stage 3: quality gates (raise on violation, count on pass) -----
+
+def _stage_quality(
+    staged: dict[str, DataFrame], config: dict[str, Any]
+) -> int:
+    """Stage 3 — QC gates: non-empty + unique key per entity + config FK
+    checks; raises on violation, returns the number of gates passed."""
     gates: list[q.GateResult] = []
     for name, ent in config["entities"].items():
         gates.append(q.non_empty(staged[name], f"{name}_stg"))
@@ -130,9 +154,18 @@ def run_configured_pipeline(
             )
         )
     q.run_gates(gates)
-    audit["n_gates_passed"] = len(gates)
+    return len(gates)
 
-    # --- stage 4: curation join + SCD2 init → curated parquet -----------
+
+def _stage_curation(
+    spark: SparkSession,
+    config: dict[str, Any],
+    staged: dict[str, DataFrame],
+    load_date: dt.date,
+) -> DataFrame:
+    """Stage 4 — curation join + SCD2 init → curated parquet (reference
+    staging_to_curation_dag.py:1-98); returns the curated table."""
+    work = scratch_dir_of(config)
     cur = config["curation"]
     fact, dim = staged[cur["fact"]], staged[cur["dim"]]
     lcol, rcol = cur["join_on"]
@@ -144,7 +177,32 @@ def run_configured_pipeline(
     )
     cur_path = os.path.join(work, "cur", f"{cur['fact']}_{cur['dim']}_cur")
     write_table(curated, cur_path)
-    curated = read_table(spark, cur_path)
+    return read_table(spark, cur_path)
+
+
+def scratch_dir_of(config: dict[str, Any]) -> str:
+    """The pipeline's existing per-process scratch dir WITHOUT wiping it
+    (scratch_dir() clears on each call — stages within one run must not
+    erase the tiers their upstream just wrote)."""
+    return scratch_path(config["pipeline_id"])
+
+
+def run_configured_pipeline(
+    spark: SparkSession, sf_dir: str, config: dict[str, Any]
+) -> DataFrame:
+    """Execute the configured chain with real inter-tier writes and
+    return the curated table + audit columns (see module docstring)."""
+    load_date = dt.date.fromisoformat(config["load_date"])
+    landing = _stage_land(spark, sf_dir, config)
+    work = scratch_dir_of(config)
+    archive = os.path.join(work, config["landing"]["archive_prefix"])
+    os.makedirs(archive, exist_ok=True)
+
+    raw_tables, audit = _stage_gcs_to_raw(spark, config, load_date)
+    staged, stg_audit = _stage_raw_to_staging(spark, config, raw_tables)
+    audit.update(stg_audit)
+    audit["n_gates_passed"] = _stage_quality(staged, config)
+    curated = _stage_curation(spark, config, staged, load_date)
 
     # --- stage 5: archive with the load-date suffix ----------------------
     n_archived = 0
@@ -163,6 +221,7 @@ def run_configured_pipeline(
     audit_cols = [
         F.lit(v).cast("long").alias(k) for k, v in sorted(audit.items())
     ]
+    cur = config["curation"]
     key_cols = [F.col(c) for c in cur["scd2_key"]]
     return curated.select("*", *audit_cols).orderBy(*key_cols)
 
@@ -199,6 +258,199 @@ SELECT h.cust_id, h.name, h.segment, h.acct_cents, h.nation, h.row_hash,
 FROM h CROSS JOIN counts
 ORDER BY h.cust_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Standalone tier entry points — the reference's per-stage DAGs
+# ---------------------------------------------------------------------------
+#
+# The reference ships each tier as an independently runnable DAG
+# (gcs_to_raw_dag.py:1-95, raw_to_staging_dag.py:1-76,
+# staging_to_curation_dag.py:1-98) precisely so one tier can be re-run
+# without the whole chain.  Each key below runs ITS stage from the same
+# configs/pipeline_e2e.json and returns that tier's audit relation; the
+# upstream tiers it needs are materialized hermetically from the same
+# config (in production the stage reads the standing raw/staging
+# datasets — the handoff contract is identical parquet either way).
+# Each key uses its own pipeline_id so concurrent driver runs of the
+# composite and a standalone tier never share scratch.
+
+
+def _tier_config(pipeline_id: str) -> dict[str, Any]:
+    return {**load_pipeline_config(), "pipeline_id": pipeline_id}
+
+
+@query(
+    "pipeline_gcs_to_raw",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'customer' AS entity,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+               CAST(6 AS BIGINT) AS n_cols,
+               (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+                FROM customer) AS n_distinct_key
+        UNION ALL
+        SELECT 'nation',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+               CAST(3 AS BIGINT),
+               (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT)
+                FROM nation)
+    ) ORDER BY entity
+    """,
+)
+def pipeline_gcs_to_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone TIER 1 — the reference's ``gcs_to_raw_dag``
+    (gcs_to_raw_dag.py:1-95) as a driver-verified key: sensor + landing
+    CSV → all-string raw parquet for every configured entity, returning
+    the raw-tier audit relation (rows landed, physical column count
+    including the ``ingest_date`` lineage stamp, distinct business
+    keys).  The oracle recomputes each figure straight from the source
+    tables — a dropped or duplicated row in the CSV→raw hop is a hash
+    mismatch, which is exactly the evidence a tier re-run needs.
+
+    100 TB: the tier is a per-entity CSV scan → parquet write; audits
+    are map-side aggregates on the written tier (what LANDED, not what
+    was planned)."""
+    config = _tier_config("pipeline_gcs_to_raw")
+    load_date = dt.date.fromisoformat(config["load_date"])
+    _stage_land(spark, sf_dir, config)
+    raw_tables, _ = _stage_gcs_to_raw(spark, config, load_date)
+    parts = []
+    for name, ent in config["entities"].items():
+        raw = raw_tables[name]
+        parts.append(
+            raw.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.countDistinct(ent["unique"][0])
+                .cast("long")
+                .alias("n_distinct_key"),
+            ).select(
+                F.lit(name).alias("entity"),
+                "n_rows",
+                F.lit(len(raw.columns)).cast("long").alias("n_cols"),
+                "n_distinct_key",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("entity")
+
+
+@query(
+    "pipeline_raw_to_staging",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'customer' AS entity,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_raw,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_staged,
+               CAST(0 AS BIGINT) AS n_quarantined,
+               (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM customer)
+                   AS key_sum
+        UNION ALL
+        SELECT 'nation',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+               CAST(0 AS BIGINT),
+               (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation)
+    ) ORDER BY entity
+    """,
+)
+def pipeline_raw_to_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone TIER 2 — the reference's ``raw_to_staging_dag``
+    (raw_to_staging_dag.py:1-76): all-string raw parquet → typed,
+    trimmed, required-key-filtered staging parquet, with the
+    quarantine complement COUNTED (the cleansing-QC side of the tier,
+    readme:9).  ``key_sum`` sums the business key AFTER the cast map
+    ran — a string that failed try_cast would null out and shift the
+    sum, so the column proves the typing hop, not just the row count.
+    The raw tier is materialized hermetically from the same config (in
+    production the DAG reads the standing raw dataset).
+
+    100 TB: casts compile to Catalyst expressions over a single tier
+    scan; quarantine is the same scan's complement filter."""
+    config = _tier_config("pipeline_raw_to_staging")
+    load_date = dt.date.fromisoformat(config["load_date"])
+    _stage_land(spark, sf_dir, config)
+    raw_tables, _ = _stage_gcs_to_raw(spark, config, load_date)
+    staged, _ = _stage_raw_to_staging(spark, config, raw_tables)
+    parts = []
+    for name, ent in config["entities"].items():
+        quar = quarantine(raw_tables[name], ent["casts"], ent["required"])
+        ra = raw_tables[name].agg(F.count("*").cast("long").alias("n_raw"))
+        sa = staged[name].agg(
+            F.count("*").cast("long").alias("n_staged"),
+            F.sum(F.col(ent["unique"][0])).cast("long").alias("key_sum"),
+        )
+        qa = quar.agg(F.count("*").cast("long").alias("n_quarantined"))
+        parts.append(
+            ra.crossJoin(sa)
+            .crossJoin(qa)
+            .select(
+                F.lit(name).alias("entity"),
+                "n_raw",
+                "n_staged",
+                "n_quarantined",
+                "key_sum",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("entity")
+
+
+_S2C_ORACLE = """
+WITH snap AS (
+    SELECT c.c_custkey AS cust_id, c.c_name AS name,
+           c.c_mktsegment AS segment,
+           CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS acct_cents,
+           n.n_name AS nation
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey),
+h AS (
+    SELECT *,
+           SHA256(CONCAT_WS(CHR(31),
+               COALESCE(name, CHR(1)),
+               COALESCE(segment, CHR(1)),
+               COALESCE(CAST(acct_cents AS VARCHAR), CHR(1)),
+               COALESCE(nation, CHR(1)))) AS row_hash
+    FROM snap)
+SELECT h.cust_id, h.name, h.segment, h.acct_cents, h.nation, h.row_hash,
+       DATE '2024-06-01' AS effective_from,
+       DATE '9999-12-31' AS effective_to,
+       TRUE AS is_current,
+       CAST(5 AS BIGINT) AS n_gates_passed
+FROM h
+ORDER BY h.cust_id
+"""
+
+
+@query("pipeline_staging_to_curation", oracle=_S2C_ORACLE)
+def pipeline_staging_to_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standalone TIER 3 — the reference's ``staging_to_curation_dag``
+    (staging_to_curation_dag.py:1-98): QC gates over the staging tier,
+    then the curation join + SCD2 init → curated parquet, returning
+    the curated table with the gates-passed audit column.  This is the
+    ``end_to_end_pipeline`` oracle restricted to its curation stage —
+    the nesting the composite's per-stage verification needs.  The
+    staging tier is materialized hermetically from the same config (in
+    production the DAG reads the standing staging dataset).
+
+    100 TB: gates are count aggregates; the curation join broadcasts
+    the dim side; SCD2 init is a narrow projection over one scan."""
+    config = _tier_config("pipeline_staging_to_curation")
+    load_date = dt.date.fromisoformat(config["load_date"])
+    _stage_land(spark, sf_dir, config)
+    raw_tables, _ = _stage_gcs_to_raw(spark, config, load_date)
+    staged, _ = _stage_raw_to_staging(spark, config, raw_tables)
+    n_gates = _stage_quality(staged, config)
+    curated = _stage_curation(spark, config, staged, load_date)
+    key_cols = [F.col(c) for c in config["curation"]["scd2_key"]]
+    return curated.select(
+        "*", F.lit(n_gates).cast("long").alias("n_gates_passed")
+    ).orderBy(*key_cols)
 
 
 @query("end_to_end_pipeline", oracle=_E2E_ORACLE)

@@ -763,6 +763,200 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ts_dtw_banded — Sakoe-Chiba banded DTW (the long-series scale swap)
+# --------------------------------------------------------------------------
+
+#: Sakoe-Chiba band half-width in days: cells with |i-j| > band are
+#: never evaluated, capping per-row DP cost at 2w+1 regardless of n
+_DTW_BAND = 7
+
+
+def _dtw_banded_frame(spark: SparkSession, sf_dir: str, w: int) -> DataFrame:
+    """The banded-DTW plan parameterized by half-width ``w`` — split out
+    so the law test can instantiate w >= n and assert equality with the
+    full-lattice ts_dtw_distance."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    arrs = d.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "a", "b"))
+        ).alias("rows"),
+        F.count("*").alias("n"),
+    ).select(
+        F.expr("transform(rows, r -> r.a)").alias("av"),
+        F.expr("transform(rows, r -> r.b)").alias("bv"),
+        "n",
+    )
+    inf = F.lit(_DTW_INF).cast("long")
+    wl = F.lit(w).cast("long")
+    nl = F.col("n").cast("long")
+
+    def _row(prev, i):
+        lo = F.greatest(F.lit(1).cast("long"), i - wl)
+        hi = F.least(nl, i + wl)
+        a = F.element_at(F.col("av"), i.cast("int"))
+
+        def _cell(curr, j):
+            cost = F.abs(a - F.element_at(F.col("bv"), j.cast("int")))
+            best = F.least(
+                F.element_at(prev, (j + 1).cast("int")),
+                F.element_at(curr, -1),
+                F.element_at(prev, j.cast("int")),
+            )
+            return F.concat(curr, F.array(cost + best))
+
+        # prefix of lo infs = the j=0 border plus columns < lo (out of
+        # band); only j in [lo, hi] is ever evaluated — the band cap
+        body = F.aggregate(
+            F.sequence(lo, hi),
+            F.array_repeat(inf, lo.cast("int")),
+            _cell,
+        )
+        return F.concat(body, F.array_repeat(inf, (nl - hi).cast("int")))
+
+    init = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.expr(f"array_repeat({_DTW_INF}L, CAST(n AS INT))"),
+    )
+    return arrs.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(w).cast("long").alias("band_w"),
+        F.element_at(
+            F.aggregate(F.expr("sequence(1L, n)"), init, _row),
+            F.expr("CAST(n AS INT) + 1"),
+        )
+        .cast("long")
+        .alias("dtw_banded_l1"),
+        F.expr(
+            "CAST(aggregate(zip_with(av, bv, (x, y) -> abs(x - y)),"
+            " 0L, (acc, v) -> acc + v) AS BIGINT)"
+        ).alias("lockstep_l1"),
+        F.expr(
+            f"CAST(aggregate(sequence(1L, n), 0L, (acc, i) -> acc"
+            f" + least(n, i + {w}L) - greatest(1L, i - {w}L) + 1L)"
+            " AS BIGINT)"
+        ).alias("band_cells"),
+    ).select(
+        "n_days",
+        "band_w",
+        "dtw_banded_l1",
+        "lockstep_l1",
+        (F.col("lockstep_l1") - F.col("dtw_banded_l1"))
+        .cast("long")
+        .alias("warp_gain_banded"),
+        "band_cells",
+        (F.col("n_days") * F.col("n_days")).cast("long").alias("full_cells"),
+    )
+
+
+@query(
+    "ts_dtw_banded",
+    oracle=f"""
+    /* the full-DTW DP fold (ts_dtw_distance) with the Sakoe-Chiba band:
+       row i starts as GREATEST(1, i-w) infs (border + out-of-band
+       prefix), folds only j in [i-w, i+w], then pads the out-of-band
+       suffix — so per-row work is <= 2w+1 cells. */
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM events GROUP BY 1),
+    arrs AS (
+        SELECT list(a ORDER BY day) AS av, list(b ORDER BY day) AS bv,
+               COUNT(*) AS n
+        FROM d),
+    folded AS (
+        SELECT n, av, bv,
+            list_reduce(
+                list_prepend(
+                    list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, CAST(n AS INT) + 1),
+                                       x -> CAST({_DTW_INF} AS BIGINT))),
+                    list_transform(range(1, CAST(n AS INT) + 1),
+                                   i -> list_value(CAST(i AS BIGINT)))),
+                (prev, ie) -> list_concat(
+                    list_reduce(
+                        list_prepend(
+                            list_transform(
+                                range(1, CAST(GREATEST(1, ie[1] - {_DTW_BAND})
+                                              AS INT) + 1),
+                                x -> CAST({_DTW_INF} AS BIGINT)),
+                            list_transform(
+                                range(CAST(GREATEST(1, ie[1] - {_DTW_BAND})
+                                           AS INT),
+                                      CAST(LEAST(n, ie[1] + {_DTW_BAND})
+                                           AS INT) + 1),
+                                j -> list_value(CAST(j AS BIGINT)))),
+                        (curr, je) -> list_append(curr,
+                            abs(av[CAST(ie[1] AS INT)]
+                                - bv[CAST(je[1] AS INT)])
+                            + least(prev[CAST(je[1] AS INT) + 1],
+                                    curr[len(curr)],
+                                    prev[CAST(je[1] AS INT)]))),
+                    list_transform(
+                        range(1, CAST(n - LEAST(n, ie[1] + {_DTW_BAND})
+                                      AS INT) + 1),
+                        x -> CAST({_DTW_INF} AS BIGINT)))) AS row_n
+        FROM arrs),
+    lock AS (
+        SELECT CAST(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
+                    i -> abs(av[CAST(i AS INT)] - bv[CAST(i AS INT)])))
+               AS BIGINT) AS lockstep_l1
+        FROM arrs)
+    SELECT f.n AS n_days,
+           CAST({_DTW_BAND} AS BIGINT) AS band_w,
+           CAST(f.row_n[CAST(f.n AS INT) + 1] AS BIGINT) AS dtw_banded_l1,
+           l.lockstep_l1,
+           CAST(l.lockstep_l1 - f.row_n[CAST(f.n AS INT) + 1] AS BIGINT)
+               AS warp_gain_banded,
+           CAST(list_sum(list_transform(range(1, CAST(f.n AS INT) + 1),
+                i -> LEAST(f.n, i + {_DTW_BAND})
+                     - GREATEST(1, i - {_DTW_BAND}) + 1)) AS BIGINT)
+               AS band_cells,
+           CAST(f.n * f.n AS BIGINT) AS full_cells
+    FROM folded f, lock l
+    """,
+)
+def ts_dtw_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-extension — SAKOE-CHIBA BANDED DTW between the daily click and
+    view series: ts_dtw_distance's elastic alignment with the classic
+    |i-j| <= w constraint (w={w} days), the LONG-SERIES SCALE SWAP the
+    full-lattice key documents.  The band is both a cost cap and a
+    modeling choice: alignments that warp more than w days apart are
+    disallowed, so banded DTW >= full DTW, and per-row DP work drops
+    from n cells to at most 2w+1 — O(n*w) total instead of O(n^2),
+    the difference between feasible and not on year-long minute-grain
+    series.  ``band_cells`` vs ``full_cells`` reports the realized cap
+    so the saving is a verified output, not a docstring claim.
+
+    Laws (tests/test_wave_r5a.py): w >= n recovers the full DTW
+    bit-exactly (the band stops binding); the diagonal is always
+    in-band so lockstep L1 >= banded DTW (warp_gain_banded >= 0);
+    banded >= full DTW at any w; band_cells <= n*(2w+1).
+
+    Exactness: identical int64 DP cells as ts_dtw_distance; out-of-band
+    cells carry the same 2^60 integer infinity as the borders.
+
+    100 TB: the series collapses map-side to |days| rows and the fold
+    runs on ONE row; the band caps the fold at O(n*w) — pairwise
+    banded DTW over many series partitions the same fold by pair.
+    """
+    return _dtw_banded_frame(spark, sf_dir, _DTW_BAND)
+
+
+ts_dtw_banded.__doc__ = ts_dtw_banded.__doc__.format(w=_DTW_BAND)
+
+
+# --------------------------------------------------------------------------
 # ts_bounce_rate — single-event-session share per day
 # --------------------------------------------------------------------------
 

@@ -42,3 +42,10 @@ def scratch_dir(name: str) -> str:
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def scratch_path(name: str) -> str:
+    """The same per-(process, query) path WITHOUT the wipe — for
+    pipeline stages that must read tiers an upstream stage of the SAME
+    run just wrote (the wipe belongs at run start, via scratch_dir)."""
+    return os.path.join(_BASE, name)
