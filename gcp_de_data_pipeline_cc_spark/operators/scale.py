@@ -166,6 +166,7 @@ def global_rank(
     rank_col: str = "rn",
     cumsum_col: str | None = None,
     value_col: str | None = None,
+    cumsums: Sequence[tuple[str, str]] = (),
     num_partitions: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
@@ -192,7 +193,19 @@ def global_rank(
     window exchange) — linear, spill-safe, no stage sees more than one
     partition's rows in one task.  Ties must be broken by a unique
     column in ``sort_cols`` for a deterministic total order.
+
+    ``cumsums`` adds further (value_col, cumsum_col) running sums over
+    the same total order in the SAME two phases (e.g. the two-group
+    cumulative counts a KS statistic needs) — each pair costs one more
+    column through the exchange, never another shuffle.
     """
+    pairs: list[tuple[str, str]] = list(cumsums)
+    if cumsum_col is not None:
+        if value_col is None:
+            raise ValueError("cumsum_col requires value_col")
+        pairs.insert(0, (value_col, cumsum_col))
+    elif value_col is not None:
+        raise ValueError("value_col requires cumsum_col")
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -219,16 +232,14 @@ def global_rank(
     wl = Window.partitionBy("__pid").orderBy(*sort_cols)
     local = part.withColumn("__lrn", F.row_number().over(wl))
     aggs = [F.count("*").alias("__cnt")]
-    if cumsum_col is not None:
-        if value_col is None:
-            raise ValueError("cumsum_col requires value_col")
+    for i, (vcol, _) in enumerate(pairs):
         local = local.withColumn(
-            "__lcum",
-            F.sum(value_col).over(
+            f"__lcum{i}",
+            F.sum(vcol).over(
                 wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
-        aggs.append(F.sum(value_col).alias("__vsum"))
+        aggs.append(F.sum(vcol).alias(f"__vsum{i}"))
     # sizes branch aggregates PRE-window rows: the diamond then shares
     # only the range exchange (ReusedExchange) instead of re-running
     # the sort+window subtree for the bookkeeping counts
@@ -242,21 +253,23 @@ def global_rank(
             "__off"
         ),
     ]
-    if cumsum_col is not None:
+    for i in range(len(pairs)):
         off_cols.append(
             (
-                F.coalesce(F.sum("__vsum").over(wo), F.lit(0))
-                - F.col("__vsum")
-            ).alias("__voff")
+                F.coalesce(F.sum(f"__vsum{i}").over(wo), F.lit(0))
+                - F.col(f"__vsum{i}")
+            ).alias(f"__voff{i}")
         )
     offsets = sizes.select(*off_cols)
     out = local.join(F.broadcast(offsets), "__pid").withColumn(
         rank_col, (F.col("__off") + F.col("__lrn")).cast("long")
     )
     drop = ["__pid", "__lrn", "__off"]
-    if cumsum_col is not None:
-        out = out.withColumn(cumsum_col, F.col("__voff") + F.col("__lcum"))
-        drop += ["__lcum", "__voff"]
+    for i, (_, ccol) in enumerate(pairs):
+        out = out.withColumn(
+            ccol, F.col(f"__voff{i}") + F.col(f"__lcum{i}")
+        )
+        drop += [f"__lcum{i}", f"__voff{i}"]
     return out.drop(*drop)
 
 

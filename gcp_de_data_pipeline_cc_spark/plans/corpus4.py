@@ -503,12 +503,16 @@ def corpus_sample_by_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit output reports target vs achieved per source; the kept flag
     is the training-set membership column a real pipeline writes.
 
-    100 TB: one fact pass — per-source stats, scores, global budget,
-    and the rank cut all attach as windows over the per-doc relation
-    (two window shuffles: source-keyed, then the constant-size
-    global); no joins, no second scan. The hash-rank cut means adding
-    documents to one source never perturbs another source's sample
-    (stratum stability), and re-runs are byte-identical.
+    100 TB: the tokenized per-doc relation materializes once (lazy
+    checkpoint) and feeds (a) a map-side per-SOURCE rollup whose
+    source-cardinality stats/budget tables broadcast back and (b) the
+    one source-keyed rank window — the only data-sized shuffle.  The
+    global budget lives on a ONE-ROW relation, never a global window
+    over the per-doc rows (sp_audit r5: the old Window.partitionBy()
+    carried every document through a single reducer). The hash-rank
+    cut means adding documents to one source never perturbs another
+    source's sample (stratum stability), and re-runs are
+    byte-identical.
     """
     docs = load_table(spark, sf_dir, "documents")
     perdoc = docs.select(
@@ -517,27 +521,30 @@ def corpus_sample_by_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tx.tokens_col(F.col("text"))).cast("long").alias("ntok"),
         ((F.col("doc_id") * _MIX_MULT) % _MIX_MOD).alias("hk"),
     )
+    perdoc = perdoc.localCheckpoint(eager=False)  # stats + rank consumers
+    stats = (
+        perdoc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+        .withColumn("s", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+    )
+    tot = stats.agg(
+        F.sum("s").cast("long").alias("s_tot"),
+        F.floor(F.lit(_MIX_BUDGET_FRAC) * F.sum("n_docs"))
+        .cast("long")
+        .alias("budget"),
+    )
     w_src = Window.partitionBy("source")
     ranked = perdoc.select(
         "source",
         "doc_id",
         "ntok",
-        F.count("*").over(w_src).cast("long").alias("n_docs"),
-        F.sum("ntok").over(w_src).cast("long").alias("n_tokens"),
-        F.floor(F.sqrt(F.sum("ntok").over(w_src))).cast("long").alias("s"),
-        F.row_number()
-        .over(w_src.orderBy("hk", "doc_id"))
-        .alias("rnk"),
+        F.row_number().over(w_src.orderBy("hk", "doc_id")).alias("rnk"),
     )
-    w_all = Window.partitionBy()
-    first = F.when(F.col("rnk") == 1, F.col("s"))
-    first_docs = F.when(F.col("rnk") == 1, F.col("n_docs"))
-    scoped = ranked.select(
-        "*",
-        F.sum(first).over(w_all).cast("long").alias("s_tot"),
-        F.floor(
-            F.lit(_MIX_BUDGET_FRAC) * F.sum(first_docs).over(w_all)
-        ).cast("long").alias("budget"),
+    scoped = ranked.join(F.broadcast(stats), "source").crossJoin(
+        F.broadcast(tot)
     )
     n_target = F.least(
         F.col("n_docs"),

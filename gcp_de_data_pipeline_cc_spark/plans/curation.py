@@ -1263,18 +1263,24 @@ def qc_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     wfull = Window.partitionBy()
-    split = d.select(
+    # collapse to (bucket, day) grain BEFORE any global window: the
+    # min-day split then runs over <= 10 x |days| calendar-bounded rows
+    # instead of every event (sp_audit r5 catch: the old row-level
+    # window carried 1000→10000 rows across SFs — entity-sized)
+    bd = d.groupBy("bucket", "day").agg(F.count("*").alias("n"))
+    split = bd.select(
         "bucket",
+        "n",
         (
             F.col("day")
             < F.date_add(F.min("day").over(wfull), 15)
         ).alias("is_first"),
     )
     byb = split.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        F.sum(F.when(F.col("is_first"), F.col("n")).otherwise(0))
         .cast("long")
         .alias("n_first"),
-        F.sum(F.when(F.col("is_first"), 0).otherwise(1))
+        F.sum(F.when(F.col("is_first"), 0).otherwise(F.col("n")))
         .cast("long")
         .alias("n_second"),
     )

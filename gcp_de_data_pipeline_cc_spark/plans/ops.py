@@ -903,7 +903,11 @@ def ops_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the session build is one user exchange; the sweep runs on
     the minute-grain delta table — bounded by the calendar window
-    (≤ 43k rows/month), never by event volume.
+    (≤ 43k rows/month), never by event volume — via the two-phase
+    global_rank cumsum (range exchange + __pid offsets) with the gap
+    recovered by a rank self-join, so even a years-long minute grid
+    never funnels through one reducer (sp_audit r5: the old bare
+    Window.orderBy carried 986→8949 rows across SFs).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -947,16 +951,20 @@ def ops_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mn")
         .agg(F.sum("d").cast("long").alias("delta"))
     )
-    ws = Window.orderBy("mn")
-    sweep = deltas.select(
-        "mn",
-        F.sum("delta")
-        .over(ws.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("conc"),
-        (F.lead("mn").over(ws) - F.col("mn")).alias("gap"),
+    from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
+
+    ranked = global_rank(
+        deltas, [F.col("mn")], rank_col="rn",
+        cumsum_col="conc", value_col="delta",
     )
-    integ = sweep.where(F.col("gap").isNotNull()).agg(
-        F.sum(F.col("conc") * F.col("gap")).cast("long").alias("sweep_mn")
+    nxt = ranked.select(
+        (F.col("rn") - 1).alias("rn"), F.col("mn").alias("next_mn")
+    )
+    # inner join drops the last sweep point — exactly the gap IS NULL row
+    integ = ranked.join(nxt, "rn").agg(
+        F.sum(F.col("conc") * (F.col("next_mn") - F.col("mn")))
+        .cast("long")
+        .alias("sweep_mn")
     )
     return (
         tot.crossJoin(F.broadcast(integ))

@@ -495,10 +495,15 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     pv = pv.localCheckpoint(eager=False)  # cum + totals + assignment
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = pv.select("v", "cnt", F.sum("cnt").over(w).alias("cc"))
+    # two-phase cumulative over the value table: for a CONTINUOUS key
+    # (prices) the distinct-value relation is itself entity-sized, so a
+    # bare Window.orderBy(v) would single-reducer it — global_rank's
+    # range-exchange + __pid-offsets form keeps the only SinglePartition
+    # exchange at shuffle-partition cardinality (sp_audit.json r5 catch:
+    # 1500→14999 rows through the old exchange at sf0.001→sf0.01)
+    cum = global_rank(
+        pv, [F.col("v")], rank_col="__rn", cumsum_col="cc", value_col="cnt"
+    ).select("v", "cnt", F.col("cc").cast("long").alias("cc"))
     tot = pv.agg(F.sum("cnt").alias("n"))
     ks = (
         tot.select(

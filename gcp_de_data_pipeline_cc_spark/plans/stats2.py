@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
 #: KM administrative-censoring horizon (hours since first event)
@@ -115,13 +116,18 @@ def hypothesis_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("cnt1"),
     )
-    # cumulative over the VALUE DOMAIN (cents grid) — bounded, not
-    # data-sized, so the single-partition window is safe at any scale
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_v.select(
+    # cumulative over the distinct-VALUE table: a continuous metric's
+    # cents grid grows with the data until it saturates, so the
+    # cumulative runs two-phase (global_rank: range exchange + __pid
+    # offsets) instead of a bare Window.orderBy — sp_audit r5 measured
+    # the old single-reducer exchange at 389→3310 rows across SFs
+    ranked = global_rank(
+        per_v, [F.col("v")], rank_col="__rn",
+        cumsum_col="__cum", value_col="cnt",
+    ).select(
         "cnt",
         "cnt1",
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"),
+        (F.col("__cum") - F.col("cnt")).alias("before"),
     ).withColumn(
         "avg_rank", F.col("before") + (F.col("cnt") + F.lit(1.0)) / F.lit(2.0)
     )
@@ -574,10 +580,12 @@ def hypothesis_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     through n ≈ 10⁶ customers); only the final ratio runs in doubles,
     as ONE identical expression tree on both engines.
 
-    100 TB: rank windows run over the two distinct-VALUE tables
-    (domain-bounded — hypothesis_mannwhitney's argument), which then
-    broadcast back onto the pair table; the sums are one map-side
-    combined aggregate. Nothing global-sorts the raw rows."""
+    100 TB: rank cumulatives run two-phase over the two distinct-VALUE
+    tables (spend values are near one-per-customer — entity-sized, so
+    global_rank's range-exchange form, not a bare global window); the
+    tiny frequency-rank table broadcasts, the spend-rank table
+    equi-joins on the shuffle; the sums are one map-side combined
+    aggregate. Nothing global-sorts or driver-ships the raw rows."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(
         F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
@@ -588,27 +596,30 @@ def hypothesis_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = per_cust.localCheckpoint(eager=False)  # 3 consumers
 
     def doubled_ranks(col):
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        return (
-            per_cust.groupBy(col)
-            .agg(F.count("*").alias("cnt"))
-            .select(
-                col,
-                (
-                    2 * (F.sum("cnt").over(w) - F.col("cnt"))
-                    + F.col("cnt")
-                    + 1
-                ).alias(f"s_{col}"),
-                F.col("cnt").alias(f"cnt_{col}"),
-            )
+        # spend cents are near-unique per customer, so this distinct-
+        # VALUE table is entity-sized — cumulate two-phase
+        # (sp_audit r5: 150→1500 rows through the old bare window)
+        pv = per_cust.groupBy(col).agg(F.count("*").alias("cnt"))
+        return global_rank(
+            pv, [F.col(col)], rank_col="__rn",
+            cumsum_col="__cum", value_col="cnt",
+        ).select(
+            col,
+            (
+                2 * (F.col("__cum") - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(f"s_{col}"),
+            F.col("cnt").alias(f"cnt_{col}"),
         )
 
     rx = doubled_ranks("x").localCheckpoint(eager=False)  # ranks + ties
     ry = doubled_ranks("y")
+    # rx (distinct order FREQUENCIES — a handful of values) broadcasts;
+    # ry (distinct spends — near one per customer) is entity-sized and
+    # must equi-join on the shuffle, never ride a broadcast hint
     pairs = per_cust.join(F.broadcast(rx.select("x", "s_x")), "x").join(
-        F.broadcast(ry.select("y", "s_y")), "y"
+        ry.select("y", "s_y"), "y"
     )
     sums = pairs.agg(
         F.count("*").alias("n"),
@@ -698,9 +709,10 @@ def hypothesis_ks2(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression trees on both engines (the MW z-stat
     discipline).
 
-    100 TB: one filtered scan → per-VALUE aggregate; the cumulative
-    window runs over the value DOMAIN (cents grid — bounded, the
-    histogram_values argument), totals ride a one-row broadcast."""
+    100 TB: one filtered scan → per-VALUE aggregate; both ECDF
+    cumulatives run in ONE two-phase global_rank pass (the distinct
+    cents grid grows with data until saturation — never a single
+    reducer), totals ride a one-row broadcast."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
@@ -715,12 +727,14 @@ def hypothesis_ks2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("long").alias("c2"),
     )
     per_v = per_v.localCheckpoint(eager=False)  # cum + totals consumers
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_v.select(
-        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
-    )
+    # BOTH group ECDFs cumulate in one two-phase pass (global_rank's
+    # multi-cumsum form) — the pooled distinct-value grid grows with
+    # the data (sp_audit r5: 389→3310 rows through the old bare
+    # Window.orderBy), so no single reducer may carry it
+    cum = global_rank(
+        per_v, [F.col("v")], rank_col="__rn",
+        cumsums=[("c1", "k1"), ("c2", "k2")],
+    ).select("k1", "k2")
     tot = per_v.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )

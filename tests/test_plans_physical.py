@@ -9,6 +9,8 @@ a performance bug even when results stay correct.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
@@ -449,6 +451,11 @@ _BNLJ_REVIEWED = frozenset({
     # r4o wave: heavy_hitters_mg crosses candidate recounts with the
     # one-row stream total — category (a)
     "heavy_hitters_mg",
+    # r5 SP-offender rework: corpus_sample_by_weights crosses the rank
+    # relation with the one-row budget/s_tot totals (replacing the old
+    # entity-sized global window); pipeline_raw_to_staging crosses the
+    # three one-row per-entity audit aggregates — category (a)
+    "corpus_sample_by_weights", "pipeline_raw_to_staging",
     # r4p wave: stats_jackknife crosses the 25-row group table with
     # one-row totals/moments — category (a)
     "stats_jackknife",
@@ -612,6 +619,85 @@ def test_global_rank_is_two_phase_range_exchange(spark):
     assert "rangepartitioning" in plan.lower()
     for chunk in _unpartitioned_window_subtrees(plan):
         assert "__pid" in chunk, chunk
+
+
+# --------------------------------------------------------------------------
+# Registry-wide EMPIRICAL SinglePartition classification (r4 verdict #3)
+# --------------------------------------------------------------------------
+#
+# tools/sp_audit.py executes every plannable registry key at sf0.001 and
+# sf0.01 and records the ACTUAL rows written through each SinglePartition
+# shuffle exchange (AQE plan metrics).  The tests below pin the committed
+# sp_audit.json: every such exchange must be bounded by DOMAIN cardinality
+# (one-row totals, __pid offsets <= shuffle partitions, calendar spines,
+# class labels), never by data size.  A new key with an entity-sized
+# global window fails the coverage check (regen the audit) and then the
+# bound check — the registry-wide invariant the static census (PLANS.md)
+# could only count, not classify.
+
+#: keys whose SinglePartition exchanges legitimately exceed the default
+#: cap — each bound is the key's DOMAIN cardinality at the audit SF,
+#: with the reason beside it
+_SP_DOMAIN_BOUNDED = {
+    # order-date day spine (2405 calendar days in the TPC-H range)
+    "ts_changepoint_binseg": 2500,
+    "ts_peak_detect": 2500,
+    # hour spine of the 30-day events window (<= 744 hours/month)
+    "sli_burn_rate_alerts": 800,
+    # brand/part-domain rollup (stable across SFs in the audit)
+    "market_basket": 400,
+    # 10 value buckets x the 30-day event-day spine
+    "qc_histogram_drift": 400,
+}
+
+#: default cap: generous multiple of the 32 shuffle-partition __pid
+#: offsets / scalar readouts that dominate the audited population
+_SP_DEFAULT_CAP = 256
+
+
+def _sp_audit() -> dict:
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "sp_audit.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_sp_audit_covers_current_registry():
+    """The committed audit must have run over exactly today's registry
+    (minus the shared side-effect SKIP set) — adding a key without
+    re-running tools/sp_audit.py fails here first."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+    from tools.plan_report import SKIP
+
+    audit = _sp_audit()
+    expected = sorted(n for n in REGISTRY if n not in SKIP)
+    assert audit.get("audited_keys") == expected, (
+        "sp_audit.json is stale — rerun tools/sp_audit.py"
+    )
+
+
+def test_sp_single_partition_exchanges_all_bounded():
+    """EVERY SinglePartition exchange in every audited plan carried at
+    most its classified domain bound at sf0.01, and its rows do not
+    scale with the data (10x input -> <=3x rows, with a 64-row floor
+    for parallelism artifacts).  This is the empirical form of 'no
+    entity-sized relation ever funnels through one reducer'."""
+    audit = _sp_audit()
+    offenders = {}
+    for key, rec in audit["keys"].items():
+        if any(k.startswith("err") for k in rec):
+            offenders[key] = rec
+            continue
+        hi = rec.get("max_rows_0.01", rec.get("max_rows_0.001", 0))
+        lo = rec.get("max_rows_0.001", 0)
+        cap = _SP_DOMAIN_BOUNDED.get(key, _SP_DEFAULT_CAP)
+        if hi > cap:
+            offenders[key] = f"max {hi} rows > cap {cap}"
+        elif hi > 3 * max(lo, 64):
+            offenders[key] = f"scales with data: {lo} -> {hi}"
+    assert not offenders, offenders
 
 
 def test_hard_negatives_no_unbounded_broadcast(spark):

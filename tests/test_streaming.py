@@ -59,6 +59,59 @@ def test_ingest_lifecycle_exactly_once_with_archive(spark, tmp_path):
     assert len(archived) >= 1, "cleanSource=archive moved nothing"
 
 
+def test_ingest_restart_mid_drain_no_loss_no_dupes(spark, tmp_path):
+    """Adversarial exactly-once (r4 verdict #7): KILL the drain mid-run
+    and restart from the same checkpoint — the union of the two runs
+    must contain every source row exactly once.  maxFilesPerTrigger=1
+    forces one micro-batch per file so the stop lands between commits;
+    the file sink's _spark_metadata transaction log must also shield
+    any half-written batch from the final read."""
+    import time as _t
+
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "raw"), str(tmp_path / "ckpt")
+    n_files, rows_per = 12, 40
+    for i in range(n_files):
+        _write_landing(
+            tmp_path, f"Employee_{i}.csv",
+            range(i * rows_per, (i + 1) * rows_per),
+        )
+
+    stream = landing_stream(
+        spark, landing, EMPLOYEE_COLUMNS, max_files_per_trigger=1
+    )
+    q = ingest_available_now(stream, out, ckpt)
+    # wait for at least one committed batch, then kill mid-drain
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        _t.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+    first = spark.read.parquet(out).count()
+    assert first < n_files * rows_per, "stop landed after the full drain"
+
+    # restart from the same checkpoint: the remainder drains, nothing
+    # re-ingests
+    stream = landing_stream(
+        spark, landing, EMPLOYEE_COLUMNS, max_files_per_trigger=1
+    )
+    q = ingest_available_now(stream, out, ckpt)
+    q.awaitTermination(120)
+    ingested = spark.read.parquet(out)
+    assert ingested.count() == n_files * rows_per  # no loss, no dupes
+    assert ingested.select("emp_id").distinct().count() == n_files * rows_per
+
+    # a third run over the drained checkpoint is a no-op
+    stream = landing_stream(
+        spark, landing, EMPLOYEE_COLUMNS, max_files_per_trigger=1
+    )
+    q = ingest_available_now(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_files * rows_per
+
+
 def test_tumbling_stream_equals_batch(spark, tmp_path):
     # stream the events table from a file-source copy
     src = f"{SF_DIR}/events.parquet"

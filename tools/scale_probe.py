@@ -306,6 +306,62 @@ def probe_dtw_fold(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def probe_articulation(spark, mult: int) -> float:
+    """graph_articulation, REGISTERED: fact volume scales with mult but
+    the all-deletions propagation state is (|V|+1)·|V| DIMENSION-bounded
+    (nations are a fixed dim) — expected shape: the backbone fact scan
+    tracks mult, the tagged propagation stays flat."""
+    from gcp_de_data_pipeline_cc_spark.operators import graph as og
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(
+        spark, mult, ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    og.clear_cache()
+    t0 = time.time()
+    REGISTRY["graph_articulation"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_lsh_calibration(spark, mult: int) -> float:
+    """dedup_lsh_calibration, REGISTERED: runs BOTH the exact shingle
+    join and the full MinHash+LSH pipeline — cost must track the
+    Σ|bucket|² candidate bound (shingle buckets stay Zipf-shaped as the
+    corpus replicates), never all-pairs."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("documents",))
+    t0 = time.time()
+    REGISTRY["dedup_lsh_calibration"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_quality_composite(spark, mult: int) -> float:
+    """quality_composite_score, REGISTERED: entropy + repetition +
+    perplexity + rule battery composed per document — strictly per-doc
+    map work plus vocabulary-sized rollups; expected near-linear."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("documents",))
+    t0 = time.time()
+    REGISTRY["quality_composite_score"].spark(spark, d).count()
+    return time.time() - t0
+
+
+def probe_mrr_ndcg(spark, mult: int) -> float:
+    """eval_mrr_ndcg, REGISTERED: brute-force ground truth vs LSH
+    ranking over a vector corpus that grows with mult — the brute-force
+    arm is the deliberate quadratic baseline, so the probe documents
+    WHERE the exact arm stops being affordable (the reason the LSH/IVF
+    path exists)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _sfdir(spark, mult, ("embeddings",))
+    t0 = time.time()
+    REGISTRY["eval_mrr_ndcg"].spark(spark, d).collect()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -320,7 +376,11 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "hit_rate_retrain": probe_hit_rate_retrain,
           "lttb_fold": probe_lttb_fold,
           "grid_cc_merge": probe_grid_cc,
-          "dtw_fold": probe_dtw_fold}
+          "dtw_fold": probe_dtw_fold,
+          "articulation_sweep": probe_articulation,
+          "lsh_calibration": probe_lsh_calibration,
+          "quality_composite": probe_quality_composite,
+          "mrr_ndcg_vs_brute": probe_mrr_ndcg}
 
 
 def main() -> None:

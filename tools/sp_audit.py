@@ -113,13 +113,19 @@ def main() -> None:
             print(f"  {i + 1}/{len(names)} audited ({time.time() - t0:.0f}s)")
     spark.stop()
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "sp_audit.json")
-    with open(path, "w") as f:
-        json.dump(
-            {"audited": len(names), "skip": sorted(SKIP), "keys": out},
-            f, indent=0, sort_keys=True,
-        )
+    if not prefixes:  # subset runs are diagnostics — never overwrite
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "sp_audit.json")
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "audited": len(names),
+                    "audited_keys": names,
+                    "skip": sorted(SKIP),
+                    "keys": out,
+                },
+                f, indent=0, sort_keys=True,
+            )
     worst = sorted(
         out.items(), key=lambda kv: -kv[1].get("max_rows_0.01", 0)
     )[:12]
