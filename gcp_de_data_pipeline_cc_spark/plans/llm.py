@@ -3335,6 +3335,58 @@ _PQ_M_DIMS = 8
 _PQ_K = 4
 
 
+def _pq_flat(emb: DataFrame, k: int = _PQ_K) -> DataFrame:
+    """(vec_id, d, q, m, c0): micro-unit-quantized components with their
+    subspace id and deterministic md5 seed assignment over a
+    ``k``-centroid codebook — the shared first stage of the PQ codebook
+    (k=4: the 2-bit compression exhibit) and the PQ-ADC search (k=16:
+    the 4-bit serving operating point)."""
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("long").alias("d"),
+            F.floor(
+                F.col("x").cast("double") * F.lit(1000000.0) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+            (F.col("pos") / _PQ_M_DIMS).cast("long").alias("m"),
+        )
+        .select(
+            "*",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("vec_id").cast("string"),
+                                F.lit(":"),
+                                F.col("m").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % k
+            ).alias("c0"),
+        )
+    )
+
+
+def _pq_centroids(flat: DataFrame) -> DataFrame:
+    """(m, k, d, cq): the per-subspace codebook — component means of the
+    seed assignment, double-floored identically on both engines."""
+    return flat.groupBy("m", F.col("c0").alias("k"), "d").agg(
+        F.floor(F.sum("q").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("cq")
+    )
+
+
 @query(
     "embedding_pq_codebook",
     oracle=f"""
@@ -3415,43 +3467,9 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed query-to-centroid tables — the classic ADC lookup.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    md = _PQ_M_DIMS
-    flat = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("long").alias("d"),
-        F.floor(F.col("x").cast("double") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("q"),
-        (F.col("pos") / md).cast("long").alias("m"),
-    ).select(
-        "*",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("vec_id").cast("string"),
-                            F.lit(":"),
-                            F.col("m").cast("string"),
-                        )
-                    ),
-                    1,
-                    2,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _PQ_K
-        ).alias("c0"),
-    )
+    flat = _pq_flat(emb)
     flat = flat.localCheckpoint(eager=False)  # codebook + distance uses
-    cent = flat.groupBy("m", F.col("c0").alias("k"), "d").agg(
-        F.floor(F.sum("q").cast("double") / F.count("*"))
-        .cast("long")
-        .alias("cq")
-    )
+    cent = _pq_centroids(flat)
     dist = (
         flat.join(F.broadcast(cent), ["m", "d"])
         .groupBy("vec_id", "m", "k", "c0")
@@ -3492,4 +3510,277 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 embedding_pq_codebook.__doc__ = embedding_pq_codebook.__doc__.format(
     m=_PQ_M_DIMS, k=_PQ_K
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_topk_pq — ADC search over the PQ codes (r5c wave)
+# ---------------------------------------------------------------------------
+
+#: the SEARCH operating point: 64 centroids/subspace (6-bit codes, a
+#: 64-float vector serves from 6 bytes — 42x smaller) with 3 unrolled
+#: Lloyd iterations.  The codebook key's K=4 is the compression-math
+#: exhibit; measured recall@10 on the near-unclustered fixture vectors:
+#: K=16/1-iter 0.26, K=64/3-iter 0.41.  Tests pin the structural law
+#: instead: PQ cannot rank WITHIN a tight cluster (Voronoi-cell
+#: blindness — all mates share a code) but must SEPARATE clusters
+#: (recall >= 0.9 on planted 10-clusters)
+_PQ_SEARCH_K = 64
+_PQ_SEARCH_ITERS = 3
+
+
+def _pq_lloyd_sql(iters: int) -> str:
+    """The unrolled Lloyd chain as oracle CTEs: it0 = the md5 seed
+    assignment; iteration i recomputes centroids c{i} from it{i-1} and
+    reassigns (d{i}/g{i}/a{i}/it{i}) — mirrors _pq_train exactly."""
+    parts = ["it0 AS (SELECT vec_id, m, d, q, c0 AS k FROM flat)"]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+        SELECT m, k, d,
+               CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS cq
+        FROM it{i - 1} GROUP BY 1, 2, 3),
+    d{i} AS (
+        SELECT f.vec_id, f.m, c.k,
+               CAST(SUM((f.q - c.cq) * (f.q - c.cq)) AS BIGINT) AS dd
+        FROM flat f JOIN c{i} c ON c.m = f.m AND c.d = f.d
+        GROUP BY 1, 2, 3),
+    g{i} AS (SELECT vec_id, m, MIN(dd) AS dmin FROM d{i} GROUP BY 1, 2),
+    a{i} AS (
+        SELECT d.vec_id, d.m, CAST(MIN(d.k) AS BIGINT) AS k_code
+        FROM d{i} d JOIN g{i} g
+          ON g.vec_id = d.vec_id AND g.m = d.m AND d.dd = g.dmin
+        GROUP BY 1, 2),
+    it{i} AS (
+        SELECT f.vec_id, f.m, f.d, f.q, a.k_code AS k
+        FROM flat f JOIN a{i} a ON a.vec_id = f.vec_id AND a.m = f.m)""")
+    return ",".join(parts)
+
+
+def _sim_pq_oracle() -> str:
+    it = _PQ_SEARCH_ITERS
+    return f"""
+    WITH ex AS (
+        SELECT vec_id,
+               UNNEST(list_transform(range(1, len(embedding) + 1),
+                   i -> struct_pack(d := i,
+                        q := CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                        * 1000000.0e0 + 0.5e0)
+                                  AS BIGINT)))) AS u
+        FROM embeddings),
+    flat AS (
+        SELECT vec_id, CAST(u.d AS BIGINT) AS d, u.q AS q,
+               CAST((u.d - 1) // {_PQ_M_DIMS} AS BIGINT) AS m,
+               CAST(CAST('0x' || SUBSTR(md5(CAST(vec_id AS VARCHAR)
+                         || ':' || CAST((u.d - 1) // {_PQ_M_DIMS}
+                                        AS VARCHAR)), 1, 2) AS BIGINT)
+                    % {_PQ_SEARCH_K} AS BIGINT) AS c0
+        FROM ex),
+    {_pq_lloyd_sql(it)},
+    qflat AS (
+        SELECT vec_id AS query_id, m, d, q FROM flat
+        WHERE vec_id % 50 = 0),
+    lut AS (
+        SELECT qf.query_id, qf.m, c.k,
+               CAST(SUM((qf.q - c.cq) * (qf.q - c.cq)) AS BIGINT) AS l
+        FROM qflat qf JOIN c{it} c ON c.m = qf.m AND c.d = qf.d
+        GROUP BY 1, 2, 3),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.l) AS BIGINT) AS ad
+        FROM a{it} cd JOIN lut l ON l.m = cd.m AND l.k = cd.k_code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2),
+    adc_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ad, neighbor_id) AS rank
+            FROM adc)
+        WHERE rank <= 10),
+    qe AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0e0 + 0.5e0)
+                        AS BIGINT)) AS qi
+        FROM embeddings),
+    qq AS (
+        SELECT vec_id AS query_id, qi AS qv FROM qe
+        WHERE vec_id % 50 = 0),
+    exd AS (
+        SELECT qq.query_id, qe.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(qe.qi) + 1),
+                   i -> (qe.qi[i] - qq.qv[i]) * (qe.qi[i] - qq.qv[i])))
+                    AS BIGINT) AS dd
+        FROM qq CROSS JOIN qe WHERE qe.vec_id <> qq.query_id),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dd, neighbor_id) AS rank
+            FROM exd)
+        WHERE rank <= 10),
+    hits AS (
+        SELECT e.query_id, CAST(COUNT(*) AS INT) AS n_hit
+        FROM exact_top e JOIN adc_top a USING (query_id, neighbor_id)
+        GROUP BY 1),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS INT) AS n_exact
+        FROM exact_top GROUP BY 1)
+    SELECT t.query_id, CAST(10 AS INT) AS k, t.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+           FLOOR(COALESCE(h.n_hit, 0) / t.n_exact * 10000.0 + 0.5)
+               / 10000.0 AS recall
+    FROM tot t LEFT JOIN hits h USING (query_id)
+    ORDER BY t.query_id
+    """
+
+
+def _pq_train(
+    flat: DataFrame, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Unrolled Lloyd: seed assignment -> (centroids -> reassign) x
+    iters; returns (final centroids (m,k,d,cq), final codes
+    (vec_id,m,k_code)).  Each round checkpoints the assignment so plan
+    depth stays bounded (the kmeans_iterate discipline)."""
+    assign = flat.select("vec_id", "m", "d", "q", F.col("c0").alias("k"))
+    cent = codes = None
+    for _ in range(iters):
+        cent = assign.groupBy("m", "k", "d").agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq")
+        )
+        cent = cent.localCheckpoint(eager=False)
+        dist = (
+            flat.join(F.broadcast(cent), ["m", "d"])
+            .groupBy("vec_id", "m", "k")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                )
+                .cast("long")
+                .alias("dd")
+            )
+        )
+        dmin = dist.groupBy("vec_id", "m").agg(F.min("dd").alias("dmin"))
+        codes = (
+            dist.join(dmin, ["vec_id", "m"])
+            .where(F.col("dd") == F.col("dmin"))
+            .groupBy("vec_id", "m")
+            .agg(F.min("k").cast("long").alias("k_code"))
+        )
+        codes = codes.localCheckpoint(eager=False)
+        assign = flat.join(
+            codes.withColumnRenamed("k_code", "k"), ["vec_id", "m"]
+        ).select("vec_id", "m", "d", "q", "k")
+    return cent, codes
+
+
+@query("sim_topk_pq", oracle=_sim_pq_oracle())
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — PQ-ADC approximate search, the SERVING rung of the
+    embedding_pq_codebook key (its docstring's "at serving scale the
+    assigned codes join against precomputed query-to-centroid tables"):
+    a {k}-centroid/{m}-dim-subspace codebook is trained with {it}
+    unrolled Lloyd iterations from the deterministic md5 seeding, every
+    candidate compresses to its 6-byte code, and queries score ALL
+    candidates from a per-query LOOKUP TABLE of M x K precomputed
+    subspace distances — M table lookups per candidate instead of D
+    multiplications, and the index stores codes, not vectors (42x
+    smaller at this operating point; 32x arithmetic saving at the
+    production K=256).
+
+    Evidence contract matches sim_topk_lsh/sim_topk_ivf: per-query
+    recall@10 of the ADC ranking against the EXACT integer-L2
+    brute-force baseline on the same micro-unit grid (query_id, k,
+    n_exact, n_hit, recall) — the error measured is purely
+    quantization loss, not metric mismatch.  On the near-structureless
+    fixture vectors mean recall is ~0.41 — the honest cost of 42x
+    compression on hard data, reported as data, not hidden; the
+    planted-cluster law pins what PQ guarantees (cluster separation,
+    recall >= 0.9) and documents what it cannot do (rank within a
+    Voronoi cell).
+
+    Exactness: codes, LUT entries, ADC sums and the exact baseline are
+    all int64 on the micro-unit grid (64-dim sums <= 2.6e14 —
+    double-safe in DuckDB's list arithmetic); every Lloyd round floors
+    its centroid means identically on both engines; rank ties break on
+    neighbor id.
+
+    100 TB: training touches only (vec, subspace, centroid) partials
+    through a broadcast codebook; codes are built once; the LUT is
+    |Q| x M x K rows and BROADCASTS; ADC scoring is a map-side
+    broadcast join + per-(query, candidate) partial sum — no vector
+    moves after encoding.  The exact baseline is the deliberate
+    quadratic recall reference, same as the LSH/IVF keys.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = _pq_flat(emb, k=_PQ_SEARCH_K)
+    flat = flat.localCheckpoint(eager=False)  # train + LUT consumers
+    cent, codes = _pq_train(flat, _PQ_SEARCH_ITERS)
+    qflat = flat.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "m", "d", "q"
+    )
+    lut = (
+        qflat.join(F.broadcast(cent), ["m", "d"])
+        .groupBy("query_id", F.col("m").alias("lm"), F.col("k").alias("lk"))
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("l")
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lm")) & (F.col("k_code") == F.col("lk")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("l").cast("long").alias("ad"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("ad"), F.asc("vec_id")
+    )
+    approx = adc.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.row_number().over(wq).alias("rank"),
+    ).filter(F.col("rank") <= 10)
+
+    qi = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            " * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("qi"),
+    )
+    qi = qi.localCheckpoint(eager=False)  # queries + candidates
+    qs = qi.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qi").alias("qv")
+    )
+    pairs = qi.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    exact = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "aggregate(zip_with(qi, qv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("dd"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.asc("dd"), F.asc("neighbor_id")
+    )
+    exact_top = exact.select(
+        "query_id", "neighbor_id", F.row_number().over(we).alias("rank")
+    ).filter(F.col("rank") <= 10)
+    return sim.topk_recall(approx, exact_top, k=10).orderBy("query_id")
+
+
+sim_topk_pq.__doc__ = sim_topk_pq.__doc__.format(
+    m=_PQ_M_DIMS, k=_PQ_SEARCH_K, it=_PQ_SEARCH_ITERS
 )

@@ -1135,3 +1135,163 @@ def ops_cron_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name")
     )
+
+
+# ---------------------------------------------------------------------------
+# artifact-repo → bucket rsync (r5b wave — the last reference gap)
+# ---------------------------------------------------------------------------
+
+_SYNC_ORACLE = """
+WITH m AS (
+    SELECT r.r_regionkey AS k, lower(r.r_name) AS slug,
+           'SELECT * FROM staging WHERE region_key = '
+               || CAST(r.r_regionkey AS VARCHAR) || chr(10)
+               || '-- nations: '
+               || string_agg(n.n_name, ',' ORDER BY n.n_name) || chr(10)
+               AS content
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_regionkey, r.r_name),
+acts AS (
+    SELECT 'models/region_' || slug || '.sql' AS rel_path,
+           CASE WHEN k % 2 = 0 THEN 'update' ELSE 'copy' END AS action,
+           md5(content) AS src_md5,
+           CAST(length(content) AS BIGINT) AS n_bytes
+    FROM m
+    UNION ALL
+    SELECT 'models/obsolete.sql', 'delete', NULL, CAST(0 AS BIGINT))
+SELECT rel_path, action, src_md5, n_bytes FROM acts ORDER BY rel_path
+"""
+
+
+@query("ops_artifact_sync", oracle=_SYNC_ORACLE)
+def ops_artifact_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-ops tier — the reference's artifact-repo → bucket
+    sync (``scripts/sync_dbt_repo.sh:8-41``: ``gsutil -m rsync -r -d``
+    from a git checkout to the Composer bucket) re-expressed as a
+    MANIFEST-DIFF sync with rsync's exact semantics: copy files absent
+    at the destination, update files whose content hash changed, DELETE
+    destination files absent from the source (``-d``), skip identical
+    ones — and verify afterward that the trees converged, raising on
+    any residual diff (the exit-code check the shell script does).
+
+    The fixture repo is built deterministically from the region/nation
+    dims (one model file per region, content = the region filter plus
+    its sorted nation list), the bucket is pre-seeded with stale copies
+    of the even-keyed regions plus one obsolete file — so the full
+    action table (copy/update/delete with source md5 and byte size) is
+    recomputable by the oracle from the dims alone.  Both trees are
+    manifested with Spark's ``binaryFile`` source (path + bytes → md5),
+    the real form for a bucket listing; the action list itself is
+    artifact-cardinality metadata (bounded by repo file count, never
+    data), applied driver-side exactly like the pipeline archive stage.
+
+    100 TB: manifests are embarrassingly parallel file scans; the diff
+    is a full-outer join on relative path (repo-cardinality); content
+    never moves through the cluster — only hashes do.
+    """
+    import os
+    import shutil
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    work = scratch_dir("ops_artifact_sync")
+    src_dir, dst_dir = f"{work}/repo", f"{work}/bucket"
+    os.makedirs(f"{src_dir}/models")
+    os.makedirs(f"{dst_dir}/models")
+
+    models = (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_regionkey", "r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
+        .select(
+            "r_regionkey",
+            F.lower("r_name").alias("slug"),
+            F.concat(
+                F.lit("SELECT * FROM staging WHERE region_key = "),
+                F.col("r_regionkey").cast("string"),
+                F.lit("\n-- nations: "),
+                F.col("nations"),
+                F.lit("\n"),
+            ).alias("content"),
+        )
+    )
+    for r in models.collect():  # region-cardinality dim — bounded
+        with open(f"{src_dir}/models/region_{r.slug}.sql", "w") as f:
+            f.write(r.content)
+        if r.r_regionkey % 2 == 0:  # stale bucket copy (missing line 2)
+            with open(f"{dst_dir}/models/region_{r.slug}.sql", "w") as f:
+                f.write(
+                    f"SELECT * FROM staging WHERE region_key = "
+                    f"{r.r_regionkey}\n"
+                )
+    with open(f"{dst_dir}/models/obsolete.sql", "w") as f:
+        f.write("SELECT 1\n")  # extraneous: rsync -d must delete it
+
+    def manifest(d: str) -> DataFrame:
+        prefix_len = len(f"file:{d}/")
+        return (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(d)
+            .select(
+                F.expr(f"substring(path, {prefix_len + 1})").alias(
+                    "rel_path"
+                ),
+                F.md5("content").alias("md5"),
+                F.col("length").cast("long").alias("n_bytes"),
+            )
+        )
+
+    src_m = manifest(src_dir).withColumnsRenamed(
+        {"md5": "src_md5", "n_bytes": "src_bytes"}
+    )
+    dst_m = manifest(dst_dir).withColumnsRenamed(
+        {"md5": "dst_md5", "n_bytes": "dst_bytes"}
+    )
+    plan = (
+        src_m.join(dst_m, "rel_path", "full_outer")
+        .select(
+            "rel_path",
+            F.when(F.col("src_md5").isNull(), "delete")
+            .when(F.col("dst_md5").isNull(), "copy")
+            .when(F.col("src_md5") != F.col("dst_md5"), "update")
+            .otherwise("skip")
+            .alias("action"),
+            "src_md5",
+            F.coalesce("src_bytes", F.lit(0)).cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("action") != "skip")
+    )
+    # MATERIALIZE the plan before mutating the destination — the lazy
+    # manifest would otherwise re-scan the already-synced tree and
+    # report everything as skip
+    acts = plan.collect()  # repo-file-cardinality metadata
+    for a in acts:
+        dst = f"{dst_dir}/{a.rel_path}"
+        if a.action == "delete":
+            os.remove(dst)
+        else:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(f"{src_dir}/{a.rel_path}", dst)
+
+    # post-sync verification: the trees must now be identical
+    resid = (
+        src_m.join(manifest(dst_dir), "rel_path", "full_outer")
+        .filter(
+            F.col("src_md5").isNull()
+            | F.col("md5").isNull()
+            | (F.col("src_md5") != F.col("md5"))
+        )
+        .count()
+    )
+    if resid:
+        raise RuntimeError(
+            f"ops_artifact_sync: {resid} paths still differ after sync"
+        )
+    return spark.createDataFrame(
+        acts, "rel_path string, action string, src_md5 string, n_bytes long"
+    ).orderBy("rel_path")

@@ -1,103 +1,106 @@
-"""Semantic laws for the r5b wave: release suppression + whitening."""
+"""Semantic laws for the r5b/r5c wave: artifact-repo sync + PQ-ADC
+search."""
 
 from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
 from tests.conftest import SF_DIR
 
 
-def _write_customers(spark, tmp_path, rows):
-    spark.createDataFrame(
-        rows,
-        "c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING, "
-        "c_acctbal DOUBLE",
-    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
-    spark.createDataFrame(
-        [(i, f"N{i}") for i in range(5)],
-        "n_nationkey BIGINT, n_name STRING",
-    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+# ---------------------------------------------------------------------------
+# ops_artifact_sync
+# ---------------------------------------------------------------------------
+
+def test_artifact_sync_actions_and_convergence(spark):
+    """rsync -d semantics: odd regions copy (absent), even regions
+    update (stale), the extraneous file deletes; the key itself raises
+    unless the trees converge, so a clean return IS the convergence
+    proof."""
+    out = REGISTRY["ops_artifact_sync"].spark(spark, SF_DIR).toPandas()
+    by_action = out.groupby("action").size().to_dict()
+    assert by_action.get("delete") == 1
+    assert by_action.get("copy", 0) >= 1 and by_action.get("update", 0) >= 1
+    # every synced file carries its source hash; the deletion has none
+    assert out[out.action == "delete"].src_md5.isna().all()
+    assert out[out.action != "delete"].src_md5.notna().all()
+    assert (out[out.action != "delete"].n_bytes > 0).all()
 
 
-# --------------------------------------------------------------------------
-# privacy_cell_suppression
-# --------------------------------------------------------------------------
+def test_artifact_sync_rerun_is_deterministic(spark):
+    """scratch is wiped per invocation, so a re-run replays the exact
+    same action table (reproducible deploys)."""
+    a = REGISTRY["ops_artifact_sync"].spark(spark, SF_DIR).toPandas()
+    b = REGISTRY["ops_artifact_sync"].spark(spark, SF_DIR).toPandas()
+    assert a.equals(b)
 
 
-def test_suppression_sf_consistency(spark):
-    out = REGISTRY["privacy_cell_suppression"].spark(spark, SF_DIR).toPandas()
-    # a suppressed cell never leaks its value
-    supp = out[out.suppressed.notna()]
-    assert supp.n.isna().all() and supp.bal_cents.isna().all()
-    # published cells are all at or above the threshold
-    pub = out[out.suppressed.isna()]
-    assert (pub.n >= 5).all()
-    # margins are full totals: per segment, published + withheld = total
-    for seg, grp in out.groupby("segment"):
-        assert grp.seg_total.nunique() == 1
+# ---------------------------------------------------------------------------
+# sim_topk_pq
+# ---------------------------------------------------------------------------
 
+def _write_clustered_embeddings(spark, tmp_path, n_clusters=8, per=10):
+    """Tight, well-separated clusters of exactly 10: centers drawn at
+    scale 1.0, members jittered at scale 0.01.  vec_ids are c*50+j so
+    the %50 query convention picks one query per cluster.
 
-def test_suppression_complementary_rule(spark, tmp_path):
-    # segment 'S': nation 0 has 2 customers (< 5, primary), nations
-    # 1..3 have 6,7,8 -> exactly one primary => smallest survivor
-    # (nation 1) must be complementarily suppressed
+    The structural law this enables: PQ collapses a tight cluster to
+    one code per subspace, so it CANNOT rank within a cluster (the
+    known Voronoi-cell blindness — quantization error ~ jitter scale),
+    but it MUST separate clusters; with 9 mates vs 10 exact slots the
+    approx top-10 provably contains all 9 mates => recall >= 0.9."""
     rows = []
-    ck = 0
-    for nk, cnt in [(0, 2), (1, 6), (2, 7), (3, 8)]:
-        for _ in range(cnt):
-            ck += 1
-            rows.append((ck, nk, "S", 10.0))
-    # segment 'T': two primaries (1,1) and big cells -> margin ambiguity
-    # already exists, NO complementary suppression
-    for nk, cnt in [(0, 1), (1, 1), (2, 9), (3, 9)]:
-        for _ in range(cnt):
-            ck += 1
-            rows.append((ck, nk, "T", 10.0))
-    _write_customers(spark, tmp_path, rows)
-    out = (
-        REGISTRY["privacy_cell_suppression"]
-        .spark(spark, str(tmp_path))
-        .toPandas()
-        .set_index(["segment", "nation"])
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(n_clusters, 64))
+    for c in range(n_clusters):
+        for j in range(per):
+            v = centers[c] + 0.01 * rng.normal(size=64)
+            rows.append((c * 50 + j, c, [float(x) for x in v]))
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, label BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+
+def test_pq_adc_separates_planted_clusters(spark, tmp_path):
+    _write_clustered_embeddings(spark, tmp_path)
+    out = REGISTRY["sim_topk_pq"].spark(spark, str(tmp_path)).toPandas()
+    assert len(out) == 8  # one query per cluster
+    # all 9 cluster-mates must appear in the approx top-10: recall >= 0.9
+    assert (out.recall >= 0.9).all(), out.recall.describe()
+
+
+def test_pq_adc_fixture_recall_floor(spark):
+    """The documented operating point on the near-structureless fixture:
+    mean recall@10 >= 0.3 (measured ~0.41) — a regression guard on the
+    codebook training, not a quality claim."""
+    out = REGISTRY["sim_topk_pq"].spark(spark, SF_DIR).toPandas()
+    assert (out.n_exact == 10).all()
+    assert (out.recall <= 1.0).all() and (out.recall >= 0.0).all()
+    assert out.recall.mean() >= 0.3, out.recall.describe()
+
+
+def test_pq_codes_are_codebook_sized(spark):
+    """Structural: every vector gets exactly one code per subspace and
+    codes live in [0, K) — the 6-byte-per-vector claim."""
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
+    from gcp_de_data_pipeline_cc_spark.plans.llm import (
+        _PQ_SEARCH_ITERS,
+        _PQ_SEARCH_K,
+        _pq_flat,
+        _pq_train,
     )
-    assert out.loc[("S", "N0"), "suppressed"] == "primary"
-    assert out.loc[("S", "N1"), "suppressed"] == "complementary"
-    assert out.loc[("S", "N2"), "suppressed"] is None
-    assert out.loc[("T", "N0"), "suppressed"] == "primary"
-    assert out.loc[("T", "N1"), "suppressed"] == "primary"
-    t_rest = out.loc[[("T", "N2"), ("T", "N3")]]
-    assert t_rest.suppressed.isna().all()
 
-
-# --------------------------------------------------------------------------
-# embedding_whitening
-# --------------------------------------------------------------------------
-
-
-def test_whitening_audit_holds(spark):
-    out = REGISTRY["embedding_whitening"].spark(spark, SF_DIR).toPandas()
-    assert len(out) == 64
-    assert (out.n == out.n.iloc[0]).all()
-    # the applied transform is certified inside the query itself
-    assert (out.post_mean.abs() <= 2e-6).all()
-    assert ((out.post_std - 1.0).abs() <= 1e-3).all()
-    assert (out["std"] > 0).all()
-
-
-def test_whitening_recompute_from_source(spark):
-    import duckdb
-    import numpy as np
-
-    out = (
-        REGISTRY["embedding_whitening"].spark(spark, SF_DIR).toPandas()
-        .set_index("dim")
-    )
-    vecs = duckdb.sql(
-        f"SELECT embedding FROM '{SF_DIR}/embeddings.parquet'"
-    ).df()
-    m = np.array([np.array(v, dtype=np.float64) for v in vecs.embedding])
-    q = np.floor(m * 1e6 + 0.5)
-    mu = q.mean(axis=0) / 1e6
-    sd = q.std(axis=0) / 1e6
-    for d in range(64):
-        assert abs(out.loc[d + 1, "mean"] - round(mu[d], 6)) < 2e-6
-        assert abs(out.loc[d + 1, "std"] - round(sd[d], 6)) < 2e-6
+    emb = load_table(spark, SF_DIR, "embeddings")
+    flat = _pq_flat(emb, k=_PQ_SEARCH_K).localCheckpoint(eager=False)
+    _, codes = _pq_train(flat, _PQ_SEARCH_ITERS)
+    n_vec = emb.count()
+    stats = codes.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vec_id").alias("nv"),
+        F.min("k_code").alias("lo"),
+        F.max("k_code").alias("hi"),
+    ).first()
+    assert stats.n == n_vec * 8 and stats.nv == n_vec
+    assert 0 <= stats.lo and stats.hi < _PQ_SEARCH_K

@@ -362,6 +362,59 @@ def probe_mrr_ndcg(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def _dtw_series_dir(spark, mult: int) -> str:
+    """Synthetic events whose DAY SPAN grows with mult (the replica
+    offsets grow keys, not time — DTW cost is lattice-sized, so the
+    probe must grow n_days): 250·mult days, a few events per day."""
+    d = f"{SCRATCH}/dtw_days_x{mult}"
+    dst = f"{d}/events.parquet"
+    if not os.path.exists(dst):
+        n_days = 250 * mult
+        (
+            spark.range(n_days * 8)
+            .select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % 97).alias("user_id"),
+                F.when(F.col("id") % 3 == 0, "click")
+                .otherwise("view")
+                .alias("event_type"),
+                ((F.col("id") % 41) * 1.5).alias("value"),
+                F.timestamp_micros(
+                    (F.lit(1_700_000_000_000_000)
+                     + (F.col("id") % n_days) * F.lit(86_400_000_000)
+                     + F.col("id") * F.lit(1_000_000))
+                ).alias("ts"),
+            )
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    return d
+
+
+def probe_dtw_banded_length(spark, mult: int) -> float:
+    """ts_dtw_banded, REGISTERED, on a series whose LENGTH grows with
+    mult (250·mult days): the Sakoe-Chiba band caps per-row DP work at
+    2w+1 cells, so wall should grow ~linearly in n where the full
+    lattice (probe below) grows ~quadratically."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _dtw_series_dir(spark, mult)
+    t0 = time.time()
+    REGISTRY["ts_dtw_banded"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_dtw_full_length(spark, mult: int) -> float:
+    """ts_dtw_distance on the same growing-length series — the O(n²)
+    baseline the band is the swap for."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _dtw_series_dir(spark, mult)
+    t0 = time.time()
+    REGISTRY["ts_dtw_distance"].spark(spark, d).collect()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -380,7 +433,9 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "articulation_sweep": probe_articulation,
           "lsh_calibration": probe_lsh_calibration,
           "quality_composite": probe_quality_composite,
-          "mrr_ndcg_vs_brute": probe_mrr_ndcg}
+          "mrr_ndcg_vs_brute": probe_mrr_ndcg,
+          "dtw_banded_length": probe_dtw_banded_length,
+          "dtw_full_length": probe_dtw_full_length}
 
 
 def main() -> None:
