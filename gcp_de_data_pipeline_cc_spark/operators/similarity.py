@@ -551,6 +551,39 @@ def ivf_centroids_portable(
     )
 
 
+def ivf_probe_portable(
+    queries: DataFrame,
+    candidates: DataFrame,
+    nprobe: int = 3,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cell): each query's ``nprobe`` nearest coarse cells by
+    cosine against the engine-exact integer-sum centroids — the probe
+    stage alone, for composed indexes (IVF+PQ) that score the probed
+    cells with a different fine quantizer."""
+    cents = ivf_centroids_portable(candidates, cell_col, vec_col)
+    q = as_double_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cents))
+    cent_cos = (
+        _dot(F.col("q_vec"), F.col("centroid"))
+        / _norm(F.col("q_vec"))
+        / _norm(F.col("centroid"))
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col(cell_col)
+    )
+    return (
+        qc.select("query_id", cell_col, cent_cos.alias("cell_cos"))
+        .withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", cell_col)
+    )
+
+
 def ivf_topk_portable(
     queries: DataFrame,
     candidates: DataFrame,

@@ -3678,6 +3678,40 @@ def _pq_train(
     return cent, codes
 
 
+def _exact_l2_top10(emb: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, rank<=10): the exact integer-L2
+    brute-force baseline on the micro-unit grid — the shared recall
+    reference for the PQ family (sim_topk_pq, sim_topk_ivfpq)."""
+    qi = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            " * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("qi"),
+    )
+    qi = qi.localCheckpoint(eager=False)  # queries + candidates
+    qs = qi.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qi").alias("qv")
+    )
+    pairs = qi.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    exact = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "aggregate(zip_with(qi, qv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("dd"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.asc("dd"), F.asc("neighbor_id")
+    )
+    return exact.select(
+        "query_id", "neighbor_id", F.row_number().over(we).alias("rank")
+    ).filter(F.col("rank") <= 10)
+
+
 @query("sim_topk_pq", oracle=_sim_pq_oracle())
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — PQ-ADC approximate search, the SERVING rung of the
@@ -3750,37 +3784,216 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wq).alias("rank"),
     ).filter(F.col("rank") <= 10)
 
-    qi = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
-            " * 1000000.0 + 0.5) AS BIGINT))"
-        ).alias("qi"),
-    )
-    qi = qi.localCheckpoint(eager=False)  # queries + candidates
-    qs = qi.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("qi").alias("qv")
-    )
-    pairs = qi.crossJoin(F.broadcast(qs)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    exact = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(
-            "aggregate(zip_with(qi, qv, (a, b) -> (a - b) * (a - b)),"
-            " 0L, (acc, v) -> acc + v)"
-        ).alias("dd"),
-    )
-    we = Window.partitionBy("query_id").orderBy(
-        F.asc("dd"), F.asc("neighbor_id")
-    )
-    exact_top = exact.select(
-        "query_id", "neighbor_id", F.row_number().over(we).alias("rank")
-    ).filter(F.col("rank") <= 10)
-    return sim.topk_recall(approx, exact_top, k=10).orderBy("query_id")
+    return sim.topk_recall(
+        approx, _exact_l2_top10(emb), k=10
+    ).orderBy("query_id")
 
 
 sim_topk_pq.__doc__ = sim_topk_pq.__doc__.format(
     m=_PQ_M_DIMS, k=_PQ_SEARCH_K, it=_PQ_SEARCH_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_topk_ivfpq — the composed IVF+PQ serving index (r5e wave)
+# ---------------------------------------------------------------------------
+
+#: coarse cells probed per query (matches sim_topk_ivf)
+_IVFPQ_NPROBE = 3
+
+
+def _sim_ivfpq_oracle() -> str:
+    it = _PQ_SEARCH_ITERS
+    cos = (
+        "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}))"
+        " / sqrt(list_dot_product({b}, {b}))"
+    )
+    return f"""
+    WITH ex AS (
+        SELECT vec_id,
+               UNNEST(list_transform(range(1, len(embedding) + 1),
+                   i -> struct_pack(d := i,
+                        q := CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                        * 1000000.0e0 + 0.5e0)
+                                  AS BIGINT)))) AS u
+        FROM embeddings),
+    flat AS (
+        SELECT vec_id, CAST(u.d AS BIGINT) AS d, u.q AS q,
+               CAST((u.d - 1) // {_PQ_M_DIMS} AS BIGINT) AS m,
+               CAST(CAST('0x' || SUBSTR(md5(CAST(vec_id AS VARCHAR)
+                         || ':' || CAST((u.d - 1) // {_PQ_M_DIMS}
+                                        AS VARCHAR)), 1, 2) AS BIGINT)
+                    % {_PQ_SEARCH_K} AS BIGINT) AS c0
+        FROM ex),
+    {_pq_lloyd_sql(it)},
+    qflat AS (
+        SELECT vec_id AS query_id, m, d, q FROM flat
+        WHERE vec_id % 50 = 0),
+    lut AS (
+        SELECT qf.query_id, qf.m, c.k,
+               CAST(SUM((qf.q - c.cq) * (qf.q - c.cq)) AS BIGINT) AS l
+        FROM qflat qf JOIN c{it} c ON c.m = qf.m AND c.d = qf.d
+        GROUP BY 1, 2, 3),
+    e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE) * 8192.0 + 0.5)) AS qi8
+        FROM embeddings),
+    pp AS (
+        SELECT label, i AS pos, SUM(qi8[i]) AS s
+        FROM e, UNNEST(range(1, len(qi8) + 1)) AS t(i)
+        GROUP BY 1, 2),
+    cents AS (SELECT label, list(s ORDER BY pos) AS cvec FROM pp GROUP BY 1),
+    q2 AS (SELECT vec_id AS query_id, v AS qv2 FROM e
+           WHERE vec_id % 50 = 0),
+    probed AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       {cos.format(a="qv2", b="cvec")} DESC, c.label) AS rn
+            FROM q2 CROSS JOIN cents c)
+        WHERE rn <= {_IVFPQ_NPROBE}),
+    cand AS (
+        SELECT p.query_id, e.vec_id
+        FROM probed p JOIN e ON e.label = p.label
+        WHERE e.vec_id <> p.query_id),
+    adc AS (
+        SELECT cn.query_id, cn.vec_id AS neighbor_id,
+               CAST(SUM(l.l) AS BIGINT) AS ad
+        FROM cand cn
+        JOIN a{it} cd ON cd.vec_id = cn.vec_id
+        JOIN lut l ON l.query_id = cn.query_id
+                  AND l.m = cd.m AND l.k = cd.k_code
+        GROUP BY 1, 2),
+    adc_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ad, neighbor_id) AS rank
+            FROM adc)
+        WHERE rank <= 10),
+    qe AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0e0 + 0.5e0)
+                        AS BIGINT)) AS qi
+        FROM embeddings),
+    qq AS (
+        SELECT vec_id AS query_id, qi AS qv FROM qe
+        WHERE vec_id % 50 = 0),
+    exd AS (
+        SELECT qq.query_id, qe.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(qe.qi) + 1),
+                   i -> (qe.qi[i] - qq.qv[i]) * (qe.qi[i] - qq.qv[i])))
+                    AS BIGINT) AS dd
+        FROM qq CROSS JOIN qe WHERE qe.vec_id <> qq.query_id),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dd, neighbor_id) AS rank
+            FROM exd)
+        WHERE rank <= 10),
+    hits AS (
+        SELECT e2.query_id, CAST(COUNT(*) AS INT) AS n_hit
+        FROM exact_top e2 JOIN adc_top a USING (query_id, neighbor_id)
+        GROUP BY 1),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS INT) AS n_exact
+        FROM exact_top GROUP BY 1)
+    SELECT t.query_id, CAST(10 AS INT) AS k, t.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+           FLOOR(COALESCE(h.n_hit, 0) / t.n_exact * 10000.0 + 0.5)
+               / 10000.0 AS recall
+    FROM tot t LEFT JOIN hits h USING (query_id)
+    ORDER BY t.query_id
+    """
+
+
+@query("sim_topk_ivfpq", oracle=_sim_ivfpq_oracle())
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 capstone — the COMPOSED IVF+PQ index, the actual shape of
+    every billion-scale vector-serving system (FAISS IVFPQ): the
+    coarse quantizer (sim_topk_ivf's engine-exact integer-sum cell
+    centroids) prunes the search to nprobe={np} cells, and the fine
+    quantizer (sim_topk_pq's {k}-centroid Lloyd-trained codebook)
+    ADC-scores ONLY the probed candidates from their 6-byte codes —
+    search cost = |probed cells|/|cells| of the corpus x M lookups
+    per candidate, with the index storing codes, not vectors.
+
+    Evidence contract matches the rest of the family: per-query
+    recall@10 against the exact integer-L2 brute force (query_id, k,
+    n_exact, n_hit, recall) — the loss now compounds coarse pruning
+    (cells the true neighbor lives in but the query didn't probe) with
+    quantization (Voronoi-cell blindness), and the three keys
+    (ivf / pq / ivfpq) decompose exactly which stage loses what.
+
+    Exactness: probe ranking reuses the IVF key's scale-invariant
+    integer-sum centroids (the one double expression, identical trees
+    both engines); codes/LUT/ADC sums are exact int64; ties break on
+    (cell, neighbor) ids.
+
+    100 TB: the probe table is |Q| x nprobe rows and broadcasts onto
+    the cell-partitioned candidate scan — the fraction of the corpus
+    ever touched per query is nprobe/|cells|; ADC scoring then costs M
+    lookups per touched candidate via the broadcast LUT.  Composing
+    the two verified stages changes no plan shape — it only narrows
+    the candidate generation, which is the entire point.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    probed = sim.ivf_probe_portable(
+        queries, emb, nprobe=_IVFPQ_NPROBE
+    )  # (query_id, label)
+    flat = _pq_flat(emb, k=_PQ_SEARCH_K)
+    flat = flat.localCheckpoint(eager=False)  # train + LUT consumers
+    cent, codes = _pq_train(flat, _PQ_SEARCH_ITERS)
+    qflat = flat.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "m", "d", "q"
+    )
+    lut = (
+        qflat.join(F.broadcast(cent), ["m", "d"])
+        .groupBy(
+            F.col("query_id").alias("lq"),
+            F.col("m").alias("lm"),
+            F.col("k").alias("lk"),
+        )
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("l")
+        )
+    )
+    cand = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("lq"))
+            & (F.col("m") == F.col("lm"))
+            & (F.col("k_code") == F.col("lk")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("l").cast("long").alias("ad"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("ad"), F.asc("vec_id")
+    )
+    approx = adc.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.row_number().over(wq).alias("rank"),
+    ).filter(F.col("rank") <= 10)
+    return sim.topk_recall(
+        approx, _exact_l2_top10(emb), k=10
+    ).orderBy("query_id")
+
+
+sim_topk_ivfpq.__doc__ = sim_topk_ivfpq.__doc__.format(
+    np=_IVFPQ_NPROBE, k=_PQ_SEARCH_K
 )

@@ -2296,3 +2296,118 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 tokenizer_bpe_apply.__doc__ = tokenizer_bpe_apply.__doc__.format(
     k=_BPE_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# curriculum schedule (r5d wave)
+# ---------------------------------------------------------------------------
+
+#: curriculum phases (easy -> hard), split on equal TOKEN budget
+_CUR_PHASES = 4
+
+_CURRICULUM_ORACLE = f"""
+WITH lens AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+    FROM documents),
+sc AS (
+    SELECT doc_id, n_tok,
+           n_tok * 1000000
+               + (n_chars * 1000) // GREATEST(n_tok, 1) AS difficulty
+    FROM lens),
+rk AS (
+    SELECT doc_id, n_tok, difficulty,
+           SUM(n_tok) OVER (ORDER BY difficulty, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+    FROM sc),
+t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM sc),
+ph AS (
+    SELECT CAST(((rk.cum_tok - 1) * {_CUR_PHASES}) // t.total AS BIGINT)
+               AS phase,
+           rk.n_tok, rk.difficulty, t.total
+    FROM rk, t)
+SELECT phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS phase_tokens,
+       CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+       CAST(MAX(difficulty) AS BIGINT) AS max_difficulty,
+       {sql_roundn("SUM(n_tok) * 1.0e0 / MAX(total)", 6)} AS token_share
+FROM ph
+GROUP BY phase
+ORDER BY phase
+"""
+
+
+@query("train_curriculum_schedule", oracle=_CURRICULUM_ORACLE)
+def train_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep — CURRICULUM schedule: order the corpus easy→hard
+    by a deterministic integer difficulty score (primary: token count;
+    within a length, mean word length in milli-chars — longer docs of
+    longer words are read later) and cut it into {p} phases of EQUAL
+    TOKEN BUDGET (not doc count — phases cost compute in tokens), the
+    standard curriculum/anti-curriculum data layout.  Per phase:
+    docs, tokens, the difficulty band it spans, and its realized token
+    share.  Monotone band edges (min_difficulty of phase i ≥
+    max_difficulty of phase i−1 up to boundary ties) are the
+    correctness law the wave test asserts.
+
+    Exactness: difficulty = n_tok·10⁶ + (chars·1000) DIV n_tok — pure
+    int64; phase id = ((cum_tok−1)·{p}) DIV total off the
+    deterministic (difficulty, doc_id) total order; only token_share
+    divides, floor-quantized at 1e-6.
+
+    100 TB: the order + running token sum come from ONE two-phase
+    global_rank pass (range exchange + __pid offsets — the r5 audit
+    discipline: an entity-sized cumulative never single-reducers);
+    per-phase stats are map-side combined; the total rides a one-row
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias(
+            "n_chars"
+        ),
+    )
+    sc = lens.select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("n_tok") * F.lit(1000000)
+            + F.expr("(n_chars * 1000) DIV GREATEST(n_tok, 1)")
+        ).alias("difficulty"),
+    )
+    rk = global_rank(
+        sc,
+        [F.col("difficulty"), F.col("doc_id")],
+        rank_col="__rn",
+        cumsum_col="cum_tok",
+        value_col="n_tok",
+    )
+    t = sc.agg(F.sum("n_tok").cast("long").alias("total"))
+    ph = rk.crossJoin(F.broadcast(t)).select(
+        F.expr(f"CAST(((cum_tok - 1) * {_CUR_PHASES}) DIV total AS BIGINT)")
+        .alias("phase"),
+        "n_tok",
+        "difficulty",
+        "total",
+    )
+    return (
+        ph.groupBy("phase")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("phase_tokens"),
+            F.min("difficulty").cast("long").alias("min_difficulty"),
+            F.max("difficulty").cast("long").alias("max_difficulty"),
+            roundn(
+                F.sum("n_tok") * F.lit(1.0) / F.max("total"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("phase")
+    )
+
+
+train_curriculum_schedule.__doc__ = train_curriculum_schedule.__doc__.format(
+    p=_CUR_PHASES
+)

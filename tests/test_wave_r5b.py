@@ -81,6 +81,25 @@ def test_pq_adc_fixture_recall_floor(spark):
     assert out.recall.mean() >= 0.3, out.recall.describe()
 
 
+def test_ivfpq_separates_planted_clusters(spark, tmp_path):
+    """Composed index on planted 10-clusters with labels = cluster ids:
+    the coarse probe must pick the query's own cell and PQ must keep
+    the 9 mates in the top-10 — both stages align, recall >= 0.9."""
+    _write_clustered_embeddings(spark, tmp_path)
+    out = REGISTRY["sim_topk_ivfpq"].spark(spark, str(tmp_path)).toPandas()
+    assert len(out) == 8
+    assert (out.recall >= 0.9).all(), out.recall.describe()
+
+
+def test_ivfpq_fixture_recall_floor(spark):
+    """Regression guard at the fixture operating point (measured ~0.34:
+    coarse pruning loss compounds quantization loss — the decomposition
+    the ivf/pq/ivfpq key triple exists to expose)."""
+    out = REGISTRY["sim_topk_ivfpq"].spark(spark, SF_DIR).toPandas()
+    assert (out.n_exact == 10).all()
+    assert out.recall.mean() >= 0.2, out.recall.describe()
+
+
 def test_pq_codes_are_codebook_sized(spark):
     """Structural: every vector gets exactly one code per subspace and
     codes live in [0, K) — the 6-byte-per-vector claim."""

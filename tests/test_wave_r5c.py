@@ -1,59 +1,36 @@
-"""Semantic laws for the r5c wave: DataFrame.transpose + SQL scripting."""
+"""Semantic laws for the r5d wave: curriculum schedule."""
 
 from __future__ import annotations
-
-import duckdb
 
 from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
 from tests.conftest import SF_DIR
 
-REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
-
-def test_transpose_roundtrip_against_source(spark):
+def test_curriculum_phases_are_monotone_and_token_balanced(spark):
     out = (
-        REGISTRY["df_transpose"].spark(spark, SF_DIR).toPandas()
-        .set_index("key")
+        REGISTRY["train_curriculum_schedule"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("phase")
+        .reset_index(drop=True)
     )
-    assert sorted(out.index) == ["n_customers", "n_nations", "n_suppliers"]
-    assert sorted(out.columns) == sorted(REGIONS)
-    # cross-check one cell family against a direct recompute
-    nat = duckdb.sql(f"""
-        SELECT r.r_name, COUNT(*) n FROM '{SF_DIR}/nation.parquet' n
-        JOIN '{SF_DIR}/region.parquet' r ON n.n_regionkey = r.r_regionkey
-        GROUP BY 1""").fetchall()
-    for r_name, n in nat:
-        assert out.loc["n_nations", r_name] == n
-    # every region has exactly 5 nations in TPC-H
-    assert (out.loc["n_nations"] == 5).all()
-    # customers and suppliers outnumber nations everywhere
-    assert (out.loc["n_customers"] > out.loc["n_nations"]).all()
+    assert list(out.phase) == [0, 1, 2, 3]
+    # phases are contiguous ranges of the (difficulty, doc_id) total
+    # order: each phase's easiest doc is no easier than the previous
+    # phase's hardest
+    for i in range(1, len(out)):
+        assert out.min_difficulty[i] >= out.max_difficulty[i - 1]
+    # equal-token split: every phase lands near 1/4 of the corpus
+    # tokens (off by at most one document's weight)
+    assert abs(out.token_share.sum() - 1.0) < 1e-4
+    assert (out.token_share > 0.15).all() and (out.token_share < 0.35).all()
 
 
-def test_transpose_is_involution_shapewise(spark):
-    # transposing the transposed frame restores the original header set
-    df = spark.createDataFrame(
-        [("a", 1, 2), ("b", 3, 4)], "k string, x long, y long"
-    )
-    tt = df.transpose().transpose()
-    assert set(tt.columns) == {"key", "x", "y"}
+def test_curriculum_counts_cover_corpus(spark):
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
 
-
-def test_scripting_power_of_two_capacity(spark):
-    out = REGISTRY["sql_scripting"].spark(spark, SF_DIR).toPandas().iloc[0]
-    n, cap, iters = out.n_days, out.cap, out.iters
-    assert cap >= n
-    assert cap == 2**iters
-    assert iters == 0 or 2 ** (iters - 1) < n  # minimality
-    src = duckdb.sql(
-        f"SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM "
-        f"'{SF_DIR}/events.parquet'"
-    ).fetchone()[0]
-    assert n == src
-
-
-def test_scripting_variables_scoped_per_run(spark):
-    # running the script twice must not leak variable state
-    a = REGISTRY["sql_scripting"].spark(spark, SF_DIR).toPandas().iloc[0]
-    b = REGISTRY["sql_scripting"].spark(spark, SF_DIR).toPandas().iloc[0]
-    assert (a == b).all()
+    out = REGISTRY["train_curriculum_schedule"].spark(spark, SF_DIR).toPandas()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert out.n_docs.sum() == n_docs
+    # easy->hard means later phases hold fewer, longer documents
+    assert out.n_docs.iloc[0] > out.n_docs.iloc[-1]
