@@ -2199,3 +2199,266 @@ def graph_motifs_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((SUM(cyc) * 1000000) DIV COUNT(*) AS BIGINT)"
         ).alias("cycle_closure_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_betweenness_sampled — per-source Brandes, the wide-graph swap
+# (r5f wave)
+# ---------------------------------------------------------------------------
+
+#: deterministic source sample: graph nodes with id % mod == 0
+_BTWS_MOD = 5
+
+
+def _btw_sampled_oracle(mod: int = _BTWS_MOD) -> str:
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    # reference, and the backward dl-chain references the forward
+    # m-chain repeatedly — measured 110 s -> 0.3 s at sf0.01
+    steps = []
+    for i in range(1, _BTW_H):
+        steps.append(f"""
+    c{i+1} AS (
+        SELECT s, t, dist, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+            SELECT s, t, dist, cnt FROM m{i}
+            UNION ALL
+            SELECT f.s, g.v AS t, f.dist + 1 AS dist, f.cnt
+            FROM m{i} f JOIN g ON g.u = f.t
+            WHERE f.dist = {i} AND g.v <> f.s)
+        GROUP BY s, t, dist),
+    m{i+1} AS MATERIALIZED (
+        SELECT s, t, dist, cnt FROM (
+            SELECT s, t, dist, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY s, t
+                                      ORDER BY dist) AS rn
+            FROM c{i+1}) WHERE rn = 1)""")
+    back = []
+    for i in range(_BTW_H - 1, 0, -1):
+        dep = (
+            f"LEFT JOIN dl{i+1} d ON d.s = mv.s AND d.v = g.v"
+            if i < _BTW_H - 1
+            else ""
+        )
+        dval = "COALESCE(d.delta, 0)" if i < _BTW_H - 1 else "0"
+        back.append(f"""
+    dl{i} AS MATERIALIZED (
+        SELECT mv.s, mv.t AS v,
+               CAST(SUM((mv.cnt * ({_BTW_U} + {dval})) // mw.cnt)
+                    AS BIGINT) AS delta
+        FROM m{_BTW_H} mv
+        JOIN g ON g.u = mv.t
+        JOIN m{_BTW_H} mw ON mw.s = mv.s AND mw.t = g.v
+                         AND mw.dist = {i + 1}
+        {dep}
+        WHERE mv.dist = {i}
+        GROUP BY 1, 2)""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM dl{i}" for i in range(1, _BTW_H)
+    )
+    return f"""
+    WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+    r AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM e),
+    kept AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM r WHERE rn <= {_BTW_K}),
+    g AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM kept
+        UNION ALL SELECT b, a FROM kept),
+    m1 AS MATERIALIZED (
+        SELECT u AS s, v AS t, 1 AS dist, CAST(1 AS BIGINT) AS cnt
+        FROM g WHERE u % {mod} = 0),{",".join(steps)},{",".join(back)},
+    alln AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes FROM g),
+    ns AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_srcs
+           FROM g WHERE u % {mod} = 0),
+    accs AS (
+        SELECT v, CAST(SUM(delta) AS BIGINT) AS d_micro
+        FROM ({unions}) GROUP BY v)
+    SELECT n.n_name,
+           CAST(ns.n_srcs AS BIGINT) AS n_sources,
+           COALESCE(a.d_micro, 0) AS bc_micro_sampled,
+           FLOOR(CAST(COALESCE(a.d_micro, 0) AS DOUBLE)
+                 * CAST(alln.n_nodes AS DOUBLE)
+                 / (CAST(ns.n_srcs AS DOUBLE) * 2.0e0 * {_BTW_U}.0e0)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS bc_est
+    FROM nation n
+    LEFT JOIN accs a ON a.v = n.n_nationkey
+    CROSS JOIN alln CROSS JOIN ns
+    ORDER BY n.n_name
+    """
+
+
+def _btw_sampled_frame(
+    spark: SparkSession, sf_dir: str, mod: int
+) -> DataFrame:
+    """The sampled-Brandes plan parameterized by the source-sample
+    modulus — mod=1 (all sources) is the law-test arm that must agree
+    with the all-pairs graph_betweenness up to micro-unit truncation."""
+    nation = load_table(spark, sf_dir, "nation")
+    g = trade_sparse_graph(spark, sf_dir, _BTW_K)
+    g = g.localCheckpoint(eager=False)  # forward layers + backward sweeps
+    # forward (dist, sigma) restricted to sampled sources: state is
+    # |S|x|V| rows, the per-source partitioning that scales where the
+    # all-pairs |V|^2 state cannot
+    m = g.filter(F.col("u") % mod == 0).select(
+        F.col("u").alias("s"),
+        F.col("v").alias("t"),
+        F.lit(1).alias("dist"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    for i in range(1, _BTW_H):
+        m = m.localCheckpoint(eager=False)  # frontier + carry consumers
+        frontier = m.filter(F.col("dist") == i)
+        cand = (
+            frontier.alias("f")
+            .join(g.alias("ge"), F.col("ge.u") == F.col("f.t"))
+            .filter(F.col("ge.v") != F.col("f.s"))
+            .select(
+                F.col("f.s").alias("s"),
+                F.col("ge.v").alias("t"),
+                (F.col("f.dist") + 1).alias("dist"),
+                F.col("f.cnt").alias("cnt"),
+            )
+        )
+        merged = (
+            m.unionByName(cand)
+            .groupBy("s", "t", "dist")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        m = (
+            merged.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("s", "t").orderBy("dist")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    m = m.localCheckpoint(eager=False)  # per-layer backward consumers
+
+    # backward dependency accumulation (Brandes): for v at layer i,
+    # delta(v) = sum over shortest-path-DAG successors w at layer i+1 of
+    # (sigma_sv / sigma_sw) * (1 + delta(w)), carried in micro-units
+    # with integer DIV (deterministic identical truncation both engines)
+    deltas: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i in range(_BTW_H - 1, 0, -1):
+        mv = m.filter(F.col("dist") == i).alias("mv")
+        mw = m.filter(F.col("dist") == i + 1).select(
+            F.col("s").alias("ws"),
+            F.col("t").alias("wt"),
+            F.col("cnt").alias("wcnt"),
+        )
+        j = mv.join(g.alias("ge"), F.col("ge.u") == F.col("mv.t")).join(
+            mw,
+            (F.col("ws") == F.col("mv.s")) & (F.col("wt") == F.col("ge.v")),
+        )
+        if prev is not None:
+            j = j.join(
+                prev.select(
+                    F.col("s").alias("ds"),
+                    F.col("v").alias("dv"),
+                    F.col("delta").alias("dprev"),
+                ),
+                (F.col("ds") == F.col("mv.s"))
+                & (F.col("dv") == F.col("ge.v")),
+                "left",
+            )
+            dval = F.coalesce(F.col("dprev"), F.lit(0))
+        else:
+            dval = F.lit(0)
+        lvl = (
+            j.select(
+                F.col("mv.s").alias("s"),
+                F.col("mv.t").alias("v"),
+                (F.col("mv.cnt") * (F.lit(_BTW_U) + dval)).alias("num"),
+                F.col("wcnt"),
+            )
+            .select("s", "v", F.expr("num DIV wcnt").alias("c"))
+            .groupBy("s", "v")
+            .agg(F.sum("c").cast("long").alias("delta"))
+        )
+        lvl = lvl.localCheckpoint(eager=False)  # next layer + final union
+        deltas.append(lvl)
+        prev = lvl
+
+    acc = deltas[0]
+    for d in deltas[1:]:
+        acc = acc.unionByName(d)
+    accs = acc.groupBy("v").agg(
+        F.sum("delta").cast("long").alias("d_micro")
+    )
+    nodes = g.select(F.col("u").alias("node")).distinct()
+    nodes = nodes.localCheckpoint(eager=False)  # totals + sample counts
+    alln = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    ns = nodes.filter(F.col("node") % mod == 0).agg(
+        F.count("*").cast("long").alias("n_srcs")
+    )
+    return (
+        nation.join(accs, nation.n_nationkey == accs.v, "left")
+        .crossJoin(F.broadcast(alln))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_name",
+            F.col("n_srcs").cast("long").alias("n_sources"),
+            F.coalesce(F.col("d_micro"), F.lit(0))
+            .cast("long")
+            .alias("bc_micro_sampled"),
+            roundn(
+                F.coalesce(F.col("d_micro"), F.lit(0)).cast("double")
+                * F.col("n_nodes").cast("double")
+                / (
+                    F.col("n_srcs").cast("double")
+                    * F.lit(2.0)
+                    * F.lit(float(_BTW_U))
+                ),
+                6,
+            ).alias("bc_est"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query("graph_betweenness_sampled", oracle=_btw_sampled_oracle())
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — SAMPLED-SOURCE BRANDES betweenness, the wide-graph
+    swap graph_betweenness documents: forward (dist, σ) BFS state is
+    built ONLY for the deterministic source sample (nodes ≡ 0 mod
+    {mod} — |S|·|V| rows, the per-source partitioning that scales
+    where all-pairs |V|² state cannot), and each source's dependency
+    δ_s(v) = Σ_w (σ_sv/σ_sw)(1+δ_s(w)) accumulates BACKWARD down the
+    shortest-path DAG layer by layer — Brandes' algorithm itself,
+    relationally, with every layer a bounded join.  The estimator
+    bc ≈ Σ_{{s∈S}} δ_s(v) · |V| / (2|S|) is the standard unbiased
+    source-sampled form (Brandes-Pich); with mod=1 it IS full Brandes
+    and the law test pins agreement with the pair-form
+    graph_betweenness to micro-unit truncation.
+
+    Exactness: σ are exact integers; δ carries in micro-units with
+    integer DIV at each (v,w) edge — the truncation is deterministic
+    and IDENTICAL on both engines (hash-exact), and bounded by one
+    micro-unit per DAG edge per layer; the estimate divides once at
+    projection.
+
+    100 TB: per-source state shards on s (embarrassingly parallel
+    across sources); each backward layer is an equi-join of
+    layer-filtered relations against the backbone; nothing holds more
+    than one layer of one source's DAG in a task.
+    """
+    return _btw_sampled_frame(spark, sf_dir, _BTWS_MOD)
+
+
+graph_betweenness_sampled.__doc__ = graph_betweenness_sampled.__doc__.format(
+    mod=_BTWS_MOD
+)

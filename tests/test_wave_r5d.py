@@ -1,58 +1,39 @@
-"""Semantic laws for the r5d wave: Arrow-native UDF/UDTF rungs."""
+"""Semantic laws for the r5f wave: sampled-source Brandes betweenness."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from gcp_de_data_pipeline_cc_spark.plans.graph import _btw_sampled_frame
 from tests.conftest import SF_DIR
 
 
-def test_arrow_scalar_matches_builtin_expression(spark):
-    # the Arrow kernel must agree bit-for-bit with the JVM expression
-    # (l_orderkey, l_linenumber) is NOT unique in the synthetic feed, so
-    # compare sorted multisets rather than joining
-    out = (
-        REGISTRY["udf_arrow_scalar"]
-        .spark(spark, SF_DIR)
-        .toPandas()
-        .sort_values(["l_orderkey", "l_linenumber", "net_cents"])
-        .reset_index(drop=True)
-    )
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    builtin = (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            F.floor(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * F.lit(100.0)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("net_cents"),
+def test_all_sources_recovers_full_betweenness(spark):
+    """mod=1 samples EVERY source, so the Brandes backward accumulation
+    must reproduce the all-pairs pair-form key up to micro-unit DIV
+    truncation (each DAG edge truncates < 1e-6, amplified by at most
+    the sigma ratios along one backward sweep)."""
+    full = {
+        r.n_name: r.betweenness
+        for r in REGISTRY["graph_betweenness"].spark(spark, SF_DIR).collect()
+    }
+    est = {
+        r.n_name: r.bc_est
+        for r in _btw_sampled_frame(spark, SF_DIR, 1).collect()
+    }
+    assert set(est) == set(full)
+    for name, bc in full.items():
+        assert abs(est[name] - bc) <= max(0.05, 0.01 * bc), (
+            name, est[name], bc,
         )
-        .toPandas()
-        .sort_values(["l_orderkey", "l_linenumber", "net_cents"])
-        .reset_index(drop=True)
-    )
-    assert out.equals(builtin)
 
 
-def test_arrow_udtf_tokenizes_positionally(spark):
-    out = REGISTRY["udtf_arrow_batch"].spark(spark, SF_DIR).toPandas()
-    import duckdb
-
-    docs = duckdb.sql(
-        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
-        f"WHERE doc_id % 50 = 0"
-    ).df()
-    assert set(out.doc_id) == set(docs.doc_id)
-    for _, d in docs.head(10).iterrows():
-        toks = d.text.split(" ")
-        got = out[out.doc_id == d.doc_id].sort_values("pos")
-        assert list(got.tok) == toks
-        assert list(got.pos) == list(range(1, len(toks) + 1))
-    # token totals reconcile
-    assert len(out) == int(docs.text.str.split(" ").str.len().sum())
+def test_sampled_estimator_shape(spark):
+    """The registered mod=5 sample: one row per nation, the source count
+    is the planted |{0,5,10,15,20} ∩ graph|, estimates are nonnegative
+    and somebody brokers something."""
+    out = REGISTRY["graph_betweenness_sampled"].spark(spark, SF_DIR).toPandas()
+    nn = out.n_sources.iloc[0]
+    assert (out.n_sources == nn).all() and 1 <= nn <= 5
+    assert (out.bc_est >= 0).all()
+    assert out.bc_est.max() > 0
+    assert (out.bc_micro_sampled >= 0).all()
