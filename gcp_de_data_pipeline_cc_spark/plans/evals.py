@@ -1561,3 +1561,163 @@ def eval_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(matched_cents DIV NULLIF(n_matched, 0) AS BIGINT)"
         ).alias("mean_reward_cents"),
     ).orderBy("policy")
+
+
+# ---------------------------------------------------------------------------
+# eval_agreement_krippendorff — multi-rater reliability with missing
+# ratings (r5g wave)
+# ---------------------------------------------------------------------------
+
+_KRIPP_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || SUBSTR(md5('lbl:' || CAST(doc_id AS VARCHAR)),
+                             1, 8) AS BIGINT) % 3 AS INT) AS lbl
+    FROM documents),
+ratings AS (
+    SELECT doc_id, 1 AS rater,
+           CASE WHEN SUBSTR(md5('f1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '20'
+                THEN (lbl + 1) % 3 ELSE lbl END AS label
+    FROM base
+    UNION ALL
+    SELECT doc_id, 2,
+           CASE WHEN SUBSTR(md5('f2:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '40'
+                THEN (lbl + 1) % 3 ELSE lbl END
+    FROM base
+    UNION ALL
+    SELECT doc_id, 3,
+           CASE WHEN SUBSTR(md5('f3:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '30'
+                THEN (lbl + 2) % 3 ELSE lbl END
+    FROM base
+    WHERE SUBSTR(md5('cov:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'b3'),
+uc AS (
+    SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS v
+    FROM ratings GROUP BY 1, 2),
+um AS (
+    SELECT doc_id, CAST(SUM(v) AS BIGINT) AS m,
+           CAST(SUM(v * v) AS BIGINT) AS sv2
+    FROM uc GROUP BY 1),
+pairable AS (SELECT * FROM um WHERE m >= 2),
+do2 AS (
+    SELECT CAST(SUM((2 * (m * m - sv2)) // (m - 1)) AS BIGINT) AS do2,
+           CAST(SUM(m) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_units
+    FROM pairable),
+marg AS (
+    SELECT CAST(SUM(uc.v) AS BIGINT) AS n_c
+    FROM uc JOIN pairable p ON p.doc_id = uc.doc_id
+    GROUP BY uc.label),
+de AS (
+    SELECT CAST(SUM(n_c) * SUM(n_c) - SUM(n_c * n_c) AS BIGINT) AS de
+    FROM marg)
+SELECT do2.n_units, do2.n AS n_values, do2.do2 AS do_scaled, de.de
+           AS de_pairs,
+       FLOOR((1.0e0 - CAST((do2.n - 1) * do2.do2 AS DOUBLE)
+                      / CAST(2 * de.de AS DOUBLE))
+             * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS alpha
+FROM do2, de
+"""
+
+
+@query("eval_agreement_krippendorff", oracle=_KRIPP_ORACLE)
+def eval_agreement_krippendorff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval tier — KRIPPENDORFF'S ALPHA (nominal), the multi-rater
+    reliability statistic an LLM-judge pipeline needs where Cohen's
+    kappa (eval_agreement_kappa) stops: >=3 raters AND missing ratings
+    (rater 3 covers only ~70% of items — real annotation exports are
+    never complete).  Computed via the coincidence-matrix formulation:
+    per pairable unit (m>=2 ratings), within-unit disagreeing pairs
+    weight 1/(m-1); alpha = 1 - Do/De = 1 - (n-1)·Σo_disagree /
+    Σ_{c≠k} n_c·n_k.
+
+    Exactness: per-unit disagreement enters as the integer
+    2·(m² − Σv_c²) DIV (m−1) — EXACT here because m ∈ {2,3} makes
+    (m−1) a divisor of the even numerator; marginals n_c are plain
+    counts over pairable units; De = (Σn_c)² − Σn_c²; one double
+    division at the end, floor-quantized at 1e-6.  Raters derive from
+    doc_id with independent md5 flip coins (12.5%/25%/~19% error, the
+    kappa key's convention) and an md5 coverage coin for rater 3.
+
+    100 TB: the whole statistic is two map-side aggregates over the
+    (item, rater) relation — unit-grain counts, then scalar readouts;
+    the class-marginal table is class-cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    lbl = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lbl:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    ).cast("int")
+
+    def coin(salt: str) -> F.Column:
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+
+    r1 = docs.select(
+        "doc_id",
+        F.when(coin("f1") < "20", (lbl + 1) % 3).otherwise(lbl).alias("label"),
+    )
+    r2 = docs.select(
+        "doc_id",
+        F.when(coin("f2") < "40", (lbl + 1) % 3).otherwise(lbl).alias("label"),
+    )
+    r3 = docs.filter(coin("cov") < "b3").select(
+        "doc_id",
+        F.when(coin("f3") < "30", (lbl + 2) % 3).otherwise(lbl).alias("label"),
+    )
+    ratings = r1.unionByName(r2).unionByName(r3)
+    uc = ratings.groupBy("doc_id", "label").agg(
+        F.count("*").cast("long").alias("v")
+    )
+    uc = uc.localCheckpoint(eager=False)  # unit totals + marginals
+    um = uc.groupBy("doc_id").agg(
+        F.sum("v").cast("long").alias("m"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sv2"),
+    )
+    pairable = um.filter(F.col("m") >= 2)
+    pairable = pairable.localCheckpoint(eager=False)  # do + marginal filter
+    do2 = pairable.agg(
+        F.sum(
+            F.expr("(2 * (m * m - sv2)) DIV (m - 1)")
+        ).cast("long").alias("do2"),
+        F.sum("m").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_units"),
+    )
+    marg = (
+        uc.join(pairable.select("doc_id"), "doc_id")
+        .groupBy("label")
+        .agg(F.sum("v").cast("long").alias("n_c"))
+    )
+    de = marg.agg(
+        (
+            F.sum("n_c") * F.sum("n_c") - F.sum(F.col("n_c") * F.col("n_c"))
+        )
+        .cast("long")
+        .alias("de")
+    )
+    return do2.crossJoin(F.broadcast(de)).select(
+        "n_units",
+        F.col("n").alias("n_values"),
+        F.col("do2").alias("do_scaled"),
+        F.col("de").alias("de_pairs"),
+        roundn(
+            F.lit(1.0)
+            - ((F.col("n") - 1) * F.col("do2")).cast("double")
+            / (F.lit(2) * F.col("de")).cast("double"),
+            6,
+        ).alias("alpha"),
+    )

@@ -804,3 +804,98 @@ def privacy_pseudonym_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rotation_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy_randomized_response — local DP collection + debiasing
+# (r5g wave)
+# ---------------------------------------------------------------------------
+
+#: ln(3) to 6 dp for the p=1/4 flip — a SHARED LITERAL, never computed
+#: (ln is libm-dependent; the _BENFORD_P discipline)
+_RR_EPSILON = 1.098612
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH t AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS truth,
+               CASE WHEN SUBSTR(md5('rr:' || CAST(c_custkey AS VARCHAR)),
+                                1, 2) < '40'
+                    THEN 1 ELSE 0 END AS flip
+        FROM customer),
+    rep AS (
+        SELECT c_custkey, truth,
+               CASE WHEN flip = 1 THEN 1 - truth ELSE truth END AS reported
+        FROM t),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(truth) AS BIGINT) AS true_yes,
+               CAST(SUM(reported) AS BIGINT) AS observed_yes
+        FROM rep)
+    SELECT n, true_yes, observed_yes,
+           CAST((4 * observed_yes - n) // 2 AS BIGINT) AS debiased_yes,
+           CAST(ABS((4 * observed_yes - n) // 2 - true_yes) AS BIGINT)
+               AS abs_error,
+           CAST(250000 AS BIGINT) AS flip_ppm,
+           {_RR_EPSILON}e0 AS epsilon
+    FROM agg
+    """,
+)
+def privacy_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Privacy tier — RANDOMIZED RESPONSE (Warner 1965), the local-DP
+    mechanism under every private telemetry pipeline: each customer's
+    sensitive bit (balance > $5000) flips with probability p=1/4
+    before collection (a deterministic md5 coin — reproducible across
+    engines, the role client-side randomness plays in production), and
+    the collector DEBIASES the observed count with the unbiased
+    estimator T̂ = (observed − p·n)/(1 − 2p) — for p=1/4 the exact
+    integer (4·observed − n) DIV 2.  Each individual's report is
+    ln((1−p)/p) = ln 3 ≈ {_RR_EPSILON}-DP regardless of the collector,
+    the entire point: the true bit is never transmitted.
+
+    Exactness: truth, coins, reports, counts and the debiased estimate
+    are all exact integers (the estimator divides an even-or-odd int
+    by 2 with DIV — both engines floor identically); epsilon is a
+    shared 6-dp literal, never a runtime ln().
+
+    The abs_error column is the audit: tests bound it by the binomial
+    noise of the mechanism (~4σ), which is the privacy/utility trade
+    a real deployment monitors.
+
+    100 TB: one map-side aggregate over the scan — the mechanism is
+    embarrassingly parallel by construction (that is what LOCAL
+    differential privacy means)."""
+    c = load_table(spark, sf_dir, "customer")
+    truth = F.when(F.col("c_acctbal") > 5000.0, 1).otherwise(0)
+    flip = (
+        F.substring(
+            F.md5(F.concat(F.lit("rr:"), F.col("c_custkey").cast("string"))),
+            1,
+            2,
+        )
+        < "40"
+    )
+    rep = c.select(
+        truth.alias("truth"),
+        F.when(flip, 1 - truth).otherwise(truth).alias("reported"),
+    )
+    agg = rep.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("truth").cast("long").alias("true_yes"),
+        F.sum("reported").cast("long").alias("observed_yes"),
+    )
+    deb = F.expr("(4 * observed_yes - n) DIV 2")
+    return agg.select(
+        "n",
+        "true_yes",
+        "observed_yes",
+        deb.cast("long").alias("debiased_yes"),
+        F.abs(deb - F.col("true_yes")).cast("long").alias("abs_error"),
+        F.lit(250000).cast("long").alias("flip_ppm"),
+        F.lit(_RR_EPSILON).alias("epsilon"),
+    )

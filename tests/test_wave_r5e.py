@@ -1,61 +1,89 @@
-"""Semantic laws for the r5e wave: Markov removal-effect attribution."""
+"""Semantic laws for the r5g wave: Krippendorff alpha + randomized
+response."""
 
 from __future__ import annotations
 
-import datetime
+import math
 
 from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
 from tests.conftest import SF_DIR
 
 
-def test_markov_attr_hand_computed(spark, tmp_path):
-    # group A (10 users): view -> click -> purchase
-    # group B (5 users): error, then journey ends (no purchase)
-    rows = []
-    eid = 0
-    t0 = datetime.datetime(2024, 6, 1, 9, 0, 0)
-    for u in range(10):
-        for i, et in enumerate(["view", "click", "purchase"]):
-            eid += 1
-            rows.append((eid, u, et, t0 + datetime.timedelta(minutes=i), 1.0))
-    for u in range(10, 15):
-        eid += 1
-        rows.append((eid, u, "error", t0, 1.0))
-    spark.createDataFrame(
-        rows,
-        "event_id BIGINT, user_id BIGINT, event_type STRING, "
-        "ts TIMESTAMP, value DOUBLE",
-    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
-    out = (
-        REGISTRY["attribution_markov"]
-        .spark(spark, str(tmp_path))
-        .toPandas()
-        .set_index("channel")
+def test_krippendorff_bounds_and_missingness(spark):
+    row = (
+        REGISTRY["eval_agreement_krippendorff"].spark(spark, SF_DIR).first()
     )
-    # chain: START -> view (10/15) -> click (1.0) -> CONV (1.0);
-    #        START -> error (5/15) -> DROP
-    # p(conv | START) = floor(10/15 * 1e6)/1e6 = 0.666666
-    assert abs(out.loc["view", "p_conv_full"] - 0.666666) < 1e-9
-    # removing view or click kills every conversion; error never converts
-    assert out.loc["view", "p_conv_removed"] == 0.0
-    assert out.loc["click", "p_conv_removed"] == 0.0
-    assert abs(out.loc["error", "p_conv_removed"] - 0.666666) < 1e-9
-    assert out.loc["view", "removal_effect_micro"] == 666666
-    assert out.loc["click", "removal_effect_micro"] == 666666
-    assert out.loc["error", "removal_effect_micro"] == 0
-    assert out.loc["signup", "removal_effect_micro"] == 0
-    assert abs(out.loc["view", "share"] - 0.5) < 1e-9
-    assert abs(out.loc["click", "share"] - 0.5) < 1e-9
+    # with planted ~12.5/25/19% error rates agreement is real but
+    # imperfect: alpha well inside (0, 1)
+    assert 0.2 < row.alpha < 0.95, row
+    # rater 3 covers ~70%: units carry 2 or 3 ratings, so n_values sits
+    # strictly between 2x and 3x the pairable units
+    assert 2 * row.n_units < row.n_values < 3 * row.n_units
+    assert row.do_scaled > 0 and row.de_pairs > 0
 
 
-def test_markov_attr_sf_identities(spark):
-    out = REGISTRY["attribution_markov"].spark(spark, SF_DIR).toPandas()
-    assert sorted(out.channel) == ["click", "error", "signup", "view"]
-    # removal can never raise conversion
-    assert (out.p_conv_removed <= out.p_conv_full + 1e-9).all()
-    # full-chain conversion probability is a constant across rows
-    assert out.p_conv_full.nunique() == 1
-    assert 0 < out.p_conv_full.iloc[0] <= 1
-    # shares form a distribution over channels with positive effect
-    if out.removal_effect_micro.sum() > 0:
-        assert abs(out.share.sum() - 1.0) < 1e-4
+def test_krippendorff_matches_independent_implementation(spark):
+    """Differential law: rebuild the three raters' md5-derived ratings
+    in plain Python and compute nominal alpha with the TEXTBOOK
+    per-pair coincidence formula (float weights 1/(m-1), no DIV
+    tricks) — the key's integer-scaled algebra must agree to 1e-9."""
+    import hashlib
+    from collections import Counter
+
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
+
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def h(salt, d):
+        return hashlib.md5(f"{salt}:{d}".encode()).hexdigest()
+
+    units: dict[int, list[int]] = {}
+    for d in doc_ids:
+        lbl = int(h("lbl", d)[:8], 16) % 3
+        r1 = (lbl + 1) % 3 if h("f1", d)[:2] < "20" else lbl
+        r2 = (lbl + 1) % 3 if h("f2", d)[:2] < "40" else lbl
+        units[d] = [r1, r2]
+        if h("cov", d)[:2] < "b3":
+            units[d].append((lbl + 2) % 3 if h("f3", d)[:2] < "30" else lbl)
+    # textbook nominal alpha over pairable units
+    o: Counter = Counter()
+    for labels in units.values():
+        m = len(labels)
+        if m < 2:
+            continue
+        for i, c in enumerate(labels):
+            for j, k in enumerate(labels):
+                if i != j:
+                    o[(c, k)] += 1.0 / (m - 1)
+    n = sum(o.values())
+    n_c = Counter()
+    for (c, _k), w in o.items():
+        n_c[c] += w
+    d_o = sum(w for (c, k), w in o.items() if c != k) / n
+    d_e = sum(
+        n_c[c] * n_c[k] for c in n_c for k in n_c if c != k
+    ) / (n * (n - 1))
+    expected = 1.0 - d_o / d_e
+
+    row = (
+        REGISTRY["eval_agreement_krippendorff"].spark(spark, SF_DIR).first()
+    )
+    assert abs(row.alpha - expected) < 1e-5, (row.alpha, expected)
+
+
+def test_randomized_response_debiasing_within_noise(spark):
+    row = (
+        REGISTRY["privacy_randomized_response"].spark(spark, SF_DIR).first()
+    )
+    # the mechanism really flipped ~25%: observed differs from truth
+    assert row.observed_yes != row.true_yes
+    # unbiased estimator: |error| <= ~4 sigma of the binomial noise,
+    # sigma = sqrt(n p (1-p)) / (1 - 2p) with p = 1/4
+    sigma = math.sqrt(row.n * 0.25 * 0.75) / 0.5
+    assert row.abs_error <= 4 * sigma, (row.abs_error, sigma)
+    assert row.epsilon == 1.098612
