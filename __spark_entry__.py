@@ -74,6 +74,16 @@ def _prior_verification_status() -> dict[str, int]:
 # fn_string + fn_string2 + fn_regexp; one passing key flips the
 # component).  Keys absent from this list rank after listed ones.
 _COMPONENT_FIRST = (
+    # round-5 wave: the r4 verdict's remaining gaps closed (standalone
+    # tier DAGs, artifact sync, banded DTW, sampled Brandes) plus the
+    # PQ/IVFPQ serving rungs, curriculum, Krippendorff, RR — sample
+    # them while fresh
+    "pipeline_gcs_to_raw", "pipeline_raw_to_staging",
+    "pipeline_staging_to_curation", "ops_artifact_sync",
+    "ts_dtw_banded", "graph_betweenness_sampled",
+    "sim_topk_pq", "sim_topk_ivfpq",
+    "train_curriculum_schedule", "eval_agreement_krippendorff",
+    "privacy_randomized_response",
     # round-4 wave: composite DAG run + QC alert routing (the r3
     # verdict's "What's missing" #1-#3) — sample them while fresh
     "end_to_end_pipeline", "qc_alert_routing",

@@ -456,6 +456,14 @@ _BNLJ_REVIEWED = frozenset({
     # entity-sized global window); pipeline_raw_to_staging crosses the
     # three one-row per-entity audit aggregates — category (a)
     "corpus_sample_by_weights", "pipeline_raw_to_staging",
+    # r5 waves: graph_betweenness_sampled crosses nation with one-row
+    # node/source totals; train_curriculum_schedule and
+    # eval_agreement_krippendorff cross with one-row totals;
+    # sim_topk_pq / sim_topk_ivfpq broadcast the query set onto the
+    # candidate scan for the exact-L2 recall baseline (the sim_topk
+    # pattern) — category (a)
+    "graph_betweenness_sampled", "train_curriculum_schedule",
+    "eval_agreement_krippendorff", "sim_topk_pq", "sim_topk_ivfpq",
     # r4p wave: stats_jackknife crosses the 25-row group table with
     # one-row totals/moments — category (a)
     "stats_jackknife",
