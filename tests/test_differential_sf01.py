@@ -52,6 +52,14 @@ HEADLINE = (
     "decontaminate",
     "scd2_merge",
     "join_asof_tolerance",
+    # round-5 wave: volume-sensitive integer/fold shapes
+    "ts_dtw_banded",
+    "graph_betweenness_sampled",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "train_curriculum_schedule",
+    "eval_agreement_krippendorff",
+    "privacy_randomized_response",
 )
 
 
