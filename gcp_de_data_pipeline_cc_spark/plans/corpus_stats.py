@@ -1084,3 +1084,104 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gopher_pass_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dataset_fingerprint — content-addressed dataset identity
+# (r5h wave)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_dataset_fingerprint",
+    oracle="""
+    WITH h AS (
+        SELECT source,
+               CAST(CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+                          || ':' || text), 1, 15) AS BIGINT) AS BIGINT)
+                   AS rh,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents),
+    per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(bit_xor(rh) AS BIGINT) AS fp
+        FROM h GROUP BY source),
+    tot AS (
+        SELECT '__ALL__' AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(bit_xor(rh) AS BIGINT) AS fp
+        FROM h)
+    SELECT source, n_docs, n_chars,
+           lpad(lower(hex(fp)), 16, '0') AS fingerprint
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+    ORDER BY source
+    """,
+)
+def corpus_dataset_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus ops — CONTENT-ADDRESSED DATASET FINGERPRINT, the
+    reproducibility anchor a training run records in its model card:
+    per-source and whole-corpus identity = XOR of per-document
+    md5-derived 60-bit hashes over (doc_id, text) + exact doc/char
+    censuses.  XOR is the one order-free, overflow-free fold for this
+    (associative, commutative, self-inverse): any row added, dropped,
+    or edited flips the fingerprint; any reshuffle, repartition, or
+    re-read leaves it byte-identical — so two teams can assert they
+    trained on the SAME corpus by comparing 16 hex chars, and an
+    incremental append's new fingerprint is old XOR delta.
+
+    Exactness: the row hash is the first 15 hex chars of md5 (60 bits
+    — inside int64, sign-safe) computed identically in both engines;
+    XOR and counts are exact; the fingerprint renders as zero-padded
+    hex so the driver's string hash is stable.
+
+    100 TB: one scan, map-side combined XOR/count partials per source —
+    the cheapest possible full-corpus integrity pass, and the
+    per-source rows let a mixture pipeline pin each component dataset
+    independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("text"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("rh"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    h = h.localCheckpoint(eager=False)  # per-source + total consumers
+    per = h.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.bit_xor("rh").cast("long").alias("fp"),
+    )
+    tot = h.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.bit_xor("rh").cast("long").alias("fp"),
+    ).select(F.lit("__ALL__").alias("source"), "n_docs", "n_chars", "fp")
+    return (
+        per.unionByName(tot)
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.lpad(F.lower(F.hex("fp")), 16, "0").alias("fingerprint"),
+        )
+        .orderBy("source")
+    )

@@ -87,3 +87,49 @@ def test_randomized_response_debiasing_within_noise(spark):
     sigma = math.sqrt(row.n * 0.25 * 0.75) / 0.5
     assert row.abs_error <= 4 * sigma, (row.abs_error, sigma)
     assert row.epsilon == 1.098612
+
+
+def test_dataset_fingerprint_laws(spark, tmp_path):
+    """Identity laws: order/partitioning-invariant; any single edit
+    flips the fingerprint; the ALL row XORs over every source."""
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
+
+    base = REGISTRY["corpus_dataset_fingerprint"].spark(spark, SF_DIR)
+    a = {r.source: r.fingerprint for r in base.collect()}
+
+    # a reshuffled copy of the same rows fingerprints identically
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.orderBy("text").repartition(7).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    b = {
+        r.source: r.fingerprint
+        for r in REGISTRY["corpus_dataset_fingerprint"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert a == b
+
+    # editing ONE document flips its source's fingerprint and __ALL__,
+    # leaving other sources untouched
+    from pyspark.sql import functions as F
+
+    victim = docs.orderBy("doc_id").first()
+    edited = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim.doc_id, F.concat("text", F.lit(" x"))
+        ).otherwise(F.col("text")),
+    )
+    edited.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    c = {
+        r.source: r.fingerprint
+        for r in REGISTRY["corpus_dataset_fingerprint"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert c["__ALL__"] != a["__ALL__"]
+    assert c[victim.source] != a[victim.source]
+    for src in a:
+        if src not in ("__ALL__", victim.source):
+            assert c[src] == a[src]
