@@ -84,6 +84,7 @@ _COMPONENT_FIRST = (
     "sim_topk_pq", "sim_topk_ivfpq",
     "train_curriculum_schedule", "eval_agreement_krippendorff",
     "privacy_randomized_response", "corpus_dataset_fingerprint",
+    "fn_geohash",
     # round-4 wave: composite DAG run + QC alert routing (the r3
     # verdict's "What's missing" #1-#3) — sample them while fresh
     "end_to_end_pipeline", "qc_alert_routing",

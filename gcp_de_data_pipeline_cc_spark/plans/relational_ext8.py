@@ -2388,3 +2388,140 @@ def qc_geo_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_geohash — the standard spatial bucketing key (r5i wave)
+# ---------------------------------------------------------------------------
+
+#: geohash base32 alphabet (no a/i/l/o) — a shared literal
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+#: 6 chars = 30 bits = 15 lon + 15 lat (geohash interleaves lon-first)
+_GH_BITS = 15
+
+
+def _geohash_oracle() -> str:
+    # 3-char prefix cell: 15 bits = 8 lon + 7 lat -> cell spans
+    # 360/2^8 = 1.40625 deg = 140.625 centideg on both axes
+    chars = " || ".join(
+        f"SUBSTR('{_GH_ALPHA}', CAST(((g >> {25 - 5 * j}) & 31)"
+        f" AS INT) + 1, 1)"
+        for j in range(6)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               -6000 + (c_custkey * 7919 % 12000) AS lat_c,
+               -18000 + (c_custkey * 104729 % 36000) AS lon_c
+        FROM customer),
+    q AS (
+        SELECT c_custkey, lat_c, lon_c,
+               (lat_c + 9000) * {1 << _GH_BITS} // 18000 AS latq,
+               (lon_c + 18000) * {1 << _GH_BITS} // 36000 AS lonq
+        FROM pts),
+    inter AS (
+        SELECT c_custkey, lat_c, lon_c,
+               CAST(list_sum(list_transform(range(0, {_GH_BITS}),
+                   i -> (((lonq >> ({_GH_BITS - 1} - i)) & 1)
+                             << (29 - 2 * i))
+                      + (((latq >> ({_GH_BITS - 1} - i)) & 1)
+                             << (28 - 2 * i)))) AS BIGINT) AS g
+        FROM q),
+    gh AS (
+        SELECT c_custkey, lat_c, lon_c, ({chars}) AS geohash6
+        FROM inter)
+    SELECT SUBSTR(geohash6, 1, 3) AS prefix3,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT geohash6) AS BIGINT) AS n_cells6,
+           CAST(MAX(lat_c) - MIN(lat_c) AS BIGINT) AS lat_span_cd,
+           CAST(MAX(lon_c) - MIN(lon_c) AS BIGINT) AS lon_span_cd,
+           (MAX(lat_c) - MIN(lat_c)) < 141
+               AND (MAX(lon_c) - MIN(lon_c)) < 141 AS span_ok
+    FROM gh
+    GROUP BY 1
+    ORDER BY n_customers DESC, prefix3
+    LIMIT 20
+    """
+
+
+@query("fn_geohash", oracle=_geohash_oracle())
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO family — GEOHASH proper (Niemeyer base32 bit-interleave),
+    the standard spatial bucketing key geo_cell_density's docstring
+    points at: quantize lat/lon to 15 fractional bits each, interleave
+    lon-first into a 30-bit code, render 6 base32 chars.  The PREFIX
+    property is the whole point — a 3-char prefix IS a coarser cell,
+    so co-partitioning a spatial join on substr(geohash, 1, k) gives a
+    tunable bucket-join ladder with one sort key; the output verifies
+    it structurally: per 3-char prefix, every member point must sit
+    inside that prefix cell (lat/lon spans < 140.625 centideg,
+    emitted as ``span_ok``), alongside the density rollup.
+
+    Exactness: coordinates are the geo family's deterministic integer
+    centi-degrees; quantization is pure integer multiply-DIV; the
+    interleave is an integer bit fold (sequence fold in Spark,
+    list_transform sum in DuckDB — same bits); base32 chars index a
+    shared alphabet literal.  No float anywhere.
+
+    100 TB: encoding is projection-side (codegen bit ops); the rollup
+    is one map-side-combined groupBy on an 8-byte derived key — and
+    the encode column is precisely what a bucketed spatial-join or
+    Z-order layout would sort by."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.lit(-6000) + (F.col("c_custkey") * 7919 % 12000)).alias("lat_c"),
+        (F.lit(-18000) + (F.col("c_custkey") * 104729 % 36000)).alias(
+            "lon_c"
+        ),
+    )
+    q = pts.select(
+        "c_custkey",
+        "lat_c",
+        "lon_c",
+        F.expr(f"(lat_c + 9000) * {1 << _GH_BITS} DIV 18000").alias("latq"),
+        F.expr(f"(lon_c + 18000) * {1 << _GH_BITS} DIV 36000").alias("lonq"),
+    )
+    inter = q.select(
+        "c_custkey",
+        "lat_c",
+        "lon_c",
+        F.expr(
+            f"aggregate(sequence(0, {_GH_BITS - 1}), 0L, (acc, i) -> acc"
+            f" + shiftleft(shiftright(lonq, {_GH_BITS - 1} - i) % 2,"
+            f" 29 - 2 * i)"
+            f" + shiftleft(shiftright(latq, {_GH_BITS - 1} - i) % 2,"
+            f" 28 - 2 * i))"
+        ).alias("g"),
+    )
+    # base32 render: substr into the shared alphabet per 5-bit group
+    code = F.concat(
+        *[
+            F.expr(
+                f"substr('{_GH_ALPHA}', CAST(((g >> {25 - 5 * j}) & 31)"
+                f" AS INT) + 1, 1)"
+            )
+            for j in range(6)
+        ]
+    )
+    gh = inter.select("c_custkey", "lat_c", "lon_c", code.alias("geohash6"))
+    return (
+        gh.groupBy(F.substring("geohash6", 1, 3).alias("prefix3"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.countDistinct("geohash6").cast("long").alias("n_cells6"),
+            (F.max("lat_c") - F.min("lat_c"))
+            .cast("long")
+            .alias("lat_span_cd"),
+            (F.max("lon_c") - F.min("lon_c"))
+            .cast("long")
+            .alias("lon_span_cd"),
+            (
+                ((F.max("lat_c") - F.min("lat_c")) < 141)
+                & ((F.max("lon_c") - F.min("lon_c")) < 141)
+            ).alias("span_ok"),
+        )
+        .orderBy(F.desc("n_customers"), "prefix3")
+        .limit(20)
+    )

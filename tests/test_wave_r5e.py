@@ -133,3 +133,78 @@ def test_dataset_fingerprint_laws(spark, tmp_path):
     for src in a:
         if src not in ("__ALL__", victim.source):
             assert c[src] == a[src]
+
+
+def test_geohash_matches_reference_encoder(spark):
+    """Differential law: the key's integer bit-interleave must produce
+    the CANONICAL geohash — re-encode every point with the textbook
+    bisection algorithm (the published Niemeyer procedure, float
+    midpoints, no bit tricks) and compare all 6 characters."""
+    from gcp_de_data_pipeline_cc_spark.catalog import load_table
+    from gcp_de_data_pipeline_cc_spark.plans.relational_ext8 import (
+        _GH_ALPHA,
+    )
+    from pyspark.sql import functions as F
+
+    def ref_geohash(lat, lon, length=6):
+        lat_iv, lon_iv = [-90.0, 90.0], [-180.0, 180.0]
+        bits, code, even = 0, [], True
+        ch = 0
+        while len(code) < length:
+            iv, x = (lon_iv, lon) if even else (lat_iv, lat)
+            mid = (iv[0] + iv[1]) / 2
+            ch <<= 1
+            if x >= mid:
+                ch |= 1
+                iv[0] = mid
+            else:
+                iv[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                code.append(_GH_ALPHA[ch])
+                bits, ch = 0, 0
+        return "".join(code)
+
+    c = load_table(spark, SF_DIR, "customer").limit(200)
+    pts = c.select(
+        "c_custkey",
+        (F.lit(-6000) + (F.col("c_custkey") * 7919 % 12000)).alias("lat_c"),
+        (F.lit(-18000) + (F.col("c_custkey") * 104729 % 36000)).alias(
+            "lon_c"
+        ),
+    ).collect()
+    # re-run the key's own encode expression over the same points
+    from gcp_de_data_pipeline_cc_spark.plans.relational_ext8 import _GH_BITS
+
+    df = spark.createDataFrame(
+        [(r.c_custkey, r.lat_c, r.lon_c) for r in pts],
+        "c_custkey long, lat_c long, lon_c long",
+    ).selectExpr(
+        "c_custkey",
+        "lat_c",
+        "lon_c",
+        f"(lat_c + 9000) * {1 << _GH_BITS} DIV 18000 AS latq",
+        f"(lon_c + 18000) * {1 << _GH_BITS} DIV 36000 AS lonq",
+    ).selectExpr(
+        "c_custkey",
+        "lat_c",
+        "lon_c",
+        f"aggregate(sequence(0, {_GH_BITS - 1}), 0L, (acc, i) -> acc"
+        f" + shiftleft(shiftright(lonq, {_GH_BITS - 1} - i) % 2, 29 - 2 * i)"
+        f" + shiftleft(shiftright(latq, {_GH_BITS - 1} - i) % 2, 28 - 2 * i))"
+        " AS g",
+    ).selectExpr(
+        "c_custkey",
+        "lat_c",
+        "lon_c",
+        " || ".join(
+            f"substr('{_GH_ALPHA}', CAST(((g >> {25 - 5 * j}) & 31)"
+            f" AS INT) + 1, 1)"
+            for j in range(6)
+        )
+        + " AS geohash6",
+    )
+    for r in df.collect():
+        want = ref_geohash(r.lat_c / 100.0, r.lon_c / 100.0)
+        assert r.geohash6 == want, (r.c_custkey, r.geohash6, want)
