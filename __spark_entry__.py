@@ -38,13 +38,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _prior_verification_status() -> dict[str, int]:
-    """Per-key best status across all prior CORRECTNESS_r*.json files.
+    """Per-key status from the MOST RECENT CORRECTNESS_r*.json mentioning it.
 
-    -1 = checked and FAILED (error or hash mismatch) with no later pass —
+    -1 = most recent official check FAILED (error or hash mismatch) —
     these sort strictly first so the official record re-verifies the fix
-    next round; 0 = never checked; 1 = checked rows-only (``no_oracle``);
-    2 = fully passed (rows+schema+hash).  A later pass supersedes an
-    earlier failure (max over rounds).
+    next round; 0 = never checked; 1 = checked rows-only (``no_oracle``)
+    and the key STILL has no oracle; 2 = fully passed (rows+schema+hash).
+
+    Two deliberate recency rules (r5 verdict/advice):
+
+    * Files are processed in round order and a LATER record overrides an
+      earlier one, so a key that regresses after once passing is
+      re-prioritized (max-over-rounds would mask the regression forever).
+    * A ``no_oracle`` record is only level 1 while the key remains
+      oracle-less.  If the key has SINCE been upgraded to oracle-paired
+      (``REGISTRY[key].oracle is not None``), the stale rows-only record
+      is treated as never-checked (level 0) so the upgrade actually
+      reaches an official artifact instead of sorting behind every
+      never-sampled key.
     """
     status: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
@@ -61,11 +72,11 @@ def _prior_verification_status() -> dict[str, int]:
             if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
                 level = 2
             elif rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
-                level = 1
+                spec = REGISTRY.get(key)
+                level = 0 if (spec is not None and spec.oracle is not None) else 1
             else:
                 level = -1
-            prev = status.get(key)
-            status[key] = level if prev is None else max(prev, level)
+            status[key] = level  # later rounds override earlier ones
     return status
 
 
@@ -74,6 +85,14 @@ def _prior_verification_status() -> dict[str, int]:
 # fn_string + fn_string2 + fn_regexp; one passing key flips the
 # component).  Keys absent from this list rank after listed ones.
 _COMPONENT_FIRST = (
+    # round-6 priority: the five keys upgraded rows-only → oracle-paired
+    # whose stale no_oracle records previously hid them (r5 verdict #1) —
+    # sample them first so the upgrade reaches an official artifact
+    "text_rolling_fp", "dedup_minhash", "sim_topk_lsh", "sim_topk_ivf",
+    "dedup_embedding",
+    # round-6 wave: new keys this round
+    "graph_articulation_tarjan", "graph_scc_fwbw",
+    "graph_label_propagation_converged",
     # round-5 wave: the r4 verdict's remaining gaps closed (standalone
     # tier DAGs, artifact sync, banded DTW, sampled Brandes) plus the
     # PQ/IVFPQ serving rungs, curriculum, Krippendorff, RR — sample

@@ -67,6 +67,34 @@ def ensure_session_posture(spark: SparkSession) -> None:
             spark.conf.set(key, want)
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap content fingerprint of one warehouse table: the sorted
+    (relative-path, mtime_ns, size) of its parquet file(s).  Session
+    caches key on this so a table REWRITTEN at the same path within one
+    Spark application (the test-suite overwrite pattern) invalidates the
+    cache instead of silently serving frames built on stale data."""
+    base = os.path.join(sf_dir, f"{name}.parquet")
+    entries = []
+    if os.path.isdir(base):
+        for root, _, files in os.walk(base):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                entries.append(
+                    (os.path.relpath(p, base), st.st_mtime_ns, st.st_size)
+                )
+    else:
+        try:
+            st = os.stat(base)
+            entries.append((name, st.st_mtime_ns, st.st_size))
+        except OSError:
+            pass
+    return tuple(sorted(entries))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one warehouse table, normalizing physical quirks.
 

@@ -42,6 +42,58 @@ def _norm(v):
     )
 
 
+#: Fixed-Q deterministic hash-rank query sample (r5 verdict task #2).
+#: The evidence arms (exact brute-force recall baselines, MRR/NDCG brute
+#: arm, quantization ranking evals) previously sampled queries with
+#: ``vec_id % 50 == 0`` — a CORPUS-PROPORTIONAL sample, so the exact
+#: baseline's cost (corpus × sample) grew QUADRATICALLY with data.  The
+#: fix is an ABSOLUTE sample: rank every vec_id by a portable integer
+#: hash and keep the Q smallest — the sample is exactly Q rows at any
+#: corpus size, so the evidence arm is O(corpus · Q) = linear.  The hash
+#: ``(vec_id * 1000003) % 7919993`` is exact int64 arithmetic in both
+#: Spark and DuckDB (vec_id ≤ ~9.2e12 before overflow), ties broken by
+#: vec_id → a total order, bit-identical in both engines.
+QUERY_SAMPLE_Q = 128
+_QS_MULT = 1000003
+_QS_MOD = 7919993
+
+
+def query_sample_ids(
+    emb: DataFrame, q: int = QUERY_SAMPLE_Q, id_col: str = "vec_id"
+) -> DataFrame:
+    """The Q sampled query ids: one-column frame, Q rows regardless of
+    corpus size.  Plan: TakeOrderedAndProject (per-partition top-Q then a
+    Q-row driver merge) — scale-safe, no full sort."""
+    h = F.pmod(F.col(id_col).cast("long") * _QS_MULT, F.lit(_QS_MOD))
+    return (
+        emb.select(id_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(q)
+    )
+
+
+def sample_queries(
+    emb: DataFrame, q: int = QUERY_SAMPLE_Q, id_col: str = "vec_id"
+) -> DataFrame:
+    """Restrict a frame to the fixed-Q query sample via a broadcast
+    LEFT SEMI join on the sampled ids (Q ≤ 128 rows broadcast — the big
+    side never shuffles)."""
+    ids = query_sample_ids(emb, q, id_col)
+    return emb.join(F.broadcast(ids), id_col, "semi")
+
+
+def sql_query_sample_cte(
+    q: int = QUERY_SAMPLE_Q, table: str = "embeddings", id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`query_sample_ids` as a CTE body named ``qs``:
+    splice ``qs AS ({this})`` into an oracle's WITH list and filter with
+    ``{id} IN (SELECT {id} FROM qs)``."""
+    return (
+        f"SELECT {id_col} FROM {table} "
+        f"ORDER BY ({id_col} * {_QS_MULT}) % {_QS_MOD}, {id_col} LIMIT {q}"
+    )
+
+
 def as_double_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Widen float32 embeddings to double once (exact) so all scoring is
     double-precision."""

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import load_table, table_fingerprint
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
 from gcp_de_data_pipeline_cc_spark.operators import multimodal as mm
@@ -251,15 +251,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cluster assignment is ≤ entity-sized — both orders of magnitude
 # below the shingle relation, which stays per-plan-checkpointed only
 # (a session-pinned shingle cache would hold corpus-scale blocks).
-_DUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_DUP_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DUP_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_DUP_CC_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _session_cache_key(spark: SparkSession, sf_dir: str, table: str) -> tuple:
+    """Session-cache key that also carries a content fingerprint of the
+    backing table, so rewriting the data at the same path within one
+    Spark application invalidates the cache (r5 ADVICE: path-only keys
+    silently served frames trained on stale data)."""
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, table),
+    )
 
 
 def corpus_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard near-dup pairs at the 0.5 production threshold,
     built once per (session, sf_dir) and shared by the pair consumer,
     the cluster build, and everything downstream of clusters."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _session_cache_key(spark, sf_dir, "documents")
     pairs = _DUP_PAIRS_CACHE.get(key)
     if pairs is None:
         pairs = dd.ngram_jaccard_pairs(
@@ -274,7 +286,7 @@ def corpus_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative label-min loop runs once per session; dedup_clusters,
     the survivorship manifest, and the per-source rate report all
     consume the same (node, cluster_id) relation."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _session_cache_key(spark, sf_dir, "documents")
     cc = _DUP_CC_CACHE.get(key)
     if cc is None:
         pairs = corpus_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -647,10 +659,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_topk",
-    oracle="""
-    WITH q AS (
+    oracle=f"""
+    WITH qs AS ({sim.sql_query_sample_cte()}),
+    q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id % 50 = 0
+        FROM embeddings WHERE vec_id IN (SELECT vec_id FROM qs)
     ),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
     scored AS (
@@ -675,26 +688,29 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5 — exact brute-force cosine top-10 for the query subset
-    (vec_id % 50 = 0): broadcast queries over the candidate scan, scoring
-    via zip_with/aggregate (JVM codegen), rank-window top-k.  Built once
-    per session (exact_topk10 cache) — it is ALSO the recall baseline
-    for sim_topk_lsh / sim_topk_ivf and the MMR candidate pool."""
+    """C5 — exact brute-force cosine top-10 for the FIXED-Q hash-rank
+    query sample (sim.sample_queries, Q=128 at any corpus size — the
+    evidence arm is O(corpus·Q), linear, not the quadratic
+    corpus-proportional %50 sample it replaced): broadcast queries over
+    the candidate scan, scoring via zip_with/aggregate (JVM codegen),
+    rank-window top-k.  Built once per session (exact_topk10 cache) —
+    it is ALSO the recall baseline for sim_topk_lsh / sim_topk_ivf and
+    the MMR candidate pool."""
     return exact_topk10(spark, sf_dir)
 
 
-# session-scoped cache: the exact %50-query top-10 is the registered
+# session-scoped cache: the exact fixed-Q-query top-10 is the registered
 # sim_topk output AND the recall baseline of both approximate searches
 # AND recsys_mmr_rerank's candidate pool — query-subset-sized (tiny)
-_EXACT_TOPK_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EXACT_TOPK_CACHE: dict[tuple, DataFrame] = {}
 
 
 def exact_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _session_cache_key(spark, sf_dir, "embeddings")
     out = _EXACT_TOPK_CACHE.get(key)
     if out is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        queries = emb.filter(F.col("vec_id") % 50 == 0)
+        queries = sim.sample_queries(emb)
         out = sim.cosine_topk(queries, emb, k=10).localCheckpoint(
             eager=False
         )
@@ -716,9 +732,10 @@ def _sim_lsh_cte() -> str:
     )
     collide = " OR ".join(f"q.b{t} = c.b{t}" for t in range(8))
     return f"""
+    qs AS ({sim.sql_query_sample_cte()}),
     q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {bucket_cols}
-        FROM embeddings WHERE vec_id % 50 = 0),
+        FROM embeddings WHERE vec_id IN (SELECT vec_id FROM qs)),
     c AS (
         SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
                {bucket_cols}
@@ -781,7 +798,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline as scalar rows (query_id, k, n_exact, n_hit, recall);
     tests bound mean recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = sim.sample_queries(emb)
     approx = sim.cosine_topk_lsh_portable(
         queries, emb, k=10, n_tables=8, bits=4, dim=64
     )
@@ -805,8 +822,9 @@ def _sim_ivf_oracle() -> str:
         FROM e, UNNEST(range(1, len(qi) + 1)) AS t(i)
         GROUP BY 1, 2),
     cents AS (SELECT label, list(s ORDER BY pos) AS cvec FROM pp GROUP BY 1),
+    qs AS ({sim.sql_query_sample_cte()}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id IN (SELECT vec_id FROM qs)),
     probed AS (
         SELECT query_id, label FROM (
             SELECT query_id, c.label,
@@ -863,7 +881,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar rows (query_id, k, n_exact, n_hit, recall) — same evidence
     contract as sim_topk_lsh; tests bound recall on clustered data."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = sim.sample_queries(emb)
     approx = sim.ivf_topk_portable(queries, emb, k=10, nprobe=3)
     exact = exact_topk10(spark, sf_dir)
     return sim.topk_recall(approx, exact, k=10).orderBy("query_id")
@@ -1752,6 +1770,14 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH S-curve calibration (r3x wave)
 # ---------------------------------------------------------------------------
 
+#: calibration stratum size: the S-curve is MEASURED on a fixed-D
+#: hash-rank document sample, so the exact pair universe is ≤ D²/2 at
+#: any corpus size (the r5 verdict's "sampled, not full-corpus" claim,
+#: made code).  D ≥ the sf0.01 gate corpus, so the oracle comparison is
+#: over the full corpus there; at larger SFs the stratum caps the cost.
+_LSH_CAL_DOCS = 512
+
+
 def _lsh_calibration_oracle() -> str:
     perms = dd._hash_params(32)
     sig_cols = ",\n               ".join(
@@ -1770,10 +1796,12 @@ def _lsh_calibration_oracle() -> str:
     jr = "j * j * j * j"
     q8 = "q * q * q * q * q * q * q * q"
     return f"""
-    WITH sh AS (
+    WITH ds AS ({sim.sql_query_sample_cte(_LSH_CAL_DOCS, "documents", "doc_id")}),
+    sh AS (
         SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        WHERE len(t) >= 3),
+        WHERE len(t) >= 3
+          AND doc_id IN (SELECT doc_id FROM ds)),
     h AS (
         SELECT doc_id, {_MINHASH_CHARFOLD} AS h FROM sh),
     sig AS (
@@ -1837,12 +1865,18 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free — the embedding_gram_matrix discipline), so no
     float-sum order dependence anywhere.
 
-    100 TB: the universe is the Σ|bucket|² shingle join (measured,
-    never all-pairs), candidates the banded bucket join — both already
-    the scale shapes; the decile rollup is map-side combined. The
-    signature/shingle relations feed multiple consumers and are
-    checkpointed inside the operators."""
-    docs = load_table(spark, sf_dir, "documents")
+    100 TB: the calibration runs on a FIXED-D hash-rank document
+    stratum (D={D} — the whole corpus at the sf0.01 gate, a bounded
+    sample beyond), so the exact pair universe is ≤ D²/2 at any corpus
+    size; within the stratum the universe is the Σ|bucket|² shingle
+    join (never all-pairs) and candidates the banded bucket join.  The
+    decile rollup is map-side combined; the signature/shingle
+    relations feed multiple consumers and are checkpointed inside the
+    operators."""
+    docs = sim.sample_queries(
+        load_table(spark, sf_dir, "documents"), q=_LSH_CAL_DOCS,
+        id_col="doc_id",
+    )
     sh = dd._doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
         eager=False
     )
@@ -1884,6 +1918,11 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+dedup_lsh_calibration.__doc__ = dedup_lsh_calibration.__doc__.format(
+    D=_LSH_CAL_DOCS
+)
+
+
 # ---------------------------------------------------------------------------
 # MMR diversity rerank (r4d wave)
 # ---------------------------------------------------------------------------
@@ -1896,9 +1935,10 @@ _MMR_POOL = 10
 
 def _mmr_oracle() -> str:
     topk = f"""
+    qs AS ({sim.sql_query_sample_cte()}),
     q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id % 50 = 0),
+        FROM embeddings WHERE vec_id IN (SELECT vec_id FROM qs)),
     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
     scored AS (
         SELECT query_id, nid,
@@ -2005,7 +2045,6 @@ def recsys_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
     top10 = exact_topk10(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("nid"), F.col("cosine").alias("rel")
     )
@@ -2114,8 +2153,9 @@ def _qeval_oracle() -> str:
         FROM e WHERE s > 0)"""
     return f"""
     WITH {quant},
+    qsamp AS ({sim.sql_query_sample_cte()}),
     qq AS (SELECT vec_id AS query_id, x AS qx, s AS qs, q AS qqv
-           FROM qv WHERE vec_id % 50 = 0),
+           FROM qv WHERE vec_id IN (SELECT vec_id FROM qsamp)),
     ex AS (
         SELECT query_id, vec_id AS nid,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
@@ -2191,7 +2231,7 @@ def embedding_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     ).filter(F.col("s") > 0)
     qv = qv.localCheckpoint(eager=False)  # both rankings, both sides
-    qq = qv.filter(F.col("vec_id") % 50 == 0).select(
+    qq = sim.sample_queries(qv).select(
         F.col("vec_id").alias("query_id"),
         F.col("x").alias("qx"),
         F.col("s").alias("qs"),
@@ -2493,7 +2533,7 @@ def eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("rank").alias("erank")
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = sim.sample_queries(emb)
     approx = sim.cosine_topk_lsh_portable(
         queries, emb, k=10, n_tables=8, bits=4, dim=64
     ).select("query_id", "neighbor_id", F.col("rank").alias("apos"))
@@ -2990,7 +3030,8 @@ def _prefix_dims_oracle() -> str:
     return f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-    q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    qsamp AS ({sim.sql_query_sample_cte()}),
+    q AS (SELECT * FROM v WHERE vec_id IN (SELECT vec_id FROM qsamp)),
     c AS (SELECT * FROM v),
     ex AS (
         SELECT query_id, nid FROM (
@@ -3042,7 +3083,7 @@ def embedding_prefix_dims_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", F.col("embedding").alias("vec"))
     v = v.localCheckpoint(eager=False)  # all rankings
-    q = v.filter(F.col("vec_id") % 50 == 0).select(
+    q = sim.sample_queries(v).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
     )
     pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -3578,9 +3619,10 @@ def _sim_pq_oracle() -> str:
                     % {_PQ_SEARCH_K} AS BIGINT) AS c0
         FROM ex),
     {_pq_lloyd_sql(it)},
+    qsamp AS ({sim.sql_query_sample_cte()}),
     qflat AS (
         SELECT vec_id AS query_id, m, d, q FROM flat
-        WHERE vec_id % 50 = 0),
+        WHERE vec_id IN (SELECT vec_id FROM qsamp)),
     lut AS (
         SELECT qf.query_id, qf.m, c.k,
                CAST(SUM((qf.q - c.cq) * (qf.q - c.cq)) AS BIGINT) AS l
@@ -3607,7 +3649,7 @@ def _sim_pq_oracle() -> str:
         FROM embeddings),
     qq AS (
         SELECT vec_id AS query_id, qi AS qv FROM qe
-        WHERE vec_id % 50 = 0),
+        WHERE vec_id IN (SELECT vec_id FROM qsamp)),
     exd AS (
         SELECT qq.query_id, qe.vec_id AS neighbor_id,
                CAST(list_sum(list_transform(range(1, len(qe.qi) + 1),
@@ -3640,13 +3682,13 @@ def _sim_pq_oracle() -> str:
 #: session-scoped caches: the K=64 Lloyd-trained codebook+codes and the
 #: exact integer-L2 baseline are shared by sim_topk_pq AND
 #: sim_topk_ivfpq (the exact_topk10 discipline) — training runs once
-_PQ_TRAIN_CACHE: dict[tuple[str, str], tuple] = {}
-_EXACT_L2_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PQ_TRAIN_CACHE: dict[tuple, tuple] = {}
+_EXACT_L2_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _pq_trained(spark: SparkSession, sf_dir: str):
     """(flat, cent, codes) at the search operating point, session-cached."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _session_cache_key(spark, sf_dir, "embeddings")
     out = _PQ_TRAIN_CACHE.get(key)
     if out is None:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -3659,7 +3701,7 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
 
 
 def _exact_l2_top10_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _session_cache_key(spark, sf_dir, "embeddings")
     out = _EXACT_L2_CACHE.get(key)
     if out is None:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -3721,7 +3763,7 @@ def _exact_l2_top10(emb: DataFrame) -> DataFrame:
         ).alias("qi"),
     )
     qi = qi.localCheckpoint(eager=False)  # queries + candidates
-    qs = qi.filter(F.col("vec_id") % 50 == 0).select(
+    qs = sim.sample_queries(qi).select(
         F.col("vec_id").alias("query_id"), F.col("qi").alias("qv")
     )
     pairs = qi.crossJoin(F.broadcast(qs)).filter(
@@ -3778,11 +3820,14 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a broadcast codebook; codes are built once; the LUT is
     |Q| x M x K rows and BROADCASTS; ADC scoring is a map-side
     broadcast join + per-(query, candidate) partial sum — no vector
-    moves after encoding.  The exact baseline is the deliberate
-    quadratic recall reference, same as the LSH/IVF keys.
+    moves after encoding.  The exact baseline is the deliberate recall
+    reference over the FIXED-Q query sample (O(corpus·Q), linear —
+    the r6 rework of the old corpus-proportional sample), same as the
+    LSH/IVF keys.
     """
     flat, cent, codes = _pq_trained(spark, sf_dir)
-    qflat = flat.filter(F.col("vec_id") % 50 == 0).select(
+    qids = sim.query_sample_ids(load_table(spark, sf_dir, "embeddings"))
+    qflat = flat.join(F.broadcast(qids), "vec_id", "semi").select(
         F.col("vec_id").alias("query_id"), "m", "d", "q"
     )
     lut = (
@@ -3854,9 +3899,10 @@ def _sim_ivfpq_oracle() -> str:
                     % {_PQ_SEARCH_K} AS BIGINT) AS c0
         FROM ex),
     {_pq_lloyd_sql(it)},
+    qsamp AS ({sim.sql_query_sample_cte()}),
     qflat AS (
         SELECT vec_id AS query_id, m, d, q FROM flat
-        WHERE vec_id % 50 = 0),
+        WHERE vec_id IN (SELECT vec_id FROM qsamp)),
     lut AS (
         SELECT qf.query_id, qf.m, c.k,
                CAST(SUM((qf.q - c.cq) * (qf.q - c.cq)) AS BIGINT) AS l
@@ -3873,7 +3919,7 @@ def _sim_ivfpq_oracle() -> str:
         GROUP BY 1, 2),
     cents AS (SELECT label, list(s ORDER BY pos) AS cvec FROM pp GROUP BY 1),
     q2 AS (SELECT vec_id AS query_id, v AS qv2 FROM e
-           WHERE vec_id % 50 = 0),
+           WHERE vec_id IN (SELECT vec_id FROM qsamp)),
     probed AS (
         SELECT query_id, label FROM (
             SELECT query_id, c.label,
@@ -3908,7 +3954,7 @@ def _sim_ivfpq_oracle() -> str:
         FROM embeddings),
     qq AS (
         SELECT vec_id AS query_id, qi AS qv FROM qe
-        WHERE vec_id % 50 = 0),
+        WHERE vec_id IN (SELECT vec_id FROM qsamp)),
     exd AS (
         SELECT qq.query_id, qe.vec_id AS neighbor_id,
                CAST(list_sum(list_transform(range(1, len(qe.qi) + 1),
@@ -3969,14 +4015,14 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate generation, which is the entire point.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = sim.sample_queries(emb)
     probed = sim.ivf_probe_portable(
         queries, emb, nprobe=_IVFPQ_NPROBE
     )  # (query_id, label)
     flat, cent, codes = _pq_trained(spark, sf_dir)
-    qflat = flat.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), "m", "d", "q"
-    )
+    qflat = flat.join(
+        F.broadcast(sim.query_sample_ids(emb)), "vec_id", "semi"
+    ).select(F.col("vec_id").alias("query_id"), "m", "d", "q")
     lut = (
         qflat.join(F.broadcast(cent), ["m", "d"])
         .groupBy(

@@ -836,9 +836,10 @@ _RR_EPSILON = 1.098612
                CAST(SUM(reported) AS BIGINT) AS observed_yes
         FROM rep)
     SELECT n, true_yes, observed_yes,
-           CAST((4 * observed_yes - n) // 2 AS BIGINT) AS debiased_yes,
-           CAST(ABS((4 * observed_yes - n) // 2 - true_yes) AS BIGINT)
-               AS abs_error,
+           CAST(GREATEST(4 * observed_yes - n, 0) // 2 AS BIGINT)
+               AS debiased_yes,
+           CAST(ABS(GREATEST(4 * observed_yes - n, 0) // 2 - true_yes)
+               AS BIGINT) AS abs_error,
            CAST(250000 AS BIGINT) AS flip_ppm,
            {_RR_EPSILON}e0 AS epsilon
     FROM agg
@@ -859,9 +860,12 @@ def privacy_randomized_response(
     the entire point: the true bit is never transmitted.
 
     Exactness: truth, coins, reports, counts and the debiased estimate
-    are all exact integers (the estimator divides an even-or-odd int
-    by 2 with DIV — both engines floor identically); epsilon is a
-    shared 6-dp literal, never a runtime ln().
+    are all exact integers.  The numerator is CLAMPED non-negative
+    (GREATEST(4·observed − n, 0) on both sides — a count estimate
+    below zero is noise, and clamping also removes the only
+    engine-divergence risk: Spark's DIV truncates toward zero while
+    DuckDB's // floors, which differ on negative odd numerators);
+    epsilon is a shared 6-dp literal, never a runtime ln().
 
     The abs_error column is the audit: tests bound it by the binomial
     noise of the mechanism (~4σ), which is the privacy/utility trade
@@ -889,7 +893,7 @@ def privacy_randomized_response(
         F.sum("truth").cast("long").alias("true_yes"),
         F.sum("reported").cast("long").alias("observed_yes"),
     )
-    deb = F.expr("(4 * observed_yes - n) DIV 2")
+    deb = F.expr("GREATEST(4 * observed_yes - n, 0L) DIV 2")
     return agg.select(
         "n",
         "true_yes",

@@ -81,8 +81,13 @@ def test_prefix_dims_eval_monotone(spark):
     # corpus; assert non-strict monotonicity)
     assert out.recall_at_10.iloc[1] >= out.recall_at_10.iloc[0] - 1e-9
     # identities: recall = hits / (10 * queries); bounds
+    import math
+
     for _, r in out.iterrows():
-        assert abs(r.recall_at_10 - round(r.total_hits / (10 * r.n_queries), 6)) < 1e-9
+        # half-up quantization, matching the engines (Python round()
+        # banker's-rounds exact midpoints like 394/1280 the other way)
+        want = math.floor(r.total_hits / (10 * r.n_queries) * 1e6 + 0.5) / 1e6
+        assert abs(r.recall_at_10 - want) < 1e-9
         assert 0 <= r.worst_query_recall <= r.recall_at_10 + 1e-9
 
 
