@@ -53,7 +53,7 @@ def _norm(v):
 #: ``(vec_id * 1000003) % 7919993`` is exact int64 arithmetic in both
 #: Spark and DuckDB (vec_id ≤ ~9.2e12 before overflow), ties broken by
 #: vec_id → a total order, bit-identical in both engines.
-QUERY_SAMPLE_Q = 128
+QUERY_SAMPLE_Q = 64
 _QS_MULT = 1000003
 _QS_MOD = 7919993
 

@@ -689,7 +689,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — exact brute-force cosine top-10 for the FIXED-Q hash-rank
-    query sample (sim.sample_queries, Q=128 at any corpus size — the
+    query sample (sim.sample_queries, Q=64 at any corpus size — the
     evidence arm is O(corpus·Q), linear, not the quadratic
     corpus-proportional %50 sample it replaced): broadcast queries over
     the candidate scan, scoring via zip_with/aggregate (JVM codegen),
