@@ -2462,3 +2462,466 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_betweenness_sampled.__doc__ = graph_betweenness_sampled.__doc__.format(
     mod=_BTWS_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Tarjan low-link articulation — the wide-graph swap (r6 wave)
+# ---------------------------------------------------------------------------
+
+
+def _tarjan_cut_counts(pdf):
+    """One iterative Hopcroft–Tarjan DFS over the whole (dimension-
+    bounded) backbone: per node the number of parts its deletion leaves
+    IN ITS COMPONENT (root: #DFS-children; non-root: #children subtrees
+    with low ≥ disc, +1 for the parent side), from which
+    comp_without = comp_full − 1 + parts — the identical verdict set
+    the |V|+1-deletion sweep produces, in ONE edge pass."""
+    import collections
+
+    import pandas as pd
+
+    adj = collections.defaultdict(set)
+    for a, b in zip(pdf["u"], pdf["v"]):
+        a, b = int(a), int(b)
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = sorted(adj)
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    cut = {v: 0 for v in nodes}  # severed child subtrees per non-root
+    roots: dict[int, int] = {}  # DFS root -> #children
+    t = 0
+    for root in nodes:
+        if root in disc:
+            continue
+        roots[root] = 0
+        disc[root] = low[root] = t
+        t += 1
+        stack = [(root, None, iter(sorted(adj[root])))]
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w == parent:
+                    continue  # the one tree edge back (simple graph)
+                if w not in disc:
+                    disc[w] = low[w] = t
+                    t += 1
+                    if v == root:
+                        roots[root] += 1
+                    stack.append((w, v, iter(sorted(adj[w]))))
+                    advanced = True
+                    break
+                if disc[w] < low[v]:
+                    low[v] = disc[w]  # back edge
+            if not advanced:
+                stack.pop()
+                if stack:
+                    pv = stack[-1][0]
+                    if low[v] < low[pv]:
+                        low[pv] = low[v]
+                    if pv != root and low[v] >= disc[pv]:
+                        cut[pv] += 1
+    n_comp = len(roots)
+    rows = [
+        (
+            v,
+            n_comp - 1 + (roots[v] if v in roots else cut[v] + 1),
+            n_comp,
+        )
+        for v in nodes
+    ]
+    return pd.DataFrame(rows, columns=["v", "comp_without", "comp_full"])
+
+
+@query("graph_articulation_tarjan", oracle=_articulation_oracle())
+def graph_articulation_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — ARTICULATION nodes via TARJAN LOW-LINKS: the
+    wide-graph swap `graph_articulation`'s docstring names, delivered
+    as a key (r5 verdict task #3).  Instead of the |V|+1-deletion
+    tagged min-label sweep (state (|V|+1)·|V|, edges (|V|+1)·2K|V|),
+    ONE iterative DFS computes disc/low per node and counts, for each
+    node, the parts its deletion leaves — per-round cost ∝ EDGES, run
+    once.  comp_without = comp_full − 1 + parts reproduces the
+    deletion sweep's exact verdict set, so the key shares
+    `graph_articulation`'s all-deletions oracle verbatim: the hash
+    match cross-verifies two genuinely different algorithms.
+
+    Exactness: everything is integer (DFS order, low-links, component
+    counts) — no floats exist.
+
+    100 TB: the sparsified backbone is the session-cached ≤2K|V|
+    relation (one fact pass, shared with closeness/betweenness); DFS
+    runs where the backbone is SMALL ENOUGH to sit in one task — the
+    correct physical strategy for a dimension-bounded graph (shipping
+    ≤2K|V| rows to one executor beats |V| synchronized shuffle
+    rounds).  For backbones too wide for one task, the relational
+    sweep (`graph_articulation`) is the fallback — the two keys are
+    the two sides of that size cutoff, stated as code."""
+    nation = load_table(spark, sf_dir, "nation")
+    g = trade_sparse_graph(spark, sf_dir, _ART_K)
+    res = (
+        g.groupBy(F.lit(1).alias("grp"))
+        .applyInPandas(
+            _tarjan_cut_counts,
+            "v long, comp_without long, comp_full long",
+        )
+        .localCheckpoint(eager=False)  # joined twice below
+    )
+    base = res.select(F.col("comp_full").alias("cf")).limit(1)
+    return (
+        nation.join(
+            res.select("v", "comp_without"),
+            nation.n_nationkey == F.col("v"),
+            "left",
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "n_name",
+            "comp_without",
+            F.col("cf").alias("comp_full"),
+            F.coalesce(
+                (F.col("comp_without") > F.col("cf")).cast("int"), F.lit(0)
+            ).alias("is_articulation"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FW-BW pivot SCC — the wide-digraph swap (r6 wave)
+# ---------------------------------------------------------------------------
+
+
+def _fwbw_reach(state: DataFrame, pivots: DataFrame, ed: DataFrame) -> DataFrame:
+    """Tagged forward+backward BFS from each part's pivot, both
+    directions in ONE frontier loop: ``ed`` carries dir∈{1 fwd, 2 bwd}
+    orientations of the digraph; reach rows are (part, dir, v),
+    restricted to the part's live node set.  Iterations ≤ the part
+    diameter; the per-round convergence scalar is the dedup_clusters
+    driver-scalar discipline (a bounded count, never data).  Every
+    join broadcasts its bounded side, so each hop is one
+    exchange-free stage (at wide-graph scale the frontier is the
+    broadcast side and the edge relation stays partitioned in place)."""
+    reach = pivots.select(
+        "part", F.lit(1).alias("dir"), F.col("pv").alias("v")
+    ).unionByName(
+        pivots.select("part", F.lit(2).alias("dir"), F.col("pv").alias("v"))
+    ).coalesce(1).localCheckpoint(eager=False)
+    frontier = reach
+    while True:
+        nxt = (
+            ed.join(
+                F.broadcast(frontier),
+                (F.col("v") == ed.f) & (frontier.dir == ed.dir),
+            )
+            .select("part", frontier.dir.alias("dir"), ed.t.alias("v"))
+            .distinct()
+            .join(F.broadcast(state.select("part", "v")), ["part", "v"], "semi")
+            .join(F.broadcast(reach), ["part", "dir", "v"], "left_anti")
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            return reach
+        reach = reach.unionByName(nxt).coalesce(1).localCheckpoint(eager=False)
+        frontier = nxt
+
+
+@query("graph_scc_fwbw", oracle=_scc_oracle())
+def graph_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family — SCC via FORWARD-BACKWARD-TRIM PIVOT PARTITIONING
+    (Fleischer-Hendrickson-Pinar; Trim and the level-synchronous tagged
+    form per Slota et al.), the wide-digraph swap `graph_scc`'s
+    docstring names, delivered as a key (r5 verdict task #5).  Per
+    level: TRIM first retires every node lacking an in- or out-edge
+    within its part (a singleton SCC by definition — one pass clears
+    all the leaves the previous level stranded); then each part's
+    DETERMINISTIC pivot (min node) runs one tagged forward+backward
+    BFS; F∩B IS the pivot's SCC (labeled by its min member —
+    `graph_scc`'s exact id semantics); F∖S, B∖S and the untouched rest
+    recurse as three NEW parts (part' = 4·part + tag).  The pivot
+    always lands in its own SCC, so every level retires ≥1 node per
+    part — recursion depth is bounded by the component count (near the
+    component-tree height with Trim), and ALL parts of a level advance
+    in the SAME tagged frames (no per-subproblem jobs).
+
+    The oracle is `graph_scc`'s recursive-CTE transitive closure — a
+    third algorithm family (closure vs squaring vs FW-BW), so the hash
+    match cross-verifies the partition logic end to end; a law test
+    additionally pins equality against the session-cached squaring
+    labels.
+
+    Exactness: keys, BFS sets and min labels are all integers.
+
+    100 TB: this is THE production SCC shape for graphs too wide for
+    |V|²-bounded closures — per-level state is (part, v) pairs (LINEAR
+    in live nodes, where `graph_scc`'s closure holds |V|² pairs), each
+    BFS hop one equi-join against the edge relation, and the tags keep
+    every recursion branch in one shuffle.  Driver scalars are the
+    per-level emptiness checks, bounded by recursion depth."""
+    from gcp_de_data_pipeline_cc_spark.operators.graph import (
+        trade_sparse_digraph,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    dg = trade_sparse_digraph(spark, sf_dir, _SCC_K)
+    ed = dg.select(
+        F.lit(1).alias("dir"), F.col("src").alias("f"), F.col("dst").alias("t")
+    ).unionByName(
+        dg.select(
+            F.lit(2).alias("dir"), F.col("dst").alias("f"), F.col("src").alias("t")
+        )
+    ).localCheckpoint(eager=False)
+    state = (
+        nation.select(F.col("n_nationkey").cast("long").alias("v"))
+        .withColumn("part", F.lit(0).cast("long"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    done: DataFrame | None = None
+    while not state.isEmpty():
+        # TRIM (the FW-BW-Trim variant): a node lacking an in-edge or an
+        # out-edge WITHIN its part is a singleton SCC — retire it now.
+        # One pass retires every leaf the previous level stranded, which
+        # is what keeps the recursion depth near the component-tree
+        # height instead of the component count.
+        within = (
+            ed.join(
+                F.broadcast(state.select("part", F.col("v").alias("f"))),
+                "f",
+            )
+            .join(
+                F.broadcast(state.select("part", F.col("v").alias("t"))),
+                ["part", "t"],
+                "semi",
+            )
+            .select("part", F.col("f").alias("v"), "dir")
+            .distinct()
+        )
+        kept = (
+            within.groupBy("part", "v")
+            .agg(F.count_distinct("dir").alias("nd"))
+            .filter(F.col("nd") == 2)
+            .select("part", "v")
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+        trimmed = state.join(F.broadcast(kept), ["part", "v"], "left_anti")
+        singles = trimmed.select("v", F.col("v").cast("long").alias("scc_id"))
+        done = singles if done is None else done.unionByName(singles)
+        done = done.coalesce(1).localCheckpoint(eager=False)
+        state = kept
+        if state.isEmpty():
+            break
+        pivots = (
+            state.groupBy("part")
+            .agg(F.min("v").alias("pv"))
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+        reach = _fwbw_reach(state, pivots, ed)
+        fw = reach.filter(F.col("dir") == 1).select("part", "v")
+        bw = reach.filter(F.col("dir") == 2).select("part", "v")
+        scc = (
+            fw.join(F.broadcast(bw), ["part", "v"], "semi")
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+        lab = scc.groupBy("part").agg(F.min("v").cast("long").alias("scc_id"))
+        comp = scc.join(F.broadcast(lab), "part").select("v", "scc_id")
+        done = done.unionByName(comp).coalesce(1).localCheckpoint(eager=False)
+        tags = (
+            fw.join(F.broadcast(scc), ["part", "v"], "left_anti")
+            .withColumn("tag", F.lit(1))
+            .unionByName(
+                bw.join(F.broadcast(scc), ["part", "v"], "left_anti")
+                .withColumn("tag", F.lit(2))
+            )
+        )
+        state = (
+            state.join(F.broadcast(scc), ["part", "v"], "left_anti")
+            .join(F.broadcast(tags), ["part", "v"], "left")
+            .select(
+                (F.col("part") * 4 + F.coalesce("tag", F.lit(3)))
+                .cast("long")
+                .alias("part"),
+                "v",
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+    sz = done.groupBy("scc_id").agg(
+        F.count("*").cast("long").alias("scc_size")
+    )
+    return (
+        done.join(sz, "scc_id")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            done.v == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "scc_id",
+            "scc_size",
+            (F.col("scc_size") > 1).alias("in_cycle"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# convergence-looped min-label propagation with fixpoint evidence (r6 wave)
+# ---------------------------------------------------------------------------
+
+_LPC_K = 3   # same sparsifying cut as the articulation/centrality keys
+
+
+def _lpa_converged_oracle() -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+    r AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM e),
+    kept AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM r WHERE rn <= {_LPC_K}),
+    g AS (
+        SELECT a AS u, b AS v FROM kept
+        UNION ALL SELECT b, a FROM kept),
+    nodes AS (SELECT DISTINCT u AS v FROM g),
+    reach(u, v) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r2.u, g.v FROM reach r2 JOIN g ON g.u = r2.v),
+    comp AS (
+        SELECT u AS v, CAST(MIN(v) AS BIGINT) AS community
+        FROM reach GROUP BY u),
+    srcs AS (SELECT DISTINCT community AS s FROM comp),
+    bfs(s, v, d) AS (
+        SELECT s, s, 0 FROM srcs
+        UNION
+        SELECT b.s, g.v, b.d + 1 FROM bfs b JOIN g ON g.u = b.v
+        WHERE b.d < 40),
+    mind AS (
+        SELECT s, v, CAST(MIN(d) AS BIGINT) AS dist
+        FROM bfs GROUP BY s, v),
+    rounds AS (
+        SELECT c.community,
+               CAST(MAX(m.dist) AS BIGINT) AS rounds_to_convergence
+        FROM comp c
+        JOIN mind m ON m.s = c.community AND m.v = c.v
+        GROUP BY c.community),
+    sz AS (
+        SELECT community, CAST(COUNT(*) AS BIGINT) AS community_size
+        FROM comp GROUP BY community)
+    SELECT n.n_name AS nation, c.community, z.community_size,
+           rd.rounds_to_convergence
+    FROM comp c
+    JOIN sz z USING (community)
+    JOIN rounds rd USING (community)
+    JOIN nation n ON n.n_nationkey = c.v
+    ORDER BY nation
+    """
+
+
+@query("graph_label_propagation_converged", oracle=_lpa_converged_oracle())
+def graph_label_propagation_converged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graph family — min-label propagation RUN TO CONVERGENCE, with
+    the fixpoint itself as evidence (r5 verdict task #7): unlike the
+    fixed-iteration demonstrations (LPA 2 iters, k-means 2, power
+    iteration 2), this is the production shape — labels propagate
+    until a round changes NOTHING, the per-round change count is the
+    dedup_clusters driver-scalar discipline (a bounded integer, never
+    data), and ``rounds_to_convergence`` is an OUTPUT column: per
+    community, the round its last member settled, which equals the
+    max BFS distance from the community's min node — exactly what the
+    oracle recomputes from scratch with recursive-CTE BFS, so the
+    hash match verifies the convergence loop's round accounting, not
+    just its final labels.
+
+    Exactness: labels are integer node keys under MIN — lattice
+    convergence (order-free, no oscillation: min-label LPA is a
+    semilattice fold, unlike modal LPA); rounds are exact integers.
+
+    100 TB: per round ONE equi-join of the label relation against the
+    session-cached backbone + a min-rollup — per-round state is node-
+    sized, the plan census shape; rounds ≤ backbone diameter; the
+    driver holds one scalar per round.  The same loop IS
+    connected-components (dedup_clusters' engine) — here instrumented
+    to emit its own convergence certificate."""
+    nation = load_table(spark, sf_dir, "nation")
+    g = trade_sparse_graph(spark, sf_dir, _LPC_K)
+    lbl = (
+        g.select(F.col("u").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"), F.lit(0).alias("chg"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    r = 0
+    while True:
+        r += 1
+        prop = (
+            g.join(
+                F.broadcast(
+                    lbl.select(F.col("v").alias("u"), F.col("lbl").alias("nl"))
+                ),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.min("nl").alias("nl"))
+        )
+        nxt = (
+            lbl.join(F.broadcast(prop), "v", "left")
+            .select(
+                "v",
+                F.least("lbl", F.coalesce("nl", F.col("lbl"))).alias("new_lbl"),
+                "lbl",
+                "chg",
+            )
+            .select(
+                "v",
+                F.col("new_lbl").alias("lbl"),
+                F.when(F.col("new_lbl") < F.col("lbl"), F.lit(r))
+                .otherwise(F.col("chg"))
+                .alias("chg"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+        n_changed = nxt.filter(F.col("chg") == r).count()  # driver scalar
+        lbl = nxt
+        if n_changed == 0:
+            break
+    rounds = lbl.groupBy("lbl").agg(
+        F.max("chg").cast("long").alias("rounds_to_convergence"),
+        F.count("*").cast("long").alias("community_size"),
+    )
+    return (
+        lbl.join(F.broadcast(rounds), "lbl")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            lbl.v == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("lbl").cast("long").alias("community"),
+            "community_size",
+            "rounds_to_convergence",
+        )
+        .orderBy("nation")
+    )

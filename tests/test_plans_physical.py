@@ -456,6 +456,9 @@ _BNLJ_REVIEWED = frozenset({
     # entity-sized global window); pipeline_raw_to_staging crosses the
     # three one-row per-entity audit aggregates — category (a)
     "corpus_sample_by_weights", "pipeline_raw_to_staging",
+    # r6 wave: graph_articulation_tarjan crosses nation with the
+    # one-row comp_full scalar from the single-task DFS — category (a)
+    "graph_articulation_tarjan",
     # r5 waves: graph_betweenness_sampled crosses nation with one-row
     # node/source totals; train_curriculum_schedule and
     # eval_agreement_krippendorff cross with one-row totals;
