@@ -415,6 +415,66 @@ def probe_dtw_full_length(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def probe_dedup_rate(spark, mult: int) -> float:
+    """corpus_dedup_rate, REGISTERED: exact-Jaccard pair universe +
+    pointer-jumping CC + per-source rollup.  The shared dedup caches
+    are cleared before the timed run so every mult measures the COLD
+    build (the warmup otherwise leaves x1 warm and inflates x8/x1)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY, llm
+
+    d = materialize_dir(spark, mult, ("documents",))
+    llm._DUP_PAIRS_CACHE.clear()
+    llm._DUP_CC_CACHE.clear()
+    t0 = time.time()
+    REGISTRY["corpus_dedup_rate"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_minhash_union(spark, mult: int) -> float:
+    """sketch_minhash_union, REGISTERED: signature build + mergeable
+    union/intersection estimates over the replicated corpus."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("documents",))
+    t0 = time.time()
+    REGISTRY["sketch_minhash_union"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_item_knn(spark, mult: int) -> float:
+    """recsys_item_knn, REGISTERED: the Σ|profile|²-bounded item-item
+    co-occurrence self-join + cosine kNN (cold — no session cache)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("lineitem", "orders", "part"))
+    t0 = time.time()
+    REGISTRY["recsys_item_knn"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_diversity_ild(spark, mult: int) -> float:
+    """recsys_diversity_ild, REGISTERED: per-list intra-list distance
+    over the ranked lists (pair work bounded by list width²)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("lineitem", "orders", "part"))
+    t0 = time.time()
+    REGISTRY["recsys_diversity_ild"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_prefix_dims(spark, mult: int) -> float:
+    """embedding_prefix_dims_eval, REGISTERED: the Matryoshka recall
+    table after the r6 fixed-Q rework — expected O(corpus·Q) linear
+    (the old corpus-proportional sample was quadratic)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("embeddings",))
+    t0 = time.time()
+    REGISTRY["embedding_prefix_dims_eval"].spark(spark, d).collect()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -434,6 +494,11 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "lsh_calibration": probe_lsh_calibration,
           "quality_composite": probe_quality_composite,
           "mrr_ndcg_vs_brute": probe_mrr_ndcg,
+          "corpus_dedup_rate": probe_dedup_rate,
+          "minhash_union": probe_minhash_union,
+          "item_knn": probe_item_knn,
+          "diversity_ild": probe_diversity_ild,
+          "prefix_dims_eval": probe_prefix_dims,
           "dtw_banded_length": probe_dtw_banded_length,
           "dtw_full_length": probe_dtw_full_length}
 
