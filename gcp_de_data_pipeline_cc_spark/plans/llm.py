@@ -4069,3 +4069,403 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_topk_ivfpq.__doc__ = sim_topk_ivfpq.__doc__.format(
     np=_IVFPQ_NPROBE, k=_PQ_SEARCH_K
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_topk_pq_rerank — two-stage retrieve-then-rerank (r6b wave)
+# ---------------------------------------------------------------------------
+
+#: stage-1 pool width: the PQ-ADC index retrieves this many candidates
+#: per query; stage 2 reranks them at full precision down to 10
+_RERANK_POOL = 20
+
+
+def _sim_pq_rerank_oracle() -> str:
+    it = _PQ_SEARCH_ITERS
+    return f"""
+    WITH ex AS (
+        SELECT vec_id,
+               UNNEST(list_transform(range(1, len(embedding) + 1),
+                   i -> struct_pack(d := i,
+                        q := CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                        * 1000000.0e0 + 0.5e0)
+                                  AS BIGINT)))) AS u
+        FROM embeddings),
+    flat AS (
+        SELECT vec_id, CAST(u.d AS BIGINT) AS d, u.q AS q,
+               CAST((u.d - 1) // {_PQ_M_DIMS} AS BIGINT) AS m,
+               CAST(CAST('0x' || SUBSTR(md5(CAST(vec_id AS VARCHAR)
+                         || ':' || CAST((u.d - 1) // {_PQ_M_DIMS}
+                                        AS VARCHAR)), 1, 2) AS BIGINT)
+                    % {_PQ_SEARCH_K} AS BIGINT) AS c0
+        FROM ex),
+    {_pq_lloyd_sql(it)},
+    qsamp AS ({sim.sql_query_sample_cte()}),
+    qflat AS (
+        SELECT vec_id AS query_id, m, d, q FROM flat
+        WHERE vec_id IN (SELECT vec_id FROM qsamp)),
+    lut AS (
+        SELECT qf.query_id, qf.m, c.k,
+               CAST(SUM((qf.q - c.cq) * (qf.q - c.cq)) AS BIGINT) AS l
+        FROM qflat qf JOIN c{it} c ON c.m = qf.m AND c.d = qf.d
+        GROUP BY 1, 2, 3),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.l) AS BIGINT) AS ad
+        FROM a{it} cd JOIN lut l ON l.m = cd.m AND l.k = cd.k_code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2),
+    pool AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ad, neighbor_id) AS rank
+            FROM adc)
+        WHERE rank <= {_RERANK_POOL}),
+    qe AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0e0 + 0.5e0)
+                        AS BIGINT)) AS qi
+        FROM embeddings),
+    qq AS (
+        SELECT vec_id AS query_id, qi AS qv FROM qe
+        WHERE vec_id IN (SELECT vec_id FROM qsamp)),
+    rr AS (
+        SELECT p.query_id, p.neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(qe.qi) + 1),
+                   i -> (qe.qi[i] - qq.qv[i]) * (qe.qi[i] - qq.qv[i])))
+                    AS BIGINT) AS dd
+        FROM pool p
+        JOIN qe ON qe.vec_id = p.neighbor_id
+        JOIN qq ON qq.query_id = p.query_id),
+    rr_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dd, neighbor_id) AS rank
+            FROM rr)
+        WHERE rank <= 10),
+    exd AS (
+        SELECT qq.query_id, qe.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(qe.qi) + 1),
+                   i -> (qe.qi[i] - qq.qv[i]) * (qe.qi[i] - qq.qv[i])))
+                    AS BIGINT) AS dd
+        FROM qq CROSS JOIN qe WHERE qe.vec_id <> qq.query_id),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dd, neighbor_id) AS rank
+            FROM exd)
+        WHERE rank <= 10),
+    hits AS (
+        SELECT e2.query_id, CAST(COUNT(*) AS INT) AS n_hit
+        FROM exact_top e2 JOIN rr_top a USING (query_id, neighbor_id)
+        GROUP BY 1),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS INT) AS n_exact
+        FROM exact_top GROUP BY 1)
+    SELECT t.query_id, CAST(10 AS INT) AS k, t.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+           FLOOR(COALESCE(h.n_hit, 0) / t.n_exact * 10000.0 + 0.5)
+               / 10000.0 AS recall
+    FROM tot t LEFT JOIN hits h USING (query_id)
+    ORDER BY t.query_id
+    """
+
+
+@query("sim_topk_pq_rerank", oracle=_sim_pq_rerank_oracle())
+def sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — RETRIEVE-THEN-RERANK, the two-stage serving pattern every
+    production vector stack runs (FAISS/ScaNN reorder step): stage 1
+    retrieves a top-{p} candidate POOL per query from the PQ-ADC index
+    (6-byte codes, M LUT lookups per candidate — sim_topk_pq's exact
+    machinery, session-cached training), stage 2 re-scores ONLY those
+    {p} candidates at FULL precision (exact integer-L2 on the
+    micro-unit grid) and keeps the top-10.  Rerank recovers the
+    quantization loss WITHIN the pool: the only neighbors still lost
+    are those PQ pushed below rank {p} — so recall(rerank@10) ≥
+    recall(pq@10) is a structural law (tests pin it), and the measured
+    gap prices the reorder stage's value at +{p}·D exact multiplies
+    per query.
+
+    Exactness: pool membership, exact distances and ranks are all
+    int64; ties break on neighbor id; same evidence contract as the
+    rest of the family (query_id, k, n_exact, n_hit, recall).
+
+    100 TB: stage 1 never touches vectors (codes-only scan through a
+    broadcast LUT); stage 2 fetches {p} full vectors per query — a
+    |Q|·{p}-row equi-join against the vector store, the entire point
+    of reranking (full-precision work is pool-sized, not
+    corpus-sized)."""
+    flat, cent, codes = _pq_trained(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = sim.query_sample_ids(emb)
+    qflat = flat.join(F.broadcast(qids), "vec_id", "semi").select(
+        F.col("vec_id").alias("query_id"), "m", "d", "q"
+    )
+    lut = (
+        qflat.join(F.broadcast(cent), ["m", "d"])
+        .groupBy("query_id", F.col("m").alias("lm"), F.col("k").alias("lk"))
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("l")
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lm")) & (F.col("k_code") == F.col("lk")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("l").cast("long").alias("ad"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("ad"), F.asc("vec_id"))
+    pool = (
+        adc.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.row_number().over(wq).alias("rank"),
+        )
+        .filter(F.col("rank") <= _RERANK_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    qi = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            " * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("qi"),
+    )
+    qi = qi.localCheckpoint(eager=False)  # pool vectors + query vectors
+    qv = sim.sample_queries(qi).select(
+        F.col("vec_id").alias("query_id"), F.col("qi").alias("qv")
+    )
+    rr = (
+        pool.join(
+            qi.select(F.col("vec_id").alias("neighbor_id"), "qi"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qi, qv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dd"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("dd"), F.asc("neighbor_id")
+    )
+    rr_top = rr.select(
+        "query_id", "neighbor_id", F.row_number().over(wr).alias("rank")
+    ).filter(F.col("rank") <= 10)
+    return sim.topk_recall(
+        rr_top, _exact_l2_top10_cached(spark, sf_dir), k=10
+    ).orderBy("query_id")
+
+
+sim_topk_pq_rerank.__doc__ = sim_topk_pq_rerank.__doc__.format(
+    p=_RERANK_POOL
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_topk_ivf_sweep — the nprobe recall/cost tuning table (r6b wave)
+# ---------------------------------------------------------------------------
+
+#: probe widths swept; the registered sim_topk_ivf operating point (3)
+#: sits inside the bracket
+_IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def _ivf_sweep_oracle() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}))"
+        " / sqrt(list_dot_product({b}, {b}))"
+    )
+    per_p = []
+    for p in _IVF_SWEEP_PROBES:
+        per_p.append(f"""
+    ivf_top{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       cos_raw DESC, neighbor_id) AS rank
+            FROM scored WHERE cell_rank <= {p})
+        WHERE rank <= 10),
+    agg{p} AS (
+        SELECT CAST({p} AS INT) AS nprobe,
+               (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM q)
+                   AS n_queries,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM scored
+                WHERE cell_rank <= {p}) AS total_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_top)
+                   AS total_exact,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM exact_top e JOIN ivf_top{p} a
+                  USING (query_id, neighbor_id)) AS total_hit)""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM agg{p}" for p in _IVF_SWEEP_PROBES
+    )
+    maxp = max(_IVF_SWEEP_PROBES)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE) * 8192.0 + 0.5)) AS qi
+        FROM embeddings),
+    pp AS (
+        SELECT label, i AS pos, SUM(qi[i]) AS s
+        FROM e, UNNEST(range(1, len(qi) + 1)) AS t(i)
+        GROUP BY 1, 2),
+    cents AS (SELECT label, list(s ORDER BY pos) AS cvec FROM pp GROUP BY 1),
+    qs AS ({sim.sql_query_sample_cte()}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id IN (SELECT vec_id FROM qs)),
+    probed AS (
+        SELECT query_id, label, rn AS cell_rank FROM (
+            SELECT query_id, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       {cos.format(a="qv", b="cvec")} DESC, c.label) AS rn
+            FROM q CROSS JOIN cents c)
+        WHERE rn <= {maxp}),
+    scored AS MATERIALIZED (
+        SELECT p.query_id, e.vec_id AS neighbor_id, p.cell_rank,
+               {cos.format(a="q.qv", b="e.v")} AS cos_raw
+        FROM probed p
+        JOIN e ON e.label = p.label
+        JOIN q ON q.query_id = p.query_id
+        WHERE e.vec_id <> p.query_id),
+    exact_top AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       {cos.format(a="qv", b="v")} DESC, vec_id) AS rank
+            FROM q CROSS JOIN e WHERE query_id <> vec_id)
+        WHERE rank <= 10),{",".join(per_p)}
+    SELECT nprobe, n_queries, total_candidates, total_exact, total_hit,
+           FLOOR(total_hit * 1.0e0 / total_exact * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS recall
+    FROM ({unions})
+    ORDER BY nprobe
+    """
+
+
+@query("sim_topk_ivf_sweep", oracle=_ivf_sweep_oracle())
+def sim_topk_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-evidence — the IVF NPROBE TUNING TABLE: recall@10 and
+    candidates-scored (the cost axis) for nprobe ∈ {probes}, the table
+    an engineer reads before fixing a serving operating point — what
+    `dedup_lsh_calibration` is for the banding config, this is for the
+    coarse quantizer (sim_topk_ivf registers nprobe=3; this brackets
+    it).  Recall climbs with nprobe while cost grows ~linearly in
+    cells probed; the sweep prices that trade with measured numbers
+    from the pipeline's own index, not the textbook curve.
+
+    Exactness: ONE scoring pass at the widest probe carries each
+    candidate's cell_rank, so narrower probes are FILTERS over the
+    same scored relation (identical doubles both engines — the
+    sim_topk_ivf ranking discipline); hits/candidates are exact
+    integer counts; the single recall division is 6-dp floor-rounded.
+
+    100 TB: the scored relation is built once at max(nprobe) —
+    probe-bounded, nprobe/|cells| of the corpus per query; every sweep
+    row is a filter + count over it.  Run the sweep on the fixed-Q
+    sample, pick the knee, serve at that nprobe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = sim.sample_queries(emb)
+    maxp = max(_IVF_SWEEP_PROBES)
+    probed = sim.ivf_probe_portable(queries, emb, nprobe=maxp)
+    # re-derive cell_rank (ivf_probe_portable drops it): rank probed
+    # cells per query by the same centroid cosine
+    cents = sim.ivf_centroids_portable(emb)
+    q = sim.as_double_vectors(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    qc = q.crossJoin(F.broadcast(cents))
+    cent_cos = (
+        sim._dot(F.col("q_vec"), F.col("centroid"))
+        / sim._norm(F.col("q_vec"))
+        / sim._norm(F.col("centroid"))
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("label")
+    )
+    probed = (
+        qc.select("query_id", "q_vec", "label", cent_cos.alias("cell_cos"))
+        .withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") <= maxp)
+        .select("query_id", "q_vec", "label", "cell_rank")
+    )
+    c = sim.as_double_vectors(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        "label",
+    )
+    cos = (
+        sim._dot(F.col("q_vec"), F.col("c_vec"))
+        / sim._norm(F.col("q_vec"))
+        / sim._norm(F.col("c_vec"))
+    )
+    scored = (
+        c.join(F.broadcast(probed), "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cell_rank", cos.alias("cos_raw"))
+    )
+    scored = scored.localCheckpoint(eager=False)  # one pass, 3 filters
+    exact = exact_topk10(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint(eager=False)
+    n_queries = queries.select(
+        F.count_distinct("vec_id").cast("long").alias("n_queries")
+    )
+    total_exact = exact.agg(
+        F.count("*").cast("long").alias("total_exact")
+    )
+    out = None
+    wq = Window.partitionBy("query_id")
+    for p in _IVF_SWEEP_PROBES:
+        sub = scored.filter(F.col("cell_rank") <= p)
+        topp = (
+            sub.withColumn(
+                "rank",
+                F.row_number().over(
+                    wq.orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+                ),
+            )
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(topp, ["query_id", "neighbor_id"], "semi").agg(
+            F.count("*").cast("long").alias("total_hit")
+        )
+        cands = sub.agg(
+            F.count("*").cast("long").alias("total_candidates")
+        )
+        row = (
+            n_queries.crossJoin(F.broadcast(cands))
+            .crossJoin(F.broadcast(total_exact))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_queries",
+                "total_candidates",
+                "total_exact",
+                "total_hit",
+                roundn(
+                    F.col("total_hit") * F.lit(1.0) / F.col("total_exact"), 6
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
+sim_topk_ivf_sweep.__doc__ = sim_topk_ivf_sweep.__doc__.format(
+    probes=set(_IVF_SWEEP_PROBES)
+)

@@ -457,8 +457,12 @@ _BNLJ_REVIEWED = frozenset({
     # three one-row per-entity audit aggregates — category (a)
     "corpus_sample_by_weights", "pipeline_raw_to_staging",
     # r6 wave: graph_articulation_tarjan crosses nation with the
-    # one-row comp_full scalar from the single-task DFS — category (a)
-    "graph_articulation_tarjan",
+    # one-row comp_full scalar from the single-task DFS;
+    # sim_topk_ivf_sweep crosses the one-row n_queries/candidates/
+    # exact/hit totals per nprobe row and broadcasts the bounded
+    # centroid dim into the probe ranking (the sim_topk_ivf shape) —
+    # category (a)/(b)
+    "graph_articulation_tarjan", "sim_topk_ivf_sweep",
     # r5 waves: graph_betweenness_sampled crosses nation with one-row
     # node/source totals; train_curriculum_schedule and
     # eval_agreement_krippendorff cross with one-row totals;
