@@ -4469,3 +4469,171 @@ def sim_topk_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_topk_ivf_sweep.__doc__ = sim_topk_ivf_sweep.__doc__.format(
     probes=set(_IVF_SWEEP_PROBES)
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding_knn_outliers — vector-corpus QC via kNN distance (r6c wave)
+# ---------------------------------------------------------------------------
+
+#: neighbors averaged for the outlier score / report width
+_KNNO_K = 3
+_KNNO_TOP = 20
+
+
+def _knn_outliers_oracle() -> str:
+    from gcp_de_data_pipeline_cc_spark.operators.similarity import (
+        sql_portable_lsh_buckets,
+    )
+
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t} AS table_id, {e} AS bucket FROM embeddings"
+        for t, e in enumerate(
+            sql_portable_lsh_buckets("embedding", 8, 4, 64)
+        )
+    )
+    cos = (
+        "list_dot_product(va.v, vb.v)"
+        " / sqrt(list_dot_product(va.v, va.v))"
+        " / sqrt(list_dot_product(vb.v, vb.v))"
+    )
+    return f"""
+    WITH banded AS MATERIALIZED (
+        {band_selects}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS v, b.vec_id AS u
+        FROM banded a JOIN banded b
+          ON b.table_id = a.table_id AND b.bucket = a.bucket
+         AND b.vec_id <> a.vec_id),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT c.v, c.u,
+               CAST(FLOOR(({cos}) * 10000.0e0 + 0.5e0) AS BIGINT)
+                   AS cos_micro
+        FROM cand c
+        JOIN vecs va ON va.vec_id = c.v
+        JOIN vecs vb ON vb.vec_id = c.u),
+    nn AS (
+        SELECT v, cos_micro,
+               ROW_NUMBER() OVER (PARTITION BY v
+                   ORDER BY cos_micro DESC, u) AS rn,
+               COUNT(*) OVER (PARTITION BY v) AS n_cand
+        FROM scored),
+    agg AS (
+        SELECT v AS vec_id,
+               CAST(MAX(n_cand) AS BIGINT) AS n_neighbors,
+               FLOOR(SUM(CASE WHEN rn <= {_KNNO_K} THEN cos_micro END)
+                     * 1.0e0
+                     / SUM(CASE WHEN rn <= {_KNNO_K} THEN 1 ELSE 0 END)
+                     + 0.5e0) / 10000.0e0 AS knn_cosine
+        FROM nn GROUP BY v)
+    SELECT e.vec_id,
+           CAST(COALESCE(a.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+           a.knn_cosine
+    FROM embeddings e LEFT JOIN agg a ON a.vec_id = e.vec_id
+    ORDER BY a.knn_cosine ASC NULLS FIRST, e.vec_id
+    LIMIT {_KNNO_TOP}
+    """
+
+
+@query("embedding_knn_outliers", oracle=_knn_outliers_oracle())
+def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus QC — kNN-DISTANCE OUTLIER detection, the
+    vector-space twin of the tabular anomaly battery: a vector whose
+    mean cosine to its {k} nearest ACCESSIBLE neighbors is low (or
+    that collides with NOBODY in any of 8 LSH tables — NULL score,
+    ranked first) is garbage, mis-embedded, or from a different
+    distribution — exactly what a curator reviews before training on a
+    scraped embedding corpus.  Report: the {top} most isolated vectors
+    with their candidate count and {k}-NN mean cosine.
+
+    Neighbors come from the portable-LSH bucket join (the dedup
+    banding shape, Σ|bucket|² candidates per table — NEVER all-pairs),
+    so the score is approximate-by-construction at scale; the 8-table
+    OR gives the same collision law sim_topk_lsh's recall tests pin.
+
+    Exactness: bucket ids are exact int64 sign bits (bit-identical in
+    DuckDB); per-pair cosines are micro-quantized to int64 BEFORE the
+    top-{k} mean, so selection and averaging compare identical
+    integers; the single mean division floors identically.
+
+    100 TB: banding is one map-side pass; the candidate join is
+    bucket-equi; per-vector state is its candidate list; the report is
+    a global top-{top} (TakeOrderedAndProject)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = sim.portable_lsh_buckets(emb, "vec_id", 8, 4, 64)
+    banded = banded.localCheckpoint(eager=False)  # both join sides
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.table_id") == F.col("a.table_id"))
+            & (F.col("b.bucket") == F.col("a.bucket"))
+            & (F.col("b.vec_id") != F.col("a.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("v"), F.col("b.vec_id").alias("u"))
+        .distinct()
+    )
+    vecs = sim.as_double_vectors(emb).select(
+        "vec_id", F.col("embedding").alias("vv")
+    )
+    cos = (
+        sim._dot(F.col("va"), F.col("vb"))
+        / sim._norm(F.col("va"))
+        / sim._norm(F.col("vb"))
+    )
+    scored = (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("v"), F.col("vv").alias("va")),
+            "v",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("u"), F.col("vv").alias("vb")),
+            "u",
+        )
+        .select(
+            "v",
+            "u",
+            F.floor(cos * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    wv = Window.partitionBy("v")
+    nn = scored.select(
+        "v",
+        "cos_micro",
+        F.row_number()
+        .over(wv.orderBy(F.desc("cos_micro"), F.asc("u")))
+        .alias("rn"),
+        F.count("*").over(wv).alias("n_cand"),
+    )
+    top = F.when(F.col("rn") <= _KNNO_K, F.col("cos_micro"))
+    agg = nn.groupBy(F.col("v").alias("vec_id")).agg(
+        F.max("n_cand").cast("long").alias("n_neighbors"),
+        (
+            F.floor(
+                F.sum(top) * F.lit(1.0)
+                / F.sum(F.when(F.col("rn") <= _KNNO_K, 1).otherwise(0))
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("knn_cosine"),
+    )
+    return (
+        emb.select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_neighbors", F.lit(0)).cast("long").alias(
+                "n_neighbors"
+            ),
+            "knn_cosine",
+        )
+        .orderBy(F.asc_nulls_first("knn_cosine"), F.asc("vec_id"))
+        .limit(_KNNO_TOP)
+    )
+
+
+embedding_knn_outliers.__doc__ = embedding_knn_outliers.__doc__.format(
+    k=_KNNO_K, top=_KNNO_TOP
+)

@@ -1295,3 +1295,84 @@ def ops_artifact_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         acts, "rel_path string, action string, src_md5 string, n_bytes long"
     ).orderBy("rel_path")
+
+
+# ---------------------------------------------------------------------------
+# slot-capped wave schedule (r6c wave)
+# ---------------------------------------------------------------------------
+
+#: executor slots available per wave — the reference's Composer
+#: environment runs a small fixed worker pool; 2 keeps the fixture DAG's
+#: waves non-trivial (some levels overflow a single wave)
+_WAVE_SLOTS = 2
+
+
+def _wave_schedule_sql(dialect_intdiv: str = "//") -> str:
+    tasks_values = ", ".join(f"('{t}', {d})" for t, d in _TASKS)
+    edges_values = ", ".join(f"('{s}', '{d}')" for s, d in _EDGES)
+    s = _WAVE_SLOTS
+    return f"""
+    WITH RECURSIVE tasks(task, dur) AS (VALUES {tasks_values}),
+    edges(src, dst) AS (VALUES {edges_values}),
+    lp(task, l) AS (
+        SELECT t.task, 1 FROM tasks t
+        WHERE t.task NOT IN (SELECT dst FROM edges)
+        UNION ALL
+        SELECT e.dst, lp.l + 1 FROM lp JOIN edges e ON e.src = lp.task),
+    lvl AS (SELECT task, CAST(MAX(l) AS BIGINT) AS level
+            FROM lp GROUP BY task),
+    ranked AS (
+        SELECT t.task, t.dur, l.level,
+               ROW_NUMBER() OVER (PARTITION BY l.level
+                                  ORDER BY t.dur DESC, t.task) AS rnk
+        FROM tasks t JOIN lvl l ON l.task = t.task),
+    waved AS (
+        SELECT task, dur, level,
+               CAST((rnk - 1) {dialect_intdiv} {s} + 1 AS BIGINT) AS wave
+        FROM ranked),
+    wdur AS (
+        SELECT level, wave, MAX(dur) AS wdur
+        FROM waved GROUP BY level, wave),
+    wstart AS (
+        SELECT level, wave, wdur,
+               CAST(COALESCE(SUM(wdur) OVER (
+                   ORDER BY level, wave
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS wave_start
+        FROM wdur)
+    SELECT w.task, w.level, w.wave, CAST(w.dur AS BIGINT) AS dur_min,
+           s.wave_start,
+           CAST(s.wave_start + s.wdur AS BIGINT) AS wave_end
+    FROM waved w JOIN wstart s ON s.level = w.level AND s.wave = w.wave
+    ORDER BY w.level, w.wave, w.task
+    """
+
+
+@query("ops_wave_schedule", oracle=_wave_schedule_sql())
+def ops_wave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOT-CAPPED WAVE SCHEDULE over the reference pipeline's task DAG
+    (same shared task/edge literals as ops_dag_critical_path): CPM says
+    what the DEADLINE is with unlimited workers; this key says what
+    actually happens on the reference's SMALL FIXED WORKER POOL.
+    Tasks group by topological LEVEL (longest-path depth — every edge
+    crosses to a strictly deeper level, so level-synchronous waves
+    respect all precedences), each level's tasks order by LPT (duration
+    DESC, task ASC — the classic longest-processing-time list rule) and
+    pack into waves of {s} slots; a wave runs as long as its longest
+    task, and wave starts are the running sum of prior wave lengths.
+    max(wave_end) is the pool-constrained MAKESPAN — ≥ the CPM critical
+    path (the infinite-worker bound), ≤ the serial sum; the gap between
+    the two is the capacity-planning number (how much adding a worker
+    buys).
+
+    Identical SQL text on both engines (Spark 4 recursive CTE) except
+    the integer-division token — the ops_retry_budget dialect
+    parameterization.  Every quantity is integer minutes.
+
+    100 TB: orchestration metadata — dozens of rows; the level
+    recursion is DAG-depth bounded, everything after is windows over
+    task-cardinality relations."""
+    return spark.sql(_wave_schedule_sql(dialect_intdiv="DIV"))
+
+
+ops_wave_schedule.__doc__ = ops_wave_schedule.__doc__.format(s=_WAVE_SLOTS)
