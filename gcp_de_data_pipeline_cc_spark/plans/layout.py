@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 from functools import reduce
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -377,4 +379,109 @@ def file_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_date",
         "max_date",
         "sum_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering (r6e wave)
+# ---------------------------------------------------------------------------
+
+H_BITS = 16
+
+
+def hilbert_index_np(x, y, bits: int = H_BITS):
+    """Vectorized Hilbert xy2d (the classic per-bit rotate/flip walk,
+    numpy over int64 arrays): maps the 2-D point to its position along
+    the Hilbert curve.  Unlike the Morton interleave, CONSECUTIVE curve
+    positions are always grid-ADJACENT (no z-shape jumps), which is why
+    Hilbert clustering touches fewer files under box filters — the
+    property the adjacency law test pins."""
+    import numpy as np
+
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate/flip the quadrant
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = (
+            np.where(swap, y2, x2),
+            np.where(swap, x2, y2),
+        )
+        s >>= 1
+    return d
+
+
+@query(
+    "hilbert_layout",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 500
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout — HILBERT-CURVE clustering, z-order's locality-superior
+    sibling (what Delta OPTIMIZE gained after ZORDER for exactly this
+    reason): orders rewritten range-partitioned + sorted on the Hilbert
+    index of (o_custkey, o_orderdate), then the same 2-D box filter as
+    `zorder_layout` read back through the layout.  Content is invariant
+    (the oracle is the plain box filter); the LAYOUT claim — every step
+    along the curve is grid-adjacent, so a selective box touches no
+    more (usually fewer) files than the Morton interleave whose z-jumps
+    straddle range splits — is pinned by the adjacency and
+    files-touched laws in tests/test_layout tier (test_wave_r6e).
+
+    The index is an Arrow-batched pandas UDF (numpy per-bit
+    rotate/flip): the curve math doesn't exist as a builtin, the column
+    is computed ONCE per rewrite (not in any query path), and the
+    bijection law cross-checks it against a scalar reference.
+
+    100 TB: identical rewrite shape to zorder_layout —
+    repartitionByRange samples the curve values for balanced splits
+    (one exchange), sortWithinPartitions is local; min/max stats prune
+    at read."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _hval(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            hilbert_index_np(x.to_numpy(), y.to_numpy(), H_BITS)
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    x = F.col("o_custkey").cast("long").bitwiseAND(F.lit((1 << H_BITS) - 1))
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .bitwiseAND(F.lit((1 << H_BITS) - 1))
+    )
+    tmp = scratch_dir("hilbert")
+    (
+        o.withColumn("hval", _hval(x, y))
+        .repartitionByRange(8, "hval")
+        .sortWithinPartitions("hval")
+        .drop("hval")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/orders_h")
+    )
+    return (
+        spark.read.parquet(f"{tmp}/orders_h")
+        .filter(
+            F.col("o_custkey").between(100, 500)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     )

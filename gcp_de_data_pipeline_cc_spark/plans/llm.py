@@ -4479,6 +4479,14 @@ sim_topk_ivf_sweep.__doc__ = sim_topk_ivf_sweep.__doc__.format(
 _KNNO_K = 3
 _KNNO_TOP = 20
 
+#: banding config: 8-bit buckets (256/table) keep the candidate
+#: relation sparse — at sf0.1 the 4-bit sim-search config collides
+#: ~40% of ALL pairs (near-brute-force), 4×8 bits keeps ~2% with zero
+#: isolated vectors; outlier detection wants tight buckets (isolation
+#: IS the signal)
+_KNNO_TABLES = 4
+_KNNO_BITS = 8
+
 
 def _knn_outliers_oracle() -> str:
     from gcp_de_data_pipeline_cc_spark.operators.similarity import (
@@ -4488,13 +4496,8 @@ def _knn_outliers_oracle() -> str:
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT vec_id, {t} AS table_id, {e} AS bucket FROM embeddings"
         for t, e in enumerate(
-            sql_portable_lsh_buckets("embedding", 8, 4, 64)
+            sql_portable_lsh_buckets("embedding", _KNNO_TABLES, _KNNO_BITS, 64)
         )
-    )
-    cos = (
-        "list_dot_product(va.v, vb.v)"
-        " / sqrt(list_dot_product(va.v, va.v))"
-        " / sqrt(list_dot_product(vb.v, vb.v))"
     )
     return f"""
     WITH banded AS MATERIALIZED (
@@ -4504,10 +4507,16 @@ def _knn_outliers_oracle() -> str:
         FROM banded a JOIN banded b
           ON b.table_id = a.table_id AND b.bucket = a.bucket
          AND b.vec_id <> a.vec_id),
-    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vecs AS (
+        SELECT vec_id, list_transform(v, x -> x / nrm) AS v
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings)),
     scored AS (
         SELECT c.v, c.u,
-               CAST(FLOOR(({cos}) * 10000.0e0 + 0.5e0) AS BIGINT)
+               CAST(FLOOR(list_dot_product(va.v, vb.v)
+                          * 10000.0e0 + 0.5e0) AS BIGINT)
                    AS cos_micro
         FROM cand c
         JOIN vecs va ON va.vec_id = c.v
@@ -4540,27 +4549,35 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-corpus QC — kNN-DISTANCE OUTLIER detection, the
     vector-space twin of the tabular anomaly battery: a vector whose
     mean cosine to its {k} nearest ACCESSIBLE neighbors is low (or
-    that collides with NOBODY in any of 8 LSH tables — NULL score,
+    that collides with NOBODY in any of 4 tight 8-bit LSH tables —
+    NULL score,
     ranked first) is garbage, mis-embedded, or from a different
     distribution — exactly what a curator reviews before training on a
     scraped embedding corpus.  Report: the {top} most isolated vectors
     with their candidate count and {k}-NN mean cosine.
 
     Neighbors come from the portable-LSH bucket join (the dedup
-    banding shape, Σ|bucket|² candidates per table — NEVER all-pairs),
-    so the score is approximate-by-construction at scale; the 8-table
-    OR gives the same collision law sim_topk_lsh's recall tests pin.
+    banding shape, Σ|bucket|² candidates per table — NEVER all-pairs;
+    the 4×8-bit config keeps ~2% of pairs at sf0.1 where the sim-search
+    4-bit config would collide ~40%), so the score is
+    approximate-by-construction at scale — exactly right for a QC pass
+    whose signal is isolation, not exact rank.
 
     Exactness: bucket ids are exact int64 sign bits (bit-identical in
-    DuckDB); per-pair cosines are micro-quantized to int64 BEFORE the
-    top-{k} mean, so selection and averaging compare identical
-    integers; the single mean division floors identically.
+    DuckDB); vectors are L2-normalized ONCE with identical trees on
+    both engines so each pair score is a single dot fold (the
+    sim_topk_graph discipline — 3 folds/pair → 1); per-pair cosines
+    are micro-quantized to int64 BEFORE the top-{k} mean, so selection
+    and averaging compare identical integers; the single mean division
+    floors identically.
 
     100 TB: banding is one map-side pass; the candidate join is
     bucket-equi; per-vector state is its candidate list; the report is
     a global top-{top} (TakeOrderedAndProject)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    banded = sim.portable_lsh_buckets(emb, "vec_id", 8, 4, 64)
+    banded = sim.portable_lsh_buckets(
+        emb, "vec_id", _KNNO_TABLES, _KNNO_BITS, 64
+    )
     banded = banded.localCheckpoint(eager=False)  # both join sides
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -4573,13 +4590,16 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("v"), F.col("b.vec_id").alias("u"))
         .distinct()
     )
-    vecs = sim.as_double_vectors(emb).select(
-        "vec_id", F.col("embedding").alias("vv")
-    )
-    cos = (
-        sim._dot(F.col("va"), F.col("vb"))
-        / sim._norm(F.col("va"))
-        / sim._norm(F.col("vb"))
+    vecs = (
+        sim.as_double_vectors(emb)
+        .withColumn("nrm", sim._norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x / F.col("nrm")
+            ).alias("vv"),
+        )
+        .localCheckpoint(eager=False)  # both pair sides
     )
     scored = (
         cand.join(
@@ -4593,7 +4613,10 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "v",
             "u",
-            F.floor(cos * F.lit(10000.0) + F.lit(0.5))
+            F.floor(
+                sim._dot(F.col("va"), F.col("vb")) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
             .cast("long")
             .alias("cos_micro"),
         )
@@ -4903,4 +4926,324 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sim_topk_graph.__doc__ = sim_topk_graph.__doc__.format(
     e=_NSW_E, b=_NSW_B, h=_NSW_H
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_sweep — the bands×rows operating table (r6f wave)
+# ---------------------------------------------------------------------------
+
+#: (bands, rows_per_band) configs swept over the 32-permutation
+#: signature — S-curve thresholds (1/b)^(1/r) ≈ 0.25 / 0.59 / 0.84, so
+#: the three rows bracket the 0.5 production threshold from both sides
+_MH_SWEEP = ((16, 2), (8, 4), (4, 8))
+
+
+def _minhash_sweep_oracle() -> str:
+    perms = dd._hash_params(32)
+    sig_cols = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % 2147483647) AS sig_{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    cfg_ctes, cfg_rows = [], []
+    for bands, rows in _MH_SWEEP:
+        selects = []
+        for b in range(bands):
+            cols = " || '_' || ".join(
+                f"CAST(sig_{b * rows + i} AS VARCHAR)" for i in range(rows)
+            )
+            selects.append(
+                f"SELECT doc_id, {b} AS band_id, {cols} AS bucket FROM sig"
+            )
+        band_sql = "\n            UNION ALL\n            ".join(selects)
+        cfg_ctes.append(f"""
+    cand_{bands}_{rows} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({band_sql}) a
+        JOIN ({band_sql}) b
+          ON b.band_id = a.band_id AND b.bucket = a.bucket
+         AND a.doc_id < b.doc_id)""")
+        cfg_rows.append(f"""
+    SELECT CAST({bands} AS INT) AS bands,
+           CAST({rows} AS INT) AS rows_per_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{bands}_{rows})
+               AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truep) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM cand_{bands}_{rows} c JOIN truep t
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit""")
+    unions = " UNION ALL ".join(cfg_rows)
+    return f"""
+    WITH ds AS ({sim.sql_query_sample_cte(_LSH_CAL_DOCS, "documents", "doc_id")}),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+          AND doc_id IN (SELECT doc_id FROM ds)),
+    h AS (
+        SELECT doc_id, {_MINHASH_CHARFOLD} AS h FROM sh),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               {sig_cols}
+        FROM h GROUP BY doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    truep AS MATERIALIZED (
+        SELECT u.doc_a, u.doc_b FROM (
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM sh sa JOIN sh sb
+              ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+            GROUP BY 1, 2) u
+        JOIN cnt ca ON ca.doc_id = u.doc_a
+        JOIN cnt cb ON cb.doc_id = u.doc_b
+        WHERE 3 * u.n_both >= ca.n_sh + cb.n_sh),{",".join(cfg_ctes)}
+    SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
+           CASE WHEN n_candidates > 0 THEN
+               FLOOR(n_hit * 1.0e0 / n_candidates * 1000000.0e0 + 0.5e0)
+                   / 1000000.0e0 END AS precision,
+           CASE WHEN n_true > 0 THEN
+               FLOOR(n_hit * 1.0e0 / n_true * 1000000.0e0 + 0.5e0)
+                   / 1000000.0e0 END AS recall
+    FROM ({unions})
+    ORDER BY bands DESC
+    """
+
+
+@query("dedup_minhash_sweep", oracle=_minhash_sweep_oracle())
+def dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-evidence — the MinHash BANDS×ROWS OPERATING TABLE, completing
+    the tuning-table tier (nprobe sweep : IVF :: this : LSH dedup):
+    measured candidate count, precision and recall against the exact
+    J ≥ 0.5 truth for three bandings of ONE shared 32-permutation
+    signature — (16,2) casts wide (S-curve threshold ≈ 0.25: high
+    recall, shuffle waste), (4,8) casts narrow (≈ 0.84: high precision,
+    missed dups), (8,4) is the registered production config.  Where
+    dedup_lsh_calibration verifies the S-curve LAW for one config, this
+    table prices the CHOICE — the two queries an engineer runs before
+    committing a 100 TB dedup pass.
+
+    Exactness: signatures/buckets are exact integer arithmetic (the
+    dedup_minhash discipline); the truth set uses the integer form
+    3·n_both ≥ n_a + n_b of J ≥ 0.5 (no float compare); counts are
+    exact; the two ratios floor-round once.
+
+    100 TB: one signature build serves all three bandings (the sweep
+    adds band-explosions, not scans); candidates are banded bucket
+    joins (Σ|bucket|²); the exact truth set runs on the fixed-D
+    hash-rank stratum (D={d}, the dedup_lsh_calibration discipline) so
+    the pair universe is bounded at any corpus size."""
+    docs = sim.sample_queries(
+        load_table(spark, sf_dir, "documents"), q=_LSH_CAL_DOCS,
+        id_col="doc_id",
+    )
+    sh = dd._doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    truep = (
+        dd.ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # joined by every config row
+    )
+    n_true = truep.agg(F.count("*").cast("long").alias("n_true"))
+    out = None
+    for bands, rows in _MH_SWEEP:
+        cand = dd.minhash_band_candidates(
+            docs, 32, bands, 3, shingles=sh
+        ).select("doc_a", "doc_b")
+        cand = cand.localCheckpoint(eager=False)  # count + hit join
+        n_cand = cand.agg(
+            F.count("*").cast("long").alias("n_candidates")
+        )
+        n_hit = cand.join(truep, ["doc_a", "doc_b"], "semi").agg(
+            F.count("*").cast("long").alias("n_hit")
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(n_true))
+            .crossJoin(F.broadcast(n_hit))
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                "n_hit",
+                F.when(
+                    F.col("n_candidates") > 0,
+                    roundn(
+                        F.col("n_hit") * F.lit(1.0) / F.col("n_candidates"),
+                        6,
+                    ),
+                ).alias("precision"),
+                F.when(
+                    F.col("n_true") > 0,
+                    roundn(F.col("n_hit") * F.lit(1.0) / F.col("n_true"), 6),
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.desc("bands"))
+
+
+dedup_minhash_sweep.__doc__ = dedup_minhash_sweep.__doc__.format(
+    d=_LSH_CAL_DOCS
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_index_maintenance — delta assignment + retrain signal (r6g wave)
+# ---------------------------------------------------------------------------
+
+#: arriving-delta split: vec_id % 10 ∈ {8,9} plays the freshly-ingested
+#: batch (a DATA split — unlike the evidence arms, proportional is the
+#: honest shape for ingest)
+_IDXM_MOD = 10
+_IDXM_BASE = 8
+
+
+def _idx_maintenance_oracle() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}))"
+        " / sqrt(list_dot_product({b}, {b}))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE) * 8192.0 + 0.5)) AS qi
+        FROM embeddings),
+    base AS (SELECT * FROM e WHERE vec_id % {_IDXM_MOD} < {_IDXM_BASE}),
+    delta AS (SELECT * FROM e WHERE vec_id % {_IDXM_MOD} >= {_IDXM_BASE}),
+    pp AS (
+        SELECT label, i AS pos, SUM(qi[i]) AS s
+        FROM base, UNNEST(range(1, len(qi) + 1)) AS t(i)
+        GROUP BY 1, 2),
+    cents AS (SELECT label, list(s ORDER BY pos) AS cvec FROM pp GROUP BY 1),
+    assigned AS (
+        SELECT vec_id, own_label, label AS cell FROM (
+            SELECT d.vec_id, d.label AS own_label, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                       {cos.format(a="d.v", b="c.cvec")} DESC,
+                       c.label) AS rn
+            FROM delta d CROSS JOIN cents c)
+        WHERE rn = 1),
+    nb AS (SELECT label AS cell, CAST(COUNT(*) AS BIGINT) AS n_base
+           FROM base GROUP BY 1),
+    nd AS (
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_delta,
+               CAST(SUM(CASE WHEN own_label <> cell THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_crossed
+        FROM assigned GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(n_delta) AS BIGINT) AS d_tot,
+               CAST(SUM(n_base) AS BIGINT) AS b_tot
+        FROM nb LEFT JOIN nd USING (cell))
+    SELECT nb.cell,
+           nb.n_base,
+           CAST(COALESCE(nd.n_delta, 0) AS BIGINT) AS n_delta,
+           CAST(COALESCE(nd.n_crossed, 0) AS BIGINT) AS n_crossed,
+           FLOOR(COALESCE(nd.n_delta, 0) * 1000000.0e0 / nb.n_base + 0.5e0)
+               / 1000000.0e0 AS growth,
+           COALESCE(nd.n_delta, 0) * t.b_tot
+               > 2 * t.d_tot * nb.n_base AS retrain_flag
+    FROM nb LEFT JOIN nd USING (cell) CROSS JOIN tot t
+    ORDER BY nb.cell
+    """
+
+
+@query("sim_index_maintenance", oracle=_idx_maintenance_oracle())
+def sim_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-ops — IVF INDEX MAINTENANCE, the missing lifecycle stage of
+    the serving ladder (build → tune → serve → rerank → MAINTAIN): a
+    freshly-ingested delta batch (vec_id % {m} ≥ {b}) is assigned to
+    the nearest EXISTING coarse cell (centroids trained on the base
+    corpus only — the engine-exact integer-sum quantizer shared with
+    sim_topk_ivf), and the report every vector-store operator watches
+    comes out per cell: base size, arrivals, cross-label drift
+    (arrivals whose own label ≠ their assigned cell — the quantizer
+    aging signal), relative growth, and a RETRAIN FLAG for cells
+    absorbing > 2× their fair share of arrivals (the exact-integer
+    cross-multiplied form n_delta·B > 2·D·n_base — no division).
+
+    Exactness: assignment ranks identical cosine trees with label
+    tie-breaks (the sim_topk_ivf discipline); counts and the flag are
+    exact integers; the single growth ratio floor-rounds once.
+
+    100 TB: arrivals never touch the base corpus — they join the
+    |cells|-row broadcast centroid relation (one map-side pass over
+    the delta); the report is a cell-cardinality rollup.  When flags
+    accumulate, the retrain is sim_topk_ivf's centroid build — one
+    base scan — and the flag history says WHEN that's worth paying."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _IDXM_MOD < _IDXM_BASE)
+    delta = emb.filter(F.col("vec_id") % _IDXM_MOD >= _IDXM_BASE)
+    cents = sim.ivf_centroids_portable(base)
+    d = sim.as_double_vectors(delta).select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.col("embedding").alias("dv"),
+    )
+    cent_cos = (
+        sim._dot(F.col("dv"), F.col("centroid"))
+        / sim._norm(F.col("dv"))
+        / sim._norm(F.col("centroid"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc("cc"), F.asc("label")
+    )
+    assigned = (
+        d.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "own_label", F.col("label"), cent_cos.alias("cc")
+        )
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "own_label", F.col("label").alias("cell"))
+    )
+    nb = base.groupBy(F.col("label").alias("cell")).agg(
+        F.count("*").cast("long").alias("n_base")
+    )
+    nd = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_delta"),
+        F.sum(
+            F.when(F.col("own_label") != F.col("cell"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_crossed"),
+    )
+    joined = nb.join(nd, "cell", "left").select(
+        "cell",
+        "n_base",
+        F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+        F.coalesce("n_crossed", F.lit(0)).cast("long").alias("n_crossed"),
+    )
+    joined = joined.localCheckpoint(eager=False)  # totals + report
+    tot = joined.agg(
+        F.sum("n_delta").cast("long").alias("d_tot"),
+        F.sum("n_base").cast("long").alias("b_tot"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_base",
+            "n_delta",
+            "n_crossed",
+            (
+                F.floor(
+                    F.col("n_delta") * F.lit(1000000.0) / F.col("n_base")
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("growth"),
+            (
+                F.col("n_delta") * F.col("b_tot")
+                > 2 * F.col("d_tot") * F.col("n_base")
+            ).alias("retrain_flag"),
+        )
+        .orderBy("cell")
+    )
+
+
+sim_index_maintenance.__doc__ = sim_index_maintenance.__doc__.format(
+    m=_IDXM_MOD, b=_IDXM_BASE
 )

@@ -456,6 +456,12 @@ _BNLJ_REVIEWED = frozenset({
     # entity-sized global window); pipeline_raw_to_staging crosses the
     # three one-row per-entity audit aggregates — category (a)
     "corpus_sample_by_weights", "pipeline_raw_to_staging",
+    # r6 wave: dedup_minhash_sweep crosses each config's one-row
+    # candidate/hit counts with the one-row truth total;
+    # sim_index_maintenance crosses the per-cell report with the
+    # one-row delta/base totals and broadcasts the bounded centroid
+    # dim into delta assignment — category (a)/(b)
+    "dedup_minhash_sweep", "sim_index_maintenance",
     # r6 wave: graph_articulation_tarjan crosses nation with the
     # one-row comp_full scalar from the single-task DFS;
     # sim_topk_ivf_sweep crosses the one-row n_queries/candidates/

@@ -475,6 +475,42 @@ def probe_prefix_dims(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def probe_graph_ann(spark, mult: int) -> float:
+    """sim_topk_graph, REGISTERED: Σ|cell|²-bounded build + the
+    corpus-independent multi-entry beam search (fixed-Q queries)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY, llm
+
+    d = materialize_dir(spark, mult, ("embeddings",))
+    llm._EXACT_TOPK_CACHE.clear()  # cold baseline per mult
+    t0 = time.time()
+    REGISTRY["sim_topk_graph"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_knn_outliers(spark, mult: int) -> float:
+    """embedding_knn_outliers, REGISTERED: tight-bucket banding join +
+    top-20 TakeOrdered report."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("embeddings",))
+    t0 = time.time()
+    REGISTRY["embedding_knn_outliers"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_pq_rerank(spark, mult: int) -> float:
+    """sim_topk_pq_rerank, REGISTERED: codes-only stage 1 + pool-sized
+    full-precision stage 2 (cold PQ training per mult)."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY, llm
+
+    d = materialize_dir(spark, mult, ("embeddings",))
+    llm._PQ_TRAIN_CACHE.clear()
+    llm._EXACT_L2_CACHE.clear()
+    t0 = time.time()
+    REGISTRY["sim_topk_pq_rerank"].spark(spark, d).collect()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -499,6 +535,9 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "item_knn": probe_item_knn,
           "diversity_ild": probe_diversity_ild,
           "prefix_dims_eval": probe_prefix_dims,
+          "graph_ann": probe_graph_ann,
+          "knn_outliers": probe_knn_outliers,
+          "pq_rerank": probe_pq_rerank,
           "dtw_banded_length": probe_dtw_banded_length,
           "dtw_full_length": probe_dtw_full_length}
 
