@@ -998,3 +998,240 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_period_detect.__doc__ = ts_period_detect.__doc__.format(
     lo=_PD_MIN, hi=_PD_MAX, dv=_PD_DIV, nl=_PD_MAX - _PD_MIN + 1
 )
+
+
+# ---------------------------------------------------------------------------
+# ts_matrix_profile — all-pairs subsequence nearest neighbors (r6h wave)
+# ---------------------------------------------------------------------------
+
+#: subsequence window length (days) and the trivial-match exclusion zone
+_MP_M = 7
+
+
+def _matrix_profile_oracle() -> str:
+    leads = ",\n               ".join(
+        f"LEAD(cnt, {k}) OVER w AS d{k}" for k in range(1, _MP_M)
+    )
+    dd = " + ".join(
+        f"(a.d{k} - b.d{k}) * (a.d{k} - b.d{k})" for k in range(_MP_M)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+        FROM daily),
+    win AS (
+        SELECT event_type, i, cnt AS d0,
+               {leads}
+        FROM idx
+        WINDOW w AS (PARTITION BY event_type ORDER BY i)),
+    com AS (SELECT * FROM win WHERE d{_MP_M - 1} IS NOT NULL),
+    pairs AS (
+        SELECT a.event_type, a.i AS i, b.i AS j,
+               CAST({dd} AS BIGINT) AS dd
+        FROM com a JOIN com b
+          ON b.event_type = a.event_type
+         AND ABS(a.i - b.i) >= {_MP_M}),
+    mp AS (
+        SELECT event_type, i, j, dd,
+               ROW_NUMBER() OVER (PARTITION BY event_type, i
+                                  ORDER BY dd, j) AS rn
+        FROM pairs)
+    SELECT event_type, CAST(i AS BIGINT) AS idx,
+           CAST(j AS BIGINT) AS nn_idx, dd AS mp_dist
+    FROM mp WHERE rn = 1
+    ORDER BY event_type, idx
+    """
+
+
+@query("ts_matrix_profile", oracle=_matrix_profile_oracle())
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — the MATRIX PROFILE (Yeh et al. 2016), the modern
+    time-series primitive under motif discovery, discord (anomaly)
+    hunting and segmentation: for every length-{m} subsequence of each
+    type's daily-count series, the distance to its nearest
+    NON-TRIVIAL neighbor (exclusion zone |i−j| ≥ {m} kills
+    self-matches) and that neighbor's index.  Low mp_dist = a motif
+    (the week repeats somewhere); the profile's maxima are discords —
+    weeks unlike ANY other, the strongest anomaly definition there is
+    (no model, no threshold).
+
+    This is the EUCLIDEAN-MP variant on integer counts: every distance
+    is an exact int64 sum of squared differences — no normalization
+    floats anywhere, so the argmin is engine-exact with (dd, j)
+    tie-breaks.  (The z-normalized variant divides each window by its
+    σ first; on count series the unnormalized profile is the standard
+    scale-aware choice.)
+
+    100 TB: the day collapse is one map-side aggregate; windows come
+    from {mm1} LEAD columns (one window shuffle per type); the
+    all-pairs join is (days−{mm1})² PER TYPE — day-grain bounded
+    (365² rows/type/year), never event-grain.  For long series the
+    STOMP recurrence replaces the pair join (each diagonal reuses the
+    previous dot product) — the documented swap."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    win = daily.select(
+        "event_type",
+        F.row_number().over(w).alias("i"),
+        F.col("cnt").alias("d0"),
+        *[
+            F.lead("cnt", k).over(w).alias(f"d{k}")
+            for k in range(1, _MP_M)
+        ],
+    ).filter(F.col(f"d{_MP_M - 1}").isNotNull())
+    win = win.localCheckpoint(eager=False)  # both pair sides
+    a, b = win.alias("a"), win.alias("b")
+    dd = None
+    for k in range(_MP_M):
+        term = (F.col(f"a.d{k}") - F.col(f"b.d{k}")) * (
+            F.col(f"a.d{k}") - F.col(f"b.d{k}")
+        )
+        dd = term if dd is None else dd + term
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.abs(F.col("a.i") - F.col("b.i")) >= _MP_M),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        dd.cast("long").alias("dd"),
+    )
+    wmp = Window.partitionBy("event_type", "i").orderBy(
+        F.asc("dd"), F.asc("j")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(wmp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("i").cast("long").alias("idx"),
+            F.col("j").cast("long").alias("nn_idx"),
+            F.col("dd").alias("mp_dist"),
+        )
+        .orderBy("event_type", "idx")
+    )
+
+
+ts_matrix_profile.__doc__ = ts_matrix_profile.__doc__.format(
+    m=_MP_M, mm1=_MP_M - 1
+)
+
+
+@query("ts_matrix_profile_stomp", oracle=_matrix_profile_oracle())
+def ts_matrix_profile_stomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — the STOMP form of `ts_matrix_profile`, its
+    documented long-series swap DELIVERED (the banded-DTW /
+    sampled-Brandes pattern): instead of re-summing m squared
+    differences per pair, every distance decomposes as
+    dd(i,j) = ssq(i) + ssq(j) − 2·QT(i,j), where the dot products
+    QT along each DIAGONAL k = j−i are a WINDOWED SUM of single
+    products cnt_t·cnt_{{t+k}} (the STOMP recurrence, expressed as a
+    frame aggregate instead of a sequential scan) and ssq is one
+    windowed sum of squares — O(1) amortized arithmetic per pair
+    where the direct form pays O(m).  Output and oracle are
+    IDENTICAL to ts_matrix_profile: the hash match plus the pinned
+    frame-equality law cross-verify the recurrence against the
+    direct computation.
+
+    100 TB: same day-grain (i, k) grid as the direct form — the win
+    is the m-fold arithmetic reduction per cell, exactly STOMP's
+    contribution; diagonals shard naturally on (type, k)."""
+    m = _MP_M
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pos = daily.select(
+        "event_type", F.row_number().over(w).alias("i"), "cnt"
+    )
+    pos = pos.localCheckpoint(eager=False)  # ssq + both product sides
+    # complete-window sums of squares per start index
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(0, m - 1)
+    )
+    ssq = pos.select(
+        "event_type",
+        "i",
+        F.sum(F.col("cnt") * F.col("cnt")).over(wf).alias("ssq"),
+        F.count("*").over(wf).alias("nw"),
+    ).filter(F.col("nw") == m).drop("nw")
+    # one product per (diagonal k, position t): cnt_t * cnt_{t+k}
+    a, b = pos.alias("a"), pos.alias("b")
+    prod = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.i") > F.col("a.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.i") - F.col("a.i")).alias("k"),
+        F.col("a.i").alias("t"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("p"),
+    )
+    wd = (
+        Window.partitionBy("event_type", "k")
+        .orderBy("t")
+        .rowsBetween(0, m - 1)
+    )
+    qt = prod.select(
+        "event_type",
+        "k",
+        F.col("t").alias("i"),
+        F.sum("p").over(wd).alias("qt"),
+        F.count("*").over(wd).alias("nw"),
+    ).filter((F.col("nw") == m) & (F.col("k") >= m))
+    ssq_j = ssq.select(
+        F.col("event_type").alias("et_j"),
+        F.col("i").alias("j"),
+        F.col("ssq").alias("ssq_j"),
+    )
+    up = (
+        qt.join(ssq, ["event_type", "i"])
+        .join(
+            ssq_j,
+            (F.col("et_j") == F.col("event_type"))
+            & (F.col("j") == F.col("i") + F.col("k")),
+        )
+        .select(
+            "event_type",
+            "i",
+            "j",
+            (F.col("ssq") + F.col("ssq_j") - 2 * F.col("qt"))
+            .cast("long")
+            .alias("dd"),
+        )
+    )
+    both = up.unionByName(
+        up.select(
+            "event_type",
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "dd",
+        )
+    )
+    wmp = Window.partitionBy("event_type", "i").orderBy(
+        F.asc("dd"), F.asc("j")
+    )
+    return (
+        both.withColumn("rn", F.row_number().over(wmp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("i").cast("long").alias("idx"),
+            F.col("j").cast("long").alias("nn_idx"),
+            F.col("dd").alias("mp_dist"),
+        )
+        .orderBy("event_type", "idx")
+    )
