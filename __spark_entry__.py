@@ -96,7 +96,7 @@ _COMPONENT_FIRST = (
     "sim_topk_pq_rerank", "sim_topk_ivf_sweep", "sim_topk_graph",
     "embedding_knn_outliers", "ops_wave_schedule", "hilbert_layout",
     "dedup_minhash_sweep", "sim_index_maintenance", "ts_matrix_profile",
-    "ts_matrix_profile_stomp",
+    "ts_matrix_profile_stomp", "ops_schedule_monte_carlo",
     # round-5 wave: the r4 verdict's remaining gaps closed (standalone
     # tier DAGs, artifact sync, banded DTW, sampled Brandes) plus the
     # PQ/IVFPQ serving rungs, curriculum, Krippendorff, RR — sample

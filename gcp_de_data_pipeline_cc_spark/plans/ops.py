@@ -1376,3 +1376,125 @@ def ops_wave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ops_wave_schedule.__doc__ = ops_wave_schedule.__doc__.format(s=_WAVE_SLOTS)
+
+
+# ---------------------------------------------------------------------------
+# Monte-Carlo schedule risk (r6i wave)
+# ---------------------------------------------------------------------------
+
+#: replicates and the ±20% uniform duration jitter, in ppm
+_MC_REPS = 200
+_MC_JIT_PPM = 400001  # h ∈ [0, 400000]; dur_ppm = dur·(800000 + h)
+
+
+def _schedule_mc_sql(
+    dialect_range: str = "SELECT UNNEST(range(0, 200)) AS r",
+    dialect_hex5: str = "CAST('0x' || SUBSTR(md5({x}), 1, 5) AS BIGINT)",
+    dialect_str: str = "VARCHAR",
+) -> str:
+    tasks_values = ", ".join(f"('{t}', {d})" for t, d in _TASKS)
+    edges_values = ", ".join(f"('{s}', '{d}')" for s, d in _EDGES)
+    hexe = dialect_hex5.format(
+        x=f"'mc:' || t.task || ':' || CAST(r.r AS {dialect_str})"
+    )
+    p50rk, p90rk = _MC_REPS // 2, (_MC_REPS * 9) // 10
+    return f"""
+    WITH RECURSIVE tasks(task, dur) AS (VALUES {tasks_values}),
+    edges(src, dst) AS (VALUES {edges_values}),
+    reps AS ({dialect_range}),
+    jit AS (
+        SELECT r.r, t.task, t.dur,
+               t.dur * (800000 + ({hexe}) % {_MC_JIT_PPM}) AS durp
+        FROM tasks t CROSS JOIN reps r),
+    fwd(r, task, ef) AS (
+        SELECT j.r, j.task, j.durp FROM jit j
+        WHERE j.task NOT IN (SELECT dst FROM edges)
+        UNION ALL
+        SELECT f.r, e.dst, f.ef + j.durp
+        FROM fwd f JOIN edges e ON e.src = f.task
+        JOIN jit j ON j.task = e.dst AND j.r = f.r),
+    eft AS (SELECT r, task, MAX(ef) AS ef FROM fwd GROUP BY r, task),
+    bwd(r, task, tl) AS (
+        SELECT j.r, j.task, j.durp FROM jit j
+        WHERE j.task NOT IN (SELECT src FROM edges)
+        UNION ALL
+        SELECT b.r, e.src, b.tl + j.durp
+        FROM bwd b JOIN edges e ON e.dst = b.task
+        JOIN jit j ON j.task = e.src AND j.r = b.r),
+    tlt AS (SELECT r, task, MAX(tl) AS tl FROM bwd GROUP BY r, task),
+    thr AS (
+        SELECT e.r, e.task, e.ef - j.durp + t.tl AS through
+        FROM eft e
+        JOIN tlt t ON t.r = e.r AND t.task = e.task
+        JOIN jit j ON j.r = e.r AND j.task = e.task),
+    mks AS (SELECT r, MAX(through) AS mk FROM thr GROUP BY r),
+    crit AS (
+        SELECT t.task,
+               CAST(SUM(CASE WHEN t.through = m.mk THEN 1 ELSE 0 END)
+                    AS BIGINT) AS crit_n
+        FROM thr t JOIN mks m ON m.r = t.r GROUP BY t.task),
+    q AS (SELECT mk, ROW_NUMBER() OVER (ORDER BY mk, r) AS rk FROM mks),
+    pq AS (
+        SELECT (SELECT mk FROM q WHERE rk = {p50rk}) AS p50p,
+               (SELECT mk FROM q WHERE rk = {p90rk}) AS p90p,
+               (SELECT MAX(mk) FROM q) AS worstp)
+    SELECT t.task,
+           CAST(t.dur AS BIGINT) AS dur_min,
+           c.crit_n,
+           FLOOR(c.crit_n * 1000000.0e0 / {_MC_REPS} + 0.5e0)
+               / 1000000.0e0 AS crit_rate,
+           FLOOR(pq.p50p / 1000000.0e0 * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS p50_makespan_min,
+           FLOOR(pq.p90p / 1000000.0e0 * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS p90_makespan_min,
+           FLOOR(pq.worstp / 1000000.0e0 * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS worst_makespan_min
+    FROM tasks t JOIN crit c ON c.task = t.task CROSS JOIN pq
+    ORDER BY t.task
+    """
+
+
+@query("ops_schedule_monte_carlo", oracle=_schedule_mc_sql())
+def ops_schedule_monte_carlo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTE-CARLO SCHEDULE RISK over the reference pipeline's task DAG,
+    completing the scheduling trio (ops_dag_critical_path = the
+    deterministic deadline, ops_wave_schedule = the capacity-
+    constrained makespan, THIS = the risk distribution): {r} replicates
+    draw each task's duration uniformly in ±20% (deterministic
+    md5-derived integers — reproducible across engines, the
+    privacy_randomized_response coin discipline), run CPM's
+    forward+backward passes PER REPLICATE inside one tagged recursion,
+    and report per task its CRITICALITY RATE (fraction of replicates
+    where it sits on the critical path — the PERT insight that
+    near-critical parallel branches share the risk, invisible to
+    single-run CPM) plus the P50/P90/worst makespan quantiles an SLA
+    conversation actually needs.
+
+    Exactness: jittered durations are exact integer ppm-minutes;
+    every path sum, max and the criticality equality test are int64;
+    quantiles are rank-selected order statistics (rank {p50}/{p90} of
+    {r}), not interpolated; the three reported minutes round once.
+
+    Identical SQL text on both engines except the replicate generator
+    and the hex→int cast (the ops_retry_budget dialect
+    parameterization).
+
+    100 TB: orchestration metadata × {r} replicates — the recursion
+    carries (replicate, task) state, DAG-depth bounded; replicates
+    shard naturally on r."""
+    return spark.sql(
+        _schedule_mc_sql(
+            dialect_range=(
+                f"SELECT explode(sequence(0, {_MC_REPS - 1})) AS r"
+            ),
+            dialect_hex5=(
+                "CAST(CONV(SUBSTR(md5({x}), 1, 5), 16, 10) AS BIGINT)"
+            ),
+            dialect_str="STRING",
+        )
+    )
+
+
+ops_schedule_monte_carlo.__doc__ = ops_schedule_monte_carlo.__doc__.format(
+    r=_MC_REPS, p50=_MC_REPS // 2, p90=(_MC_REPS * 9) // 10
+)
