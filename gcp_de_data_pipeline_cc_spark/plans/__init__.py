@@ -27,6 +27,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     evals,
     events,
     graph,
+    graph2,
     layout,
     lifecycle,
     llm,
@@ -44,6 +45,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext6,
     relational_ext7,
     relational_ext8,
+    retrieval,
     scale,
     sketches,
     stats,
@@ -53,6 +55,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     timeseries2,
     timeseries3,
     timeseries4,
+    timeseries5,
     training,
     udfs,
 )

@@ -1,0 +1,239 @@
+"""Time-series wave 5: robust outlier repair and symbolic compression.
+
+* ``ts_hampel`` — the HAMPEL FILTER: rolling-median/rolling-MAD outlier
+  detection and repair, the robust alternative to z-score cleaning
+  (anomaly_zscore) whose mean/σ a single spike can drag.
+* ``ts_sax`` — SAX symbolization (Lin et al. 2003): PAA segment
+  compression + rank-quantile discretization into a tiny alphabet, the
+  classic front-end for motif mining, sequence indexing and
+  cheap whole-series similarity — the symbolic complement to
+  ts_matrix_profile's exact numeric profile.
+
+Reference parity: the reference repo (Airflow DAG orchestration,
+dags/*.py) has no time-series engine; both operators derive from the
+driver's analytics mandate on public PySpark/SQL patterns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# ts_hampel — rolling median/MAD outlier repair
+# ---------------------------------------------------------------------------
+
+#: window half-width (full window = 2·H+1 = 7 days) and the MAD multiple
+_HP_H = 3
+_HP_K = 3
+
+
+def _hampel_oracle() -> str:
+    w = 2 * _HP_H + 1
+    mid = _HP_H + 1  # 1-based index of the median in a sorted 7-list
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    win AS (
+        SELECT event_type, day, cnt,
+               list(cnt) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN {_HP_H} PRECEDING
+                                        AND {_HP_H} FOLLOWING) AS arr
+        FROM daily),
+    med AS (
+        SELECT event_type, day, cnt,
+               list_sort(arr)[{mid}] AS med, arr
+        FROM win WHERE len(arr) = {w}),
+    mad AS (
+        SELECT event_type, day, cnt, med,
+               list_sort(list_transform(arr, x -> ABS(x - med)))[{mid}]
+                   AS mad
+        FROM med)
+    SELECT event_type, day, cnt,
+           CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+           CAST(ABS(cnt - med) > {_HP_K} * mad AS INT) AS is_outlier,
+           CAST(CASE WHEN ABS(cnt - med) > {_HP_K} * mad
+                     THEN med ELSE cnt END AS BIGINT) AS repaired
+    FROM mad
+    ORDER BY event_type, day
+    """
+
+
+@query("ts_hampel", oracle=_hampel_oracle())
+def ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — HAMPEL FILTER over the daily-count series: a point
+    is an outlier when it sits more than {k}·MAD from the rolling
+    median of its centered {w}-day window, and is repaired to that
+    median. Median and MAD are 50%-breakdown robust — one spike cannot
+    drag the estimate the way it drags anomaly_zscore's mean/σ, which
+    is why Hampel is the standard pre-cleaning pass before model
+    fitting (ts_holt_winters, ts_stl_decompose) and why the repaired
+    column, not the raw one, feeds them.
+
+    Exactness: an odd window over integer counts makes the median, the
+    MAD and the |x−med| comparison all exact int64 — no floats anywhere
+    in the verdict.
+
+    100 TB: the day collapse is one map-side aggregate; the rolling
+    window shuffles day-grain rows by event_type (calendar-bounded
+    partitions — the SP-audit invariant class); the {w}-element sort
+    per row is constant work in codegen (array_sort over a 7-list), so
+    total cost is O(days·types), independent of event volume."""
+    w = 2 * _HP_H + 1
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    ww = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_HP_H, _HP_H)
+    )
+    win = daily.select(
+        "event_type", "day", "cnt",
+        F.collect_list("cnt").over(ww).alias("arr"),
+    ).filter(F.size("arr") == w)
+    med = F.element_at(F.array_sort("arr"), _HP_H + 1)
+    win = win.withColumn("med", med)
+    mad = F.element_at(
+        F.array_sort(
+            F.transform("arr", lambda x: F.abs(x - F.col("med")))
+        ),
+        _HP_H + 1,
+    )
+    win = win.withColumn("mad", mad)
+    is_out = F.abs(F.col("cnt") - F.col("med")) > _HP_K * F.col("mad")
+    return win.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        is_out.cast("int").alias("is_outlier"),
+        F.when(is_out, F.col("med"))
+        .otherwise(F.col("cnt"))
+        .cast("long")
+        .alias("repaired"),
+    ).orderBy("event_type", "day")
+
+
+ts_hampel.__doc__ = ts_hampel.__doc__.format(k=_HP_K, w=2 * _HP_H + 1)
+
+
+# ---------------------------------------------------------------------------
+# ts_sax — PAA + quantile-SAX symbolization
+# ---------------------------------------------------------------------------
+
+#: PAA segment length (days), alphabet size, and SAX word length (segments)
+_SAX_SEG = 4
+_SAX_A = 4
+_SAX_W = 3
+_SAX_AB = "abcd"
+
+
+def _sax_oracle() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+        FROM daily),
+    seg AS (
+        SELECT event_type, (i - 1) // {_SAX_SEG} AS seg,
+               CAST(SUM(cnt) AS BIGINT) AS paa,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM idx GROUP BY 1, 2),
+    com AS (SELECT * FROM seg WHERE n_days = {_SAX_SEG}),
+    sym AS (
+        SELECT event_type, seg, paa,
+               substr('{_SAX_AB}',
+                      CAST(NTILE({_SAX_A}) OVER (PARTITION BY event_type
+                                                 ORDER BY paa, seg)
+                           AS INT), 1) AS s
+        FROM com),
+    words AS (
+        SELECT event_type,
+               s || LEAD(s, 1) OVER w || LEAD(s, 2) OVER w AS word
+        FROM sym
+        WINDOW w AS (PARTITION BY event_type ORDER BY seg))
+    SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM words WHERE word IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY event_type, word
+    """
+
+
+@query("ts_sax", oracle=_sax_oracle())
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — SAX SYMBOLIZATION of the daily-count series: PAA
+    compression ({seg}-day segment sums), rank-quantile discretization
+    into a {a}-letter alphabet (NTILE over the segment values — the
+    distribution-free variant of the classic Gaussian breakpoints,
+    exact on integer counts), then sliding {w}-segment words counted
+    per series. Repeated words = motifs; hapax words = discords — the
+    symbolic, index-friendly counterpart of ts_matrix_profile's exact
+    numeric answer, and the representation under SAX-family whole-series
+    indexes (iSAX) that make trillion-scale series search tractable.
+
+    Exactness: PAA values are int64 segment sums; NTILE ranks on
+    (paa, seg) — a total order — so every symbol, word and count is
+    engine-exact with no floats anywhere.
+
+    100 TB: day collapse map-side; segment sums and NTILE shuffle
+    day-grain rows keyed by series (calendar-bounded partitions); words
+    come from two LEADs in the same window pass; output is at most
+    |series|·{a}^{w} rows. Everything downstream of the day collapse is
+    series-grain, never event-grain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "cnt", F.row_number().over(wd).alias("i")
+    )
+    seg = (
+        idx.groupBy(
+            "event_type",
+            ((F.col("i") - 1) / _SAX_SEG).cast("long").alias("seg"),
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("paa"),
+            F.count("*").alias("n_days"),
+        )
+        .filter(F.col("n_days") == _SAX_SEG)
+    )
+    wq = Window.partitionBy("event_type").orderBy("paa", "seg")
+    sym = seg.select(
+        "event_type",
+        "seg",
+        F.substring(
+            F.lit(_SAX_AB), F.ntile(_SAX_A).over(wq), F.lit(1)
+        ).alias("s"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("seg")
+    words = sym.select(
+        "event_type",
+        F.concat(
+            "s",
+            F.lead("s", 1).over(ws),
+            F.lead("s", 2).over(ws),
+        ).alias("word"),
+    ).filter(F.col("word").isNotNull())
+    return (
+        words.groupBy("event_type", "word")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+        .orderBy("event_type", "word")
+    )
+
+
+ts_sax.__doc__ = ts_sax.__doc__.format(seg=_SAX_SEG, a=_SAX_A, w=_SAX_W)

@@ -418,6 +418,17 @@ _BNLJ_REVIEWED = frozenset({
     # r6j wave: qc_geo_validity crosses the <=5 verdict rows with the
     # one-row total — category (a)
     "qc_geo_validity",
+    # r6 scheduling trio tail: ops_schedule_monte_carlo crosses the
+    # bounded task table with the 200-row replicate spine and the
+    # one-row makespan-rank scalars — categories (b)/(a)
+    "ops_schedule_monte_carlo",
+    # r6k wave: retrieval_rrf_fusion crosses the one-row query vector
+    # and the one-row corpus stats (category a; the arms are cut to 50
+    # rows before the fusion join); embedding_ood_mahalanobis crosses
+    # the one-row 64-entry moment-array relation (category a);
+    # graph_ktruss crosses the one-row fixpoint audit (category a,
+    # the graph_kcore contract)
+    "retrieval_rrf_fusion", "embedding_ood_mahalanobis", "graph_ktruss",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
