@@ -466,3 +466,92 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, "doc_id long, media_type string, fp64 long")
+
+
+# ---------------------------------------------------------------------------
+# resize (r6m wave): real decode -> nearest-neighbor resample -> re-encode
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id long, in_width int, in_height int, out_width int, "
+    "out_height int, out_n_bytes int, px_checksum long"
+)
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor BMP resize: parse the container
+    (:func:`decode_bmp`'s header walk), resample the pixel grid at
+    src = (out_index * in_dim) // out_dim per axis, and re-encode a
+    valid 24-bit BMP (:func:`synthesize_bmp`'s container layout) — the
+    thumbnail / vision-preprocessing stage of a multimodal pipeline,
+    with no codec library anywhere."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _fs, _, _, offset) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or compression != 0 or bpp != 24:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    abs_h = abs(h)
+    row_raw = w * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    out_raw = out_w * 3
+    out_pad = (4 - out_raw % 4) % 4
+    out_px = bytearray()
+    for r in range(out_h):
+        src_r = (r * abs_h) // out_h
+        base = offset + src_r * stride
+        for c in range(out_w):
+            src_c = (c * w) // out_w
+            p = base + src_c * 3
+            out_px += payload[p:p + 3]
+        out_px.extend(b"\x00" * out_pad)
+    data_size = len(out_px)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, data_size, 2835, 2835,
+        0, 0,
+    )
+    return bytes(header + info + out_px)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Arrow-batched resize stage over image payloads: decode, resample,
+    re-encode, then RE-DECODE the re-encoded output (roundtrip proof)
+    and emit structural evidence — output dims/size and the sum of the
+    resized pixel bytes (px_checksum), which an oracle can recompute
+    analytically for synthesized payloads. Payload bytes never leave
+    the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image/bmp":
+                    continue
+                raw = bytes(payload)
+                src = decode_bmp(raw)
+                out = resize_bmp(raw, out_w, out_h)
+                chk = decode_bmp(out)  # roundtrip: re-decode our output
+                assert chk["width"] == out_w and chk["height"] == out_h
+                n_px = out_w * out_h
+                csum = round(
+                    (chk["mean_b"] + chk["mean_g"] + chk["mean_r"]) * n_px
+                )
+                rows.append(
+                    (int(doc_id), src["width"], src["height"], out_w,
+                     out_h, len(out), int(csum))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "in_width", "in_height", "out_width",
+                         "out_height", "out_n_bytes", "px_checksum"],
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)

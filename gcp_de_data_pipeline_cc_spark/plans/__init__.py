@@ -22,6 +22,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     corpus3,
     corpus4,
     corpus5,
+    corpus6,
     corpus_stats,
     curation,
     evals,
@@ -31,6 +32,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     layout,
     lifecycle,
     llm,
+    multimodal2,
     ops,
     pipeline_e2e,
     pipeline_ops,

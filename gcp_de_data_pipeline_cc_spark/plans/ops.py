@@ -1498,3 +1498,99 @@ def ops_schedule_monte_carlo(spark: SparkSession, sf_dir: str) -> DataFrame:
 ops_schedule_monte_carlo.__doc__ = ops_schedule_monte_carlo.__doc__.format(
     r=_MC_REPS, p50=_MC_REPS // 2, p90=(_MC_REPS * 9) // 10
 )
+
+
+# ---------------------------------------------------------------------------
+# slot sizing — the capacity-planning sweep over the wave scheduler
+# ---------------------------------------------------------------------------
+
+#: worker-pool sizes swept (the reference runs tiny fixed pools)
+_SS_MAX_SLOTS = 4
+
+
+def _slot_sizing_sql(
+    dialect_intdiv: str = "//",
+    dialect_range: str = "SELECT UNNEST(range(1, 5)) AS s",
+) -> str:
+    tasks_values = ", ".join(f"('{t}', {d})" for t, d in _TASKS)
+    edges_values = ", ".join(f"('{s}', '{d}')" for s, d in _EDGES)
+    return f"""
+    WITH RECURSIVE tasks(task, dur) AS (VALUES {tasks_values}),
+    edges(src, dst) AS (VALUES {edges_values}),
+    slots AS ({dialect_range}),
+    lp(task, l) AS (
+        SELECT t.task, 1 FROM tasks t
+        WHERE t.task NOT IN (SELECT dst FROM edges)
+        UNION ALL
+        SELECT e.dst, lp.l + 1 FROM lp JOIN edges e ON e.src = lp.task),
+    lvl AS (SELECT task, CAST(MAX(l) AS BIGINT) AS level
+            FROM lp GROUP BY task),
+    ranked AS (
+        SELECT sl.s, t.task, t.dur, l.level,
+               ROW_NUMBER() OVER (PARTITION BY sl.s, l.level
+                                  ORDER BY t.dur DESC, t.task) AS rnk
+        FROM tasks t JOIN lvl l ON l.task = t.task CROSS JOIN slots sl),
+    waved AS (
+        SELECT s, level, dur,
+               CAST((rnk - 1) {dialect_intdiv} s + 1 AS BIGINT) AS wave
+        FROM ranked),
+    wdur AS (
+        SELECT s, level, wave, MAX(dur) AS wdur
+        FROM waved GROUP BY s, level, wave),
+    mk AS (
+        SELECT s, CAST(SUM(wdur) AS BIGINT) AS makespan
+        FROM wdur GROUP BY s),
+    fwd(task, ef) AS (
+        SELECT t.task, t.dur FROM tasks t
+        WHERE t.task NOT IN (SELECT dst FROM edges)
+        UNION ALL
+        SELECT e.dst, fwd.ef + t.dur
+        FROM fwd JOIN edges e ON e.src = fwd.task
+        JOIN tasks t ON t.task = e.dst),
+    cpm AS (SELECT CAST(MAX(ef) AS BIGINT) AS cpm_bound FROM fwd),
+    ser AS (SELECT CAST(SUM(dur) AS BIGINT) AS serial_bound FROM tasks)
+    SELECT CAST(mk.s AS INT) AS slots, mk.makespan,
+           cpm.cpm_bound, ser.serial_bound,
+           FLOOR(CAST(ser.serial_bound AS DOUBLE) / mk.makespan
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS speedup,
+           FLOOR(CAST(ser.serial_bound AS DOUBLE) / (mk.s * mk.makespan)
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS efficiency
+    FROM mk CROSS JOIN cpm CROSS JOIN ser
+    ORDER BY slots
+    """
+
+
+@query("ops_slot_sizing", oracle=_slot_sizing_sql())
+def ops_slot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPACITY-PLANNING SWEEP over the wave scheduler: the LPT
+    level-wave schedule (ops_wave_schedule) evaluated at every pool
+    size s ∈ 1..{m} in ONE query — a slots spine crossed into the
+    ranked task list, so the sweep costs one extra grouping column,
+    not {m} re-plans. Per pool size: the pool-constrained MAKESPAN,
+    the two analytic envelopes (CPM critical path = the
+    infinite-worker floor via the forward recursion; serial sum = the
+    one-worker ceiling), SPEEDUP (serial/makespan) and EFFICIENCY
+    (speedup/slots — the number that says when the next worker stops
+    paying). This is the sizing table an orchestration-cost review
+    reads before fixing the reference's worker pool.
+
+    Identical SQL text on both engines (Spark 4 recursive CTE) except
+    the integer-division and range-spine tokens — the ops_retry_budget
+    dialect parameterization. Every makespan is exact integer minutes;
+    the two ratios are the only rounded divisions.
+
+    Laws every row must satisfy (test-pinned): makespan(1) = serial
+    sum; makespan nonincreasing in s; makespan(s) ≥ CPM bound for all
+    s; efficiency nonincreasing in s.
+
+    100 TB: orchestration metadata — the recursion is DAG-depth
+    bounded, the sweep state is |slots|·|levels| rows."""
+    return spark.sql(
+        _slot_sizing_sql(
+            dialect_intdiv="DIV",
+            dialect_range="SELECT explode(sequence(1, 4)) AS s",
+        )
+    )
+
+
+ops_slot_sizing.__doc__ = ops_slot_sizing.__doc__.format(m=_SS_MAX_SLOTS)

@@ -903,3 +903,137 @@ def privacy_randomized_response(
         F.lit(250000).cast("long").alias("flip_ppm"),
         F.lit(_RR_EPSILON).alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_exponential — the exponential mechanism (DP median release)
+# ---------------------------------------------------------------------------
+
+#: fixed public candidate grid: 32 price points j*20000 (TPC-H
+#: o_totalprice domain knowledge, data-independent by construction)
+_EM_STEP = 20_000
+_EM_K = 32
+
+
+def _dp_exponential_oracle() -> str:
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    bins AS (
+        SELECT LEAST(CAST(CEIL(o_totalprice / {_EM_STEP}.0e0) AS BIGINT),
+                     {_EM_K}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1),
+    grid AS (SELECT UNNEST(range(1, {_EM_K + 1})) AS j),
+    rankb AS (
+        SELECT g.j, CAST(g.j * {_EM_STEP} AS BIGINT) AS candidate,
+               CAST(COALESCE(SUM(b.cnt), 0) AS BIGINT) AS rank_below
+        FROM grid g LEFT JOIN bins b ON b.bin <= g.j
+        GROUP BY g.j),
+    scored AS (
+        SELECT candidate, rank_below, n.n,
+               -ABS(2 * rank_below - n.n) AS utility2,
+               -ln(-ln((CAST(CONCAT('0x',
+                        SUBSTR(md5('em:' || CAST(candidate AS VARCHAR)),
+                               1, 12)) AS BIGINT) + 0.5e0)
+                       / 281474976710656.0e0)) AS gumbel
+        FROM rankb CROSS JOIN n),
+    final AS (
+        SELECT candidate, rank_below, utility2,
+               FLOOR(gumbel * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS gumbel,
+               FLOOR((0.25e0 * utility2 + gumbel) * 1000000.0e0 + 0.5e0)
+                   / 1000000.0e0 AS score
+        FROM scored)
+    SELECT candidate, rank_below, utility2, gumbel, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, candidate) = 1
+                AS INT) AS is_released
+    FROM final
+    ORDER BY candidate
+    """
+
+
+@query("privacy_dp_exponential", oracle=_dp_exponential_oracle())
+def privacy_dp_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy tier — the EXPONENTIAL MECHANISM (McSherry–Talwar), the
+    second DP primitive beside privacy_dp_count's Laplace: releases a
+    DP MEDIAN of o_totalprice by scoring each candidate split point c
+    on a FIXED PUBLIC grid ({k} points, j·{step} — data-independent, so
+    the candidate set leaks nothing) with utility −|rank(c) − n/2|
+    (doubled to stay integer: utility2 = −|2·rank − n|, sensitivity 2)
+    and selecting argmax of ε·utility2/4 + Gumbel — the Gumbel-max
+    trick, which IS the exponential mechanism exactly (ε = 1). The
+    Gumbel draw is a seeded md5 of the candidate, so the release is
+    deterministic and replayable — the same audit property
+    privacy_dp_count documents (swap a CSPRNG for production draws).
+
+    Exactness: ranks and utility2 exact int64 (the cumulative rollup
+    runs over the {k}-row grid, never the fact table); the Gumbel is
+    −ln(−ln u) on an exact 48-bit dyadic u — an identical expression
+    tree rounded at 6 dp; the argmax ranks on the ROUNDED score with a
+    candidate tie-break.
+
+    100 TB: one map-side bin aggregate over orders (the only
+    fact-table touch), then everything is {k}-row grid state; the
+    released row is a window rank over {k} rows. Candidate grids for
+    other quantiles/columns reuse the identical plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.agg(F.count("*").cast("long").alias("n"))
+    bins = orders.groupBy(
+        F.least(
+            F.ceil(F.col("o_totalprice") / F.lit(float(_EM_STEP))),
+            F.lit(_EM_K),
+        ).cast("long").alias("bin")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    grid = spark.range(1, _EM_K + 1).select(F.col("id").alias("j"))
+    rankb = (
+        grid.join(F.broadcast(bins), bins["bin"] <= grid["j"], "left")
+        .groupBy("j")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias(
+            "rank_below"
+        ))
+        .select(
+            (F.col("j") * _EM_STEP).cast("long").alias("candidate"),
+            "rank_below",
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("em:"),
+                               F.col("candidate").cast("string"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    gumbel = -F.log(-F.log(u))
+    scored = rankb.crossJoin(F.broadcast(n)).select(
+        "candidate",
+        "rank_below",
+        (-F.abs(F.lit(2) * F.col("rank_below") - F.col("n"))).alias(
+            "utility2"
+        ),
+        gumbel.alias("g_raw"),
+    )
+    final = scored.select(
+        "candidate",
+        "rank_below",
+        "utility2",
+        (F.floor(F.col("g_raw") * F.lit(1000000.0) + F.lit(0.5))
+         / F.lit(1000000.0)).alias("gumbel"),
+        (
+            F.floor(
+                (F.lit(0.25) * F.col("utility2") + F.col("g_raw"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), "candidate")
+    return (
+        final.withColumn(
+            "is_released", (F.row_number().over(w) == 1).cast("int")
+        )
+        .orderBy("candidate")
+    )

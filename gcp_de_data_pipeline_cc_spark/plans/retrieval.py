@@ -466,3 +466,146 @@ def embedding_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_ood_mahalanobis.__doc__ = embedding_ood_mahalanobis.__doc__.format(
     top=_MH_TOP, scale=_MH_SCALE
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_topk_binary — sign-bit Hamming search (the cheapest quantization rung)
+# ---------------------------------------------------------------------------
+
+
+def _binary_oracle() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}))"
+        " / sqrt(list_dot_product({b}, {b}))"
+    )
+    word = (
+        "CAST(list_sum(list_transform(range({lo}, {hi}),"
+        " i -> CASE WHEN qi[i] >= 0"
+        " THEN (CAST(1 AS BIGINT) << (i - {lo})) ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 8192.0e0 + 0.5e0)
+                             AS BIGINT)) AS qi
+        FROM embeddings),
+    sig AS (
+        SELECT vec_id,
+               {word.format(lo=1, hi=33)} AS lo,
+               {word.format(lo=33, hi=65)} AS hi
+        FROM e),
+    qs AS ({{qs}}),
+    q AS (
+        SELECT e.vec_id AS query_id, e.v AS qv, s.lo AS qlo, s.hi AS qhi
+        FROM e JOIN sig s USING (vec_id)
+        WHERE e.vec_id IN (SELECT vec_id FROM qs)),
+    bin_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, s.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       bit_count(xor(q.qlo, s.lo))
+                       + bit_count(xor(q.qhi, s.hi)), s.vec_id) AS rank
+            FROM q CROSS JOIN sig s
+            WHERE s.vec_id <> q.query_id)
+        WHERE rank <= 10),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       {cos.format(a="q.qv", b="e.v")} DESC, e.vec_id)
+                       AS rank
+            FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id)
+        WHERE rank <= 10),
+    hits AS (
+        SELECT x.query_id, CAST(COUNT(*) AS INT) AS n_hit
+        FROM exact_top x JOIN bin_top a USING (query_id, neighbor_id)
+        GROUP BY 1),
+    tot AS (
+        SELECT query_id, CAST(COUNT(*) AS INT) AS n_exact
+        FROM exact_top GROUP BY 1)
+    SELECT t.query_id, CAST(10 AS INT) AS k, t.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS INT) AS n_hit,
+           FLOOR(COALESCE(h.n_hit, 0) / t.n_exact * 10000.0e0 + 0.5e0)
+               / 10000.0e0 AS recall
+    FROM tot t LEFT JOIN hits h USING (query_id)
+    ORDER BY t.query_id
+    """.format(qs=sim.sql_query_sample_cte())
+
+
+_BIN_LO = (
+    "aggregate(sequence(1, 32), 0L,"
+    " (acc, i) -> acc + IF(element_at(qi, i) >= 0,"
+    " shiftleft(1L, i - 1), 0L))"
+)
+_BIN_HI = (
+    "aggregate(sequence(33, 64), 0L,"
+    " (acc, i) -> acc + IF(element_at(qi, i) >= 0,"
+    " shiftleft(1L, i - 33), 0L))"
+)
+
+
+@query("sim_topk_binary", oracle=_binary_oracle())
+def sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-extension — BINARY SIGN-BIT SEARCH, the cheapest rung of the
+    quantization ladder (float32 → int8 → PQ codes → 1 BIT per
+    dimension): each vector compresses to a 64-bit signature (bit d =
+    sign of the portable-quantized component d), candidates rank by
+    HAMMING distance — two XOR+popcount ops per pair against the
+    dot-fold's 64 multiply-adds, and a 64x memory cut, which is why
+    sign-bit prefilters front petabyte-scale vector stores. The lost
+    magnitude information costs recall; this key MEASURES that loss
+    with the family's standard evidence contract (per-query recall@10
+    vs the session-cached exact baseline), slotting the final rung
+    into the documented ladder: exact → LSH → IVF → PQ → IVFPQ →
+    BINARY.
+
+    Exactness: signatures are exact int64 bit sums of quantized-sign
+    predicates (bit-identical in DuckDB); Hamming is integer; ranking
+    ties break on vec_id.
+
+    100 TB: the signature build is one map-side projection (8 bytes
+    per vector — the whole index fits where 0.8%% of the float corpus
+    would); scoring scans signatures only, never vectors; per-query
+    cost is corpus-linear with a 2-instruction inner loop, and the
+    top-10 is a WindowGroupLimit heap. Rerank survivors at full
+    precision exactly as sim_topk_pq_rerank demonstrates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qi = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * 8192 + F.lit(0.5)
+        ).cast("long"),
+    )
+    sig = emb.select(
+        "vec_id", qi.alias("qi")
+    ).select(
+        "vec_id", F.expr(_BIN_LO).alias("lo"), F.expr(_BIN_HI).alias("hi")
+    ).localCheckpoint(eager=False)  # query side + candidate side
+    q = sig.join(
+        F.broadcast(sim.query_sample_ids(emb)), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = F.bit_count(
+        F.col("qlo").bitwiseXOR(F.col("lo"))
+    ) + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    w = Window.partitionBy("query_id").orderBy(
+        hamming.asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    from gcp_de_data_pipeline_cc_spark.plans.llm import exact_topk10
+
+    exact = exact_topk10(spark, sf_dir)
+    return sim.topk_recall(approx, exact, k=10).orderBy("query_id")

@@ -1062,3 +1062,304 @@ def hypothesis_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
         (chi2_q > _MCN_CRIT_Q).alias("reject_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# stats_mutual_info — mutual information of two categorical columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_mutual_info",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    xy AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY 1, 2),
+    mx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY 1),
+    my AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY 1),
+    cell AS (
+        SELECT xy.lang, xy.source, xy.n_xy,
+               ln(CAST(xy.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y)) AS pmi,
+               CAST(FLOOR(CAST(xy.n_xy AS DOUBLE) / n.n
+                          * ln(CAST(xy.n_xy AS DOUBLE) * n.n
+                               / (mx.n_x * my.n_y))
+                          * 1000000000.0e0 + 0.5e0) AS BIGINT) AS cq
+        FROM xy JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN n),
+    tot AS (
+        SELECT FLOOR(CAST(SUM(cq) AS DOUBLE) / 1000000000.0e0
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS mi_total
+        FROM cell)
+    SELECT lang, source, n_xy,
+           FLOOR(pmi * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS pmi,
+           tot.mi_total
+    FROM cell CROSS JOIN tot
+    ORDER BY lang, source
+    """,
+)
+def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association tier — MUTUAL INFORMATION between two categorical
+    columns (lang × source), the information-theoretic complement of
+    stats_cramers_v's chi-square effect size: per-cell POINTWISE MI
+    ln(p(x,y)/(p(x)p(y))) exposes WHICH (lang, source) pairs co-occur
+    beyond independence (the feature-selection / leakage-detection
+    readout), and the count-weighted sum is the corpus's total MI in
+    nats — 0 iff the columns are independent. This is the metric a
+    training-data audit uses to catch a source that silently encodes
+    the language label (perfect leakage ⇒ MI = H(lang)).
+
+    Exactness: all counts exact int64; each cell's MI contribution is
+    quantized to integer NANO-NATS before the total (the
+    text_bigram_lm micro-bits discipline — after floor-quantization,
+    summation order cannot move the total); pmi is one rounded libm ln
+    of an identical expression tree.
+
+    100 TB: ONE map-side-combined aggregate over the fact table builds
+    the contingency cells; margins roll up from the cells (never a
+    second scan); everything downstream is |X|·|Y|-cardinality state —
+    the one-row total crossJoin is category (a) scalar broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    xy = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_xy")
+    )
+    xy = xy.localCheckpoint(eager=False)  # margins + cells + total
+    mx = xy.groupBy("lang").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = xy.groupBy("source").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    n = xy.agg(F.sum("n_xy").cast("long").alias("n"))
+    pmi = F.log(
+        F.col("n_xy").cast("double")
+        * F.col("n")
+        / (F.col("n_x") * F.col("n_y"))
+    )
+    cell = (
+        xy.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            pmi.alias("pmi_raw"),
+            F.floor(
+                F.col("n_xy").cast("double") / F.col("n") * pmi
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    cell = cell.localCheckpoint(eager=False)  # rows + the total
+    tot = cell.agg(
+        (
+            F.floor(
+                F.sum("cq").cast("double")
+                / F.lit(1000000000.0)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("mi_total")
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            roundn(F.col("pmi_raw"), 6).alias("pmi"),
+            "mi_total",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# hypothesis_fisher_exact — the small-count 2x2 exact test
+# --------------------------------------------------------------------------
+
+#: Stirling constant 0.5*ln(2*pi)
+_LN_SQRT_2PI = 0.9189385332046727
+
+
+def _sql_lfact(x: str) -> str:
+    """ln(x!) via an 8-step shifted Stirling series — an IDENTICAL
+    double expression tree to :func:`_lfact_col`, so both engines
+    produce bit-equal values (error < 1e-8 even at x = 0)."""
+    x1 = f"(CAST({x} AS DOUBLE) + 1.0e0)"
+    z = f"({x1} + 8.0e0)"
+    base = (
+        f"(({z} - 0.5e0) * ln({z}) - {z} + {_LN_SQRT_2PI}e0"
+        f" + 1.0e0 / (12.0e0 * {z})"
+        f" - 1.0e0 / (360.0e0 * {z} * {z} * {z}))"
+    )
+    corr = " + ".join(f"ln({x1} + {j}.0e0)" for j in range(8))
+    return f"({base} - ({corr}))"
+
+
+def _lfact_col(x) -> F.Column:
+    """Spark twin of :func:`_sql_lfact` — same op sequence."""
+    x1 = x.cast("double") + F.lit(1.0)
+    z = x1 + F.lit(8.0)
+    base = (
+        (z - F.lit(0.5)) * F.log(z)
+        - z
+        + F.lit(_LN_SQRT_2PI)
+        + F.lit(1.0) / (F.lit(12.0) * z)
+        - F.lit(1.0) / (F.lit(360.0) * z * z * z)
+    )
+    corr = F.log(x1 + F.lit(0.0))
+    for j in range(1, 8):
+        corr = corr + F.log(x1 + F.lit(float(j)))
+    return base - corr
+
+
+def _fisher_oracle() -> str:
+    def logp(k: str) -> str:
+        return (
+            f"{_sql_lfact('r1')} - {_sql_lfact(k)}"
+            f" - {_sql_lfact(f'(r1 - {k})')}"
+            f" + {_sql_lfact('(n - r1)')}"
+            f" - {_sql_lfact(f'(c1 - {k})')}"
+            f" - {_sql_lfact(f'(n - r1 - c1 + {k})')}"
+            f" - {_sql_lfact('n')} + {_sql_lfact('c1')}"
+            f" + {_sql_lfact('(n - c1)')}"
+        )
+
+    return f"""
+    WITH labeled AS (
+        SELECT SUBSTR(md5('fg:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                   AS grp,
+               SUBSTR(md5('fo:' || CAST(doc_id AS VARCHAR)), 1, 2) < '08'
+                   AS hit
+        FROM documents),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN grp AND hit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM labeled),
+    obs AS (
+        SELECT *, exp({logp('a')}) AS pmf_obs FROM cells),
+    ks AS (
+        SELECT obs.*, k
+        FROM obs, UNNEST(range(GREATEST(0, r1 + c1 - n),
+                               LEAST(r1, c1) + 1)) AS t(k)),
+    terms AS (
+        SELECT a, r1, c1, n, pmf_obs, k, exp({logp('k')}) AS pmf
+        FROM ks),
+    p AS (
+        SELECT a, r1, c1, n,
+               SUM(CASE WHEN pmf <= pmf_obs * (1.0e0 + 1.0e-7)
+                        THEN pmf ELSE 0.0e0 END) AS p_two
+        FROM terms GROUP BY 1, 2, 3, 4)
+    SELECT n, a, r1 - a AS b, c1 - a AS c, n - r1 - c1 + a AS d,
+           FLOOR(p_two * 1000000.0e0 + 0.5e0) / 1000000.0e0
+               AS p_two_sided,
+           CASE WHEN (r1 - a) * (c1 - a) = 0 THEN NULL
+                ELSE FLOOR(CAST(a * (n - r1 - c1 + a) AS DOUBLE)
+                           / ((r1 - a) * (c1 - a))
+                           * 10000.0e0 + 0.5e0) / 10000.0e0
+           END AS odds_ratio
+    FROM p
+    """
+
+
+@query("hypothesis_fisher_exact", oracle=_fisher_oracle())
+def hypothesis_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis tier — FISHER'S EXACT TEST on a 2x2 with a RARE
+    outcome (~3% md5 coin vs a 50% cohort coin), the regime where the
+    chi-square approximation (hypothesis_chisq) is invalid (expected
+    cells < 5) and exact hypergeometric inference is mandatory: the
+    two-sided p sums every table at least as extreme as observed
+    (pmf(k) <= pmf(a)·(1+1e-7), the standard tolerance) over the
+    hypergeometric support.
+
+    Exactness: cell counts exact int64; ln(x!) is an 8-step shifted
+    Stirling series written as the IDENTICAL double expression tree on
+    both engines (error < 1e-8 at every argument, so pmf values agree
+    to ~1e-8 relative); the support sum is of positive terms rounded
+    at 6 dp — far above the float noise floor.
+
+    100 TB: the 2x2 collapse is one map-side conditional aggregate;
+    the support spine is min(r1, c1) rows — margin-sized, not
+    corpus-sized. With margins beyond ~1e6 the exact tail is
+    numerically indistinguishable from the chi-square/normal
+    approximation and the battery switches to hypothesis_chisq —
+    the documented scale swap (exactness only matters when counts
+    are small enough to enumerate)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _coin(salt: str, thresh: str) -> F.Column:
+        return (
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"),
+                               F.col("doc_id").cast("string"))),
+                1, 2,
+            ) < thresh
+        )
+
+    labeled = docs.select(
+        _coin("fg", "80").alias("grp"), _coin("fo", "08").alias("hit")
+    )
+    cells = labeled.agg(
+        F.sum(F.when(F.col("grp") & F.col("hit"), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("grp"), 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+    def logp(k: F.Column) -> F.Column:
+        return (
+            _lfact_col(F.col("r1"))
+            - _lfact_col(k)
+            - _lfact_col(F.col("r1") - k)
+            + _lfact_col(F.col("n") - F.col("r1"))
+            - _lfact_col(F.col("c1") - k)
+            - _lfact_col(F.col("n") - F.col("r1") - F.col("c1") + k)
+            - _lfact_col(F.col("n"))
+            + _lfact_col(F.col("c1"))
+            + _lfact_col(F.col("n") - F.col("c1"))
+        )
+
+    obs = cells.withColumn("pmf_obs", F.exp(logp(F.col("a"))))
+    ks = obs.select(
+        "a", "r1", "c1", "n", "pmf_obs",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("r1") + F.col("c1") - F.col("n")),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("k"),
+    )
+    terms = ks.withColumn("pmf", F.exp(logp(F.col("k"))))
+    p = terms.groupBy("a", "r1", "c1", "n").agg(
+        F.sum(
+            F.when(
+                F.col("pmf") <= F.col("pmf_obs") * F.lit(1.0 + 1.0e-7),
+                F.col("pmf"),
+            ).otherwise(F.lit(0.0))
+        ).alias("p_two")
+    )
+    b = F.col("r1") - F.col("a")
+    c = F.col("c1") - F.col("a")
+    d = F.col("n") - F.col("r1") - F.col("c1") + F.col("a")
+    return p.select(
+        "n",
+        "a",
+        b.alias("b"),
+        c.alias("c"),
+        d.alias("d"),
+        (F.floor(F.col("p_two") * F.lit(1000000.0) + F.lit(0.5))
+         / F.lit(1000000.0)).alias("p_two_sided"),
+        F.when(b * c == 0, F.lit(None).cast("double")).otherwise(
+            F.floor(
+                (F.col("a") * d).cast("double") / (b * c)
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("odds_ratio"),
+    )

@@ -237,3 +237,155 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_sax.__doc__ = ts_sax.__doc__.format(seg=_SAX_SEG, a=_SAX_A, w=_SAX_W)
+
+
+# ---------------------------------------------------------------------------
+# seq_funnel_window — deepest ordered step inside one anchored window
+# ---------------------------------------------------------------------------
+
+#: funnel window anchored at the FIRST view (hours)
+_WF_HOURS = 6
+
+
+def _funnel_window_oracle() -> str:
+    return f"""
+    WITH u AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total
+        FROM events),
+    v AS (
+        SELECT user_id, MIN(ts) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+        SELECT e.user_id, v.t0, MIN(e.ts) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL {_WF_HOURS} HOUR
+        GROUP BY 1, 2),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.t1 AND e.ts <= c.t0 + INTERVAL {_WF_HOURS} HOUR
+        GROUP BY 1),
+    lv AS (
+        SELECT v.user_id,
+               1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                 + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS level
+        FROM v
+        LEFT JOIN c ON c.user_id = v.user_id
+        LEFT JOIN p ON p.user_id = v.user_id),
+    hist AS (
+        SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM lv GROUP BY 1
+        UNION ALL
+        SELECT 0 AS level,
+               CAST(u.n_total - (SELECT COUNT(*) FROM v) AS BIGINT)
+        FROM u)
+    SELECT level, n_users,
+           FLOOR(n_users * 1.0e0 / u.n_total * 10000.0e0 + 0.5e0)
+               / 10000.0e0 AS share
+    FROM hist CROSS JOIN u
+    WHERE n_users > 0
+    ORDER BY level
+    """
+
+
+@query("seq_funnel_window", oracle=_funnel_window_oracle())
+def seq_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence tier — windowFunnel (the ClickHouse operator): per user,
+    the DEEPEST prefix of the ordered step chain view → click →
+    purchase completed inside ONE window of {h} h anchored at the
+    user's FIRST view, histogrammed by level (0 = never viewed). The
+    semantics differ from funnel_conversion on purpose: that key gives
+    each stage its own per-stage window (2 h after click, 24 h after
+    view); windowFunnel bounds the WHOLE chain by the anchor — the form
+    behavioral product analytics standardizes on because one session
+    budget covers the journey.
+
+    Exactness: pure timestamp comparisons and integer counts; the share
+    is the single rounded division. Timestamp ties are absent in the
+    feed (funnel_conversion's verified property), so strict > ordering
+    is deterministic.
+
+    100 TB: each stage aggregates only the PREVIOUS stage's survivors
+    (the join prunes before the min-aggregate — cost shrinks
+    down-funnel); the final histogram is level-cardinality (≤4 rows).
+    Stage relations are user-grain, never event-grain, and each is
+    localCheckpointed so the level assembly re-runs nothing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    horizon = F.col("t0") + F.expr(f"INTERVAL {_WF_HOURS} HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t0")) & (F.col("ts") <= horizon))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    lv = (
+        v.join(c.select("user_id", F.lit(1).alias("has_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("has_p")), "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.coalesce(F.col("has_c"), F.lit(0))
+                + F.coalesce(F.col("has_p"), F.lit(0))
+            ).alias("level")
+        )
+    )
+    n_total = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n_total")
+    )
+    n_viewed = v.agg(F.count("*").cast("long").alias("n_viewed"))
+    zero = (
+        n_total.crossJoin(F.broadcast(n_viewed))
+        .select(
+            F.lit(0).cast("int").alias("level"),
+            (F.col("n_total") - F.col("n_viewed")).cast("long").alias(
+                "n_users"
+            ),
+        )
+    )
+    hist = (
+        lv.groupBy(F.col("level").cast("int").alias("level"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .unionByName(zero)
+    )
+    return (
+        hist.crossJoin(F.broadcast(n_total))
+        .filter(F.col("n_users") > 0)
+        .select(
+            "level",
+            "n_users",
+            (
+                F.floor(
+                    F.col("n_users")
+                    * F.lit(1.0)
+                    / F.col("n_total")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("share"),
+        )
+        .orderBy("level")
+    )
+
+
+seq_funnel_window.__doc__ = seq_funnel_window.__doc__.format(h=_WF_HOURS)

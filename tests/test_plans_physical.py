@@ -429,6 +429,20 @@ _BNLJ_REVIEWED = frozenset({
     # graph_ktruss crosses the one-row fixpoint audit (category a,
     # the graph_kcore contract)
     "retrieval_rrf_fusion", "embedding_ood_mahalanobis", "graph_ktruss",
+    # r6l/r6m waves: seq_funnel_window crosses one-row user-total /
+    # level-0 scalars; text_kneser_ney crosses the one-row bigram-type
+    # total; privacy_dp_exponential crosses the one-row n into the
+    # 32-row fixed candidate grid — all category (a) scalar broadcasts
+    "seq_funnel_window", "text_kneser_ney", "privacy_dp_exponential",
+    # stats_mutual_info crosses the one-row corpus total and the
+    # one-row quantized MI total into the |X|·|Y| cell relation —
+    # category (a) scalar broadcasts
+    "stats_mutual_info",
+    # r6n wave: sim_topk_binary broadcasts the fixed-Q query signature
+    # set into the candidate scan (category b, the sim_topk class);
+    # ops_slot_sizing crosses the one-row CPM/serial envelope scalars
+    # into the 4-row sweep (category a)
+    "sim_topk_binary", "ops_slot_sizing",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
