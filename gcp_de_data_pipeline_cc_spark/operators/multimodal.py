@@ -28,6 +28,7 @@ against large payloads.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -292,7 +293,10 @@ def fake_decode_features(payload: bytes, n_dims: int = 4) -> list[float]:
     for b in payload:
         buckets[b % n_dims] += 1
     total = float(len(payload))
-    return [round(c / total, 6) for c in buckets]
+    # floor-based half-up (cross-engine rounding discipline): shares
+    # like 1/128 terminate on a 7th-digit 5 where python round()'s
+    # half-even diverges from SQL's floor(x*1e6+0.5)
+    return [math.floor(c / total * 1e6 + 0.5) / 1e6 for c in buckets]
 
 
 def extract_features(
@@ -312,11 +316,21 @@ def extract_features(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": payloads.map(len).astype("int32"),
+                    # Adler-32 (zlib) — position-sensitive AND
+                    # closed-form recomputable by an engine that only
+                    # sees the bytes (the r6 oracle-pairing upgrade;
+                    # crc32's table-driven polynomial was not)
                     "checksum": payloads.map(
-                        lambda p: zlib.crc32(bytes(p))
+                        lambda p: zlib.adler32(bytes(p))
                     ).astype("int64"),
+                    # floor-based half-up rounding (the repo's
+                    # cross-engine discipline; python round() is
+                    # half-even and diverges at .xxxxx5 boundaries)
                     "byte_mean": payloads.map(
-                        lambda p: round(sum(bytes(p)) / max(len(p), 1), 6)
+                        lambda p: math.floor(
+                            sum(bytes(p)) / max(len(p), 1) * 1e6 + 0.5
+                        )
+                        / 1e6
                     ),
                     "features": payloads.map(
                         lambda p: fake_decode_features(bytes(p), n_dims)

@@ -891,23 +891,71 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS L
+        FROM documents),
+    by AS (
+        SELECT doc_id, L, k, ascii(substr(text, CAST(k AS INT), 1)) AS b
+        FROM d, UNNEST(range(1, CAST(L + 1 AS INT))) AS t(k)),
+    agg AS (
+        SELECT doc_id, MIN(L) AS L,
+               CAST(SUM(b) AS BIGINT) AS sa,
+               CAST(SUM((L - k + 1) * b) AS BIGINT) AS sb,
+               CAST(SUM(CASE WHEN b % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(SUM(CASE WHEN b % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN b % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2,
+               CAST(SUM(CASE WHEN b % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c3
+        FROM by GROUP BY doc_id)
+    SELECT doc_id, CAST(L AS INT) AS n_bytes,
+           CAST(((L + sb) % 65521) * 65536 + ((1 + sa) % 65521) AS BIGINT)
+               AS checksum,
+           FLOOR(CAST(sa AS DOUBLE) / L * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS byte_mean,
+           FLOOR(CAST(c0 AS DOUBLE) / L * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS f0,
+           FLOOR(CAST(c1 AS DOUBLE) / L * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS f1,
+           FLOOR(CAST(c2 AS DOUBLE) / L * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS f2,
+           FLOOR(CAST(c3 AS DOUBLE) / L * 1000000.0e0 + 0.5e0)
+               / 1000000.0e0 AS f3
+    FROM agg
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — binary payload + typed metadata → Arrow-batched
-    mapInPandas feature extraction (byte-histogram decode; plumbing and
-    schema real, codec swap-in documented in operators/multimodal).
+    mapInPandas feature extraction (byte-histogram decode; the codec
+    swap-in is documented in operators/multimodal).
 
-    Driver-visible output is scalar-only: ``features array<double>`` is
-    serialized with ``to_json`` here in the wrapper (r2 ERR: the
-    driver's canonicalizer cannot sort pandas list cells); library
-    callers get the typed array from
-    :func:`operators.multimodal.extract_features`."""
+    Upgraded rows-only → ORACLE-PAIRED (r6): the payload is the UTF-8
+    text (all-ASCII corpus — one byte per char), so DuckDB recomputes
+    every output analytically — the ADLER-32 checksum from its closed
+    form (A = 1+Σb mod 65521, B = n+Σ(n−k+1)·b_k mod 65521; crc32's
+    table-driven polynomial was replaced for exactly this
+    recomputability), the byte mean, and the 4-bucket byte histogram
+    shares (floor-rounded 6 dp on both engines). The feature array is
+    emitted as scalar columns f0..f3 (the driver canonicalizer cannot
+    sort list cells — r2 ERR).
+
+    100 TB: one narrow Arrow-batched pass, no shuffle; per-payload
+    work is linear in bytes."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm.attach_binary_payload(docs)
     feats = mm.extract_features(media)
     return feats.select(
         "doc_id", "n_bytes", "checksum", "byte_mean",
-        F.to_json("features").alias("features"),
+        *[
+            F.element_at("features", i + 1).alias(f"f{i}")
+            for i in range(4)
+        ],
     )
 
 
@@ -957,10 +1005,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST((octet_length(encode(text)) + 63) // 64 AS INT)
+                   AS n_chunks
+        FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id, CAST(i AS INT) AS sample_idx,
+           md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS chunk_md5
+    FROM d, UNNEST(range(0, n_chunks)) AS t(i)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — frame-sampling analog: one row per 64-byte payload
-    slice (the explode-shaped stage of a video pipeline)."""
+    slice (the explode-shaped stage of a video pipeline), each slice
+    fingerprinted by md5 — the frame-level dedup/lineage key a video
+    pipeline carries downstream.
+
+    Upgraded rows-only → ORACLE-PAIRED (r6): the payload is the UTF-8
+    document text (all-ASCII corpus, verified at every SF — one byte
+    per char), so DuckDB reproduces every slice hash with
+    md5(substr(text, i·64+1, 64)); the Arrow-batched mapInPandas slicing
+    (operators/multimodal.frame_sample) is value-checked end-to-end.
+
+    100 TB: pure map-side explode — per-payload work is
+    ceil(bytes/64) rows; no shuffle anywhere in the stage."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return mm.frame_sample(mm.attach_binary_payload(docs))
 
@@ -2589,7 +2660,78 @@ def eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_RADIUS = 6
 
 
-@query("multimodal_image_phash", oracle=None)
+def _phash_oracle() -> str:
+    """Analytic aHash: recompute every pixel from the BMP seeding rule
+    (pixel-stream byte i = text[i mod len]), reproduce the 8x8
+    block-mean bit grid with exact-integer scaled means, wrap to the
+    signed 64-bit value with HUGEINT arithmetic, then replay the
+    banding join + hamming filter — DuckDB never parses a BMP."""
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS L,
+               4 + (octet_length(encode(text)) % 5) AS w,
+               4 + (ascii(substr(text, 1, 1)) % 5) AS h
+        FROM documents WHERE doc_id % 2 = 0),
+    px AS (
+        SELECT doc_id, text, L, w, h,
+               i // w AS r, i % w AS c
+        FROM d, UNNEST(range(0, CAST(w * h AS INT))) AS t(i)),
+    g AS (
+        SELECT doc_id,
+               ascii(substr(text,
+                   CAST((r * (w * 3) + c * 3) % L AS INT) + 1, 1))
+               + ascii(substr(text,
+                   CAST((r * (w * 3) + c * 3 + 1) % L AS INT) + 1, 1))
+               + ascii(substr(text,
+                   CAST((r * (w * 3) + c * 3 + 2) % L AS INT) + 1, 1))
+                   AS gray,
+               (((h - 1 - r) * 8) // h) * 8 + (c * 8) // w AS cell
+        FROM px),
+    cells AS (
+        SELECT doc_id, cell,
+               (CAST(SUM(gray) AS BIGINT) * 1000000) // COUNT(*) AS m
+        FROM g GROUP BY doc_id, cell),
+    grid AS (
+        SELECT doc_id, CAST(SUM(m) // 64 AS BIGINT) AS gm
+        FROM cells GROUP BY doc_id),
+    fph AS (
+        SELECT c.doc_id,
+               SUM(CASE WHEN c.m > grid.gm
+                        THEN CAST(power(2.0e0, c.cell) AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END) AS fu
+        FROM cells c JOIN grid USING (doc_id)
+        GROUP BY c.doc_id),
+    fp AS (
+        SELECT doc_id,
+               CAST(CASE WHEN fu >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN fu - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE fu END AS BIGINT) AS fp64
+        FROM fph),
+    bands AS (
+        SELECT doc_id, fp64, b AS band, (fp64 >> CAST(8 * b AS INT)) & 255
+                   AS bval
+        FROM fp, UNNEST(range(0, 8)) AS t(b)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               bit_count(xor(a.fp64, b.fp64)) AS ham
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp64, b.fp64)) <= {_PHASH_RADIUS}),
+    np AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups FROM (
+            SELECT d1 AS doc_id FROM pairs
+            UNION ALL SELECT d2 FROM pairs)
+        GROUP BY doc_id)
+    SELECT fp.doc_id, fp.fp64 AS ahash64,
+           CAST(COALESCE(np.n_near_dups, 0) AS BIGINT) AS n_near_dups
+    FROM fp LEFT JOIN np USING (doc_id)
+    ORDER BY fp.doc_id
+    """
+
+
+@query("multimodal_image_phash", oracle=_phash_oracle())
 def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal tier — IMAGE near-duplicate detection by perceptual
     hash: every image payload (even doc_ids; real 24-bit BMPs) gets a
@@ -2605,9 +2747,14 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover exact/shingle/MinHash/SimHash; this is the same discipline
     on PIXELS).
 
-    Rows-only by design (binary payload decode — the sanctioned
-    mapInPandas rung); the banding-completeness and planted-duplicate
-    laws live in tests/test_wave_r4t.py.
+    Upgraded rows-only → ORACLE-PAIRED (r6): payloads are BMPs
+    synthesized from the text, so DuckDB recomputes the full aHash
+    ANALYTICALLY from the seeding rule (pixel byte i = text[i mod
+    len]) — block means, bit grid, signed-64 wrap — and replays the
+    banding join + hamming filter; the hash match cross-verifies the
+    real container decode against an engine that never parses a BMP.
+    Banding-completeness and planted-duplicate laws stay in
+    tests/test_wave_r4t.py.
 
     100 TB: fingerprinting is a narrow Arrow-batched pass; the
     candidate join shuffles 16-bit band keys (4 rows per image), and
@@ -2666,7 +2813,9 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps.join(npart, "doc_id", "left")
         .select(
             "doc_id",
-            F.lower(F.hex(F.col("fp64"))).alias("ahash_hex"),
+            # signed 64-bit value (r6 oracle-pairing upgrade: the former
+            # hex rendering had engine-specific leading-zero behavior)
+            F.col("fp64").alias("ahash64"),
             F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
         )
         .orderBy("doc_id")
@@ -2678,7 +2827,57 @@ multimodal_image_phash.__doc__ = multimodal_image_phash.__doc__.format(
 )
 
 
-@query("multimodal_audio_fingerprint", oracle=None)
+def _audio_fp_oracle() -> str:
+    """Analytic energy-envelope fingerprint: WAV samples are
+    (byte − 128)·256 over the UTF-8 seed, so every frame level is
+    exact-integer recomputable — DuckDB never parses a RIFF chunk."""
+    return """
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS L
+        FROM documents WHERE doc_id % 2 = 1),
+    s AS (
+        SELECT doc_id, L, k,
+               256 * ABS(ascii(substr(text, CAST(k + 1 AS INT), 1)) - 128)
+                   AS a
+        FROM d, UNNEST(range(0, CAST(L AS INT))) AS t(k)),
+    pk AS (
+        SELECT doc_id, GREATEST(CAST(MAX(a) AS BIGINT), 1) AS peak
+        FROM s GROUP BY doc_id),
+    fr AS (
+        SELECT d.doc_id, d.L, f,
+               (f * d.L) // 16 AS lo, ((f + 1) * d.L) // 16 AS hi
+        FROM d, UNNEST(range(0, 16)) AS t(f)),
+    lv AS (
+        SELECT fr.doc_id, fr.f,
+               LEAST(15, ((CAST(SUM(s.a) AS BIGINT)
+                           // COUNT(*)) * 16) // pk.peak) AS level
+        FROM fr
+        JOIN s ON s.doc_id = fr.doc_id AND s.k >= fr.lo AND s.k < fr.hi
+        JOIN pk ON pk.doc_id = fr.doc_id
+        GROUP BY fr.doc_id, fr.f, pk.peak),
+    fph AS (
+        SELECT doc_id,
+               SUM(CAST(level AS HUGEINT)
+                   * CAST(power(2.0e0, 4 * f) AS HUGEINT)) AS fu
+        FROM lv GROUP BY doc_id),
+    fp AS (
+        SELECT doc_id,
+               CAST(CASE WHEN fu >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN fu - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE fu END AS BIGINT) AS fp64
+        FROM fph),
+    grp AS (
+        SELECT fp64, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM fp GROUP BY fp64)
+    SELECT fp.doc_id, fp.fp64 AS audio_fp64, grp.group_size,
+           grp.group_size > 1 AS is_duplicate
+    FROM fp JOIN grp USING (fp64)
+    ORDER BY fp.doc_id
+    """
+
+
+@query("multimodal_audio_fingerprint", oracle=_audio_fp_oracle())
 def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal tier — AUDIO duplicate detection by energy-envelope
     fingerprint: every audio payload (odd doc_ids; real 16-bit PCM
@@ -2689,8 +2888,11 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     to separate different clips; the image rung above handles the
     near-match radius).
 
-    Rows-only by design (binary payload decode); determinism and
-    planted-duplicate laws in tests/test_wave_r4t.py.
+    Upgraded rows-only → ORACLE-PAIRED (r6): samples are
+    (byte−128)·256 over the text seed, so DuckDB recomputes every
+    frame level exactly (integer peak normalization, HUGEINT bit
+    assembly, signed-64 wrap) without parsing a RIFF chunk.
+    Determinism and planted-duplicate laws in tests/test_wave_r4t.py.
 
     100 TB: narrow Arrow-batched fingerprint pass + ONE map-side-
     combinable groupBy on an 8-byte key; group sizes are the dedup
@@ -2711,7 +2913,9 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps.join(grp, "fp64")
         .select(
             "doc_id",
-            F.lower(F.hex(F.col("fp64"))).alias("audio_fp_hex"),
+            # signed 64-bit value (r6 oracle-pairing upgrade; hex had
+            # engine-specific leading-zero rendering)
+            F.col("fp64").alias("audio_fp64"),
             "group_size",
             (F.col("group_size") > 1).alias("is_duplicate"),
         )

@@ -55,7 +55,7 @@ def test_image_phash_planted_duplicates(spark, tmp_path):
         .set_index("doc_id")
     )
     # identical texts -> identical images -> mutual near-dups
-    assert out.loc[0, "ahash_hex"] == out.loc[2, "ahash_hex"]
+    assert out.loc[0, "ahash64"] == out.loc[2, "ahash64"]
     assert out.loc[0, "n_near_dups"] >= 1 and out.loc[2, "n_near_dups"] >= 1
 
 
@@ -64,7 +64,8 @@ def test_image_phash_band_candidates_are_complete(spark):
     the fixture equals what the banded join reported."""
     out = REGISTRY["multimodal_image_phash"].spark(spark, SF_DIR).toPandas()
     hashes = {
-        r.doc_id: int(r.ahash_hex, 16) for r in out.itertuples()
+        r.doc_id: int(r.ahash64) & 0xFFFFFFFFFFFFFFFF
+        for r in out.itertuples()
     }
     want_partners = {d: 0 for d in hashes}
     for d1, d2 in itertools.combinations(sorted(hashes), 2):
@@ -88,6 +89,6 @@ def test_audio_fp_deterministic_and_grouping(spark, tmp_path):
         .toPandas()
         .set_index("doc_id")
     )
-    assert out.loc[1, "audio_fp_hex"] == out.loc[3, "audio_fp_hex"]
+    assert out.loc[1, "audio_fp64"] == out.loc[3, "audio_fp64"]
     assert out.loc[1, "group_size"] == 2 and bool(out.loc[1, "is_duplicate"])
     assert out.loc[5, "group_size"] == 1 and not bool(out.loc[5, "is_duplicate"])
