@@ -2047,3 +2047,186 @@ def qc_config_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "passed", (F.col("n_violations") == 0).cast("int")
     ).orderBy("rule_id")
+
+
+# ---------------------------------------------------------------------------
+# qc_psi — Population Stability Index drift gate (r6q wave)
+# ---------------------------------------------------------------------------
+
+#: fixed value bins (domain knowledge: event values live in [0, 500))
+_PSI_BINW = 50.0
+_PSI_NBINS = 10
+#: industry alert thresholds, in PSI milli-units (0.10 watch, 0.25 act)
+_PSI_WATCH_M = 100
+_PSI_ACT_M = 250
+
+
+def _psi_oracle() -> str:
+    return f"""
+    WITH split AS (
+        SELECT value,
+               CAST(CAST(ts AS DATE) >
+                    (SELECT MIN(CAST(ts AS DATE))
+                            + CAST((MAX(CAST(ts AS DATE))
+                                    - MIN(CAST(ts AS DATE))) // 2
+                                   AS INTEGER)
+                     FROM events) AS INT) AS half
+        FROM events),
+    binned AS (
+        SELECT half,
+               LEAST(CAST(FLOOR(value / {_PSI_BINW}e0) AS BIGINT),
+                     {_PSI_NBINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM split GROUP BY 1, 2),
+    tot AS (
+        SELECT half, CAST(SUM(n) AS BIGINT) AS t FROM binned GROUP BY 1),
+    grid AS (
+        SELECT h.half, b.bin
+        FROM (SELECT DISTINCT half FROM binned) h
+        CROSS JOIN (SELECT UNNEST(range(0, {_PSI_NBINS})) AS bin) b),
+    filled AS (
+        SELECT g.half, g.bin, COALESCE(binned.n, 0) + 1 AS n_s, tot.t
+        FROM grid g
+        LEFT JOIN binned ON binned.half = g.half AND binned.bin = g.bin
+        JOIN tot ON tot.half = g.half),
+    props AS (
+        SELECT bin,
+               MAX(CASE WHEN half = 0 THEN n_s END) * 1.0e0
+                   / MAX(CASE WHEN half = 0
+                              THEN t + {_PSI_NBINS} END) AS p,
+               MAX(CASE WHEN half = 1 THEN n_s END) * 1.0e0
+                   / MAX(CASE WHEN half = 1
+                              THEN t + {_PSI_NBINS} END) AS q
+        FROM filled GROUP BY bin),
+    terms AS (
+        SELECT bin, p, q,
+               CAST(FLOOR((q - p) * ln(q / p) * 1000000000.0e0 + 0.5e0)
+                    AS BIGINT) AS cq
+        FROM props),
+    tot_psi AS (
+        SELECT FLOOR(CAST(SUM(cq) AS DOUBLE) / 1000000000.0e0
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS psi
+        FROM terms)
+    SELECT terms.bin,
+           {sql_roundn("terms.p", 6)} AS p_ref,
+           {sql_roundn("terms.q", 6)} AS p_cur,
+           {sql_roundn("(terms.q - terms.p) * ln(terms.q / terms.p)", 6)}
+               AS psi_term,
+           tot_psi.psi,
+           CAST(tot_psi.psi * 1000 > {_PSI_WATCH_M} AS INT) AS is_watch,
+           CAST(tot_psi.psi * 1000 > {_PSI_ACT_M} AS INT) AS is_action
+    FROM terms CROSS JOIN tot_psi
+    ORDER BY terms.bin
+    """
+
+
+@query("qc_psi", oracle=_psi_oracle())
+def qc_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-extension — POPULATION STABILITY INDEX, the industry-standard
+    drift score beside qc_histogram_drift's total-variation gate:
+    PSI = Σ_bins (q−p)·ln(q/p) between the first and second half of
+    the event window over a FIXED value grid ({n} bins of {w:.0f};
+    data-independent, so the reference histogram is reproducible),
+    Laplace-smoothed (+1 per bin) so an empty bin can't produce
+    ln(0). The standard operating thresholds ship as columns: 0.10 =
+    distribution watch, 0.25 = model-retrain action — the numbers risk
+    teams actually page on. TV counts ABSOLUTE mass moved; PSI weights
+    movement by log-odds, so a small shift in a RARE bin (exactly
+    where score models break) rings PSI long before TV.
+
+    Exactness: bin counts exact int64; per-bin PSI terms are identical
+    double trees quantized to integer nano-units before the total (the
+    micro-bits discipline); one rounded readout per column.
+
+    100 TB: one map-side bin aggregate over the fact table (the only
+    full-data touch); everything downstream is {n}-bin state. The
+    half-split scalar is a broadcast min/max; a production run pins the
+    reference histogram from a frozen baseline table instead."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    split = ev.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.to_date("ts")
+            > F.expr("date_add(d0, CAST(datediff(d1, d0) / 2 AS INT))")
+        ).cast("int").alias("half"),
+        F.least(
+            F.floor(F.col("value") / F.lit(_PSI_BINW)).cast("bigint"),
+            F.lit(_PSI_NBINS - 1),
+        ).alias("bin"),
+    )
+    binned = split.groupBy("half", "bin").agg(
+        F.count("*").cast("long").alias("n")
+    ).localCheckpoint(eager=False)  # totals + grid fill
+    tot = binned.groupBy("half").agg(F.sum("n").cast("long").alias("t"))
+    grid = (
+        binned.select("half").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(0, _PSI_NBINS).select(F.col("id").alias("bin"))
+            )
+        )
+    )
+    filled = (
+        grid.join(binned, ["half", "bin"], "left")
+        .join(tot, "half")
+        .select(
+            "half", "bin",
+            (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("n_s"),
+            "t",
+        )
+    )
+    props = filled.groupBy("bin").agg(
+        (
+            F.max(F.when(F.col("half") == 0, F.col("n_s"))) * F.lit(1.0)
+            / F.max(F.when(F.col("half") == 0, F.col("t") + _PSI_NBINS))
+        ).alias("p"),
+        (
+            F.max(F.when(F.col("half") == 1, F.col("n_s"))) * F.lit(1.0)
+            / F.max(F.when(F.col("half") == 1, F.col("t") + _PSI_NBINS))
+        ).alias("q"),
+    )
+    terms = props.select(
+        "bin", "p", "q",
+        F.floor(
+            (F.col("q") - F.col("p"))
+            * F.log(F.col("q") / F.col("p"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("cq"),
+    ).localCheckpoint(eager=False)  # rows + total
+    tot_psi = terms.agg(
+        (
+            F.floor(
+                F.sum("cq").cast("double")
+                / F.lit(1000000000.0)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("psi")
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot_psi))
+        .select(
+            "bin",
+            roundn(F.col("p"), 6).alias("p_ref"),
+            roundn(F.col("q"), 6).alias("p_cur"),
+            roundn(
+                (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")),
+                6,
+            ).alias("psi_term"),
+            "psi",
+            (F.col("psi") * 1000 > _PSI_WATCH_M).cast("int").alias(
+                "is_watch"
+            ),
+            (F.col("psi") * 1000 > _PSI_ACT_M).cast("int").alias(
+                "is_action"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+qc_psi.__doc__ = qc_psi.__doc__.format(n=_PSI_NBINS, w=_PSI_BINW)

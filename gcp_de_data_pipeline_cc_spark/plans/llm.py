@@ -5451,3 +5451,144 @@ def sim_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_index_maintenance.__doc__ = sim_index_maintenance.__doc__.format(
     m=_IDXM_MOD, b=_IDXM_BASE
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_soft_dedup_weights — soft deduplication (r6q wave)
+# ---------------------------------------------------------------------------
+
+
+def _soft_dedup_oracle() -> str:
+    return f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE n_both / (ca.n_sh + cb.n_sh - n_both) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS node, a AS m FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    cc AS (SELECT node AS doc_id, MIN(m) AS cluster_id
+           FROM reach GROUP BY node),
+    csize AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+        FROM cc GROUP BY 1),
+    wts AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN csize.size IS NULL THEN 1000000
+                    ELSE CAST(FLOOR(1000000.0e0 / csize.size + 0.5e0)
+                              AS BIGINT) END AS wq,
+               CAST(cc.doc_id IS NOT NULL AS INT) AS clustered
+        FROM documents d
+        LEFT JOIN cc ON cc.doc_id = d.doc_id
+        LEFT JOIN csize ON csize.cluster_id = cc.cluster_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(clustered) AS BIGINT) AS n_clustered,
+           FLOOR(CAST(SUM(wq) AS DOUBLE) / 1000000.0e0 * 10000.0e0
+                 + 0.5e0) / 10000.0e0 AS effective_docs,
+           FLOOR((1.0e0 - CAST(SUM(wq) AS DOUBLE) / 1000000.0e0
+                          / COUNT(*)) * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS dedup_discount
+    FROM wts
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("corpus_soft_dedup_weights", oracle=_soft_dedup_oracle())
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tier — SOFT DEDUPLICATION: instead of hard-pruning
+    near-duplicate clusters to one representative (dedup_keep_canonical),
+    every document keeps weight 1/|its cluster| (unclustered docs keep
+    1.0) — the sampling-weight formulation several production LLM
+    pipelines prefer because it preserves natural duplication signal
+    (a document repeated across the web IS more canonical) while
+    capping any single text's gradient share. Output is the per-source
+    curation report: raw docs, clustered docs, EFFECTIVE docs
+    (Σ weights — the number that feeds corpus_mix_weights instead of
+    the raw count), and the dedup discount 1 − eff/raw.
+
+    Composes the session-cached connected-components relation
+    (operators/dedup.connected_components via corpus_dup_clusters —
+    built once, shared with dedup_clusters/dedup_keep_canonical/
+    corpus_dedup_rate); the oracle recomputes the clusters with the
+    recursive-closure CTE and the weights in exact micro-units
+    (quantized BEFORE summing — order-free).
+
+    100 TB: weights are a broadcast-sized |clusters| relation joined
+    onto doc-grain rows; the report is source-cardinality. The CC
+    relation's own scale story is dedup_clusters' (pointer-jumping,
+    bounded rounds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = corpus_dup_clusters(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    csize = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    wts = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(cc), "doc_id", "left")
+        .join(F.broadcast(csize), "cluster_id", "left")
+        .select(
+            "source",
+            F.when(F.col("size").isNull(), F.lit(1000000).cast("long"))
+            .otherwise(
+                F.floor(F.lit(1000000.0) / F.col("size") + F.lit(0.5))
+                .cast("long")
+            )
+            .alias("wq"),
+            F.col("cluster_id").isNotNull().cast("int").alias("clustered"),
+        )
+    )
+    return (
+        wts.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("clustered").cast("long").alias("n_clustered"),
+            (
+                F.floor(
+                    F.sum("wq").cast("double")
+                    / F.lit(1000000.0)
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("effective_docs"),
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.sum("wq").cast("double")
+                        / F.lit(1000000.0)
+                        / F.count("*")
+                    )
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("dedup_discount"),
+        )
+        .orderBy("source")
+    )

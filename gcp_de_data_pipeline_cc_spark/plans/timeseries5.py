@@ -491,3 +491,129 @@ def ts_siegel_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_demand_classification — Syntetos-Boylan intermittency quadrants
+# ---------------------------------------------------------------------------
+
+#: the Syntetos-Boylan cutoffs as exact rationals: ADI 1.32, CV^2 0.49
+_SB_ADI_NUM, _SB_ADI_DEN = 132, 100
+_SB_CV2_NUM, _SB_CV2_DEN = 49, 100
+
+
+def _demand_class_oracle() -> str:
+    return f"""
+    WITH span AS (
+        SELECT CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) + 1
+                    AS BIGINT) AS span_days
+        FROM events),
+    dem AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS ss
+        FROM dem GROUP BY 1),
+    cls AS (
+        SELECT user_id,
+               CAST(span.span_days * {_SB_ADI_DEN}
+                    > {_SB_ADI_NUM} * nd AS INT) AS adi_hi,
+               CAST((nd * ss - s * s) * {_SB_CV2_DEN}
+                    > {_SB_CV2_NUM} * s * s AS INT) AS cv2_hi
+        FROM per_user CROSS JOIN span),
+    named AS (
+        SELECT CASE
+                 WHEN adi_hi = 0 AND cv2_hi = 0 THEN 'smooth'
+                 WHEN adi_hi = 1 AND cv2_hi = 0 THEN 'intermittent'
+                 WHEN adi_hi = 0 AND cv2_hi = 1 THEN 'erratic'
+                 ELSE 'lumpy' END AS pattern
+        FROM cls),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM named)
+    SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(COUNT(*) * 1.0e0 / tot.n * 10000.0e0 + 0.5e0)
+               / 10000.0e0 AS share
+    FROM named CROSS JOIN tot
+    GROUP BY pattern, tot.n
+    ORDER BY pattern
+    """
+
+
+@query("ts_demand_classification", oracle=_demand_class_oracle())
+def ts_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — SYNTETOS–BOYLAN DEMAND CLASSIFICATION, the routing
+    gate in front of intermittent-demand forecasting (ts_croston): each
+    purchaser's daily demand series classifies into the standard
+    quadrants by ADI (average inter-demand interval = corpus span /
+    demand days) and CV² of the nonzero demand sizes — smooth
+    (ADI ≤ 1.32, CV² ≤ 0.49) → exponential smoothing; intermittent
+    (sparse, regular sizes) → Croston; erratic (dense, wild sizes) →
+    robust smoothing; lumpy (both) → the hard class bootstrap methods
+    exist for. The output histogram is the forecastability census an
+    inventory/capacity team reads before choosing models.
+
+    Exactness: FULLY INTEGER classification — both cutoffs compare via
+    cross-multiplication (span·100 > 132·nd; (n·Σx²−S²)·100 > 49·S²
+    uses the n-scaled variance identity), so no float ever decides a
+    quadrant; the only rounded value is the share readout.
+
+    100 TB: the demand collapse is one map-side (user, day) aggregate;
+    per-user state is 3 integers; the census is 4 rows. The span
+    scalar is a broadcast min/max."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).cast("long").alias("span_days")
+    )
+    dem = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    per_user = dem.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    cls = per_user.crossJoin(F.broadcast(span)).select(
+        (
+            F.col("span_days") * _SB_ADI_DEN > _SB_ADI_NUM * F.col("nd")
+        ).cast("int").alias("adi_hi"),
+        (
+            (F.col("nd") * F.col("ss") - F.col("s") * F.col("s"))
+            * _SB_CV2_DEN
+            > _SB_CV2_NUM * F.col("s") * F.col("s")
+        ).cast("int").alias("cv2_hi"),
+    )
+    named = cls.select(
+        F.when((F.col("adi_hi") == 0) & (F.col("cv2_hi") == 0), "smooth")
+        .when((F.col("adi_hi") == 1) & (F.col("cv2_hi") == 0),
+              "intermittent")
+        .when((F.col("adi_hi") == 0) & (F.col("cv2_hi") == 1), "erratic")
+        .otherwise("lumpy")
+        .alias("pattern")
+    )
+    named = named.localCheckpoint(eager=False)  # census + total
+    tot = named.agg(F.count("*").cast("long").alias("n"))
+    return (
+        named.groupBy("pattern")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pattern",
+            "n_users",
+            (
+                F.floor(
+                    F.col("n_users") * F.lit(1.0) / F.col("n")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("share"),
+        )
+        .orderBy("pattern")
+    )

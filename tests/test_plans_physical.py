@@ -443,6 +443,11 @@ _BNLJ_REVIEWED = frozenset({
     # ops_slot_sizing crosses the one-row CPM/serial envelope scalars
     # into the 4-row sweep (category a)
     "sim_topk_binary", "ops_slot_sizing",
+    # r6q wave: qc_psi crosses the one-row date-bounds scalar and the
+    # one-row PSI total into the 10-bin relation; ts_demand_classification
+    # crosses the one-row span scalar and the one-row census total —
+    # category (a) scalar broadcasts
+    "qc_psi", "ts_demand_classification",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
