@@ -1112,3 +1112,227 @@ def hypothesis_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             fstat > F.lit(_ANOVA_FCRIT), ssb > F.lit(0.0)
         ).alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (r6r wave) — the rank-correlation twin of Spearman
+# ---------------------------------------------------------------------------
+
+_KENDALL_ORACLE = f"""
+WITH per_nation AS (
+    SELECT c.c_nationkey AS nk,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS x,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0)
+                         AS BIGINT)) AS BIGINT) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1),
+pairs AS (
+    SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                           OR (a.x > b.x AND a.y > b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                           OR (a.x > b.x AND a.y < b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+           CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+           CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS txy,
+           CAST(COUNT(*) AS BIGINT) AS n0
+    FROM per_nation a JOIN per_nation b ON a.nk < b.nk)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_nation) AS n,
+       c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+       {{tau}} AS tau_b
+FROM pairs
+""".format(tau=(
+    "FLOOR((c - d) * 1.0e0"
+    " / sqrt(CAST((n0 - tx - txy) AS DOUBLE) * (n0 - ty - txy))"
+    " * 1000000.0e0 + 0.5e0) / 1000000.0e0"
+))
+
+
+@query("hypothesis_kendall", oracle=_KENDALL_ORACLE)
+def hypothesis_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis tier — KENDALL'S τ-b, the rank-correlation twin of
+    hypothesis_spearman with a different robustness trade: τ counts
+    CONCORDANT minus DISCORDANT pairs (probability interpretation:
+    P(agree) − P(disagree)), with the τ-b tie correction in both
+    margins — the estimator of choice when the n is small and every
+    pair is interpretable, here over the 25-nation (customer count,
+    revenue) profile. Spearman squares rank gaps (one wild rank moves
+    it a lot); τ's pair counting moves by at most 2/n(n−1) per swap.
+
+    Exactness: concordant/discordant/tie counts are exact integers
+    from a dimension-bounded pair join; τ-b's one sqrt + division is a
+    single identical double expression rounded at 6 dp.
+
+    100 TB: the per-nation profile is one fact-table aggregate
+    (map-side combine); the pair join is |nations|² = 300 pairs —
+    fixed-dimension state forever. For entity-grain τ at scale the
+    documented swap is the O(n log n) merge-sort inversion count
+    (Knight's algorithm) over a rank-bucketed two-phase layout."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count_distinct("c_custkey").cast("long").alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("bigint")
+            ).cast("long").alias("y"),
+        )
+    )
+    per_nation = per_nation.localCheckpoint(eager=False)  # pair sides + n
+    a, b = per_nation.alias("a"), per_nation.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(F.broadcast(b), F.col("a.nk") < F.col("b.nk")).agg(
+        F.sum(
+            F.when(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1)
+            .otherwise(0)
+        ).cast("long").alias("c"),
+        F.sum(
+            F.when(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1)
+            .otherwise(0)
+        ).cast("long").alias("d"),
+        F.sum(F.when((ax == bx) & (ay != by), 1).otherwise(0))
+        .cast("long").alias("tx"),
+        F.sum(F.when((ay == by) & (ax != bx), 1).otherwise(0))
+        .cast("long").alias("ty"),
+        F.sum(F.when((ax == bx) & (ay == by), 1).otherwise(0))
+        .cast("long").alias("txy"),
+        F.count("*").cast("long").alias("n0"),
+    )
+    nrow = per_nation.agg(F.count("*").cast("long").alias("n"))
+    tau = F.floor(
+        (F.col("c") - F.col("d"))
+        * F.lit(1.0)
+        / F.sqrt(
+            (F.col("n0") - F.col("tx") - F.col("txy")).cast("double")
+            * (F.col("n0") - F.col("ty") - F.col("txy"))
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return pairs.crossJoin(F.broadcast(nrow)).select(
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        tau.alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# trimmed mean (r6r wave) — the robust location aggregate
+# ---------------------------------------------------------------------------
+
+#: trim fraction numerator/denominator (10% per tail)
+_TM_NUM, _TM_DEN = 1, 10
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents,
+               o_orderkey
+        FROM orders),
+    ranked AS (
+        SELECT o_orderpriority, cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents, o_orderkey) AS i,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+               SUM(cents) OVER (PARTITION BY o_orderpriority) AS tot
+        FROM base),
+    kept AS (
+        SELECT o_orderpriority, cents, n, tot
+        FROM ranked
+        WHERE i > n * {_TM_NUM} // {_TM_DEN}
+          AND i <= n - n * {_TM_NUM} // {_TM_DEN})
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0e0
+                 * 100.0e0 + 0.5e0) / 100.0e0 AS trimmed_mean,
+           FLOOR(CAST(MAX(tot) AS DOUBLE) / MAX(n) / 100.0e0
+                 * 100.0e0 + 0.5e0) / 100.0e0 AS raw_mean
+    FROM kept
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — 10% TRIMMED MEAN per order priority: drop the
+    bottom and top ⌊n/10⌋ by exact rank (value, orderkey tie-break)
+    and average the middle 80% — the robust location estimate between
+    the mean (0% breakdown) and the median (50%, but noisy on small
+    groups), and the standard readout for spend/latency dashboards
+    where a few whale orders or timeouts swamp the mean. Emitted
+    beside the raw mean so the gap IS the outlier-mass diagnostic.
+
+    Exactness: integer cents and integer rank cutoffs (⌊n/10⌋ both
+    engines via integer division); per-group sums exact int64; one
+    rounded division per mean.
+
+    100 TB: the rank window shuffles once per priority partition —
+    same profile as agg_weighted_median, and the SAME two-pass binning
+    swap applies verbatim when a group outgrows a partition (locate
+    the two cutoff bins bin-grain, rank row-grain only inside those
+    two bins, aggregate the fully-kept bins without ranking)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "cents", "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = base.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("tot"),
+    )
+    k = (F.col("n") * _TM_NUM / _TM_DEN).cast("bigint")
+    kept = ranked.filter(
+        (F.col("i") > k) & (F.col("i") <= F.col("n") - k)
+    )
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_kept"),
+            (
+                F.floor(
+                    F.sum("cents").cast("double")
+                    / F.count("*")
+                    / F.lit(100.0)
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("trimmed_mean"),
+            (
+                F.floor(
+                    F.max("tot").cast("double")
+                    / F.max("n")
+                    / F.lit(100.0)
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("raw_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -617,3 +617,317 @@ def ts_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_shapley — exact Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+#: the four touch channels, alphabetical; bit d of a user's touch mask
+_SHAP_CHANNELS = ("click", "error", "signup", "view")
+#: |S|!(k-1-|S|)!/k! in 24ths for k = 4 channels
+_SHAP_W24 = (6, 2, 2, 6)
+
+
+def _shapley_oracle() -> str:
+    bit = " + ".join(
+        f"MAX(CASE WHEN event_type = '{ch}' THEN {1 << d} ELSE 0 END)"
+        for d, ch in enumerate(_SHAP_CHANNELS)
+    )
+    w24 = (
+        "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2"
+        " ELSE 6 END"
+    )
+    return f"""
+    WITH touch AS (
+        SELECT user_id,
+               CAST({bit} AS BIGINT) AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id),
+    conv AS (
+        SELECT mask, CAST(SUM(converted) AS BIGINT) AS n_conv
+        FROM touch GROUP BY mask),
+    sets AS (SELECT UNNEST(range(0, 16)) AS s),
+    v AS (
+        SELECT s.s, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS v
+        FROM sets s LEFT JOIN conv c ON (c.mask & s.s) = c.mask
+        GROUP BY s.s),
+    ch AS (SELECT UNNEST(range(0, 4)) AS d),
+    marg AS (
+        SELECT ch.d, v0.s,
+               ({w24.replace('bit_count(s)', 'bit_count(v0.s)')})
+                   * (v1.v - v0.v) AS m24
+        FROM ch
+        JOIN v v0 ON (v0.s & (1 << ch.d)) = 0
+        JOIN v v1 ON v1.s = (v0.s | (1 << ch.d))),
+    shap AS (
+        SELECT d, CAST(SUM(m24) AS BIGINT) AS s24
+        FROM marg GROUP BY d),
+    full_v AS (
+        SELECT MAX(CASE WHEN s = 15 THEN v END) AS v_full,
+               MAX(CASE WHEN s = 0 THEN v END) AS v_empty
+        FROM v)
+    SELECT CASE shap.d WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                       WHEN 2 THEN 'signup' ELSE 'view' END AS channel,
+           shap.s24 AS shapley_24ths,
+           FLOOR(shap.s24 / 24.0e0 * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS shapley_conversions,
+           CAST(full_v.v_full - full_v.v_empty AS BIGINT)
+               AS attributable_conversions
+    FROM shap CROSS JOIN full_v
+    ORDER BY channel
+    """
+
+
+@query("attribution_shapley", oracle=_shapley_oracle())
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution tier — EXACT SHAPLEY-VALUE attribution, the
+    game-theoretic gold standard completing the ladder last-touch →
+    position-based → Markov removal-effect → SHAPLEY: each channel's
+    credit is its average marginal contribution over every coalition
+    order, the unique allocation satisfying efficiency/symmetry/
+    dummy/additivity. Coalition worth v(S) = converting users whose
+    touch set ⊆ S (monotone by construction); with k = 4 channels the
+    2⁴ coalition lattice is enumerated EXACTLY — no sampling, no
+    regression approximation.
+
+    Exactness: FULLY INTEGER — touch masks are bit-ORs, v(S) integer
+    counts via the subset join (mask & S) = mask, and the permutation
+    weights |S|!(3−|S|)!/4! are {{6,2,2,6}}/24, so every Shapley value
+    accumulates in integer 24THS (shapley_24ths is the exact answer;
+    the /24 readout is the only division). The efficiency axiom
+    Σ_c φ_c = v(full) − v(∅) is test-pinned as an exact integer
+    identity.
+
+    100 TB: ONE user-grain aggregate touches the fact table (map-side
+    bit-OR + conversion flag); everything after is 16-row lattice
+    state. k channels cost 2^k lattice rows — exact Shapley is
+    tractable exactly when channels are few, which marketing stacks
+    are; beyond ~20 channels the documented swap is permutation
+    sampling over the same marginal expression."""
+    ev = load_table(spark, sf_dir, "events")
+    mask = None
+    for d, chn in enumerate(_SHAP_CHANNELS):
+        term = F.max(
+            F.when(F.col("event_type") == chn, F.lit(1 << d)).otherwise(0)
+        )
+        mask = term if mask is None else mask + term
+    touch = ev.groupBy("user_id").agg(
+        mask.cast("long").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    conv = touch.groupBy("mask").agg(
+        F.sum("converted").cast("long").alias("n_conv")
+    )
+    sets = spark.range(0, 16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        sets.join(
+            F.broadcast(conv),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+        .localCheckpoint(eager=False)  # marginals (x2) + efficiency
+    )
+    ch = spark.range(0, 4).select(F.col("id").cast("int").alias("d"))
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    w24 = (
+        F.when(F.bit_count(F.col("s0")) == 0, 6)
+        .when(F.bit_count(F.col("s0")) == 1, 2)
+        .when(F.bit_count(F.col("s0")) == 2, 2)
+        .otherwise(6)
+    )
+    marg = (
+        ch.join(
+            F.broadcast(v0),
+            F.col("s0").bitwiseAND(F.expr("shiftleft(1, d)")) == 0,
+        )
+        .join(
+            F.broadcast(v1),
+            F.col("s1") == F.col("s0").bitwiseOR(F.expr("shiftleft(1, d)")),
+        )
+        .select("d", (w24 * (F.col("vb") - F.col("va"))).alias("m24"))
+    )
+    shap = marg.groupBy("d").agg(F.sum("m24").cast("long").alias("s24"))
+    eff = v.agg(
+        (
+            F.max(F.when(F.col("s") == 15, F.col("v")))
+            - F.max(F.when(F.col("s") == 0, F.col("v")))
+        ).cast("long").alias("attributable_conversions")
+    )
+    channel = (
+        F.when(F.col("d") == 0, "click")
+        .when(F.col("d") == 1, "error")
+        .when(F.col("d") == 2, "signup")
+        .otherwise("view")
+    )
+    return (
+        shap.crossJoin(F.broadcast(eff))
+        .select(
+            channel.alias("channel"),
+            F.col("s24").alias("shapley_24ths"),
+            (
+                F.floor(
+                    F.col("s24") / F.lit(24.0) * F.lit(10000.0) + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("shapley_conversions"),
+            "attributable_conversions",
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_periodogram — DFT power spectrum of the daily series
+# ---------------------------------------------------------------------------
+
+#: frequencies probed (cycles over the whole window) and the shared
+#: pi literal (both engines evaluate the identical double constant)
+_PG_MAXK = 14
+_PG_PI = "3.141592653589793"
+
+
+def _periodogram_oracle() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   - 1 AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM daily),
+    ks AS (SELECT UNNEST(range(1, {_PG_MAXK + 1})) AS k),
+    terms AS (
+        SELECT idx.event_type, ks.k, idx.nd,
+               idx.cnt * cos(2.0e0 * {_PG_PI}e0 * ks.k * idx.t / idx.nd)
+                   AS cr,
+               idx.cnt * sin(2.0e0 * {_PG_PI}e0 * ks.k * idx.t / idx.nd)
+                   AS ci
+        FROM idx CROSS JOIN ks WHERE ks.k * 2 <= idx.nd),
+    spec AS (
+        SELECT event_type, k, MIN(nd) AS nd,
+               SUM(cr) AS a, SUM(ci) AS b
+        FROM terms GROUP BY event_type, k),
+    pw AS (
+        SELECT event_type, k, nd,
+               FLOOR((a * a + b * b) / nd * 100.0e0 + 0.5e0) / 100.0e0
+                   AS power
+        FROM spec),
+    mx AS (
+        SELECT event_type, MAX(power) AS pmax FROM pw GROUP BY 1)
+    SELECT pw.event_type, CAST(pw.k AS INT) AS k,
+           FLOOR(CAST(pw.nd AS DOUBLE) / pw.k * 100.0e0 + 0.5e0)
+               / 100.0e0 AS period_days,
+           pw.power,
+           CAST(pw.power = mx.pmax AS INT) AS is_dominant
+    FROM pw JOIN mx USING (event_type)
+    ORDER BY pw.event_type, pw.k
+    """
+
+
+@query("ts_periodogram", oracle=_periodogram_oracle())
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — the DFT PERIODOGRAM of each type's daily series:
+    power P(k) = (Σ x·cos(2πkt/N))² + (Σ x·sin(2πkt/N))², normalized
+    by N, at whole-window frequencies k = 1..{mk} (k ≤ N/2, the
+    Nyquist cut) — the FREQUENCY-DOMAIN seasonality detector beside
+    ts_period_detect's time-domain ACF: the ACF finds the dominant
+    LAG, the periodogram decomposes VARIANCE BY FREQUENCY, exposing
+    harmonics and competing cycles the single-best-lag readout hides
+    (the spectral leakage of the raw — untapered — periodogram is the
+    documented caveat; a Hann window multiplies in as one extra factor
+    per term when sidelobes matter).
+
+    Exactness: integer counts times libm cos/sin of the identical
+    double expression (shared π literal, same operand order); the two
+    sums are rounded jointly at 2 dp — power magnitudes are O((Σx)²)
+    so the 1e-10 summation-order noise sits ~12 digits below the
+    rounding grain. The dominant flag compares ROUNDED powers.
+
+    100 TB: the day collapse is the only event-grain work; the
+    spectrum is (series × {mk}) state — each (k) coefficient is one
+    map-side-combinable sum over day-grain rows. For long series and
+    many frequencies the documented swap is an FFT via mapInPandas on
+    the per-series day vector (calendar-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cnt",
+        (F.row_number().over(wd) - 1).alias("t"),
+        F.count("*").over(wp).alias("nd"),
+    )
+    ks = spark.range(1, _PG_MAXK + 1).select(F.col("id").alias("k"))
+    ang = (
+        F.lit(2.0)
+        * F.lit(float(_PG_PI))
+        * F.col("k")
+        * F.col("t")
+        / F.col("nd")
+    )
+    terms = (
+        idx.crossJoin(F.broadcast(ks))
+        .filter(F.col("k") * 2 <= F.col("nd"))
+        .select(
+            "event_type",
+            "k",
+            "nd",
+            (F.col("cnt") * F.cos(ang)).alias("cr"),
+            (F.col("cnt") * F.sin(ang)).alias("ci"),
+        )
+    )
+    spec = terms.groupBy("event_type", "k").agg(
+        F.min("nd").alias("nd"),
+        F.sum("cr").alias("a"),
+        F.sum("ci").alias("b"),
+    )
+    pw = spec.select(
+        "event_type",
+        "k",
+        "nd",
+        (
+            F.floor(
+                (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+                / F.col("nd")
+                * F.lit(100.0)
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("power"),
+    ).localCheckpoint(eager=False)  # rows + the max flag
+    mx = pw.groupBy("event_type").agg(F.max("power").alias("pmax"))
+    return (
+        pw.join(F.broadcast(mx), "event_type")
+        .select(
+            "event_type",
+            F.col("k").cast("int").alias("k"),
+            (
+                F.floor(
+                    F.col("nd").cast("double") / F.col("k") * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("period_days"),
+            "power",
+            (F.col("power") == F.col("pmax")).cast("int").alias(
+                "is_dominant"
+            ),
+        )
+        .orderBy("event_type", "k")
+    )
+
+
+ts_periodogram.__doc__ = ts_periodogram.__doc__.format(mk=_PG_MAXK)

@@ -448,6 +448,14 @@ _BNLJ_REVIEWED = frozenset({
     # crosses the one-row span scalar and the one-row census total —
     # category (a) scalar broadcasts
     "qc_psi", "ts_demand_classification",
+    # r6s wave: attribution_shapley joins the 16-row coalition lattice
+    # against the bounded touch-mask rollup via bitmask predicates and
+    # crosses the one-row efficiency scalar — categories (b)/(a)
+    "attribution_shapley",
+    # hypothesis_kendall joins the 25-row nation profile to itself on
+    # an inequality (300 ordered pairs) and crosses the one-row n
+    # scalar — categories (b)/(a)
+    "hypothesis_kendall",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score

@@ -511,6 +511,81 @@ def probe_pq_rerank(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def probe_ktruss(spark, mult: int) -> float:
+    """graph_ktruss, REGISTERED: per-round wedge join on the top-K
+    backbone (cold backbone build per mult — operators/graph caches
+    cleared)."""
+    from gcp_de_data_pipeline_cc_spark.operators import graph as og
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("lineitem",))
+    og.clear_cache()
+    t0 = time.time()
+    REGISTRY["graph_ktruss"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_semdedup(spark, mult: int) -> float:
+    """dedup_semdedup, REGISTERED: cell-scoped pair scan. Replication
+    keeps the SAME 10 label cells (labels carry no offset), so per-cell
+    pair work grows mult^2 — the graph_ann caveat: a production coarse
+    quantizer grows CELL COUNT and keeps |cell| bounded, under which
+    this is n*|cell| linear."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("embeddings",))
+    t0 = time.time()
+    REGISTRY["dedup_semdedup"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_binary_search(spark, mult: int) -> float:
+    """sim_topk_binary, REGISTERED: 8-byte signature scan per query
+    (fixed-Q), cold exact baseline per mult."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY, llm
+
+    d = materialize_dir(spark, mult, ("embeddings",))
+    llm._EXACT_TOPK_CACHE.clear()
+    t0 = time.time()
+    REGISTRY["sim_topk_binary"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_rrf_fusion(spark, mult: int) -> float:
+    """retrieval_rrf_fusion, REGISTERED: 3-term postings lexical arm +
+    one broadcast-query semantic scan, both TakeOrdered-cut to 50."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("documents", "embeddings"))
+    t0 = time.time()
+    REGISTRY["retrieval_rrf_fusion"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_soft_dedup(spark, mult: int) -> float:
+    """corpus_soft_dedup_weights, REGISTERED: CC relation (cold pair
+    build per mult) + broadcast weight join + source rollup."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY, llm
+
+    d = materialize_dir(spark, mult, ("documents",))
+    llm._DUP_PAIRS_CACHE.clear()
+    llm._DUP_CC_CACHE.clear()
+    t0 = time.time()
+    REGISTRY["corpus_soft_dedup_weights"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_fisher_exact(spark, mult: int) -> float:
+    """hypothesis_fisher_exact, REGISTERED: margin-sized support spine
+    (grows linearly with the corpus) x constant lgamma work per k."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = materialize_dir(spark, mult, ("documents",))
+    t0 = time.time()
+    REGISTRY["hypothesis_fisher_exact"].spark(spark, d).collect()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -539,7 +614,13 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "knn_outliers": probe_knn_outliers,
           "pq_rerank": probe_pq_rerank,
           "dtw_banded_length": probe_dtw_banded_length,
-          "dtw_full_length": probe_dtw_full_length}
+          "dtw_full_length": probe_dtw_full_length,
+          "ktruss": probe_ktruss,
+          "semdedup": probe_semdedup,
+          "binary_search": probe_binary_search,
+          "rrf_fusion": probe_rrf_fusion,
+          "soft_dedup": probe_soft_dedup,
+          "fisher_exact": probe_fisher_exact}
 
 
 def main() -> None:
