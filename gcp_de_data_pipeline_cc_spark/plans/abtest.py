@@ -14,7 +14,7 @@ first-class (large-scale pipeline operations).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_de_data_pipeline_cc_spark.catalog import load_table
@@ -649,4 +649,244 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mde_now_cents"),
         )
         .orderBy("frac")
+    )
+
+
+# --------------------------------------------------------------------------
+# ab_delta_method — ratio-metric standard errors done right (r6t wave)
+# --------------------------------------------------------------------------
+
+
+def _delta_oracle() -> str:
+    se = (
+        "sqrt(GREATEST((vx - 2.0e0 * r * cxy + r * r * vy), 0.0e0)"
+        " / n) / yb"
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN SUBSTR(md5('arm:' || CAST(user_id AS VARCHAR)),
+                                1, 1) < '8' THEN 'A' ELSE 'B' END AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user GROUP BY arm),
+    est AS (
+        SELECT arm, n, sx, sy,
+               CAST(sx AS DOUBLE) / sy AS r,
+               CAST(sy AS DOUBLE) / n AS yb,
+               (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   / (CAST(n AS DOUBLE) * (n - 1)) AS vx,
+               (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * (n - 1)) AS vy,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * (n - 1)) AS cxy
+        FROM arms)
+    SELECT arm, n AS n_users, sx AS sum_conversions, sy AS sum_events,
+           {sql_roundn("r", 6)} AS ratio,
+           {sql_roundn(se, 6)} AS se_delta,
+           {sql_roundn("sqrt(r * (1.0e0 - r) / sy)", 6)} AS se_naive
+    FROM est
+    ORDER BY arm
+    """
+
+
+@query("ab_delta_method", oracle=_delta_oracle())
+def ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation tier — DELTA-METHOD standard errors for RATIO
+    metrics (conversions per event), the piece naive A/B readouts get
+    wrong:
+    when the analysis unit (user) differs from the metric denominator
+    (event), row-level binomial SEs ignore within-user correlation and
+    UNDERSTATE uncertainty — the classic cause of false-positive
+    experiment calls on CTR-like metrics. Per arm: the ratio of sums
+    R = Σx/Σy and SE(R) ≈ sqrt(Var(x) − 2R·Cov(x,y) + R²·Var(y))
+    / (ȳ·√n) from USER-level moments, emitted beside the naive
+    row-binomial SE so the correction factor is the visible diagnostic
+    (tests pin se_delta > se_naive on correlated traffic).
+
+    Exactness: user-level moment sums are exact int64; the two SEs are
+    single identical double expressions rounded at 6 dp; the md5 arm
+    coin is the ab_cuped assignment.
+
+    100 TB: one user-grain aggregate (map-side combinable) then
+    2-arm-cardinality state — the cheapest correct uncertainty for
+    ratio metrics at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+            1, 1,
+        ) < "8",
+        "A",
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.count("*").cast("long").alias("y"),
+    ).withColumn("arm", arm)
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = sx.cast("double") / sy
+    yb = sy.cast("double") / n
+    vx = (n * F.col("sxx").cast("double") - sx.cast("double") * sx) / (
+        n.cast("double") * (n - 1)
+    )
+    vy = (n * F.col("syy").cast("double") - sy.cast("double") * sy) / (
+        n.cast("double") * (n - 1)
+    )
+    cxy = (n * F.col("sxy").cast("double") - sx.cast("double") * sy) / (
+        n.cast("double") * (n - 1)
+    )
+    se_delta = (
+        F.sqrt(
+            F.greatest(vx - F.lit(2.0) * r * cxy + r * r * vy, F.lit(0.0))
+            / n
+        )
+        / yb
+    )
+    se_naive = F.sqrt(r * (F.lit(1.0) - r) / sy)
+    return arms.select(
+        "arm",
+        n.alias("n_users"),
+        sx.alias("sum_conversions"),
+        sy.alias("sum_events"),
+        roundn(r, 6).alias("ratio"),
+        roundn(se_delta, 6).alias("se_delta"),
+        roundn(se_naive, 6).alias("se_naive"),
+    ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# ab_sequential_sprt — Wald's sequential probability ratio test (r6t)
+# --------------------------------------------------------------------------
+
+#: H0/H1 conversion rates and error budgets, as exact rationals
+_SPRT_P0 = "0.18e0"
+_SPRT_P1 = "0.22e0"
+_SPRT_ALPHA = "0.05e0"
+_SPRT_BETA = "0.20e0"
+
+
+def _sprt_oracle() -> str:
+    llr = (
+        f"c * ln({_SPRT_P1} / {_SPRT_P0})"
+        f" + (n - c) * ln((1.0e0 - {_SPRT_P1}) / (1.0e0 - {_SPRT_P0}))"
+    )
+    up = f"ln((1.0e0 - {_SPRT_BETA}) / {_SPRT_ALPHA})"
+    lo = f"ln({_SPRT_BETA} / (1.0e0 - {_SPRT_ALPHA}))"
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_day,
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                        THEN user_id END) AS BIGINT)
+                   AS c_day
+        FROM events GROUP BY 1),
+    cum AS (
+        SELECT day,
+               SUM(n_day) OVER (ORDER BY day) AS n,
+               SUM(c_day) OVER (ORDER BY day) AS c
+        FROM daily),
+    scored AS (
+        SELECT day, n, c,
+               FLOOR(({llr}) * 10000.0e0 + 0.5e0) / 10000.0e0 AS llr,
+               CASE WHEN ({llr}) >= {up} THEN 'accept_h1'
+                    WHEN ({llr}) <= {lo} THEN 'accept_h0'
+                    ELSE 'continue' END AS state
+        FROM cum),
+    firstx AS (
+        SELECT MIN(day) AS decision_day FROM scored
+        WHERE state <> 'continue')
+    SELECT s.day, s.n AS n_users, s.c AS n_conversions, s.llr, s.state,
+           CAST(s.day = f.decision_day AS INT) AS is_decision_point
+    FROM scored s LEFT JOIN firstx f ON TRUE
+    ORDER BY s.day
+    """
+
+
+@query("ab_sequential_sprt", oracle=_sprt_oracle())
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation tier — WALD'S SPRT, the sequential test under
+    every always-valid-inference product: the daily cumulative
+    conversion stream scores LLR_t = c·ln(p₁/p₀) +
+    (n−c)·ln((1−p₁)/(1−p₀)) against H0: p = 0.18 vs H1: p = 0.22, and
+    the experiment STOPS the first day the walk exits
+    [ln(β/(1−α)), ln((1−β)/α)] (α = 0.05, β = 0.20) — unlike the
+    fixed-horizon tests (hypothesis_ttest, ab_power_mde), peeking
+    daily at this boundary is exactly what preserves the error
+    budget (Wald's identity), which is why sequential testing is the
+    industry answer to the peeking problem. Output is the full
+    day-by-day trajectory (n, conversions, LLR, state) with the first
+    crossing flagged — the monitoring dashboard a growth team watches.
+
+    Exactness: daily distinct-user counts are exact; LLR is integer
+    counts times two shared log literals — an identical double tree
+    rounded at 4 dp; boundary literals are shared expressions.
+
+    100 TB: the day collapse is one map-side aggregate (count-distinct
+    per day at event grain); the cumulative walk is a window over
+    calendar-bounded rows. The two boundary constants broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("n_day"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).cast("long").alias("c_day"),
+    )
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n_day").over(wd).alias("n"),
+        F.sum("c_day").over(wd).alias("c"),
+    )
+    p0, p1, al, be = 0.18, 0.22, 0.05, 0.20
+    llr = F.col("c") * F.log(F.lit(p1) / F.lit(p0)) + (
+        F.col("n") - F.col("c")
+    ) * F.log((F.lit(1.0) - F.lit(p1)) / (F.lit(1.0) - F.lit(p0)))
+    up = F.log((F.lit(1.0) - F.lit(be)) / F.lit(al))
+    lo = F.log(F.lit(be) / (F.lit(1.0) - F.lit(al)))
+    scored = cum.select(
+        "day",
+        "n",
+        "c",
+        (F.floor(llr * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0))
+        .alias("llr"),
+        F.when(llr >= up, "accept_h1")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+    ).localCheckpoint(eager=False)  # rows + the first-crossing scalar
+    firstx = scored.filter(F.col("state") != "continue").agg(
+        F.min("day").alias("decision_day")
+    )
+    return (
+        scored.crossJoin(F.broadcast(firstx))
+        .select(
+            "day",
+            F.col("n").alias("n_users"),
+            F.col("c").alias("n_conversions"),
+            "llr",
+            "state",
+            (F.col("day") == F.col("decision_day")).cast("int").alias(
+                "is_decision_point"
+            ),
+        )
+        .orderBy("day")
     )

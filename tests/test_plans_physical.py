@@ -456,6 +456,9 @@ _BNLJ_REVIEWED = frozenset({
     # an inequality (300 ordered pairs) and crosses the one-row n
     # scalar — categories (b)/(a)
     "hypothesis_kendall",
+    # ab_sequential_sprt crosses the one-row first-crossing scalar into
+    # the calendar-bounded trajectory — category (a)
+    "ab_sequential_sprt",
     # round-4 second wave: fn_ip_network's prefix-mask expression join
     # against the 4-row CIDR dim and geo_nearest_site's 5-row site
     # cross join — category (b) bounded dims; quality_composite_score
