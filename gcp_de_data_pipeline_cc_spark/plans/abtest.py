@@ -799,8 +799,8 @@ def _sprt_oracle() -> str:
         FROM events GROUP BY 1),
     cum AS (
         SELECT day,
-               SUM(n_day) OVER (ORDER BY day) AS n,
-               SUM(c_day) OVER (ORDER BY day) AS c
+               CAST(SUM(n_day) OVER (ORDER BY day) AS BIGINT) AS n,
+               CAST(SUM(c_day) OVER (ORDER BY day) AS BIGINT) AS c
         FROM daily),
     scored AS (
         SELECT day, n, c,
