@@ -60,6 +60,39 @@ HEADLINE = (
     "train_curriculum_schedule",
     "eval_agreement_krippendorff",
     "privacy_randomized_response",
+    # round-6 second-session wave: the volume-sensitive shapes — float
+    # accumulation (RRF/BM25 arms, PSI nano-units, delta-method
+    # moments, SPRT log-walk, Mahalanobis folds, periodogram sums),
+    # rank/cutoff logic (trimmed mean, binned median/Gini twins,
+    # Kendall pairs), margin-sized spines (Fisher), pair scans
+    # (SemDeDup, binary Hamming) and the analytic multimodal oracles
+    "retrieval_rrf_fusion",
+    "dedup_semdedup",
+    "embedding_ood_mahalanobis",
+    "sim_topk_binary",
+    "ts_hampel",
+    "ts_sax",
+    "ts_siegel_repeated_median",
+    "ts_periodogram",
+    "ts_demand_classification",
+    "graph_ktruss",
+    "hypothesis_fisher_exact",
+    "hypothesis_kendall",
+    "stats_mutual_info",
+    "agg_trimmed_mean",
+    "agg_weighted_median_binned",
+    "agg_gini_binned",
+    "qc_psi",
+    "ab_delta_method",
+    "ab_sequential_sprt",
+    "attribution_shapley",
+    "privacy_dp_exponential",
+    "text_kneser_ney",
+    "seq_funnel_window",
+    "corpus_soft_dedup_weights",
+    "multimodal_features",
+    "multimodal_image_phash",
+    "multimodal_resize",
 )
 
 
