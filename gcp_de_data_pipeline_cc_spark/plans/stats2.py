@@ -1336,3 +1336,228 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test (r6u wave)
+# ---------------------------------------------------------------------------
+
+
+def _levene_oracle() -> str:
+    return f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+    m AS (
+        SELECT CAST(dayofweek(day) AS BIGINT) AS dow,
+               quantile_cont(cents, 0.5) AS med
+        FROM d GROUP BY 1),
+    z AS (
+        SELECT CAST(dayofweek(d.day) AS BIGINT) AS dow,
+               CAST(ABS(2.0e0 * d.cents - 2.0e0 * m.med) AS BIGINT) AS w
+        FROM d JOIN m ON m.dow = CAST(dayofweek(d.day) AS BIGINT)),
+    g AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(w) AS BIGINT) AS s,
+               CAST(SUM(w * w) AS BIGINT) AS s2
+        FROM z GROUP BY 1),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s) AS BIGINT) AS st,
+               CAST(SUM(s2) AS BIGINT) AS s2t,
+               SUM(CAST(FLOOR(s * 1.0e0 * s / n / 10000.0e0 + 0.5e0)
+                        AS BIGINT)) * 10000.0e0 AS sq
+        FROM g)
+    SELECT nn AS n_days, k AS n_groups,
+           {sql_roundn(
+               "((sq - st * 1.0e0 * st / nn) / (k - 1))"
+               " / NULLIF(GREATEST(s2t - sq, 0.0e0) / (nn - k), 0.0e0)", 4
+           )} AS f_bf,
+           COALESCE(((sq - st * 1.0e0 * st / nn) / (k - 1))
+               / NULLIF(GREATEST(s2t - sq, 0.0e0) / (nn - k), 0.0e0)
+                   > {_ANOVA_FCRIT}e0,
+               (sq - st * 1.0e0 * st / nn) / (k - 1) > 0.0e0)
+               AS reject_05
+    FROM t
+    """
+
+
+@query("stats_levene_bf", oracle=_levene_oracle())
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis tier — BROWN–FORSYTHE variance homogeneity (Levene's
+    test with MEDIAN centers, the robust form): the assumption check in
+    FRONT of hypothesis_ttest / hypothesis_anova, whose equal-variance
+    premise nobody verifies — one-way ANOVA applied to the absolute
+    deviations z = |x − median(group)| over the same day-of-week groups
+    as hypothesis_anova, so the pair reads as mean-difference test +
+    its guard. Median centering (vs Levene's mean) keeps the test
+    level-robust under heavy tails — exactly the daily-revenue shape.
+
+    Exactness: FULLY integer moments — w = |2x − 2·median| is exact
+    int64 (cents are ints, so 2·median is an integer-valued double
+    even at even-count midpoints), and F is scale-invariant so the
+    doubling cancels; the shared ANOVA between/within decomposition
+    quantizes per-group s²/n the same way; one double division at the
+    readout against the same F critical literal.
+
+    100 TB: day collapse map-side; the median is per-dow percentile
+    over calendar-bounded groups; z and its moments are one more
+    day-grain pass — nothing event-grain past the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).cast("long").alias("cents")
+    )
+    d = d.withColumn("dow", F.dayofweek("day").cast("long"))
+    d = d.localCheckpoint(eager=False)  # the median pass + the z pass
+    m = d.groupBy("dow").agg(
+        F.expr("percentile(cents, 0.5d)").alias("med")
+    )
+    z = d.join(F.broadcast(m), "dow").select(
+        "dow",
+        F.abs(F.lit(2.0) * F.col("cents") - F.lit(2.0) * F.col("med"))
+        .cast("bigint").alias("w"),
+    )
+    g = z.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("w").cast("long").alias("s"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("s2"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("s2").cast("long").alias("s2t"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("s") * F.lit(1.0) * F.col("s") / F.col("n")
+                    / F.lit(10000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            * F.lit(10000.0)
+        ).alias("sq"),
+    )
+    between = (F.col("sq") - F.col("st") * F.lit(1.0) * F.col("st") / F.col("nn")) / (
+        F.col("k") - 1
+    )
+    within = F.greatest(
+        F.col("s2t") - F.col("sq"), F.lit(0.0)
+    ) / (F.col("nn") - F.col("k"))
+    f = between / F.nullif(within, F.lit(0.0))
+    return t.select(
+        F.col("nn").alias("n_days"),
+        F.col("k").alias("n_groups"),
+        roundn(f, 4).alias("f_bf"),
+        F.coalesce(f > _ANOVA_FCRIT, between > 0).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the mean triple (r6u wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mean_inequality",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents
+        FROM orders),
+    q AS (
+        SELECT o_orderpriority, cents,
+               CAST(FLOOR(ln(CAST(cents AS DOUBLE)) * 1000000000.0e0
+                          + 0.5e0) AS BIGINT) AS lq,
+               CAST(FLOOR(1.0e15 / cents + 0.5e0) AS BIGINT) AS rq
+        FROM base),
+    g AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(lq) AS BIGINT) AS sl,
+               CAST(SUM(rq) AS BIGINT) AS sr
+        FROM q GROUP BY 1)
+    SELECT o_orderpriority, n,
+           {sql_roundn("CAST(s AS DOUBLE) / n / 100.0e0", 2)} AS mean_arith,
+           {sql_roundn(
+               "exp(CAST(sl AS DOUBLE) / n / 1000000000.0e0) / 100.0e0",
+               2)} AS mean_geom,
+           {sql_roundn(
+               "CAST(n AS DOUBLE) / (CAST(sr AS DOUBLE) / 1.0e15)"
+               " / 100.0e0", 2)} AS mean_harm
+    FROM g
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_mean_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — the MEAN TRIPLE per order priority: arithmetic,
+    geometric (exp of mean log — the right average for multiplicative
+    quantities: growth rates, price relatives) and harmonic (the right
+    average for rates: per-unit costs, throughput) side by side. The
+    AM ≥ GM ≥ HM inequality is a structural law of the output
+    (test-pinned with equality iff the group is constant), and the
+    AM/GM gap is a one-number dispersion diagnostic dashboards use
+    where a variance would need explaining.
+
+    Exactness: per-row ln(cents) quantizes to integer NANO-units and
+    1/cents to 1e-15 units BEFORE summing (the micro-bits discipline —
+    summation order cannot move either total; reciprocal sums stay
+    under int64 through sf100); exp of the already-quantized mean and
+    the two divisions are the only unquantized doubles, each rounded
+    at 2 dp.
+
+    100 TB: one map-side-combinable aggregate; group-cardinality
+    state. The reciprocal quantization grain trades 1e-15 absolute
+    error per row for order-freedom — document the grain when porting
+    to value domains far from [9e2, 6e5] cents."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    q = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.floor(
+            F.log(F.col("cents").cast("double")) * F.lit(1000000000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("lq"),
+        F.floor(F.lit(1.0e15) / F.col("cents") + F.lit(0.5))
+        .cast("long").alias("rq"),
+    )
+    g = q.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum("lq").cast("long").alias("sl"),
+        F.sum("rq").cast("long").alias("sr"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "n",
+        roundn(
+            F.col("s").cast("double") / F.col("n") / F.lit(100.0), 2
+        ).alias("mean_arith"),
+        roundn(
+            F.exp(
+                F.col("sl").cast("double") / F.col("n") / F.lit(1000000000.0)
+            )
+            / F.lit(100.0),
+            2,
+        ).alias("mean_geom"),
+        roundn(
+            F.col("n").cast("double")
+            / (F.col("sr").cast("double") / F.lit(1.0e15))
+            / F.lit(100.0),
+            2,
+        ).alias("mean_harm"),
+    ).orderBy("o_orderpriority")

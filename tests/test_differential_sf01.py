@@ -93,6 +93,8 @@ HEADLINE = (
     "multimodal_features",
     "multimodal_image_phash",
     "multimodal_resize",
+    "stats_levene_bf",
+    "agg_mean_inequality",
 )
 
 
