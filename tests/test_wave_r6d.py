@@ -29,9 +29,11 @@ def test_graph_ann_separates_planted_clusters(spark, tmp_path):
 
 
 def test_graph_ann_fixture_recall_floor(spark):
-    """Regression guard at the fixture operating point (measured
-    ~0.59 — between IVF cell pruning and LSH on this corpus)."""
+    """Regression guard at the fixture operating point.  The r7
+    bounded-cell + medoid-rep + long-range-link build measured 1.00
+    at sf0.01 and 0.81 at sf0.1 (vs 0.59 for the r6 in-cell-only
+    build) — recall must stay ABOVE the cheaper LSH rung (0.73)."""
     out = REGISTRY["sim_topk_graph"].spark(spark, SF_DIR).toPandas()
     assert (out.n_exact == 10).all()
     assert (out.recall >= 0.0).all() and (out.recall <= 1.0).all()
-    assert out.recall.mean() >= 0.4, out.recall.describe()
+    assert out.recall.mean() >= 0.75, out.recall.describe()

@@ -25,11 +25,16 @@ from tests.compare import assert_frames_match  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.001"
-    for i, a in enumerate(sys.argv):
-        if a == "--sf":
-            sf_dir = sys.argv[i + 1]
+    args, skip = [], False
+    for a in sys.argv[1:]:
+        if skip:
+            sf_dir = a
+            skip = False
+        elif a == "--sf":
+            skip = True
+        elif not a.startswith("--"):
+            args.append(a)
     keys = args or sorted(REGISTRY)
     spark = build_session(
         app_name="diffcheck",
