@@ -77,7 +77,22 @@ def _prior_verification_status() -> dict[str, int]:
             else:
                 level = -1
             status[key] = level  # later rounds override earlier ones
+    # keys whose SEMANTICS changed after their last official pass are
+    # demoted to never-checked so the change reaches a fresh official
+    # artifact (r7: bounded-cell quantizer under semdedup + graph ANN,
+    # PQ family retrained on the fixed-D stratum, resize checksum fix)
+    for key in _RESAMPLE:
+        if status.get(key) == 2:
+            status[key] = 0
     return status
+
+
+#: semantics changed in round 7 — see _prior_verification_status
+_RESAMPLE = frozenset({
+    "dedup_semdedup", "sim_topk_graph",
+    "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_pq_rerank",
+    "multimodal_resize", "multimodal_features",
+})
 
 
 # Within the never-verified tier, check one representative key per
@@ -85,6 +100,13 @@ def _prior_verification_status() -> dict[str, int]:
 # fn_string + fn_string2 + fn_regexp; one passing key flips the
 # component).  Keys absent from this list rank after listed ones.
 _COMPONENT_FIRST = (
+    # round-7 priority: the two keys whose SEMANTICS changed with the
+    # bounded-cell quantizer (re-verify officially), the composed
+    # rebalance key, the PQ family retrained on the fixed-D stratum,
+    # and the new wave keys
+    "dedup_semdedup", "sim_topk_graph", "sim_index_rebalance",
+    "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_pq_rerank",
+    "hypothesis_kendall_knight", "multimodal_resize",
     # round-6 priority: the five keys upgraded rows-only → oracle-paired
     # whose stale no_oracle records previously hid them (r5 verdict #1) —
     # sample them first so the upgrade reaches an official artifact

@@ -27,6 +27,49 @@ from gcp_de_data_pipeline_cc_spark.session import build_session
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
 
+# ---------------------------------------------------------------------------
+# Bench tiers (r6 verdict "What's wrong #1"): the blended s/query number
+# stopped tracking serving-path health because every wave deliberately
+# adds heavyweight EVIDENCE keys (exact brute-force recall arms, full
+# differential accuracy evals, leave-one-out retrains).  Each key is
+# classified once here so BENCH_r{N} carries per-tier subtotals and the
+# 2x driver bar is watched on the tier it's meant to protect.
+# ---------------------------------------------------------------------------
+
+#: keys whose cost IS the evidence: an exact/brute-force arm, a full
+#: accuracy differential, a deliberate sweep/ablation/retrain — their
+#: wall time measures the strength of the guarantee, not serving health
+_EVIDENCE_PATTERNS = (
+    "sim_topk",            # every rung reports recall vs exact brute force
+    "_vs_brute",
+    "_accuracy_eval",
+    "_calibration",
+    "_sweep",
+    "_ablation",
+    "_backtest",
+    "eval_",               # eval harness (BLEU/ROUGE/elo/pass@k/agreement)
+    "_eval",
+    "ab_",                 # experiment-analysis arms
+    "hypothesis_",
+    "attribution_",
+    "corpus_dedup_rate",   # TRUE-pair relation is quadratic by workload
+    "recsys_hit_rate",     # real leave-last-out retrain
+    "recsys_coverage",
+    "diversity_ild",
+    "embedding_knn_outliers",
+    "dedup_semdedup",
+    "sim_index_",          # index lifecycle audits
+    "ops_schedule_monte_carlo",
+)
+
+
+def tier_of(name: str) -> str:
+    if name.startswith("stream_"):
+        return "streaming"
+    if any(p in name for p in _EVIDENCE_PATTERNS):
+        return "evidence"
+    return "serving"
+
 
 def infer_sf(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
@@ -70,12 +113,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    tiers: dict[str, dict[str, float]] = {}
+    for name, sec in timings.items():
+        t = tiers.setdefault(tier_of(name), {"n": 0, "sec": 0.0})
+        t["n"] += 1
+        t["sec"] += sec
+    for t in tiers.values():
+        t["sec"] = round(t["sec"], 3)
+        t["s_per_query"] = round(t["sec"] / t["n"], 3)
     detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "sf": infer_sf(SF_DIR),
         "n_queries": len(timings),
+        "tiers": tiers,
         "queries": timings,
     }
     with open(DETAIL_PATH, "w") as f:
@@ -89,6 +141,7 @@ def main() -> None:
         "unit": "sec",
         "sf": infer_sf(SF_DIR),
         "n_queries": len(timings),
+        "tiers": tiers,
         "queries": slowest,
         "detail_file": "bench_detail.json",
     }))

@@ -507,6 +507,11 @@ def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
     )
     if hdr_size < 40 or compression != 0 or bpp != 24:
         raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    if h < 0:
+        # top-down row order: resampling in stored order would emit a
+        # vertically flipped thumbnail — refuse explicitly (the same
+        # contract as the bpp/compression guards) until a caller needs it
+        raise NotImplementedError("top-down BMP (negative height) not supported")
     abs_h = abs(h)
     row_raw = w * 3
     stride = row_raw + (4 - row_raw % 4) % 4
@@ -554,10 +559,12 @@ def resize_images(
                 out = resize_bmp(raw, out_w, out_h)
                 chk = decode_bmp(out)  # roundtrip: re-decode our output
                 assert chk["width"] == out_w and chk["height"] == out_h
-                n_px = out_w * out_h
-                csum = round(
-                    (chk["mean_b"] + chk["mean_g"] + chk["mean_r"]) * n_px
-                )
+                # exact integer sum of the resized pixel bytes (row
+                # padding is zero bytes, so summing the whole pixel
+                # region is safe) — NOT a round-trip through the decoded
+                # 6-dp means, which is only exact when out_w*out_h is a
+                # power of two
+                csum = sum(out[54:])
                 rows.append(
                     (int(doc_id), src["width"], src["height"], out_w,
                      out_h, len(out), int(csum))

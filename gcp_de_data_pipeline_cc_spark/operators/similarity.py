@@ -723,6 +723,7 @@ def bounded_cells(
     vec_col: str = "embedding",
     dim: int = 64,
     out_col: str = "chunk",
+    keep_proj: str | None = None,
 ) -> DataFrame:
     """Adds ``out_col``: the BOUNDED-CELL id within each label cell.
 
@@ -767,17 +768,28 @@ def bounded_cells(
     w = Window.partitionBy(label_col).orderBy(
         F.asc("__bc_proj"), F.asc(id_col)
     )
-    return (
-        df.withColumn("__bc_proj", proj)
-        .withColumn(
-            out_col,
-            F.floor(
-                (F.row_number().over(w) - F.lit(1)) * F.lit(1.0)
-                / F.lit(float(bound))
-            ).cast("long"),
-        )
-        .drop("__bc_proj")
+    out = df.withColumn("__bc_proj", proj).withColumn(
+        out_col,
+        F.floor(
+            (F.row_number().over(w) - F.lit(1)) * F.lit(1.0)
+            / F.lit(float(bound))
+        ).cast("long"),
     )
+    if keep_proj is not None:
+        return out.withColumnRenamed("__bc_proj", keep_proj)
+    return out.drop("__bc_proj")
+
+
+def sql_bounded_cells_proj(vec_expr: str, dim: int = 64) -> str:
+    """The DuckDB twin of :func:`bounded_cells`' integer projection
+    (exact: quantized components x integer plane, all < 2^53)."""
+    plane = _bounded_cell_plane(dim)
+    lits = "[" + ", ".join(f"{int(x)}.0" for x in plane) + "]"
+    qexpr = (
+        f"list_transform({vec_expr}, "
+        f"x -> FLOOR(CAST(x AS DOUBLE) * {PORTABLE_Q_SCALE}.0 + 0.5))"
+    )
+    return f"list_dot_product({qexpr}, {lits})"
 
 
 def sql_bounded_cells_order(
@@ -786,13 +798,7 @@ def sql_bounded_cells_order(
     """The DuckDB ORDER BY twin of :func:`bounded_cells`' ranking:
     ``ROW_NUMBER() OVER (PARTITION BY label ORDER BY {this})`` with the
     identical integer projection and id tie-break."""
-    plane = _bounded_cell_plane(dim)
-    lits = "[" + ", ".join(f"{int(x)}.0" for x in plane) + "]"
-    qexpr = (
-        f"list_transform({vec_expr}, "
-        f"x -> FLOOR(CAST(x AS DOUBLE) * {PORTABLE_Q_SCALE}.0 + 0.5))"
-    )
-    return f"list_dot_product({qexpr}, {lits}), {id_expr}"
+    return f"{sql_bounded_cells_proj(vec_expr, dim)}, {id_expr}"
 
 
 def sql_bounded_cells_chunk(bound: int = BOUNDED_CELL_SIZE) -> str:

@@ -48,11 +48,13 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     relational_ext7,
     relational_ext8,
     retrieval,
+    retrieval2,
     scale,
     sketches,
     stats,
     stats2,
     stats3,
+    stats4,
     timeseries,
     timeseries2,
     timeseries3,

@@ -5,6 +5,8 @@ plumbing — each a registry entry over the documents/embeddings tables.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -14,6 +16,7 @@ from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
 from gcp_de_data_pipeline_cc_spark.operators import multimodal as mm
 from gcp_de_data_pipeline_cc_spark.operators import similarity as sim
 from gcp_de_data_pipeline_cc_spark.operators import text as tx
+from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
 #: shared shingle-list SQL fragment (3-gram over whitespace tokens)
@@ -897,7 +900,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT doc_id, text,
                CAST(octet_length(encode(text)) AS BIGINT) AS L
-        FROM documents),
+        FROM documents
+        WHERE octet_length(encode(text)) > 0),
     by AS (
         SELECT doc_id, L, k, ascii(substr(text, CAST(k AS INT), 1)) AS b
         FROM d, UNNEST(range(1, CAST(L + 1 AS INT))) AS t(k)),
@@ -948,6 +952,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one narrow Arrow-batched pass, no shuffle; per-payload
     work is linear in bytes."""
     docs = load_table(spark, sf_dir, "documents")
+    # empty payloads are excluded SYMMETRICALLY with the oracle (whose
+    # UNNEST(range(1, L+1)) silently drops L=0 rows) — the two engines
+    # previously disagreed on that edge (r6 ADVICE)
+    docs = docs.filter(F.length("text") > 0)
     media = mm.attach_binary_payload(docs)
     feats = mm.extract_features(media)
     return feats.select(
@@ -3772,14 +3780,35 @@ embedding_pq_codebook.__doc__ = embedding_pq_codebook.__doc__.format(
 #: (recall >= 0.9 on planted 10-clusters)
 _PQ_SEARCH_K = 64
 _PQ_SEARCH_ITERS = 3
+#: fixed-size Lloyd TRAINING stratum (hash-rank sample, the faiss
+#: production pattern): training cost is O(D·K·iters) regardless of
+#: corpus size; the final encode pass over the full corpus is the only
+#: corpus-proportional stage.  512 ≥ the sf0.01 corpus, so small-SF
+#: results are bit-identical to full-corpus training.
+_PQ_TRAIN_D = 512
 
 
 def _pq_lloyd_sql(iters: int) -> str:
-    """The unrolled Lloyd chain as oracle CTEs: it0 = the md5 seed
-    assignment; iteration i recomputes centroids c{i} from it{i-1} and
-    reassigns (d{i}/g{i}/a{i}/it{i}) — mirrors _pq_train exactly."""
-    parts = ["it0 AS (SELECT vec_id, m, d, q, c0 AS k FROM flat)"]
+    """The unrolled Lloyd chain as oracle CTEs: training runs on the
+    fixed-size hash-rank STRATUM (the faiss production pattern — the
+    X348 fixed-Q discipline applied to TRAINING: Lloyd cost is
+    O(stratum · K · iters), corpus-independent); it0 = the md5 seed
+    assignment over the stratum; iteration i recomputes centroids c{i}
+    from it{i-1} and reassigns the stratum (d{i}/g{i}/a{i}/it{i});
+    the LAST reassignment (d{iters}/a{iters}) runs over the FULL
+    corpus — one linear encode pass against the final codebook.
+    Mirrors _pq_train exactly."""
+    parts = [
+        f"""ts AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY (vec_id * {sim._QS_MULT}) % {sim._QS_MOD}, vec_id
+        LIMIT {_PQ_TRAIN_D}),
+    strat AS MATERIALIZED (
+        SELECT * FROM flat WHERE vec_id IN (SELECT vec_id FROM ts)),
+    it0 AS (SELECT vec_id, m, d, q, c0 AS k FROM strat)"""
+    ]
     for i in range(1, iters + 1):
+        src = "flat" if i == iters else "strat"
         parts.append(f"""
     c{i} AS (
         SELECT m, k, d,
@@ -3789,7 +3818,7 @@ def _pq_lloyd_sql(iters: int) -> str:
     d{i} AS (
         SELECT f.vec_id, f.m, c.k,
                CAST(SUM((f.q - c.cq) * (f.q - c.cq)) AS BIGINT) AS dd
-        FROM flat f JOIN c{i} c ON c.m = f.m AND c.d = f.d
+        FROM {src} f JOIN c{i} c ON c.m = f.m AND c.d = f.d
         GROUP BY 1, 2, 3),
     g{i} AS (SELECT vec_id, m, MIN(dd) AS dmin FROM d{i} GROUP BY 1, 2),
     a{i} AS (
@@ -3799,7 +3828,7 @@ def _pq_lloyd_sql(iters: int) -> str:
         GROUP BY 1, 2),
     it{i} AS (
         SELECT f.vec_id, f.m, f.d, f.q, a.k_code AS k
-        FROM flat f JOIN a{i} a ON a.vec_id = f.vec_id AND a.m = f.m)""")
+        FROM strat f JOIN a{i} a ON a.vec_id = f.vec_id AND a.m = f.m)""")
     return ",".join(parts)
 
 
@@ -3917,21 +3946,38 @@ def _exact_l2_top10_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_train(
     flat: DataFrame, iters: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Unrolled Lloyd: seed assignment -> (centroids -> reassign) x
-    iters; returns (final centroids (m,k,d,cq), final codes
+    """Unrolled Lloyd over the fixed-D hash-rank TRAINING STRATUM
+    (seed assignment -> (centroids -> reassign) x iters on ≤{D}
+    vectors — the faiss production pattern, corpus-independent
+    training cost), then ONE full-corpus encode pass against the
+    final codebook; returns (final centroids (m,k,d,cq), final codes
     (vec_id,m,k_code)).  Each round checkpoints the assignment so plan
     depth stays bounded (the kmeans_iterate discipline)."""
-    assign = flat.select("vec_id", "m", "d", "q", F.col("c0").alias("k"))
+    ids = (
+        flat.select("vec_id")
+        .distinct()
+        .orderBy(
+            F.pmod(F.col("vec_id") * sim._QS_MULT, F.lit(sim._QS_MOD)).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(_PQ_TRAIN_D)
+    )
+    strat = flat.join(F.broadcast(ids), "vec_id", "semi")
+    strat = strat.localCheckpoint(eager=False)  # every training round
+    assign = strat.select("vec_id", "m", "d", "q", F.col("c0").alias("k"))
     cent = codes = None
-    for _ in range(iters):
+    for i in range(iters):
         cent = assign.groupBy("m", "k", "d").agg(
             F.floor(F.sum("q").cast("double") / F.count("*"))
             .cast("long")
             .alias("cq")
         )
         cent = cent.localCheckpoint(eager=False)
+        # training rounds reassign the stratum; the LAST round encodes
+        # the full corpus against the final codebook (one linear pass)
+        side = flat if i == iters - 1 else strat
         dist = (
-            flat.join(F.broadcast(cent), ["m", "d"])
+            side.join(F.broadcast(cent), ["m", "d"])
             .groupBy("vec_id", "m", "k")
             .agg(
                 F.sum(
@@ -3949,10 +3995,14 @@ def _pq_train(
             .agg(F.min("k").cast("long").alias("k_code"))
         )
         codes = codes.localCheckpoint(eager=False)
-        assign = flat.join(
-            codes.withColumnRenamed("k_code", "k"), ["vec_id", "m"]
-        ).select("vec_id", "m", "d", "q", "k")
+        if i < iters - 1:
+            assign = strat.join(
+                codes.withColumnRenamed("k_code", "k"), ["vec_id", "m"]
+            ).select("vec_id", "m", "d", "q", "k")
     return cent, codes
+
+
+_pq_train.__doc__ = _pq_train.__doc__.format(D=_PQ_TRAIN_D)
 
 
 def _exact_l2_top10(emb: DataFrame) -> DataFrame:
@@ -4875,6 +4925,13 @@ embedding_knn_outliers.__doc__ = embedding_knn_outliers.__doc__.format(
 _NSW_E = 8
 _NSW_B = 16
 _NSW_H = 3
+#: hard cap on the LINK LAYER (the rep set every node exact-scores for
+#: its 2 long-range links): when |cells| exceeds this, projection-rank
+#: grouping keeps one rep per group — the faiss pattern of a coarse
+#: codebook that must fit in memory; the link build is then O(n·cap)
+#: FLAT regardless of corpus size (and a ≤cap-row bounded collect
+#: feeds the exact int64 BLAS matmul)
+_NSW_CAP = 256
 
 
 def _sim_graph_oracle() -> str:
@@ -4907,20 +4964,21 @@ def _sim_graph_oracle() -> str:
         WHERE rn <= {_NSW_B})""")
     return f"""
     WITH cells AS (
-        SELECT vec_id, {sim.sql_bounded_cells_chunk()} AS chunk FROM (
+        SELECT vec_id, proj, {sim.sql_bounded_cells_chunk()} AS chunk FROM (
             SELECT vec_id,
+                   {sim.sql_bounded_cells_proj("embedding")} AS proj,
                    ROW_NUMBER() OVER (PARTITION BY label ORDER BY
                        {sim.sql_bounded_cells_order("embedding", "vec_id")})
                        AS rn
             FROM embeddings)),
     e AS MATERIALIZED (
-        SELECT em.vec_id, em.label, cells.chunk,
+        SELECT em.vec_id, em.label, cells.chunk, cells.proj,
                embedding::DOUBLE[] AS v
         FROM embeddings em JOIN cells ON cells.vec_id = em.vec_id),
     en AS MATERIALIZED (
-        SELECT vec_id, label, chunk,
+        SELECT vec_id, label, chunk, proj,
                list_transform(v, x -> x / nrm) AS v
-        FROM (SELECT vec_id, label, chunk, v,
+        FROM (SELECT vec_id, label, chunk, proj, v,
                      sqrt(list_dot_product(v, v)) AS nrm FROM e)),
     qs AS ({sim.sql_query_sample_cte()}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM en
@@ -4959,13 +5017,32 @@ def _sim_graph_oracle() -> str:
         SELECT q.query_id, r.rep AS nid,
                list_dot_product(q.qv, r.v) AS cs
         FROM q CROSS JOIN repv r),
+    rrank AS (
+        SELECT r.rep, en.proj, en.v,
+               ROW_NUMBER() OVER (ORDER BY en.proj, r.rep) AS rr,
+               COUNT(*) OVER () AS nc
+        FROM reps r JOIN en ON en.vec_id = r.rep),
+    linkreps AS MATERIALIZED (
+        SELECT rep, list_transform(v,
+                   x -> FLOOR(x * 8192.0e0 + 0.5e0)) AS qrv
+        FROM (SELECT rep, v,
+                     ROW_NUMBER() OVER (PARTITION BY
+                         CAST(FLOOR((rr - 1) * LEAST(nc, {_NSW_CAP})
+                                    * 1.0e0 / nc) AS BIGINT)
+                         ORDER BY rr) AS sr
+              FROM rrank)
+        WHERE sr = 1),
+    qn AS (
+        SELECT vec_id,
+               list_transform(v, x -> FLOOR(x * 8192.0e0 + 0.5e0)) AS qv
+        FROM en),
     rep2 AS (
         SELECT src, dst FROM (
             SELECT n.vec_id AS src, r.rep AS dst,
                    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                       ORDER BY list_dot_product(n.v, r.v) DESC, r.rep)
+                       ORDER BY list_dot_product(n.qv, r.qrv) DESC, r.rep)
                        AS rn
-            FROM en n CROSS JOIN repv r)
+            FROM qn n CROSS JOIN linkreps r)
         WHERE rn IN (2, 3) AND src <> dst),
     nb AS MATERIALIZED (
         SELECT src, dst FROM kedge
@@ -5029,10 +5106,15 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id fallback for singleton cells); the base layer is the
     in-cell kNN graph (top-{e} exact-cosine edges per vector,
     symmetrized) plus LONG-RANGE links: every node also links to the
-    representatives of its 2nd- and 3rd-nearest cells — the
-    HNSW-style cross-cell mobility the r6 build lacked (in-cell-only
-    edges left routing hostage to the coarse layer; measured fixture
-    recall rose 0.59 → 0.81 when these links landed).  Search: score
+    representatives of its 2nd- and 3rd-nearest LINK-LAYER cells (the
+    rep set capped at {cap} by projection-rank grouping — the faiss
+    in-memory-codebook pattern — scored by an exact int64 matmul
+    against the bounded collected rep matrix) — the HNSW-style
+    cross-cell mobility the r6 build lacked (in-cell-only edges left
+    routing hostage to the coarse layer; measured fixture recall rose
+    0.59 → 0.81 when these links landed; a cell-level rep graph
+    measured 0.30 and 1-D projection-curve edges 0.28 — the links
+    must be query-adaptive per node and one hop away).  Search: score
     the query against ALL ≤|cells| representatives (multi-entry
     seeding — the visited set starts with the whole coarse layer, so
     routing never loses a cell to one bad greedy step; the query's
@@ -5055,13 +5137,18 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-cell quantizer splits oversized label cells on a
     deterministic projection order — replicated/skewed corpora grow
     CELL COUNT, not cell size), and runs ONCE; long-range links cost
-    one map-side n × |cells| broadcast scoring pass; per query the
+    one Arrow-batched O(n·{cap}) matmul pass (the link layer is
+    hard-capped, so the collect feeding it is bounded); per query the
     search touches |cells| + {b}·({e}+2)·{h} vectors; every hop is
     one equi-join of the (query, beam) relation against the edge
-    list."""
+    list.  Measured at the 8× replication probe: the non-exact-arm
+    cost is FLAT (~9 s → ~10 s) — the growth left is the linear
+    brute-force recall baseline itself."""
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = sim.bounded_cells(sim.as_double_vectors(emb)).select(
-        "vec_id", "label", "chunk", F.col("embedding").alias("v")
+    raw = sim.bounded_cells(
+        sim.as_double_vectors(emb), keep_proj="proj"
+    ).select(
+        "vec_id", "label", "chunk", "proj", F.col("embedding").alias("v")
     )
     # L2-normalize ONCE so every pair/hop score is a single dot fold
     # (3 folds/pair -> 1; measured 7.3 s -> ~2.5 s on the sf0.1 build);
@@ -5071,6 +5158,7 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "chunk",
+        "proj",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
     )
     e = e.localCheckpoint(eager=False)  # reps + pairs + hop scoring
@@ -5142,18 +5230,80 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             cs(F.col("qv"), F.col("rv")).alias("cs"),
         )
     )
-    # LONG-RANGE LINKS (r7): every node also links to the representative
-    # of its SECOND-nearest cell (rank-2 over the broadcast rep relation,
-    # map-side n x |cells|) — the HNSW-style cross-cell mobility the r6
-    # docstring named as the missing piece: a beam stuck in the wrong
-    # cell can now hop to a neighboring cell's rep and expand there.
-    wn = Window.partitionBy("vec_id").orderBy(F.desc("rcs"), F.asc("rep"))
+    # LONG-RANGE LINKS (r7): every node links to the reps of its 2nd-
+    # and 3rd-nearest LINK-LAYER cells — the HNSW-style cross-cell
+    # mobility the r6 docstring named as the missing piece, and the
+    # design that measured 0.81 recall where a cell-level rep graph
+    # (0.30) and 1-D projection-curve edges (0.28) both failed: the
+    # links must be QUERY-ADAPTIVE per node and reachable in one hop.
+    # The link layer is the rep set capped at _NSW_CAP by
+    # projection-rank grouping (identity when |cells| ≤ cap, the
+    # bench/sf0.01 case), scored with an exact int64 BLAS matmul in a
+    # pandas UDF against the ≤cap-row collected rep matrix (the faiss
+    # in-memory-codebook pattern; the interpreted fold version of the
+    # same scoring cost 25 s at the x8 probe) — O(n·cap) FLAT.
+    nc = reps.count()
+    wlr = Window.partitionBy("super").orderBy(F.asc("rr"))
+    rrank = (
+        reps.join(
+            e.select(F.col("vec_id").alias("rep"), "proj", "v"), "rep"
+        )
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.orderBy(F.asc("proj"), F.asc("rep"))
+            ),
+        )
+        .withColumn(
+            "super",
+            F.floor(
+                (F.col("rr") - 1)
+                * F.lit(float(min(nc, _NSW_CAP)))
+                / F.lit(float(nc))
+            ).cast("long"),
+        )
+    )
+    linkreps = (
+        rrank.withColumn("sr", F.row_number().over(wlr))
+        .filter(F.col("sr") == 1)
+        .select(
+            "rep",
+            F.transform(
+                "v",
+                lambda x: F.floor(x * F.lit(8192.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("qrv"),
+        )
+    )
+    lr_rows = sorted(
+        linkreps.collect(), key=lambda r: r["rep"]
+    )  # ≤ _NSW_CAP rows by construction — a BOUNDED collect
+    lr_ids = np.array([r["rep"] for r in lr_rows], dtype=np.int64)
+    lr_mat = np.array([r["qrv"] for r in lr_rows], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _top23(qvs: pd.Series) -> pd.Series:
+        if len(qvs) == 0:
+            return pd.Series([], dtype=object)
+        q = np.vstack(qvs.to_numpy()).astype(np.int64)
+        scores = q @ lr_mat.T  # exact int64 — order-free both engines
+        # rank by score desc, ties by rep id asc; keep positions 2, 3
+        order = np.lexsort((np.broadcast_to(lr_ids, scores.shape),
+                            -scores), axis=1)
+        return pd.Series(list(lr_ids[order[:, 1:3]]))
+
+    qn = e.select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x: F.floor(x * F.lit(8192.0) + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
     rep2 = (
-        e.select("vec_id", "v")
-        .crossJoin(F.broadcast(repv))
-        .select("vec_id", "rep", cs(F.col("v"), F.col("rv")).alias("rcs"))
-        .withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn").isin(2, 3) & (F.col("vec_id") != F.col("rep")))
+        qn.select("vec_id", _top23(F.col("qv")).alias("lnk"))
+        .select("vec_id", F.explode("lnk").alias("rep"))
+        .filter(F.col("vec_id") != F.col("rep"))
         .select(F.col("vec_id").alias("src"), F.col("rep").alias("dst"))
     )
     nb = (
@@ -5222,7 +5372,7 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_topk_graph.__doc__ = sim_topk_graph.__doc__.format(
-    e=_NSW_E, b=_NSW_B, h=_NSW_H
+    e=_NSW_E, b=_NSW_B, h=_NSW_H, cap=_NSW_CAP
 )
 
 
@@ -5470,6 +5620,17 @@ def sim_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delta); the report is a cell-cardinality rollup.  When flags
     accumulate, the retrain is sim_topk_ivf's centroid build — one
     base scan — and the flag history says WHEN that's worth paying."""
+    _base, _assigned, report = _idxm_report(spark, sf_dir)
+    return report.orderBy("cell")
+
+
+def _idxm_report(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(base, assigned-delta, per-cell maintenance report) — the shared
+    internals of sim_index_maintenance and the composed
+    sim_index_rebalance key (plans/retrieval2.py) that CONSUMES the
+    retrain flag."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % _IDXM_MOD < _IDXM_BASE)
     delta = emb.filter(F.col("vec_id") % _IDXM_MOD >= _IDXM_BASE)
@@ -5518,27 +5679,24 @@ def sim_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_delta").cast("long").alias("d_tot"),
         F.sum("n_base").cast("long").alias("b_tot"),
     )
-    return (
-        joined.crossJoin(F.broadcast(tot))
-        .select(
-            "cell",
-            "n_base",
-            "n_delta",
-            "n_crossed",
-            (
-                F.floor(
-                    F.col("n_delta") * F.lit(1000000.0) / F.col("n_base")
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
-            ).alias("growth"),
-            (
-                F.col("n_delta") * F.col("b_tot")
-                > 2 * F.col("d_tot") * F.col("n_base")
-            ).alias("retrain_flag"),
-        )
-        .orderBy("cell")
+    report = joined.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_base",
+        "n_delta",
+        "n_crossed",
+        (
+            F.floor(
+                F.col("n_delta") * F.lit(1000000.0) / F.col("n_base")
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("growth"),
+        (
+            F.col("n_delta") * F.col("b_tot")
+            > 2 * F.col("d_tot") * F.col("n_base")
+        ).alias("retrain_flag"),
     )
+    return base, assigned, report
 
 
 sim_index_maintenance.__doc__ = sim_index_maintenance.__doc__.format(

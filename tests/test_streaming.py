@@ -356,3 +356,101 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 0.05
+
+
+def test_custom_stateful_state_store_survives_kill_and_restart(
+    spark, tmp_path
+):
+    """Adversarial STATE-STORE recovery (r6 verdict #7): kill a
+    checkpointed applyInPandasWithState query mid-drain and restart it
+    from the same checkpoint — the recovered keyed state must carry
+    the pre-kill running totals forward, so the final per-user totals
+    reconstructed from the two runs' update outputs equal the batch
+    aggregate exactly (a lost/reset store would undercount every user
+    touched before the kill; foreachBatch writes each epoch to
+    batch=<id> with overwrite, so a replayed epoch is idempotent and
+    duplicates cannot mask the loss)."""
+    import time as _t
+
+    from gcp_de_data_pipeline_cc_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    raw = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "value")
+    )
+    # many small files -> many micro-batches, so the kill lands between
+    # state commits
+    raw.repartition(12).write.mode("overwrite").parquet(src_dir)
+
+    def start():
+        sdf = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def sink(df, batch_id):
+            df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            return (
+                running_user_totals(sdf)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    q = start()
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        _t.sleep(0.05)
+    q.stop()
+    q.awaitTermination(60)
+    import glob as _glob
+
+    n_batches_first = len(_glob.glob(f"{out}/batch=*"))
+    assert 0 < n_batches_first < 12, "kill must land mid-drain"
+
+    q = start()
+    q.awaitTermination(120)
+    assert len(_glob.glob(f"{out}/batch=*")) > n_batches_first
+
+    # reconstruct the final state from the update stream: latest row
+    # per user = the one with the highest (monotone) event count
+    mem = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+    final = (
+        mem.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_sum", "n_events").alias("value_sum"),
+        )
+    )
+    expect = raw.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["value_sum"])
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], float(r["value_sum"]))
+        for r in expect.collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, v) in want.items():
+        assert got[uid][0] == n, f"user {uid}: state lost across restart"
+        assert abs(got[uid][1] - v) < 0.02, f"user {uid}: value drift"
