@@ -107,6 +107,10 @@ _COMPONENT_FIRST = (
     "dedup_semdedup", "sim_topk_graph", "sim_index_rebalance",
     "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_pq_rerank",
     "hypothesis_kendall_knight", "multimodal_resize",
+    "corpus_dsir_weights", "retrieval_query_likelihood", "eval_chrf",
+    "stats_wilcoxon_signed_rank", "stats_runs_test", "stats_friedman",
+    "ts_hurst_rs", "ts_sample_entropy", "ts_pacf_durbin",
+    "corpus_perplexity_buckets", "text_distinct_ngrams",
     # round-6 priority: the five keys upgraded rows-only → oracle-paired
     # whose stale no_oracle records previously hid them (r5 verdict #1) —
     # sample them first so the upgrade reaches an official artifact

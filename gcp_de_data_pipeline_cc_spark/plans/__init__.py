@@ -23,6 +23,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     corpus4,
     corpus5,
     corpus6,
+    corpus7,
     corpus_stats,
     curation,
     evals,
@@ -60,6 +61,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     timeseries3,
     timeseries4,
     timeseries5,
+    timeseries6,
     training,
     udfs,
 )

@@ -1,0 +1,169 @@
+"""Semantic laws for the round-7 operator wave (stats, time-series,
+corpus-curation, retrieval extensions)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from gcp_de_data_pipeline_cc_spark.plans.stats4 import _merge_count
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# hypothesis_kendall_knight
+# ---------------------------------------------------------------------------
+
+def test_merge_count_matches_brute_force():
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 7, 100, 513):
+        a = rng.integers(0, 50, size=n)
+        brute = sum(
+            1 for i in range(n) for j in range(i + 1, n) if a[i] > a[j]
+        )
+        assert _merge_count(a) == brute
+
+
+def test_kendall_knight_matches_pair_formula(spark):
+    """The decomposed inversion count must equal the O(n²) identity
+    P+Q+tx+ty+txy = n(n-1)/2 and produce tau in [-1, 1]."""
+    out = (
+        REGISTRY["hypothesis_kendall_knight"].spark(spark, SF_DIR)
+        .toPandas().iloc[0]
+    )
+    n = out.n
+    total = out.concordant + out.discordant + out.ties_x + out.ties_y
+    # txy = n0 - (P + Q + tx + ty)
+    assert total <= n * (n - 1) // 2
+    assert -1.0 <= out.tau_b <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# stats wave
+# ---------------------------------------------------------------------------
+
+def test_wilcoxon_rank_sums_partition(spark):
+    """W+ + W- must equal n(n+1)/2 (every nonzero pair is ranked)."""
+    out = (
+        REGISTRY["stats_wilcoxon_signed_rank"].spark(spark, SF_DIR)
+        .toPandas().iloc[0]
+    )
+    n = out.n_pairs
+    assert abs((out.w_plus + out.w_minus) - n * (n + 1) / 2) < 1e-6
+
+
+def test_runs_test_counts_consistent(spark):
+    out = REGISTRY["stats_runs_test"].spark(spark, SF_DIR).toPandas().iloc[0]
+    assert 1 <= out.n_runs <= out.n_above + out.n_below
+    # the lower-median cut keeps the split near-even
+    assert abs(out.n_above - out.n_below) <= out.n_above + out.n_below
+
+
+def test_friedman_rank_mass_conserved(spark):
+    """With k=5 treatments each block contributes rank mass 15, so
+    Q >= 0 always and Q = 0 iff all rank sums equal."""
+    out = REGISTRY["stats_friedman"].spark(spark, SF_DIR).toPandas().iloc[0]
+    assert out.k == 5
+    assert out.q_stat >= 0
+    assert out.n_blocks >= 1
+
+
+# ---------------------------------------------------------------------------
+# time-series wave
+# ---------------------------------------------------------------------------
+
+def test_hurst_in_unit_interval(spark):
+    out = REGISTRY["ts_hurst_rs"].spark(spark, SF_DIR).toPandas().iloc[0]
+    # R/S averages grow with scale for any real series
+    assert out.rs8 < out.rs16 < out.rs32 < out.rs64
+    assert 0.0 < out.hurst < 1.2  # estimator can mildly overshoot 1
+
+
+def test_sample_entropy_a_subset_of_b(spark):
+    out = (
+        REGISTRY["ts_sample_entropy"].spark(spark, SF_DIR).toPandas().iloc[0]
+    )
+    assert out.a_cnt <= out.b_cnt  # 3-matches are a subset of 2-matches
+    if out.a_cnt > 0:
+        assert out.sampen >= 0
+
+
+def test_pacf_lag1_equals_acf1(spark):
+    """phi_11 IS the lag-1 autocorrelation by construction."""
+    pacf = (
+        REGISTRY["ts_pacf_durbin"].spark(spark, SF_DIR)
+        .toPandas().set_index("event_type")
+    )
+    acf = (
+        REGISTRY["ts_autocorr"].spark(spark, SF_DIR)
+        .toPandas().set_index("event_type")
+    )
+    for et in pacf.index:
+        assert abs(pacf.loc[et, "pacf1"] - acf.loc[et, "acf1"]) <= 1e-3
+    assert ((pacf.pacf2.abs() <= 1.0) & (pacf.pacf3.abs() <= 1.5)).all()
+
+
+# ---------------------------------------------------------------------------
+# corpus wave
+# ---------------------------------------------------------------------------
+
+def test_dsir_target_scores_highest(spark):
+    """The target domain must have the highest mean importance weight
+    — DSIR's defining property (a doc from the target distribution
+    looks maximally target-like)."""
+    out = (
+        REGISTRY["corpus_dsir_weights"].spark(spark, SF_DIR)
+        .toPandas().set_index("source")
+    )
+    assert out.mean_logw.idxmax() == "src0"
+    assert out.loc["src0", "n_positive"] >= out.n_positive.median()
+
+
+def test_perplexity_buckets_are_terciles(spark):
+    out = REGISTRY["corpus_perplexity_buckets"].spark(spark, SF_DIR).toPandas()
+    by_bucket = out.groupby("bucket").n_docs.sum()
+    total = by_bucket.sum()
+    # tercile cut: bucket sizes within 1 of each other
+    assert by_bucket.max() - by_bucket.min() <= 1
+    assert set(out.bucket) == {"head", "middle", "tail"}
+    # head has the lowest perplexity by construction
+    m = out.groupby("bucket").apply(
+        lambda g: (g.avg_bits * g.n_docs).sum() / g.n_docs.sum(),
+        include_groups=False,
+    )
+    assert m["head"] < m["middle"] < m["tail"]
+    assert total == 500
+
+
+def test_distinct_ngrams_bounds(spark):
+    out = REGISTRY["text_distinct_ngrams"].spark(spark, SF_DIR).toPandas()
+    assert (out.distinct1 <= out.n_tokens).all()
+    assert (out.distinct1_ratio <= 1.0).all()
+    assert (out.distinct2_ratio <= 1.0).all()
+    # bigram types are at least as diverse as unigram types in prose
+    assert (out.distinct2_ratio >= out.distinct1_ratio - 1e-9).mean() > 0.9
+
+
+# ---------------------------------------------------------------------------
+# retrieval wave
+# ---------------------------------------------------------------------------
+
+def test_query_likelihood_ranks_term_rich_docs(spark):
+    out = (
+        REGISTRY["retrieval_query_likelihood"].spark(spark, SF_DIR)
+        .toPandas()
+    )
+    assert len(out) == 20
+    assert (out["rank"] == range(1, 21)).all()
+    # scores are log-probabilities: strictly negative, rank-descending
+    assert (out.ql_score < 0).all()
+    assert (out.ql_score.diff().dropna() <= 1e-9).all()
+
+
+def test_chrf_beats_random_and_below_perfect(spark):
+    out = REGISTRY["eval_chrf"].spark(spark, SF_DIR).toPandas().iloc[0]
+    # the noisy channel keeps 4/5 tokens: chrF well above 0.5,
+    # strictly below 1
+    assert 0.5 < out.chrf < 1.0
+    assert out.hits2 <= out.cand2_total
+    assert out.f3gram <= out.f2gram  # longer grams are harder
