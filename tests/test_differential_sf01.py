@@ -95,6 +95,27 @@ HEADLINE = (
     "multimodal_resize",
     "stats_levene_bf",
     "agg_mean_inequality",
+    # round-7 wave: the volume-sensitive shapes — the decomposed
+    # Knight inversion count (chunk/bucket logic only engages beyond
+    # 512 entities), bounded-cell splits (cells only multiply at
+    # volume), stratum-trained PQ (training ≠ corpus only above 512
+    # vectors), dyadic average ranks (tie groups grow), integer R/S
+    # and SampEn moments, nano-unit QL/DSIR sums, rank terciles
+    "hypothesis_kendall_knight",
+    "stats_wilcoxon_signed_rank",
+    "stats_runs_test",
+    "stats_friedman",
+    "ts_hurst_rs",
+    "ts_sample_entropy",
+    "ts_pacf_durbin",
+    "corpus_dsir_weights",
+    "corpus_perplexity_buckets",
+    "text_distinct_ngrams",
+    "retrieval_query_likelihood",
+    "eval_chrf",
+    "sim_topk_graph",
+    "sim_index_rebalance",
+    "sim_topk_pq_rerank",
 )
 
 
