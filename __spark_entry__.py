@@ -111,6 +111,7 @@ _COMPONENT_FIRST = (
     "stats_wilcoxon_signed_rank", "stats_runs_test", "stats_friedman",
     "ts_hurst_rs", "ts_sample_entropy", "ts_pacf_durbin",
     "corpus_perplexity_buckets", "text_distinct_ngrams",
+    "ts_periodogram_fft", "attribution_shapley_sampled",
     # round-6 priority: the five keys upgraded rows-only → oracle-paired
     # whose stale no_oracle records previously hid them (r5 verdict #1) —
     # sample them first so the upgrade reaches an official artifact

@@ -432,3 +432,332 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r3 - F.col("a21") * r2 - F.col("phi22") * r1) / F.col("v2"), 4
         ).alias("pacf3"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# ts_periodogram_fft — the documented long-series swap, delivered
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from gcp_de_data_pipeline_cc_spark.plans.timeseries5 import (  # noqa: E402
+    _PG_MAXK,
+    _periodogram_oracle,
+)
+
+
+@query("ts_periodogram_fft", oracle=_periodogram_oracle())
+def ts_periodogram_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — ts_periodogram's documented long-series swap,
+    DELIVERED: the same power spectrum via a REAL FFT (numpy rfft) in
+    one applyInPandas pass over each type's day-ordered count vector —
+    O(N log N) per series where the relational DFT pays O(N·K) sum
+    terms, and the win compounds when K grows toward N/2 on long
+    series.  SHARES ts_periodogram's oracle VERBATIM (the Tarjan
+    shared-oracle discipline): one hash match validates two different
+    algorithms computing the same spectrum.
+
+    Exactness: |rfft(x)[k]|² equals (Σx·cos)² + (Σx·sin)² up to
+    summation-order ulps ~12 digits below the 2 dp rounding grain
+    (the direct key's own float posture); counts are exact integers
+    into the transform.
+
+    100 TB: the day collapse is the only event-grain work; each
+    series' vector is CALENDAR-BOUNDED (~2.4k days/decade), so the
+    per-group pandas transform is constant-size work per series and
+    the output is (series × {mk}) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        x = pdf["cnt"].to_numpy(dtype=np.float64)
+        nd = len(x)
+        fx = np.fft.rfft(x)
+        kmax = min(_PG_MAXK, nd // 2)
+        ks = np.arange(1, kmax + 1)
+        power = np.floor(
+            (np.abs(fx[1 : kmax + 1]) ** 2) / nd * 100.0 + 0.5
+        ) / 100.0
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "k": ks.astype("int32"),
+                "nd": np.int64(nd),
+                "power": power,
+            }
+        )
+
+    pw = daily.groupBy("event_type").applyInPandas(
+        spectrum, "event_type string, k int, nd long, power double"
+    )
+    pw = pw.localCheckpoint(eager=False)  # rows + the max flag
+    mx = pw.groupBy("event_type").agg(F.max("power").alias("pmax"))
+    return (
+        pw.join(F.broadcast(mx), "event_type")
+        .select(
+            "event_type",
+            F.col("k").cast("int").alias("k"),
+            (
+                F.floor(
+                    F.col("nd").cast("double") / F.col("k") * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("period_days"),
+            "power",
+            (F.col("power") == F.col("pmax")).cast("int").alias(
+                "is_dominant"
+            ),
+        )
+        .orderBy("event_type", "k")
+    )
+
+
+ts_periodogram_fft.__doc__ = ts_periodogram_fft.__doc__.format(mk=_PG_MAXK)
+
+
+# ---------------------------------------------------------------------------
+# attribution_shapley_sampled — the documented >20-channel swap, delivered
+# ---------------------------------------------------------------------------
+
+import hashlib  # noqa: E402
+import itertools  # noqa: E402
+
+from gcp_de_data_pipeline_cc_spark.plans.timeseries5 import (  # noqa: E402
+    _SHAP_CHANNELS,
+)
+
+#: deterministic sample of 8 of the 24 channel permutations: md5-rank
+#: of the permutation string — the seeded-draw discipline (dp_count's
+#: Laplace, dp_exponential's Gumbel) applied to permutation sampling,
+#: so both engines consume the IDENTICAL literal spine
+_SHAP_M = 8
+
+
+def _shap_sampled_spine() -> list[tuple[int, int, int]]:
+    perms = sorted(
+        itertools.permutations(range(len(_SHAP_CHANNELS))),
+        key=lambda p: hashlib.md5(
+            ("perm:" + "".join(map(str, p))).encode()
+        ).hexdigest(),
+    )[:_SHAP_M]
+    spine = []
+    for pid, p in enumerate(perms):
+        before = 0
+        for d in p:
+            spine.append((pid, d, before))
+            before |= 1 << d
+    return spine
+
+
+def _shapley_sampled_oracle() -> str:
+    bit = " + ".join(
+        f"MAX(CASE WHEN event_type = '{ch}' THEN {1 << d} ELSE 0 END)"
+        for d, ch in enumerate(_SHAP_CHANNELS)
+    )
+    rows = ", ".join(
+        f"({pid}, {d}, {before})" for pid, d, before in _shap_sampled_spine()
+    )
+    w24 = (
+        "CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2"
+        " ELSE 6 END"
+    )
+    names = " ".join(
+        f"WHEN {d} THEN '{ch}'" for d, ch in enumerate(_SHAP_CHANNELS)
+    )
+    return f"""
+    WITH touch AS (
+        SELECT user_id,
+               CAST({bit} AS BIGINT) AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id),
+    conv AS (
+        SELECT mask, CAST(SUM(converted) AS BIGINT) AS n_conv
+        FROM touch GROUP BY mask),
+    sets AS (SELECT UNNEST(range(0, 16)) AS s),
+    v AS (
+        SELECT s.s, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS v
+        FROM sets s LEFT JOIN conv c ON (c.mask & s.s) = c.mask
+        GROUP BY s.s),
+    spine(pid, d, before) AS (VALUES {rows}),
+    samp AS (
+        SELECT sp.d, CAST(SUM(v1.v - v0.v) AS BIGINT) AS m{_SHAP_M}
+        FROM spine sp
+        JOIN v v0 ON v0.s = sp.before
+        JOIN v v1 ON v1.s = (sp.before | (1 << sp.d))
+        GROUP BY sp.d),
+    exact AS (
+        SELECT ch.d, CAST(SUM(({w24}) * (v1.v - v0.v)) AS BIGINT) AS s24
+        FROM (SELECT UNNEST(range(0, {len(_SHAP_CHANNELS)})) AS d) ch
+        JOIN v v0 ON (v0.s & (1 << ch.d)) = 0
+        JOIN v v1 ON v1.s = (v0.s | (1 << ch.d))
+        GROUP BY ch.d),
+    full_v AS (
+        SELECT MAX(CASE WHEN s = 15 THEN v END) AS v_full,
+               MAX(CASE WHEN s = 0 THEN v END) AS v_empty
+        FROM v)
+    SELECT CASE samp.d {names} ELSE '?' END AS channel,
+           samp.m{_SHAP_M} AS sampled_{_SHAP_M}ths,
+           FLOOR(samp.m{_SHAP_M} / {_SHAP_M}.0e0 * 10000.0e0 + 0.5e0)
+               / 10000.0e0 AS sampled_conversions,
+           exact.s24 AS exact_24ths,
+           FLOOR((samp.m{_SHAP_M} / {_SHAP_M}.0e0
+                  - exact.s24 / 24.0e0) * 10000.0e0 + 0.5e0) / 10000.0e0
+               AS gap_conversions,
+           CAST(full_v.v_full - full_v.v_empty AS BIGINT)
+               AS attributable_conversions
+    FROM samp JOIN exact ON exact.d = samp.d CROSS JOIN full_v
+    ORDER BY channel
+    """
+
+
+@query("attribution_shapley_sampled", oracle=_shapley_sampled_oracle())
+def attribution_shapley_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution tier — PERMUTATION-SAMPLED Shapley, the documented
+    >~20-channel swap of attribution_shapley delivered as code
+    (Castro et al. 2009's simple random-order estimator): φ̂_c =
+    (1/M)·Σ_sampled-perms [v(before(c) ∪ {{c}}) − v(before(c))], with
+    M = {m} permutations drawn DETERMINISTICALLY by md5-rank (the
+    seeded-draw discipline, so the sample is replayable and the
+    oracle consumes the identical literal spine).  The estimator's
+    telescoping efficiency (Σ_c φ̂_c = v(full) − v(∅) EXACTLY for any
+    permutation set) is the test-pinned law, and the exact 24ths are
+    emitted beside the estimate so the SAMPLING ERROR per channel is
+    the visible diagnostic — the honest exhibit of what the swap
+    trades at 4 channels, where exact enumeration still fits.
+
+    Exactness: FULLY INTEGER — sampled marginal sums accumulate in
+    exact {m}ths next to the exact 24ths; two floored readout
+    divisions.
+
+    100 TB: identical fact-table profile to the exact key (ONE
+    user-grain bit-OR aggregate); the estimator's state is M·k spine
+    rows joined twice against the 2^k lattice — at 20+ channels the
+    lattice join is replaced by per-permutation coalition masks and
+    cost is O(M·k) regardless of 2^k, which is the point."""
+    ev = load_table(spark, sf_dir, "events")
+    mask = None
+    for d, chn in enumerate(_SHAP_CHANNELS):
+        term = F.max(
+            F.when(F.col("event_type") == chn, F.lit(1 << d)).otherwise(0)
+        )
+        mask = term if mask is None else mask + term
+    touch = ev.groupBy("user_id").agg(
+        mask.cast("long").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    conv = touch.groupBy("mask").agg(
+        F.sum("converted").cast("long").alias("n_conv")
+    )
+    sets = spark.range(0, 16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        sets.join(
+            F.broadcast(conv),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    v = v.localCheckpoint(eager=False)  # spine joins + exact + full
+    spine = spark.createDataFrame(
+        _shap_sampled_spine(), "pid INT, d INT, before BIGINT"
+    )
+    v0 = v.select(F.col("s").alias("before"), F.col("v").alias("vb"))
+    v1 = v.select(F.col("s").alias("after"), F.col("v").alias("va"))
+    samp = (
+        spine.join(F.broadcast(v0), "before")
+        .withColumn(
+            "after",
+            F.col("before").bitwiseOR(
+                F.expr("shiftleft(CAST(1 AS BIGINT), d)")
+            ),
+        )
+        .join(F.broadcast(v1), "after")
+        .groupBy("d")
+        .agg(F.sum(F.col("va") - F.col("vb")).cast("long").alias("m_s"))
+    )
+    w24 = (
+        F.when(F.bit_count(F.col("b.s")) == 0, 6)
+        .when(F.bit_count(F.col("b.s")) == 1, 2)
+        .when(F.bit_count(F.col("b.s")) == 2, 2)
+        .otherwise(6)
+    )
+    ch = spark.range(0, len(_SHAP_CHANNELS)).select(
+        F.col("id").cast("int").alias("d")
+    )
+    exact = (
+        ch.crossJoin(F.broadcast(v.alias("b")))
+        .filter(
+            F.col("b.s").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), d)")
+            )
+            == 0
+        )
+        .withColumn(
+            "after",
+            F.col("b.s").bitwiseOR(
+                F.expr("shiftleft(CAST(1 AS BIGINT), d)")
+            ),
+        )
+        .join(F.broadcast(v1), "after")
+        .groupBy("d")
+        .agg(
+            F.sum(w24 * (F.col("va") - F.col("b.v")))
+            .cast("long")
+            .alias("s24")
+        )
+    )
+    full_v = v.agg(
+        F.max(F.when(F.col("s") == 15, F.col("v"))).alias("v_full"),
+        F.max(F.when(F.col("s") == 0, F.col("v"))).alias("v_empty"),
+    )
+    name = None
+    for d, chn in enumerate(_SHAP_CHANNELS):
+        cond = F.when(F.col("d") == d, chn)
+        name = cond if name is None else name.when(F.col("d") == d, chn)
+    return (
+        samp.join(exact, "d")
+        .crossJoin(F.broadcast(full_v))
+        .select(
+            name.otherwise("?").alias("channel"),
+            F.col("m_s").alias(f"sampled_{_SHAP_M}ths"),
+            (
+                F.floor(
+                    F.col("m_s") / F.lit(float(_SHAP_M)) * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("sampled_conversions"),
+            F.col("s24").alias("exact_24ths"),
+            (
+                F.floor(
+                    (
+                        F.col("m_s") / F.lit(float(_SHAP_M))
+                        - F.col("s24") / F.lit(24.0)
+                    )
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("gap_conversions"),
+            (F.col("v_full") - F.col("v_empty"))
+            .cast("long")
+            .alias("attributable_conversions"),
+        )
+        .orderBy("channel")
+    )
+
+
+attribution_shapley_sampled.__doc__ = attribution_shapley_sampled.__doc__.format(
+    m=_SHAP_M
+)

@@ -116,6 +116,8 @@ HEADLINE = (
     "sim_topk_graph",
     "sim_index_rebalance",
     "sim_topk_pq_rerank",
+    "ts_periodogram_fft",
+    "attribution_shapley_sampled",
 )
 
 

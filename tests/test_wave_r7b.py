@@ -167,3 +167,35 @@ def test_chrf_beats_random_and_below_perfect(spark):
     assert 0.5 < out.chrf < 1.0
     assert out.hits2 <= out.cand2_total
     assert out.f3gram <= out.f2gram  # longer grams are harder
+
+
+# ---------------------------------------------------------------------------
+# documented swaps delivered (r7 second session)
+# ---------------------------------------------------------------------------
+
+def test_periodogram_fft_equals_direct(spark):
+    """The FFT swap must reproduce the relational DFT's rounded
+    spectrum exactly (shared-oracle twins — the Tarjan discipline)."""
+    fft = (
+        REGISTRY["ts_periodogram_fft"].spark(spark, SF_DIR)
+        .toPandas().set_index(["event_type", "k"]).sort_index()
+    )
+    direct = (
+        REGISTRY["ts_periodogram"].spark(spark, SF_DIR)
+        .toPandas().set_index(["event_type", "k"]).sort_index()
+    )
+    assert (fft.power == direct.power).all()
+    assert (fft.is_dominant == direct.is_dominant).all()
+
+
+def test_shapley_sampled_efficiency_telescopes(spark):
+    """For ANY permutation set the sampled estimator telescopes:
+    sum_c phi_hat_c = v(full) - v(empty) EXACTLY."""
+    out = (
+        REGISTRY["attribution_shapley_sampled"].spark(spark, SF_DIR)
+        .toPandas()
+    )
+    m = 8
+    assert out.sampled_8ths.sum() == m * out.attributable_conversions.iloc[0]
+    # the exact arm obeys the same identity in 24ths
+    assert out.exact_24ths.sum() == 24 * out.attributable_conversions.iloc[0]
