@@ -112,6 +112,8 @@ _COMPONENT_FIRST = (
     "ts_hurst_rs", "ts_sample_entropy", "ts_pacf_durbin",
     "corpus_perplexity_buckets", "text_distinct_ngrams",
     "ts_periodogram_fft", "attribution_shapley_sampled",
+    "ab_srm_check", "graph_adamic_adar", "ops_fair_share_allocation",
+    "stats_capture_recapture",
     # round-6 priority: the five keys upgraded rows-only → oracle-paired
     # whose stale no_oracle records previously hid them (r5 verdict #1) —
     # sample them first so the upgrade reaches an official artifact

@@ -17,6 +17,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     corpus,
     corpus2,
     corpus3,

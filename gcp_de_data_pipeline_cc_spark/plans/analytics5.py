@@ -1,0 +1,532 @@
+"""Round-7 wave 3: experiment guards, graph scoring, capacity
+allocation and dual-system estimation.
+
+* ``ab_srm_check`` — the sample-ratio-mismatch guard every
+  experimentation platform runs BEFORE reading any metric: a χ² test
+  that the observed arm split matches the design ratio (p < 0.001 —
+  Fabijan et al. 2019's threshold); an SRM means the assignment or
+  logging is broken and every downstream readout is invalid.
+* ``graph_adamic_adar`` — Adamic–Adar link prediction beside
+  graph_link_prediction's neighbor-Jaccard: common neighbors weighted
+  1/ln(deg) so RARE shared neighbors count more — the standard fix for
+  hub-dominated co-occurrence graphs.
+* ``ops_fair_share_allocation`` — max-min fair (water-filling)
+  capacity allocation across tenants: the allocation rule every
+  multi-tenant scheduler (YARN/K8s quota) implements, in closed form
+  via sorted prefix sums.
+* ``stats_capture_recapture`` — Chapman's dual-system estimator: two
+  independent quality detectors' flag sets estimate the TRUE
+  low-quality population (including what both missed) — the census
+  technique applied to corpus QC coverage.
+
+Reference parity: the reference repo (AdepuAdithya/gcp-de-data-pipeline-cc,
+Airflow DAG orchestration — dags/*.py) has no analytics engine; these
+derive from the driver's mandate on public algorithms only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
+from gcp_de_data_pipeline_cc_spark.operators.graph import (
+    supplier_backbone,
+    supplier_graph,
+)
+from gcp_de_data_pipeline_cc_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# ab_srm_check
+# ---------------------------------------------------------------------------
+
+#: chi-square 0.1% critical value at df=1 — the SRM alarm threshold
+#: (p < 0.001, deliberately stricter than metric tests: an SRM is a
+#: pipeline BUG, not a hypothesis)
+_SRM_CHI2_CRIT = 10.827566170662733
+
+_SRM_ORACLE = f"""
+WITH arms AS (
+    SELECT CASE WHEN SUBSTR(md5('arm:' || CAST(user_id AS VARCHAR)),
+                            1, 1) < '8' THEN 'A' ELSE 'B' END AS arm
+    FROM (SELECT DISTINCT user_id FROM events)),
+cnt AS (
+    SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+           CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+    FROM arms)
+SELECT n_a, n_b,
+       {sql_roundn("n_a * 1.0e0 / (n_a + n_b)", 4)} AS ratio_a,
+       {sql_roundn(
+           "(n_a - n_b) * 1.0e0 * (n_a - n_b) / (n_a + n_b)", 4)} AS chi2,
+       (n_a - n_b) * 1.0e0 * (n_a - n_b) / (n_a + n_b)
+           > {_SRM_CHI2_CRIT} AS srm_flag
+FROM cnt
+"""
+
+
+@query("ab_srm_check", oracle=_SRM_ORACLE)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation tier — SAMPLE-RATIO-MISMATCH guard (the check
+    that runs BEFORE every other A/B readout): χ²(1) of the observed
+    user split against the designed 50/50 for the md5 arm hash the ab_*
+    keys share; the p < 0.001 alarm (Fabijan et al. 2019) is
+    deliberately stricter than metric tests because an SRM is a
+    pipeline BUG (broken assignment, selective logging, bot filtering
+    applied to one arm) that invalidates every downstream metric —
+    CUPED, delta-method and SPRT all assume this passed.
+
+    Exactness: user counts are exact integers (distinct-user collapse
+    then the identical md5 arm expression); χ² = (n_a−n_b)²/(n_a+n_b)
+    is one identical expression rounded 4 dp against the shared
+    critical literal.
+
+    100 TB: one distinct-user aggregate (map-side partial) to 2-row
+    arm state."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    cnt = (
+        ev.select("user_id")
+        .distinct()
+        .select(arm.alias("arm"))
+        .agg(
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b"))
+        * F.lit(1.0)
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return cnt.select(
+        "n_a",
+        "n_b",
+        roundn(F.col("n_a") * F.lit(1.0) / (F.col("n_a") + F.col("n_b")), 4)
+        .alias("ratio_a"),
+        roundn(chi2, 4).alias("chi2"),
+        (chi2 > F.lit(_SRM_CHI2_CRIT)).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar
+# ---------------------------------------------------------------------------
+
+_AA_K = 8     # same backbone cut as graph_link_prediction
+_AA_TOP = 20
+
+
+def _adamic_adar_oracle() -> str:
+    return f"""
+    WITH pl AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pl a JOIN pl b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2),
+    d AS (
+        SELECT sa AS u, sb AS v, w FROM e
+        UNION ALL SELECT sb, sa, w FROM e),
+    r AS (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v ASC)
+                   AS rn
+        FROM d),
+    bb AS (
+        SELECT DISTINCT LEAST(u, v) AS sa, GREATEST(u, v) AS sb
+        FROM r WHERE rn <= {_AA_K}),
+    g AS (
+        SELECT sa AS u, sb AS v FROM bb
+        UNION ALL SELECT sb, sa FROM bb),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM g GROUP BY u),
+    wedge AS (
+        SELECT g1.u AS a, g2.v AS b, g1.v AS z
+        FROM g g1 JOIN g g2 ON g1.v = g2.u AND g1.u < g2.v),
+    cn AS (
+        SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS common,
+               CAST(SUM(CAST(FLOOR(1000000000.0e0
+                                   / ln(CAST(dz.deg AS DOUBLE)) + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS aaq
+        FROM wedge w JOIN deg dz ON dz.u = w.z
+        GROUP BY 1, 2),
+    cand AS (
+        SELECT cn.a, cn.b, cn.common, cn.aaq
+        FROM cn
+        WHERE NOT EXISTS (
+            SELECT 1 FROM bb WHERE bb.sa = cn.a AND bb.sb = cn.b))
+    SELECT a, b, common,
+           {sql_roundn("aaq / 1000000000.0e0 / 1.0e0", 6)} AS adamic_adar
+    FROM cand
+    ORDER BY aaq DESC, a, b
+    LIMIT {_AA_TOP}
+    """
+
+
+@query("graph_adamic_adar", oracle=_adamic_adar_oracle())
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph tier — ADAMIC–ADAR link prediction (Adamic & Adar 2003)
+    beside graph_link_prediction's neighbor-Jaccard: every common
+    neighbor z contributes 1/ln(deg z), so a RARE shared partner is
+    strong evidence while a hub everyone ships with is nearly none —
+    the weighting that separates AA from raw common-neighbor counts on
+    hub-dominated co-occurrence graphs (exactly what co-shipment is).
+    Non-adjacent pairs only; top-{top}.
+
+    Exactness: each wedge's 1/ln(deg z) quantizes ONCE to integer
+    nano-units (ln of an exact integer degree ≥ 2 — a common neighbor
+    has at least its two wedge edges), so per-pair scores are exact
+    int64 sums; ranking ties break on (a, b).
+
+    100 TB: the same wedge join as graph_link_prediction over the
+    ≤K·n session-cached backbone (fan-out K² per node, never
+    all-pairs); degrees ride a broadcast; top-{top} is
+    TakeOrderedAndProject."""
+    bb = supplier_backbone(spark, sf_dir, _AA_K)
+    g = supplier_graph(spark, sf_dir, _AA_K)
+    deg = g.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    g1, g2 = g.alias("g1"), g.alias("g2")
+    wedge = g1.join(
+        F.broadcast(g2),
+        (F.col("g1.v") == F.col("g2.u")) & (F.col("g1.u") < F.col("g2.v")),
+    ).select(
+        F.col("g1.u").alias("a"),
+        F.col("g2.v").alias("b"),
+        F.col("g1.v").alias("z"),
+    )
+    aaw = F.floor(
+        F.lit(1000000000.0) / F.log(F.col("deg").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    cn = (
+        wedge.join(
+            F.broadcast(deg.select(F.col("u").alias("z"), "deg")), "z"
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum(aaw).cast("long").alias("aaq"),
+        )
+    )
+    cand = cn.join(
+        bb,
+        (cn["a"] == bb["sa"]) & (cn["b"] == bb["sb"]),
+        "left_anti",
+    )
+    return (
+        cand.orderBy(F.desc("aaq"), "a", "b")
+        .limit(_AA_TOP)
+        .select(
+            "a",
+            "b",
+            "common",
+            roundn(
+                F.col("aaq") / F.lit(1000000000.0) / F.lit(1.0), 6
+            ).alias("adamic_adar"),
+        )
+    )
+
+
+graph_adamic_adar.__doc__ = graph_adamic_adar.__doc__.format(top=_AA_TOP)
+
+
+# ---------------------------------------------------------------------------
+# ops_fair_share_allocation
+# ---------------------------------------------------------------------------
+
+
+def _fair_share_oracle() -> str:
+    return f"""
+    WITH dem AS (
+        SELECT c.c_nationkey AS tenant,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+    cap AS (
+        SELECT CAST(SUM(d) // 2 AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dem),
+    ranked AS (
+        SELECT tenant, d,
+               ROW_NUMBER() OVER (ORDER BY d, tenant) AS i,
+               COALESCE(SUM(d) OVER (ORDER BY d, tenant
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pre
+        FROM dem),
+    lev AS (
+        SELECT r.*, cap.c, cap.n,
+               (cap.c - r.pre) * 1.0e0 / (cap.n - r.i + 1) AS level,
+               r.d * (cap.n - r.i + 1) <= (cap.c - r.pre) AS sat
+        FROM ranked r CROSS JOIN cap),
+    cut AS (
+        SELECT COALESCE(MAX(i), 0) AS k,
+               COALESCE(MAX(CASE WHEN sat THEN pre + d END), 0) AS used
+        FROM lev WHERE sat),
+    fin AS (
+        SELECT l.tenant, l.d, l.sat, l.c, l.n, cut.k, cut.used,
+               CASE WHEN l.i <= cut.k THEN l.d * 1.0e0
+                    ELSE (l.c - cut.used) * 1.0e0 / (l.n - cut.k) END
+                   AS alloc
+        FROM lev l CROSS JOIN cut)
+    SELECT tenant, d AS demand_cents,
+           {sql_roundn("alloc / 100.0e0", 2)} AS allocation,
+           NOT sat AS capped
+    FROM fin
+    ORDER BY tenant
+    """
+
+
+@query("ops_fair_share_allocation", oracle=_fair_share_oracle())
+def ops_fair_share_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops tier — MAX-MIN FAIR (water-filling) capacity allocation,
+    the rule every multi-tenant scheduler implements (YARN fair
+    scheduler, Kubernetes quota): tenants = nations, demand = total
+    order value, capacity = half the total demand.  Each tenant gets
+    min(demand, λ) where the water level λ spends the capacity
+    exactly: ascending-demand tenants are satisfied while their demand
+    fits the equal-share remainder, everyone after splits what's left
+    equally — no tenant can gain without a smaller-demand tenant
+    losing (the max-min property).
+
+    Exactness: the satisfied test is the exact-integer
+    cross-multiplication d·(n−i+1) ≤ C−prefix (no division); λ and
+    allocations divide once at the readout, rounded 2 dp.
+
+    100 TB: one fact aggregate to tenant grain; the sorted prefix
+    walk is tenant-cardinality state (two-phase global_rank at scale,
+    a single bounded window here)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    dem = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("tenant"))
+        .agg(F.sum(cents).cast("long").alias("d"))
+    )
+    dem = dem.localCheckpoint(eager=False)  # cap + ranked walk
+    cap = dem.agg(
+        F.floor(F.sum("d") / 2).cast("long").alias("c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    wr = Window.orderBy(F.asc("d"), F.asc("tenant"))
+    ranked = dem.select(
+        "tenant",
+        "d",
+        F.row_number().over(wr).alias("i"),
+        F.coalesce(
+            F.sum("d").over(
+                wr.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("pre"),
+    )
+    lev = ranked.crossJoin(F.broadcast(cap)).select(
+        "*",
+        (
+            F.col("d") * (F.col("n") - F.col("i") + 1)
+            <= (F.col("c") - F.col("pre"))
+        ).alias("sat"),
+    )
+    lev = lev.localCheckpoint(eager=False)  # cut + final allocations
+    cut = lev.filter(F.col("sat")).agg(
+        F.coalesce(F.max("i"), F.lit(0)).cast("long").alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("sat"), F.col("pre") + F.col("d"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("used"),
+    )
+    alloc = F.when(F.col("i") <= F.col("k"), F.col("d") * F.lit(1.0)).otherwise(
+        (F.col("c") - F.col("used"))
+        * F.lit(1.0)
+        / (F.col("n") - F.col("k"))
+    )
+    return (
+        lev.crossJoin(F.broadcast(cut))
+        .select(
+            "tenant",
+            F.col("d").alias("demand_cents"),
+            roundn(alloc / F.lit(100.0), 2).alias("allocation"),
+            (~F.col("sat")).alias("capped"),
+        )
+        .orderBy("tenant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_capture_recapture
+# ---------------------------------------------------------------------------
+
+#: detector sample size (each detector flags its bottom-N documents)
+_CR_N = 125
+#: the fixed stopword list for detector B (tokens present in the
+#: synthetic corpus vocabulary)
+_CR_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _capture_recapture_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in _CR_STOPWORDS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+    bi AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n2,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1])) AS g
+              FROM toks) GROUP BY 1),
+    seta AS (
+        SELECT doc_id FROM bi
+        ORDER BY d2 * 1.0e0 / n2, doc_id LIMIT {_CR_N}),
+    sw AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g IN ({sw}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stop
+        FROM (SELECT doc_id, UNNEST(t) AS g FROM toks) GROUP BY 1),
+    setb AS (
+        SELECT doc_id FROM sw
+        ORDER BY n_stop * 1.0e0 / n1, doc_id LIMIT {_CR_N}),
+    cnt AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM seta) AS n_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM setb) AS n_b,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM seta JOIN setb USING (doc_id)) AS n_both)
+    SELECT n_a, n_b, n_both,
+           CAST(FLOOR((n_a + 1) * 1.0e0 * (n_b + 1) / (n_both + 1)
+                      - 1.0e0) AS BIGINT) AS chapman_estimate,
+           {sql_roundn(
+               "n_a * 1.0e0 / (FLOOR((n_a + 1) * 1.0e0 * (n_b + 1)"
+               " / (n_both + 1) - 1.0e0))", 4)} AS coverage_a,
+           {sql_roundn(
+               "n_b * 1.0e0 / (FLOOR((n_a + 1) * 1.0e0 * (n_b + 1)"
+               " / (n_both + 1) - 1.0e0))", 4)} AS coverage_b
+    FROM cnt
+    """
+
+
+@query("stats_capture_recapture", oracle=_capture_recapture_oracle())
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats tier — CHAPMAN'S CAPTURE-RECAPTURE estimator (the census
+    dual-system technique) applied to corpus QC coverage: two
+    independent low-quality detectors each flag their bottom-{n}
+    documents (A = lowest bigram diversity, B = lowest stopword share
+    — different linguistic signals, so the independence assumption has
+    teeth), and the overlap estimates the TRUE low-quality population
+    N̂ = (|A|+1)(|B|+1)/(|A∩B|+1) − 1 — including the documents BOTH
+    detectors missed, which no single-filter report can see.
+    coverage_a/b = each detector's estimated recall of the true
+    population — the number a filtering-pipeline owner actually needs.
+
+    Exactness: both detector sets are exact rank cuts (6-dp-free —
+    the ORDER BY runs on exact rationals with doc_id ties); counts
+    and the floored Chapman estimate are exact integers; two 4 dp
+    coverage divisions at the readout.
+
+    100 TB: two token-explode aggregates (map-side) + two
+    TakeOrderedAndProject bottom-N cuts + one broadcast semi-join —
+    no full sort, no pair joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    toks = toks.localCheckpoint(eager=False)  # both detectors
+    bi = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    " element_at(t, i + 1)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n2"),
+            F.countDistinct("g").cast("long").alias("d2"),
+        )
+    )
+    seta = (
+        bi.orderBy(
+            (F.col("d2") * F.lit(1.0) / F.col("n2")).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(_CR_N)
+        .select("doc_id")
+    )
+    sw = (
+        toks.select("doc_id", F.explode("t").alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n1"),
+            F.sum(
+                F.when(F.col("g").isin(*_CR_STOPWORDS), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_stop"),
+        )
+    )
+    setb = (
+        sw.orderBy(
+            (F.col("n_stop") * F.lit(1.0) / F.col("n1")).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(_CR_N)
+        .select("doc_id")
+    )
+    na = seta.agg(F.count("*").cast("long").alias("n_a"))
+    nb = setb.agg(F.count("*").cast("long").alias("n_b"))
+    nboth = (
+        seta.join(setb, "doc_id", "semi")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    chap = F.floor(
+        (F.col("n_a") + 1)
+        * F.lit(1.0)
+        * (F.col("n_b") + 1)
+        / (F.col("n_both") + 1)
+        - F.lit(1.0)
+    ).cast("long")
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nboth))
+        .select(
+            "n_a",
+            "n_b",
+            "n_both",
+            chap.alias("chapman_estimate"),
+            roundn(F.col("n_a") * F.lit(1.0) / chap.cast("double"), 4)
+            .alias("coverage_a"),
+            roundn(F.col("n_b") * F.lit(1.0) / chap.cast("double"), 4)
+            .alias("coverage_b"),
+        )
+    )
+
+
+stats_capture_recapture.__doc__ = stats_capture_recapture.__doc__.format(
+    n=_CR_N
+)

@@ -118,6 +118,10 @@ HEADLINE = (
     "sim_topk_pq_rerank",
     "ts_periodogram_fft",
     "attribution_shapley_sampled",
+    "ab_srm_check",
+    "graph_adamic_adar",
+    "ops_fair_share_allocation",
+    "stats_capture_recapture",
 )
 
 

@@ -199,3 +199,59 @@ def test_shapley_sampled_efficiency_telescopes(spark):
     assert out.sampled_8ths.sum() == m * out.attributable_conversions.iloc[0]
     # the exact arm obeys the same identity in 24ths
     assert out.exact_24ths.sum() == 24 * out.attributable_conversions.iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# wave 3: experiment guard, AA links, fair share, capture-recapture
+# ---------------------------------------------------------------------------
+
+def test_srm_passes_on_hash_assignment(spark):
+    """The md5 arm hash is unbiased by construction: no SRM on real
+    data, ratio near 0.5."""
+    out = REGISTRY["ab_srm_check"].spark(spark, SF_DIR).toPandas().iloc[0]
+    assert not out.srm_flag
+    assert 0.3 < out.ratio_a < 0.7
+    assert out.n_a + out.n_b > 0
+
+
+def test_adamic_adar_ranks_subset_of_jaccard_candidates(spark):
+    """AA and Jaccard score the same non-adjacent wedge candidates —
+    every AA pair must appear in the link-prediction candidate
+    universe (common >= 1, non-adjacent) and scores are positive."""
+    aa = REGISTRY["graph_adamic_adar"].spark(spark, SF_DIR).toPandas()
+    assert (aa.common >= 1).all()
+    assert (aa.adamic_adar > 0).all()
+    # deg(z) >= 2 for any common neighbor -> each wedge contributes
+    # at most 1/ln(2): score bounded by common / ln(2)
+    assert (aa.adamic_adar <= aa.common / 0.6931 + 1e-6).all()
+
+
+def test_fair_share_water_filling_properties(spark):
+    out = (
+        REGISTRY["ops_fair_share_allocation"].spark(spark, SF_DIR)
+        .toPandas()
+    )
+    demand = out.demand_cents / 100.0
+    # uncapped tenants receive exactly their demand
+    un = out[~out.capped]
+    assert (abs(un.allocation - demand[~out.capped]) <= 0.011).all()
+    # capped tenants all receive the same water level, below demand
+    cap = out[out.capped]
+    if len(cap) > 0:
+        assert cap.allocation.max() - cap.allocation.min() <= 0.011
+        assert (cap.allocation <= demand[out.capped] + 0.011).all()
+    # capacity is spent exactly: sum(alloc) == floor(sum(d)/2)/100
+    assert abs(out.allocation.sum() - (out.demand_cents.sum() // 2) / 100.0) \
+        <= 0.01 * len(out)
+
+
+def test_capture_recapture_estimate_bounds(spark):
+    out = (
+        REGISTRY["stats_capture_recapture"].spark(spark, SF_DIR)
+        .toPandas().iloc[0]
+    )
+    assert out.n_both >= 1  # the two detectors must overlap on junk
+    # Chapman is at least the union and at most n_a * n_b
+    assert out.chapman_estimate >= out.n_a + out.n_b - out.n_both - 1
+    assert out.chapman_estimate <= out.n_a * out.n_b
+    assert 0 < out.coverage_a <= 1.0 and 0 < out.coverage_b <= 1.0
