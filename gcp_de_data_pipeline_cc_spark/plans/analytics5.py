@@ -530,3 +530,432 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 stats_capture_recapture.__doc__ = stats_capture_recapture.__doc__.format(
     n=_CR_N
 )
+
+
+# ---------------------------------------------------------------------------
+# agg_theil_decomposition (r7 wave 4)
+# ---------------------------------------------------------------------------
+
+
+def _theil_oracle() -> str:
+    return f"""
+    WITH y AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS yv
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_nationkey),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yv) AS BIGINT) AS s
+        FROM y),
+    gs AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(yv) AS BIGINT) AS sg
+        FROM y GROUP BY nation),
+    rows_q AS (
+        SELECT y.nation,
+               CAST(FLOOR((yv * 1.0e0 / tot.s)
+                          * ln(yv * 1.0e0 * tot.n / tot.s)
+                          * 1000000000.0e0 + 0.5e0) AS BIGINT) AS tq,
+               CAST(FLOOR((yv * 1.0e0 / gs.sg)
+                          * ln(yv * 1.0e0 * gs.ng / gs.sg)
+                          * 1000000000.0e0 + 0.5e0) AS BIGINT) AS wq
+        FROM y JOIN gs ON gs.nation = y.nation CROSS JOIN tot),
+    within AS (
+        SELECT nation, CAST(SUM(wq) AS BIGINT) AS wsum
+        FROM rows_q GROUP BY nation),
+    total_t AS (SELECT CAST(SUM(tq) AS BIGINT) AS tsum FROM rows_q),
+    between_t AS (
+        SELECT CAST(SUM(CAST(FLOOR((gs.sg * 1.0e0 / tot.s)
+                   * ln((gs.sg * 1.0e0 / tot.s) / (gs.ng * 1.0e0 / tot.n))
+                   * 1000000000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS bsum
+        FROM gs CROSS JOIN tot)
+    SELECT gs.nation, gs.ng AS n_customers,
+           {sql_roundn("gs.sg * 1.0e0 / tot.s", 6)} AS income_share,
+           {sql_roundn("within.wsum / 1000000000.0e0 / 1.0e0", 6)}
+               AS t_within,
+           {sql_roundn("total_t.tsum / 1000000000.0e0 / 1.0e0", 6)}
+               AS t_total,
+           {sql_roundn("between_t.bsum / 1000000000.0e0 / 1.0e0", 6)}
+               AS t_between
+    FROM gs JOIN within ON within.nation = gs.nation
+    CROSS JOIN tot CROSS JOIN total_t CROSS JOIN between_t
+    ORDER BY gs.nation
+    """
+
+
+@query("agg_theil_decomposition", oracle=_theil_oracle())
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension — THEIL T INEQUALITY INDEX with its exact
+    between/within decomposition, the property Gini famously LACKS
+    (agg_gini can rank inequality but cannot attribute it): total
+    customer-spend inequality splits EXACTLY into T_between (nation
+    means diverging) + Σ share_g·T_within_g (inequality inside each
+    nation) — the attribution every fairness/concentration review
+    needs.  T = (1/n)Σ(y/μ)ln(y/μ) per scope, with zero-spend
+    customers excluded by construction (spend > 0 for every ordering
+    customer).
+
+    Exactness: per-row contributions quantize ONCE to integer
+    nano-units (ln of exact integer rationals — identical trees both
+    engines), so the within/total/between sums are exact int64 — no
+    accumulation-order hazard; the decomposition identity
+    T_total = T_between + Σ share·T_within is test-pinned to the
+    quantization grain.
+
+    100 TB: one fact aggregate to customer grain; group stats ride a
+    |nations|-row broadcast; the readout is nation-cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    y = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cid"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(F.sum(cents).cast("long").alias("yv"))
+    )
+    y = y.localCheckpoint(eager=False)  # totals + group stats + rows
+    tot = y.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yv").cast("long").alias("s"),
+    )
+    gs = y.groupBy("nation").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("yv").cast("long").alias("sg"),
+    )
+    gs = gs.localCheckpoint(eager=False)  # rows + between + readout
+    rows_q = (
+        y.join(F.broadcast(gs), "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.floor(
+                (F.col("yv") * F.lit(1.0) / F.col("s"))
+                * F.log(
+                    F.col("yv") * F.lit(1.0) * F.col("n") / F.col("s")
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("tq"),
+            F.floor(
+                (F.col("yv") * F.lit(1.0) / F.col("sg"))
+                * F.log(
+                    F.col("yv") * F.lit(1.0) * F.col("ng") / F.col("sg")
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    rows_q = rows_q.localCheckpoint(eager=False)  # within + total
+    within = rows_q.groupBy("nation").agg(
+        F.sum("wq").cast("long").alias("wsum")
+    )
+    total_t = rows_q.agg(F.sum("tq").cast("long").alias("tsum"))
+    between_t = (
+        gs.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("sg") * F.lit(1.0) / F.col("s"))
+                * F.log(
+                    (F.col("sg") * F.lit(1.0) / F.col("s"))
+                    / (F.col("ng") * F.lit(1.0) / F.col("n"))
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("bq")
+        )
+        .agg(F.sum("bq").cast("long").alias("bsum"))
+    )
+    nano = F.lit(1000000000.0)
+    return (
+        gs.join(within, "nation")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(total_t))
+        .crossJoin(F.broadcast(between_t))
+        .select(
+            "nation",
+            F.col("ng").alias("n_customers"),
+            roundn(F.col("sg") * F.lit(1.0) / F.col("s"), 6).alias(
+                "income_share"
+            ),
+            roundn(F.col("wsum") / nano / F.lit(1.0), 6).alias("t_within"),
+            roundn(F.col("tsum") / nano / F.lit(1.0), 6).alias("t_total"),
+            roundn(F.col("bsum") / nano / F.lit(1.0), 6).alias("t_between"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_bridges_tarjan (r7 wave 4)
+# ---------------------------------------------------------------------------
+
+from gcp_de_data_pipeline_cc_spark.operators.graph import (  # noqa: E402
+    trade_sparse_graph,
+)
+
+_BR_K = 3    # same sparsifying cut as articulation / closeness
+_BR_H = 24   # min-label rounds ≥ any 25-node diameter (path = 24)
+
+
+def _bridges_oracle() -> str:
+    steps = []
+    for i in range(1, _BR_H + 1):
+        steps.append(f"""
+    l{i} AS MATERIALIZED (
+        SELECT chain, v, MIN(lbl) AS lbl FROM (
+            SELECT chain, v, lbl FROM l{i-1}
+            UNION ALL
+            SELECT p.chain, ge.v, p.lbl
+            FROM l{i-1} p JOIN ge
+              ON ge.chain = p.chain AND ge.u = p.v)
+        GROUP BY chain, v)""")
+    return f"""
+    WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+    r AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM e),
+    kept AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM r WHERE rn <= {_BR_K}),
+    g AS (
+        SELECT a AS u, b AS v FROM kept
+        UNION ALL SELECT b, a FROM kept),
+    nodes AS (SELECT DISTINCT u AS v FROM g),
+    chains AS (
+        SELECT CAST(-1 AS BIGINT) AS chain
+        UNION ALL SELECT a * 100 + b AS chain FROM kept),
+    st AS (SELECT c.chain, n.v FROM chains c CROSS JOIN nodes n),
+    ge AS MATERIALIZED (
+        SELECT c.chain, g.u, g.v FROM chains c CROSS JOIN g
+        WHERE LEAST(g.u, g.v) * 100 + GREATEST(g.u, g.v) <> c.chain),
+    l0 AS MATERIALIZED (SELECT chain, v, v AS lbl FROM st),{",".join(steps)},
+    comp AS (
+        SELECT chain, CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_comp
+        FROM l{_BR_H} GROUP BY chain),
+    basef AS (SELECT n_comp FROM comp WHERE chain = -1)
+    SELECT kept.a, kept.b,
+           c.n_comp AS comp_without,
+           b.n_comp AS comp_full,
+           CAST(c.n_comp > b.n_comp AS INT) AS is_bridge
+    FROM kept
+    JOIN comp c ON c.chain = kept.a * 100 + kept.b
+    CROSS JOIN basef b
+    ORDER BY kept.a, kept.b
+    """
+
+
+def _tarjan_bridges(pdf):
+    """One iterative DFS over the dimension-bounded backbone: tree
+    edge (parent, v) is a bridge iff low[v] > disc[parent] — the edge
+    twin of the articulation low-link rule."""
+    import collections
+
+    import pandas as pd
+
+    adj = collections.defaultdict(set)
+    edges = set()
+    for a, b in zip(pdf["u"], pdf["v"]):
+        a, b = int(a), int(b)
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+            edges.add((min(a, b), max(a, b)))
+    nodes = sorted(adj)
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    bridges: set[tuple[int, int]] = set()
+    t = 0
+    n_comp = 0
+    for root in nodes:
+        if root in disc:
+            continue
+        n_comp += 1
+        disc[root] = low[root] = t
+        t += 1
+        stack = [(root, None, iter(sorted(adj[root])))]
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w == parent:
+                    continue
+                if w not in disc:
+                    disc[w] = low[w] = t
+                    t += 1
+                    stack.append((w, v, iter(sorted(adj[w]))))
+                    advanced = True
+                    break
+                if disc[w] < low[v]:
+                    low[v] = disc[w]
+            if not advanced:
+                stack.pop()
+                if stack:
+                    pv = stack[-1][0]
+                    if low[v] < low[pv]:
+                        low[pv] = low[v]
+                    if low[v] > disc[pv]:
+                        bridges.add((min(pv, v), max(pv, v)))
+    rows = [
+        (a, b, n_comp + (1 if (a, b) in bridges else 0), n_comp,
+         1 if (a, b) in bridges else 0)
+        for a, b in sorted(edges)
+    ]
+    return pd.DataFrame(
+        rows, columns=["a", "b", "comp_without", "comp_full", "is_bridge"]
+    )
+
+
+@query("graph_bridges_tarjan", oracle=_bridges_oracle())
+def graph_bridges_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph tier — BRIDGE edges via Tarjan low-links, the EDGE twin of
+    graph_articulation_tarjan (nodes whose deletion splits vs edges
+    whose deletion splits — a bridge is the single trade lane whose
+    outage partitions the network even when no single NATION does):
+    one iterative DFS marks tree edge (p, v) a bridge iff
+    low[v] > disc[p]; comp_without = comp_full + is_bridge reproduces
+    the per-edge deletion sweep's verdict, and the DuckDB oracle RUNS
+    that sweep (one tagged min-label chain per deleted edge) — two
+    genuinely different algorithms hash-matching, the Tarjan
+    cross-verification discipline.
+
+    Exactness: everything integer (DFS order, low-links, component
+    counts) — no floats exist.
+
+    100 TB: the session-cached ≤2K|V| backbone ships to one task (the
+    below-cutoff strategy graph_articulation_tarjan states); the
+    relational per-edge sweep is the wide-graph fallback exactly as
+    for articulation."""
+    g = trade_sparse_graph(spark, sf_dir, _BR_K)
+    return (
+        g.groupBy(F.lit(1).alias("grp"))
+        .applyInPandas(
+            _tarjan_bridges,
+            "a long, b long, comp_without long, comp_full long,"
+            " is_bridge int",
+        )
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_topk (r7 wave 4)
+# ---------------------------------------------------------------------------
+
+#: epsilon as an exact rational (numerator/denominator), top-k size and
+#: the release threshold
+_DPT_EPS_NUM, _DPT_EPS_DEN = 1, 2
+_DPT_K = 5
+_DPT_TAU = 10.0
+
+
+def _dp_topk_oracle() -> str:
+    b = f"({_DPT_K}.0e0 * {_DPT_EPS_DEN} / {_DPT_EPS_NUM})"
+    u = (
+        "((CAST(CAST('0x' || SUBSTR(md5('dptopk:' || source), 1, 12)"
+        " AS BIGINT) AS DOUBLE) + 0.5e0) / 281474976710656.0e0)"
+    )
+    noise = (
+        f"(-{b} * (CASE WHEN {u} >= 0.5e0 THEN 1.0e0 ELSE -1.0e0 END)"
+        f" * ln(1.0e0 - 2.0e0 * ABS({u} - 0.5e0)))"
+    )
+    return f"""
+    WITH g AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM documents GROUP BY source),
+    noisy AS (
+        SELECT source, true_count,
+               true_count + {noise} AS nc
+        FROM g),
+    ranked AS (
+        SELECT source, true_count,
+               FLOOR(nc * 10000.0e0 + 0.5e0) / 10000.0e0 AS noisy_count,
+               ROW_NUMBER() OVER (ORDER BY nc DESC, source) AS rank,
+               nc > {_DPT_TAU} AS released
+        FROM noisy)
+    SELECT source, noisy_count, CAST(rank AS INT) AS rank, released
+    FROM ranked
+    WHERE rank <= {_DPT_K}
+    ORDER BY rank
+    """
+
+
+@query("privacy_dp_topk", oracle=_dp_topk_oracle())
+def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy tier — DIFFERENTIALLY-PRIVATE TOP-K release (the third
+    DP primitive beside dp_count's Laplace release and
+    dp_exponential's Gumbel-max): each source's document count gets
+    Laplace(k/ε) noise (sensitivity k — one document can move k
+    candidate counts in the peeling view of top-k), the top-{k} NOISY
+    counts are released WITH a threshold gate (nc > {tau} — the
+    thresholding that keeps never-quite-there categories from leaking
+    through repeated queries), and TRUE counts never leave the
+    engine (the released column set is the privacy boundary;
+    true_count exists only inside the plan).
+
+    Exactness: the seeded-md5 uniform → Laplace transform is the
+    dp_count idiom verbatim (deterministic, replayable release);
+    ranking breaks ties on source.
+
+    100 TB: one map-side-combined aggregate to |sources| rows; noise
+    and ranking are category-cardinality scalar math."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(F.count("*").alias("true_count"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dptopk:"), F.col("source"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    b = F.lit(float(_DPT_K) * _DPT_EPS_DEN / _DPT_EPS_NUM)
+    noise = (
+        -b
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    noisy = g.select(
+        "source", (F.col("true_count") + noise).alias("nc")
+    )
+    wr = Window.orderBy(F.desc("nc"), F.asc("source"))
+    return (
+        noisy.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _DPT_K)
+        .select(
+            "source",
+            (F.floor(F.col("nc") * F.lit(10000.0) + F.lit(0.5))
+             / F.lit(10000.0)).alias("noisy_count"),
+            "rank",
+            (F.col("nc") > F.lit(_DPT_TAU)).alias("released"),
+        )
+        .orderBy("rank")
+    )
+
+
+privacy_dp_topk.__doc__ = privacy_dp_topk.__doc__.format(
+    k=_DPT_K, tau=_DPT_TAU
+)

@@ -188,7 +188,7 @@ def hypothesis_kendall_knight(spark: SparkSession, sf_dir: str) -> DataFrame:
     mg = mg.localCheckpoint(eager=False)  # grid + element weights
     grid = (
         mg.select("chunk").distinct()
-        .crossJoin(mg.select("yb").distinct())
+        .crossJoin(F.broadcast(mg.select("yb").distinct()))
         .join(mg, ["chunk", "yb"], "left")
         .select(
             "chunk", "yb", F.coalesce("m", F.lit(0)).cast("long").alias("m")
@@ -245,8 +245,8 @@ def hypothesis_kendall_knight(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrow = els.agg(F.count("*").cast("long").alias("n"))
 
     out = (
-        qw.crossJoin(qd)
-        .crossJoin(qs)
+        qw.crossJoin(F.broadcast(qd))
+        .crossJoin(F.broadcast(qs))
         .crossJoin(F.broadcast(tpx))
         .crossJoin(F.broadcast(tpy))
         .crossJoin(F.broadcast(tpxy))

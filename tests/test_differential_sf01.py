@@ -122,6 +122,8 @@ HEADLINE = (
     "graph_adamic_adar",
     "ops_fair_share_allocation",
     "stats_capture_recapture",
+    "agg_theil_decomposition",
+    "graph_bridges_tarjan",
 )
 
 

@@ -318,6 +318,25 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
 #: A NEW query planning a BNLJ must be reviewed and added here, or the
 #: sweep fails — that is the point.
 _BNLJ_REVIEWED = frozenset({
+    # r7 wave: one-row stat/aggregate broadcasts (Wilcoxon W/tie
+    # totals, runs-test median, Friedman block count, Hurst scale
+    # aggregates, DSIR corpus totals, perplexity-bucket LM totals,
+    # QL corpus totals, chrF n-gram totals, capture-recapture counts,
+    # Theil totals, fair-share capacity/cut, Shapley lattice/full-v)
+    # — category (a); plus the calendar-bounded SampEn template
+    # self-join (≤3M pairs per decade) and sim_index_rebalance's
+    # |cells|-row flag broadcast — category (b) bounded relations
+    "stats_wilcoxon_signed_rank", "stats_runs_test", "stats_friedman",
+    "ts_hurst_rs", "ts_sample_entropy", "corpus_dsir_weights",
+    "corpus_perplexity_buckets", "retrieval_query_likelihood",
+    "eval_chrf", "sim_index_rebalance", "attribution_shapley_sampled",
+    "ops_fair_share_allocation", "stats_capture_recapture",
+    "agg_theil_decomposition",
+    # kendall-knight: the (n/C)^2 tiny grid spine (distinct chunks x
+    # broadcast distinct buckets) and the 1-row Q/tie combiners —
+    # categories (b)/(a); the data-sized joins (same-bucket, grid
+    # weights) are all equi-joins
+    "hypothesis_kendall_knight",
     # r3 wave: one-row scalar broadcasts (RFM anchor date / freshness
     # anchor) — category (a); market_basket and attribution_last_touch
     # were REMOVED after their window-normalizer rewrites eliminated

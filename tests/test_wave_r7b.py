@@ -255,3 +255,37 @@ def test_capture_recapture_estimate_bounds(spark):
     assert out.chapman_estimate >= out.n_a + out.n_b - out.n_both - 1
     assert out.chapman_estimate <= out.n_a * out.n_b
     assert 0 < out.coverage_a <= 1.0 and 0 < out.coverage_b <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# wave 4: Theil decomposition, bridges, DP top-k
+# ---------------------------------------------------------------------------
+
+def test_theil_decomposition_identity(spark):
+    """T_total = T_between + sum(share_g * T_within_g) — the
+    decomposability Gini lacks, exact to the quantization grain."""
+    out = REGISTRY["agg_theil_decomposition"].spark(spark, SF_DIR).toPandas()
+    t_total = out.t_total.iloc[0]
+    t_between = out.t_between.iloc[0]
+    within_mix = (out.income_share * out.t_within).sum()
+    assert abs(t_total - (t_between + within_mix)) < 1e-4
+    assert t_total >= 0 and t_between >= 0
+    assert (out.t_within >= -1e-9).all()
+
+
+def test_bridges_match_component_arithmetic(spark):
+    out = REGISTRY["graph_bridges_tarjan"].spark(spark, SF_DIR).toPandas()
+    # deleting a bridge splits exactly one component in two
+    assert (
+        out.comp_without == out.comp_full + out.is_bridge
+    ).all()
+    assert set(out.is_bridge) <= {0, 1}
+
+
+def test_dp_topk_release_shape(spark):
+    out = REGISTRY["privacy_dp_topk"].spark(spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert (out["rank"] == range(1, 6)).all()
+    # noisy counts are rank-descending and the release column exists
+    assert (out.noisy_count.diff().dropna() <= 1e-9).all()
+    assert "true_count" not in out.columns  # the privacy boundary
