@@ -19,6 +19,11 @@ allocation and dual-system estimation.
   low-quality population (including what both missed) — the census
   technique applied to corpus QC coverage.
 
+Wave 4 (same session): ``agg_theil_decomposition`` (the decomposable
+inequality index), ``graph_bridges_tarjan`` (the edge twin of the
+articulation pair, cross-verified against a per-edge deletion-sweep
+oracle), ``privacy_dp_topk`` (thresholded noisy top-k release).
+
 Reference parity: the reference repo (AdepuAdithya/gcp-de-data-pipeline-cc,
 Airflow DAG orchestration — dags/*.py) has no analytics engine; these
 derive from the driver's mandate on public algorithms only.
