@@ -115,6 +115,7 @@ _COMPONENT_FIRST = (
     "ab_srm_check", "graph_adamic_adar", "ops_fair_share_allocation",
     "stats_capture_recapture",
     "agg_theil_decomposition", "graph_bridges_tarjan", "privacy_dp_topk",
+    "corpus_heaps_law", "eval_mcc",
     # round-6 priority: the five keys upgraded rows-only → oracle-paired
     # whose stale no_oracle records previously hid them (r5 verdict #1) —
     # sample them first so the upgrade reaches an official artifact

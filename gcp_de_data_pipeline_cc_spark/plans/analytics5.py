@@ -964,3 +964,113 @@ def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 privacy_dp_topk.__doc__ = privacy_dp_topk.__doc__.format(
     k=_DPT_K, tau=_DPT_TAU
 )
+
+
+# ---------------------------------------------------------------------------
+# eval_mcc (r7 wave 5)
+# ---------------------------------------------------------------------------
+
+#: corruption rate of the synthetic predictor: md5 prefix < '1' flips
+#: the label (~1/16 of rows) — the eval_f1 noisy-channel device at
+#: binary grain
+_MCC_FLIP_HEX = "1"
+
+_MCC_ORACLE = f"""
+WITH log AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS actual,
+           CASE WHEN SUBSTR(md5('mcc:' || CAST(o_orderkey AS VARCHAR)),
+                            1, 1) < '{_MCC_FLIP_HEX}'
+                THEN 1 - (CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN 1 ELSE 0 END)
+                ELSE (CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) END AS pred
+    FROM orders),
+cm AS (
+    SELECT CAST(SUM(CASE WHEN actual = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN actual = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN actual = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN actual = 0 AND pred = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM log)
+SELECT tp, fp, fn, tn,
+       {{acc}} AS accuracy,
+       {{mcc}} AS mcc
+FROM cm
+""".format(
+    acc="FLOOR((tp + tn) * 1.0e0 / (tp + fp + fn + tn) * 1000000.0e0"
+        " + 0.5e0) / 1000000.0e0",
+    mcc="FLOOR((tp * tn - fp * fn) * 1.0e0"
+        " / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)"
+        "        * CAST((tn + fp) * (tn + fn) AS DOUBLE))"
+        " * 1000000.0e0 + 0.5e0) / 1000000.0e0",
+)
+
+
+@query("eval_mcc", oracle=_MCC_ORACLE)
+def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — MATTHEWS CORRELATION COEFFICIENT, the single-number
+    binary-classification score that survives class imbalance where
+    accuracy and even F1 mislead (MCC is the Pearson correlation of
+    the prediction/actual indicator variables — it only rewards a
+    predictor that gets BOTH classes right, and the urgent/not-urgent
+    task here is ~1:4 imbalanced, exactly the regime where the
+    accuracy column beside it over-reports).  Same deterministic
+    noisy-channel predictor device as eval_f1_multiclass (md5-prefix
+    label flips), binary grain.
+
+    Exactness: the confusion matrix is exact integers; MCC's
+    numerator is an exact int64 cross product and the denominator
+    multiplies two exact int64 pair products in double before one
+    sqrt — identical trees, rounded 6 dp.
+
+    100 TB: one map-side-combined aggregate to a 4-cell confusion
+    matrix; everything after is scalar math."""
+    o = load_table(spark, sf_dir, "orders")
+    actual = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    flip = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mcc:"), F.col("o_orderkey").cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+        < _MCC_FLIP_HEX
+    )
+    pred = F.when(flip, 1 - actual).otherwise(actual)
+    log = o.select(actual.alias("actual"), pred.alias("pred"))
+    cm = log.agg(
+        F.sum(F.when((F.col("actual") == 1) & (F.col("pred") == 1), 1)
+              .otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("actual") == 0) & (F.col("pred") == 1), 1)
+              .otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("actual") == 1) & (F.col("pred") == 0), 1)
+              .otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when((F.col("actual") == 0) & (F.col("pred") == 0), 1)
+              .otherwise(0)).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    acc = F.floor(
+        (tp + tn) * F.lit(1.0) / (tp + fp + fn + tn) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    mcc = F.floor(
+        (tp * tn - fp * fn)
+        * F.lit(1.0)
+        / F.sqrt(
+            ((tp + fp) * (tp + fn)).cast("double")
+            * ((tn + fp) * (tn + fn)).cast("double")
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return cm.select(
+        "tp", "fp", "fn", "tn", acc.alias("accuracy"), mcc.alias("mcc")
+    )

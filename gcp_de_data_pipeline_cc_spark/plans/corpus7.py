@@ -395,3 +395,163 @@ def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_heaps_law (r7 wave 5)
+# ---------------------------------------------------------------------------
+
+#: vocabulary-growth checkpoints (corpus deciles by doc order)
+_HEAPS_D = 10
+
+
+def _heaps_oracle() -> str:
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS p,
+               COUNT(*) OVER () AS nd
+        FROM documents),
+    tok AS (
+        SELECT pos.p, t.token
+        FROM documents d
+        JOIN pos ON pos.doc_id = d.doc_id,
+        UNNEST(string_split(d.text, ' ')) AS t(token)),
+    firstp AS (
+        SELECT token, CAST(MIN(p) AS BIGINT) AS fp FROM tok GROUP BY 1),
+    dtok AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS ntok FROM tok GROUP BY 1),
+    cp AS (
+        SELECT UNNEST(range(1, {_HEAPS_D} + 1)) AS dec),
+    marks AS (
+        SELECT cp.dec,
+               CAST((SELECT MAX(nd) FROM pos) * cp.dec // {_HEAPS_D}
+                    AS BIGINT) AS pcut
+        FROM cp),
+    pts AS (
+        SELECT m.dec,
+               (SELECT CAST(SUM(ntok) AS BIGINT) FROM dtok
+                WHERE p <= m.pcut) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM firstp
+                WHERE fp <= m.pcut) AS vocab
+        FROM marks m),
+    q AS (
+        SELECT dec, n_tokens, vocab,
+               CAST(FLOOR(ln(n_tokens * 1.0e0) * 1000000.0e0 + 0.5e0)
+                    AS BIGINT) AS u,
+               CAST(FLOOR(ln(vocab * 1.0e0) * 1000000.0e0 + 0.5e0)
+                    AS BIGINT) AS v
+        FROM pts),
+    fit AS (
+        SELECT CAST(SUM(u) AS BIGINT) AS su,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(u * v) AS BIGINT) AS suv,
+               CAST(SUM(u * u) AS BIGINT) AS suu,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM q)
+    SELECT q.dec AS decile, q.n_tokens, q.vocab,
+           {sql_roundn(
+               "(fit.k * fit.suv - fit.su * fit.sv) * 1.0e0"
+               " / (fit.k * fit.suu - fit.su * fit.su)", 4)} AS heaps_beta
+    FROM q CROSS JOIN fit
+    ORDER BY q.dec
+    """
+
+
+@query("corpus_heaps_law", oracle=_heaps_oracle())
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats — HEAPS' LAW vocabulary-growth profile: vocabulary
+    size V(n) against tokens seen n at corpus deciles (doc order),
+    with the Heaps exponent β from the log-log least-squares fit
+    (V ≈ K·n^β, β ≈ 0.5 for natural language) — the growth curve that
+    sizes tokenizer vocabularies and predicts OOV rates on corpus
+    extensions, and the companion diagnostic to corpus_zipf (Zipf and
+    Heaps are two views of the same frequency law).
+
+    The cumulative-distinct trick: V(prefix p) = #tokens whose FIRST
+    occurrence position ≤ p — one min-aggregate per token replaces a
+    distinct-count per checkpoint (10× cheaper and exact).
+
+    Exactness: token counts and first positions are exact integers;
+    the fit quantizes ln(n)/ln(V) to integer micro-units so the five
+    regression sums are exact int64 (all < 2^62) and the slope is ONE
+    final division rounded 4 dp.
+
+    100 TB: one token explode with two aggregates (first-position per
+    token — vocabulary-sized; per-doc counts — doc-sized); checkpoints
+    are a 10-row spine; no per-checkpoint rescans."""
+    docs = load_table(spark, sf_dir, "documents")
+    wp = Window.orderBy("doc_id")
+    pos = docs.select(
+        "doc_id",
+        F.row_number().over(wp).alias("p"),
+        F.count("*").over(Window.partitionBy()).alias("nd"),
+    )
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .join(pos.select("doc_id", "p"), "doc_id")
+    )
+    tok = tok.localCheckpoint(eager=False)  # firstp + dtok
+    firstp = tok.groupBy("token").agg(F.min("p").cast("long").alias("fp"))
+    dtok = tok.groupBy("p").agg(F.count("*").cast("long").alias("ntok"))
+    nd = pos.agg(F.max("nd").cast("long").alias("nd"))
+    marks = (
+        spark.range(1, _HEAPS_D + 1)
+        .select(F.col("id").cast("long").alias("dec"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "dec",
+            F.floor(F.col("nd") * F.col("dec") / _HEAPS_D)
+            .cast("long")
+            .alias("pcut"),
+        )
+    )
+    ntk = (
+        marks.join(F.broadcast(dtok), dtok["p"] <= marks["pcut"])
+        .groupBy("dec", "pcut")
+        .agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    )
+    voc = (
+        marks.join(firstp, firstp["fp"] <= marks["pcut"])
+        .groupBy("dec")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    q = ntk.join(voc, "dec").select(
+        "dec",
+        "n_tokens",
+        "vocab",
+        F.floor(
+            F.log(F.col("n_tokens") * F.lit(1.0)) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("u"),
+        F.floor(
+            F.log(F.col("vocab") * F.lit(1.0)) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    q = q.localCheckpoint(eager=False)  # fit + readout
+    fit = q.agg(
+        F.sum("u").cast("long").alias("su"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).cast("long").alias("suv"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+        F.count("*").cast("long").alias("k"),
+    )
+    beta = (
+        (F.col("k") * F.col("suv") - F.col("su") * F.col("sv"))
+        * F.lit(1.0)
+        / (F.col("k") * F.col("suu") - F.col("su") * F.col("su"))
+    )
+    return (
+        q.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("dec").alias("decile"),
+            "n_tokens",
+            "vocab",
+            roundn(beta, 4).alias("heaps_beta"),
+        )
+        .orderBy("decile")
+    )

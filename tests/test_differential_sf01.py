@@ -124,6 +124,7 @@ HEADLINE = (
     "stats_capture_recapture",
     "agg_theil_decomposition",
     "graph_bridges_tarjan",
+    "corpus_heaps_law",
 )
 
 

@@ -337,6 +337,9 @@ _BNLJ_REVIEWED = frozenset({
     # categories (b)/(a); the data-sized joins (same-bucket, grid
     # weights) are all equi-joins
     "hypothesis_kendall_knight",
+    # heaps-law: 10-row decile spine band-joined against the
+    # vocabulary-sized first-occurrence relation — category (b)
+    "corpus_heaps_law",
     # r3 wave: one-row scalar broadcasts (RFM anchor date / freshness
     # anchor) — category (a); market_basket and attribution_last_touch
     # were REMOVED after their window-normalizer rewrites eliminated

@@ -289,3 +289,58 @@ def test_dp_topk_release_shape(spark):
     # noisy counts are rank-descending and the release column exists
     assert (out.noisy_count.diff().dropna() <= 1e-9).all()
     assert "true_count" not in out.columns  # the privacy boundary
+
+
+# ---------------------------------------------------------------------------
+# wave 5: Heaps' law, MCC
+# ---------------------------------------------------------------------------
+
+def test_heaps_vocab_growth_concave(spark):
+    out = REGISTRY["corpus_heaps_law"].spark(spark, SF_DIR).toPandas()
+    assert len(out) == 10
+    # vocabulary and token counts both grow monotonically
+    assert (out.n_tokens.diff().dropna() > 0).all()
+    assert (out.vocab.diff().dropna() >= 0).all()
+    # the synthetic corpus has a CLOSED ~31-token vocabulary, so the
+    # correct readout is beta ~= 0 (saturation) — the diagnostic doing
+    # its job; natural-language behaviour is pinned on the planted
+    # fixture below
+    beta = out.heaps_beta.iloc[0]
+    assert 0.0 <= beta < 1.0
+    assert (out.vocab <= out.n_tokens).all()
+
+
+def test_heaps_beta_positive_on_growing_vocabulary(spark, tmp_path):
+    """A corpus whose every doc coins sqrt-many new tokens must show
+    0 < beta < 1 — the open-vocabulary regime Heaps' law describes."""
+    rows = []
+    tok_id = 0
+    for d in range(100):
+        # coin a new token only when floor(sqrt(d)) increments →
+        # vocab(d) ~ sqrt(d) while tokens grow linearly: beta ~ 0.5
+        n_new = int((d + 1) ** 0.5) - int(d**0.5)
+        words = [f"w{tok_id + i}" for i in range(n_new)]
+        tok_id += n_new
+        words += [f"w{(d * 7) % max(tok_id, 1)}" for _ in range(20)]
+        rows.append((d, " ".join(words), "src0", "en"))
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING, lang STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = REGISTRY["corpus_heaps_law"].spark(spark, str(tmp_path)).toPandas()
+    beta = out.heaps_beta.iloc[0]
+    assert 0.05 < beta < 1.0, out.to_string()
+
+
+def test_mcc_agrees_with_confusion_matrix(spark):
+    import math
+
+    out = REGISTRY["eval_mcc"].spark(spark, SF_DIR).toPandas().iloc[0]
+    tp, fp, fn, tn = out.tp, out.fp, out.fn, out.tn
+    want = (tp * tn - fp * fn) / math.sqrt(
+        float((tp + fp) * (tp + fn)) * float((tn + fp) * (tn + fn))
+    )
+    assert abs(out.mcc - want) < 1e-5
+    # ~6% label flips on an imbalanced task: MCC well above chance,
+    # below perfect, and BELOW accuracy (the imbalance gap)
+    assert 0.5 < out.mcc < 1.0
+    assert out.mcc < out.accuracy

@@ -113,19 +113,33 @@ def main() -> None:
             print(f"  {i + 1}/{len(names)} audited ({time.time() - t0:.0f}s)")
     spark.stop()
 
-    if not prefixes:  # subset runs are diagnostics — never overwrite
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "sp_audit.json")
-        with open(path, "w") as f:
-            json.dump(
-                {
-                    "audited": len(names),
-                    "audited_keys": names,
-                    "skip": sorted(SKIP),
-                    "keys": out,
-                },
-                f, indent=0, sort_keys=True,
-            )
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "sp_audit.json")
+    if prefixes and os.path.exists(path):
+        # subset runs MERGE into the existing artifact (incremental
+        # re-audit of new/changed keys without the full 15-minute pass)
+        with open(path) as f:
+            prev = json.load(f)
+        merged_keys = sorted(set(prev.get("audited_keys", [])) | set(names))
+        merged_out = dict(prev.get("keys", {}))
+        for name in names:
+            merged_out.pop(name, None)
+        merged_out.update(out)
+        payload = {
+            "audited": len(merged_keys),
+            "audited_keys": merged_keys,
+            "skip": sorted(SKIP),
+            "keys": merged_out,
+        }
+    else:
+        payload = {
+            "audited": len(names),
+            "audited_keys": names,
+            "skip": sorted(SKIP),
+            "keys": out,
+        }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=0, sort_keys=True)
     worst = sorted(
         out.items(), key=lambda kv: -kv[1].get("max_rows_0.01", 0)
     )[:12]
