@@ -39,34 +39,48 @@ DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_de
 #: keys whose cost IS the evidence: an exact/brute-force arm, a full
 #: accuracy differential, a deliberate sweep/ablation/retrain — their
 #: wall time measures the strength of the guarantee, not serving health
-_EVIDENCE_PATTERNS = (
+#: PREFIX patterns (matched with startswith — a bare "eval_" substring
+#: also matches "retrieval_*" and misroutes serving keys, the r7 ADVICE)
+_EVIDENCE_PREFIXES = (
     "sim_topk",            # every rung reports recall vs exact brute force
+    "eval_",               # eval harness (BLEU/ROUGE/elo/pass@k/agreement)
+    "ab_",                 # experiment-analysis arms
+    "hypothesis_",
+    "attribution_",
+    "sim_index_",          # index lifecycle audits
+)
+
+#: infix patterns (genuinely positional anywhere in the key)
+_EVIDENCE_INFIXES = (
     "_vs_brute",
     "_accuracy_eval",
     "_calibration",
     "_sweep",
     "_ablation",
     "_backtest",
-    "eval_",               # eval harness (BLEU/ROUGE/elo/pass@k/agreement)
     "_eval",
-    "ab_",                 # experiment-analysis arms
-    "hypothesis_",
-    "attribution_",
+)
+
+#: exact keys whose cost IS the evidence by workload
+_EVIDENCE_KEYS = frozenset({
     "corpus_dedup_rate",   # TRUE-pair relation is quadratic by workload
     "recsys_hit_rate",     # real leave-last-out retrain
     "recsys_coverage",
-    "diversity_ild",
+    "recsys_diversity_ild",
     "embedding_knn_outliers",
     "dedup_semdedup",
-    "sim_index_",          # index lifecycle audits
     "ops_schedule_monte_carlo",
-)
+})
 
 
 def tier_of(name: str) -> str:
     if name.startswith("stream_"):
         return "streaming"
-    if any(p in name for p in _EVIDENCE_PATTERNS):
+    if (
+        name in _EVIDENCE_KEYS
+        or name.startswith(_EVIDENCE_PREFIXES)
+        or any(p in name for p in _EVIDENCE_INFIXES)
+    ):
         return "evidence"
     return "serving"
 

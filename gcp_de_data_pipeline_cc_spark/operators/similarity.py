@@ -756,11 +756,17 @@ def bounded_cells(
             x.cast("double") * F.lit(float(PORTABLE_Q_SCALE)) + F.lit(0.5)
         ).cast("long"),
     )
+    # dot over EXACTLY dim positions: vectors longer than dim are
+    # truncated, shorter ones zero-padded (identical to a prefix dot).
+    # The earlier zip_with(slice(plane, size(vec)), q) form null-padded
+    # the plane when size(vec) > dim and silently yielded a NULL
+    # projection — the r7 ADVICE divergence.  F.get is total (NULL out
+    # of bounds, no ANSI error), so the fold can never go NULL.
     proj = F.aggregate(
-        F.zip_with(
-            F.slice(plane_arr, F.lit(1), F.size(F.col(vec_col))),
-            q,
-            lambda p, a: p * a,
+        F.transform(
+            F.sequence(F.lit(1), F.lit(int(dim))),
+            lambda i: F.get(plane_arr, i - 1)
+            * F.coalesce(F.get(q, i - 1), F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
@@ -782,12 +788,16 @@ def bounded_cells(
 
 def sql_bounded_cells_proj(vec_expr: str, dim: int = 64) -> str:
     """The DuckDB twin of :func:`bounded_cells`' integer projection
-    (exact: quantized components x integer plane, all < 2^53)."""
+    (exact: quantized components x integer plane, all < 2^53).  Same
+    truncate-to-dim / zero-pad totalization as the Spark side: list
+    indexing past the end is NULL in DuckDB, coalesced to 0, so both
+    engines agree on any vector length instead of one erroring."""
     plane = _bounded_cell_plane(dim)
     lits = "[" + ", ".join(f"{int(x)}.0" for x in plane) + "]"
     qexpr = (
-        f"list_transform({vec_expr}, "
-        f"x -> FLOOR(CAST(x AS DOUBLE) * {PORTABLE_Q_SCALE}.0 + 0.5))"
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> COALESCE(FLOOR(CAST({vec_expr}[i] AS DOUBLE) "
+        f"* {PORTABLE_Q_SCALE}.0 + 0.5), 0.0))"
     )
     return f"list_dot_product({qexpr}, {lits})"
 

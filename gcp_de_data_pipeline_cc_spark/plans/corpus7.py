@@ -428,12 +428,16 @@ def _heaps_oracle() -> str:
                     AS BIGINT) AS pcut
         FROM cp),
     pts AS (
+        -- pcut = 0 deciles (corpora smaller than the checkpoint count)
+        -- are dropped in BOTH engines: the Spark side's inner joins
+        -- cannot emit them, and ln(NULL/0) has no defined fit point
         SELECT m.dec,
                (SELECT CAST(SUM(ntok) AS BIGINT) FROM dtok
                 WHERE p <= m.pcut) AS n_tokens,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM firstp
                 WHERE fp <= m.pcut) AS vocab
-        FROM marks m),
+        FROM marks m
+        WHERE m.pcut >= 1),
     q AS (
         SELECT dec, n_tokens, vocab,
                CAST(FLOOR(ln(n_tokens * 1.0e0) * 1000000.0e0 + 0.5e0)
@@ -504,6 +508,10 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("pcut"),
         )
+        # pcut = 0 deciles (corpus smaller than the checkpoint count)
+        # are dropped symmetrically with the oracle — the inner joins
+        # below could never emit them and ln(0) has no fit point
+        .filter(F.col("pcut") >= 1)
     )
     ntk = (
         marks.join(F.broadcast(dtok), dtok["p"] <= marks["pcut"])

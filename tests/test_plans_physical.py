@@ -719,24 +719,11 @@ def test_global_rank_is_two_phase_range_exchange(spark):
 # bound check — the registry-wide invariant the static census (PLANS.md)
 # could only count, not classify.
 
-#: keys whose SinglePartition exchanges legitimately exceed the default
-#: cap — each bound is the key's DOMAIN cardinality at the audit SF,
-#: with the reason beside it
-_SP_DOMAIN_BOUNDED = {
-    # order-date day spine (2405 calendar days in the TPC-H range)
-    "ts_changepoint_binseg": 2500,
-    "ts_peak_detect": 2500,
-    # hour spine of the 30-day events window (<= 744 hours/month)
-    "sli_burn_rate_alerts": 800,
-    # brand/part-domain rollup (stable across SFs in the audit)
-    "market_basket": 400,
-    # 10 value buckets x the 30-day event-day spine
-    "qc_histogram_drift": 400,
-}
-
-#: default cap: generous multiple of the 32 shuffle-partition __pid
-#: offsets / scalar readouts that dominate the audited population
-_SP_DEFAULT_CAP = 256
+#: the allowlist + classification live in tools/sp_bounds.py so that
+#: tools/sp_audit.py runs the EXACT same check at artifact-write time —
+#: an audit merge with unclassified offenders exits 1 before it can be
+#: committed "green" (the round-7 process gap)
+from tools.sp_bounds import classify_offenders as _sp_classify_offenders
 
 
 def _sp_audit() -> dict:
@@ -769,18 +756,7 @@ def test_sp_single_partition_exchanges_all_bounded():
     for parallelism artifacts).  This is the empirical form of 'no
     entity-sized relation ever funnels through one reducer'."""
     audit = _sp_audit()
-    offenders = {}
-    for key, rec in audit["keys"].items():
-        if any(k.startswith("err") for k in rec):
-            offenders[key] = rec
-            continue
-        hi = rec.get("max_rows_0.01", rec.get("max_rows_0.001", 0))
-        lo = rec.get("max_rows_0.001", 0)
-        cap = _SP_DOMAIN_BOUNDED.get(key, _SP_DEFAULT_CAP)
-        if hi > cap:
-            offenders[key] = f"max {hi} rows > cap {cap}"
-        elif hi > 3 * max(lo, 64):
-            offenders[key] = f"scales with data: {lo} -> {hi}"
+    offenders = _sp_classify_offenders(audit["keys"])
     assert not offenders, offenders
 
 

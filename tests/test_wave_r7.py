@@ -43,6 +43,44 @@ def test_bounded_cells_splits_oversized_label(spark, tmp_path):
     assert sizes.max() <= sim.BOUNDED_CELL_SIZE
 
 
+def test_bounded_cells_wide_vector_truncates_not_nulls(spark):
+    """r7 ADVICE: a vector LONGER than dim used to null-pad the plane in
+    zip_with and yield a NULL projection (every row landed in one NULL
+    cell).  The projection is now a truncate-to-dim dot: an 80-dim
+    vector gets the same chunks as its 64-dim prefix, and the DuckDB
+    twin agrees instead of erroring on mismatched list lengths."""
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    wide = rng.normal(size=(70, 80)).astype(float)
+    rows = [(i, [float(x) for x in wide[i]], int(i % 2)) for i in range(70)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    got = (
+        sim.bounded_cells(df, keep_proj="proj")
+        .select("vec_id", "proj", "chunk")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert got.proj.notna().all()
+    # the float32-roundtripped prefix is what Spark actually quantizes —
+    # feed the same values to the DuckDB twin
+    pfx = wide[:, :64].astype(np.float32)
+    con = duckdb.connect()
+    con.register(
+        "v",
+        __import__("pandas").DataFrame(
+            {"vec_id": range(70), "embedding": [list(map(float, r)) for r in pfx]}
+        ),
+    )
+    want = con.execute(
+        f"SELECT vec_id, {sim.sql_bounded_cells_proj('embedding')} AS proj "
+        "FROM v ORDER BY vec_id"
+    ).df()
+    assert (got.proj.values == want.proj.values.astype("int64")).all()
+
+
 # ---------------------------------------------------------------------------
 # sim_index_rebalance
 # ---------------------------------------------------------------------------

@@ -117,11 +117,18 @@ def main() -> None:
         os.path.abspath(__file__))), "sp_audit.json")
     if prefixes and os.path.exists(path):
         # subset runs MERGE into the existing artifact (incremental
-        # re-audit of new/changed keys without the full 15-minute pass)
+        # re-audit of new/changed keys without the full 15-minute pass);
+        # stale entries for keys no longer in the registry are dropped so
+        # the audited count never overstates coverage
+        current = {n for n in REGISTRY if n not in SKIP}
         with open(path) as f:
             prev = json.load(f)
-        merged_keys = sorted(set(prev.get("audited_keys", [])) | set(names))
-        merged_out = dict(prev.get("keys", {}))
+        merged_keys = sorted(
+            (set(prev.get("audited_keys", [])) | set(names)) & current
+        )
+        merged_out = {
+            k: v for k, v in prev.get("keys", {}).items() if k in current
+        }
         for name in names:
             merged_out.pop(name, None)
         merged_out.update(out)
@@ -149,6 +156,21 @@ def main() -> None:
         print(f"  {name}: sf0.001 max={rec.get('max_rows_0.001')} "
               f"sf0.01 max={rec.get('max_rows_0.01')} "
               f"(n={rec.get('n_sp_0.01', rec.get('n_sp_0.001'))})")
+
+    # PROCESS PIN (round-7 gap): run the exact classification the test
+    # suite pins, over the artifact JUST WRITTEN.  A subset merge that
+    # introduces an unclassified SinglePartition bound exits 1 here —
+    # before it can be committed with a stale "all green" claim.
+    from tools.sp_bounds import classify_offenders
+
+    offenders = classify_offenders(payload["keys"])
+    if offenders:
+        print("\nUNCLASSIFIED SinglePartition bounds (classify in "
+              "tools/sp_bounds.py or restructure the window):")
+        for name, why in sorted(offenders.items()):
+            print(f"  {name}: {why}")
+        sys.exit(1)
+    print("sp bound classification: clean")
 
 
 if __name__ == "__main__":
