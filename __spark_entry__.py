@@ -84,14 +84,31 @@ def _prior_verification_status() -> dict[str, int]:
     for key in _RESAMPLE:
         if status.get(key) == 2:
             status[key] = 0
+    # rows-only floor keys (r7 verdict task #7): their only official
+    # records are stale round-1 artifacts; force ONE fresh officially
+    # dated rows-only record each, then they fall back to the floor
+    # (their r8 records will rank them behind never-checked keys again)
+    for key in _FLOOR_REFRESH:
+        if status.get(key, 0) == 1:
+            status[key] = 0
     return status
 
 
-#: semantics changed in round 7 — see _prior_verification_status
-_RESAMPLE = frozenset({
-    "dedup_semdedup", "sim_topk_graph",
-    "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_pq_rerank",
-    "multimodal_resize", "multimodal_features",
+#: semantics changed in round 8 — see _prior_verification_status.
+#: (The r7 set — bounded-cell quantizer, PQ stratum training, resize
+#: checksum — was officially re-verified in CORRECTNESS_r07 50/50 and
+#: is therefore cleared; round 8's bounded_cells totalization and the
+#: heaps pcut guard are value-identical on every real table, so no key
+#: needs a fresh post-change artifact.)
+_RESAMPLE = frozenset()
+
+#: the 7 by-design rows-only keys (real streaming x3, JVM-internal
+#: sketches x3, DEFLATE x1) — the permanent no-oracle floor; refreshed
+#: officially once in r8 so their latest-status records are current
+_FLOOR_REFRESH = frozenset({
+    "agg_approx_distinct", "agg_percentile_approx", "sketch_hll_rollup",
+    "stream_custom_stateful", "stream_ingest_e2e",
+    "stream_watermark_dedup", "text_compression_ratio",
 })
 
 
@@ -100,6 +117,11 @@ _RESAMPLE = frozenset({
 # fn_string + fn_string2 + fn_regexp; one passing key flips the
 # component).  Keys absent from this list rank after listed ones.
 _COMPONENT_FIRST = (
+    # round-8 head: the 7 permanent-floor rows-only keys (one fresh
+    # officially dated record each — task #7), then the r8 wave keys
+    "agg_approx_distinct", "agg_percentile_approx", "sketch_hll_rollup",
+    "stream_custom_stateful", "stream_ingest_e2e",
+    "stream_watermark_dedup", "text_compression_ratio",
     # round-7 priority: the two keys whose SEMANTICS changed with the
     # bounded-cell quantizer (re-verify officially), the composed
     # rebalance key, the PQ family retrained on the fixed-D stratum,
@@ -365,7 +387,11 @@ _COMPONENT_FIRST = (
     # round-3 wave r4j: one-way ANOVA
     "hypothesis_anova",
 )
-_COMPONENT_RANK = {name: i for i, name in enumerate(_COMPONENT_FIRST)}
+_COMPONENT_RANK: dict[str, int] = {}
+for _i, _name in enumerate(_COMPONENT_FIRST):
+    # first occurrence wins: a key re-listed in an older wave section
+    # must keep its newer (higher-priority) rank
+    _COMPONENT_RANK.setdefault(_name, _i)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
