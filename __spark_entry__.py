@@ -122,6 +122,12 @@ _COMPONENT_FIRST = (
     "agg_approx_distinct", "agg_percentile_approx", "sketch_hll_rollup",
     "stream_custom_stateful", "stream_ingest_e2e",
     "stream_watermark_dedup", "text_compression_ratio",
+    # round-8 wave: sample fresh keys while fresh
+    "dedup_substring_pairs", "corpus_dispersion_dp",
+    "stats_kruskal_wallis", "stats_cochran_q", "stats_page_trend",
+    "ts_ljung_box", "ts_spectral_entropy",
+    "graph_rich_club", "sample_class_balanced",
+    "eval_wer", "eval_brier_decomposition",
     # round-7 priority: the two keys whose SEMANTICS changed with the
     # bounded-cell quantizer (re-verify officially), the composed
     # rebalance key, the PQ family retrained on the fixed-D stratum,

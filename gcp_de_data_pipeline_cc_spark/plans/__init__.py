@@ -18,6 +18,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     corpus,
     corpus2,
     corpus3,
@@ -25,6 +26,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     corpus5,
     corpus6,
     corpus7,
+    corpus8,
     corpus_stats,
     curation,
     evals,
@@ -57,12 +59,14 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     stats2,
     stats3,
     stats4,
+    stats5,
     timeseries,
     timeseries2,
     timeseries3,
     timeseries4,
     timeseries5,
     timeseries6,
+    timeseries7,
     training,
     udfs,
 )

@@ -125,6 +125,22 @@ HEADLINE = (
     "agg_theil_decomposition",
     "graph_bridges_tarjan",
     "corpus_heaps_law",
+    # round-8 wave: the volume-sensitive shapes — anchor buckets and
+    # diagonal islands only multiply at volume (substring pairs),
+    # decimal autocovariances and nano entropy terms accumulate more
+    # addends, rank/tie groups grow (KW), the WER vocabulary mapping
+    # and per-doc strings stress the sorted-struct reassembly, and the
+    # rich-club ladder shifts with degree volume
+    "dedup_substring_pairs",
+    "corpus_dispersion_dp",
+    "stats_kruskal_wallis",
+    "stats_page_trend",
+    "ts_ljung_box",
+    "ts_spectral_entropy",
+    "graph_rich_club",
+    "sample_class_balanced",
+    "eval_wer",
+    "eval_brier_decomposition",
 )
 
 

@@ -364,6 +364,14 @@ _BNLJ_REVIEWED = frozenset({
     # r3z wave: one-row m2 / basket-total / Q-total broadcasts —
     # category (a)
     "graph_modularity", "market_basket_triples",
+    # r8 wave: one-row stat/total broadcasts (KW fit+tie, Cochran
+    # totals+k, dispersion corpus total, rich-club n/m density,
+    # Brier bin totals, class-balance minority count, WER 1-row OOV
+    # symbol, spectral-entropy series totals, Page nothing — no BNLJ)
+    # — category (a) scalar broadcasts throughout
+    "stats_kruskal_wallis", "stats_cochran_q", "corpus_dispersion_dp",
+    "graph_rich_club", "eval_brier_decomposition",
+    "sample_class_balanced", "eval_wer", "ts_spectral_entropy",
     # r4a wave: one-row conversion-count broadcast — category (a)
     "attribution_position_based",
     # r4b wave: one-row bigram/unigram-total broadcasts — category (a)

@@ -1,0 +1,514 @@
+"""Law tests for the round-8 wave keys (beyond the registry-wide
+DuckDB differential): planted fixtures with hand-computable answers,
+brute-force cross-checks by a SECOND algorithm, and structural
+invariants."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pytest
+
+from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _write_docs(spark, path, texts, sources=None, langs=None):
+    rows = [
+        (
+            i,
+            t,
+            (langs[i] if langs else "en"),
+            (sources[i] if sources else f"src{i % 3}"),
+            len(t),
+        )
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_pairs
+# ---------------------------------------------------------------------------
+
+def _tok(prefix, n, start=0):
+    return [f"{prefix}{i}" for i in range(start, start + n)]
+
+
+def test_substring_pairs_planted_span_exact_length(spark, tmp_path):
+    """Two documents share EXACTLY one 30-token span (their other
+    tokens are globally unique): the pair is reported with
+    max_span_tokens == 30, one maximal span, and anchor count 30-8+1."""
+    span = _tok("shared", 30)
+    texts = [
+        " ".join(_tok("a", 40) + span + _tok("b", 40)),
+        " ".join(_tok("c", 15) + span + _tok("d", 65)),
+        " ".join(_tok("e", 120)),
+    ]
+    _write_docs(spark, tmp_path, texts)
+    out = (
+        REGISTRY["dedup_substring_pairs"].spark(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.doc_a, row.doc_b) == (0, 1)
+    assert row.max_span_tokens == 30
+    assert row.n_spans == 1
+    assert row.n_anchor_matches == 30 - 8 + 1
+    assert row.repeated_tokens == 30
+
+
+def test_substring_pairs_disjoint_corpus_empty(spark, tmp_path):
+    texts = [" ".join(_tok(f"u{d}_", 60)) for d in range(4)]
+    _write_docs(spark, tmp_path, texts)
+    out = (
+        REGISTRY["dedup_substring_pairs"].spark(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert len(out) == 0
+
+
+def test_substring_pairs_hot_boilerplate_excluded(spark, tmp_path):
+    """A 30-token span shared by 70 documents: every anchor inside it
+    has df = 70 > 64, so the stop-gram cap drops ALL pairs — the
+    documented boilerplate rule.  A second span shared by only two docs
+    still pairs."""
+    boiler = _tok("boiler", 30)
+    rare = _tok("rare", 25)
+    texts = [" ".join(_tok(f"x{d}_", 10) + boiler) for d in range(70)]
+    texts.append(" ".join(rare + _tok("y", 30)))
+    texts.append(" ".join(_tok("z", 30) + rare))
+    _write_docs(spark, tmp_path, texts)
+    out = (
+        REGISTRY["dedup_substring_pairs"].spark(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert len(out) == 1
+    assert (out.iloc[0].doc_a, out.iloc[0].doc_b) == (70, 71)
+    assert out.iloc[0].max_span_tokens == 25
+
+
+def test_substring_pairs_two_spans_same_pair(spark, tmp_path):
+    """Two DISJOINT shared spans between one pair -> n_spans == 2 and
+    max_span picks the longer."""
+    s1, s2 = _tok("one", 22), _tok("two", 28)
+    texts = [
+        " ".join(s1 + _tok("p", 30) + s2),
+        " ".join(s2 + _tok("q", 30) + s1),
+    ]
+    _write_docs(spark, tmp_path, texts)
+    out = (
+        REGISTRY["dedup_substring_pairs"].spark(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert len(out) == 1
+    assert out.iloc[0].n_spans == 2
+    assert out.iloc[0].max_span_tokens == 28
+    assert out.iloc[0].repeated_tokens == 22 + 28
+
+
+# ---------------------------------------------------------------------------
+# corpus_dispersion_dp
+# ---------------------------------------------------------------------------
+
+def test_dispersion_concentrated_token_tops(spark, tmp_path):
+    """A token occurring ONLY in one small source scores DP close to
+    1 - s_i; a token spread evenly scores near 0."""
+    texts, sources = [], []
+    for d in range(10):
+        toks = ["even"] * 60
+        if d == 0:
+            toks += ["rare"] * 120
+        texts.append(" ".join(toks))
+        sources.append(f"src{d}")
+    _write_docs(spark, tmp_path, texts, sources=sources)
+    out = (
+        REGISTRY["corpus_dispersion_dp"].spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("token")
+    )
+    assert out.index[0] == "rare"  # most concentrated tops the list
+    # hand-computed: T = 720, rare part share s_0 = 180/720 = 0.25,
+    # v_0 = 1 -> DP = 0.5*(|1-0.25| + sum_others s_i) = 0.75
+    assert abs(out.loc["rare", "dp_score"] - 0.75) < 1e-6
+    # 'even': v_i = s_i except the rare-inflated part 0 — hand-computed
+    # 0.5*(|0.1-0.25| + 9*|0.1-1/12|) = 0.15 exactly
+    assert abs(out.loc["even", "dp_score"] - 0.15) < 1e-6
+    assert ((out.dp_score >= 0) & (out.dp_score <= 1)).all()
+
+
+def test_dispersion_real_data_bounds(spark):
+    out = REGISTRY["corpus_dispersion_dp"].spark(spark, SF_DIR).toPandas()
+    assert len(out) == 25
+    assert ((out.dp_score >= 0) & (out.dp_score <= 1)).all()
+    assert (out.n_parts <= 20).all()
+    # sorted most-concentrated first
+    assert (out.dp_score.values == np.sort(out.dp_score.values)[::-1]).all()
+
+
+# ---------------------------------------------------------------------------
+# stats_kruskal_wallis
+# ---------------------------------------------------------------------------
+
+def _kw_brute(groups):
+    """Second algorithm: direct average-rank Kruskal-Wallis."""
+    import pandas as pd
+
+    allv = np.concatenate([np.asarray(g, dtype=float) for g in groups])
+    ranks = pd.Series(allv).rank(method="average").values
+    n = len(allv)
+    h, i = 0.0, 0
+    for g in groups:
+        r = ranks[i:i + len(g)]
+        i += len(g)
+        h += r.sum() ** 2 / len(g)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, t = np.unique(allv, return_counts=True)
+    c = 1.0 - (t**3 - t).sum() / (n**3 - n)
+    return h, h / c
+
+
+def test_kruskal_wallis_matches_bruteforce(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    texts, langs = [], []
+    groups = {f"l{g}": [] for g in range(3)}
+    for i in range(120):
+        lang = f"l{i % 3}"
+        length = int(rng.integers(10, 40)) + 15 * (i % 3)
+        texts.append("w " * length)
+        langs.append(lang)
+        groups[lang].append(len("w " * length))
+    _write_docs(spark, tmp_path, texts, langs=langs)
+    out = (
+        REGISTRY["stats_kruskal_wallis"].spark(spark, str(tmp_path))
+        .toPandas()
+    )
+    h, hc = _kw_brute([groups[f"l{g}"] for g in range(3)])
+    assert abs(out.h_stat.iloc[0] - h) < 2e-4
+    assert abs(out.h_tie_corrected.iloc[0] - hc) < 2e-4
+    # shifted group has the top mean rank
+    assert out.set_index("lang").mean_rank.idxmax() == "l2"
+
+
+def test_kruskal_wallis_real_data_shape(spark):
+    out = REGISTRY["stats_kruskal_wallis"].spark(spark, SF_DIR).toPandas()
+    assert len(out) == 5
+    assert out.h_stat.nunique() == 1  # one statistic broadcast to rows
+    assert (out.h_tie_corrected >= out.h_stat - 1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# stats_cochran_q / stats_page_trend (real-data structure; the planted
+# trend law lives in the Page fixture)
+# ---------------------------------------------------------------------------
+
+def test_cochran_q_structure(spark):
+    out = REGISTRY["stats_cochran_q"].spark(spark, SF_DIR).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.k_treatments == 5 and r.df == 4
+    assert r.q_stat >= 0
+    assert r.reject_05 == (r.q_stat > 9.487729)
+
+
+def test_page_trend_planted_monotone_is_maximal(spark, tmp_path):
+    """Every block's revenue strictly increases by year -> every block
+    ranks years 1..m in order -> L = b * sum(j*j), the distribution's
+    maximum, and z > 0."""
+    import datetime
+
+    nations = [(i, f"N{i:02d}", i % 5) for i in range(4)]
+    spark.createDataFrame(
+        nations, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    custs = [(i, f"c{i}", i % 4, 0.0, "SEG") for i in range(8)]
+    spark.createDataFrame(
+        custs,
+        "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT,"
+        " c_acctbal DOUBLE, c_mktsegment STRING",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    orders, okey = [], 0
+    for year in range(1995, 2001):
+        for c in range(8):
+            price = 100.0 + 10 * (year - 1995) + c
+            orders.append(
+                (okey, c, "O", price,
+                 datetime.date(year, 6, 15), "1-URGENT")
+            )
+            okey += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = (
+        REGISTRY["stats_page_trend"].spark(spark, str(tmp_path)).toPandas()
+    )
+    r = out.iloc[0]
+    m, b = 6, 4
+    assert r.n_blocks == b and r.m_treatments == m
+    assert r.l_stat == b * sum(j * j for j in range(1, m + 1))
+    assert r.z > 0
+
+
+# ---------------------------------------------------------------------------
+# ts_ljung_box / ts_spectral_entropy
+# ---------------------------------------------------------------------------
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_ljung_box_matches_bruteforce_and_separates(spark, tmp_path):
+    """A strong 24h sinusoid rejects; hash-noise does not.  Q is
+    cross-checked against a direct numpy implementation of the SAME
+    estimator (micro-quantized hourly sums)."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2001, 1, 1)
+    vals = {"sine": [], "noise": []}
+    for hr in range(400):
+        ts = t0 + datetime.timedelta(hours=hr)
+        v_sin = float(100.0 + 50.0 * np.sin(2 * np.pi * hr / 24.0))
+        v_noi = float(
+            int(hashlib.md5(f"n{hr}".encode()).hexdigest()[:6], 16) % 1000
+        )
+        rows.append((2 * hr, ts, 1, "sine", v_sin, "{}"))
+        rows.append((2 * hr + 1, ts, 1, "noise", v_noi, "{}"))
+        vals["sine"].append(round(v_sin * 1e6) / 1e6)
+        vals["noise"].append(v_noi)
+    _write_events(spark, tmp_path, rows)
+    out = (
+        REGISTRY["ts_ljung_box"].spark(spark, str(tmp_path))
+        .toPandas().set_index("event_type")
+    )
+    assert bool(out.loc["sine", "reject_05"])
+    assert not bool(out.loc["noise", "reject_05"])
+
+    def lb(x, h=10):
+        x = np.asarray(x, dtype=float)
+        n = len(x)
+        d = n * np.round(x * 1e6) - np.round(x * 1e6).sum()
+        c0 = (d * d).sum()
+        q = 0.0
+        for k in range(1, h + 1):
+            ck = (d[:-k] * d[k:]).sum()
+            q += (ck / c0) ** 2 / (n - k)
+        return n * (n + 2) * q
+
+    for s in ("sine", "noise"):
+        assert abs(out.loc[s, f"q10"] - lb(vals[s])) < 5e-3 * max(
+            1.0, lb(vals[s])
+        )
+
+
+def test_spectral_entropy_pure_cycle_vs_flat(spark, tmp_path):
+    """A daily count series with one planted 16-day cycle (k = 7 whole-
+    window cycles over 112 days — inside the probed k <= 14 spine, and
+    NOT orthogonal to it like a 7-day cycle at k = 16 would be) scores
+    LOWER normalized entropy than a flat-noise series."""
+    import datetime
+
+    rows, eid = [], 0
+    t0 = datetime.datetime(2001, 1, 1)
+    for day in range(112):
+        n_cyc = 20 + int(15 * np.sin(2 * np.pi * day / 16.0))
+        n_flat = 20 + (
+            int(hashlib.md5(f"f{day}".encode()).hexdigest()[:4], 16) % 5
+        )
+        for i in range(n_cyc):
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=day, seconds=i),
+                 1, "cyc", 1.0, "{}")
+            )
+            eid += 1
+        for i in range(n_flat):
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=day, seconds=i),
+                 1, "flat", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = (
+        REGISTRY["ts_spectral_entropy"].spark(spark, str(tmp_path))
+        .toPandas().set_index("event_type")
+    )
+    assert out.loc["cyc", "entropy_norm"] < out.loc["flat", "entropy_norm"]
+    assert out.loc["cyc", "dominant_share"] > out.loc["flat", "dominant_share"]
+    assert ((out.entropy_norm >= 0) & (out.entropy_norm <= 1.000001)).all()
+
+
+# ---------------------------------------------------------------------------
+# graph_rich_club
+# ---------------------------------------------------------------------------
+
+def test_rich_club_bruteforce_on_fixture(spark, tmp_path):
+    """Cross-check phi(k) against a direct numpy enumeration on a
+    planted two-tier graph (a dense core of hub parts + sparse leaves:
+    the rich club the statistic exists to find)."""
+    rows, lid = [], 0
+    orders = []
+    # core: parts 0..5 pairwise co-purchased (dense), leaves 6..25 each
+    # co-purchased once with one core part
+    for a, b in itertools.combinations(range(6), 2):
+        orders.append((a, b))
+    for leaf in range(6, 26):
+        orders.append((leaf % 6, leaf))
+    for ok, (pa, pb) in enumerate(orders):
+        for pk in (pa, pb):
+            rows.append((ok, pk, 0, lid, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         "1995-01-01"))
+            lid += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,"
+        " l_linestatus STRING, l_shipdate STRING",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "CAST(l_shipdate AS DATE) l_shipdate",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = (
+        REGISTRY["graph_rich_club"].spark(spark, str(tmp_path)).toPandas()
+    )
+    # brute force
+    edges = sorted({(min(a, b), max(a, b)) for a, b in orders})
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for _, r in out.iterrows():
+        rich = {u for u, d in deg.items() if d > r.k}
+        e_rich = sum(1 for a, b in edges if a in rich and b in rich)
+        assert r.n_rich == len(rich)
+        assert r.e_rich == e_rich
+        want = 2.0 * e_rich / (len(rich) * (len(rich) - 1))
+        assert abs(r.phi - want) < 1e-6
+
+
+def test_rich_club_real_data_monotone_nodes(spark):
+    out = REGISTRY["graph_rich_club"].spark(spark, SF_DIR).toPandas()
+    assert (np.diff(out.n_rich.values) <= 0).all()  # higher k, fewer nodes
+    assert ((out.phi >= 0) & (out.phi <= 1.000001)).all()
+
+
+# ---------------------------------------------------------------------------
+# sample_class_balanced
+# ---------------------------------------------------------------------------
+
+def test_class_balanced_selection_is_the_hash_prefix(spark):
+    """Every class is cut to the GLOBAL minority count and the checksum
+    equals an independent python recomputation of the md5-rank
+    selection — the selection itself is pinned, not just its size."""
+    import pandas as pd
+
+    out = (
+        REGISTRY["sample_class_balanced"].spark(spark, SF_DIR)
+        .toPandas().set_index("label").sort_index()
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    n_min = emb.groupby("label").size().min()
+    assert (out.n_after == n_min).all()
+    for label, g in emb.groupby("label"):
+        ranked = sorted(
+            g.vec_id,
+            key=lambda v: (hashlib.md5(f"bal:{v}".encode()).hexdigest(), v),
+        )
+        assert out.loc[label, "id_checksum"] == sum(ranked[:n_min])
+        assert out.loc[label, "n_before"] == len(g)
+
+
+# ---------------------------------------------------------------------------
+# eval_wer
+# ---------------------------------------------------------------------------
+
+def test_wer_planted_unique_tokens_exact(spark, tmp_path):
+    """With globally unique tokens (no cheaper alignment possible) the
+    edit distance is EXACTLY the corruption count floor(n/5)."""
+    texts = [" ".join(_tok(f"d{d}_", 23)) for d in range(3)]
+    _write_docs(spark, tmp_path, texts, sources=["s0", "s0", "s1"])
+    out = (
+        REGISTRY["eval_wer"].spark(spark, str(tmp_path))
+        .toPandas().set_index("source")
+    )
+    assert out.loc["s0", "edit_ops"] == 2 * (23 // 5)
+    assert out.loc["s1", "edit_ops"] == 23 // 5
+    assert abs(out.loc["s1", "wer"] - (23 // 5) / 23) < 1e-6
+
+
+def test_wer_repetitive_text_aligns_cheaper(spark, tmp_path):
+    """Repetitive text can absorb a substitution with an indel pair
+    bounded by the corruption count — WER <= corruption rate, and the
+    metric is a REAL alignment, not a position count."""
+    texts = ["tok " * 40]
+    _write_docs(spark, tmp_path, [t.strip() for t in texts],
+                sources=["s0"])
+    out = REGISTRY["eval_wer"].spark(spark, str(tmp_path)).toPandas()
+    # every 5th of 40 tokens corrupted to OOV: best alignment still
+    # costs exactly the number of OOV tokens here (8), but never more
+    assert out.iloc[0].edit_ops <= 8
+    assert out.iloc[0].edit_ops > 0
+
+
+def test_wer_real_data_bounds(spark):
+    out = REGISTRY["eval_wer"].spark(spark, SF_DIR).toPandas()
+    assert len(out) == 20
+    # substitution-only corruption at rate floor(n/5)/n bounds WER above
+    assert (out.wer <= 0.2 + 1e-9).all()
+    assert (out.wer > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# eval_brier_decomposition
+# ---------------------------------------------------------------------------
+
+def test_brier_murphy_identity_exact(spark):
+    """Binned (midpoint) forecasts make the Murphy identity EXACT:
+    brier = reliability - resolution + uncertainty, up to the 1e-9
+    nano-quantization of the two binned terms."""
+    out = (
+        REGISTRY["eval_brier_decomposition"].spark(spark, SF_DIR)
+        .toPandas().iloc[0]
+    )
+    assert abs(
+        out.brier - (out.reliability - out.resolution + out.uncertainty)
+    ) < 5e-6
+    assert 0 < out.base_rate < 1
+    assert 0 < out.brier < 1
+    assert out.reliability >= 0 and out.resolution >= 0
+    # the planted ~8-point overconfidence must show up as reliability
+    assert out.reliability > 0.004
+
+
+# ---------------------------------------------------------------------------
+# sim_topk_graph — the coarsened (>cap cells) link-layer regime
+# ---------------------------------------------------------------------------
+
+def test_graph_ann_coarsened_link_layer_recall_floor(spark, monkeypatch):
+    """r7 verdict task #5: when |cells| exceeds _NSW_CAP the link layer
+    coarsens by projection-rank grouping — previously unmeasured.  At
+    sf0.01 (16 cells) a cap of 4 forces 4x coarsening; the measured
+    sf0.1 ladder (SCALE.md r8) shows recall is neutral to ~2.5x and
+    above the LSH rung to ~5x, so 4x must stay well above the floor.
+    This pins the REGIME, not just the identity path."""
+    from gcp_de_data_pipeline_cc_spark.plans import llm
+
+    monkeypatch.setattr(llm, "_NSW_CAP", 4)
+    out = REGISTRY["sim_topk_graph"].spark(spark, SF_DIR).toPandas()
+    assert (out.n_exact == 10).all()
+    assert out.recall.mean() >= 0.7, out.recall.describe()
