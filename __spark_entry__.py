@@ -128,6 +128,9 @@ _COMPONENT_FIRST = (
     "ts_ljung_box", "ts_spectral_entropy",
     "graph_rich_club", "sample_class_balanced",
     "eval_wer", "eval_brier_decomposition",
+    "dedup_substring_rewrite", "corpus_powerlaw_mle",
+    "corpus_burrows_delta", "eval_auc_pr", "eval_err",
+    "stats_siegel_tukey", "embedding_cka",
     # round-7 priority: the two keys whose SEMANTICS changed with the
     # bounded-cell quantizer (re-verify officially), the composed
     # rebalance key, the PQ family retrained on the fixed-D stratum,

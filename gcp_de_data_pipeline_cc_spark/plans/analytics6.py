@@ -608,3 +608,655 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uncertainty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# eval_auc_pr
+# ---------------------------------------------------------------------------
+
+#: shared eval-log derivation with eval_auc_roc (salt "s", md5 label
+#: coin at ~30% prevalence) so ROC-AUC and PR-AUC read the same model
+_PR_U48_SQL = (
+    "(CAST(CAST('0x' || SUBSTR(md5('s:' || CAST(o_orderkey AS VARCHAR)),"
+    " 1, 12) AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0"
+)
+_PR_POS_SQL = "SUBSTR(md5('y:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '4d'"
+
+
+def _auc_pr_oracle() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT FLOOR((0.6e0 * ({_PR_U48_SQL}) +
+                      CASE WHEN {_PR_POS_SQL} THEN 0.4e0 ELSE 0.0e0 END)
+                     * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS score,
+               CASE WHEN {_PR_POS_SQL} THEN 1 ELSE 0 END AS pos
+        FROM orders),
+    g AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(pos) AS BIGINT) AS p_s
+        FROM scored GROUP BY score),
+    rk AS (
+        SELECT score, n_s, p_s,
+               CAST(SUM(n_s) OVER w AS BIGINT) AS cum,
+               CAST(SUM(p_s) OVER w AS BIGINT) AS tp
+        FROM g
+        WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+    tot AS (
+        SELECT CAST(SUM(p_s) AS BIGINT) AS p,
+               CAST(SUM(n_s - p_s) AS BIGINT) AS n
+        FROM g),
+    terms AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   rk.p_s * 1.0e0 * rk.tp / (tot.p * 1.0e0 * rk.cum)
+                   * 1000000000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS apq
+        FROM rk CROSS JOIN tot WHERE rk.p_s > 0)
+    SELECT tot.p AS n_pos, tot.n AS n_neg,
+           {sql_roundn("terms.apq / 1000000000.0e0 / 1.0e0", 6)}
+               AS auc_pr,
+           {sql_roundn("tot.p * 1.0e0 / (tot.p + tot.n) / 1.0e0", 6)}
+               AS baseline,
+           {sql_roundn(
+               "(terms.apq / 1000000000.0e0)"
+               " / (tot.p * 1.0e0 / (tot.p + tot.n))", 4)} AS lift
+    FROM terms CROSS JOIN tot
+    """
+
+
+@query("eval_auc_pr", oracle=_auc_pr_oracle())
+def eval_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — area under the PRECISION-RECALL curve (average
+    precision, the step-function definition sklearn reports) on the
+    SAME scored eval log as eval_auc_roc: AP = Σ_s (ΔR_s)·P_s over
+    distinct scores descending, where each score group contributes
+    (p_s/P)·(TP_s/cum_s).  ROC-AUC flatters a classifier at 30%
+    prevalence (the negatives dominate FPR); PR-AUC is the number that
+    moves when the minority class is what matters, and lift =
+    AP/prevalence is the one-number skill readout.
+
+    Exactness: scores are 6-dp-quantized BEFORE grouping (identical
+    tie groups); cumulative TP/count come from the two-phase
+    global-rank cumsum (never a one-reducer sort); each group's exact
+    rational term quantizes ONCE to nano-units and int-sums in any
+    order.
+
+    100 TB: one map-side-combined score-group aggregate, the
+    scale-safe global cumsum (operators/scale.global_rank), a 1-row
+    totals broadcast."""
+    from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = _brier_u48("s")
+    pos = F.substring(
+        F.md5(F.concat(F.lit("y:"), F.col("o_orderkey").cast("string"))),
+        1,
+        2,
+    ) < "4d"
+    score = (
+        F.floor(
+            (
+                F.lit(0.6) * u
+                + F.when(pos, F.lit(0.4)).otherwise(F.lit(0.0))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    scored = orders.select(
+        score.alias("score"), pos.cast("int").alias("pos")
+    )
+    g = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.sum("pos").cast("long").alias("p_s"),
+    )
+    g = g.localCheckpoint(eager=False)  # rank + totals
+    rk = global_rank(
+        g,
+        [F.col("score").desc()],
+        rank_col="__rn",
+        cumsums=[("n_s", "cum"), ("p_s", "tp")],
+    )
+    tot = g.agg(
+        F.sum("p_s").cast("long").alias("p"),
+        F.sum(F.col("n_s") - F.col("p_s")).cast("long").alias("n"),
+    )
+    terms = (
+        rk.filter(F.col("p_s") > 0)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("p_s")
+                    * F.lit(1.0)
+                    * F.col("tp")
+                    / (F.col("p") * F.lit(1.0) * F.col("cum"))
+                    * F.lit(1.0e9)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("apq")
+        )
+    )
+    ap = F.col("apq") / F.lit(1.0e9)
+    base = F.col("p") * F.lit(1.0) / (F.col("p") + F.col("n"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        roundn(ap / F.lit(1.0), 6).alias("auc_pr"),
+        roundn(base / F.lit(1.0), 6).alias("baseline"),
+        roundn(ap / base, 4).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval_err — expected reciprocal rank over the shared ANN eval ranking
+# ---------------------------------------------------------------------------
+
+#: graded-relevance cascade: rel 1-10 folds to grades 0-4 so every
+#: stop-probability is a /16 dyadic rational and all prefix products
+#: stay exact int64 (16^10 = 2^40)
+_ERR_GMAX_DEN = 16
+
+
+def _err_oracle() -> str:
+    from gcp_de_data_pipeline_cc_spark.plans.llm import _sim_lsh_cte
+
+    return f"""
+    WITH {_sim_lsh_cte()},
+    j AS (
+        SELECT a.query_id, a.rank AS apos,
+               (COALESCE(11 - e.rank, 0) + 2) // 3 AS grade
+        FROM lsh_top a
+        LEFT JOIN exact_top e
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+    pq AS (
+        SELECT query_id, apos,
+               CAST(2 ** grade - 1 AS BIGINT) AS pnum,
+               CAST(17 - 2 ** grade AS BIGINT) AS qnum
+        FROM j),
+    pr AS (
+        SELECT query_id, apos, pnum,
+               COALESCE(PRODUCT(qnum) OVER (
+                   PARTITION BY query_id ORDER BY apos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   1.0e0) AS pref
+        FROM pq),
+    t AS (
+        SELECT query_id,
+               CAST(SUM(CAST(FLOOR(
+                   pnum * pref / (16.0e0 ** apos) / apos
+                   * 1000000000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS eq,
+               CAST(SUM(CASE WHEN pnum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel
+        FROM pr GROUP BY query_id)
+    SELECT query_id, n_rel,
+           {sql_roundn("eq / 1000000000.0e0 / 1.0e0", 6)} AS err
+    FROM t
+    ORDER BY query_id
+    """
+
+
+@query("eval_err", oracle=_err_oracle())
+def eval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval tier — EXPECTED RECIPROCAL RANK (Chapelle et al. 2009) on
+    the shared ANN eval ranking (exact top-10 vs the LSH rung, the
+    eval_mrr_ndcg relation): the CASCADE model — a user scans down,
+    stops at rank r with probability p_r = (2^g − 1)/16, and ERR =
+    Σ_r (1/r)·p_r·Π_{{i<r}}(1 − p_i).  NDCG pays every relevant result
+    positionally; ERR charges a relevant result MORE when the results
+    above it were already good — the metric that separates "one great
+    hit then noise" from "uniform mediocrity", which MRR (first hit
+    only) and NDCG (no interaction) both blur.
+
+    Exactness: grades fold rel 1–10 to 0–4 so every stop probability
+    is a /16 dyadic rational and the prefix products are EXACT int64
+    (≤ 16^10 = 2^40): Spark folds them in rank order with one
+    in-array F.aggregate per query; DuckDB uses a PRODUCT() window —
+    two constructions of the same exact integers; each rank's term
+    quantizes ONCE to nano-units and int-sums.
+
+    100 TB: both rankings are the session-cached relations; ERR adds
+    one ≤10-element fold per query — query-count state."""
+    from gcp_de_data_pipeline_cc_spark.operators import similarity as sim
+    from gcp_de_data_pipeline_cc_spark.plans.llm import exact_topk10
+
+    exact = exact_topk10(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("erank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = sim.sample_queries(emb)
+    approx = sim.cosine_topk_lsh_portable(
+        queries, emb, k=10, n_tables=8, bits=4, dim=64
+    ).select("query_id", "neighbor_id", F.col("rank").alias("apos"))
+    grade = F.floor(
+        (F.coalesce(11 - F.col("erank"), F.lit(0)) + 2) / F.lit(3)
+    ).cast("long")
+    j = approx.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "apos",
+        (F.pow(F.lit(2.0), grade).cast("long") - 1).alias("pnum"),
+        (F.lit(17) - F.pow(F.lit(2.0), grade).cast("long")).alias("qnum"),
+    )
+    arr = j.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("apos", "pnum", "qnum"))
+        ).alias("arr"),
+        F.sum(F.when(F.col("pnum") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel"),
+    )
+    folded = F.aggregate(
+        F.col("arr"),
+        F.struct(
+            F.lit(1).cast("long").alias("pref"),
+            F.lit(0).cast("long").alias("acc"),
+        ),
+        lambda s, x: F.struct(
+            (s["pref"] * x["qnum"]).alias("pref"),
+            (
+                s["acc"]
+                + F.floor(
+                    x["pnum"]
+                    * s["pref"]
+                    / F.pow(F.lit(16.0), x["apos"])
+                    / x["apos"]
+                    * F.lit(1.0e9)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("acc"),
+        ),
+        lambda s: s["acc"],
+    )
+    return (
+        arr.select(
+            "query_id",
+            "n_rel",
+            roundn(folded / F.lit(1.0e9) / F.lit(1.0), 6).alias("err"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_siegel_tukey
+# ---------------------------------------------------------------------------
+
+#: the two compared treatment arms (deterministic literals)
+_ST_A = "1-URGENT"
+_ST_B = "5-LOW"
+_ST_Z_CRIT = 1.959964
+
+
+def _siegel_tukey_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(FLOOR(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                   AS cents,
+               o_orderkey AS id
+        FROM orders
+        WHERE o_orderpriority IN ('{_ST_A}', '{_ST_B}')),
+    pos AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (ORDER BY cents, id) AS p,
+               COUNT(*) OVER () AS n
+        FROM v),
+    st AS (
+        SELECT grp, cents, n,
+               CASE
+                 WHEN p < n + 1 - p THEN 2 * p - (p % 2)
+                 WHEN p > n + 1 - p
+                      THEN 2 * (n + 1 - p)
+                           - CASE WHEN (n + 1 - p) % 2 = 0
+                                  THEN 1 ELSE 0 END
+                 ELSE n
+               END AS r
+        FROM pos),
+    avgr AS (
+        SELECT grp, n,
+               CAST(SUM(r) OVER (PARTITION BY cents) AS BIGINT) AS rs,
+               CAST(COUNT(*) OVER (PARTITION BY cents) AS BIGINT) AS rc
+        FROM st),
+    s AS (
+        SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN grp = '{_ST_A}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN grp = '{_ST_B}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN grp = '{_ST_A}' THEN
+                   CAST(FLOOR(rs * 1000000000.0e0 / rc + 0.5e0) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS waq
+        FROM avgr),
+    z AS (
+        SELECT n, na, nb, waq,
+               (waq / 1000000000.0e0 - na * (n + 1.0e0) / 2.0e0)
+               / sqrt(na * 1.0e0 * nb * (n + 1.0e0) / 12.0e0) AS zs
+        FROM s)
+    SELECT na AS n_a, nb AS n_b,
+           {sql_roundn("waq / 1000000000.0e0 / 1.0e0", 4)} AS w_a,
+           {sql_roundn("zs / 1.0e0", 4)} AS z,
+           ABS(zs) > {_ST_Z_CRIT}e0 AS reject_05
+    FROM z
+    """
+
+
+@query("stats_siegel_tukey", oracle=_siegel_tukey_oracle())
+def stats_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats tier — SIEGEL–TUKEY rank-dispersion test: do '{a}' and
+    '{b}' orders have the same price SPREAD?  Ranks are assigned
+    outside-in on the pooled sort (lowest→1, two highest→2,3, next two
+    lowest→4,5, …), so a group concentrated at the EXTREMES collects
+    the small ranks; Mann–Whitney on these alternating ranks then
+    tests dispersion where the ordinary MW tests location — the
+    distribution-free Levene alternative (stats_levene_bf) with no
+    moment assumptions at all.
+
+    Exactness: prices snap to integer cents; positions come from a
+    deterministic (cents, id) total order; the outside-in rank is one
+    integer CASE; tied VALUES average their alternating ranks as an
+    exact rational (rank-sum/count per cents group) quantized ONCE to
+    nano-units; z uses the no-tie MW variance (documented — the tie
+    correction at cent grain moves z below the rounding grain).
+
+    100 TB: one filtered scan; the position rank is the two-phase
+    global_rank pattern at warehouse scale (here the pooled relation
+    is two priority classes of one fact table); everything after is
+    value-group windows and one 1-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(
+        F.col("o_orderpriority").isin(_ST_A, _ST_B)
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderkey").alias("id"),
+    )
+    from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
+
+    v = v.localCheckpoint(eager=False)  # rank + total
+    pos = global_rank(v, [F.col("cents"), F.col("id")], rank_col="p")
+    # pooled count as a 1-row broadcast — a global count(*) window here
+    # would funnel the whole pooled relation through one reducer
+    pos = pos.crossJoin(
+        F.broadcast(v.agg(F.count("*").cast("long").alias("n")))
+    )
+    q = F.col("n") + 1 - F.col("p")
+    r = (
+        F.when(F.col("p") < q, 2 * F.col("p") - (F.col("p") % 2))
+        .when(
+            F.col("p") > q,
+            2 * q - F.when(q % 2 == 0, 1).otherwise(0),
+        )
+        .otherwise(F.col("n"))
+    )
+    st = pos.select("grp", "cents", "n", r.alias("r"))
+    wv = Window.partitionBy("cents")
+    avgr = st.select(
+        "grp",
+        "n",
+        F.sum("r").over(wv).cast("long").alias("rs"),
+        F.count("*").over(wv).cast("long").alias("rc"),
+    )
+    s = avgr.agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.sum(F.when(F.col("grp") == _ST_A, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == _ST_B, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(
+            F.when(
+                F.col("grp") == _ST_A,
+                F.floor(
+                    F.col("rs") * F.lit(1.0e9) / F.col("rc") + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("waq"),
+    )
+    zs = (
+        F.col("waq") / F.lit(1.0e9)
+        - F.col("na") * (F.col("n") + F.lit(1.0)) / F.lit(2.0)
+    ) / F.sqrt(
+        F.col("na")
+        * F.lit(1.0)
+        * F.col("nb")
+        * (F.col("n") + F.lit(1.0))
+        / F.lit(12.0)
+    )
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        roundn(F.col("waq") / F.lit(1.0e9) / F.lit(1.0), 4).alias("w_a"),
+        roundn(zs / F.lit(1.0), 4).alias("z"),
+        (F.abs(zs) > F.lit(_ST_Z_CRIT)).alias("reject_05"),
+    )
+
+
+stats_siegel_tukey.__doc__ = stats_siegel_tukey.__doc__.format(
+    a=_ST_A, b=_ST_B
+)
+
+
+# ---------------------------------------------------------------------------
+# embedding_cka — representation similarity across quantized views
+# ---------------------------------------------------------------------------
+
+#: (view name, quantization scale) — the compression ladder compared
+#: against the full-precision 2^13 base view
+_CKA_VIEWS = (("int8", 127), ("int4", 7), ("sign", 1))
+_CKA_BASE_SCALE = 8192
+#: norm-cell quantization grain (1e-6 of the n^2-and-scale-normalized
+#: covariance squared)
+_CKA_Q = "1000000.0e0"
+
+
+def _cka_view_sql(name: str, scale: int) -> str:
+    if name == "sign":
+        qexpr = "CASE WHEN CAST(x AS DOUBLE) > 0.0e0 THEN 1 ELSE -1 END"
+    else:
+        qexpr = f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}.0e0 + 0.5e0) AS BIGINT)"
+    return f"""
+    yd_{name} AS (
+        SELECT vec_id, CAST(d AS BIGINT) AS d, CAST({qexpr} AS BIGINT) AS v
+        FROM (SELECT vec_id, d, embedding[d] AS x
+              FROM embeddings,
+                   UNNEST(range(1, len(embedding) + 1)) AS u(d))),
+    sy_{name} AS (
+        SELECT d, CAST(SUM(v) AS BIGINT) AS s FROM yd_{name} GROUP BY 1),
+    yc_{name} AS (
+        SELECT y.vec_id, y.d, nn.n * y.v - s.s AS v
+        FROM yd_{name} y JOIN sy_{name} s USING (d) CROSS JOIN nn),
+    cxy_{name} AS (
+        SELECT a.d, b.d AS e,
+               SUM(CAST(a.v AS HUGEINT) * b.v) AS c
+        FROM xc a JOIN yc_{name} b USING (vec_id)
+        GROUP BY 1, 2),
+    cyy_{name} AS (
+        SELECT a.d, b.d AS e,
+               SUM(CAST(a.v AS HUGEINT) * b.v) AS c
+        FROM yc_{name} a JOIN yc_{name} b USING (vec_id)
+        GROUP BY 1, 2),
+    sxy_{name} AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+            (CAST(c AS DOUBLE) / (nn.n * 1.0e0 * nn.n
+                                  * {_CKA_BASE_SCALE}.0e0 * {scale}.0e0))
+            * (CAST(c AS DOUBLE) / (nn.n * 1.0e0 * nn.n
+                                    * {_CKA_BASE_SCALE}.0e0 * {scale}.0e0))
+            * {_CKA_Q} + 0.5e0) AS BIGINT)) AS BIGINT) AS s
+        FROM cxy_{name} CROSS JOIN nn),
+    syy_{name} AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+            (CAST(c AS DOUBLE) / (nn.n * 1.0e0 * nn.n
+                                  * {scale}.0e0 * {scale}.0e0))
+            * (CAST(c AS DOUBLE) / (nn.n * 1.0e0 * nn.n
+                                    * {scale}.0e0 * {scale}.0e0))
+            * {_CKA_Q} + 0.5e0) AS BIGINT)) AS BIGINT) AS s
+        FROM cyy_{name} CROSS JOIN nn)"""
+
+
+def _cka_oracle() -> str:
+    bs = _CKA_BASE_SCALE
+    views = ",".join(_cka_view_sql(n, s) for n, s in _CKA_VIEWS)
+    selects = "\n    UNION ALL\n".join(
+        f"""SELECT '{name}' AS view,
+           {sql_roundn(
+               f"(sxy_{name}.s * 1.0e0)"
+               f" / sqrt(sxx.s * 1.0e0 * syy_{name}.s)", 6)} AS cka
+    FROM sxy_{name} CROSS JOIN syy_{name} CROSS JOIN sxx"""
+        for name, _ in _CKA_VIEWS
+    )
+    return f"""
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    xd AS (
+        SELECT vec_id, CAST(d AS BIGINT) AS d,
+               CAST(FLOOR(CAST(x AS DOUBLE) * {bs}.0e0 + 0.5e0) AS BIGINT)
+                   AS v
+        FROM (SELECT vec_id, d, embedding[d] AS x
+              FROM embeddings,
+                   UNNEST(range(1, len(embedding) + 1)) AS u(d))),
+    sx AS (SELECT d, CAST(SUM(v) AS BIGINT) AS s FROM xd GROUP BY 1),
+    xc AS (
+        SELECT x.vec_id, x.d, nn.n * x.v - s.s AS v
+        FROM xd x JOIN sx s USING (d) CROSS JOIN nn),
+    cxx AS (
+        SELECT a.d, b.d AS e, SUM(CAST(a.v AS HUGEINT) * b.v) AS c
+        FROM xc a JOIN xc b USING (vec_id) GROUP BY 1, 2),
+    sxx AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+            (CAST(c AS DOUBLE) / (nn.n * 1.0e0 * nn.n
+                                  * {bs}.0e0 * {bs}.0e0))
+            * (CAST(c AS DOUBLE) / (nn.n * 1.0e0 * nn.n
+                                    * {bs}.0e0 * {bs}.0e0))
+            * {_CKA_Q} + 0.5e0) AS BIGINT)) AS BIGINT) AS s
+        FROM cxx CROSS JOIN nn),
+    {views}
+    {selects}
+    ORDER BY view
+    """
+
+
+@query("embedding_cka", oracle=_cka_oracle())
+def embedding_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC — linear CKA (centered kernel alignment, Kornblith
+    et al. 2019) between the full-precision embedding space and its
+    QUANTIZED views (int8 / int4 / sign-bit): CKA =
+    ‖Cxy‖²_F / (‖Cxx‖_F·‖Cyy‖_F) over centered cross-covariances —
+    the representation-similarity ladder that answers "how much
+    GEOMETRY does each compression level keep", upstream of the recall
+    ladder (embedding_quantize_eval measures task recall; CKA measures
+    the space itself, task-free).  int8 ≈ 1 and the ladder must fall
+    monotonically toward the sign bit.
+
+    Exactness: all views quantize to integers; centering n·v − S is
+    exact int64 (the Ljung–Box idiom); covariance cells accumulate
+    int×int products in DECIMAL(38,0)/HUGEINT — exact in any order;
+    the Frobenius norms quantize each of the 64×64 = 4096 cells' scale-
+    normalized square ONCE to 1e-6 units and int-sum (order-free);
+    CKA is one rational-over-sqrt expression, 6 dp.
+
+    100 TB: per-dim means are 64-row state; each covariance is one
+    equi-join on vec_id fanning out to the FIXED 4096 (d,e) grid —
+    linear in rows with a domain-bounded shuffle key; at warehouse
+    scale the same reduction runs as partition-local BLAS partials
+    (the graph-ANN link-layer idiom) feeding the identical 4096-cell
+    reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bs = _CKA_BASE_SCALE
+
+    def quant(scale: int, sign: bool = False):
+        if sign:
+            return F.transform(
+                "embedding",
+                lambda x: F.when(x.cast("double") > 0.0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            )
+        return F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long"),
+        )
+
+    nn = emb.agg(F.count("*").cast("long").alias("n"))
+
+    def centered(qcol):
+        d = emb.select(
+            "vec_id", F.posexplode(qcol).alias("d", "v")
+        )
+        s = d.groupBy("d").agg(F.sum("v").cast("long").alias("s"))
+        return (
+            d.join(F.broadcast(s), "d")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "vec_id",
+                "d",
+                (F.col("n") * F.col("v") - F.col("s")).alias("v"),
+            )
+        )
+
+    def cov(a, b):
+        return (
+            a.select("vec_id", F.col("d").alias("da"), F.col("v").alias("va"))
+            .join(
+                b.select(
+                    "vec_id", F.col("d").alias("db"), F.col("v").alias("vb")
+                ),
+                "vec_id",
+            )
+            .groupBy("da", "db")
+            .agg(
+                F.sum(
+                    F.col("va").cast("decimal(19,0)")
+                    * F.col("vb").cast("decimal(19,0)")
+                ).alias("c")
+            )
+        )
+
+    def fnorm_q(covdf, sa: int, sb: int):
+        cn = F.col("c").cast("double") / (
+            F.col("n") * F.lit(1.0) * F.col("n") * F.lit(float(sa))
+            * F.lit(float(sb))
+        )
+        return (
+            covdf.crossJoin(F.broadcast(nn))
+            .agg(
+                F.sum(
+                    F.floor(cn * cn * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("s")
+            )
+        )
+
+    xc = centered(quant(bs)).localCheckpoint(eager=False)
+    sxx = fnorm_q(cov(xc, xc), bs, bs)
+    outs = []
+    for name, scale in _CKA_VIEWS:
+        yc = centered(quant(scale, sign=(name == "sign"))).localCheckpoint(
+            eager=False
+        )
+        sxy = fnorm_q(cov(xc, yc), bs, scale)
+        syy = fnorm_q(cov(yc, yc), scale, scale)
+        outs.append(
+            sxy.withColumnRenamed("s", "sxy")
+            .crossJoin(F.broadcast(syy.withColumnRenamed("s", "syy")))
+            .crossJoin(F.broadcast(sxx.withColumnRenamed("s", "sxx")))
+            .select(
+                F.lit(name).alias("view"),
+                roundn(
+                    (F.col("sxy") * F.lit(1.0))
+                    / F.sqrt(F.col("sxx") * F.lit(1.0) * F.col("syy")),
+                    6,
+                ).alias("cka"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("view")

@@ -299,3 +299,404 @@ def corpus_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_dispersion_dp.__doc__ = corpus_dispersion_dp.__doc__.format(
     top=_DP_TOP, mn=_DP_MIN_OCC
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_rewrite
+# ---------------------------------------------------------------------------
+
+#: same anchor width as dedup_substring_spans — this key APPLIES the
+#: cut that key reports
+_SSR_K = 5
+
+
+def _ssr_oracle() -> str:
+    k = _SSR_K
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id, i - 1 AS start,
+               array_to_string(t[i:i+{k}-1], ' ') AS gram
+        FROM d, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+        WHERE len(t) >= {k}),
+    dup AS (
+        SELECT gram FROM grams
+        GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    marked AS (
+        SELECT DISTINCT g.doc_id, g.start
+        FROM grams g JOIN dup USING (gram)),
+    covered AS (
+        SELECT DISTINCT doc_id, start + o AS p
+        FROM marked, UNNEST(range(0, {k})) AS v(o)),
+    toklen AS (
+        SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok FROM d),
+    cut AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut
+        FROM covered GROUP BY 1)
+    SELECT toklen.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cut.n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_touched,
+           CAST(SUM(toklen.n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(toklen.n_tok - COALESCE(cut.n_cut, 0)) AS BIGINT)
+               AS tokens_after,
+           {sql_roundn(
+               "SUM(COALESCE(cut.n_cut, 0)) * 1.0e0"
+               " / SUM(toklen.n_tok) / 1.0e0", 6)} AS cut_ratio
+    FROM toklen LEFT JOIN cut USING (doc_id)
+    GROUP BY toklen.source
+    ORDER BY toklen.source
+    """
+
+
+@query("dedup_substring_rewrite", oracle=_ssr_oracle())
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — APPLY the exact-substring cut (the second half of Lee et
+    al. 2022: after FINDING repeated ≥{k}-token sequences, REMOVE
+    them): every token position covered by a cross-document duplicated
+    {k}-gram is cut (the aggressive both-copies policy — deterministic
+    and order-free where keep-first-copy needs a global document
+    order), and the per-source census reports documents touched,
+    token counts before/after, and the cut ratio — the corpus-size
+    delta a training-data owner signs off on before a dedup pass.
+    ``dedup_substring_spans`` reports the span table; this key reports
+    what applying it does to the corpus.
+
+    Exactness: marking is identical to the spans key (raw {k}-gram
+    strings, integer positions); the census is pure integer counting
+    with one ratio division.
+
+    100 TB: identical cost class to dedup_substring_spans (narrow gram
+    transform, one map-side-combined df filter, coverage fan-out
+    bounded by {k}); the census adds one doc-grain aggregate —
+    no new shuffle shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SSR_K
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    grams = d.filter(F.size("t") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k)),
+            )
+        ).alias("start", "gram"),
+    )
+    grams = grams.localCheckpoint(eager=False)  # dup filter + mark join
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram", "left_semi")
+        .select("doc_id", "start")
+        .distinct()
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    cut = covered.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_cut")
+    )
+    toklen = d.select(
+        "doc_id", "source", F.size("t").cast("long").alias("n_tok")
+    )
+    return (
+        toklen.join(cut, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.coalesce(F.col("n_cut"), F.lit(0)) > 0, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_touched"),
+            F.sum("n_tok").cast("long").alias("tokens_before"),
+            F.sum(F.col("n_tok") - F.coalesce(F.col("n_cut"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_after"),
+            roundn(
+                F.sum(F.coalesce(F.col("n_cut"), F.lit(0)))
+                * F.lit(1.0)
+                / F.sum("n_tok")
+                / F.lit(1.0),
+                6,
+            ).alias("cut_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+dedup_substring_rewrite.__doc__ = dedup_substring_rewrite.__doc__.format(
+    k=_SSR_K
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_powerlaw_mle
+# ---------------------------------------------------------------------------
+
+#: discrete power-law tail cut (token frequency >= xmin)
+_PL_XMIN = 5
+
+
+def _powerlaw_oracle() -> str:
+    x = _PL_XMIN
+    return f"""
+    WITH cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY 1),
+    tail AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+               CAST(SUM(CAST(FLOOR(ln(c / ({x} - 0.5e0))
+                                   * 1000000000.0e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS lq,
+               CAST(SUM(c) AS BIGINT) AS mass
+        FROM cnt WHERE c >= {x})
+    SELECT CAST({x} AS BIGINT) AS xmin, n_tail,
+           mass AS tail_occurrences,
+           {sql_roundn(
+               "1.0e0 + n_tail / (lq / 1000000000.0e0) / 1.0e0", 4)}
+               AS alpha_mle
+    FROM tail
+    """
+
+
+@query("corpus_powerlaw_mle", oracle=_powerlaw_oracle())
+def corpus_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats — POWER-LAW exponent by MAXIMUM LIKELIHOOD
+    (Clauset, Shalizi & Newman 2009): α̂ = 1 + n·[Σ ln(c_w/(xmin−½))]⁻¹
+    over token frequencies c_w ≥ xmin = {x} (the discrete continuity
+    correction).  corpus_zipf fits the rank-space slope by least
+    squares — the estimator CSN showed is biased; the MLE is the
+    principled replacement, and disagreement between the two is itself
+    the diagnostic (curvature = not a clean power law).
+
+    Exactness: frequencies are exact integers; each ln term quantizes
+    ONCE to nano-units and int-sums (order-free); α is one expression.
+
+    100 TB: one token explode into a map-side-combined groupBy —
+    vocabulary-sized state, 1-row readout."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = _PL_XMIN
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tail = cnt.filter(F.col("c") >= x).agg(
+        F.count("*").cast("long").alias("n_tail"),
+        F.sum(
+            F.floor(
+                F.log(F.col("c") / F.lit(x - 0.5)) * F.lit(1.0e9)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("lq"),
+        F.sum("c").cast("long").alias("mass"),
+    )
+    return tail.select(
+        F.lit(x).cast("long").alias("xmin"),
+        "n_tail",
+        F.col("mass").alias("tail_occurrences"),
+        roundn(
+            F.lit(1.0) + F.col("n_tail") / (F.col("lq") / F.lit(1.0e9))
+            / F.lit(1.0),
+            4,
+        ).alias("alpha_mle"),
+    )
+
+
+corpus_powerlaw_mle.__doc__ = corpus_powerlaw_mle.__doc__.format(x=_PL_XMIN)
+
+
+# ---------------------------------------------------------------------------
+# corpus_burrows_delta
+# ---------------------------------------------------------------------------
+
+#: marker-word count (top-M corpus-frequency tokens) and pairs reported
+_BD_M = 15
+_BD_TOP = 15
+
+
+def _burrows_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS token
+        FROM documents),
+    top AS (
+        SELECT token FROM tok GROUP BY token
+        ORDER BY COUNT(*) DESC, token LIMIT {_BD_M}),
+    st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t FROM tok
+           GROUP BY 1),
+    cell AS (
+        SELECT tok.token, tok.source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok JOIN top USING (token) GROUP BY 1, 2),
+    f AS (
+        -- relative frequency as exact integer nano-units
+        SELECT st.source, top.token,
+               CAST(FLOOR(COALESCE(cell.c, 0) * 1000000000.0e0 / st.t
+                          + 0.5e0) AS BIGINT) AS fq
+        FROM st CROSS JOIN top
+        LEFT JOIN cell ON cell.source = st.source
+                      AND cell.token = top.token),
+    mom AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(fq) AS BIGINT) AS s1,
+               CAST(SUM(fq * fq) AS BIGINT) AS ssq
+        FROM f GROUP BY 1),
+    z AS (
+        SELECT f.source, f.token,
+               CAST(FLOOR((mom.ns * f.fq - mom.s1) * 1.0e0
+                          / sqrt(mom.ns * 1.0e0 * mom.ssq
+                                 - mom.s1 * 1.0e0 * mom.s1)
+                          * sqrt(mom.ns * 1.0e0)
+                          * 1000000.0e0 + 0.5e0) AS BIGINT) AS zq
+        FROM f JOIN mom USING (token)
+        WHERE mom.ns * 1.0e0 * mom.ssq - mom.s1 * 1.0e0 * mom.s1 > 0),
+    pair AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(ABS(a.zq - b.zq)) AS BIGINT) AS dq,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM z a JOIN z b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           {sql_roundn("dq * 1.0e0 / m / 1000000.0e0 / 1.0e0", 6)}
+               AS delta
+    FROM pair
+    ORDER BY delta ASC, source_a, source_b
+    LIMIT {_BD_TOP}
+    """
+
+
+@query("corpus_burrows_delta", oracle=_burrows_oracle())
+def corpus_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats — BURROWS' DELTA stylometric distance (Burrows
+    2002): z-score each source's relative frequency of the top-{m}
+    corpus marker tokens against the across-source mean/σ, then
+    Δ(s₁,s₂) = mean |z₁ − z₂| — the standard authorship/style distance;
+    on a pipeline corpus it answers "which SOURCES write alike"
+    (near-zero Δ pairs are candidate mirrors/scrapes of one upstream),
+    the source-grain sibling of the document-grain dedup tier.
+    Top-{top} CLOSEST pairs.
+
+    Exactness: relative frequencies snap to integer nano-units; the
+    z-score is (ns·fq − Σfq)/√(ns·Σfq² − (Σfq)²)·√ns over exact int64
+    moments, quantized ONCE to micro-units; pair distances are then
+    exact integer sums over the {m} fixed markers; σ = 0 markers drop
+    in both engines.
+
+    100 TB: one token explode; the marker set is {m} rows broadcast;
+    the z relation is (sources × {m}) and the pair join is over the
+    source DOMAIN (never data-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    tok = tok.localCheckpoint(eager=False)  # top + totals + cells
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(_BD_M)
+        .select("token")
+    )
+    st = tok.groupBy("source").agg(F.count("*").cast("long").alias("t"))
+    cell = (
+        tok.join(F.broadcast(top), "token")
+        .groupBy("token", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    f = (
+        st.crossJoin(F.broadcast(top))
+        .join(cell, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0))
+                * F.lit(1.0e9)
+                / F.col("t")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("fq"),
+        )
+    )
+    f = f.localCheckpoint(eager=False)  # moments + z
+    mom = f.groupBy("token").agg(
+        F.count("*").cast("long").alias("ns"),
+        F.sum("fq").cast("long").alias("s1"),
+        F.sum(F.col("fq") * F.col("fq")).cast("long").alias("ssq"),
+    )
+    rad = (
+        F.col("ns") * F.lit(1.0) * F.col("ssq")
+        - F.col("s1") * F.lit(1.0) * F.col("s1")
+    )
+    z = (
+        f.join(F.broadcast(mom), "token")
+        .filter(rad > 0)
+        .select(
+            "source",
+            "token",
+            F.floor(
+                (F.col("ns") * F.col("fq") - F.col("s1"))
+                * F.lit(1.0)
+                / F.sqrt(rad)
+                * F.sqrt(F.col("ns") * F.lit(1.0))
+                * F.lit(1.0e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("zq"),
+        )
+    )
+    pair = (
+        z.alias("a")
+        .join(
+            z.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(F.abs(F.col("a.zq") - F.col("b.zq")))
+            .cast("long")
+            .alias("dq"),
+            F.count("*").cast("long").alias("m"),
+        )
+    )
+    return (
+        pair.select(
+            "source_a",
+            "source_b",
+            roundn(
+                F.col("dq") * F.lit(1.0) / F.col("m") / F.lit(1.0e6)
+                / F.lit(1.0),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy("delta", "source_a", "source_b")
+        .limit(_BD_TOP)
+    )
+
+
+corpus_burrows_delta.__doc__ = corpus_burrows_delta.__doc__.format(
+    m=_BD_M, top=_BD_TOP
+)

@@ -141,6 +141,18 @@ HEADLINE = (
     "sample_class_balanced",
     "eval_wer",
     "eval_brier_decomposition",
+    # round-8 wave 2: coverage fan-out and df filters at volume
+    # (substring rewrite), tail-size-dependent MLE sums, z-moments over
+    # bigger marker counts, the global-rank AP cumsum at 10x groups,
+    # ERR folds over denser hit lists, outside-in ranks on 10x pooled
+    # positions, HUGEINT/decimal covariance cells at 10x rows
+    "dedup_substring_rewrite",
+    "corpus_powerlaw_mle",
+    "corpus_burrows_delta",
+    "eval_auc_pr",
+    "eval_err",
+    "stats_siegel_tukey",
+    "embedding_cka",
 )
 
 

@@ -372,6 +372,11 @@ _BNLJ_REVIEWED = frozenset({
     "stats_kruskal_wallis", "stats_cochran_q", "corpus_dispersion_dp",
     "graph_rich_club", "eval_brier_decomposition",
     "sample_class_balanced", "eval_wer", "ts_spectral_entropy",
+    # r8 wave 2: one-row totals (AP P/N, siegel-tukey pooled n, CKA
+    # n-row count) and the 15-row marker-set broadcast (burrows) —
+    # categories (a)/(b)
+    "eval_auc_pr", "stats_siegel_tukey", "embedding_cka",
+    "corpus_burrows_delta",
     # r4a wave: one-row conversion-count broadcast — category (a)
     "attribution_position_based",
     # r4b wave: one-row bigram/unigram-total broadcasts — category (a)
