@@ -131,6 +131,7 @@ _COMPONENT_FIRST = (
     "dedup_substring_rewrite", "corpus_powerlaw_mle",
     "corpus_burrows_delta", "eval_auc_pr", "eval_err",
     "stats_siegel_tukey", "embedding_cka",
+    "stats_kendall_w", "stats_ks_uniform", "ts_page_hinkley",
     # round-7 priority: the two keys whose SEMANTICS changed with the
     # bounded-cell quantizer (re-verify officially), the composed
     # rebalance key, the PQ family retrained on the fixed-D stratum,

@@ -475,3 +475,279 @@ def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 stats_page_trend.__doc__ = stats_page_trend.__doc__.format(
     y0=_PAGE_Y0, y1=_PAGE_Y1
 )
+
+
+# ---------------------------------------------------------------------------
+# stats_kendall_w
+# ---------------------------------------------------------------------------
+
+
+def _kendall_w_oracle() -> str:
+    return f"""
+    WITH cell AS (
+        SELECT n.n_name AS block, o.o_orderpriority AS trt,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS m FROM cell),
+    full_blocks AS (
+        SELECT block FROM cell CROSS JOIN kk
+        GROUP BY block, kk.m HAVING COUNT(*) = ANY_VALUE(kk.m)),
+    rk AS (
+        SELECT cell.block, cell.trt,
+               2 * (RANK() OVER (PARTITION BY cell.block
+                                 ORDER BY cell.cents) - 1)
+                   + COUNT(*) OVER (PARTITION BY cell.block, cell.cents)
+                   + 1 AS r2
+        FROM cell JOIN full_blocks USING (block)),
+    ties AS (
+        SELECT block, CAST(SUM(t * t * t - t) AS BIGINT) AS ti
+        FROM (SELECT block, cents, CAST(COUNT(*) AS BIGINT) AS t
+              FROM cell JOIN full_blocks USING (block)
+              GROUP BY 1, 2)
+        GROUP BY block),
+    colsum AS (
+        SELECT trt, CAST(SUM(r2) AS BIGINT) AS rs2 FROM rk GROUP BY 1),
+    s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM full_blocks) AS b,
+               (SELECT m FROM kk) AS m,
+               (SELECT CAST(SUM(rs2 * rs2) AS BIGINT) FROM colsum) AS ss4,
+               (SELECT CAST(SUM(ti) AS BIGINT) FROM ties) AS t_all),
+    w AS (
+        SELECT b, m,
+               -- 2x ranks: sum R_j^2 = ss4/4; plug into the tie-corrected
+               -- W = (12*sumR2 - 3 b^2 m (m+1)^2) / (b^2 m(m^2-1) - b*T)
+               (12.0e0 * (ss4 / 4.0e0)
+                - 3.0e0 * b * b * m * (m + 1.0e0) * (m + 1.0e0))
+               / (b * 1.0e0 * b * m * (m * 1.0e0 * m - 1.0e0)
+                  - b * 1.0e0 * t_all) AS ws
+        FROM s)
+    SELECT CAST(b AS BIGINT) AS n_blocks, CAST(m AS BIGINT) AS m_items,
+           {sql_roundn("ws / 1.0e0", 6)} AS kendall_w,
+           {sql_roundn("b * (m - 1.0e0) * ws / 1.0e0", 6)} AS chi2
+    FROM w
+    """
+
+
+@query("stats_kendall_w", oracle=_kendall_w_oracle())
+def stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats tier — KENDALL'S W coefficient of concordance: do the 25
+    nation "raters" agree on how the order priorities rank by revenue?
+    W ∈ [0, 1] (1 = every block ranks identically), tie-corrected
+    W = (12ΣR_j² − 3b²m(m+1)²)/(b²m(m²−1) − bΣT_i), with χ² = b(m−1)W
+    — the agreement EFFECT SIZE on exactly the blocked-rank relation
+    stats_friedman tests (Friedman answers "do the treatments differ";
+    W answers "how strongly do the raters agree", and
+    χ²_Friedman = b(m−1)·W ties the two).
+
+    Exactness: 2× average ranks are exact integers (RANK + tie-count),
+    so ΣR_j² enters as an exact int64 (ss4/4 exact — column sums of 2×
+    ranks are even×count parities handled by the /4 in doubles with
+    identical trees); the tie term Σ(t³−t) is exact int64; W is ONE
+    rational expression.
+
+    100 TB: one fact aggregate to 25×5 cells; constant state after."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cell = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("block"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cell = cell.localCheckpoint(eager=False)  # kk + blocks + ranks
+    kk = cell.agg(F.countDistinct("trt").cast("long").alias("m"))
+    full_blocks = (
+        cell.crossJoin(F.broadcast(kk))
+        .groupBy("block")
+        .agg(F.count("*").alias("nt"), F.any_value("m").alias("m"))
+        .filter(F.col("nt") == F.col("m"))
+        .select("block")
+    )
+    fb = cell.join(F.broadcast(full_blocks), "block", "left_semi")
+    wb = Window.partitionBy("block").orderBy("cents")
+    we = Window.partitionBy("block", "cents")
+    rk = fb.select(
+        "block",
+        "trt",
+        (
+            F.lit(2) * (F.rank().over(wb) - 1)
+            + F.count("*").over(we)
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    ties = (
+        fb.groupBy("block", "cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("block")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("ti")
+        )
+    )
+    colsum = rk.groupBy("trt").agg(F.sum("r2").cast("long").alias("rs2"))
+    s = (
+        full_blocks.agg(F.count("*").cast("long").alias("b"))
+        .crossJoin(
+            F.broadcast(
+                colsum.agg(
+                    F.sum(F.col("rs2") * F.col("rs2"))
+                    .cast("long")
+                    .alias("ss4")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ties.agg(F.sum("ti").cast("long").alias("t_all"))
+            )
+        )
+        .crossJoin(F.broadcast(kk))
+    )
+    ws = (
+        F.lit(12.0) * (F.col("ss4") / F.lit(4.0))
+        - F.lit(3.0)
+        * F.col("b")
+        * F.col("b")
+        * F.col("m")
+        * (F.col("m") + F.lit(1.0))
+        * (F.col("m") + F.lit(1.0))
+    ) / (
+        F.col("b")
+        * F.lit(1.0)
+        * F.col("b")
+        * F.col("m")
+        * (F.col("m") * F.lit(1.0) * F.col("m") - F.lit(1.0))
+        - F.col("b") * F.lit(1.0) * F.col("t_all")
+    )
+    return s.select(
+        F.col("b").alias("n_blocks"),
+        F.col("m").alias("m_items"),
+        roundn(ws / F.lit(1.0), 6).alias("kendall_w"),
+        roundn(
+            F.col("b") * (F.col("m") - F.lit(1.0)) * ws / F.lit(1.0), 6
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_ks_uniform
+# ---------------------------------------------------------------------------
+
+#: one-sample KS 0.05 critical coefficient (D_crit = c / sqrt(n))
+_KS1_C = 1.358
+
+
+def _ks_uniform_oracle() -> str:
+    u = (
+        "(CAST(CAST('0x' || SUBSTR(md5('k:' || CAST(o_orderkey AS VARCHAR)),"
+        " 1, 12) AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0"
+    )
+    return f"""
+    WITH v AS (SELECT {u} AS u FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    rk AS (
+        SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS i FROM v),
+    d AS (
+        SELECT CAST(MAX(CAST(FLOOR(GREATEST(
+                   i * 1.0e0 / n.n - u,
+                   u - (i - 1.0e0) / n.n) * 1000000000.0e0 + 0.5e0)
+                   AS BIGINT)) AS BIGINT) AS dq
+        FROM rk CROSS JOIN n)
+    SELECT n.n AS n,
+           {sql_roundn("d.dq / 1000000000.0e0 / 1.0e0", 6)} AS d_stat,
+           {sql_roundn(f"{_KS1_C}e0 / sqrt(n.n * 1.0e0) / 1.0e0", 6)}
+               AS d_crit_05,
+           d.dq / 1000000000.0e0 > {_KS1_C}e0 / sqrt(n.n * 1.0e0)
+               AS reject_05
+    FROM d CROSS JOIN n
+    """
+
+
+@query("stats_ks_uniform", oracle=_ks_uniform_oracle())
+def stats_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats tier — one-sample KOLMOGOROV–SMIRNOV against U(0,1) on the
+    portable md5 draw itself: D = max_i max(i/n − u_(i), u_(i) −
+    (i−1)/n) vs the 0.05 critical 1.358/√n.  This is the HASH-QUALITY
+    audit the whole seeded-draw discipline rests on (every ab_*/eval_*
+    key derives coins and scores from these u48 draws; ab_srm_check
+    tests the 2-bucket split — this tests the full distribution), and
+    the one-sample sibling of hypothesis_ks2.  The law: the hash must
+    NOT reject.
+
+    Exactness: u values are exact dyadic rationals ((h+0.5)/2^48); the
+    order statistics come from the two-phase global rank (never a
+    one-reducer sort); each deviation quantizes to nano-units before
+    the max (identical floor both engines).
+
+    100 TB: one projection-side derivation; the global order is the
+    scale-safe global_rank pattern; the readout is a 1-row max."""
+    from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("k:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    v = orders.select(u.alias("u"))
+    v = v.localCheckpoint(eager=False)  # rank + count
+    nn = v.agg(F.count("*").cast("long").alias("n"))
+    rk = global_rank(v, [F.col("u")], rank_col="i")
+    d = (
+        rk.crossJoin(F.broadcast(nn))
+        .agg(
+            F.max(
+                F.floor(
+                    F.greatest(
+                        F.col("i") * F.lit(1.0) / F.col("n") - F.col("u"),
+                        F.col("u") - (F.col("i") - F.lit(1.0)) / F.col("n"),
+                    )
+                    * F.lit(1.0e9)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("dq")
+        )
+    )
+    crit = F.lit(_KS1_C) / F.sqrt(F.col("n") * F.lit(1.0))
+    return d.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n"),
+        roundn(F.col("dq") / F.lit(1.0e9) / F.lit(1.0), 6).alias("d_stat"),
+        roundn(crit / F.lit(1.0), 6).alias("d_crit_05"),
+        (F.col("dq") / F.lit(1.0e9) > crit).alias("reject_05"),
+    )

@@ -372,3 +372,154 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_spectral_entropy.__doc__ = ts_spectral_entropy.__doc__.format(mk=_SE_MAXK)
+
+
+# ---------------------------------------------------------------------------
+# ts_page_hinkley
+# ---------------------------------------------------------------------------
+
+#: alarm threshold in null-scale units (PH / (sigma * sqrt(n)))
+_PH_LAMBDA = 3.0
+
+
+def _ph_oracle() -> str:
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(FLOOR(value * 1000000.0e0 + 0.5e0)
+                             AS BIGINT)) AS BIGINT) AS t_int
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, t_int,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               SUM(t_int) OVER (PARTITION BY event_type) AS s
+        FROM hourly),
+    dev AS (
+        SELECT event_type, rn, n, n * t_int - s AS d FROM idx),
+    walk AS (
+        SELECT event_type, rn, n, d,
+               SUM(d) OVER (PARTITION BY event_type ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS g
+        FROM dev),
+    cum AS (
+        SELECT event_type, rn, n, g,
+               MIN(g) OVER (PARTITION BY event_type ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS gmin
+        FROM walk),
+    mom AS (
+        SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+               SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)))
+                   AS d2
+        FROM dev GROUP BY 1),
+    ph AS (
+        SELECT cum.event_type, mom.n,
+               CAST(MAX(cum.g - cum.gmin) AS BIGINT) AS ph_raw,
+               sqrt(CAST(mom.d2 AS DOUBLE) / mom.n)
+                   * sqrt(mom.n * 1.0e0) AS scale,
+               CAST(MIN(CASE WHEN (cum.g - cum.gmin)
+                        > {_PH_LAMBDA}e0
+                          * sqrt(CAST(mom.d2 AS DOUBLE) / mom.n)
+                          * sqrt(mom.n * 1.0e0)
+                        THEN cum.rn END) AS BIGINT) AS alarm_hour
+        FROM cum JOIN mom USING (event_type)
+        GROUP BY cum.event_type, mom.n, scale)
+    SELECT event_type, n AS n_hours,
+           {sql_roundn("ph_raw / scale / 1.0e0", 6)} AS ph_norm,
+           alarm_hour,
+           alarm_hour IS NOT NULL AS alarmed
+    FROM ph
+    ORDER BY event_type
+    """
+
+
+@query("ts_page_hinkley", oracle=_ph_oracle())
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension — PAGE–HINKLEY mean-shift detection per event type
+    (the sequential sibling of ts_cusum, in its two-pass batch form):
+    over hourly volume deviations d_t from the series mean, the PH
+    statistic max_t(G_t − min_{{s≤t}} G_s) of the deviation random walk
+    spikes when the mean SHIFTS (the walk stops mean-reverting);
+    normalized by the null scale σ√n, with the fixed λ = {lam} alarm
+    and the FIRST crossing hour — the drift detector a feed monitor
+    runs beside the distribution-drift checks (qc_psi watches shape;
+    PH watches level, cumulatively).
+
+    Exactness: hourly totals snap to integer micro-units per row;
+    deviations n·x−S and their running sums/minima are exact int64
+    (Σd = 0 by construction, so G is a genuine zero-drift walk); Σd²
+    accumulates in DECIMAL(19,0)² (exact any order); only the final
+    normalization is float, identical trees.
+
+    100 TB: one keyed hourly rollup, one window shuffle per series for
+    the cumulative walk — hours-per-series state."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("t_int")
+    )
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    dev = hourly.select(
+        "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        (
+            F.count("*").over(wp) * F.col("t_int")
+            - F.sum("t_int").over(wp)
+        ).alias("d"),
+    )
+    dev = dev.localCheckpoint(eager=False)  # walk + moments
+    wc = Window.partitionBy("event_type").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walk = dev.select(
+        "event_type", "rn", F.sum("d").over(wc).alias("g")
+    )
+    cum = walk.select(
+        "event_type", "rn", "g", F.min("g").over(wc).alias("gmin")
+    )
+    dec = F.col("d").cast("decimal(19,0)")
+    mom = dev.groupBy("event_type").agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.sum(dec * dec).alias("d2"),
+    )
+    scale = F.sqrt(F.col("d2").cast("double") / F.col("n")) * F.sqrt(
+        F.col("n") * F.lit(1.0)
+    )
+    ph = (
+        cum.join(F.broadcast(mom), "event_type")
+        .groupBy("event_type", "n", scale.alias("scale"))
+        .agg(
+            F.max(F.col("g") - F.col("gmin")).cast("long").alias("ph_raw"),
+            F.min(
+                F.when(
+                    (F.col("g") - F.col("gmin"))
+                    > F.lit(_PH_LAMBDA) * scale,
+                    F.col("rn"),
+                )
+            )
+            .cast("long")
+            .alias("alarm_hour"),
+        )
+    )
+    return ph.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        roundn(F.col("ph_raw") / F.col("scale") / F.lit(1.0), 6).alias(
+            "ph_norm"
+        ),
+        "alarm_hour",
+        F.col("alarm_hour").isNotNull().alias("alarmed"),
+    ).orderBy("event_type")
+
+
+ts_page_hinkley.__doc__ = ts_page_hinkley.__doc__.format(lam=_PH_LAMBDA)

@@ -153,6 +153,11 @@ HEADLINE = (
     "eval_err",
     "stats_siegel_tukey",
     "embedding_cka",
+    # round-8 wave 3: the KS order statistics at 10x rows, the PH walk
+    # over 10x hourly grains, W's rank moments over bigger cells
+    "stats_kendall_w",
+    "stats_ks_uniform",
+    "ts_page_hinkley",
 )
 
 

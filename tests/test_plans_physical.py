@@ -377,6 +377,8 @@ _BNLJ_REVIEWED = frozenset({
     # categories (a)/(b)
     "eval_auc_pr", "stats_siegel_tukey", "embedding_cka",
     "corpus_burrows_delta",
+    # r8 wave 3: one-row totals (W's ss4/ties/m, KS n) — category (a)
+    "stats_kendall_w", "stats_ks_uniform",
     # r4a wave: one-row conversion-count broadcast — category (a)
     "attribution_position_based",
     # r4b wave: one-row bigram/unigram-total broadcasts — category (a)

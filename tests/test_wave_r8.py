@@ -705,3 +705,92 @@ def test_cka_ladder_monotone(spark):
     assert out.loc["int8", "cka"] >= out.loc["int4", "cka"]
     assert out.loc["int4", "cka"] >= out.loc["sign", "cka"]
     assert ((out.cka > 0) & (out.cka <= 1.000001)).all()
+
+
+# ---------------------------------------------------------------------------
+# wave 3: stats_kendall_w / stats_ks_uniform / ts_page_hinkley
+# ---------------------------------------------------------------------------
+
+def test_kendall_w_perfect_concordance_is_one(spark, tmp_path):
+    """Every nation ranks the priorities identically -> W == 1 and
+    chi2 == b*(m-1)."""
+    import datetime
+
+    nations = [(i, f"N{i:02d}", 0) for i in range(4)]
+    spark.createDataFrame(
+        nations, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    custs = [(i, f"c{i}", i % 4, 0.0, "SEG") for i in range(4)]
+    spark.createDataFrame(
+        custs,
+        "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT,"
+        " c_acctbal DOUBLE, c_mktsegment STRING",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"]
+    orders, ok = [], 0
+    for c in range(4):
+        for j, pri in enumerate(pris):
+            # same priority ordering of revenue in every block
+            orders.append((ok, c, "O", 100.0 * (j + 1) + c,
+                           datetime.date(1996, 1, 1), pri))
+            ok += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = REGISTRY["stats_kendall_w"].spark(
+        spark, str(tmp_path)
+    ).toPandas().iloc[0]
+    assert out.n_blocks == 4 and out.m_items == 5
+    assert abs(out.kendall_w - 1.0) < 1e-9
+    assert abs(out.chi2 - 4 * 4) < 1e-9
+
+
+def test_kendall_w_friedman_identity(spark):
+    """chi2_Friedman = b(m-1)W on the same blocked relation — the two
+    keys must agree structurally (both derive from nation x priority
+    revenue ranks)."""
+    out = REGISTRY["stats_kendall_w"].spark(spark, SF_DIR).toPandas().iloc[0]
+    assert 0 <= out.kendall_w <= 1
+    assert abs(
+        out.chi2 - out.n_blocks * (out.m_items - 1) * out.kendall_w
+    ) < 2e-4
+
+
+def test_ks_uniform_hash_does_not_reject(spark):
+    """THE law the seeded-draw discipline rests on: the md5 u48 draw
+    passes a one-sample KS against U(0,1) at 0.05."""
+    out = REGISTRY["stats_ks_uniform"].spark(spark, SF_DIR).toPandas().iloc[0]
+    assert out.d_stat > 0
+    assert out.d_stat < out.d_crit_05
+    assert not bool(out.reject_05)
+
+
+def test_page_hinkley_planted_shift_alarms(spark, tmp_path):
+    """A level shift of ~6 sigma at hour 200 of 400 alarms shortly
+    after the shift; a stationary hash-noise series does not."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2001, 1, 1)
+    for hr in range(400):
+        noise = float(
+            int(hashlib.md5(f"p{hr}".encode()).hexdigest()[:4], 16) % 100
+        )
+        v_shift = 500.0 + noise + (200.0 if hr >= 200 else 0.0)
+        v_flat = 500.0 + noise
+        rows.append((2 * hr, t0 + datetime.timedelta(hours=hr), 1,
+                     "shift", v_shift, "{}"))
+        rows.append((2 * hr + 1, t0 + datetime.timedelta(hours=hr), 1,
+                     "flat", v_flat, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = (
+        REGISTRY["ts_page_hinkley"].spark(spark, str(tmp_path))
+        .toPandas().set_index("event_type")
+    )
+    assert bool(out.loc["shift", "alarmed"])
+    assert out.loc["shift", "alarm_hour"] >= 200
+    assert out.loc["shift", "alarm_hour"] <= 280
+    assert not bool(out.loc["flat", "alarmed"])
+    assert out.loc["shift", "ph_norm"] > out.loc["flat", "ph_norm"]
