@@ -56,7 +56,7 @@ def _rich_club_oracle() -> str:
     tot AS (
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS m),
-    ks AS (SELECT UNNEST([{ks}]) AS k),
+    ks AS (SELECT CAST(UNNEST([{ks}]) AS BIGINT) AS k),
     rich AS (
         SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_rich
         FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),

@@ -428,9 +428,6 @@ def _heaps_oracle() -> str:
                     AS BIGINT) AS pcut
         FROM cp),
     pts AS (
-        -- pcut = 0 deciles (corpora smaller than the checkpoint count)
-        -- are dropped in BOTH engines: the Spark side's inner joins
-        -- cannot emit them, and ln(NULL/0) has no defined fit point
         SELECT m.dec,
                (SELECT CAST(SUM(ntok) AS BIGINT) FROM dtok
                 WHERE p <= m.pcut) AS n_tokens,

@@ -545,7 +545,6 @@ def _burrows_oracle() -> str:
         SELECT tok.token, tok.source, CAST(COUNT(*) AS BIGINT) AS c
         FROM tok JOIN top USING (token) GROUP BY 1, 2),
     f AS (
-        -- relative frequency as exact integer nano-units
         SELECT st.source, top.token,
                CAST(FLOOR(COALESCE(cell.c, 0) * 1000000000.0e0 / st.t
                           + 0.5e0) AS BIGINT) AS fq

@@ -36,8 +36,6 @@ def _kw_oracle() -> str:
     dv AS (
         SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY x),
     rk AS (
-        -- 2x average rank of value x: 2*(#smaller) + (#equal) + 1,
-        -- an exact INTEGER (average ranks are halves)
         SELECT x,
                cnt,
                2 * (SUM(cnt) OVER (ORDER BY x
@@ -518,8 +516,6 @@ def _kendall_w_oracle() -> str:
                (SELECT CAST(SUM(ti) AS BIGINT) FROM ties) AS t_all),
     w AS (
         SELECT b, m,
-               -- 2x ranks: sum R_j^2 = ss4/4; plug into the tie-corrected
-               -- W = (12*sumR2 - 3 b^2 m (m+1)^2) / (b^2 m(m^2-1) - b*T)
                (12.0e0 * (ss4 / 4.0e0)
                 - 3.0e0 * b * b * m * (m + 1.0e0) * (m + 1.0e0))
                / (b * 1.0e0 * b * m * (m * 1.0e0 * m - 1.0e0)
