@@ -605,6 +605,49 @@ def probe_fisher_exact(spark, mult: int) -> float:
     return time.time() - t0
 
 
+
+
+def probe_substring_pairs(spark, mult: int) -> float:
+    """Cross-document exact-substring PAIR dedup, REGISTERED plan:
+    anchor-gram build -> df-capped bucket join -> diagonal islands.
+    Replicas NAMESPACE every token (r{i}_ prefix) so the corpus grows
+    with NEW content carrying the same planted dup structure — the
+    honest growth model; naive replication would instead pair every
+    doc with its own copies (quadratic TRUE-pair output, the
+    corpus_dedup_rate adjudication class) and measure workload, not
+    plan.  Expected ~linear: Sigma|bucket|^2 stays (df cap)-bounded
+    per namespace."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    path = f"{SCRATCH}/documents_ns_x{mult}"
+    if not os.path.exists(path):
+        base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        parts = []
+        for i in range(mult):
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split("text", " "),
+                            lambda t: F.concat(F.lit(f"r{i}_"), t),
+                        ),
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        df = parts[0]
+        for q in parts[1:]:
+            df = df.unionByName(q)
+        df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    t0 = time.time()
+    REGISTRY["dedup_substring_pairs"].spark(spark, path).count()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -640,7 +683,8 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "binary_search": probe_binary_search,
           "rrf_fusion": probe_rrf_fusion,
           "soft_dedup": probe_soft_dedup,
-          "fisher_exact": probe_fisher_exact}
+          "fisher_exact": probe_fisher_exact,
+          "substring_pairs": probe_substring_pairs}
 
 
 def main() -> None:
