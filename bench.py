@@ -70,7 +70,36 @@ _EVIDENCE_KEYS = frozenset({
     "embedding_knn_outliers",
     "dedup_semdedup",
     "ops_schedule_monte_carlo",
+    # r9 re-tier (r8 verdict "What's wrong #2"): brute-force graph
+    # verification arms whose SCALABLE twin is the serving path — their
+    # wall time measures the strength of the cross-check, which is the
+    # definition of this tier. (graph_bfs_khop / kmeans_iterate were
+    # reviewed under the same rule and stay serving: real operators
+    # with no brute/scalable split.)
+    "graph_articulation",  # |V|+1 deletion-sweep; twin: graph_articulation_tarjan
+    "graph_betweenness",   # exact Brandes; twin: graph_betweenness_sampled
 })
+
+
+#: ~20 pinned keys spanning tiers and plan classes, timed FIRST in
+#: every bench run (r8 verdict task #4): their subtotal is the
+#: host-offset CANARY — a cross-round denominator measured inside the
+#: same session as the main loop, so "this round's numbers are N%
+#: host-banded" becomes a measurement instead of an after-the-fact
+#: reconstruction. The canary pre-pass is EXTRA (its keys are timed
+#: again in the main loop), so `value` stays comparable with r1-r8.
+#: DO NOT edit this tuple — cross-round comparability is the point.
+_CANARY_KEYS = (
+    "qc_count_nonempty", "agg_grouped", "agg_rollup",
+    "join_broadcast", "join_sortmerge",
+    "win_rank_topn", "topk_global", "sort_global",
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "dedup_exact", "text_tokens", "fn_string", "sql_cte_reuse",
+    "ts_ewma", "graph_pagerank",
+    "udf_pandas_scalar", "udtf_grouped_map",   # python-worker path
+    "sim_topk_lsh", "eval_bleu",               # evidence tier
+    "stream_tumbling",                         # streaming tier (batch form)
+)
 
 
 def tier_of(name: str) -> str:
@@ -83,6 +112,45 @@ def tier_of(name: str) -> str:
     ):
         return "evidence"
     return "serving"
+
+
+def _warm_streaming(spark) -> None:
+    """Throwaway micro-stream: 2 micro-batches through a python keyed
+    state operator into a memory sink — first-streaming-query session
+    cost (engine threads, state store, streaming Arrow) lands here,
+    outside every timed section."""
+    from pyspark.sql import functions as F
+
+    from gcp_de_data_pipeline_cc_spark.scratch import scratch_dir
+    from gcp_de_data_pipeline_cc_spark.streaming.stateful import (
+        running_user_totals_from_partials,
+    )
+
+    src = scratch_dir("bench_stream_warm")
+    base = spark.range(0, 64).select(
+        F.pmod("id", F.lit(8)).alias("user_id"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(1.0).alias("v"),
+    )
+    for h in (0, 1):
+        base.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema("user_id BIGINT, n BIGINT, v DOUBLE").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            running_user_totals_from_partials(sdf)
+            .writeStream.format("memory")
+            .queryName("bench_stream_warm")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def infer_sf(path: str) -> float:
@@ -112,12 +180,35 @@ def main() -> None:
     spark.read.format("synthetic_rows").option("n", "64").option(
         "num_partitions", "8"
     ).load().write.format("noop").mode("overwrite").save()
+    # the streaming engine has its own one-time init (StreamExecution
+    # threads, state-store provider, streaming Arrow path, checkpoint
+    # dir handling) — warm it with a throwaway 2-batch micro-stream so
+    # the alphabetically-first stream key doesn't absorb it (r8: the
+    # streaming tier's 34.6 s outlier landed on stream_custom_stateful)
+    _warm_streaming(spark)
 
     names = sorted(REGISTRY)
     only = sys.argv[1:]
     if only:
         # exact key or prefix, so `bench.py tpch_q6` hits the full key
         names = [n for n in names if any(n == o or n.startswith(o) for o in only)]
+
+    # canary pre-pass: the pinned subset, timed first, full-run only
+    # (a key-filtered invocation is a dev loop, not an official shape)
+    canary: dict[str, object] = {}
+    if not only:
+        canary_timings: dict[str, float] = {}
+        for name in _CANARY_KEYS:
+            spec = REGISTRY[name]
+            t0 = time.perf_counter()
+            spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            canary_timings[name] = round(time.perf_counter() - t0, 3)
+        csec = round(sum(canary_timings.values()), 3)
+        canary = {
+            "n": len(canary_timings),
+            "sec": csec,
+            "s_per_query": round(csec / len(canary_timings), 3),
+        }
 
     timings: dict[str, float] = {}
     for name in names:
@@ -141,6 +232,7 @@ def main() -> None:
         "unit": "sec",
         "sf": infer_sf(SF_DIR),
         "n_queries": len(timings),
+        "canary": canary,
         "tiers": tiers,
         "queries": timings,
     }
@@ -155,6 +247,7 @@ def main() -> None:
         "unit": "sec",
         "sf": infer_sf(SF_DIR),
         "n_queries": len(timings),
+        "canary": canary,
         "tiers": tiers,
         "queries": slowest,
         "detail_file": "bench_detail.json",
