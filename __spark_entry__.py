@@ -103,13 +103,12 @@ def _prior_verification_status() -> dict[str, int]:
 _RESAMPLE = frozenset()
 
 #: the 7 by-design rows-only keys (real streaming x3, JVM-internal
-#: sketches x3, DEFLATE x1) — the permanent no-oracle floor; refreshed
-#: officially once in r8 so their latest-status records are current
-_FLOOR_REFRESH = frozenset({
-    "agg_approx_distinct", "agg_percentile_approx", "sketch_hll_rollup",
-    "stream_custom_stateful", "stream_ingest_e2e",
-    "stream_watermark_dedup", "text_compression_ratio",
-})
+#: sketches x3, DEFLATE x1) got their one fresh officially dated
+#: record in CORRECTNESS_r08 (r7 verdict task #7) — the refresh is
+#: DONE, so this set is now empty: leaving them here would re-promote
+#: the permanent floor above never-sampled keys every round and waste
+#: 7 of the driver's ~50 official slots
+_FLOOR_REFRESH = frozenset()
 
 
 # Within the never-verified tier, check one representative key per
@@ -117,8 +116,46 @@ _FLOOR_REFRESH = frozenset({
 # fn_string + fn_string2 + fn_regexp; one passing key flips the
 # component).  Keys absent from this list rank after listed ones.
 _COMPONENT_FIRST = (
-    # round-8 head: the 7 permanent-floor rows-only keys (one fresh
-    # officially dated record each — task #7), then the r8 wave keys
+    # ---- round-9 head ----
+    # (a) the r9 wave — sample fresh keys while fresh (inserted as
+    #     they land; see the r9 wave sections below this head)
+    # (b) r8 verdict task #7: bias the official blind spot's RISKIEST
+    #     shapes first — every never-officially-sampled key that is in
+    #     the SP-audit census (SinglePartition-bearing plan, measured
+    #     domain bound) or on the BNLJ allowlist (bounded
+    #     nested-loop-join spine), because those carry the strongest
+    #     invariant claims. 78 keys; with the wave they fill the
+    #     official 50 with >= 15 from these classes.
+    "market_basket_triples", "sketch_hll_portable", "sketch_bloom",
+    "sketch_ams_f2", "sketch_quantile_samples", "stats_moments_merge",
+    "stats_mutual_info", "stats_levene_bf", "hypothesis_anova",
+    "hypothesis_chisq", "hypothesis_fisher_exact", "hypothesis_kendall",
+    "hypothesis_ks2", "hypothesis_mannwhitney", "hypothesis_spearman",
+    "hypothesis_ttest", "graph_assortativity", "graph_bfs_khop",
+    "graph_kcore", "graph_ktruss", "graph_modularity",
+    "graph_triangles", "embedding_ood_mahalanobis",
+    "embedding_power_iteration", "embedding_quantize_eval",
+    "sim_topk_binary", "skyline_global_twophase", "survival_kaplan_meier",
+    "ab_sequential_sprt", "agg_corr_matrix", "agg_lorenz_curve",
+    "agg_topn_other", "anomaly_ensemble", "attribution_last_touch",
+    "attribution_position_based", "attribution_shapley",
+    "corpus_apportion_budget", "corpus_sample_by_weights", "corpus_zipf",
+    "eval_bootstrap_ci", "fn_ip_network", "fn_levenshtein",
+    "fn_surrogate_key", "geo_nearest_site", "market_basket",
+    "ops_backfill_plan", "ops_dag_critical_path", "ops_retry_budget",
+    "ops_slot_sizing", "privacy_dp_exponential", "privacy_t_closeness",
+    "qc_benford_digits", "qc_freshness", "qc_histogram_drift",
+    "qc_order_total_integrity", "qc_psi", "qc_uniqueness",
+    "quality_composite_score", "range_partition_plan",
+    "retrieval_rrf_fusion", "rfm_segments", "rollup_share_of_parent",
+    "seq_funnel_window", "seq_gaps", "skew_profile", "sli_error_budget",
+    "split_leakage_safe", "stats_mutual_info", "text_collocations",
+    "text_feature_hashing", "text_kneser_ney", "train_mixture_epochs",
+    "ts_active_users", "ts_demand_classification", "ts_forecast_backtest",
+    "ts_holt", "ts_rolling_ols", "ts_stl_decompose",
+    "vocab_coverage_curve",
+    # ---- round-8 head (kept for rank continuity of still-unsampled
+    # keys; all sampled keys rank by status, not position) ----
     "agg_approx_distinct", "agg_percentile_approx", "sketch_hll_rollup",
     "stream_custom_stateful", "stream_ingest_e2e",
     "stream_watermark_dedup", "text_compression_ratio",

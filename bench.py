@@ -236,7 +236,12 @@ def main() -> None:
         "tiers": tiers,
         "queries": timings,
     }
-    with open(DETAIL_PATH, "w") as f:
+    # key-filtered invocations are dev loops — never clobber the full-run
+    # detail file (it may be the round's official per-key record)
+    path = DETAIL_PATH if not only else DETAIL_PATH.replace(
+        ".json", "_dev.json"
+    )
+    with open(path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=False)
     print(json.dumps(detail["queries"]), file=sys.stderr)
 
@@ -250,7 +255,7 @@ def main() -> None:
         "canary": canary,
         "tiers": tiers,
         "queries": slowest,
-        "detail_file": "bench_detail.json",
+        "detail_file": os.path.basename(path),
     }))
     spark.stop()
 

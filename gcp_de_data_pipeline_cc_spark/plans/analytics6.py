@@ -352,7 +352,27 @@ def eval_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             F.row_number().over(Window.orderBy("token")).alias("r"),
         )
-        .select("token", F.expr("char(64 + r)").alias("ch"))
+        .select(
+            "token",
+            # Spark's char() wraps mod 256, so a vocabulary whose max
+            # rank pushes 64+r past 255 would silently COLLIDE symbols
+            # (undercounted WER) while DuckDB's chr() moves to
+            # multi-byte code points — fail fast at the boundary
+            # instead of returning a silently wrong metric (the
+            # documented shard-to-OOV / banded-DP paths take over for
+            # larger vocabularies)
+            F.when(
+                F.col("r") > 191,
+                F.expr(
+                    "raise_error('eval_wer: vocabulary exceeds the "
+                    "single-byte symbol range (191 tokens + OOV); "
+                    "shard rare tokens to OOV or use the banded-DP "
+                    "pandas UDF path')"
+                ),
+            )
+            .otherwise(F.expr("char(64 + r)"))
+            .alias("ch"),
+        )
     )
     oov = vocab.filter(F.col("token") == _WER_OOV).select(
         F.col("ch").alias("och")
@@ -1165,8 +1185,11 @@ def embedding_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials onto the FIXED 4096-cell grid (the graph-ANN link-layer
     idiom — a 4096-way explode-join of the same reduction measured
     8.1 s at sf0.1 vs ~2 s for the partials path), with the per-chunk
-    row bound chosen so int64 can never overflow at ANY corpus size;
-    the 4096-key decimal reduce is map-side combined."""
+    row bound chosen so int64 cannot overflow while n·base_scale stays
+    under 2.1e9 (≈262k vectors at base scale 8192 — enforced with a
+    fail-fast guard; beyond it, drop the base scale or switch the
+    partials to decimal accumulation); the 4096-key decimal reduce is
+    map-side combined."""
     import numpy as np
     import pandas as pd
 
@@ -1214,8 +1237,19 @@ def embedding_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"yy_{v}" for v, _ in _CKA_VIEWS
     ]
     # per-chunk row bound so every partial stays inside int64: the
-    # largest centered magnitude is n*bs (components are unit-scale),
-    # so chunk * (n*bs)^2 < 2^62 guarantees no overflow at ANY n
+    # largest centered magnitude is n*bs (components unit-scale,
+    # asserted below), so chunk * (n*bs)^2 < 2^62 has no overflow —
+    # but only while chunk >= 1 is actually safe, i.e. (n*bs)^2 < 2^62
+    # itself. Past n ~ 2.6e5 (bs=8192) a SINGLE row's product would
+    # wrap, so fail fast instead of silently returning wrapped CKA;
+    # the documented escape at that scale is decimal/object partials
+    # (slower) or a smaller base scale.
+    if float(n) * bs > 2.1e9:
+        raise ValueError(
+            f"embedding_cka int64 partials are exact only up to "
+            f"n*base_scale <= 2.1e9 (n={n}, base_scale={bs}); rerun "
+            f"with a smaller _CKA_BASE_SCALE or decimal partials"
+        )
     chunk = max(1, int(4.6e18 / float((n * bs) ** 2)))
 
     def partials(batches):
@@ -1223,6 +1257,11 @@ def embedding_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # the n*bs magnitude bound assumes unit-scale components
+            assert float(np.abs(E).max()) <= 1.0, (
+                "embedding_cka expects unit-scale components; the "
+                "int64 chunk bound is invalid otherwise"
+            )
             Xq = np.floor(E * bs + 0.5).astype(np.int64)
             Ys = {}
             for name, sc in _CKA_VIEWS:
