@@ -60,6 +60,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     stats3,
     stats4,
     stats5,
+    stats6,
     timeseries,
     timeseries2,
     timeseries3,
