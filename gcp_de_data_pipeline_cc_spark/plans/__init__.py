@@ -68,6 +68,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     timeseries5,
     timeseries6,
     timeseries7,
+    timeseries8,
     training,
     udfs,
 )
