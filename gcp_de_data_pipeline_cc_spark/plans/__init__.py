@@ -19,6 +19,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics4,
     analytics5,
     analytics6,
+    analytics7,
     corpus,
     corpus2,
     corpus3,
