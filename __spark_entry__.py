@@ -117,8 +117,15 @@ _FLOOR_REFRESH = frozenset()
 # component).  Keys absent from this list rank after listed ones.
 _COMPONENT_FIRST = (
     # ---- round-9 head ----
-    # (a) the r9 wave — sample fresh keys while fresh (inserted as
-    #     they land; see the r9 wave sections below this head)
+    # (a) the r9 wave — sample fresh keys while fresh
+    "stats_anderson_darling", "stats_cramer_von_mises", "stats_gtest",
+    "stats_jonckheere", "stats_brunner_munzel", "stats_cliffs_delta",
+    "stats_bartlett", "stats_odds_ratio",
+    "ts_adf", "ts_kpss", "ts_variance_ratio", "ts_turning_points",
+    "ts_bartels_rank", "ts_crosscorr", "ts_granger",
+    "graph_katz", "graph_local_clustering", "eval_rbo",
+    "recsys_map_at_k", "survival_logrank", "survival_nelson_aalen",
+    "fn_jaro_winkler",
     # (b) r8 verdict task #7: bias the official blind spot's RISKIEST
     #     shapes first — every never-officially-sampled key that is in
     #     the SP-audit census (SinglePartition-bearing plan, measured

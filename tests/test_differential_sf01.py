@@ -158,6 +158,36 @@ HEADLINE = (
     "stats_kendall_w",
     "stats_ks_uniform",
     "ts_page_hinkley",
+    # round-9 wave: EDF term sums over 100x ranked rows (AD/CvM), cell
+    # and margin growth (G-test, Jonckheere, Brunner-Munzel, Cliff,
+    # Bartlett), mean-threshold 2x2 at 10x users, decimal OLS moments
+    # and nano return walks over the full calendar (ADF/KPSS/VR/
+    # turning/Bartels/CCF/Granger), 10x backbone nodes through the
+    # Katz nano iterates and triangle attribution, 10x blocked JW
+    # pairs through the Arrow UDF, survival risk sets at 10x users,
+    # 10x candidate pool under the RBO/MAP top-k cuts
+    "stats_anderson_darling",
+    "stats_cramer_von_mises",
+    "stats_gtest",
+    "stats_jonckheere",
+    "stats_brunner_munzel",
+    "stats_cliffs_delta",
+    "stats_bartlett",
+    "stats_odds_ratio",
+    "ts_adf",
+    "ts_kpss",
+    "ts_variance_ratio",
+    "ts_turning_points",
+    "ts_bartels_rank",
+    "ts_crosscorr",
+    "ts_granger",
+    "graph_katz",
+    "graph_local_clustering",
+    "eval_rbo",
+    "recsys_map_at_k",
+    "survival_logrank",
+    "survival_nelson_aalen",
+    "fn_jaro_winkler",
 )
 
 

@@ -318,6 +318,20 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
 #: A NEW query planning a BNLJ must be reviewed and added here, or the
 #: sweep fails — that is the point.
 _BNLJ_REVIEWED = frozenset({
+    # r9 wave: one-row stat/total broadcasts — category (a) scalar
+    # broadcasts throughout (EDF n-totals, contingency margins + n,
+    # Jonckheere tie/group totals, Brunner-Munzel group fits, Cliff
+    # cell totals (the cells-squared cross is domain-bounded ≤ |chars
+    # domain|² — category (b)), Bartlett k-row fit, odds-ratio mean
+    # thresholds, ADF/KPSS/VR/turning/Bartels moment rows, CCF 15-row
+    # lag spine x hour series — category (b), Granger moment row,
+    # log-rank sizes, RBO 20x20 overlap)
+    "stats_anderson_darling", "stats_cramer_von_mises", "stats_gtest",
+    "stats_jonckheere", "stats_brunner_munzel", "stats_cliffs_delta",
+    "stats_bartlett", "stats_odds_ratio",
+    "ts_adf", "ts_kpss", "ts_variance_ratio", "ts_turning_points",
+    "ts_bartels_rank", "ts_crosscorr", "ts_granger",
+    "survival_logrank", "eval_rbo",
     # r7 wave: one-row stat/aggregate broadcasts (Wilcoxon W/tie
     # totals, runs-test median, Friedman block count, Hurst scale
     # aggregates, DSIR corpus totals, perplexity-bucket LM totals,

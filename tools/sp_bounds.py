@@ -33,6 +33,12 @@ SP_DOMAIN_BOUNDED: dict[str, int] = {
     "stats_runs_test": 2500,
     # lead/row_number over the same daily spine
     "ts_sample_entropy": 2500,
+    # r9 additions, same calendar-day spine class (audit profile
+    # 1093-1094 @ sf0.001, 2398-2399 @ sf0.01): KPSS residual partial
+    # sums and the variance-ratio overlapping q-sum window both run
+    # over the observed-day spine
+    "ts_kpss": 2500,
+    "ts_variance_ratio": 2500,
     # hour spine of the 30-day events window (<= 744 hours/month)
     "sli_burn_rate_alerts": 800,
     # brand/part-domain rollup (stable across SFs in the audit)
