@@ -126,6 +126,8 @@ _COMPONENT_FIRST = (
     "graph_katz", "graph_local_clustering", "eval_rbo",
     "recsys_map_at_k", "survival_logrank", "survival_nelson_aalen",
     "fn_jaro_winkler",
+    "markov_stationary", "graph_link_scores", "stats_lilliefors",
+    "stats_poisson_rate", "ts_cox_stuart", "ts_ewma_control", "eval_tost",
     # (b) r8 verdict task #7: bias the official blind spot's RISKIEST
     #     shapes first — every never-officially-sampled key that is in
     #     the SP-audit census (SinglePartition-bearing plan, measured

@@ -20,6 +20,7 @@ from gcp_de_data_pipeline_cc_spark.plans import (  # noqa: E402,F401
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
     corpus,
     corpus2,
     corpus3,

@@ -188,6 +188,16 @@ HEADLINE = (
     "survival_logrank",
     "survival_nelson_aalen",
     "fn_jaro_winkler",
+    # round-9 wave 2: 10x journeys through the chain iterates, 10x
+    # backbone wedges, fitted-Φ deviations over the full calendar,
+    # the 16-tap EWMA fold per day, and the A/A moment sums
+    "markov_stationary",
+    "graph_link_scores",
+    "stats_lilliefors",
+    "stats_poisson_rate",
+    "ts_cox_stuart",
+    "ts_ewma_control",
+    "eval_tost",
 )
 
 

@@ -332,6 +332,12 @@ _BNLJ_REVIEWED = frozenset({
     "ts_adf", "ts_kpss", "ts_variance_ratio", "ts_turning_points",
     "ts_bartels_rank", "ts_crosscorr", "ts_granger",
     "survival_logrank", "eval_rbo",
+    # r9 wave 2: 1-row broadcasts (state count, moment fits, day span,
+    # TOST group fits) — category (a); plus two calendar-bounded band
+    # joins — category (b): the EWMA 16-tap frame over the day spine
+    # and the Cox-Stuart half-offset pairing
+    "markov_stationary", "stats_lilliefors", "stats_poisson_rate",
+    "ts_cox_stuart", "ts_ewma_control", "eval_tost",
     # r7 wave: one-row stat/aggregate broadcasts (Wilcoxon W/tie
     # totals, runs-test median, Friedman block count, Hurst scale
     # aggregates, DSIR corpus totals, perplexity-bucket LM totals,

@@ -584,3 +584,149 @@ def test_jaro_winkler_textbook_pairs(spark, tmp_path):
     assert got[(3, 4)] == 1.0
     assert got[(5, 6)] == pytest.approx(0.813333, abs=1e-6)
     assert (7, 8) not in got
+
+
+# ---------------------------------------------------------------------------
+# wave 2: markov_stationary / graph_link_scores / stats_lilliefors /
+# stats_poisson_rate / ts_cox_stuart / ts_ewma_control / eval_tost
+# ---------------------------------------------------------------------------
+
+
+def test_markov_stationary_uniform_on_planted_cycle(spark, tmp_path):
+    """A deterministic 3-cycle click→view→purchase→click… gives the
+    uniform stationary distribution."""
+    rows = []
+    eid = 0
+    cyc = ["click", "view", "purchase"]
+    for u in range(5):
+        for step in range(30):
+            eid += 1
+            rows.append(
+                (eid, u, cyc[step % 3],
+                 f"2024-01-01 {step // 60:02d}:{step % 60:02d}:00", 1.0)
+            )
+    _events(spark, tmp_path, rows)
+    out = {
+        r.state: r.pi_stationary
+        for r in REGISTRY["markov_stationary"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == set(cyc)
+    for v in out.values():
+        assert v == pytest.approx(1.0 / 3.0, abs=1e-4)
+
+
+def test_link_scores_path_graph(spark, tmp_path):
+    """Path a–b–c: (a, c) is the one non-adjacent wedge pair — CN = 1,
+    RA = 1/deg(b) = 1/2, PA = deg(a)·deg(c) = 1."""
+    lines = []
+    for ok, (x, y) in enumerate([(1, 2), (2, 3)], start=1):
+        lines.append((ok, 1, x, 1))
+        lines.append((ok, 2, y, 1))
+    _lineitem(spark, tmp_path, lines)
+    rows = (
+        REGISTRY["graph_link_scores"].spark(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.supp_a, r.supp_b) == (1, 3)
+    assert r.common_neighbors == 1
+    assert r.resource_allocation == pytest.approx(0.5, abs=1e-6)
+    assert r.preferential_attachment == 1
+
+
+def test_lilliefors_matches_python_reimplementation(spark, tmp_path):
+    """Reimplement the A&S Φ pipeline in plain python on a planted
+    series — statistic must agree exactly (same floor quantization)."""
+    vals = [100.0 + 13.0 * ((i * 7) % 10) + i for i in range(25)]
+    _orders(spark, tmp_path, _day_orders(vals))
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    n = len(cents)
+    s = sum(cents)
+    ss = sum(c * c for c in cents)
+    mu = s / n
+    sd = math.sqrt((n * ss - s * s) / (n * (n - 1)))
+
+    def phi(z):
+        t = 1.0 / (1.0 + 0.2316419 * abs(z))
+        poly = (
+            0.319381530 * t
+            - 0.356563782 * t**2
+            + 1.781477937 * t**3
+            - 1.821255978 * t**4
+            + 1.330274429 * t**5
+        )
+        up = 1.0 - 0.3989422804014327 * math.exp(-abs(z) * abs(z) / 2.0) * poly
+        return up if z >= 0.0 else 1.0 - up
+
+    dq = max(
+        math.floor(
+            max(i / n - phi((y - mu) / sd), phi((y - mu) / sd) - (i - 1) / n)
+            * 1.0e9
+            + 0.5
+        )
+        for i, y in enumerate(sorted(cents), start=1)
+    )
+    want = math.floor(dq / 1.0e9 * 1e6 + 0.5) / 1e6
+    out = REGISTRY["stats_lilliefors"].spark(spark, str(tmp_path)).collect()[0]
+    assert out.d_stat == pytest.approx(want, abs=0)
+
+
+def test_lilliefors_rejects_bimodal(spark, tmp_path):
+    vals = [100.0] * 50 + [900.0] * 50
+    _orders(spark, tmp_path, _day_orders(vals))
+    out = REGISTRY["stats_lilliefors"].spark(spark, str(tmp_path)).collect()[0]
+    assert out.reject_normal_05
+
+
+def test_poisson_rate_planted_burst(spark, tmp_path):
+    """20 errors in the first 10 days vs 10 in the next 20 ⇒ rate
+    ratio 4, positive z."""
+    rows = [(900, 1, "view", "2024-01-01 00:00:00", 1.0),
+            (901, 1, "view", "2024-01-30 12:00:00", 1.0)]
+    eid = 0
+    for i in range(20):
+        eid += 1
+        rows.append((eid, 1, "error", f"2024-01-{(i % 9) + 1:02d} 06:00:00", 1.0))
+    for i in range(10):
+        eid += 1
+        rows.append(
+            (100 + eid, 1, "error", f"2024-01-{11 + (i % 19):02d} 06:00:00", 1.0)
+        )
+    _events(spark, tmp_path, rows)
+    out = REGISTRY["stats_poisson_rate"].spark(spark, str(tmp_path)).collect()[0]
+    assert (out.x1, out.x2) == (20, 10)
+    assert out.t2_days == 20.0
+    assert out.rate_ratio == pytest.approx(4.0, abs=1e-6)
+    assert out.z_stat > 0
+
+
+def test_cox_stuart_detects_downtrend(spark, tmp_path):
+    vals = [1000.0 - 10.0 * i for i in range(40)]
+    _orders(spark, tmp_path, _day_orders(vals))
+    out = REGISTRY["ts_cox_stuart"].spark(spark, str(tmp_path)).collect()[0]
+    assert out.s_plus == 0 and out.s_minus == 20
+    assert out.trend == "downward"
+
+
+def test_ewma_control_flags_planted_spike(spark, tmp_path):
+    """A stable series with one huge spike: the spike day (and its
+    EWMA-decayed successors) go out of control; early days don't."""
+    vals = [100.0 + (i % 5) for i in range(60)]
+    vals[40] = 5000.0
+    _orders(spark, tmp_path, _day_orders(vals))
+    out = {
+        r.t: r.out_of_control
+        for r in REGISTRY["ts_ewma_control"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[41]  # t is 1-indexed: day 41 carries the spike
+    assert not any(out[t] for t in range(1, 40))
+
+
+def test_tost_aa_split_is_equivalent(spark):
+    """The A/A LAW: the md5 hash split of real order values must come
+    out equivalent at the ±5% margin."""
+    out = REGISTRY["eval_tost"].spark(spark, SF_DIR).collect()[0]
+    assert out.equivalent_05
+    assert abs(out.mean_diff) < out.margin
