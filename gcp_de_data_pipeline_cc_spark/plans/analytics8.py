@@ -100,7 +100,11 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term flooring (≤ |states|²·0.5 nanos per step).
 
     100 TB: one LEAD window over user journeys (the markov_transitions
-    shuffle), then all state is |types|²."""
+    shuffle), then all state is |types|² — BOUNDED BY CONSTRUCTION, so
+    the K-step iteration runs on the collected |types|²-cell matrix
+    (the ≤256-row link-rep precedent) with the identical integer
+    arithmetic, instead of paying K scheduler rounds for a 5-vector;
+    the data-sized work (the LEAD window) stays distributed."""
     ev = load_table(spark, sf_dir, "events")
     seq = ev.select(
         "user_id",
@@ -114,35 +118,27 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("i"), F.col("next_type").alias("j"))
         .agg(F.count("*").cast("long").alias("c"))
     )
-    cnt = cnt.localCheckpoint(eager=False)  # K iteration joins
     rowt = cnt.groupBy("i").agg(F.sum("c").cast("long").alias("r"))
-    states = cnt.select(F.col("i").alias("s")).distinct()
-    nst = states.agg(F.count("*").cast("long").alias("k"))
-    p = states.crossJoin(F.broadcast(nst)).select(
-        "s",
-        F.floor(F.lit(1.0e9) / F.col("k") + F.lit(0.5))
-        .cast("long")
-        .alias("x"),
-    )
-    tr = cnt.join(F.broadcast(rowt), "i")
+    # |types|² cells — bounded by construction, never data-sized
+    cells = [
+        (r["i"], r["j"], r["c"], r["r"])
+        for r in cnt.join(rowt, "i").select("i", "j", "c", "r").collect()
+    ]
+    states = sorted({i for i, _, _, _ in cells})
+    k = len(states)
+    import math as _math
+
+    x = {s: _math.floor(1.0e9 / k + 0.5) for s in states}
     for _ in range(_MS_ITERS):
-        p = (
-            tr.join(F.broadcast(p), tr.i == p.s)
-            .groupBy("j")
-            .agg(
-                F.sum(
-                    F.floor(
-                        F.col("x") * F.col("c") * F.lit(1.0) / F.col("r")
-                        + F.lit(0.5)
-                    ).cast("long")
-                )
-                .cast("long")
-                .alias("x")
-            )
-            .select(F.col("j").alias("s"), "x")
-        )
-    return p.select(
-        F.col("s").alias("state"),
+        nxt = {s: 0 for s in states}
+        for i, j, c, r in cells:
+            nxt[j] += _math.floor(x[i] * c * 1.0 / r + 0.5)
+        x = nxt
+    out = spark.createDataFrame(
+        [(s, x[s]) for s in states], "state STRING, x BIGINT"
+    )
+    return out.select(
+        "state",
         roundn(F.col("x") / F.lit(1.0e9), 6).alias("pi_stationary"),
     ).orderBy("state")
 
