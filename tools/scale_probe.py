@@ -648,6 +648,59 @@ def probe_substring_pairs(spark, mult: int) -> float:
     return time.time() - t0
 
 
+def _jw_part_dir(spark, mult: int, namespaced: bool) -> str:
+    """Replicated part table for the ER-blocking probe. ``namespaced``
+    suffixes p_brand per replica (the real-growth model: a bigger
+    catalog brings more brands, so |block| stays constant); the fixed
+    arm keeps the brand/size domain (blocks grow linearly, pair work
+    quadratically) — the measured argument for WHY the blocking key's
+    cardinality must scale with the corpus."""
+    tag = "ns" if namespaced else "fx"
+    d = f"{SCRATCH}/jw_{tag}_x{mult}"
+    dst = f"{d}/part.parquet"
+    if os.path.exists(dst):
+        return d
+    base = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    parts = []
+    for i in range(mult):
+        rep = base.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(i * 10_000_000)
+        )
+        if namespaced and i > 0:
+            rep = rep.withColumn(
+                "p_brand", F.concat(F.col("p_brand"), F.lit(f"_r{i}"))
+            )
+        parts.append(rep)
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    out.write.mode("overwrite").parquet(dst)
+    return d
+
+
+def probe_jw_namespaced(spark, mult: int) -> float:
+    """fn_jaro_winkler, REGISTERED, namespaced-brand replicas: |block|
+    constant -> pair count and Arrow-UDF work linear in the corpus."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _jw_part_dir(spark, mult, namespaced=True)
+    t0 = time.time()
+    REGISTRY["fn_jaro_winkler"].spark(spark, d).collect()
+    return time.time() - t0
+
+
+def probe_jw_fixed(spark, mult: int) -> float:
+    """fn_jaro_winkler on FIXED-domain replicas: blocks fill up, pair
+    work grows ~quadratically — the documented failure mode when the
+    blocking key does not scale with the corpus."""
+    from gcp_de_data_pipeline_cc_spark.plans import REGISTRY
+
+    d = _jw_part_dir(spark, mult, namespaced=False)
+    t0 = time.time()
+    REGISTRY["fn_jaro_winkler"].spark(spark, d).collect()
+    return time.time() - t0
+
+
 PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "dedup_minhash": probe_minhash,
           "skew_distinct_plain": probe_skew_plain,
@@ -684,7 +737,9 @@ PROBES = {"agg_q1": probe_agg, "join_fact_fact": probe_join,
           "rrf_fusion": probe_rrf_fusion,
           "soft_dedup": probe_soft_dedup,
           "fisher_exact": probe_fisher_exact,
-          "substring_pairs": probe_substring_pairs}
+          "substring_pairs": probe_substring_pairs,
+          "jw_blocked_namespaced": probe_jw_namespaced,
+          "jw_blocked_fixed_domain": probe_jw_fixed}
 
 
 def main() -> None:
