@@ -759,7 +759,10 @@ def ts_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("y")
         )
-        .select(F.row_number().over(Window.orderBy("d")).alias("t"), "y")
+        .select(
+            F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+            "y",
+        )
     )
     ser = ser.localCheckpoint(eager=False)  # moments + tap join
     mom = ser.agg(
