@@ -108,6 +108,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy narrow relation across the session's full
+    parallelism when the upstream scan under-splits (guide §2.5's
+    "input skew: one huge unsplittable file … repartition immediately
+    after the read").
+
+    Local warehouses are single-row-group parquet files, so a scan
+    yields 1–3 tasks and a per-row-expensive projection (format
+    parsing, regex batteries, hashing, n-gram explode) serializes on
+    one core.  At production split counts the scan already carries
+    ≥ defaultParallelism partitions and this is a NO-OP — the check is
+    evaluated once at plan-build time, so no exchange is added to the
+    100 TB plan.  Round-robin repartition is used (no key: the inputs
+    feeding this are deterministic scans, safe under retry per
+    SPARK-23207's sort-before-repartition).
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` (parquet TIMESTAMP(NANOS)) to micros
     TimestampType, whichever way the reader surfaced it.

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import fan_out, load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators import text as tx
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
@@ -72,7 +72,10 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row broadcast. No second corpus scan: the model and the scoring
     pass share the exploded-token relation."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    # token explode fans ~200× per row and feeds both the count and
+    # the scoring pass; spread the narrow projection first (no-op at
+    # production scan split counts)
+    tok = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("token")
     )
     cnt = tok.groupBy("token").agg(F.count("*").alias("c"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import fan_out, load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
 
@@ -53,7 +53,9 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Doc-char counts are exact integers; only the final fold is float,
     ≤~100 terms per doc, rounded at 6."""
     docs = load_table(spark, sf_dir, "documents")
-    chars = docs.select(
+    # the char explode fans ~10⁶ rows per input split; spread the
+    # narrow projection first (no-op at production scan split counts)
+    chars = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split("text", "")).alias("ch")
     ).filter(F.col("ch") != "")
     freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
@@ -160,7 +162,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by its distinct-bigram count.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    # bigram explode fans out ~200× per row; spread the narrow
+    # projection first (no-op at production scan split counts)
+    base = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= 2)
     bg = base.select(

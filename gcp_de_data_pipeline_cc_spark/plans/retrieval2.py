@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import fan_out, load_table
 from gcp_de_data_pipeline_cc_spark.operators import similarity as sim
 from gcp_de_data_pipeline_cc_spark.plans import llm
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
@@ -409,8 +409,12 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key (doc_id, gram)); the final reduce is corpus-level
     scalar state."""
     docs = load_table(spark, sf_dir, "documents")
+    # the four character-gram explode passes each fan ~10⁶ grams per
+    # input split out of this relation; spread it across cores first
+    # (no-op at production scan split counts)
     pairs = (
-        docs.select("doc_id", "text", F.split("text", " ").alias("t"))
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", "text", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= 2)
         .select(
             "doc_id",
@@ -422,39 +426,60 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cand"),
         )
     )
-    pairs = pairs.localCheckpoint(eager=False)  # 4 explode passes
+    pairs = pairs.localCheckpoint(eager=False)  # gram pass + n_docs
 
-    def grams(col: str, n: int) -> DataFrame:
-        return pairs.filter(F.length(col) >= n).select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length({col}) - {n} + 1),"
-                    f" i -> substring({col}, i, {n}))"
-                )
-            ).alias("g"),
+    # ONE side/n-tagged gram explode + ONE (doc, n, gram) aggregate
+    # replaces the old 4 explode→groupBy passes and the 2 cand↔ref
+    # joins (plan: 10 exchanges → 2).  Per (doc, n, g) cell the
+    # clipped-match contribution is least(cn, rn) — a gram absent on
+    # either side contributes least(x, 0) = 0, exactly the old LEFT
+    # join's coalesce semantics — so the corpus totals per n are one
+    # conditional rollup of the same integers.
+    def side_grams(col: str, tag: str) -> str:
+        return (
+            f"CASE WHEN length({col}) >= n THEN"
+            f" transform(sequence(1, length({col}) - n + 1),"
+            f" i -> struct(n AS n, '{tag}' AS side,"
+            f" substring({col}, i, n) AS g))"
+            f" ELSE array() END"
         )
 
-    stats = []
-    for n in (2, 3):
-        ref = grams("ref", n).groupBy("doc_id", "g").agg(
-            F.count("*").cast("long").alias("rn")
-        )
-        cand = grams("cand", n).groupBy("doc_id", "g").agg(
-            F.count("*").cast("long").alias("cn")
-        )
-        m = cand.join(ref, ["doc_id", "g"], "left").agg(
-            F.sum(F.least(F.col("cn"), F.coalesce(F.col("rn"), F.lit(0))))
-            .cast("long")
-            .alias(f"hits{n}"),
-            F.sum("cn").cast("long").alias(f"cand{n}_total"),
-        )
-        rt = ref.agg(F.sum("rn").cast("long").alias(f"ref{n}_total"))
-        stats.append(m.crossJoin(F.broadcast(rt)))
-    nd = pairs.agg(F.count("*").cast("long").alias("n_docs"))
-    out = stats[0].crossJoin(F.broadcast(stats[1])).crossJoin(
-        F.broadcast(nd)
+    cells = pairs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(array(2, 3), n -> concat("
+                + side_grams("ref", "r")
+                + ", "
+                + side_grams("cand", "c")
+                + ")))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.n", "x.side", "x.g")
+    percell = cells.groupBy("doc_id", "n", "g").agg(
+        F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).alias("cn"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("rn"),
     )
+    tot = percell.groupBy("n").agg(
+        F.sum(F.least("cn", "rn")).cast("long").alias("hits"),
+        F.sum("cn").cast("long").alias("cand_total"),
+        F.sum("rn").cast("long").alias("ref_total"),
+    )
+    wide = tot.agg(
+        *[
+            F.sum(F.when(F.col("n") == n, F.col(c)))
+            .cast("long")
+            .alias(f"{pre}{n}{suf}")
+            for n in (2, 3)
+            for c, pre, suf in (
+                ("hits", "hits", ""),
+                ("cand_total", "cand", "_total"),
+                ("ref_total", "ref", "_total"),
+            )
+        ]
+    )
+    nd = pairs.agg(F.count("*").cast("long").alias("n_docs"))
+    out = wide.crossJoin(F.broadcast(nd))
 
     def f_of(n: int):
         p = F.col(f"hits{n}") * F.lit(1.0) / F.col(f"cand{n}_total")

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import fan_out, load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
 from gcp_de_data_pipeline_cc_spark.plans.llm import (
@@ -121,7 +121,8 @@ def sketch_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_de_data_pipeline_cc_spark.operators.text import shingles_col, tokens_col
 
     sh3 = (
-        docs.withColumn("toks", tokens_col(F.col("text")))
+        fan_out(docs.select("doc_id", "source", "text"))
+        .withColumn("toks", tokens_col(F.col("text")))
         .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
