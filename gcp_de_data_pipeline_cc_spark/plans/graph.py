@@ -1615,27 +1615,40 @@ def graph_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = st.localCheckpoint(eager=False)
     ge = ge.localCheckpoint(eager=False)
-    lbl = st.select("chain", "v", F.col("v").alias("lbl"))
-    for _ in range(_ART_H):
-        lbl = lbl.localCheckpoint(eager=False)
-        prop = (
-            lbl.alias("p")
+    # POINTER-DOUBLING closure (r8 verdict's suggested cut): square the
+    # tagged reachability relation ⌈log2(_ART_H)⌉ times instead of
+    # propagating labels _ART_H times — paths ≤ 2^4 = 16 ≥ the 12-round
+    # horizon the oracle (and the old plan) converge within, so the
+    # per-chain min-reachable label is the identical component minimum.
+    # Plan: 12 join+agg rounds (24 exchanges) → 4 join+distinct rounds
+    # (8) + one final min.  State stays (chains)·|V|² dimension-bounded.
+    reach = (
+        st.select("chain", F.col("v").alias("a"), F.col("v").alias("b"))
+        .unionByName(
+            ge.select("chain", F.col("u").alias("a"), F.col("v").alias("b"))
+        )
+        .distinct()
+    )
+    doubling_rounds = max(1, (_ART_H - 1).bit_length())  # 2^r >= _ART_H
+    for _ in range(doubling_rounds):
+        reach = reach.localCheckpoint(eager=False)
+        hop = (
+            reach.alias("r1")
             .join(
-                ge.alias("ge"),
-                (F.col("ge.chain") == F.col("p.chain"))
-                & (F.col("ge.u") == F.col("p.v")),
+                reach.alias("r2"),
+                (F.col("r2.chain") == F.col("r1.chain"))
+                & (F.col("r2.a") == F.col("r1.b")),
             )
             .select(
-                F.col("p.chain").alias("chain"),
-                F.col("ge.v").alias("v"),
-                F.col("p.lbl").alias("lbl"),
+                F.col("r1.chain").alias("chain"),
+                F.col("r1.a").alias("a"),
+                F.col("r2.b").alias("b"),
             )
         )
-        lbl = (
-            lbl.unionByName(prop)
-            .groupBy("chain", "v")
-            .agg(F.min("lbl").alias("lbl"))
-        )
+        reach = reach.unionByName(hop).distinct()
+    lbl = reach.groupBy("chain", F.col("a").alias("v")).agg(
+        F.min("b").alias("lbl")
+    )
     comp = lbl.groupBy("chain").agg(
         F.countDistinct("lbl").cast("long").alias("n_comp")
     )
@@ -1644,7 +1657,7 @@ def graph_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_comp").alias("comp_full")
     )
     return (
-        nation.join(comp, nation.n_nationkey == comp.chain, "left")
+        nation.join(F.broadcast(comp), nation.n_nationkey == comp.chain, "left")
         .crossJoin(F.broadcast(base))
         .select(
             "n_name",
