@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table
+from gcp_de_data_pipeline_cc_spark.catalog import fan_out, load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators.scale import global_rank
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
@@ -314,7 +314,9 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding,"
         " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))"
     )
-    pairs = emb.select(ql.alias("ql")).select(
+    # 2080 lateral products per row: spread the narrow vector column
+    # across cores before the explode (no-op at production splits)
+    pairs = fan_out(emb.select(ql.alias("ql"))).select(
         F.explode(
             F.expr(
                 "flatten(transform(sequence(1, 64),"
@@ -431,7 +433,9 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding,"
         " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))"
     )
-    pairs = emb.select(ql.alias("ql")).select(
+    # 2080 lateral products per row: spread the narrow vector column
+    # across cores before the explode (no-op at production splits)
+    pairs = fan_out(emb.select(ql.alias("ql"))).select(
         F.explode(
             F.expr(
                 "flatten(transform(sequence(1, 64),"
