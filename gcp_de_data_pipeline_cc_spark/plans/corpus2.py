@@ -72,10 +72,7 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row broadcast. No second corpus scan: the model and the scoring
     pass share the exploded-token relation."""
     docs = load_table(spark, sf_dir, "documents")
-    # token explode fans ~200× per row and feeds both the count and
-    # the scoring pass; spread the narrow projection first (no-op at
-    # production scan split counts)
-    tok = fan_out(docs.select("doc_id", "text")).select(
+    tok = docs.select(
         "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("token")
     )
     cnt = tok.groupBy("token").agg(F.count("*").alias("c"))

@@ -338,11 +338,7 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"),
     )
-    # md5-minting the whole fact is per-row CPU; spread the two-column
-    # projection across cores first (no-op at production split counts)
-    keyed = fan_out(li.select("l_orderkey", "l_linenumber")).select(
-        sk.alias("sk"), nat.alias("nat")
-    )
+    keyed = li.select(sk.alias("sk"), nat.alias("nat"))
     # ONE distinct pass over (sk, nat) serves every audit number: two
     # independent COUNT DISTINCTs would expand-shuffle the fact twice
     # (measured 4.3 s vs 2.3 s at sf0.1). n_keys = groups of sk;
