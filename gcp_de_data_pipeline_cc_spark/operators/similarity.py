@@ -113,17 +113,28 @@ def cosine_topk(
 
     Self-matches are excluded. Ties break on neighbor id for determinism.
     """
+    # norms are hoisted to each SIDE of the pair join: the fold value
+    # is the identical expression over the identical vector, evaluated
+    # once per row instead of once per pair (the division tree below
+    # consumes bit-identical operands); the candidate side fans out
+    # because the broadcast nested-loop join inherits the scan's
+    # (under-)split and otherwise folds every pair on one core
+    from gcp_de_data_pipeline_cc_spark.catalog import fan_out
+
     q = as_double_vectors(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = as_double_vectors(candidates, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    ).withColumn("q_nrm", _norm(F.col("q_vec")))
+    c = fan_out(
+        as_double_vectors(candidates, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+    ).withColumn("c_nrm", _norm(F.col("c_vec")))
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     cos = (
         _dot(F.col("q_vec"), F.col("c_vec"))
-        / _norm(F.col("q_vec"))
-        / _norm(F.col("c_vec"))
+        / F.col("q_nrm")
+        / F.col("c_nrm")
     )
     scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_raw"))
     w = Window.partitionBy("query_id").orderBy(

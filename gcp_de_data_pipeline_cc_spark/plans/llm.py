@@ -10,7 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import load_table, table_fingerprint
+from gcp_de_data_pipeline_cc_spark.catalog import fan_out, load_table, table_fingerprint
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators import dedup as dd
 from gcp_de_data_pipeline_cc_spark.operators import multimodal as mm
@@ -3293,10 +3293,30 @@ def embedding_prefix_dims_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
-    v = emb.select("vec_id", F.col("embedding").alias("vec"))
+    # fan_out: the broadcast pair join inherits the scan's 1-3 splits,
+    # so without it every per-pair cosine fold (5 rankings × |Q|·n
+    # pairs) runs on one core.  Per-SIDE prefix norms are hoisted out
+    # of the pair join: the fold value is the identical expression over
+    # the identical slice, evaluated once per row instead of per pair —
+    # the division consumes bit-identical operands.
+    widths = [*_MRL_DIMS, 64]
+
+    def with_norms(df, vec_name):
+        for d in widths:
+            df = df.withColumn(
+                f"__n{d}", _norm(F.slice(F.col(vec_name), 1, d))
+            )
+        return df
+
+    v = with_norms(
+        fan_out(emb.select("vec_id", F.col("embedding").alias("vec"))),
+        "vec",
+    )
     v = v.localCheckpoint(eager=False)  # all rankings
     q = sim.sample_queries(v).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        *[F.col(f"__n{d}").alias(f"__qn{d}") for d in widths],
     )
     pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     pairs = pairs.localCheckpoint(eager=False)  # one pass per ranking
@@ -3315,15 +3335,15 @@ def embedding_prefix_dims_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "nid")
         )
 
-    full_sc = _dot(F.col("qv"), F.col("vec")) / _norm(F.col("qv")) / _norm(
-        F.col("vec")
+    full_sc = (
+        _dot(F.col("qv"), F.col("vec")) / F.col("__qn64") / F.col("__n64")
     )
     ex = top10(full_sc)
     ex = ex.localCheckpoint(eager=False)  # one join per prefix width
     out = None
     for d in _MRL_DIMS:
         qp, cp = F.slice(F.col("qv"), 1, d), F.slice(F.col("vec"), 1, d)
-        sc = _dot(qp, cp) / _norm(qp) / _norm(cp)
+        sc = _dot(qp, cp) / F.col(f"__qn{d}") / F.col(f"__n{d}")
         pre = top10(sc)
         hit = (
             ex.alias("e")
@@ -4009,12 +4029,16 @@ def _exact_l2_top10(emb: DataFrame) -> DataFrame:
     """(query_id, neighbor_id, rank<=10): the exact integer-L2
     brute-force baseline on the micro-unit grid — the shared recall
     reference for the PQ family (sim_topk_pq, sim_topk_ivfpq)."""
-    qi = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
-            " * 1000000.0 + 0.5) AS BIGINT))"
-        ).alias("qi"),
+    # fan_out: the broadcast pair join inherits the scan's 1-3 splits
+    # and otherwise runs every per-pair distance fold on one core
+    qi = fan_out(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+                " * 1000000.0 + 0.5) AS BIGINT))"
+            ).alias("qi"),
+        )
     )
     qi = qi.localCheckpoint(eager=False)  # queries + candidates
     qs = sim.sample_queries(qi).select(
