@@ -180,6 +180,23 @@ def main() -> None:
     spark.read.format("synthetic_rows").option("n", "64").option(
         "num_partitions", "8"
     ).load().write.format("noop").mode("overwrite").save()
+    # the Python DataSource WRITE path has its own one-time init
+    # (writer pickling + commit-protocol spin-up, measured ~3.7 s —
+    # avro_roundtrip cold 5.2 s vs warm 1.4 s) separate from the read
+    # path above — warm it with a tiny pyavro roundtrip (r9)
+    from gcp_de_data_pipeline_cc_spark.scratch import scratch_dir
+    from gcp_de_data_pipeline_cc_spark.sources.avro_py import PyAvroDataSource
+    try:
+        spark.dataSource.register(PyAvroDataSource)
+    except Exception:
+        pass  # already registered in this session
+    avro_warm = scratch_dir("bench_avro_warm")
+    spark.range(0, 8).selectExpr("id AS a").write.format("pyavro").mode(
+        "overwrite"
+    ).save(avro_warm)
+    spark.read.format("pyavro").load(avro_warm).write.format("noop").mode(
+        "overwrite"
+    ).save()
     # the streaming engine has its own one-time init (StreamExecution
     # threads, state-store provider, streaming Arrow path, checkpoint
     # dir handling) — warm it with a throwaway 2-batch micro-stream so

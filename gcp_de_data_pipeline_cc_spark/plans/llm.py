@@ -2300,21 +2300,41 @@ def embedding_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = as_double_vectors(load_table(spark, sf_dir, "embeddings"))
     s = F.array_max(F.transform(F.col("embedding"), F.abs)) / F.lit(127.0)
-    qv = emb.select(
-        "vec_id",
-        F.col("embedding").alias("x"),
-        s.alias("s"),
-        F.transform(
-            F.col("embedding"),
-            lambda v: F.floor(v / s + F.lit(0.5)).cast("long"),
-        ).alias("q"),
-    ).filter(F.col("s") > 0)
+    inorm0 = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+        * F.lit(1.0)
+    )
+    # fan_out: the broadcast pair join inherits the scan's 1-3 splits
+    # (all pair folds on one core otherwise); float/int norms hoisted
+    # to each side — identical folds over identical vectors, so the
+    # score trees below consume bit-identical operands
+    qv = fan_out(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("x"),
+            s.alias("s"),
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v / s + F.lit(0.5)).cast("long"),
+            ).alias("q"),
+        ).filter(F.col("s") > 0)
+    ).select(
+        "*",
+        _norm(F.col("x")).alias("__xn"),
+        inorm0(F.col("q")).alias("__qn"),
+    )
     qv = qv.localCheckpoint(eager=False)  # both rankings, both sides
     qq = sim.sample_queries(qv).select(
         F.col("vec_id").alias("query_id"),
         F.col("x").alias("qx"),
         F.col("s").alias("qs"),
         F.col("q").alias("qqv"),
+        F.col("__xn").alias("__qxn"),
+        F.col("__qn").alias("__qqn"),
     )
     pairs = qv.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id"))
     wq = Window.partitionBy("query_id")
@@ -2324,8 +2344,8 @@ def embedding_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("nid"),
             (
                 _dot(F.col("qx"), F.col("x"))
-                / _norm(F.col("qx"))
-                / _norm(F.col("x"))
+                / F.col("__qxn")
+                / F.col("__xn")
             ).alias("sc"),
         )
         .withColumn(
@@ -2354,8 +2374,8 @@ def embedding_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("nid"),
             (
                 (F.col("qs") * F.col("s") * idot)
-                / (F.col("qs") * inorm(F.col("qqv")))
-                / (F.col("s") * inorm(F.col("q")))
+                / (F.col("qs") * F.col("__qqn"))
+                / (F.col("s") * F.col("__qn"))
             ).alias("sc"),
         )
         .withColumn(
