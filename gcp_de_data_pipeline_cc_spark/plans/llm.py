@@ -4027,12 +4027,19 @@ def _pq_train(
                 .alias("dd")
             )
         )
-        dmin = dist.groupBy("vec_id", "m").agg(F.min("dd").alias("dmin"))
+        # argmin as ONE per-(vec, subspace) window instead of the
+        # min-groupBy + equality-join + min-groupBy triple (3 exchanges
+        # → 1): rank by (dd, k) and keep rn = 1 — the same "smallest k
+        # among the minimum distances" selection, exactly
+        wmk = Window.partitionBy("vec_id", "m").orderBy(
+            F.asc("dd"), F.asc("k")
+        )
         codes = (
-            dist.join(dmin, ["vec_id", "m"])
-            .where(F.col("dd") == F.col("dmin"))
-            .groupBy("vec_id", "m")
-            .agg(F.min("k").cast("long").alias("k_code"))
+            dist.withColumn("rn", F.row_number().over(wmk))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id", "m", F.col("k").cast("long").alias("k_code")
+            )
         )
         codes = codes.localCheckpoint(eager=False)
         if i < iters - 1:
