@@ -256,6 +256,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (a session-pinned shingle cache would hold corpus-scale blocks).
 _DUP_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 _DUP_CC_CACHE: dict[tuple, DataFrame] = {}
+_SHINGLES_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _session_cache_key(spark: SparkSession, sf_dir: str, table: str) -> tuple:
@@ -278,10 +279,27 @@ def corpus_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _DUP_PAIRS_CACHE.get(key)
     if pairs is None:
         pairs = dd.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), threshold=0.5
+            load_table(spark, sf_dir, "documents"),
+            threshold=0.5,
+            shingles=corpus_shingles(spark, sf_dir),
         ).localCheckpoint(eager=False)
         _DUP_PAIRS_CACHE[key] = pairs
     return pairs
+
+
+def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) 3-gram relation, built once per
+    (session, warehouse): the tokenize + explode + distinct pass every
+    shingle consumer (exact-Jaccard pairs, MinHash signature builds,
+    LSH calibration, the accuracy eval) otherwise re-runs."""
+    key = _session_cache_key(spark, sf_dir, "documents")
+    sh = _SHINGLES_CACHE.get(key)
+    if sh is None:
+        sh = dd._doc_shingles(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", 3
+        ).localCheckpoint(eager=False)
+        _SHINGLES_CACHE[key] = sh
+    return sh
 
 
 def corpus_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +486,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     remain the documented production fast path). Tests additionally
     assert recall vs dedup_ngram_jaccard."""
     return dd.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingles=corpus_shingles(spark, sf_dir),
     )
 
 

@@ -516,19 +516,19 @@ def dedup_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE materialized shingle relation feeds all three consumers (the
     # exact join, the LSH signature build, and the LSH verify pass) —
     # without the injection each operator re-runs tokenize+explode
-    # (measured 9.1 s → shared relation at sf0.1)
-    sh = dd._doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )
-    # ... and ONE exact-Jaccard pair set (already at the 0.5 threshold —
-    # the verify pass filters to the same bound, so the threshold-0
-    # universe would materialize strictly useless pairs) feeds both the
-    # exact side and the LSH verify via the jaccard_pairs injection,
-    # eliminating the second candidate-restricted shingle join
-    # (A/B-measured back-to-back at sf0.1: 9.7 s → 7.7 s warm)
-    qual = dd.ngram_jaccard_pairs(
-        docs, threshold=0.5, shingles=sh
-    ).localCheckpoint(eager=False)
+    # (measured 9.1 s → shared relation at sf0.1). r9: both relations
+    # now come from the SESSION caches (llm.corpus_shingles /
+    # llm.corpus_dup_pairs — the same full-corpus 3-gram relation and
+    # the same threshold-0.5 exact pair set), so a session that already
+    # paid the dedup build shares it here and vice versa.
+    from gcp_de_data_pipeline_cc_spark.plans import llm
+
+    sh = llm.corpus_shingles(spark, sf_dir)
+    # ONE exact-Jaccard pair set (already at the 0.5 threshold — the
+    # verify pass filters to the same bound) feeds both the exact side
+    # and the LSH verify via the jaccard_pairs injection (A/B-measured
+    # back-to-back at sf0.1: 9.7 s → 7.7 s warm)
+    qual = llm.corpus_dup_pairs(spark, sf_dir)
     ex = qual.select("doc_a", "doc_b")
     mh = dd.minhash_lsh_pairs(
         docs,
