@@ -353,16 +353,18 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # per-side norm hoist (the cosine_topk discipline): the fold value
+    # is the identical expression over the identical vector, evaluated
+    # once per row instead of once per collided pair — the division
+    # consumes bit-identical operands
     q = as_double_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_nrm", _norm(F.col("q_vec")))
     c = as_double_vectors(candidates, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("c_nrm", _norm(F.col("c_vec")))
     cos = (
-        _dot(F.col("q_vec"), F.col("c_vec"))
-        / _norm(F.col("q_vec"))
-        / _norm(F.col("c_vec"))
+        _dot(F.col("q_vec"), F.col("c_vec")) / F.col("q_nrm") / F.col("c_nrm")
     )
     scored = (
         pairs.join(F.broadcast(q), "query_id")
@@ -559,16 +561,18 @@ def cosine_topk_lsh_portable(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # per-side norm hoist (the cosine_topk discipline): the fold value
+    # is the identical expression over the identical vector, evaluated
+    # once per row instead of once per collided pair — the division
+    # consumes bit-identical operands
     q = as_double_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_nrm", _norm(F.col("q_vec")))
     c = as_double_vectors(candidates, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("c_nrm", _norm(F.col("c_vec")))
     cos = (
-        _dot(F.col("q_vec"), F.col("c_vec"))
-        / _norm(F.col("q_vec"))
-        / _norm(F.col("c_vec"))
+        _dot(F.col("q_vec"), F.col("c_vec")) / F.col("q_nrm") / F.col("c_nrm")
     )
     scored = (
         pairs.join(F.broadcast(q), "query_id")
