@@ -1976,8 +1976,20 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), q=_LSH_CAL_DOCS,
         id_col="doc_id",
     )
-    sh = dd._doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
+    # r10 (r9 verdict task #6): the stratum's shingles are the SESSION
+    # corpus_shingles relation restricted to the sampled ids (filter
+    # commutes with per-doc tokenization — identical rows), so the
+    # tokenize+explode+distinct pass is shared with the dedup family
+    # instead of re-run on the stratum.  The STRATUM itself stays
+    # private — only the full-corpus relation feeding it is shared.
+    ids = sim.query_sample_ids(
+        load_table(spark, sf_dir, "documents"), q=_LSH_CAL_DOCS,
+        id_col="doc_id",
+    )
+    sh = (
+        corpus_shingles(spark, sf_dir)
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .localCheckpoint(eager=False)
     )
     univ = dd.ngram_jaccard_pairs(docs, threshold=0.0, shingles=sh)
     cand = dd.minhash_band_candidates(docs, 32, 8, 3, shingles=sh).select(
@@ -2379,14 +2391,6 @@ def embedding_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("qqv"), F.col("q"), lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda a, b: a + b,
-    )
-    inorm = lambda col: F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda v: v * v),
-            F.lit(0).cast("long"),
-            lambda a, b: a + b,
-        )
-        * F.lit(1.0)
     )
     aq = (
         pairs.select(
@@ -4032,12 +4036,32 @@ def _pq_train(
             .cast("long")
             .alias("cq")
         )
-        cent = cent.localCheckpoint(eager=False)
+        # r10 barrier cut (r9 verdict task #3): one checkpoint per
+        # round (codes) instead of two — cent is consumed exactly once
+        # per training round (the broadcast below), so its checkpoint
+        # bought nothing; only the FINAL codebook, which callers join
+        # repeatedly, keeps one.
+        if i == iters - 1:
+            cent = cent.localCheckpoint(eager=False)
         # training rounds reassign the stratum; the LAST round encodes
         # the full corpus against the final codebook (one linear pass)
         side = flat if i == iters - 1 else strat
+        # r10 exchange cut: repartition by (vec_id, m) BEFORE the ×k
+        # centroid explode — HashPartitioning(vec_id, m) satisfies the
+        # clustering required by BOTH the (vec_id, m, k) distance
+        # aggregate (partitioning exprs ⊆ grouping exprs) and the
+        # (vec_id, m) argmin window, so each round's assignment runs in
+        # ONE exchange of the narrow pre-explode rows instead of two
+        # exchanges of the ×k-exploded partials.  The partition count
+        # is EXPLICIT (defaultParallelism — cluster-adaptive): the
+        # pre-explode rows are tiny in bytes, so AQE's byte-based
+        # coalescing would shrink the exchange to ~1 partition and
+        # serialize the ×k explode + distance folds behind it
+        # (measured: +5 s on the training pass without the explicit N).
+        n_part = side.sparkSession.sparkContext.defaultParallelism
         dist = (
-            side.join(F.broadcast(cent), ["m", "d"])
+            side.repartition(n_part, "vec_id", "m")
+            .join(F.broadcast(cent), ["m", "d"])
             .groupBy("vec_id", "m", "k")
             .agg(
                 F.sum(
@@ -4063,8 +4087,13 @@ def _pq_train(
         )
         codes = codes.localCheckpoint(eager=False)
         if i < iters - 1:
+            # codes is ≤ |stratum|·m rows — broadcast it so the
+            # reassignment join never shuffles the stratum (the
+            # checkpointed inputs have unknown sizes, so the planner
+            # would otherwise default to a sort-merge join)
             assign = strat.join(
-                codes.withColumnRenamed("k_code", "k"), ["vec_id", "m"]
+                F.broadcast(codes.withColumnRenamed("k_code", "k")),
+                ["vec_id", "m"],
             ).select("vec_id", "m", "d", "q", "k")
     return cent, codes
 
@@ -5390,21 +5419,41 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     nb = nb.localCheckpoint(eager=False)  # one join per hop
-    visited = l1.localCheckpoint(eager=False)
-    beam = (
-        visited.withColumn(
-            "rn",
-            F.row_number().over(wq.orderBy(F.desc("cs"), F.asc("nid"))),
+    # r10 stage-count cut (r9 verdict task #2): the loop below carried
+    # THREE exchanges per hop — cand.distinct(), union().distinct() and
+    # the beam-rank window — plus a coalesce.  All three collapse into
+    # ONE hash exchange on query_id per hop: HashPartitioning(query_id)
+    # satisfies the clustering requirement of BOTH the (query_id, nid)
+    # dedup window (partitioning exprs ⊆ clustering exprs) and the
+    # beam-rank window, so after one repartition the dedup and the rank
+    # are two local sorts in the same stage.  Dedup keeps one row per
+    # (query_id, nid) — equivalent to the old 3-column distinct because
+    # cs is the identical deterministic fold over the identical
+    # checkpointed vectors (functionally dependent on the pair).  The
+    # beam rank rides along as a column, so the next hop's beam is a
+    # filter on the checkpointed relation instead of a fresh window.
+    wdup = Window.partitionBy("query_id", "nid").orderBy(F.asc("cs"))
+    wrnk = wq.orderBy(F.desc("cs"), F.asc("nid"))
+
+    def _rank_beam(rel: DataFrame) -> DataFrame:
+        """One query_id exchange → (query_id, nid)-dedup + beam rank."""
+        return (
+            rel.repartition("query_id")
+            .withColumn("__d", F.row_number().over(wdup))
+            .filter(F.col("__d") == 1)
+            .withColumn("rn", F.row_number().over(wrnk))
+            .drop("__d")
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("rn") <= _NSW_B)
-        .select("query_id", "nid")
-    )
+
+    visited = _rank_beam(l1)  # (query_id, nid, cs, rn)
     nbb = F.broadcast(nb)  # ≤2E·n edge rows — bounded, broadcastable
     for _ in range(_NSW_H):
         cand = (
-            beam.join(nbb, beam.nid == nb.src)
+            visited.filter(F.col("rn") <= _NSW_B)
+            .select("query_id", "nid")
+            .join(nbb, F.col("nid") == nb.src)
             .select("query_id", F.col("dst").alias("nid"))
-            .distinct()
         )
         scored = (
             cand.join(
@@ -5414,19 +5463,8 @@ def sim_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(q), "query_id")
             .select("query_id", "nid", cs(F.col("qv"), F.col("v")).alias("cs"))
         )
-        visited = (
-            visited.unionByName(scored)
-            .distinct()
-            .coalesce(8)
-            .localCheckpoint(eager=False)
-        )
-        beam = (
-            visited.withColumn(
-                "rn",
-                F.row_number().over(wq.orderBy(F.desc("cs"), F.asc("nid"))),
-            )
-            .filter(F.col("rn") <= _NSW_B)
-            .select("query_id", "nid")
+        visited = _rank_beam(
+            visited.select("query_id", "nid", "cs").unionByName(scored)
         )
     graph_top = (
         visited.filter(F.col("nid") != F.col("query_id"))
@@ -5554,8 +5592,16 @@ def dedup_minhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), q=_LSH_CAL_DOCS,
         id_col="doc_id",
     )
-    sh = dd._doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
+    # r10: stratum shingles = session corpus_shingles ∩ sampled ids
+    # (see dedup_lsh_calibration — identical relation, shared build)
+    ids = sim.query_sample_ids(
+        load_table(spark, sf_dir, "documents"), q=_LSH_CAL_DOCS,
+        id_col="doc_id",
+    )
+    sh = (
+        corpus_shingles(spark, sf_dir)
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .localCheckpoint(eager=False)
     )
     truep = (
         dd.ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh)
