@@ -64,12 +64,20 @@ def _cf_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
         orders = load_table(spark, sf_dir, "orders")
         part = load_table(spark, sf_dir, "part")
-        v = (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # r10 (guide §2.3): dedup (orderkey, brand) before the orders
+        # join — the join and the final (c, brand) distinct then process
+        # the per-order deduped rows instead of every lineitem
+        ob = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .select(
-                F.col("o_custkey").alias("c"), F.col("p_brand").alias("brand")
+                F.col("l_orderkey").alias("k0"),
+                F.col("p_brand").alias("brand"),
             )
+            .distinct()
+        )
+        v = (
+            ob.join(orders, ob.k0 == orders.o_orderkey)
+            .select(F.col("o_custkey").alias("c"), "brand")
             .distinct()
             .localCheckpoint(eager=False)
         )
@@ -451,39 +459,58 @@ def recsys_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
-    inter = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # r10 (guide §2.3 — shuffle fewer bytes): dedup (orderkey, brand)
+    # BEFORE attaching the order columns.  (c, d, k) are functionally
+    # determined by the orderkey, so the post-join 4-column distinct is
+    # exactly the pre-join 2-column distinct followed by the 1:1 orders
+    # join — the dedup exchange carries 2 narrow columns instead of the
+    # full joined row, and the post-join distinct disappears.
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(
-            F.col("o_custkey").alias("c"),
-            F.col("p_brand").alias("brand"),
-            F.col("o_orderdate").alias("d"),
-            F.col("o_orderkey").alias("k"),
+            F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand")
         )
         .distinct()
+    )
+    inter = (
+        ob.join(orders, ob.k == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            "brand",
+            F.col("o_orderdate").alias("d"),
+            "k",
+        )
         .localCheckpoint(eager=False)  # holdout + train consumers
     )
-    ords = inter.select("c", "d", "k").distinct()
-    lastord = (
-        ords.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("c").orderBy(F.desc("d"), F.desc("k"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    # r10 stage-count cut (r9 verdict task #5): the holdout/train split
+    # ran a distinct + a ranking window + TWO inter⋈lastord joins (~6
+    # exchanges).  The last order per customer is simply the max
+    # (d, k) struct, so ONE per-customer window aggregate tags every
+    # interaction row as holdout-or-train in place; each consumer
+    # branch then costs exactly one customer-keyed exchange:
+    #   - v (train incidence): filter ¬last + distinct — the distinct's
+    #     (c, brand) clustering is satisfied by the window's
+    #     HashPartitioning(c) (partitioning exprs ⊆ grouping exprs);
+    #   - evalu (held brand + trainability): filter/conditional aggs in
+    #     one groupBy(c) riding the same window partitioning — the
+    #     n_train > 0 filter IS the old "c ∈ v" semi-join.
+    # Identical rows: max(struct(d,k)) = the row_number-1 order under
+    # (d DESC, k DESC); min(brand | last) = the old held join + min;
+    # the train filter is the verbatim old NOT (d = dl AND k = kl).
+    is_last = F.struct("d", "k") == F.max(F.struct("d", "k")).over(
+        Window.partitionBy("c")
     )
-    held = (
-        inter.join(lastord, ["c", "d", "k"])
-        .groupBy("c")
-        .agg(F.min("brand").alias("held_brand"))
+    tagged = inter.withColumn("__last", is_last)
+    v = (
+        tagged.filter(~F.col("__last"))
+        .select("c", "brand")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    train = inter.join(
-        lastord.withColumnRenamed("d", "dl").withColumnRenamed("k", "kl"),
-        "c",
-    ).filter(~((F.col("d") == F.col("dl")) & (F.col("k") == F.col("kl"))))
-    v = train.select("c", "brand").distinct().localCheckpoint(eager=False)
+    cstats = tagged.groupBy("c").agg(
+        F.min(F.when(F.col("__last"), F.col("brand"))).alias("held_brand"),
+        F.sum(F.when(~F.col("__last"), 1).otherwise(0)).alias("__n_train"),
+    )
     item = v.groupBy("brand").agg(F.count("*").cast("long").alias("n_cust"))
     a, b = v.alias("a"), v.alias("b")
     co = (
@@ -532,10 +559,19 @@ def recsys_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_u"),
         )
     )
+    # r10: cluster both anti-join sides on the CUSTOMER key only —
+    # HashPartitioning(c) co-satisfies the (c, neighbor)=(c2, brand2)
+    # anti-join's clustering on both sides AND the downstream
+    # (c, neighbor) aggregate AND the per-customer ranking window, so
+    # candidate generation + scoring + ranking run in the two
+    # repartition exchanges instead of joining on the 2-column key and
+    # re-exchanging for the window.
     cand = (
-        v.join(F.broadcast(nb5), v.brand == nb5.item)
+        v.repartition("c")
+        .join(F.broadcast(nb5), v.brand == nb5.item)
         .join(
-            v.select(F.col("c").alias("c2"), F.col("brand").alias("brand2")),
+            v.select(F.col("c").alias("c2"), F.col("brand").alias("brand2"))
+            .repartition("c2"),
             (F.col("c") == F.col("c2")) & (F.col("neighbor") == F.col("brand2")),
             "left_anti",
         )
@@ -548,7 +584,7 @@ def recsys_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("c").orderBy(F.desc("score_u"), F.asc("neighbor"))
         ),
     ).filter(F.col("rnk") <= _HR_K)
-    evalu = held.join(v.select("c").distinct(), "c", "left_semi")
+    evalu = cstats.filter(F.col("__n_train") > 0).select("c", "held_brand")
     evalu = evalu.localCheckpoint(eager=False)  # denominator + hits consumers
     hits = evalu.join(
         rec,
