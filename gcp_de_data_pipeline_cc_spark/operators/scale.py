@@ -224,6 +224,48 @@ def global_rank(
     # of boundaries and one __pid assignment for every consumer.
     # ``materialize=False`` exists solely so plan tests can inspect the
     # two-phase shape beneath the checkpoint truncation.
+    if not pairs:
+        # r10 rank-only FAST PATH (guide §2.4 — remove shuffles
+        # outright): sort WITHIN the range partitions (local, no
+        # exchange) and read the local row number off
+        # ``monotonically_increasing_id``'s per-partition counter (its
+        # documented lower 33 bits), so the __pid-hash window exchange
+        # — the operator's second full-data pass — disappears.  Every
+        # row now crosses the network ONCE (the range exchange); the
+        # checkpoint still pins one boundary set + row order for both
+        # the rank branch and the sizes branch.  Running sums still
+        # need the window; callers with ``cumsums`` take the original
+        # two-exchange path below.
+        part = (
+            df.repartitionByRange(num_partitions, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        if materialize:
+            part = part.localCheckpoint(eager=False)
+        local = part.withColumn(
+            "__lrn",
+            F.monotonically_increasing_id().bitwiseAND(
+                F.lit((1 << 33) - 1)
+            )
+            + F.lit(1),
+        )
+        sizes = part.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+        wo = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        offsets = sizes.select(
+            "__pid",
+            (
+                F.coalesce(F.sum("__cnt").over(wo), F.lit(0))
+                - F.col("__cnt")
+            ).alias("__off"),
+        )
+        out = local.join(F.broadcast(offsets), "__pid").withColumn(
+            rank_col, (F.col("__off") + F.col("__lrn")).cast("long")
+        )
+        return out.drop("__pid", "__lrn", "__off")
+
     part = df.repartitionByRange(num_partitions, *sort_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
