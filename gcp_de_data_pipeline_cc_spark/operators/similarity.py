@@ -232,8 +232,14 @@ def _lsh_buckets(
         codes = grouped @ weights  # (n, T)
         return pd.Series(list(codes))
 
+    # r10 (guide §4.4): the posexplode over the UDF column collapses
+    # into the projection and the plan evaluates the GEMM UDF TWICE per
+    # relation (two ArrowEvalPython nodes over the same input — seen in
+    # every bucket consumer's plan).  Non-deterministic marking fences
+    # the duplication; the function is pure, results unchanged.
+    codes_once = _codes.asNondeterministic()
     return df.select(
-        F.col(id_col).alias(out_id), _codes(F.col(vec_col)).alias("_codes")
+        F.col(id_col).alias(out_id), codes_once(F.col(vec_col)).alias("_codes")
     ).select(out_id, F.posexplode("_codes").alias("table_id", "bucket"))
 
 
@@ -483,8 +489,14 @@ def portable_lsh_buckets(
         grouped = signs.reshape(len(q), -1, len(weights))  # (n, T, b)
         return pd.Series(list(grouped @ weights))
 
+    # r10 (guide §4.4): the posexplode over the UDF column collapses
+    # into the projection and the plan evaluates the GEMM UDF TWICE per
+    # relation (two ArrowEvalPython nodes over the same input — seen in
+    # every bucket consumer's plan).  Non-deterministic marking fences
+    # the duplication; the function is pure, results unchanged.
+    codes_once = _codes.asNondeterministic()
     return df.select(
-        F.col(id_col).alias(out_id), _codes(F.col(vec_col)).alias("_codes")
+        F.col(id_col).alias(out_id), codes_once(F.col(vec_col)).alias("_codes")
     ).select(out_id, F.posexplode("_codes").alias("table_id", "bucket"))
 
 

@@ -881,6 +881,14 @@ def fn_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(_jw_batch(a.tolist(), b.tolist()))
 
+    # r10 (guide §4.4): the jw >= 0.8 filter references the UDF output,
+    # and the optimizer pushes a COPY of the filter below the
+    # projection — the plan carried TWO ArrowEvalPython nodes, so every
+    # candidate pair paid the interpreted DP twice.  Marking the UDF
+    # non-deterministic fences the push-down duplication; the function
+    # itself is pure, results unchanged.
+    jw_udf = jw_udf.asNondeterministic()
+
     part = load_table(spark, sf_dir, "part")
     p = part.select("p_partkey", "p_name", "p_brand", "p_size")
     a, b = p.alias("a"), p.alias("b")
