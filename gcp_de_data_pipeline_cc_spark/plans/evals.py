@@ -656,28 +656,26 @@ def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n"))
     )
-    wins = (
-        models.join(
-            match,
-            (match.a == models.i) | (match.b == models.i),
-            "left",
-        )
-        .groupBy("i")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        ((F.col("a") == F.col("i")) & F.col("a_wins"))
-                        | ((F.col("b") == F.col("i")) & ~F.col("a_wins")),
-                        1,
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("wins"),
-            F.count(F.col("a")).cast("long").alias("games"),
-        )
+    # r10 (guide §3 — avoid exploding joins): per-model wins/games via a
+    # two-arm projection + ONE map-side aggregate.  The previous
+    # models⋈match join on (a = i OR b = i) planned as a
+    # BroadcastNestedLoopJoin that tested every match row against all m
+    # models and widened the match log before aggregating; each match
+    # contributes exactly its two participants, so the union projection
+    # produces the identical counts with no join over the match log.
+    contrib = match.select(
+        F.col("a").alias("i"), F.col("a_wins").alias("won")
+    ).unionAll(
+        match.select(F.col("b").alias("i"), (~F.col("a_wins")).alias("won"))
+    )
+    wagg = contrib.groupBy("i").agg(
+        F.sum(F.when(F.col("won"), 1).otherwise(0)).cast("long").alias("wins"),
+        F.count("*").cast("long").alias("games"),
+    )
+    wins = models.join(F.broadcast(wagg), "i", "left").select(
+        "i",
+        F.coalesce(F.col("wins"), F.lit(0)).cast("long").alias("wins"),
+        F.coalesce(F.col("games"), F.lit(0)).cast("long").alias("games"),
     )
     wins = wins.localCheckpoint(eager=False)  # per-iteration + output
     pairs = pairs.localCheckpoint(eager=False)
@@ -685,19 +683,30 @@ def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("k"), F.lit(q // m).cast("long").alias("v")
     )
     for _ in range(_BT_ITERS):
-        opp = pairs.select("i", "j", "n").unionAll(
-            pairs.select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "n"
+        # every relation in an MM iteration is model-cardinality
+        # (≤ m(m-1)/2 rows) but hidden behind checkpoints/aggregates the
+        # planner cannot size — broadcast them explicitly so each
+        # iteration is hash-join map work + one tiny groupBy instead of
+        # a chain of sort-merge exchanges (r10, guide §3.1)
+        opp = F.broadcast(
+            pairs.select("i", "j", "n").unionAll(
+                pairs.select(
+                    F.col("j").alias("i"), F.col("i").alias("j"), "n"
+                )
             )
         )
         raw = (
             wins.join(opp, wins.i == opp.i)
             .join(
-                p.select(F.col("k").alias("ka"), F.col("v").alias("va")),
+                F.broadcast(
+                    p.select(F.col("k").alias("ka"), F.col("v").alias("va"))
+                ),
                 F.col("ka") == wins.i,
             )
             .join(
-                p.select(F.col("k").alias("kb"), F.col("v").alias("vb")),
+                F.broadcast(
+                    p.select(F.col("k").alias("kb"), F.col("v").alias("vb"))
+                ),
                 F.col("kb") == opp.j,
             )
             .groupBy(wins.i.alias("gi"), "wins")

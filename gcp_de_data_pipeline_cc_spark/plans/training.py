@@ -872,41 +872,51 @@ def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     two id-keyed shuffle joins; both argmax windows are
     WindowGroupLimit-pruned per anchor."""
     scored = _hn_scored(spark, sf_dir)
-    scored = scored.localCheckpoint(eager=False)  # pos + neg consumers
-    wa = Window.partitionBy("anchor_id").orderBy(
+    # r10 stage-count cut (guide §2.4): the pos and neg branches each
+    # re-windowed the checkpointed scores by anchor (2 exchanges) and
+    # then re-joined on anchor_id (2 more).  One anchor-keyed exchange
+    # now serves everything: HashPartitioning(anchor_id) satisfies the
+    # (anchor_id, is_pos) ranking window AND the per-anchor positive
+    # broadcast window (partitioning exprs ⊆ partition keys), and the
+    # pos⋈neg join disappears — the single positive row's (id, cosine)
+    # ride onto its anchor's negative rows as max(CASE …) window
+    # aggregates (exactly one rn = 1 positive per anchor, so the max IS
+    # that row; anchors without a positive yield NULL and are dropped
+    # like the old inner join dropped them).  The checkpoint goes too:
+    # the scores now have a single consumer chain.
+    is_pos = F.col("c_label") == F.col("a_label")
+    wa = Window.partitionBy("anchor_id", "__pos").orderBy(
         F.col("cos_raw").desc(), F.col("cand_id")
     )
-    pos = (
-        scored.filter(F.col("c_label") == F.col("a_label"))
+    wanchor = Window.partitionBy("anchor_id")
+    pos_pick = F.when(F.col("__pos") & (F.col("rn") == 1), True)
+    t = (
+        scored.repartition("anchor_id")
+        .withColumn("__pos", is_pos)
         .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor_id",
-            F.col("cand_id").alias("pos_id"),
-            F.col("cos_raw").alias("pos_raw"),
+        .withColumn(
+            "pos_id",
+            F.max(F.when(pos_pick, F.col("cand_id"))).over(wanchor),
         )
-    )
-    neg = (
-        scored.filter(F.col("c_label") != F.col("a_label"))
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= _HN_NEGS)
-        .select(
-            "anchor_id",
-            F.col("cand_id").alias("neg_id"),
-            F.col("cos_raw").alias("neg_raw"),
-            F.col("rn").cast("int").alias("neg_rank"),
+        .withColumn(
+            "pos_raw",
+            F.max(F.when(pos_pick, F.col("cos_raw"))).over(wanchor),
         )
     )
     return (
-        pos.join(neg, "anchor_id")
+        t.filter(
+            (~F.col("__pos"))
+            & (F.col("rn") <= _HN_NEGS)
+            & F.col("pos_id").isNotNull()
+        )
         .select(
             "anchor_id",
             "pos_id",
             roundn(F.col("pos_raw"), 4).alias("pos_cos"),
-            "neg_rank",
-            "neg_id",
-            roundn(F.col("neg_raw"), 4).alias("neg_cos"),
-            roundn(F.col("pos_raw") - F.col("neg_raw"), 4).alias("margin"),
+            F.col("rn").cast("int").alias("neg_rank"),
+            F.col("cand_id").alias("neg_id"),
+            roundn(F.col("cos_raw"), 4).alias("neg_cos"),
+            roundn(F.col("pos_raw") - F.col("cos_raw"), 4).alias("margin"),
         )
         .orderBy("anchor_id", "neg_rank")
     )
