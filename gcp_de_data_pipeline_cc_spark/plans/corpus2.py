@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gcp_de_data_pipeline_cc_spark.catalog import fan_out, load_table
+from gcp_de_data_pipeline_cc_spark.catalog import load_table
 from gcp_de_data_pipeline_cc_spark.functions.rounding import roundn, sql_roundn
 from gcp_de_data_pipeline_cc_spark.operators import text as tx
 from gcp_de_data_pipeline_cc_spark.plans.registry import query
@@ -71,27 +71,36 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a frequency floor it broadcasts), and the corpus totals are a
     one-row broadcast. No second corpus scan: the model and the scoring
     pass share the exploded-token relation."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("token")
+    from gcp_de_data_pipeline_cc_spark.plans.corpus_stats import (
+        _signal_cached,
     )
-    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
-    tot = cnt.agg(
-        F.sum("c").alias("n_corpus"), F.count("*").alias("vocab")
-    )
-    bits = F.avg(
-        -F.log2((F.col("c") + 1.0) / (F.col("n_corpus") + F.col("vocab")))
-    )
-    return (
-        tok.join(cnt, "token")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            roundn(bits, 4).alias("bits_per_token"),
-            roundn(F.pow(F.lit(2.0), bits), 4).alias("perplexity"),
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(
+            "doc_id", F.explode(tx.tokens_col(F.col("text"))).alias("token")
         )
-    )
+        cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+        tot = cnt.agg(
+            F.sum("c").alias("n_corpus"), F.count("*").alias("vocab")
+        )
+        bits = F.avg(
+            -F.log2((F.col("c") + 1.0) / (F.col("n_corpus") + F.col("vocab")))
+        )
+        return (
+            tok.join(cnt, "token")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                roundn(bits, 4).alias("bits_per_token"),
+                roundn(F.pow(F.lit(2.0), bits), 4).alias("perplexity"),
+            )
+        )
+
+    # r10: session-shared with quality_composite_score (which consumes
+    # this relation verbatim) — the corpus_stats._signal_cached pattern
+    return _signal_cached(spark, sf_dir, "perplexity", build)
 
 
 #: tokens per dedup block — the "line" analog for punctuation-free feeds
@@ -248,14 +257,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate work, never all-pairs) — only the final scoring expression
     differs, so the hash-key shuffle mode of operators/dedup.py applies
     unchanged."""
-    from gcp_de_data_pipeline_cc_spark.operators.dedup import _doc_shingles
+    from gcp_de_data_pipeline_cc_spark.plans.llm import corpus_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    # lazy checkpoints: the shingle relation feeds both self-join sides
-    # and the size rollup (the ngram_jaccard_pairs treatment)
-    sh = _doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )
+    # r10 (r9 verdict task #6 pattern): the full-corpus distinct
+    # (doc_id, 3-shingle) relation is the SESSION corpus_shingles build
+    # (identical rows — same tokenizer, k and distinct), shared with
+    # the dedup family instead of re-tokenized per key.  It is already
+    # checkpointed; it feeds both self-join sides and the size rollup.
+    sh = corpus_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(
         F.count("*").alias("n_sh")
     ).localCheckpoint(eager=False)
@@ -320,10 +329,11 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms (term, shard_of(doc_id)) and concatenate shards downstream,
     which this same plan expresses by adding the shard key to the
     groupBy."""
-    from gcp_de_data_pipeline_cc_spark.operators.dedup import _doc_shingles
+    from gcp_de_data_pipeline_cc_spark.plans.llm import corpus_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, "doc_id", "text", 3).withColumnRenamed(
+    # r10: same session-shared relation as the dedup family (identical
+    # distinct (doc_id, 3-shingle) rows — see dedup_containment note)
+    sh = corpus_shingles(spark, sf_dir).withColumnRenamed(
         "shingle", "term"
     )
     return (

@@ -663,12 +663,11 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(doc_id) makes the curve deterministic and incremental —
     appending documents never changes earlier docs' novelty.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    from gcp_de_data_pipeline_cc_spark.operators.dedup import _doc_shingles
+    from gcp_de_data_pipeline_cc_spark.plans.llm import corpus_shingles
 
-    sh = _doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )
+    # r10: session-shared full-corpus shingle relation (identical rows;
+    # already checkpointed — see dedup_containment / inverted_index)
+    sh = corpus_shingles(spark, sf_dir)
     owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     is_novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
