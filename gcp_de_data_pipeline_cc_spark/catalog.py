@@ -123,6 +123,14 @@ def fan_out(df: DataFrame) -> DataFrame:
     100 TB plan.  Round-robin repartition is used (no key: the inputs
     feeding this are deterministic scans, safe under retry per
     SPARK-23207's sort-before-repartition).
+
+    Planning cost (r9 ADVICE): the ``df.rdd.getNumPartitions()`` probe
+    forces analysis + physical planning of ``df`` (and file listing at
+    the scan) at plan-BUILD time, and freezes a pre-AQE partition
+    count.  Both are acceptable exactly because every call site is a
+    plan ROOT over a fresh scan (listing is cached per session; the
+    pre-AQE count IS the scan split count being tested) — do NOT call
+    this inside iterative loops or on deep mid-plan relations.
     """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism

@@ -1622,6 +1622,12 @@ def graph_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-chain min-reachable label is the identical component minimum.
     # Plan: 12 join+agg rounds (24 exchanges) → 4 join+distinct rounds
     # (8) + one final min.  State stays (chains)·|V|² dimension-bounded.
+    # NOTE (r9 ADVICE): this labels each vertex with the min vertex it
+    # can REACH, while the old loop (and the oracle) label with the min
+    # vertex that reaches IT — equivalent ONLY because the tagged edge
+    # relation `ge` is SYMMETRIZED (trade_sparse_graph is undirected).
+    # Reusing this pattern on a directed relation would silently
+    # diverge; keep the reach-direction flip tied to symmetric edges.
     reach = (
         st.select("chain", F.col("v").alias("a"), F.col("v").alias("b"))
         .unionByName(
